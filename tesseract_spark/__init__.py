@@ -1,0 +1,24 @@
+"""tesseract_spark — a PySpark-native OLAP analytics engine.
+
+A from-scratch reimplementation of the query and data-processing capabilities of
+tesseract-olap/tesseract (reference, read-only at /root/reference) on Spark
+SQL/DataFrames: the reference's SQL-string compiler becomes a DataFrame plan
+builder and its ClickHouse backend becomes Catalyst + Tungsten.
+"""
+
+from .fixtures import testdata_schema
+from .plans.builder import PlanBuilder
+from .query.model import Query
+from .schema.parse import schema_from_json
+from .session import get_spark
+from .sources.registry import TableRegistry, testdata_registry
+
+__all__ = [
+    "PlanBuilder",
+    "Query",
+    "TableRegistry",
+    "get_spark",
+    "schema_from_json",
+    "testdata_registry",
+    "testdata_schema",
+]

@@ -1,0 +1,232 @@
+"""Fixture cube schema over the driver's TPC-H-ish testdata (FIXTURES.md §B).
+
+One cube, ``lineitem_sales``, exercising every dimension shape the reference
+supports: snowflake joined dim (Part), 1-level joined dim (Supplier), denormalized
+snowflake-through-orders dim (Customer Geography via the ``order_geo`` registry
+view), degenerate dims (Return Flag, Order), degenerate time hierarchy
+(Ship Date: Year → Month), and an inline-table dim (Line Status).
+"""
+
+from __future__ import annotations
+
+from .schema.model import Schema
+from .schema.parse import schema_from_json
+
+LINEITEM_SCHEMA_JSON = {
+    "name": "testdata",
+    "cubes": [
+        {
+            "name": "lineitem_sales",
+            "table": {"name": "lineitem_enriched", "primary_key": "l_orderkey"},
+            "dimensions": [
+                {
+                    "name": "Part",
+                    "foreign_key": "l_partkey",
+                    "hierarchies": [
+                        {
+                            "name": "Part",
+                            "table": {"name": "part", "primary_key": "p_partkey"},
+                            "levels": [
+                                {"name": "Brand", "key_column": "p_brand", "key_type": "text"},
+                                {
+                                    "name": "Part",
+                                    "key_column": "p_partkey",
+                                    "name_column": "p_name",
+                                    "properties": [
+                                        {"name": "Type", "column": "p_type"},
+                                        {"name": "Size", "column": "p_size"},
+                                    ],
+                                },
+                            ],
+                        }
+                    ],
+                },
+                {
+                    "name": "Supplier",
+                    "foreign_key": "l_suppkey",
+                    "hierarchies": [
+                        {
+                            "name": "Supplier",
+                            "table": {"name": "supplier", "primary_key": "s_suppkey"},
+                            "levels": [
+                                {
+                                    "name": "Supplier",
+                                    "key_column": "s_suppkey",
+                                    "name_column": "s_name",
+                                }
+                            ],
+                        }
+                    ],
+                },
+                {
+                    "name": "Customer Geography",
+                    "foreign_key": "l_orderkey",
+                    "type": "geo",
+                    "hierarchies": [
+                        {
+                            "name": "Geography",
+                            "primary_key": "o_orderkey",
+                            "table": {"name": "order_geo", "primary_key": "o_orderkey"},
+                            "levels": [
+                                {
+                                    "name": "Region",
+                                    "key_column": "r_regionkey",
+                                    "name_column": "r_name",
+                                },
+                                {
+                                    "name": "Nation",
+                                    "key_column": "n_nationkey",
+                                    "name_column": "n_name",
+                                },
+                            ],
+                        }
+                    ],
+                },
+                {
+                    "name": "Return Flag",
+                    "foreign_key": None,
+                    "hierarchies": [
+                        {
+                            "name": "Return Flag",
+                            "levels": [
+                                {
+                                    "name": "Return Flag",
+                                    "key_column": "l_returnflag",
+                                    "key_type": "text",
+                                }
+                            ],
+                        }
+                    ],
+                },
+                {
+                    "name": "Ship Date",
+                    "foreign_key": None,
+                    "type": "time",
+                    "hierarchies": [
+                        {
+                            "name": "Ship Date",
+                            "levels": [
+                                {"name": "Year", "key_column": "l_shipyear"},
+                                {"name": "Month", "key_column": "l_shipmonth"},
+                            ],
+                        }
+                    ],
+                },
+                {
+                    "name": "Order",
+                    "foreign_key": None,
+                    "hierarchies": [
+                        {
+                            "name": "Order",
+                            "levels": [{"name": "Order", "key_column": "l_orderkey"}],
+                        }
+                    ],
+                },
+                {
+                    "name": "Line Status",
+                    "foreign_key": "l_linestatus",
+                    "hierarchies": [
+                        {
+                            "name": "Line Status",
+                            "primary_key": "status_key",
+                            "inline_table": {
+                                "alias": "line_status_inline",
+                                "column_definitions": [
+                                    {"name": "status_key", "key_type": "text"},
+                                    {"name": "status_name", "key_type": "text"},
+                                ],
+                                "rows": [
+                                    {
+                                        "row_values": [
+                                            {"column": "status_key", "value": "O"},
+                                            {"column": "status_name", "value": "Open"},
+                                        ]
+                                    },
+                                    {
+                                        "row_values": [
+                                            {"column": "status_key", "value": "F"},
+                                            {"column": "status_name", "value": "Finished"},
+                                        ]
+                                    },
+                                ],
+                            },
+                            "levels": [
+                                {
+                                    "name": "Status",
+                                    "key_column": "status_key",
+                                    "name_column": "status_name",
+                                    "key_type": "text",
+                                }
+                            ],
+                        }
+                    ],
+                },
+            ],
+            "measures": [
+                {"name": "Quantity", "column": "l_quantity", "aggregator": "sum"},
+                {"name": "Extended Price", "column": "l_extendedprice", "aggregator": "sum"},
+                {"name": "Avg Discount", "column": "l_discount", "aggregator": "avg"},
+                {"name": "Row Count", "column": "l_linenumber", "aggregator": "count"},
+                {"name": "Max Tax", "column": "l_tax", "aggregator": "max"},
+                {"name": "Min Tax", "column": "l_tax", "aggregator": "min"},
+                {
+                    "name": "Weighted Price",
+                    "column": "l_extendedprice",
+                    "aggregator": {"weighted_avg": {"weight_column": "l_quantity"}},
+                },
+                {
+                    "name": "Weighted Price Sum",
+                    "column": "l_extendedprice",
+                    "aggregator": {"weighted_sum": {"weight_column": "l_quantity"}},
+                },
+                {
+                    "name": "Tax MOE",
+                    "column": "l_tax",
+                    "aggregator": {"moe": {"critical_value": 1.645}},
+                },
+                {
+                    "name": "Discount RW MOE",
+                    "column": "l_discount",
+                    "aggregator": {
+                        "replicate_weight_moe": {
+                            "critical_value": 1.645,
+                            "design_factor": 4.0,
+                            "secondary_columns": ["l_tax", "l_quantity"],
+                        }
+                    },
+                },
+                {
+                    "name": "Price WAvg MOE",
+                    "column": "l_extendedprice",
+                    "aggregator": {
+                        "weighted_average_moe": {
+                            "critical_value": 1.645,
+                            "design_factor": 4.0,
+                            "primary_weight": "l_quantity",
+                            "secondary_weight_columns": ["l_tax", "l_discount"],
+                        }
+                    },
+                },
+                {
+                    "name": "Median Qty By Order",
+                    "column": "l_quantity",
+                    "aggregator": {
+                        "basic_grouped_median": {
+                            "group_aggregator": "sum",
+                            "group_dimension": "Order.Order.Order",
+                        }
+                    },
+                },
+                {
+                    "name": "Custom Net",
+                    "column": "l_extendedprice",
+                    "aggregator": {"custom": "sum({} * (1 - l_discount))"},
+                },
+            ],
+        }
+    ],
+}
+
+
+def testdata_schema() -> Schema:
+    return schema_from_json(LINEITEM_SCHEMA_JSON)

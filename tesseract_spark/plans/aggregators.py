@@ -1,0 +1,207 @@
+"""Aggregator → Spark Column expressions.
+
+The reference compiles every aggregator into a two-phase SQL form (pass-1 at
+foreign-key grain before dim joins, pass-2 at drill grain after joins —
+tesseract-clickhouse/src/sql/aggregator.rs:28-223). All of them except ``avg``
+and ``basic_grouped_median`` are sum-decomposable, so a single Spark aggregate
+produces identical results while letting Catalyst's partial→final
+HashAggregate do the two-phase work physically (SURVEY.md §4). That is the
+default plan: with broadcast dim joins it needs exactly one shuffle.
+
+When a query contains a non-decomposable aggregator (``basic_grouped_median``
+always; ``avg`` under ``avg_grain="fk"`` reference-parity mode), the builder
+switches to an explicit two-phase plan and uses the ``pass1_cols``/``pass2_col``
+forms here for *all* measures in the query — mirroring the reference's plan
+shape (primary_agg.rs:93-121, 215-231).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..schema.aggregator import (
+    Aggregator,
+    Average,
+    BasicGroupedMedian,
+    Count,
+    Custom,
+    Max,
+    Min,
+    Moe,
+    ReplicateWeightMoe,
+    Sum,
+    WeightedAverage,
+    WeightedAverageMoe,
+    WeightedSum,
+)
+from ..schema.model import Measure
+
+
+def needs_two_phase(agg: Aggregator, avg_grain: str = "flat") -> bool:
+    if isinstance(agg, BasicGroupedMedian):
+        return True
+    return isinstance(agg, Average) and avg_grain == "fk"
+
+
+def _moe_sum_sq(col: Column, cv: float) -> Column:
+    return F.sum(F.pow(col / F.lit(cv), F.lit(2)))
+
+
+def _sq_diff_sum(terms: list[Column]) -> Column:
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
+
+
+def single_pass_agg(measure: Measure) -> Column:
+    """One flat aggregate expression, aliased to the measure name.
+
+    Exact-equal to the reference's two-phase result for every decomposable
+    aggregator (the two-phase forms compose sums, aggregator.rs:28-223).
+    """
+    agg = measure.aggregator
+    col = F.col(measure.column)
+    if isinstance(agg, Sum):
+        out = F.sum(col)
+    elif isinstance(agg, Count):
+        out = F.count(col)
+    elif isinstance(agg, Average):
+        out = F.avg(col)
+    elif isinstance(agg, Max):
+        out = F.max(col)
+    elif isinstance(agg, Min):
+        out = F.min(col)
+    elif isinstance(agg, WeightedSum):
+        out = F.sum(col * F.col(agg.weight_column))
+    elif isinstance(agg, WeightedAverage):
+        out = F.sum(col * F.col(agg.weight_column)) / F.sum(F.col(agg.weight_column))
+    elif isinstance(agg, Moe):
+        # cv * sqrt(sum(pow(col / cv, 2))) — aggregator.rs:64-70,193-198
+        out = F.lit(agg.critical_value) * F.sqrt(_moe_sum_sq(col, agg.critical_value))
+    elif isinstance(agg, ReplicateWeightMoe):
+        # cv * sqrt(df/n_sec * Σ_i pow(sum(col) - sum(sec_i), 2)) — :52-63,177-192
+        factor = agg.design_factor / len(agg.secondary_columns)
+        total = _sq_diff_sum(
+            [
+                F.pow(F.sum(col) - F.sum(F.col(sec)), F.lit(2))
+                for sec in agg.secondary_columns
+            ]
+        )
+        out = F.lit(agg.critical_value) * F.sqrt(F.lit(factor) * total)
+    elif isinstance(agg, WeightedAverageMoe):
+        # cv * sqrt(df/n * Σ_i pow(wavg(col, primary) - wavg(col, sec_i), 2)) — :71-93,199-217
+        factor = agg.design_factor / len(agg.secondary_weight_columns)
+        primary = F.sum(col * F.col(agg.primary_weight)) / F.sum(F.col(agg.primary_weight))
+        total = _sq_diff_sum(
+            [
+                F.pow(primary - F.sum(col * F.col(sec)) / F.sum(F.col(sec)), F.lit(2))
+                for sec in agg.secondary_weight_columns
+            ]
+        )
+        out = F.lit(agg.critical_value) * F.sqrt(F.lit(factor) * total)
+    elif isinstance(agg, Custom):
+        # template with {} placeholder — schema/aggregator.rs:91-92
+        out = F.expr(agg.template.replace("{}", measure.column))
+    elif isinstance(agg, BasicGroupedMedian):
+        raise ValueError(
+            "basic_grouped_median requires the two-phase plan path (hidden drilldown)"
+        )
+    else:
+        raise ValueError(f"unsupported aggregator {agg!r}")
+    return out.alias(measure.name)
+
+
+def pass1_cols(measure: Measure, avg_grain: str = "flat") -> list[Column]:
+    """Pass-1 (fk / hidden-dim grain) aggregate columns — aggregator.rs:28-99.
+
+    Intermediate columns are suffixed ``{measure}__*``; ``pass2_col`` consumes
+    them. ``avg`` under flat grain carries (sum, count) so pass-2 yields the
+    true average rather than the reference's average-of-averages.
+    """
+    agg = measure.aggregator
+    n = measure.name
+    col = F.col(measure.column)
+    if isinstance(agg, (Sum, Max, Min)):
+        fn = {Sum: F.sum, Max: F.max, Min: F.min}[type(agg)]
+        return [fn(col).alias(n)]
+    if isinstance(agg, Count):
+        return [F.count(col).alias(n)]
+    if isinstance(agg, Average):
+        if avg_grain == "fk":
+            return [F.avg(col).alias(n)]
+        return [F.sum(col).alias(f"{n}__num"), F.count(col).alias(f"{n}__cnt")]
+    if isinstance(agg, BasicGroupedMedian):
+        group_fn = getattr(F, agg.group_aggregator)
+        return [group_fn(col).alias(n)]
+    if isinstance(agg, WeightedSum):
+        return [F.sum(col * F.col(agg.weight_column)).alias(n)]
+    if isinstance(agg, WeightedAverage):
+        return [
+            F.sum(col * F.col(agg.weight_column)).alias(f"{n}__num"),
+            F.sum(F.col(agg.weight_column)).alias(f"{n}__den"),
+        ]
+    if isinstance(agg, Moe):
+        return [_moe_sum_sq(col, agg.critical_value).alias(f"{n}__sub")]
+    if isinstance(agg, ReplicateWeightMoe):
+        cols = [F.sum(col).alias(f"{n}__p")]
+        cols += [
+            F.sum(F.col(sec)).alias(f"{n}__s{i}")
+            for i, sec in enumerate(agg.secondary_columns)
+        ]
+        return cols
+    if isinstance(agg, WeightedAverageMoe):
+        cols = [
+            F.sum(col * F.col(agg.primary_weight)).alias(f"{n}__pnum"),
+            F.sum(F.col(agg.primary_weight)).alias(f"{n}__pden"),
+        ]
+        for i, sec in enumerate(agg.secondary_weight_columns):
+            cols.append(F.sum(col * F.col(sec)).alias(f"{n}__snum{i}"))
+            cols.append(F.sum(F.col(sec)).alias(f"{n}__sden{i}"))
+        return cols
+    if isinstance(agg, Custom):
+        return [F.expr(agg.template.replace("{}", measure.column)).alias(n)]
+    raise ValueError(f"unsupported aggregator {agg!r}")
+
+
+def pass2_col(measure: Measure, avg_grain: str = "flat") -> Column:
+    """Pass-2 (drill grain) over pass-1 columns — aggregator.rs:157-223."""
+    agg = measure.aggregator
+    n = measure.name
+    if isinstance(agg, (Sum, Count, WeightedSum, Custom)):
+        return F.sum(F.col(n)).alias(n)
+    if isinstance(agg, Max):
+        return F.max(F.col(n)).alias(n)
+    if isinstance(agg, Min):
+        return F.min(F.col(n)).alias(n)
+    if isinstance(agg, Average):
+        if avg_grain == "fk":
+            return F.avg(F.col(n)).alias(n)  # reference avg-of-averages, :163
+        return (F.sum(f"{n}__num") / F.sum(f"{n}__cnt")).alias(n)
+    if isinstance(agg, BasicGroupedMedian):
+        return F.median(F.col(n)).alias(n)
+    if isinstance(agg, WeightedAverage):
+        return (F.sum(f"{n}__num") / F.sum(f"{n}__den")).alias(n)
+    if isinstance(agg, Moe):
+        return (F.lit(agg.critical_value) * F.sqrt(F.sum(f"{n}__sub"))).alias(n)
+    if isinstance(agg, ReplicateWeightMoe):
+        factor = agg.design_factor / len(agg.secondary_columns)
+        total = _sq_diff_sum(
+            [
+                F.pow(F.sum(f"{n}__p") - F.sum(f"{n}__s{i}"), F.lit(2))
+                for i in range(len(agg.secondary_columns))
+            ]
+        )
+        return (F.lit(agg.critical_value) * F.sqrt(F.lit(factor) * total)).alias(n)
+    if isinstance(agg, WeightedAverageMoe):
+        factor = agg.design_factor / len(agg.secondary_weight_columns)
+        primary = F.sum(f"{n}__pnum") / F.sum(f"{n}__pden")
+        total = _sq_diff_sum(
+            [
+                F.pow(primary - F.sum(f"{n}__snum{i}") / F.sum(f"{n}__sden{i}"), F.lit(2))
+                for i in range(len(agg.secondary_weight_columns))
+            ]
+        )
+        return (F.lit(agg.critical_value) * F.sqrt(F.lit(factor) * total)).alias(n)
+    raise ValueError(f"unsupported aggregator {agg!r}")

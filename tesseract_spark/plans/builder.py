@@ -1,0 +1,579 @@
+"""PlanBuilder: compile (cube schema, Query) → a PySpark DataFrame plan.
+
+This replaces the reference's SQL-string generation
+(tesseract-core/src/lib.rs:390-793 resolution + tesseract-clickhouse/src/sql/*
+codegen) with declarative DataFrame construction; Catalyst supplies predicate
+pushdown, column pruning, join selection, and partial aggregation (SURVEY.md §4).
+
+Plan shape, scale-first:
+
+- default: cuts → filters/semi-joins on the fact scan, broadcast inner joins to
+  dimension tables, ONE ``groupBy`` at drill grain. With broadcast dims this is a
+  single shuffle; partial (map-side) aggregation is Catalyst's HashAggregate
+  partial→final.
+- two-phase mode (``basic_grouped_median`` present, or ``avg_grain="fk"``
+  reference-parity): explicit pre-aggregation at fact/foreign-key grain before
+  the dim joins, mirroring the reference plan (primary_agg.rs:93-121, 162-167,
+  215-231). Costs one extra shuffle, required for the non-decomposable grain
+  semantics (SURVEY.md §2.4 note).
+
+Cuts on non-fact tables become broadcast ``left_semi`` joins *before*
+aggregation — the reference's semi-join pushdown (primary_agg.rs:123-160); when
+the cut level is the hierarchy's primary key the semi-join collapses to a direct
+``fk IN (...)`` filter on the fact scan (pushed to parquet by Catalyst).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..query.model import (
+    Calculation,
+    Comparison,
+    Cut,
+    FilterQuery,
+    LevelName,
+    Mask,
+    Query,
+    SortDirection,
+)
+from ..schema.model import (
+    Cube,
+    Dimension,
+    Hierarchy,
+    Level,
+    Measure,
+    MemberType,
+    Property,
+    Schema,
+)
+from ..sources.registry import TableRegistry
+from . import aggregators as agg_mod
+from .calculations import apply_growth, apply_rate, apply_rca
+
+
+class QueryValidationError(ValueError):
+    pass
+
+
+def level_key_alias(level: Level) -> str:
+    """Header naming contract (lib.rs:1046-1202): levels with a name column emit
+    an ``{Level} ID`` key column paired with a ``{Level}`` name column."""
+    return f"{level.name} ID" if level.name_column else level.name
+
+
+def level_name_alias(level: Level) -> str | None:
+    return level.name if level.name_column else None
+
+
+@dataclass
+class ResolvedLevelRef:
+    """A (dimension, hierarchy, level) triple resolved from a LevelName."""
+
+    dim: Dimension
+    hier: Hierarchy
+    level: Level
+    level_idx: int
+
+    @property
+    def degenerate(self) -> bool:
+        return self.hier.is_degenerate()
+
+
+@dataclass
+class DrillSpec:
+    """One drilldown's output columns: the level itself, ancestor levels when
+    ``parents=true`` (lib.rs:977-1004), plus requested properties."""
+
+    ref: ResolvedLevelRef
+    levels: list[Level]  # parents-first chain ending at the drilled level
+    properties: list[Property] = field(default_factory=list)
+
+    def output_aliases(self) -> list[str]:
+        out = []
+        for lv in self.levels:
+            out.append(level_key_alias(lv))
+            if lv.name_column:
+                out.append(level_name_alias(lv))
+        out.extend(p.name for p in self.properties)
+        return out
+
+
+class PlanBuilder:
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: Schema,
+        registry: TableRegistry,
+        avg_grain: str = "flat",
+    ):
+        if avg_grain not in ("flat", "fk"):
+            raise ValueError("avg_grain must be 'flat' or 'fk'")
+        self.spark = spark
+        self.schema = schema
+        self.registry = registry
+        self.avg_grain = avg_grain
+
+    # ---------------- name resolution ----------------
+
+    def resolve_level(self, cube: Cube, ln: LevelName) -> ResolvedLevelRef:
+        dim = cube.dimension(ln.dimension)
+        # 2-part shorthand sets hierarchy == dimension name (names.rs:56-62);
+        # fall back to the dimension's default/single hierarchy when that name
+        # doesn't literally exist.
+        try:
+            hier = dim.hierarchy(ln.hierarchy)
+        except KeyError:
+            if ln.hierarchy == ln.dimension:
+                hier = dim.hierarchy(None)
+            else:
+                raise
+        for i, lv in enumerate(hier.levels):
+            if lv.name == ln.level:
+                return ResolvedLevelRef(dim, hier, lv, i)
+        raise QueryValidationError(
+            f"level {ln.level!r} not found in {ln.dimension}.{hier.name}"
+        )
+
+    def _drill_specs(self, cube: Cube, query: Query) -> list[DrillSpec]:
+        specs: list[DrillSpec] = []
+        for ln in query.drilldowns:
+            ref = self.resolve_level(cube, ln)
+            if query.parents:
+                levels = list(ref.hier.levels[: ref.level_idx + 1])
+            else:
+                levels = [ref.level]
+            props = []
+            for pln, pname in query.properties:
+                pref = self.resolve_level(cube, pln)
+                if (
+                    pref.dim.name == ref.dim.name
+                    and pref.hier.name == ref.hier.name
+                    and pref.level.name == ref.level.name
+                ):
+                    match = [p for p in pref.level.properties if p.name == pname]
+                    if not match:
+                        raise QueryValidationError(
+                            f"property {pname!r} not on level {pln.level!r}"
+                        )
+                    props.append(match[0])
+            specs.append(DrillSpec(ref=ref, levels=levels, properties=props))
+        return specs
+
+    # ---------------- dimension tables ----------------
+
+    def _dim_df(self, hier: Hierarchy) -> DataFrame:
+        if hier.inline_table is not None:
+            return self.registry.inline_table(hier.inline_table)
+        if hier.table is None:
+            raise QueryValidationError(f"hierarchy {hier.name!r} is degenerate")
+        return self.registry.load(hier.table)
+
+    # ---------------- cuts ----------------
+
+    def _member_literals(self, level: Level, members: tuple[str, ...]) -> list:
+        if level.key_type is MemberType.NONTEXT:
+            out = []
+            for m in members:
+                try:
+                    out.append(int(m))
+                except ValueError:
+                    out.append(float(m))
+            return out
+        return list(members)
+
+    def _cut_predicate(self, level: Level, cut: Cut, key_col: str) -> Column:
+        """IN / NOT-IN / LIKE predicate over a single column
+        (query_ir.rs:180-234, cuts.rs:3-10)."""
+        if cut.for_match:
+            # LIKE against the level's name column (query_ir.rs:193-216)
+            target = F.col(level.name_column or key_col)
+            if cut.mask is Mask.INCLUDE:
+                pred = target.like(f"%{cut.members[0]}%")
+                for m in cut.members[1:]:
+                    pred = pred | target.like(f"%{m}%")
+            else:
+                pred = ~target.like(f"%{cut.members[0]}%")
+                for m in cut.members[1:]:
+                    pred = pred & ~target.like(f"%{m}%")
+            return pred
+        lits = self._member_literals(level, cut.members)
+        pred = F.col(key_col).isin(lits)
+        return ~pred if cut.mask is Mask.EXCLUDE else pred
+
+    def _apply_cuts(self, cube: Cube, query: Query, fact: DataFrame) -> DataFrame:
+        for cut in query.cuts:
+            ref = self.resolve_level(cube, cut.level_name)
+            if ref.degenerate:
+                # cut column lives on the fact table — plain filter, pushed to scan
+                fact = fact.filter(self._cut_predicate(ref.level, cut, ref.level.key_column))
+                continue
+            pk = ref.hier.effective_primary_key()
+            fk = ref.dim.foreign_key
+            if fk is None:
+                raise QueryValidationError(
+                    f"dimension {ref.dim.name!r} has a table but no foreign key"
+                )
+            if (
+                not cut.for_match
+                and ref.level.key_column == pk
+            ):
+                # cut on the join key itself: skip the dim scan, filter the fact fk
+                # directly (generalizes the reference's fact-table cut inlining,
+                # primary_agg.rs:123-137)
+                fact = fact.filter(self._cut_predicate(ref.level, cut, fk))
+                continue
+            # semi-join pushdown (primary_agg.rs:139-160): fk IN (SELECT pk FROM dim WHERE cut)
+            dim_df = self._dim_df(ref.hier)
+            dim_keys = dim_df.filter(
+                self._cut_predicate(ref.level, cut, ref.level.key_column)
+            ).select(F.col(pk).alias("__cut_key"))
+            fact = fact.join(
+                F.broadcast(dim_keys),
+                fact[fk] == F.col("__cut_key"),
+                "left_semi",
+            )
+        return fact
+
+    # ---------------- main entry ----------------
+
+    def dataframe(self, cube_name: str, query: Query) -> DataFrame:
+        cube = self.schema.cube(cube_name)
+        self._validate(cube, query)
+
+        query = self._with_calc_drills(cube, query)
+        specs = self._drill_specs(cube, query)
+        measures = [cube.measure(m) for m in query.measures]
+
+        fact = self.registry.load(cube.table)
+
+        # RCA routes cuts asymmetrically (rca.rs:103-123): only external cuts
+        # reach the primary aggregation; d1 cuts are applied inside apply_rca
+        # after the b/d window totals; d2 cuts are dropped.
+        agg_query = query
+        if query.rca is not None:
+            from .calculations import _split_rca_cuts
+
+            ext_cuts, _, _ = _split_rca_cuts(self, cube, query)
+            import copy
+
+            agg_query = copy.copy(query)
+            agg_query.cuts = ext_cuts
+        fact = self._apply_cuts(cube, agg_query, fact)
+
+        two_phase = any(
+            agg_mod.needs_two_phase(m.aggregator, self.avg_grain) for m in measures
+        )
+
+        if two_phase:
+            df = self._two_phase_plan(cube, specs, measures, fact)
+        else:
+            df = self._single_pass_plan(specs, measures, fact)
+
+        # calculations wrap the primary aggregation (sql.rs:35-61 dispatch)
+        out_specs = specs
+        if query.growth is not None:
+            df = apply_growth(self, cube, query, specs, df)
+        if query.rca is not None:
+            df = apply_rca(self, cube, query, specs, df)
+        if query.rate is not None:
+            df = apply_rate(self, cube, query, specs, df)
+            # the rate level is a hidden drill: it is aggregated away again
+            # (rate.rs:25-37), so downstream options see the original drills
+            rate_ln = query.rate.level_name
+            out_specs = [
+                s
+                for s in specs
+                if not (
+                    s.ref.dim.name == rate_ln.dimension
+                    and s.ref.level.name == rate_ln.level
+                )
+            ]
+
+        df = self._apply_options(cube, query, out_specs, df)
+        return df
+
+    # ---------------- plan variants ----------------
+
+    def _degenerate_projection(self, specs: list[DrillSpec]) -> dict[str, Column]:
+        """Aliased fact-side columns for degenerate drills."""
+        cols: dict[str, Column] = {}
+        for spec in specs:
+            if not spec.ref.degenerate:
+                continue
+            for lv in spec.levels:
+                cols[level_key_alias(lv)] = F.col(lv.key_column)
+                if lv.name_column:
+                    cols[level_name_alias(lv)] = F.col(lv.name_column)
+            for p in spec.properties:
+                cols[p.name] = F.col(p.column)
+        return cols
+
+    def _join_dims(self, specs: list[DrillSpec], df: DataFrame) -> DataFrame:
+        """Broadcast inner-join each drilled non-degenerate hierarchy
+        (primary_agg.rs:169-213 → J1), one join per (dim, hierarchy)."""
+        seen: dict[tuple[str, str], DrillSpec] = {}
+        for spec in specs:
+            if spec.ref.degenerate:
+                continue
+            key = (spec.ref.dim.name, spec.ref.hier.name)
+            if key in seen:
+                # merge level/property sets drilled through the same hierarchy
+                merged = seen[key]
+                have = {lv.name for lv in merged.levels}
+                merged.levels.extend(lv for lv in spec.levels if lv.name not in have)
+                merged.properties.extend(
+                    p for p in spec.properties if p.name not in {q.name for q in merged.properties}
+                )
+            else:
+                seen[key] = DrillSpec(
+                    ref=spec.ref, levels=list(spec.levels), properties=list(spec.properties)
+                )
+        for (dim_name, _), spec in seen.items():
+            hier = spec.ref.hier
+            fk = spec.ref.dim.foreign_key
+            pk = hier.effective_primary_key()
+            dim_df = self._dim_df(hier)
+            sel = [F.col(pk).alias("__jk")]
+            for lv in spec.levels:
+                sel.append(F.col(lv.key_column).alias(level_key_alias(lv)))
+                if lv.name_column:
+                    sel.append(F.col(lv.name_column).alias(level_name_alias(lv)))
+            for p in spec.properties:
+                sel.append(F.col(p.column).alias(p.name))
+            dim_sel = dim_df.select(*sel)
+            df = df.join(F.broadcast(dim_sel), df[fk] == dim_sel["__jk"], "inner").drop(
+                "__jk"
+            )
+        return df
+
+    def _single_pass_plan(
+        self, specs: list[DrillSpec], measures: list[Measure], fact: DataFrame
+    ) -> DataFrame:
+        for alias, col in self._degenerate_projection(specs).items():
+            fact = fact.withColumn(alias, col)
+        joined = self._join_dims(specs, fact)
+        group_cols = self._group_aliases(specs)
+        aggs = [agg_mod.single_pass_agg(m) for m in measures]
+        if group_cols:
+            return joined.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+        return joined.agg(*aggs)
+
+    def _two_phase_plan(
+        self,
+        cube: Cube,
+        specs: list[DrillSpec],
+        measures: list[Measure],
+        fact: DataFrame,
+    ) -> DataFrame:
+        """Reference plan shape: pre-aggregate at fact grain (degenerate drill
+        cols + join fks + hidden median dims), join dims, re-aggregate
+        (primary_agg.rs:93-121, 162-167, 215-231)."""
+        for alias, col in self._degenerate_projection(specs).items():
+            fact = fact.withColumn(alias, col)
+
+        pre_keys: list[str] = []
+        for spec in specs:
+            if spec.ref.degenerate:
+                pre_keys.extend(a for a in spec.output_aliases())
+            else:
+                fk = spec.ref.dim.foreign_key
+                if fk not in pre_keys:
+                    pre_keys.append(fk)
+        # hidden drilldowns for grouped median (lib.rs:536-554)
+        for m in measures:
+            agg = m.aggregator
+            if getattr(agg, "group_dimension", None):
+                href = self.resolve_level(cube, LevelName.parse(agg.group_dimension))
+                if not href.degenerate:
+                    raise QueryValidationError(
+                        "basic_grouped_median group_dimension must be a degenerate"
+                        f" dimension in this engine (got {agg.group_dimension!r})"
+                    )
+                if href.level.key_column not in pre_keys:
+                    pre_keys.append(href.level.key_column)
+        pre_keys = list(dict.fromkeys(pre_keys))
+
+        p1 = []
+        for m in measures:
+            p1.extend(agg_mod.pass1_cols(m, self.avg_grain))
+        pre = fact.groupBy(*[F.col(c) for c in pre_keys]).agg(*p1)
+
+        joined = self._join_dims(specs, pre)
+        group_cols = self._group_aliases(specs)
+        p2 = [agg_mod.pass2_col(m, self.avg_grain) for m in measures]
+        if group_cols:
+            return joined.groupBy(*[F.col(c) for c in group_cols]).agg(*p2)
+        return joined.agg(*p2)
+
+    def _group_aliases(self, specs: list[DrillSpec]) -> list[str]:
+        out: list[str] = []
+        for spec in specs:
+            out.extend(a for a in spec.output_aliases() if a not in out)
+        return out
+
+    # ---------------- validation ----------------
+
+    def _validate(self, cube: Cube, query: Query) -> None:
+        # lib.rs:403-430 semantic checks
+        has_calc_mea = query.rca is not None or query.rate is not None
+        if not query.measures and not has_calc_mea:
+            raise QueryValidationError("query must have at least one measure")
+        if not query.drilldowns and not query.cuts and not has_calc_mea:
+            raise QueryValidationError("query must have at least one drilldown or cut")
+        if query.properties:
+            drilled = {
+                (ln.dimension, ln.level) for ln in query.drilldowns
+            }
+            for pln, pname in query.properties:
+                if (pln.dimension, pln.level) not in drilled:
+                    raise QueryValidationError(
+                        f"property {pname!r} requires a drilldown on {pln.level!r}"
+                    )
+
+    def _with_calc_drills(self, cube: Cube, query: Query) -> Query:
+        """Auto-add drilldowns required by growth/rca (the reference validates
+        instead — lib.rs:477-498; auto-adding is a superset convenience)."""
+        import copy
+
+        q = copy.deepcopy(query)
+        present = {(ln.dimension, ln.hierarchy, ln.level) for ln in q.drilldowns}
+
+        def ensure(ln: LevelName):
+            if (ln.dimension, ln.hierarchy, ln.level) not in present:
+                q.drilldowns.append(ln)
+                present.add((ln.dimension, ln.hierarchy, ln.level))
+
+        if q.growth is not None:
+            ensure(q.growth.time_drill)
+            if q.growth.mea not in q.measures:
+                q.measures.append(q.growth.mea)
+        if q.rca is not None:
+            ensure(q.rca.drill_1)
+            ensure(q.rca.drill_2)
+            if q.rca.mea not in q.measures:
+                q.measures.append(q.rca.mea)
+        if q.rate is not None:
+            if not q.measures:
+                raise QueryValidationError("rate requires a measure")
+            # the rate level joins the aggregation grain as a hidden drill
+            # (rate.rs:25-37); apply_rate re-aggregates it away
+            ensure(q.rate.level_name)
+        return q
+
+    # ---------------- post-agg options ----------------
+
+    _CMP = {
+        Comparison.EQ: "==",
+        Comparison.NEQ: "!=",
+        Comparison.LT: "<",
+        Comparison.LTE: "<=",
+        Comparison.GT: ">",
+        Comparison.GTE: ">=",
+    }
+
+    def _constraint_pred(self, target: Column, fq: FilterQuery) -> Column:
+        def one(c):
+            op = c.comparison
+            if op is Comparison.EQ:
+                return target == c.n
+            if op is Comparison.NEQ:
+                return target != c.n
+            if op is Comparison.LT:
+                return target < c.n
+            if op is Comparison.LTE:
+                return target <= c.n
+            if op is Comparison.GT:
+                return target > c.n
+            return target >= c.n
+
+        pred = one(fq.constraint)
+        if fq.operator is not None and fq.constraint2 is not None:
+            second = one(fq.constraint2)
+            pred = (pred & second) if fq.operator.value == "and" else (pred | second)
+        return pred
+
+    def _calc_column_name(self, calc_or_mea, query: Query) -> str:
+        """Map a measure name or rca/growth keyword to its output column."""
+        if isinstance(calc_or_mea, Calculation):
+            if calc_or_mea is Calculation.GROWTH:
+                return f"{query.growth.mea} Growth"
+            return f"{query.rca.mea} RCA"
+        return calc_or_mea
+
+    def _apply_options(
+        self, cube: Cube, query: Query, specs: list[DrillSpec], df: DataFrame
+    ) -> DataFrame:
+        # measure filters = HAVING (options.rs:69-83)
+        for fq in query.filters:
+            col = F.col(self._calc_column_name(fq.by_mea_or_calc, query))
+            df = df.filter(self._constraint_pred(col, fq))
+
+        # sparse: drop rows where all measures are null (options.rs:85-94)
+        if query.sparse and query.measures:
+            pred = F.col(query.measures[0]).isNotNull()
+            for m in query.measures[1:]:
+                pred = pred | F.col(m).isNotNull()
+            df = df.filter(pred)
+
+        # top_where pre-filter (options.rs:20-28)
+        if query.top_where is not None:
+            col = F.col(self._calc_column_name(query.top_where.by_mea_or_calc, query))
+            df = df.filter(
+                self._constraint_pred(
+                    col,
+                    FilterQuery(
+                        by_mea_or_calc=query.top_where.by_mea_or_calc,
+                        constraint=query.top_where.constraint,
+                    ),
+                )
+            )
+
+        sort_cols: list[Column] = []
+        if query.top is not None:
+            # top-k per by_dimension member via ranking window (options.rs:20-29)
+            from pyspark.sql import Window
+
+            by_ref = self.resolve_level(cube, query.top.by_dimension)
+            by_aliases = [level_key_alias(by_ref.level)]
+            if by_ref.level.name_column:
+                by_aliases.append(level_name_alias(by_ref.level))
+            order = []
+            for target in query.top.sort_mea_or_calc:
+                c = F.col(self._calc_column_name(target, query))
+                order.append(
+                    c.desc() if query.top.sort_direction is SortDirection.DESC else c.asc()
+                )
+            # deterministic tie-break within a group: remaining drill columns
+            for alias in self._group_aliases(specs):
+                if alias not in by_aliases:
+                    order.append(F.col(alias).asc())
+            w = Window.partitionBy(*[F.col(a) for a in by_aliases]).orderBy(*order)
+            df = (
+                df.withColumn("__rank", F.row_number().over(w))
+                .filter(F.col("__rank") <= query.top.n)
+                .drop("__rank")
+            )
+            # reference final order: by_dim asc, sort measure dir (options.rs:56-60)
+            sort_cols = [F.col(a).asc() for a in by_aliases] + order
+        elif query.sort is not None:
+            c = F.col(self._calc_column_name(query.sort.measure, query))
+            first = c.desc() if query.sort.direction is SortDirection.DESC else c.asc()
+            sort_cols = [first] + [
+                F.col(a).asc() for a in self._group_aliases(specs)
+            ]
+        else:
+            # default deterministic order: all drill columns asc (options.rs:60-66)
+            sort_cols = [F.col(a).asc() for a in self._group_aliases(specs)]
+
+        if sort_cols:
+            df = df.orderBy(*sort_cols)
+
+        if query.limit is not None:
+            if query.limit.offset:
+                df = df.offset(query.limit.offset)
+            df = df.limit(query.limit.n)
+        return df

@@ -1,0 +1,185 @@
+"""Post-aggregation calculations: Growth, RCA, Rate.
+
+The reference implements these as ClickHouse ``groupArray``/``ARRAY JOIN``
+pivot-unpivot SQL (tesseract-clickhouse/src/sql/{growth,rca,rate}.rs). Window
+functions are the idiomatic Spark equivalent — no pivot, no self-join, one extra
+(windowing) shuffle at most, and at scale the window partitions by the same keys
+the aggregate just grouped by, so AQE typically reuses the exchange.
+
+Semantics parity notes:
+
+- Growth (growth.rs:98-130): Δ = mᵢ − lag(mᵢ); growth = Δ/(m−Δ) — NULL first
+  period. ClickHouse emits ±inf/NaN on division by zero (the ``Δ/0`` ternary
+  branch, growth.rs:104); Spark/DuckDB division by zero yields NULL — this
+  engine deliberately emits NULL there (documented deviation).
+- RCA (rca.rs:50-283): rca = (a/b)/(c/d) with a = mea at (ext, d1, d2),
+  b = (ext, d2), c = (ext, d1), d = (ext). Cut rules (rca.rs:86-123): cuts on
+  d1 levels apply to a/c only; cuts on d2 levels are dropped; external cuts
+  apply everywhere. Implemented as ONE aggregate at (ext, d1, d2) grain +
+  partition-sum windows, computing b/d before the d1-cut filter and c after —
+  replacing the reference's 2-scan + groupArray-pivot + join plan
+  (1 scan, 0 joins).
+- Rate (rate.rs:16-94): extra drill on the rate level, then per original-drill
+  group: total = Σ m (or count if the measure aggregator is count), kept-member
+  share = Σ m over members ∈ values; Rate = share/total. Single sum/count
+  measure only (lib.rs:677-706).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..query.model import Cut, LevelName, Query
+from ..schema.aggregator import Count
+from ..schema.model import Cube
+
+if TYPE_CHECKING:
+    from .builder import DrillSpec, PlanBuilder
+
+
+def _spec_aliases(builder: "PlanBuilder", specs: list["DrillSpec"], ln: LevelName) -> list[str]:
+    """Output aliases belonging to the drill spec that matches a LevelName."""
+    from .builder import level_key_alias, level_name_alias
+
+    for spec in specs:
+        if spec.ref.dim.name == ln.dimension and spec.ref.level.name == ln.level:
+            out = []
+            for lv in spec.levels:
+                out.append(level_key_alias(lv))
+                if lv.name_column:
+                    out.append(level_name_alias(lv))
+            return out
+    raise ValueError(f"drill for {ln} not found in plan specs")
+
+
+def apply_growth(
+    builder: "PlanBuilder",
+    cube: Cube,
+    query: Query,
+    specs: list["DrillSpec"],
+    df: DataFrame,
+) -> DataFrame:
+    growth = query.growth
+    time_aliases = _spec_aliases(builder, specs, growth.time_drill)
+    all_aliases = builder._group_aliases(specs)
+    part_aliases = [a for a in all_aliases if a not in time_aliases]
+
+    w = Window.partitionBy(*[F.col(a) for a in part_aliases]).orderBy(
+        *[F.col(a).asc() for a in time_aliases]
+    )
+    mea = F.col(growth.mea)
+    prev = F.lag(mea).over(w)
+    growth_value = mea - prev
+    # growth.rs:104 — `(m−Δ)>0 ? Δ/(m−Δ) : Δ/0`; div-by-zero → NULL here (see module doc)
+    growth_col = F.when(prev > 0, growth_value / prev).otherwise(
+        growth_value / F.lit(0.0)
+    )
+    return df.withColumn(f"{growth.mea} Growth Value", growth_value).withColumn(
+        f"{growth.mea} Growth", growth_col
+    )
+
+
+def _split_rca_cuts(
+    builder: "PlanBuilder", cube: Cube, query: Query
+) -> tuple[list[Cut], list[Cut], list[Cut]]:
+    """(external, d1, dropped-d2) cut partition per rca.rs:103-123."""
+    rca = query.rca
+
+    def owner(ln: LevelName) -> tuple[str, str]:
+        ref = builder.resolve_level(cube, ln)
+        return (ref.dim.name, ref.hier.name)
+
+    d1_owner = owner(rca.drill_1)
+    d2_owner = owner(rca.drill_2)
+    ext, d1_cuts, dropped = [], [], []
+    for cut in query.cuts:
+        o = owner(cut.level_name)
+        if o == d1_owner:
+            d1_cuts.append(cut)
+        elif o == d2_owner:
+            dropped.append(cut)  # reference blacklists d2 cuts from all four parts
+        else:
+            ext.append(cut)
+    return ext, d1_cuts, dropped
+
+
+def apply_rca(
+    builder: "PlanBuilder",
+    cube: Cube,
+    query: Query,
+    specs: list["DrillSpec"],
+    df: DataFrame,
+) -> DataFrame:
+    """Expects ``df`` aggregated at (ext drills, d1, d2) grain WITHOUT d1/d2 cuts
+    applied (builder routes cuts accordingly)."""
+    rca = query.rca
+    d1_aliases = _spec_aliases(builder, specs, rca.drill_1)
+    d2_aliases = _spec_aliases(builder, specs, rca.drill_2)
+    all_aliases = builder._group_aliases(specs)
+    ext_aliases = [a for a in all_aliases if a not in d1_aliases and a not in d2_aliases]
+
+    mea = F.col(rca.mea)
+    w_b = Window.partitionBy(*[F.col(a) for a in ext_aliases + d2_aliases])
+    w_d = Window.partitionBy(*[F.col(a) for a in ext_aliases])
+    df = df.withColumn("a", mea)
+    df = df.withColumn("b", F.sum("a").over(w_b))
+    df = df.withColumn("d", F.sum("a").over(w_d))
+
+    # d1 cuts apply to a/c only — filter AFTER b/d are fixed (rca.rs:86-123)
+    _, d1_cuts, _ = _split_rca_cuts(builder, cube, query)
+    for cut in d1_cuts:
+        ref = builder.resolve_level(cube, cut.level_name)
+        from .builder import level_key_alias, level_name_alias
+
+        target = level_key_alias(ref.level)
+        if cut.for_match and ref.level.name_column:
+            target = level_name_alias(ref.level)
+        df = df.filter(builder._cut_predicate(ref.level, cut, target))
+
+    w_c = Window.partitionBy(*[F.col(a) for a in ext_aliases + d1_aliases])
+    df = df.withColumn("c", F.sum("a").over(w_c))
+    df = df.withColumn(f"{rca.mea} RCA", (F.col("a") / F.col("b")) / (F.col("c") / F.col("d")))
+    if not query.debug:
+        df = df.drop("a", "b", "c", "d")
+    return df
+
+
+def apply_rate(
+    builder: "PlanBuilder",
+    cube: Cube,
+    query: Query,
+    specs: list["DrillSpec"],
+    df: DataFrame,
+) -> DataFrame:
+    """Expects ``df`` aggregated at (orig drills + rate level) grain — the builder
+    adds the rate level as a hidden drill."""
+    from .builder import level_key_alias, level_name_alias
+
+    rate = query.rate
+    measure = cube.measure(query.measures[0])
+    agg_fn = F.count if isinstance(measure.aggregator, Count) else F.sum
+
+    rate_ref = builder.resolve_level(cube, rate.level_name)
+    rate_aliases = _spec_aliases(builder, specs, rate.level_name)
+    all_aliases = builder._group_aliases(specs)
+    orig_aliases = [a for a in all_aliases if a not in rate_aliases]
+
+    w = Window.partitionBy(*[F.col(a) for a in orig_aliases])
+    mea = F.col(measure.name)
+    df = df.withColumn("__total", agg_fn(mea).over(w))
+    lits = builder._member_literals(rate_ref.level, rate.values)
+    df = df.filter(F.col(level_key_alias(rate_ref.level)).isin(lits))
+    out = (
+        df.groupBy(*[F.col(a) for a in orig_aliases])
+        .agg(
+            agg_fn(mea).alias("__share"),
+            F.max("__total").alias("__total_g"),
+        )
+        .withColumn("Rate", F.col("__share") / F.col("__total_g"))
+        .withColumnRenamed("__total_g", measure.name)
+        .drop("__share")
+    )
+    return out

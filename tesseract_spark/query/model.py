@@ -1,0 +1,368 @@
+"""OLAP query model + URL-param parsers.
+
+Mirrors the reference's query model (tesseract-core/src/query.rs:14-559) and name
+syntax (tesseract-core/src/names.rs:29-357):
+
+- level names: ``Dim.Hier.Level`` | ``Dim.Level`` (hierarchy = dimension) |
+  bracketed ``[Dim].[Hier].[Level]``
+- cuts: ``LevelName.m1,m2`` with optional ``~`` (exclude) and ``*`` (LIKE-match)
+  prefixes and ``&[member]`` bracket form
+- top: ``n,ByDim.Level,measure,asc|desc``; top_where: ``measure,gte.N``
+- filters: ``measure.gt.N[.and|.or.lt.M]``; limit: ``[offset,]n``;
+  sort: ``measure.asc|desc``; growth: ``TimeDrill,measure``;
+  rca: ``Drill1,Drill2,measure``; rate: ``LevelName.v1,v2``
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class LevelName:
+    """names.rs:29-112."""
+
+    dimension: str
+    hierarchy: str
+    level: str
+
+    @classmethod
+    def parse(cls, s: str) -> "LevelName":
+        parts = _split_name(s)
+        if len(parts) == 3:
+            return cls(parts[0], parts[1], parts[2])
+        if len(parts) == 2:
+            return cls(parts[0], parts[0], parts[1])
+        raise QueryParseError(f"level name {s!r} does not follow naming convention")
+
+    def __str__(self) -> str:
+        return f"[{self.dimension}].[{self.hierarchy}].[{self.level}]"
+
+
+def _split_name(s: str) -> list[str]:
+    s = s.strip()
+    if not s:
+        raise QueryParseError("empty name")
+    if s[0] == "[":
+        return [p.lstrip("[") for p in s.strip("[]").split("].")]
+    return s.split(".")
+
+
+class Mask(Enum):
+    INCLUDE = "include"
+    EXCLUDE = "exclude"
+
+
+@dataclass(frozen=True)
+class Cut:
+    """names.rs:178-357. ``for_match=True`` ⇒ substring LIKE match on the level's
+    name_column; ``mask=EXCLUDE`` negates."""
+
+    level_name: LevelName
+    members: tuple[str, ...]
+    mask: Mask = Mask.INCLUDE
+    for_match: bool = False
+
+    @classmethod
+    def parse(cls, s: str) -> "Cut":
+        s = s.strip()
+        mask = Mask.INCLUDE
+        if s.startswith("~"):
+            mask = Mask.EXCLUDE
+            s = s[1:]
+        for_match = s.startswith("*")
+        if for_match:
+            s = s[1:]
+        parts = _split_name(s)
+        if len(parts) < 2:
+            raise QueryParseError(f"cut {s!r}: need LevelName.members")
+        members = tuple(
+            m.lstrip("&").strip("[]")
+            for m in parts[-1].lstrip("&").lstrip("[").split(",")
+        )
+        if not members or members == ("",):
+            raise QueryParseError(f"cut {s!r}: no members found")
+        return cls(LevelName.parse(".".join(parts[:-1])), members, mask, for_match)
+
+
+class Comparison(Enum):
+    # query.rs:224-259
+    EQ = "eq"
+    NEQ = "neq"
+    LT = "lt"
+    LTE = "lte"
+    GT = "gt"
+    GTE = "gte"
+
+
+@dataclass(frozen=True)
+class Constraint:
+    # query.rs:192-221
+    comparison: Comparison
+    n: float
+
+    @classmethod
+    def parse(cls, s: str) -> "Constraint":
+        cmp, _, num = s.partition(".")
+        try:
+            return cls(Comparison(cmp), float(num))
+        except ValueError as e:
+            raise QueryParseError(f"could not parse constraint {s!r}") from e
+
+
+class SortDirection(Enum):
+    ASC = "asc"
+    DESC = "desc"
+
+
+class Calculation(Enum):
+    """'rca' and 'growth' are reserved words usable wherever a measure name is
+    expected in sort/top/filter — query.rs:112-149."""
+
+    RCA = "rca"
+    GROWTH = "growth"
+
+
+MeaOrCalc = "str | Calculation"
+
+
+def parse_mea_or_calc(s: str):
+    try:
+        return Calculation(s.lower())
+    except ValueError:
+        return s  # a measure name
+
+
+@dataclass(frozen=True)
+class TopQuery:
+    # query.rs:64-109
+    n: int
+    by_dimension: LevelName
+    sort_mea_or_calc: tuple  # of measure-name str | Calculation
+    sort_direction: SortDirection
+
+    @classmethod
+    def parse(cls, s: str) -> "TopQuery":
+        parts = s.split(",")
+        if len(parts) != 4:
+            raise QueryParseError(f"could not parse top query {s!r}")
+        n, by_dim, sort_mea, direction = parts
+        return cls(
+            int(n),
+            LevelName.parse(by_dim),
+            (parse_mea_or_calc(sort_mea),),
+            SortDirection(direction),
+        )
+
+
+@dataclass(frozen=True)
+class TopWhereQuery:
+    # query.rs:160-186
+    by_mea_or_calc: object
+    constraint: Constraint
+
+    @classmethod
+    def parse(cls, s: str) -> "TopWhereQuery":
+        parts = s.split(",")
+        if len(parts) != 2:
+            raise QueryParseError(f"could not parse top_where query {s!r}")
+        return cls(parse_mea_or_calc(parts[0]), Constraint.parse(parts[1]))
+
+
+class Operator(Enum):
+    AND = "and"
+    OR = "or"
+
+
+@dataclass(frozen=True)
+class FilterQuery:
+    """Measure constraint applied after aggregation (HAVING) — query.rs:469-521."""
+
+    by_mea_or_calc: object
+    constraint: Constraint
+    operator: Operator | None = None
+    constraint2: Constraint | None = None
+
+    @classmethod
+    def parse(cls, s: str) -> "FilterQuery":
+        if ".and." in s or ".or." in s:
+            parts = s.split(".")
+            try:
+                op_idx = next(i for i, p in enumerate(parts) if p in ("and", "or"))
+            except StopIteration:
+                raise QueryParseError(f"could not parse filter query {s!r}") from None
+            return cls(
+                parse_mea_or_calc(parts[0]),
+                Constraint.parse(".".join(parts[1:op_idx])),
+                Operator(parts[op_idx]),
+                Constraint.parse(".".join(parts[op_idx + 1 :])),
+            )
+        mea, _, constraint = s.partition(".")
+        if not constraint:
+            raise QueryParseError(f"could not parse filter query {s!r}")
+        return cls(parse_mea_or_calc(mea), Constraint.parse(constraint))
+
+
+@dataclass(frozen=True)
+class LimitQuery:
+    # query.rs:263-289
+    n: int
+    offset: int | None = None
+
+    @classmethod
+    def parse(cls, s: str) -> "LimitQuery":
+        parts = s.split(",")
+        if len(parts) == 2:
+            return cls(n=int(parts[1]), offset=int(parts[0]))
+        if len(parts) == 1:
+            return cls(n=int(parts[0]))
+        raise QueryParseError(f"could not parse limit query {s!r}")
+
+
+@dataclass(frozen=True)
+class SortQuery:
+    # query.rs:292-315
+    measure: object  # measure-name str | Calculation
+    direction: SortDirection
+
+    @classmethod
+    def parse(cls, s: str) -> "SortQuery":
+        mea, _, direction = s.rpartition(".")
+        if not mea:
+            raise QueryParseError(f"could not parse sort query {s!r}")
+        return cls(parse_mea_or_calc(mea), SortDirection(direction))
+
+
+@dataclass(frozen=True)
+class GrowthQuery:
+    # query.rs:389-426
+    time_drill: LevelName
+    mea: str
+
+    @classmethod
+    def parse(cls, s: str) -> "GrowthQuery":
+        parts = s.split(",")
+        if len(parts) != 2:
+            raise QueryParseError(f"could not parse growth query {s!r}")
+        return cls(LevelName.parse(parts[0]), parts[1])
+
+
+@dataclass(frozen=True)
+class RcaQuery:
+    # query.rs:342-386
+    drill_1: LevelName
+    drill_2: LevelName
+    mea: str
+
+    @classmethod
+    def parse(cls, s: str) -> "RcaQuery":
+        parts = s.split(",")
+        if len(parts) != 3:
+            raise QueryParseError(f"could not parse rca query {s!r}")
+        return cls(LevelName.parse(parts[0]), LevelName.parse(parts[1]), parts[2])
+
+
+@dataclass(frozen=True)
+class RateQuery:
+    """Share of a measure attributable to given members of a level —
+    query.rs:524-559."""
+
+    level_name: LevelName
+    values: tuple[str, ...]
+
+    @classmethod
+    def parse(cls, s: str) -> "RateQuery":
+        parts = s.split(".")
+        if len(parts) <= 2 or len(parts) >= 5:
+            raise QueryParseError(f"malformatted rate query {s!r}")
+        level_name = LevelName.parse(".".join(parts[:-1]))
+        return cls(level_name, tuple(parts[-1].split(",")))
+
+
+@dataclass
+class Query:
+    """query.rs:14-56. Field-for-field port of the reference query model."""
+
+    drilldowns: list[LevelName] = field(default_factory=list)
+    cuts: list[Cut] = field(default_factory=list)
+    measures: list[str] = field(default_factory=list)
+    properties: list[tuple[LevelName, str]] = field(default_factory=list)
+    filters: list[FilterQuery] = field(default_factory=list)
+    captions: list[tuple[LevelName, str]] = field(default_factory=list)
+    parents: bool = False
+    top: TopQuery | None = None
+    top_where: TopWhereQuery | None = None
+    sort: SortQuery | None = None
+    limit: LimitQuery | None = None
+    rca: RcaQuery | None = None
+    growth: GrowthQuery | None = None
+    rate: RateQuery | None = None
+    debug: bool = False
+    sparse: bool = False
+    exclude_default_members: bool = False
+
+    @classmethod
+    def from_params(cls, params: dict) -> "Query":
+        """Build from aggregate-endpoint URL params
+        (tesseract-server/src/handlers/aggregate.rs:167-266 semantics)."""
+        q = cls()
+        q.drilldowns = [LevelName.parse(s) for s in _as_list(params.get("drilldowns"))]
+        q.cuts = [Cut.parse(s) for s in _as_list(params.get("cuts"))]
+        q.measures = list(_as_list(params.get("measures")))
+        q.properties = [_parse_property(s) for s in _as_list(params.get("properties"))]
+        q.filters = [FilterQuery.parse(s) for s in _as_list(params.get("filters"))]
+        q.captions = [_parse_property(s) for s in _as_list(params.get("captions"))]
+        q.parents = _as_bool(params.get("parents"))
+        if params.get("top"):
+            q.top = TopQuery.parse(params["top"])
+        if params.get("top_where"):
+            q.top_where = TopWhereQuery.parse(params["top_where"])
+        if params.get("sort"):
+            q.sort = SortQuery.parse(params["sort"])
+        if params.get("limit"):
+            q.limit = LimitQuery.parse(str(params["limit"]))
+        if params.get("rca"):
+            q.rca = RcaQuery.parse(params["rca"])
+        if params.get("growth"):
+            q.growth = GrowthQuery.parse(params["growth"])
+        if params.get("rate"):
+            q.rate = RateQuery.parse(params["rate"])
+        q.debug = _as_bool(params.get("debug"))
+        q.sparse = _as_bool(params.get("sparse"))
+        q.exclude_default_members = _as_bool(params.get("exclude_default_members"))
+        return q
+
+
+def _parse_property(s: str) -> tuple[LevelName, str]:
+    """``Dim.Hier.Level.Property`` → (LevelName, property name) — names.rs property parsing."""
+    parts = _split_name(s)
+    if len(parts) < 3:
+        raise QueryParseError(f"property {s!r}: need at least Dim.Level.Property")
+    return LevelName.parse(".".join(parts[:-1])), parts[-1]
+
+
+def _as_list(v) -> list[str]:
+    if v is None or v == "":
+        return []
+    if isinstance(v, str):
+        return [s for s in v.split(",")] if False else _split_top_level(v)
+    return list(v)
+
+
+def _split_top_level(v: str) -> list[str]:
+    """Split a comma-joined param, but cut member lists also use commas — the
+    aggregate endpoint passes repeated params as lists; a single string is split
+    on commas only when safe (no dots after commas ambiguity is resolvable).
+    For cuts, pass a real list."""
+    return v.split(",")
+
+
+def _as_bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("true", "1", "yes") if v is not None else False

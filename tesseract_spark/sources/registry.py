@@ -1,0 +1,139 @@
+"""Table registry: binds schema-model table names to Spark DataFrames.
+
+Plays the role of the reference's database backend connection (its tables live in
+ClickHouse/MySQL/Postgres — tesseract-clickhouse/src/lib.rs:23-87); here a table
+name resolves, in order, to:
+
+1. an explicitly registered DataFrame / builder (computed views, e.g. a
+   denormalized snowflake dimension),
+2. a parquet file ``{base_dir}/{name}.parquet`` (the testdata layout),
+3. a Spark catalog table ``spark.table(name)``.
+
+Inline tables (schema.rs:441-486) become ``spark.createDataFrame`` with types
+from their column definitions — the Spark analog of the reference's
+``SELECT … UNION ALL`` literal codegen.
+
+Scale note: dimension tables are accessed through :meth:`dim` which does NOT
+cache/collect — broadcast hints are applied by the plan builder at join sites so
+Catalyst can still pick sort-merge if a "dimension" turns out huge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema.model import InlineTable, MemberType, Table
+
+_CAST_TYPES = {
+    "text": T.StringType(),
+    "nontext": T.LongType(),
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "uint8": T.ShortType(),  # Spark has no unsigned: widen (SURVEY §1.2)
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),
+    "uint64": T.LongType(),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+}
+
+
+class TableRegistry:
+    def __init__(self, spark: SparkSession, base_dir: str | None = None):
+        self.spark = spark
+        self.base_dir = base_dir
+        self._views: dict[str, DataFrame | Callable[[SparkSession], DataFrame]] = {}
+
+    def register(self, name: str, df: DataFrame | Callable[[SparkSession], DataFrame]):
+        self._views[name] = df
+        return self
+
+    def load(self, table: Table | str) -> DataFrame:
+        name = table.full_name() if isinstance(table, Table) else table
+        view = self._views.get(name)
+        if view is not None:
+            if callable(view):
+                view = view(self.spark)
+                self._views[name] = view  # memoize plan (not data)
+            return view
+        if self.base_dir is not None:
+            try:
+                return self.spark.read.parquet(f"{self.base_dir}/{name}.parquet")
+            except Exception:
+                pass
+        return self.spark.table(name)
+
+    def inline_table(self, inline: InlineTable) -> DataFrame:
+        """InlineTable rows → typed DataFrame (reference codegen: schema.rs:450-485)."""
+        fields = []
+        for cd in inline.column_definitions:
+            if cd.key_column_type:
+                dtype = _CAST_TYPES.get(cd.key_column_type.lower(), T.StringType())
+            elif cd.key_type is MemberType.NONTEXT:
+                dtype = T.LongType()
+            else:
+                dtype = T.StringType()
+            fields.append(T.StructField(cd.name, dtype, True))
+        schema = T.StructType(fields)
+        rows = []
+        for row in inline.rows:
+            vals = []
+            for f_ in fields:
+                v = row.get(f_.name)
+                if v is None:
+                    vals.append(None)
+                elif isinstance(f_.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                    vals.append(int(v))
+                elif isinstance(f_.dataType, (T.FloatType, T.DoubleType)):
+                    vals.append(float(v))
+                else:
+                    vals.append(str(v))
+            rows.append(tuple(vals))
+        return self.spark.createDataFrame(rows, schema)
+
+
+def testdata_registry(spark: SparkSession, sf_dir: str) -> TableRegistry:
+    """Registry over the driver's TPC-H-ish parquet tables (TESTDATA.md), with the
+    computed views the fixture cube needs (FIXTURES.md §B):
+
+    - ``lineitem_enriched``: lineitem + derived ``l_shipyear``/``l_shipmonth``
+      degenerate time levels (driver's columns for the Ship Year / Ship Month dims)
+    - ``order_geo``: denormalized customer-geography dimension keyed by
+      ``o_orderkey`` (snowflake orders→customer→nation→region flattened once,
+      so the cube sees a single dimension table; at scale this is a
+      dim-side-only join of three small tables — broadcast all the way)
+    """
+    reg = TableRegistry(spark, sf_dir)
+
+    def lineitem_enriched(s: SparkSession) -> DataFrame:
+        li = s.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return li.withColumns(
+            {
+                "l_shipyear": F.year("l_shipdate"),
+                "l_shipmonth": F.month("l_shipdate"),
+            }
+        )
+
+    def order_geo(s: SparkSession) -> DataFrame:
+        orders = s.read.parquet(f"{sf_dir}/orders.parquet")
+        customer = s.read.parquet(f"{sf_dir}/customer.parquet")
+        nation = s.read.parquet(f"{sf_dir}/nation.parquet")
+        region = s.read.parquet(f"{sf_dir}/region.parquet")
+        return (
+            orders.select("o_orderkey", "o_custkey")
+            .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("o_orderkey", "n_nationkey", "n_name", "r_regionkey", "r_name")
+        )
+
+    reg.register("lineitem_enriched", lineitem_enriched)
+    reg.register("order_geo", order_geo)
+    return reg

@@ -1,0 +1,298 @@
+"""End-to-end plan builder tests vs the DuckDB oracle at sf0.001."""
+
+from __future__ import annotations
+
+from tesseract_spark.query.model import Query
+
+from .conftest import assert_df_matches_sql
+
+
+def test_drill_year_sum(builder, duck):
+    q = Query.from_params(
+        {"drilldowns": ["Ship Date.Year"], "measures": ["Quantity", "Extended Price"]}
+    )
+    df = builder.dataframe("lineitem_sales", q)
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT year(l_shipdate)::INT AS "Year",
+               sum(l_quantity) AS "Quantity",
+               sum(l_extendedprice) AS "Extended Price"
+        FROM lineitem GROUP BY 1
+        """,
+    )
+
+
+def test_drill_joined_dim_brand(builder, duck):
+    q = Query.from_params({"drilldowns": ["Part.Brand"], "measures": ["Quantity"]})
+    df = builder.dataframe("lineitem_sales", q)
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT p.p_brand AS "Brand", sum(l.l_quantity) AS "Quantity"
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+        """,
+    )
+
+
+def test_cut_include_degenerate(builder, duck):
+    q = Query.from_params(
+        {
+            "drilldowns": ["Ship Date.Year"],
+            "cuts": ["Return Flag.Return Flag.R"],
+            "measures": ["Quantity"],
+        }
+    )
+    df = builder.dataframe("lineitem_sales", q)
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT year(l_shipdate)::INT AS "Year", sum(l_quantity) AS "Quantity"
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+        """,
+    )
+
+
+def test_cut_semijoin_region(builder, duck):
+    # cut on a level of a joined snowflake dim that is NOT drilled → left_semi pushdown
+    q = Query.from_params(
+        {
+            "drilldowns": ["Return Flag.Return Flag"],
+            "cuts": ["Customer Geography.Geography.Region.1,2"],
+            "measures": ["Extended Price"],
+        }
+    )
+    df = builder.dataframe("lineitem_sales", q)
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT l.l_returnflag AS "Return Flag", sum(l.l_extendedprice) AS "Extended Price"
+        FROM lineitem l
+        WHERE l.l_orderkey IN (
+            SELECT o.o_orderkey FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey IN (1, 2))
+        GROUP BY 1
+        """,
+    )
+
+
+def test_parents_drill(builder, duck):
+    q = Query.from_params(
+        {
+            "drilldowns": ["Customer Geography.Geography.Nation"],
+            "measures": ["Quantity"],
+            "parents": "true",
+        }
+    )
+    df = builder.dataframe("lineitem_sales", q)
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT g.r_regionkey AS "Region ID", g.r_name AS "Region",
+               g.n_nationkey AS "Nation ID", g.n_name AS "Nation",
+               sum(l.l_quantity) AS "Quantity"
+        FROM lineitem l
+        JOIN (SELECT o.o_orderkey, n.n_nationkey, n.n_name, r.r_regionkey, r.r_name
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey) g
+          ON l.l_orderkey = g.o_orderkey
+        GROUP BY 1, 2, 3, 4
+        """,
+    )
+
+
+def test_inline_table_dim(builder, duck):
+    q = Query.from_params(
+        {"drilldowns": ["Line Status.Line Status.Status"], "measures": ["Row Count"]}
+    )
+    df = builder.dataframe("lineitem_sales", q)
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT s.status_key AS "Status ID", s.status_name AS "Status",
+               count(l.l_linenumber) AS "Row Count"
+        FROM lineitem l
+        JOIN (VALUES ('O', 'Open'), ('F', 'Finished')) AS s(status_key, status_name)
+          ON l.l_linestatus = s.status_key
+        GROUP BY 1, 2
+        """,
+    )
+
+
+def test_like_cut(builder, duck):
+    q = Query.from_params(
+        {
+            "drilldowns": ["Customer Geography.Geography.Nation"],
+            "cuts": ["*Customer Geography.Geography.Nation.IA"],  # INDIA, RUSSIA, ...
+            "measures": ["Quantity"],
+        }
+    )
+    df = builder.dataframe("lineitem_sales", q)
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT g.n_nationkey AS "Nation ID", g.n_name AS "Nation",
+               sum(l.l_quantity) AS "Quantity"
+        FROM lineitem l
+        JOIN (SELECT o.o_orderkey, n.n_nationkey, n.n_name FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              WHERE n.n_name LIKE '%IA%') g
+          ON l.l_orderkey = g.o_orderkey
+        GROUP BY 1, 2
+        """,
+    )
+
+
+def test_exclude_cut(builder, duck):
+    q = Query.from_params(
+        {
+            "drilldowns": ["Return Flag.Return Flag"],
+            "cuts": ["~Return Flag.Return Flag.N"],
+            "measures": ["Quantity"],
+        }
+    )
+    df = builder.dataframe("lineitem_sales", q)
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity"
+        FROM lineitem WHERE l_returnflag NOT IN ('N') GROUP BY 1
+        """,
+    )
+
+
+def test_measure_filter_and_sort_limit(builder, duck):
+    q = Query.from_params(
+        {
+            "drilldowns": ["Part.Brand"],
+            "measures": ["Quantity"],
+            "filters": ["Quantity.gt.100.and.lt.100000"],
+            "sort": "Quantity.desc",
+            "limit": "5",
+        }
+    )
+    df = builder.dataframe("lineitem_sales", q)
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT p.p_brand AS "Brand", sum(l.l_quantity) AS "Quantity"
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+        HAVING sum(l.l_quantity) > 100 AND sum(l.l_quantity) < 100000
+        ORDER BY 2 DESC, 1 ASC LIMIT 5
+        """,
+    )
+
+
+def test_top_k_per_group(builder, duck):
+    q = Query.from_params(
+        {
+            "drilldowns": ["Customer Geography.Geography.Region", "Part.Brand"],
+            "measures": ["Extended Price"],
+            "top": "2,Customer Geography.Geography.Region,Extended Price,desc",
+        }
+    )
+    df = builder.dataframe("lineitem_sales", q)
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        WITH agg AS (
+          SELECT g.r_regionkey AS "Region ID", g.r_name AS "Region",
+                 p.p_brand AS "Brand", sum(l.l_extendedprice) AS "Extended Price"
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN (SELECT o.o_orderkey, r.r_regionkey, r.r_name FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey) g
+            ON l.l_orderkey = g.o_orderkey
+          GROUP BY 1, 2, 3
+        )
+        SELECT "Region ID", "Region", "Brand", "Extended Price"
+        FROM (SELECT *, row_number() OVER (
+                 PARTITION BY "Region ID"
+                 ORDER BY "Extended Price" DESC, "Brand" ASC) AS rn
+              FROM agg)
+        WHERE rn <= 2
+        """,
+    )
+
+
+def test_grouped_median_two_phase(builder, duck):
+    q = Query.from_params(
+        {"drilldowns": ["Return Flag.Return Flag"], "measures": ["Median Qty By Order"]}
+    )
+    df = builder.dataframe("lineitem_sales", q)
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT "Return Flag", median(m) AS "Median Qty By Order"
+        FROM (SELECT l_returnflag AS "Return Flag", l_orderkey,
+                     sum(l_quantity) AS m
+              FROM lineitem GROUP BY 1, 2)
+        GROUP BY 1
+        """,
+    )
+
+
+def test_weighted_and_moe_aggs(builder, duck):
+    q = Query.from_params(
+        {
+            "drilldowns": ["Ship Date.Year"],
+            "measures": [
+                "Weighted Price",
+                "Weighted Price Sum",
+                "Tax MOE",
+                "Discount RW MOE",
+                "Price WAvg MOE",
+                "Custom Net",
+                "Avg Discount",
+                "Max Tax",
+                "Min Tax",
+                "Row Count",
+            ],
+        }
+    )
+    df = builder.dataframe("lineitem_sales", q)
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT year(l_shipdate)::INT AS "Year",
+               sum(l_extendedprice * l_quantity) / sum(l_quantity) AS "Weighted Price",
+               sum(l_extendedprice * l_quantity) AS "Weighted Price Sum",
+               1.645 * sqrt(sum(pow(l_tax / 1.645, 2))) AS "Tax MOE",
+               1.645 * sqrt(2.0 * (
+                   pow(sum(l_discount) - sum(l_tax), 2)
+                 + pow(sum(l_discount) - sum(l_quantity), 2))) AS "Discount RW MOE",
+               1.645 * sqrt(2.0 * (
+                   pow(sum(l_extendedprice * l_quantity) / sum(l_quantity)
+                     - sum(l_extendedprice * l_tax) / sum(l_tax), 2)
+                 + pow(sum(l_extendedprice * l_quantity) / sum(l_quantity)
+                     - sum(l_extendedprice * l_discount) / sum(l_discount), 2))) AS "Price WAvg MOE",
+               sum(l_extendedprice * (1 - l_discount)) AS "Custom Net",
+               avg(l_discount) AS "Avg Discount",
+               max(l_tax) AS "Max Tax",
+               min(l_tax) AS "Min Tax",
+               count(l_linenumber) AS "Row Count"
+        FROM lineitem GROUP BY 1
+        """,
+        rtol=1e-6,
+    )
