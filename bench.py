@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+``{"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query executes fully via the no-op sink (no driver-side collect — results
+stay distributed, mirroring how a cluster run would behave).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "q_agg_year",
+    "q_agg_brand",
+    "q_cut_semijoin",
+    "q_parents",
+    "q_top_brands_per_region",
+    "q_growth_year",
+    "q_rca_region_flag",
+    "q_rate_returnflag",
+    "q_median_order",
+    "q_aggregators",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from tesseract_spark import catalog
+    from tesseract_spark.session import get_spark
+
+    spark = get_spark("tesseract_spark_bench")
+
+    # warm the JVM/session with a trivial action (not counted)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    names = [n for n in HEADLINE if n in catalog.ENTRIES]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in catalog.ENTRIES]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = catalog.ENTRIES[name].spark_fn
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,517 @@
+"""Query catalog: named (Spark query, DuckDB oracle SQL) pairs.
+
+This is the single source of truth consumed by ``__spark_entry__.py`` (the
+driver contract) and ``tests/test_oracle.py``. Each entry exercises one operator
+row from SURVEY.md §2 over the driver's TPC-H-ish testdata; the oracle SQL is
+the ANSI equivalent DuckDB runs on the same parquet files.
+
+Column-alias contract: Spark result and oracle SQL alias every column
+identically (the driver hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .fixtures import testdata_schema
+from .plans.builder import PlanBuilder
+from .query.model import Query
+from .sources.registry import testdata_registry
+
+_BUILDERS: dict[tuple[int, str, str], PlanBuilder] = {}
+
+
+def get_builder(spark: SparkSession, sf_dir: str, avg_grain: str = "flat") -> PlanBuilder:
+    key = (id(spark), sf_dir, avg_grain)
+    if key not in _BUILDERS:
+        _BUILDERS[key] = PlanBuilder(
+            spark, testdata_schema(), testdata_registry(spark, sf_dir), avg_grain=avg_grain
+        )
+    return _BUILDERS[key]
+
+
+def _cube_query(params: dict, avg_grain: str = "flat") -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        b = get_builder(spark, sf_dir, avg_grain)
+        return b.dataframe("lineitem_sales", Query.from_params(params))
+
+    return run
+
+
+@dataclass(frozen=True)
+class Entry:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver records rows-only check
+
+
+# Shared oracle fragment: the denormalized customer-geography dim (order_geo view)
+_ORDER_GEO = """
+(SELECT o.o_orderkey, n.n_nationkey, n.n_name, r.r_regionkey, r.r_name
+ FROM orders o
+ JOIN customer c ON o.o_custkey = c.c_custkey
+ JOIN nation n ON c.c_nationkey = n.n_nationkey
+ JOIN region r ON n.n_regionkey = r.r_regionkey) g
+"""
+
+ENTRIES: dict[str, Entry] = {}
+
+
+def _add(name: str, params_or_fn, oracle: str | None, avg_grain: str = "flat"):
+    fn = params_or_fn if callable(params_or_fn) else _cube_query(params_or_fn, avg_grain)
+    ENTRIES[name] = Entry(spark_fn=fn, oracle=oracle)
+
+
+# ---------- S1/A1: plain degenerate drill + sums ----------
+_add(
+    "q_agg_year",
+    {"drilldowns": ["Ship Date.Year"], "measures": ["Quantity", "Extended Price"]},
+    """
+    SELECT year(l_shipdate)::INT AS "Year",
+           sum(l_quantity) AS "Quantity",
+           sum(l_extendedprice) AS "Extended Price"
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+# ---------- J1/P1: joined dim drill ----------
+_add(
+    "q_agg_brand",
+    {"drilldowns": ["Part.Brand"], "measures": ["Quantity"]},
+    """
+    SELECT p.p_brand AS "Brand", sum(l.l_quantity) AS "Quantity"
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1
+    """,
+)
+
+# ---------- P2: include cut (degenerate) ----------
+_add(
+    "q_cut_include",
+    {
+        "drilldowns": ["Ship Date.Year"],
+        "cuts": ["Return Flag.Return Flag.R"],
+        "measures": ["Quantity"],
+    },
+    """
+    SELECT year(l_shipdate)::INT AS "Year", sum(l_quantity) AS "Quantity"
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    """,
+)
+
+# ---------- P2: exclude cut ----------
+_add(
+    "q_cut_exclude",
+    {
+        "drilldowns": ["Return Flag.Return Flag"],
+        "cuts": ["~Return Flag.Return Flag.N"],
+        "measures": ["Quantity"],
+    },
+    """
+    SELECT l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity"
+    FROM lineitem WHERE l_returnflag NOT IN ('N') GROUP BY 1
+    """,
+)
+
+# ---------- P3: LIKE-match cut on a dim name column ----------
+_add(
+    "q_cut_like",
+    {
+        "drilldowns": ["Customer Geography.Geography.Nation"],
+        "cuts": ["*Customer Geography.Geography.Nation.IA"],
+        "measures": ["Quantity"],
+    },
+    f"""
+    SELECT g.n_nationkey AS "Nation ID", g.n_name AS "Nation",
+           sum(l.l_quantity) AS "Quantity"
+    FROM lineitem l JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
+    WHERE g.n_name LIKE '%IA%'
+    GROUP BY 1, 2
+    """,
+)
+
+# ---------- P4: semi-join cut pushdown (cut dim not drilled) ----------
+_add(
+    "q_cut_semijoin",
+    {
+        "drilldowns": ["Return Flag.Return Flag"],
+        "cuts": ["Customer Geography.Geography.Region.1,2"],
+        "measures": ["Extended Price"],
+    },
+    """
+    SELECT l.l_returnflag AS "Return Flag", sum(l.l_extendedprice) AS "Extended Price"
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+        SELECT o.o_orderkey FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey IN (1, 2))
+    GROUP BY 1
+    """,
+)
+
+# ---------- P1 parents=true: ancestor level columns ----------
+_add(
+    "q_parents",
+    {
+        "drilldowns": ["Customer Geography.Geography.Nation"],
+        "measures": ["Quantity"],
+        "parents": "true",
+    },
+    f"""
+    SELECT g.r_regionkey AS "Region ID", g.r_name AS "Region",
+           g.n_nationkey AS "Nation ID", g.n_name AS "Nation",
+           sum(l.l_quantity) AS "Quantity"
+    FROM lineitem l JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+
+# ---------- P1 properties ----------
+_add(
+    "q_property",
+    {
+        "drilldowns": ["Part.Part"],
+        "properties": ["Part.Part.Part.Type"],
+        "measures": ["Quantity"],
+    },
+    """
+    SELECT p.p_partkey AS "Part ID", p.p_name AS "Part", p.p_type AS "Type",
+           sum(l.l_quantity) AS "Quantity"
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1, 2, 3
+    """,
+)
+
+# ---------- S3: inline table dim ----------
+_add(
+    "q_inline_status",
+    {"drilldowns": ["Line Status.Line Status.Status"], "measures": ["Row Count"]},
+    """
+    SELECT s.status_key AS "Status ID", s.status_name AS "Status",
+           count(l.l_linenumber) AS "Row Count"
+    FROM lineitem l
+    JOIN (VALUES ('O', 'Open'), ('F', 'Finished')) AS s(status_key, status_name)
+      ON l.l_linestatus = s.status_key
+    GROUP BY 1, 2
+    """,
+)
+
+# ---------- P5: measure filter (HAVING) with and-compound ----------
+_add(
+    "q_filter_having",
+    {
+        "drilldowns": ["Part.Brand"],
+        "measures": ["Quantity"],
+        "filters": ["Quantity.gt.100.and.lt.1000000"],
+    },
+    """
+    SELECT p.p_brand AS "Brand", sum(l.l_quantity) AS "Quantity"
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1 HAVING sum(l.l_quantity) > 100 AND sum(l.l_quantity) < 1000000
+    """,
+)
+
+# ---------- O1/O2: sort by measure + limit/offset ----------
+_add(
+    "q_sort_limit_offset",
+    {
+        "drilldowns": ["Part.Brand"],
+        "measures": ["Extended Price"],
+        "sort": "Extended Price.desc",
+        "limit": "3,5",
+    },
+    """
+    SELECT p.p_brand AS "Brand", sum(l.l_extendedprice) AS "Extended Price"
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 5 OFFSET 3
+    """,
+)
+
+# ---------- C4: top-k per group ----------
+_TOP_ORACLE = f"""
+    WITH agg AS (
+      SELECT g.r_regionkey AS "Region ID", g.r_name AS "Region",
+             p.p_brand AS "Brand", sum(l.l_extendedprice) AS "Extended Price"
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT "Region ID", "Region", "Brand", "Extended Price"
+    FROM (SELECT *, row_number() OVER (
+             PARTITION BY "Region ID"
+             ORDER BY "Extended Price" DESC, "Brand" ASC) AS rn
+          FROM agg)
+    WHERE rn <= 2
+"""
+_add(
+    "q_top_brands_per_region",
+    {
+        "drilldowns": ["Customer Geography.Geography.Region", "Part.Brand"],
+        "measures": ["Extended Price"],
+        "top": "2,Customer Geography.Geography.Region,Extended Price,desc",
+    },
+    _TOP_ORACLE,
+)
+
+# ---------- P6: top_where pre-filter ----------
+_add(
+    "q_top_where",
+    {
+        "drilldowns": ["Customer Geography.Geography.Region", "Part.Brand"],
+        "measures": ["Quantity"],
+        "top": "3,Customer Geography.Geography.Region,Quantity,desc",
+        "top_where": "Quantity,gte.500",
+    },
+    f"""
+    WITH agg AS (
+      SELECT g.r_regionkey AS "Region ID", g.r_name AS "Region",
+             p.p_brand AS "Brand", sum(l.l_quantity) AS "Quantity"
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
+      GROUP BY 1, 2, 3
+      HAVING sum(l.l_quantity) >= 500
+    )
+    SELECT "Region ID", "Region", "Brand", "Quantity"
+    FROM (SELECT *, row_number() OVER (
+             PARTITION BY "Region ID"
+             ORDER BY "Quantity" DESC, "Brand" ASC) AS rn
+          FROM agg)
+    WHERE rn <= 3
+    """,
+)
+
+# ---------- C1: growth ----------
+_add(
+    "q_growth_year",
+    {
+        "drilldowns": ["Ship Date.Year"],
+        "measures": ["Quantity"],
+        "growth": "Ship Date.Ship Date.Year,Quantity",
+    },
+    """
+    WITH agg AS (
+      SELECT year(l_shipdate)::INT AS "Year", sum(l_quantity) AS "Quantity"
+      FROM lineitem GROUP BY 1
+    )
+    SELECT "Year", "Quantity",
+           "Quantity" - lag("Quantity") OVER (ORDER BY "Year") AS "Quantity Growth Value",
+           ("Quantity" - lag("Quantity") OVER (ORDER BY "Year"))
+             / lag("Quantity") OVER (ORDER BY "Year") AS "Quantity Growth"
+    FROM agg
+    """,
+)
+
+# ---------- C2: RCA (with debug a/b/c/d exposed) ----------
+_RCA_BASE = f"""
+    WITH base AS (
+      SELECT g.r_regionkey AS "Region ID", g.r_name AS "Region",
+             l.l_returnflag AS "Return Flag", sum(l.l_quantity) AS "Quantity"
+      FROM lineitem l JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
+      GROUP BY 1, 2, 3
+    )
+"""
+_add(
+    "q_rca_region_flag",
+    {
+        "rca": "Customer Geography.Geography.Region,Return Flag.Return Flag.Return Flag,Quantity",
+    },
+    _RCA_BASE
+    + """
+    SELECT "Region ID", "Region", "Return Flag", "Quantity",
+           ("Quantity" / sum("Quantity") OVER (PARTITION BY "Return Flag"))
+         / (sum("Quantity") OVER (PARTITION BY "Region ID") / sum("Quantity") OVER ())
+           AS "Quantity RCA"
+    FROM base
+    """,
+)
+_add(
+    "q_rca_debug",
+    {
+        "rca": "Customer Geography.Geography.Region,Return Flag.Return Flag.Return Flag,Quantity",
+        "debug": "true",
+    },
+    _RCA_BASE
+    + """
+    SELECT "Region ID", "Region", "Return Flag", "Quantity",
+           "Quantity" AS a,
+           sum("Quantity") OVER (PARTITION BY "Return Flag") AS b,
+           sum("Quantity") OVER (PARTITION BY "Region ID") AS c,
+           sum("Quantity") OVER () AS d,
+           ("Quantity" / sum("Quantity") OVER (PARTITION BY "Return Flag"))
+         / (sum("Quantity") OVER (PARTITION BY "Region ID") / sum("Quantity") OVER ())
+           AS "Quantity RCA"
+    FROM base
+    """,
+)
+
+# ---------- C3: rate ----------
+_add(
+    "q_rate_returnflag",
+    {
+        "drilldowns": ["Ship Date.Year"],
+        "measures": ["Quantity"],
+        "rate": "Return Flag.Return Flag.Return Flag.R",
+    },
+    """
+    WITH base AS (
+      SELECT year(l_shipdate)::INT AS "Year", l_returnflag, sum(l_quantity) AS m
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT "Year", sum(m) AS "Quantity",
+           sum(m) FILTER (WHERE l_returnflag = 'R') / sum(m) AS "Rate"
+    FROM base GROUP BY "Year"
+    """,
+)
+
+# ---------- A5: grouped median (two-phase) ----------
+_add(
+    "q_median_order",
+    {"drilldowns": ["Return Flag.Return Flag"], "measures": ["Median Qty By Order"]},
+    """
+    SELECT "Return Flag", median(m) AS "Median Qty By Order"
+    FROM (SELECT l_returnflag AS "Return Flag", l_orderkey, sum(l_quantity) AS m
+          FROM lineitem GROUP BY 1, 2)
+    GROUP BY 1
+    """,
+)
+
+# ---------- A3 fk-grain: reference's avg-of-averages semantics ----------
+_add(
+    "q_avg_fk_grain",
+    # drill a level COARSER than the join key so pass-1 (per-l_partkey avg) and
+    # pass-2 (avg of those averages per brand) genuinely differ from a flat avg
+    {"drilldowns": ["Part.Brand"], "measures": ["Avg Discount"]},
+    """
+    SELECT p.p_brand AS "Brand", avg(sub.m) AS "Avg Discount"
+    FROM (SELECT l_partkey, avg(l_discount) AS m FROM lineitem GROUP BY 1) sub
+    JOIN part p ON sub.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    avg_grain="fk",
+)
+
+# ---------- A3/A4/A6-A11: the full aggregator battery ----------
+_add(
+    "q_aggregators",
+    {
+        "drilldowns": ["Ship Date.Year"],
+        "measures": [
+            "Weighted Price",
+            "Weighted Price Sum",
+            "Tax MOE",
+            "Discount RW MOE",
+            "Price WAvg MOE",
+            "Custom Net",
+            "Avg Discount",
+            "Max Tax",
+            "Min Tax",
+            "Row Count",
+        ],
+    },
+    """
+    SELECT year(l_shipdate)::INT AS "Year",
+           sum(l_extendedprice * l_quantity) / sum(l_quantity) AS "Weighted Price",
+           sum(l_extendedprice * l_quantity) AS "Weighted Price Sum",
+           1.645 * sqrt(sum(pow(l_tax / 1.645, 2))) AS "Tax MOE",
+           1.645 * sqrt(2.0 * (
+               pow(sum(l_discount) - sum(l_tax), 2)
+             + pow(sum(l_discount) - sum(l_quantity), 2))) AS "Discount RW MOE",
+           1.645 * sqrt(2.0 * (
+               pow(sum(l_extendedprice * l_quantity) / sum(l_quantity)
+                 - sum(l_extendedprice * l_tax) / sum(l_tax), 2)
+             + pow(sum(l_extendedprice * l_quantity) / sum(l_quantity)
+                 - sum(l_extendedprice * l_discount) / sum(l_discount), 2)))
+             AS "Price WAvg MOE",
+           sum(l_extendedprice * (1 - l_discount)) AS "Custom Net",
+           avg(l_discount) AS "Avg Discount",
+           max(l_tax) AS "Max Tax",
+           min(l_tax) AS "Min Tax",
+           count(l_linenumber) AS "Row Count"
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+# ---------- P7: sparse (no-op on dense data — checks it drops nothing) ----------
+_add(
+    "q_sparse",
+    {
+        "drilldowns": ["Return Flag.Return Flag"],
+        "measures": ["Quantity"],
+        "sparse": "true",
+    },
+    """
+    SELECT l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity"
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+# ---------- S4: members scan ----------
+
+
+def _members_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    b = get_builder(spark, sf_dir)
+    dim = b.registry.load("order_geo")
+    return (
+        dim.select(
+            F.col("n_nationkey").alias("ID"), F.col("n_name").alias("Label")
+        )
+        .distinct()
+        .orderBy("ID")
+    )
+
+
+_add(
+    "q_members_nation",
+    _members_nation,
+    """
+    SELECT DISTINCT n.n_nationkey AS "ID", n.n_name AS "Label"
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY 1
+    """,
+)
+
+# ---------- L8/J5: diagnosis — orphan foreign keys (anti-join) ----------
+
+
+def _diag_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    b = get_builder(spark, sf_dir)
+    fact = b.registry.load("lineitem_enriched")
+    part = b.registry.load("part")
+    return (
+        fact.select(F.col("l_partkey").alias("orphan_fk"))
+        .distinct()
+        .join(part, F.col("orphan_fk") == F.col("p_partkey"), "left_anti")
+        .select("orphan_fk")
+    )
+
+
+_add(
+    "q_diag_orphan_fk",
+    _diag_orphans,
+    """
+    SELECT DISTINCT l_partkey AS orphan_fk FROM lineitem
+    WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    """,
+)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver smoke query: top-2 brands per region by revenue."""
+    return ENTRIES["q_top_brands_per_region"].spark_fn(spark, sf_dir)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.spark_fn for name, e in ENTRIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in ENTRIES.items() if e.oracle is not None}

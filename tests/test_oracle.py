@@ -1,0 +1,36 @@
+"""Run every catalog entry against its DuckDB oracle — the local mirror of the
+driver's CORRECTNESS gate (sf configurable via SPARK_GRAFT_TEST_SF_DIR)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tesseract_spark import catalog
+
+from .conftest import assert_df_matches_sql
+
+ORACLE_NAMES = sorted(catalog.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(name, spark, sf_dir, duck):
+    entry = catalog.ENTRIES[name]
+    df = entry.spark_fn(spark, sf_dir)
+    assert_df_matches_sql(df, duck, entry.oracle, rtol=1e-6)
+
+
+def test_all_queries_have_entry_or_weak_check():
+    # every catalog entry is runnable; oracle-less ones are the documented
+    # non-SQL-expressible set
+    weak = {n for n, e in catalog.ENTRIES.items() if e.oracle is None}
+    assert weak == set(), f"unexpectedly oracle-less: {weak}"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
