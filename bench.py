@@ -27,6 +27,14 @@ HEADLINE = [
     "q_rate_returnflag",
     "q_median_order",
     "q_aggregators",
+    "q_text_analysis",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_ann_cosine_topk",
+    "q_ann_lsh_topk",
+    "q_events_window",
 ]
 
 

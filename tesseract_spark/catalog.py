@@ -504,6 +504,74 @@ _add(
 )
 
 
+# ======== LLM-pipeline operators (documents / embeddings / events) ========
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _wire_pipeline_ops() -> None:
+    from .operators import dedup, multimodal, similarity, text
+    from .streaming import events as ev
+
+    _add(
+        "q_text_analysis",
+        lambda spark, sf: text.analyze_documents(_docs(spark, sf)),
+        text.analyze_documents_oracle_sql(),
+    )
+    _add(
+        "q_dedup_exact",
+        lambda spark, sf: dedup.exact_dedup(_docs(spark, sf)),
+        dedup.exact_dedup_oracle_sql(),
+    )
+    _add(
+        "q_dedup_ngram_jaccard",
+        lambda spark, sf: dedup.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.2),
+        dedup.ngram_jaccard_oracle_sql(threshold=0.2),
+    )
+    _add(
+        "q_dedup_minhash_lsh",
+        lambda spark, sf: dedup.minhash_lsh_pairs(_docs(spark, sf)),
+        dedup.minhash_lsh_oracle_sql(),
+    )
+    _add(
+        "q_dedup_simhash",
+        lambda spark, sf: dedup.simhash(_docs(spark, sf)),
+        dedup.simhash_oracle_sql(),
+    )
+    _add(
+        "q_ann_cosine_topk",
+        lambda spark, sf: similarity.brute_force_topk(_embs(spark, sf), [0, 1, 2, 3, 4]),
+        similarity.brute_force_topk_oracle_sql([0, 1, 2, 3, 4]),
+    )
+    # approximate ANN: engine-specific hyperplane buckets — no SQL oracle,
+    # driver records the weaker rows-only check; recall vs brute force is
+    # asserted in tests/test_operators.py
+    _add(
+        "q_ann_lsh_topk",
+        lambda spark, sf: similarity.ann_lsh_topk(_embs(spark, sf), [0, 1, 2, 3, 4]),
+        None,
+    )
+    _add(
+        "q_multimodal_features",
+        lambda spark, sf: multimodal.multimodal_features(_docs(spark, sf)),
+        multimodal.multimodal_features_oracle_sql(),
+    )
+    _add(
+        "q_events_window",
+        ev.batch_windowed_agg,
+        ev.windowed_agg_oracle_sql(),
+    )
+
+
+_wire_pipeline_ops()
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: top-2 brands per region by revenue."""
     return ENTRIES["q_top_brands_per_region"].spark_fn(spark, sf_dir)

@@ -1,0 +1,289 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Extension beyond the reference's surface (BASELINE.json north star), designed
+for 100 TB corpora:
+
+- **exact**: hash-groupBy on md5(text) — one shuffle on a 32-char key, no text
+  movement. The canonical-survivor choice (min doc_id) is deterministic.
+- **n-gram Jaccard**: word n-gram shingles → inverted-index self-join → exact
+  Jaccard on pair overlap. Quadratic in cluster sizes — the *verification*
+  path; cap candidate generation with MinHash at scale.
+- **MinHash + LSH**: K independent min-hashes per doc (min over
+  md5(seed|shingle) hex strings — engine-portable, no bigint bit tricks),
+  banded into B buckets; candidate pairs share any band bucket. Linear scan +
+  one shuffle per band (implemented as one explode + one shuffle).
+- **SimHash**: per-token md5 nibbles → ±1 votes per bit position → sign vector
+  packed into an integer. Near-dup = small Hamming distance.
+
+All hashing uses md5 hex strings (identical bytes in Spark and DuckDB), so the
+driver's oracle hash-matching is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------- shingling ----------------
+
+
+def word_shingles_col(text: Column, n: int = 5) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    # shingle i = words[i..i+n-1] joined; sequence is 1-based
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def _sql_word_shingles(t: str, n: int = 5) -> str:
+    """DuckDB fragment producing the same distinct shingle list."""
+    words = f"regexp_split_to_array(lower(trim({t})), '\\s+')"
+    return f"""
+    list_distinct(
+      CASE WHEN len({words}) >= {n}
+      THEN list_transform(range(1, len({words}) - {n} + 2),
+                          i -> array_to_string({words}[i:i+{n}-1], ' '))
+      ELSE [array_to_string({words}, ' ')] END)
+    """
+
+
+# ---------------- exact dedup ----------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the canonical
+    (minimum) id and the duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM {table} GROUP BY 1
+    """
+
+
+# ---------------- n-gram Jaccard ----------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingle sets for every pair
+    sharing ≥1 shingle; keeps pairs ≥ threshold. Inverted-index self-join —
+    shuffle keyed on shingle, skew-prone on hot shingles (use MinHash first at
+    scale; AQE skew-join handles moderate skew)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_oracle_sql(
+    table: str = "documents", n: int = 5, threshold: float = 0.5
+) -> str:
+    shingles = _sql_word_shingles("text", n)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest({shingles}) AS shingle FROM {table}
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.id
+    JOIN sizes sb ON common.id_b = sb.id
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}
+    """
+
+
+# ---------------- MinHash + LSH ----------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """K min-hashes per doc: min over md5('<seed>|' || shingle) hex strings.
+    One explode + one groupBy (single shuffle), K aggregates computed
+    map-side-partial by Catalyst."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """LSH candidate pairs: signature split into ``bands`` bands of
+    ``num_hashes/bands`` rows; pair is a candidate iff some band hashes equal.
+    Scale shape: explode to (id, band, bucket) then self-join on (band, bucket)
+    — buckets are md5 strings so the join key is uniform; no hot keys unless
+    real duplicate clusters exist (which is the signal)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
+        )
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_oracle_sql(
+    table: str = "documents",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> str:
+    rows = num_hashes // bands
+    shingles = _sql_word_shingles("text", shingle_n)
+    mh_exprs = ", ".join(
+        f"min(md5('{k}|' || shingle)) AS mh{k}" for k in range(num_hashes)
+    )
+    band_rows = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_rows.append(f"SELECT id, {b} AS band, md5({parts}) AS bucket FROM sig")
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest({shingles}) AS shingle FROM {table}
+    ),
+    sig AS (SELECT id, {mh_exprs} FROM sh GROUP BY id),
+    buckets AS ({bands_sql})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    """
+
+
+# ---------------- SimHash ----------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash over whitespace tokens: bit i's vote is ±1 per token depending on
+    bit i of md5(token); the sign of the vote sum sets bit i. ``bits`` ≤ 32
+    (uses the first bits/4 hex chars of the digest). Pure column expressions —
+    one explode + one groupBy shuffle."""
+    assert bits % 4 == 0
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    vote_aggs = []
+    for i in range(bits):
+        nibble = F.instr(F.lit(_HEX), F.substring(h, i // 4 + 1, 1)) - 1
+        bit = F.floor(nibble / F.lit(2 ** (3 - i % 4))) % 2
+        vote_aggs.append(F.sum(bit * 2 - 1).alias(f"v{i}"))
+    votes = toks.groupBy("id").agg(*vote_aggs)
+    packed = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"v{i}") > 0, F.lit(2 ** (bits - 1 - i))).otherwise(F.lit(0)),
+        range(1, bits),
+        F.when(F.col("v0") > 0, F.lit(2 ** (bits - 1))).otherwise(F.lit(0)),
+    )
+    return votes.select(F.col("id").alias("doc_id"), packed.cast("long").alias("simhash"))
+
+
+def simhash_oracle_sql(table: str = "documents", bits: int = 16) -> str:
+    vote_exprs = []
+    for i in range(bits):
+        nibble = f"(strpos('{_HEX}', substr(md5(tok), {i // 4 + 1}, 1)) - 1)"
+        bit = f"(floor({nibble} / {2 ** (3 - i % 4)})::BIGINT % 2)"
+        vote_exprs.append(f"sum({bit} * 2 - 1) AS v{i}")
+    packed = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {2 ** (bits - 1 - i)} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+      FROM {table}
+    ),
+    votes AS (SELECT id, {", ".join(vote_exprs)} FROM toks GROUP BY id)
+    SELECT id AS doc_id, ({packed})::BIGINT AS simhash FROM votes
+    """

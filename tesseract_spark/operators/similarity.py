@@ -1,0 +1,213 @@
+"""Similarity search over an embedding column (array<float>).
+
+- **Brute-force cosine top-k** (the exact baseline): query set × corpus
+  cross-join scored with JVM-side ``aggregate``/``zip_with`` expressions —
+  no Python UDF, whole-stage codegen. O(Q×N); with a broadcast query set the
+  corpus side streams with zero shuffle before the per-query top-k window.
+- **Random-hyperplane LSH ANN** (the scale path): sign-bit signatures over D
+  pseudo-random hyperplanes (deterministic, seeded); candidates share a bucket,
+  scored exactly, then top-k. Sub-linear candidate sets at 100 TB; recall
+  controlled by (planes, tables).
+- **Embedding-cosine near-dup**: all pairs above a cosine threshold within an
+  LSH bucket.
+
+Cosines are rounded to 6 decimals before ranking with a deterministic id
+tie-break so results are engine-portable (oracle: DuckDB list_* functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query id (excluding self)."""
+    queries = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 6))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def brute_force_topk_oracle_sql(
+    query_ids: list[int], k: int = 5, table: str = "embeddings"
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM {table}
+               WHERE vec_id IN ({ids})),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(
+               list_dot_product(q.qvec::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               6) AS cos_sim
+      FROM q JOIN {table} c ON c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+# ---------------- LSH-bucketed ANN (scale path; no SQL oracle) ----------------
+
+
+def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane via a splitmix-style
+    integer hash — reproducible across runs without numpy RNG state."""
+    vals = []
+    x = (seed * 0x9E3779B97F4A7C15 + plane_idx * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    for _ in range(dim):
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+        x = x ^ (x >> 31)
+        vals.append((x / 2**64) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_bucket_col(vec: Column, dim: int, planes: int = 12, seed: int = 42) -> Column:
+    """Sign-bit LSH bucket id over ``planes`` fixed hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    for p in range(planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])
+        proj = _dot(vd, plane)
+        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    planes: int = 3,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with multi-table LSH: ``tables`` independent
+    hyperplane sets; a vector is a candidate if it shares the query's bucket in
+    ANY table (standard recall amplification). Candidates are scored exactly
+    and ranked. At scale, corpus buckets are computed once write-side and each
+    query touches ~tables × N/2^planes candidates.
+
+    Tuning: per-plane collision prob for angle θ is 1−θ/π; defaults (3 planes ×
+    8 tables) give ≈86% recall at cos≈0.33 (the weak-similarity regime of the
+    synthetic testdata). Tighter duplicate clusters at production scale afford
+    more planes (smaller candidate sets) at the same recall."""
+    bucket_structs = [
+        F.struct(
+            F.lit(t).alias("table"),
+            lsh_bucket_col(F.col(vec_col), dim, planes, seed=42 + t).alias("bucket"),
+        )
+        for t in range(tables)
+    ]
+    with_bucket = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*bucket_structs)).alias("tb")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    queries = with_bucket.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("table").alias("qtable"),
+        F.col("bucket").alias("qbucket"),
+    )
+    corpus = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"),
+        "table", "bucket",
+    )
+    candidates = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("table") == F.col("qtable"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", "qvec", "nvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn(
+        "cos_sim", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 6)
+    ).select("query_id", "neighbor_id", "cos_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold, candidate-pruned
+    by shared LSH bucket (exact within bucket)."""
+    with_bucket = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_col(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    a, b = with_bucket.alias("a"), with_bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("cos_sim", F.round(cosine_col(F.col("a.vec"), F.col("b.vec")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
+    )

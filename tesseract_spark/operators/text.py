@@ -1,0 +1,170 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Extension beyond the reference's surface (BASELINE.json north star): language-ID
+(stopword n-gram heuristic), quality scoring, token counting, and document
+fingerprinting over a `documents`-shaped table (doc_id, text, ...).
+
+Everything is built from JVM-side ``pyspark.sql.functions`` expressions — no
+Python UDFs — so the operators stay inside whole-stage codegen and scale
+linearly with no shuffle (all are per-row maps; only downstream groupings
+shuffle). Each operator has a matching DuckDB oracle-SQL generator so the
+driver's correctness gate covers them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language → marker stopwords (heuristic n-gram/stopword language ID).
+# Order matters: it is the deterministic tie-break chain.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "los", "las", "es", "una", "por"),
+    "fr": ("le", "les", "est", "une", "dans", "pour"),
+    "zh": ("de5", "shi4", "bu4", "le5", "wo3", "zai4"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), _TOKEN_SPLIT))
+    )
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """Sub-word-ish token count: word pieces + digits + punctuation symbols via
+    a BPE-flavored regex (letters runs of ≤4 chars count per piece)."""
+    pieces = F.regexp_extract_all(text, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def punct_ratio_col(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[\w\s]", "")) / F.length(text)
+
+
+def stopword_ratio_col(text: Column) -> Column:
+    pattern = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), 0))
+    return hits / token_count_col(text)
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + low punctuation +
+    stopword presence (the classic Gopher-style cheap filters)."""
+    n = F.length(text)
+    len_ok = F.when((n >= 100) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio_col(text) <= 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio_col(text) >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), 0))
+    return out
+
+
+def lang_id_col(text: Column) -> Column:
+    """Argmax language by marker-stopword hits, ties broken by LANG_MARKERS
+    order (deterministic)."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    expr = None
+    remaining = list(langs)
+    cond_chain = []
+    for lang in langs[:-1]:
+        remaining.remove(lang)
+        cond = scores[lang] >= scores[remaining[0]]
+        for other in remaining[1:]:
+            cond = cond & (scores[lang] >= scores[other])
+        cond_chain.append((cond, lang))
+    for cond, lang in reversed(cond_chain):
+        expr = (
+            F.when(cond, F.lit(lang)).otherwise(expr)
+            if expr is not None
+            else F.when(cond, F.lit(lang)).otherwise(F.lit(langs[-1]))
+        )
+    return expr
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    lowercase token set (shingle-free variant of a rolling-hash fingerprint)."""
+    toks = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(text)), _TOKEN_SPLIT)))
+    return F.md5(F.array_join(toks, " "))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count_col(text).alias("n_tokens"),
+        bpe_ish_token_count_col(text).alias("n_subword_tokens"),
+        F.round(punct_ratio_col(text), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_col(text), 6).alias("stopword_ratio"),
+        F.round(quality_score_col(text), 6).alias("quality_score"),
+        lang_id_col(text).alias("lang_pred"),
+        fingerprint_col(text).alias("fingerprint"),
+    )
+
+
+# ---------------- DuckDB oracle SQL generators ----------------
+
+
+def _sql_token_count(t: str) -> str:
+    return (
+        f"CASE WHEN length(trim({t})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({t}), '\\s+')) END"
+    )
+
+
+def _sql_marker_hits(t: str, words: tuple[str, ...]) -> str:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(lower({t}), '{pattern}'))"
+
+
+def analyze_documents_oracle_sql(table: str = "documents") -> str:
+    t = "text"
+    tok = _sql_token_count(t)
+    subword = f"len(regexp_extract_all({t}, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]'))"
+    punct = f"(length(regexp_replace({t}, '[\\w\\s]', '', 'g')) / length({t}))"
+    stop_hits = _sql_marker_hits(t, STOPWORDS)
+    stop_ratio = f"({stop_hits} / {tok})"
+    quality = (
+        f"((CASE WHEN length({t}) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END"
+        f" + CASE WHEN {punct} <= 0.1 THEN 1.0 ELSE 0.0 END"
+        f" + CASE WHEN {stop_ratio} >= 0.05 THEN 1.0 ELSE 0.0 END) / 3.0)"
+    )
+    langs = list(LANG_MARKERS)
+    scores = {lang: _sql_marker_hits(t, LANG_MARKERS[lang]) for lang in langs}
+    cases = []
+    remaining = list(langs)
+    for lang in langs[:-1]:
+        remaining.remove(lang)
+        conds = " AND ".join(f"{scores[lang]} >= {scores[o]}" for o in remaining)
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    fingerprint = (
+        f"md5(array_to_string(list_sort(list_distinct("
+        f"regexp_split_to_array(lower(trim({t})), '\\s+'))), ' '))"
+    )
+    return f"""
+    SELECT doc_id,
+           {tok} AS n_tokens,
+           {subword} AS n_subword_tokens,
+           round({punct}, 6) AS punct_ratio,
+           round({stop_ratio}, 6) AS stopword_ratio,
+           round({quality}, 6) AS quality_score,
+           {lang_case} AS lang_pred,
+           {fingerprint} AS fingerprint
+    FROM {table}
+    """

@@ -29,6 +29,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark 4 defaults to ANSI mode where x/0 raises; the reference backend
+        # (ClickHouse) and the DuckDB oracle both produce non-error results
+        # (inf / NULL respectively) — legacy mode's NULL matches DuckDB exactly
+        # for every division in the engine (growth, weighted avg, ratios)
+        .config("spark.sql.ansi.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
+        # natively; read as long and convert (streaming/events.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -1,0 +1,108 @@
+"""Structured Streaming over an events-shaped source.
+
+The reference has no streaming computation — its "streaming" is chunked HTTP
+transfer of finished results (format_stream.rs; SURVEY.md §2.8). This module is
+the extension path: tumbling-window aggregation with watermarked late-data
+handling over ``(event_id, ts, user_id, event_type, value, props)``.
+
+``windowed_agg`` is written against a generic DataFrame so the SAME plan runs
+in batch mode (for the DuckDB oracle — window start = epoch-aligned bucket,
+identical to DuckDB's ``time_bucket``) and in streaming mode via
+``readStream``; ``run_streaming_demo`` drives it through a real streaming query
+using the in-memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ts is TIMESTAMP(NANOS) in the parquet file; with
+# spark.sql.legacy.parquet.nanosAsLong it surfaces as epoch-nanos LongType and
+# _normalize_ts converts (integer DIV — double math would lose precision at 1e18)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def windowed_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window event rollup: count + sum(value) + distinct users per
+    (window, event_type). Works identically on batch and streaming inputs."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def windowed_agg_oracle_sql(table: str = "events", window_hours: int = 1) -> str:
+    # approx_count_distinct is sketch-based and engine-specific — excluded from
+    # the oracle columns; count/sum are exact.
+    return f"""
+    SELECT time_bucket(INTERVAL '{window_hours} hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(value) AS total_value
+    FROM {table}
+    GROUP BY 1, 2
+    """
+
+
+def batch_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return windowed_agg(events).drop("approx_users")
+
+
+def run_streaming_demo(
+    spark: SparkSession, sf_dir: str, query_name: str = "events_rollup"
+) -> DataFrame:
+    """Drive the SAME windowed plan as a real Structured Streaming query over
+    the parquet source (file-stream), with a 2-hour watermark for late data;
+    returns the completed result from the in-memory sink."""
+    # FileStreamSource requires a directory; stage a symlink dir over the
+    # read-only testdata file
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+
+    stream = _normalize_ts(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    ).withWatermark("ts", "2 hours")
+    agg = windowed_agg(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
