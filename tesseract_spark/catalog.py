@@ -33,10 +33,12 @@ def get_builder(spark: SparkSession, sf_dir: str, avg_grain: str = "flat") -> Pl
     return _BUILDERS[key]
 
 
-def _cube_query(params: dict, avg_grain: str = "flat") -> Callable[[SparkSession, str], DataFrame]:
+def _cube_query(
+    params: dict, avg_grain: str = "flat", cube: str = "lineitem_sales"
+) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = get_builder(spark, sf_dir, avg_grain)
-        return b.dataframe("lineitem_sales", Query.from_params(params))
+        return b.dataframe(cube, Query.from_params(params))
 
     return run
 
@@ -500,6 +502,61 @@ _add(
     """
     SELECT DISTINCT l_partkey AS orphan_fk FROM lineitem
     WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    """,
+)
+
+
+# ---------- P9: default-member auto-cut + P10: default-hierarchy semi-join ----------
+# Order Status (default_member = F) is absent from the query → implicit
+# o_orderstatus = 'F'; Customer (default_hierarchy = By Nation) is absent →
+# memberless semi-join dedup against customer (identity on clean FKs).
+ENTRIES["q_default_member"] = Entry(
+    spark_fn=_cube_query(
+        {"drilldowns": ["Order Priority.Priority"], "measures": ["Total Price"]},
+        cube="orders_sales",
+    ),
+    oracle="""
+    SELECT o_orderpriority AS "Priority", sum(o_totalprice) AS "Total Price"
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_custkey IN (SELECT c_custkey FROM customer)
+    GROUP BY 1
+    """,
+)
+
+# drilling the default-member dim with exclude_default_members=true negates it
+ENTRIES["q_default_member_excluded"] = Entry(
+    spark_fn=_cube_query(
+        {
+            "drilldowns": ["Order Status.Status"],
+            "measures": ["Order Count"],
+            "exclude_default_members": "true",
+        },
+        cube="orders_sales",
+    ),
+    oracle="""
+    SELECT o_orderstatus AS "Status", count(o_orderkey) AS "Order Count"
+    FROM orders
+    WHERE o_orderstatus NOT IN ('F')
+      AND o_custkey IN (SELECT c_custkey FROM customer)
+    GROUP BY 1
+    """,
+)
+
+# multi-hierarchy dim drilled through the NON-default hierarchy
+ENTRIES["q_multi_hierarchy_segment"] = Entry(
+    spark_fn=_cube_query(
+        {
+            "drilldowns": ["Customer.By Segment.Segment"],
+            "measures": ["Total Price"],
+        },
+        cube="orders_sales",
+    ),
+    oracle="""
+    SELECT c.c_mktsegment AS "Segment", sum(o.o_totalprice) AS "Total Price"
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1
     """,
 )
 

@@ -223,7 +223,89 @@ LINEITEM_SCHEMA_JSON = {
                     "aggregator": {"custom": "sum({} * (1 - l_discount))"},
                 },
             ],
-        }
+        },
+        {
+            # exercises P9 (default-member auto-cuts), P10 (default-hierarchy
+            # memberless semi-join) and multi-hierarchy dimensions
+            "name": "orders_sales",
+            "table": {"name": "orders", "primary_key": "o_orderkey"},
+            "dimensions": [
+                {
+                    "name": "Order Status",
+                    "foreign_key": None,
+                    "hierarchies": [
+                        {
+                            "name": "Order Status",
+                            "default_member": "Order Status.Order Status.Status.F",
+                            "levels": [
+                                {
+                                    "name": "Status",
+                                    "key_column": "o_orderstatus",
+                                    "key_type": "text",
+                                }
+                            ],
+                        }
+                    ],
+                },
+                {
+                    "name": "Order Priority",
+                    "foreign_key": None,
+                    "hierarchies": [
+                        {
+                            "name": "Order Priority",
+                            "levels": [
+                                {
+                                    "name": "Priority",
+                                    "key_column": "o_orderpriority",
+                                    "key_type": "text",
+                                }
+                            ],
+                        }
+                    ],
+                },
+                {
+                    "name": "Customer",
+                    "foreign_key": "o_custkey",
+                    "default_hierarchy": "By Nation",
+                    "hierarchies": [
+                        {
+                            "name": "By Nation",
+                            "primary_key": "c_custkey",
+                            "table": {"name": "customer", "primary_key": "c_custkey"},
+                            "levels": [
+                                {"name": "Nation", "key_column": "c_nationkey"},
+                                {
+                                    "name": "Customer",
+                                    "key_column": "c_custkey",
+                                    "name_column": "c_name",
+                                },
+                            ],
+                        },
+                        {
+                            "name": "By Segment",
+                            "primary_key": "c_custkey",
+                            "table": {"name": "customer", "primary_key": "c_custkey"},
+                            "levels": [
+                                {
+                                    "name": "Segment",
+                                    "key_column": "c_mktsegment",
+                                    "key_type": "text",
+                                },
+                                {
+                                    "name": "Customer",
+                                    "key_column": "c_custkey",
+                                    "name_column": "c_name",
+                                },
+                            ],
+                        },
+                    ],
+                },
+            ],
+            "measures": [
+                {"name": "Total Price", "column": "o_totalprice", "aggregator": "sum"},
+                {"name": "Order Count", "column": "o_orderkey", "aggregator": "count"},
+            ],
+        },
     ],
 }
 

@@ -1,0 +1,270 @@
+"""Logic layer: the `/data` endpoint semantics.
+
+Mirrors tesseract-server/src/logic_layer (aggregate.rs:193-558,
+config.rs:160-268): cube-name aliases, unique-level-name drilldowns/cuts
+(flattened ``Level=members`` params), named-set expansion, ``time=`` resolution,
+cut operations ``id:children`` / ``id:parents`` / ``id:neighbors``, and
+``exclude=`` row drops.
+
+Execution-shape difference from the reference (by design, SURVEY.md L5): the
+reference expands multi-level cut combinations into a cartesian product of N
+SQL queries and concatenates results client-side; this engine emits ONE
+DataFrame plan — cuts on several levels of a dimension are ANDed and the extra
+levels auto-drilled, which yields the identical labeled row set with a single
+scan instead of N. ``exclude=`` becomes an in-plan filter (P8) rather than a
+post-union row drop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from ..plans.builder import PlanBuilder
+from ..query.model import Cut, LevelName, Mask, Query
+from ..schema.model import Cube
+from .cache import MemberCache
+
+
+@dataclass
+class NamedSet:
+    # config.rs:221-268
+    name: str
+    level_name: str  # unique level name
+    members: list[str]
+
+
+@dataclass
+class LogicLayerConfig:
+    aliases: dict[str, str] = field(default_factory=dict)  # alias → cube name
+    named_sets: list[NamedSet] = field(default_factory=list)
+
+    @classmethod
+    def from_json(cls, cfg: dict) -> "LogicLayerConfig":
+        aliases: dict[str, str] = {}
+        for c in cfg.get("cubes", ()):
+            for alt in c.get("alternatives", ()):
+                aliases[alt] = c["name"]
+        sets = [
+            NamedSet(s["set_name"], block["level_name"], list(s["values"]))
+            for block in cfg.get("named_sets", ())
+            for s in block.get("sets", ())
+        ]
+        return cls(aliases=aliases, named_sets=sets)
+
+
+class LogicLayer:
+    def __init__(self, builder: PlanBuilder, config: LogicLayerConfig | None = None):
+        self.builder = builder
+        self.config = config or LogicLayerConfig()
+        self._caches: dict[str, MemberCache] = {}
+
+    # ---------------- naming ----------------
+
+    def resolve_cube(self, name: str) -> Cube:
+        return self.builder.schema.cube(self.config.aliases.get(name, name))
+
+    def level_map(self, cube: Cube) -> dict[str, LevelName]:
+        """Unique level name → fully qualified LevelName (requires level-name
+        uniqueness across the cube — lib.rs:168-209)."""
+        out: dict[str, LevelName] = {}
+        for dim in cube.dimensions:
+            for hier in dim.hierarchies:
+                for lv in hier.levels:
+                    out.setdefault(lv.name, LevelName(dim.name, hier.name, lv.name))
+        return out
+
+    def cache(self, cube: Cube) -> MemberCache:
+        if cube.name not in self._caches:
+            self._caches[cube.name] = MemberCache(self.builder, cube)
+        return self._caches[cube.name]
+
+    # ---------------- cut resolution ----------------
+
+    def _expand_named_set(self, level_name: str, token: str) -> list[str] | None:
+        for s in self.config.named_sets:
+            if s.level_name == level_name and s.name == token:
+                return list(s.members)
+        return None
+
+    def _resolve_cut_tokens(
+        self, cube: Cube, ln: LevelName, unique_name: str, raw: str
+    ) -> list[Cut]:
+        """``Level=v1,v2`` / ``id:children`` / ``id:parents`` / ``id:neighbors``
+        / named-set tokens → concrete cuts (logic_layer/aggregate.rs:1037-1261)."""
+        cache = self.cache(cube)
+        cuts: list[Cut] = []
+        plain: list[str] = []
+        for token in raw.split(","):
+            token = token.strip()
+            expanded = self._expand_named_set(unique_name, token)
+            if expanded is not None:
+                plain.extend(expanded)
+                continue
+            if ":" in token:
+                member, op = token.rsplit(":", 1)
+                member_typed = self._typed(cube, ln, member)
+                if op == "children":
+                    child_ln, kids = cache.children(ln, member_typed)
+                    if kids:
+                        cuts.append(Cut(child_ln, tuple(str(k) for k in kids)))
+                    continue
+                if op == "parents":
+                    for parent_ln, pid in cache.parents(ln, member_typed):
+                        if pid is not None:
+                            cuts.append(Cut(parent_ln, (str(pid),)))
+                    continue
+                if op == "neighbors":
+                    ns = cache.neighbors(ln, member_typed)
+                    if ns:
+                        plain.extend(str(n) for n in ns)
+                    continue
+                raise ValueError(f"unknown cut operation {op!r}")
+            plain.append(token)
+        if plain:
+            cuts.append(Cut(ln, tuple(plain)))
+        return cuts
+
+    def _typed(self, cube: Cube, ln: LevelName, member: str):
+        ref = self.builder.resolve_level(cube, ln)
+        from ..schema.model import MemberType
+
+        if ref.level.key_type is MemberType.NONTEXT:
+            try:
+                return int(member)
+            except ValueError:
+                return float(member)
+        return member
+
+    # ---------------- time= resolution ----------------
+
+    def _resolve_time(self, cube: Cube, spec: str) -> list[Cut]:
+        """``time=year.latest,month.oldest`` → cuts on matching time levels
+        (cache.rs:16-110, 168-243). Level match is by lowercase level name over
+        time-typed dimensions."""
+        from ..schema.model import DimensionType
+
+        cache = self.cache(cube)
+        cuts = []
+        for part in spec.split(","):
+            precision, _, point = part.strip().partition(".")
+            if point not in ("latest", "oldest"):
+                # literal value: time=year.2017
+                point_value = point
+            else:
+                point_value = None
+            target = None
+            for dim in cube.dimensions:
+                if dim.dim_type is not DimensionType.TIME:
+                    continue
+                for hier in dim.hierarchies:
+                    for lv in hier.levels:
+                        if lv.name.lower() == precision.lower():
+                            target = LevelName(dim.name, hier.name, lv.name)
+            if target is None:
+                raise ValueError(f"no time level matching {precision!r}")
+            if point_value is None:
+                value = cache.latest(target) if point == "latest" else cache.oldest(target)
+            else:
+                value = point_value
+            cuts.append(Cut(target, (str(value),)))
+        return cuts
+
+    # ---------------- entry point ----------------
+
+    def data(self, params: dict) -> DataFrame:
+        """The `/data` endpoint: flattened logic-layer params → one DataFrame."""
+        params = dict(params)
+        cube = self.resolve_cube(params.pop("cube"))
+        lmap = self.level_map(cube)
+
+        q = Query()
+        drills = params.pop("drilldowns", "")
+        drill_names = drills if isinstance(drills, list) else [
+            d for d in str(drills).split(",") if d
+        ]
+        for d in drill_names:
+            d = d.strip()
+            q.drilldowns.append(lmap[d] if d in lmap else LevelName.parse(d))
+        meas = params.pop("measures", "")
+        q.measures = (
+            meas if isinstance(meas, list) else [m.strip() for m in str(meas).split(",") if m]
+        )
+
+        if "time" in params:
+            q.cuts.extend(self._resolve_time(cube, params.pop("time")))
+
+        exclude = params.pop("exclude", None)
+
+        # pass-through standard aggregate params
+        from ..query.model import (
+            FilterQuery,
+            GrowthQuery,
+            LimitQuery,
+            RateQuery,
+            RcaQuery,
+            SortQuery,
+            TopQuery,
+        )
+
+        if params.get("parents"):
+            q.parents = str(params.pop("parents")).lower() in ("true", "1")
+        if params.get("sparse"):
+            q.sparse = str(params.pop("sparse")).lower() in ("true", "1")
+        if params.get("debug"):
+            q.debug = str(params.pop("debug")).lower() in ("true", "1")
+        if params.get("exclude_default_members"):
+            q.exclude_default_members = str(
+                params.pop("exclude_default_members")
+            ).lower() in ("true", "1")
+        for key, parser, attr in (
+            ("top", TopQuery.parse, "top"),
+            ("sort", SortQuery.parse, "sort"),
+            ("limit", LimitQuery.parse, "limit"),
+            ("growth", GrowthQuery.parse, "growth"),
+            ("rca", RcaQuery.parse, "rca"),
+            ("rate", RateQuery.parse, "rate"),
+        ):
+            if params.get(key):
+                setattr(q, attr, parser(str(params.pop(key))))
+        for f in params.pop("filters", []) if isinstance(
+            params.get("filters"), list
+        ) else ([params.pop("filters")] if params.get("filters") else []):
+            q.filters.append(FilterQuery.parse(f))
+
+        # remaining params that name a level are flattened cuts
+        auto_drills: list[LevelName] = []
+        for key, raw in list(params.items()):
+            target = lmap.get(key)
+            if target is None:
+                continue
+            for cut in self._resolve_cut_tokens(cube, target, key, str(raw)):
+                q.cuts.append(cut)
+                # multi-level cut resolution labels rows by auto-drilling the
+                # cut level when the dimension has several cut levels
+                # (aggregate.rs:841-845, 882-893) — single-plan equivalent
+                if (
+                    cut.level_name not in q.drilldowns
+                    and cut.level_name.level != target.level
+                ):
+                    auto_drills.append(cut.level_name)
+        q.drilldowns.extend(d for d in auto_drills if d not in q.drilldowns)
+
+        df = self.builder.dataframe(cube.name, q)
+
+        # exclude=Level:id1,id2;Level2:... → in-plan row drops (P8)
+        if exclude:
+            from pyspark.sql import functions as F
+
+            from ..plans.builder import level_key_alias
+
+            for clause in str(exclude).split(";"):
+                name, _, ids = clause.partition(":")
+                ln = lmap[name.strip()]
+                ref = self.builder.resolve_level(cube, ln)
+                lits = self.builder._member_literals(
+                    ref.level, tuple(i.strip() for i in ids.split(","))
+                )
+                df = df.filter(~F.col(level_key_alias(ref.level)).isin(lits))
+        return df

@@ -204,9 +204,65 @@ class PlanBuilder:
         pred = F.col(key_col).isin(lits)
         return ~pred if cut.mask is Mask.EXCLUDE else pred
 
+    def _implicit_cuts(self, cube: Cube, query: Query) -> list[Cut]:
+        """Default-hierarchy and default-member auto-cuts (lib.rs:324-388,
+        432-522 → P9/P10):
+
+        - dims absent from the query whose ``default_hierarchy`` is set get a
+          memberless cut on that hierarchy's lowest level → unconditional
+          semi-join dedup against the default hierarchy's table
+        - dims absent from the query whose (default or only) hierarchy declares
+          a ``default_member`` get that cut; ``exclude_default_members``
+          additionally negates the default member on dims that ARE drilled
+        """
+        drilled = {ln.dimension for ln in query.drilldowns}
+        cut_dims = {c.level_name.dimension for c in query.cuts}
+        implicit: list[Cut] = []
+        for dim in cube.dimensions:
+            absent = dim.name not in drilled and dim.name not in cut_dims
+            if absent and dim.default_hierarchy:
+                hier = dim.hierarchy(dim.default_hierarchy)
+                if not hier.is_degenerate():
+                    implicit.append(
+                        Cut(
+                            level_name=LevelName(
+                                dim.name, hier.name, hier.levels[-1].name
+                            ),
+                            members=(),  # memberless marker (primary_agg.rs:139-146)
+                        )
+                    )
+            if dim.default_hierarchy or len(dim.hierarchies) == 1:
+                hier = dim.hierarchy(dim.default_hierarchy)
+                if hier.default_member:
+                    if absent:
+                        implicit.append(Cut.parse(hier.default_member))
+                    elif (
+                        query.exclude_default_members
+                        and dim.name in drilled
+                        and dim.name not in cut_dims
+                    ):
+                        s = hier.default_member
+                        s = s[1:] if s.startswith("~") else f"~{s}"
+                        implicit.append(Cut.parse(s))
+        return implicit
+
     def _apply_cuts(self, cube: Cube, query: Query, fact: DataFrame) -> DataFrame:
-        for cut in query.cuts:
+        for cut in list(query.cuts) + self._implicit_cuts(cube, query):
             ref = self.resolve_level(cube, cut.level_name)
+            if not cut.members:
+                # memberless default-hierarchy cut: unconditional semi-join dedup
+                # against the hierarchy table (primary_agg.rs:139-146)
+                if ref.degenerate:
+                    continue
+                pk = ref.hier.effective_primary_key()
+                fk = ref.dim.foreign_key
+                dim_keys = self._dim_df(ref.hier).select(F.col(pk).alias("__cut_key"))
+                fact = fact.join(
+                    F.broadcast(dim_keys),
+                    fact[fk] == F.col("__cut_key"),
+                    "left_semi",
+                )
+                continue
             if ref.degenerate:
                 # cut column lives on the fact table — plain filter, pushed to scan
                 fact = fact.filter(self._cut_predicate(ref.level, cut, ref.level.key_column))

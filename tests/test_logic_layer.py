@@ -1,0 +1,140 @@
+"""Logic-layer tests: aliases, named sets, time resolution, cut ops, exclude."""
+
+from __future__ import annotations
+
+import pytest
+
+from tesseract_spark.logic.layer import LogicLayer, LogicLayerConfig
+
+from .conftest import assert_df_matches_sql
+
+
+@pytest.fixture(scope="module")
+def layer(builder):
+    cfg = LogicLayerConfig.from_json(
+        {
+            "cubes": [{"name": "lineitem_sales", "alternatives": ["sales", "li"]}],
+            "named_sets": [
+                {
+                    "level_name": "Region",
+                    "sets": [{"set_name": "Old World", "values": ["2", "3"]}],
+                }
+            ],
+        }
+    )
+    return LogicLayer(builder, cfg)
+
+
+def test_alias_and_flat_cut(layer, duck):
+    df = layer.data(
+        {
+            "cube": "sales",  # alias → lineitem_sales
+            "drilldowns": "Year",
+            "measures": "Quantity",
+            "Return Flag": "R",
+        }
+    )
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT year(l_shipdate)::INT AS "Year", sum(l_quantity) AS "Quantity"
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+        """,
+    )
+
+
+def test_time_latest(layer, duck):
+    df = layer.data(
+        {
+            "cube": "lineitem_sales",
+            "drilldowns": "Return Flag",
+            "measures": "Quantity",
+            "time": "year.latest",
+        }
+    )
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity"
+        FROM lineitem
+        WHERE year(l_shipdate) = (SELECT max(year(l_shipdate)) FROM lineitem)
+        GROUP BY 1
+        """,
+    )
+
+
+def test_named_set(layer, duck):
+    df = layer.data(
+        {
+            "cube": "sales",
+            "drilldowns": "Region",
+            "measures": "Quantity",
+            "Region": "Old World",
+        }
+    )
+    assert_df_matches_sql(
+        df,
+        duck,
+        """
+        SELECT g.r_regionkey AS "Region ID", g.r_name AS "Region",
+               sum(l.l_quantity) AS "Quantity"
+        FROM lineitem l
+        JOIN (SELECT o.o_orderkey, r.r_regionkey, r.r_name FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey) g
+          ON l.l_orderkey = g.o_orderkey
+        WHERE g.r_regionkey IN (2, 3)
+        GROUP BY 1, 2
+        """,
+    )
+
+
+def test_cut_children(layer, builder):
+    # Region 1 :children → cut on its nations
+    cube = builder.schema.cube("lineitem_sales")
+    cache = layer.cache(cube)
+    from tesseract_spark.query.model import LevelName
+
+    region_ln = LevelName("Customer Geography", "Geography", "Region")
+    child_ln, kids = cache.children(region_ln, 1)
+    assert child_ln.level == "Nation" and len(kids) == 5
+
+    df = layer.data(
+        {
+            "cube": "sales",
+            "drilldowns": "Nation",
+            "measures": "Quantity",
+            "Region": "1:children",
+        }
+    )
+    rows = df.collect()
+    assert {r["Nation ID"] for r in rows} == set(kids)
+
+
+def test_cut_parents_and_neighbors(layer, builder):
+    cube = builder.schema.cube("lineitem_sales")
+    cache = layer.cache(cube)
+    from tesseract_spark.query.model import LevelName
+
+    nation_ln = LevelName("Customer Geography", "Geography", "Nation")
+    parents = cache.parents(nation_ln, 7)
+    assert len(parents) == 1 and parents[0][0].level == "Region"
+
+    ns = cache.neighbors(nation_ln, 7)
+    assert 7 not in ns and len(ns) == 4
+
+
+def test_exclude_filter(layer):
+    df = layer.data(
+        {
+            "cube": "sales",
+            "drilldowns": "Return Flag",
+            "measures": "Quantity",
+            "exclude": "Return Flag:N,R",
+        }
+    )
+    flags = {r["Return Flag"] for r in df.collect()}
+    assert flags == {"A"}

@@ -1,0 +1,90 @@
+"""HTTP façade + formatter tests (the reference's e2e shape:
+tests/src/clickhouse_end_to_end.rs — boot server, assert body)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(builder):
+    from tesseract_spark.logic.layer import LogicLayerConfig
+    from tesseract_spark.server.app import make_server
+
+    cfg = LogicLayerConfig.from_json(
+        {"cubes": [{"name": "lineitem_sales", "alternatives": ["sales"]}]}
+    )
+    srv = make_server(builder, port=0, logic_config=cfg)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url: str) -> bytes:
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.read()
+
+
+def test_cubes_metadata(server):
+    meta = json.loads(_get(f"{server}/cubes"))
+    names = {c["name"] for c in meta["cubes"]}
+    assert {"lineitem_sales", "orders_sales"} <= names
+
+
+def test_aggregate_jsonrecords(server):
+    body = json.loads(
+        _get(
+            f"{server}/cubes/lineitem_sales/aggregate.jsonrecords"
+            "?drilldowns=Ship+Date.Year&measures=Quantity"
+        )
+    )
+    rows = body["data"]
+    assert len(rows) >= 5 and {"Year", "Quantity"} <= set(rows[0])
+
+
+def test_aggregate_csv_stream(server):
+    text = _get(
+        f"{server}/cubes/lineitem_sales/aggregate.csv"
+        "?drilldowns=Return+Flag.Return+Flag&measures=Quantity"
+    ).decode()
+    lines = text.strip().splitlines()
+    assert lines[0] == "Return Flag,Quantity" and len(lines) == 4
+
+
+def test_logic_layer_endpoint(server):
+    # the reference's canonical e2e query shape (clickhouse_end_to_end.rs:205-214)
+    body = json.loads(
+        _get(f"{server}/data.jsonrecords?cube=sales&drilldowns=Year&measures=Quantity")
+    )
+    assert all({"Year", "Quantity"} <= set(r) for r in body["data"])
+
+
+def test_members_endpoint(server):
+    body = json.loads(
+        _get(
+            f"{server}/cubes/lineitem_sales/members.jsonrecords"
+            "?level=Customer+Geography.Geography.Region"
+        )
+    )
+    assert len(body["data"]) == 5
+
+
+def test_diagnosis_endpoint(server):
+    body = json.loads(_get(f"{server}/cubes/lineitem_sales/diagnosis"))
+    assert body["issues"] and all(v == 0 for v in body["issues"].values())
+
+
+def test_jsonarrays_format(spark, sf_dir):
+    from tesseract_spark import catalog
+    from tesseract_spark.formats.format import format_jsonarrays
+
+    df = catalog.ENTRIES["q_cut_exclude"].spark_fn(spark, sf_dir)
+    body = json.loads(format_jsonarrays(df, source={"name": "lineitem_sales"}))
+    assert body["headers"] == ["Return Flag", "Quantity"]
+    assert body["source"]["name"] == "lineitem_sales"
+    assert len(body["data"]) == 2
