@@ -91,6 +91,14 @@ class DrillSpec:
     ref: ResolvedLevelRef
     levels: list[Level]  # parents-first chain ending at the drilled level
     properties: list[Property] = field(default_factory=list)
+    #: level name → caption column substituting the level's name column
+    #: (locale captions, lib.rs:917-960)
+    captions: dict[str, str] = field(default_factory=dict)
+
+    def name_source(self, lv: Level) -> str | None:
+        if lv.name_column is None:
+            return None
+        return self.captions.get(lv.name, lv.name_column)
 
     def output_aliases(self) -> list[str]:
         out = []
@@ -160,10 +168,42 @@ class PlanBuilder:
                             f"property {pname!r} not on level {pln.level!r}"
                         )
                     props.append(match[0])
-            specs.append(DrillSpec(ref=ref, levels=levels, properties=props))
+            # caption substitution (lib.rs:917-960): a caption property's column
+            # replaces its level's name column; with parents=true, captions on
+            # ancestor levels of the same dimension also apply
+            captions: dict[str, str] = {}
+            for cln, cprop in query.captions:
+                if query.parents:
+                    if cln.dimension != ref.dim.name:
+                        continue
+                elif not (
+                    cln.dimension == ref.dim.name and cln.level == ref.level.name
+                ):
+                    continue
+                for lv in levels:
+                    if lv.name == cln.level:
+                        match = [p for p in lv.properties if p.name == cprop]
+                        if not match:
+                            raise QueryValidationError(
+                                f"cannot find caption property {cprop!r} on {cln.level!r}"
+                            )
+                        captions[lv.name] = match[0].column
+            specs.append(
+                DrillSpec(ref=ref, levels=levels, properties=props, captions=captions)
+            )
         return specs
 
     # ---------------- dimension tables ----------------
+
+
+    def _dim_hint(self, hier: Hierarchy, df: DataFrame) -> DataFrame:
+        """Broadcast hint for dimension-side join inputs — omitted for tables
+        the registry marks fact-scaled (AQE then picks the strategy)."""
+        if hier.table is not None and not self.registry.is_broadcastable(
+            hier.table.full_name()
+        ):
+            return df
+        return F.broadcast(df)
 
     def _dim_df(self, hier: Hierarchy) -> DataFrame:
         if hier.inline_table is not None:
@@ -258,7 +298,7 @@ class PlanBuilder:
                 fk = ref.dim.foreign_key
                 dim_keys = self._dim_df(ref.hier).select(F.col(pk).alias("__cut_key"))
                 fact = fact.join(
-                    F.broadcast(dim_keys),
+                    self._dim_hint(ref.hier, dim_keys),
                     fact[fk] == F.col("__cut_key"),
                     "left_semi",
                 )
@@ -288,7 +328,7 @@ class PlanBuilder:
                 self._cut_predicate(ref.level, cut, ref.level.key_column)
             ).select(F.col(pk).alias("__cut_key"))
             fact = fact.join(
-                F.broadcast(dim_keys),
+                self._dim_hint(ref.hier, dim_keys),
                 fact[fk] == F.col("__cut_key"),
                 "left_semi",
             )
@@ -350,7 +390,50 @@ class PlanBuilder:
             ]
 
         df = self._apply_options(cube, query, out_specs, df)
+        df = self._order_headers(cube, query, specs, out_specs, df)
         return df
+
+    def _order_headers(
+        self,
+        cube: Cube,
+        query: Query,
+        specs: list[DrillSpec],
+        out_specs: list[DrillSpec],
+        df: DataFrame,
+    ) -> DataFrame:
+        """Column-order contract (lib.rs:709-771): growth moves its time columns
+        to the end of the drills and its measure + Growth/Growth Value to the end
+        of the measures; RCA's measure column comes first among measures and
+        debug a/b/c/d sit between drills and measures; Rate is always last."""
+        if query.growth is None and query.rca is None and query.rate is None:
+            return df
+        cols = list(df.columns)
+        drill_aliases = [a for a in self._group_aliases(out_specs) if a in cols]
+        rest = [c for c in cols if c not in drill_aliases]
+
+        if query.growth is not None:
+            from .calculations import _spec_aliases
+
+            time_aliases = [
+                a
+                for a in _spec_aliases(self, specs, query.growth.time_drill)
+                if a in drill_aliases
+            ]
+            drill_aliases = [a for a in drill_aliases if a not in time_aliases] + time_aliases
+            g_mea = query.growth.mea
+            tail = [g_mea, f"{g_mea} Growth", f"{g_mea} Growth Value"]
+            rest = [c for c in rest if c not in tail] + [c for c in tail if c in cols]
+
+        if query.rca is not None:
+            debug_cols = [c for c in ("a", "b", "c", "d") if c in rest]
+            rca_col = f"{query.rca.mea} RCA"
+            others = [c for c in rest if c not in debug_cols and c != rca_col]
+            rest = debug_cols + [rca_col] + others
+
+        if query.rate is not None and "Rate" in rest:
+            rest = [c for c in rest if c != "Rate"] + ["Rate"]
+
+        return df.select(*[F.col(c) for c in drill_aliases + rest])
 
     # ---------------- plan variants ----------------
 
@@ -363,7 +446,7 @@ class PlanBuilder:
             for lv in spec.levels:
                 cols[level_key_alias(lv)] = F.col(lv.key_column)
                 if lv.name_column:
-                    cols[level_name_alias(lv)] = F.col(lv.name_column)
+                    cols[level_name_alias(lv)] = F.col(spec.name_source(lv))
             for p in spec.properties:
                 cols[p.name] = F.col(p.column)
         return cols
@@ -384,9 +467,13 @@ class PlanBuilder:
                 merged.properties.extend(
                     p for p in spec.properties if p.name not in {q.name for q in merged.properties}
                 )
+                merged.captions.update(spec.captions)
             else:
                 seen[key] = DrillSpec(
-                    ref=spec.ref, levels=list(spec.levels), properties=list(spec.properties)
+                    ref=spec.ref,
+                    levels=list(spec.levels),
+                    properties=list(spec.properties),
+                    captions=dict(spec.captions),
                 )
         for (dim_name, _), spec in seen.items():
             hier = spec.ref.hier
@@ -397,13 +484,13 @@ class PlanBuilder:
             for lv in spec.levels:
                 sel.append(F.col(lv.key_column).alias(level_key_alias(lv)))
                 if lv.name_column:
-                    sel.append(F.col(lv.name_column).alias(level_name_alias(lv)))
+                    sel.append(F.col(spec.name_source(lv)).alias(level_name_alias(lv)))
             for p in spec.properties:
                 sel.append(F.col(p.column).alias(p.name))
             dim_sel = dim_df.select(*sel)
-            df = df.join(F.broadcast(dim_sel), df[fk] == dim_sel["__jk"], "inner").drop(
-                "__jk"
-            )
+            df = df.join(
+                self._dim_hint(hier, dim_sel), df[fk] == dim_sel["__jk"], "inner"
+            ).drop("__jk")
         return df
 
     def _single_pass_plan(

@@ -49,10 +49,24 @@ class TableRegistry:
         self.spark = spark
         self.base_dir = base_dir
         self._views: dict[str, DataFrame | Callable[[SparkSession], DataFrame]] = {}
+        self._no_broadcast: set[str] = set()
 
-    def register(self, name: str, df: DataFrame | Callable[[SparkSession], DataFrame]):
+    def register(
+        self,
+        name: str,
+        df: DataFrame | Callable[[SparkSession], DataFrame],
+        broadcastable: bool = True,
+    ):
+        """``broadcastable=False`` marks a table that scales with the fact
+        (e.g. an order-grain denormalized dim): the plan builder then omits the
+        broadcast hint and lets AQE pick broadcast vs shuffle at runtime."""
         self._views[name] = df
+        if not broadcastable:
+            self._no_broadcast.add(name)
         return self
+
+    def is_broadcastable(self, name: str) -> bool:
+        return name not in self._no_broadcast
 
     def load(self, table: Table | str) -> DataFrame:
         name = table.full_name() if isinstance(table, Table) else table
@@ -135,5 +149,9 @@ def testdata_registry(spark: SparkSession, sf_dir: str) -> TableRegistry:
         )
 
     reg.register("lineitem_enriched", lineitem_enriched)
-    reg.register("order_geo", order_geo)
+    # order_geo has one row per ORDER — it scales with the fact table, so never
+    # force-broadcast it; at 100 TB this join must be free to go sort-merge
+    # (ideally over orderkey-bucketed tables), and AQE may still choose
+    # broadcast at small scale factors
+    reg.register("order_geo", order_geo, broadcastable=False)
     return reg

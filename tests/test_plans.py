@@ -1,0 +1,84 @@
+"""Physical-plan quality gates: the properties that make queries survive a
+100× scale-up (SURVEY.md §4). These assert on the OPTIMIZED plan, not timings —
+timings at toy scale don't predict cluster behavior, plan shapes do."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tesseract_spark import catalog
+
+
+def _formatted_plan(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _shuffle_exchanges(plan: str) -> int:
+    # count real shuffles only (hash/range repartitions), not BroadcastExchange
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+def test_cut_pushed_to_parquet_scan(spark, sf_dir):
+    df = catalog.ENTRIES["q_cut_include"].spark_fn(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "EqualTo(l_returnflag,R)" in plan, "cut must reach PushedFilters"
+
+
+def test_semijoin_cut_pushes_dim_filter(spark, sf_dir):
+    df = catalog.ENTRIES["q_cut_semijoin"].spark_fn(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert re.search(r"In\(n_regionkey, \[1,2\]", plan), (
+        "region cut must push into the nation dim scan"
+    )
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    df = catalog.ENTRIES["q_agg_brand"].spark_fn(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, "part dim join must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_single_shuffle_simple_agg(spark, sf_dir):
+    """Degenerate-drill aggregate: exactly 1 shuffle for the groupBy plus the
+    final ordering's range exchange — nothing else."""
+    df = catalog.ENTRIES["q_agg_year"].spark_fn(spark, sf_dir)
+    n = _shuffle_exchanges(_formatted_plan(df))
+    assert n <= 2, f"expected ≤2 shuffles (agg + order), saw {n}"
+
+
+def test_broadcast_join_agg_single_shuffle(spark, sf_dir):
+    """Joined-dim aggregate with broadcast dims: still ≤2 shuffles."""
+    df = catalog.ENTRIES["q_agg_brand"].spark_fn(spark, sf_dir)
+    n = _shuffle_exchanges(_formatted_plan(df))
+    assert n <= 2, f"expected ≤2 shuffles, saw {n}"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 2-column aggregate must not read the whole lineitem schema."""
+    df = catalog.ENTRIES["q_agg_year"].spark_fn(spark, sf_dir)
+    plan = _formatted_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema found"
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) <= {"l_shipdate", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_fact_scaled_dim_not_forced_broadcast(builder):
+    """order_geo is order-grain (scales with the fact) — the logical plan must
+    not carry a broadcast hint for it; AQE decides at runtime."""
+    from tesseract_spark.query.model import Query
+
+    q = Query.from_params(
+        {"drilldowns": ["Customer Geography.Geography.Region"], "measures": ["Quantity"]}
+    )
+    df = builder.dataframe("lineitem_sales", q)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # the part/supplier-style hint appears as ResolvedHint/broadcast in logical
+    # plans; for the order_geo join no hint may be present
+    assert "UnresolvedHint" not in logical
