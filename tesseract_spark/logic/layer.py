@@ -171,6 +171,35 @@ class LogicLayer:
             cuts.append(Cut(target, (str(value),)))
         return cuts
 
+    # ---------------- relations (L6) ----------------
+
+    def relations(self, cube_name: str, level: str, member: str) -> list[dict]:
+        """`/relations` rows: parents / children / neighbors of a member as a
+        4-col table (handlers/logic_layer/relations.rs:55-363)."""
+        cube = self.resolve_cube(cube_name)
+        lmap = self.level_map(cube)
+        ln = lmap.get(level) or LevelName.parse(level)
+        cache = self.cache(cube)
+        m = self._typed(cube, ln, member)
+        out: list[dict] = []
+        for parent_ln, pid in cache.parents(ln, m):
+            out.append(
+                {"relation": "parent", "level": parent_ln.level, "id": pid, "of": m}
+            )
+        try:
+            child_ln, kids = cache.children(ln, m)
+            out.extend(
+                {"relation": "child", "level": child_ln.level, "id": k, "of": m}
+                for k in kids
+            )
+        except ValueError:
+            pass  # lowest level has no children
+        out.extend(
+            {"relation": "neighbor", "level": ln.level, "id": n, "of": m}
+            for n in cache.neighbors(ln, m)
+        )
+        return out
+
     # ---------------- entry point ----------------
 
     def data(self, params: dict) -> DataFrame:

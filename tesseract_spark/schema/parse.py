@@ -1,10 +1,11 @@
-"""Schema JSON parsing + validation.
+"""Schema JSON + XML parsing + validation.
 
 JSON wire shape mirrors the reference's config structs
 (tesseract-core/src/schema/json.rs) including shared-dimension copy-down via
 ``dimension_usages`` (schema.rs:78-126) and validation rules (lib.rs:94-151).
-XML input is out of scope for now (the reference converts XML → JSON first,
-lib.rs:82-91 — same entry point applies if added later).
+XML follows the same path as the reference (lib.rs:82-91): the XML element tree
+(schema/xml.rs element/attribute names) is converted to the JSON dict shape,
+then parsed by :func:`schema_from_json`.
 """
 
 from __future__ import annotations
@@ -169,6 +170,141 @@ def schema_from_json(raw: str | dict) -> Schema:
     )
     validate(schema)
     return schema
+
+
+def schema_from_xml(raw: str) -> Schema:
+    """XML schema → JSON dict shape → :func:`schema_from_json`
+    (reference: Schema::from_xml, lib.rs:82-91; element names from
+    schema/xml.rs: Schema/SharedDimension/Cube/Dimension/DimensionUsage/
+    Hierarchy/Table/Level/Property/Measure/Annotation/InlineTable/ColumnDef/
+    Row/Value, fields as attributes)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(raw)
+    if root.tag != "Schema":
+        raise SchemaError(f"expected <Schema> root, got <{root.tag}>")
+
+    def annotations(el):
+        anns = [
+            {"name": a.get("name"), "text": a.text or ""}
+            for a in el.findall("Annotation")
+        ]
+        return anns or None
+
+    def table(el):
+        t = el.find("Table")
+        if t is None:
+            return None
+        return {k: t.get(k) for k in ("name", "schema", "primary_key") if t.get(k)}
+
+    def prop(el):
+        return {
+            "name": el.get("name"),
+            "column": el.get("column"),
+            "caption_set": el.get("caption_set"),
+            "annotations": annotations(el),
+        }
+
+    def level(el):
+        return {
+            "name": el.get("name"),
+            "key_column": el.get("key_column"),
+            "name_column": el.get("name_column"),
+            "key_type": el.get("key_type"),
+            "properties": [prop(p) for p in el.findall("Property")] or None,
+            "annotations": annotations(el),
+        }
+
+    def inline_table(el):
+        it = el.find("InlineTable")
+        if it is None:
+            return None
+        return {
+            "alias": it.get("alias"),
+            "column_definitions": [
+                {
+                    "name": cd.get("name"),
+                    "key_type": cd.get("key_type"),
+                    "key_column_type": cd.get("key_column_type"),
+                    "caption_set": cd.get("caption_set"),
+                }
+                for cd in it.findall("ColumnDef")
+            ],
+            "rows": [
+                {
+                    "row_values": [
+                        {"column": v.get("column"), "value": v.text or ""}
+                        for v in row.findall("Value")
+                    ]
+                }
+                for row in it.findall("Row")
+            ],
+        }
+
+    def hierarchy(el):
+        return {
+            "name": el.get("name"),
+            "table": table(el),
+            "primary_key": el.get("primary_key"),
+            "default_member": el.get("default_member"),
+            "levels": [level(lv) for lv in el.findall("Level")],
+            "inline_table": inline_table(el),
+            "annotations": annotations(el),
+        }
+
+    def dimension(el):
+        return {
+            "name": el.get("name"),
+            "foreign_key": el.get("foreign_key"),
+            "default_hierarchy": el.get("default_hierarchy"),
+            "type": el.get("type", "standard"),
+            "hierarchies": [hierarchy(h) for h in el.findall("Hierarchy")],
+            "annotations": annotations(el),
+        }
+
+    def measure(el):
+        # XML carries only the string aggregator form; parameterized
+        # aggregators use the JSON schema format
+        return {
+            "name": el.get("name"),
+            "column": el.get("column"),
+            "aggregator": el.get("aggregator"),
+            "type": el.get("type", "standard"),
+            "annotations": annotations(el),
+        }
+
+    cfg = {
+        "name": root.get("name"),
+        "default_locale": root.get("default_locale"),
+        "annotations": annotations(root),
+        "shared_dimensions": [
+            dimension(d) for d in root.findall("SharedDimension")
+        ]
+        or None,
+        "cubes": [
+            {
+                "name": c.get("name"),
+                "public": c.get("public", "true"),
+                "min_auth_level": int(c.get("min_auth_level") or 0),
+                "table": table(c),
+                "dimensions": [dimension(d) for d in c.findall("Dimension")] or None,
+                "dimension_usages": [
+                    {
+                        "source": u.get("source"),
+                        "name": u.get("name"),
+                        "foreign_key": u.get("foreign_key"),
+                        "annotations": annotations(u),
+                    }
+                    for u in c.findall("DimensionUsage")
+                ]
+                or None,
+                "measures": [measure(m) for m in c.findall("Measure")],
+                "annotations": annotations(c),
+            }
+            for c in root.findall("Cube")
+        ],
+    }
+    return schema_from_json(cfg)
 
 
 def validate(schema: Schema) -> None:

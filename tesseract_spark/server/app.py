@@ -40,11 +40,49 @@ def _single_params(qs: dict[str, list[str]]) -> dict[str, str]:
     return {k: v[-1] for k, v in qs.items()}
 
 
+class _ResponseCache:
+    """In-memory LRU response cache keyed by the sorted query string — the
+    engine-local analog of the reference's Redis cache (util.rs:156-224).
+    Bodies over ``max_body`` bytes are not cached (streamed results can exceed
+    driver memory)."""
+
+    def __init__(self, capacity: int = 128, max_body: int = 8 << 20):
+        from collections import OrderedDict
+
+        self._store: "OrderedDict[str, tuple[str, bytes]]" = OrderedDict()
+        self.capacity = capacity
+        self.max_body = max_body
+
+    @staticmethod
+    def key(path: str, qs: dict[str, list[str]]) -> str:
+        return path + "?" + "&".join(
+            f"{k}={','.join(sorted(v))}" for k, v in sorted(qs.items())
+        )
+
+    def get(self, key: str):
+        if key in self._store:
+            self._store.move_to_end(key)
+            return self._store[key]
+        return None
+
+    def put(self, key: str, content_type: str, body: bytes):
+        if len(body) > self.max_body:
+            return
+        self._store[key] = (content_type, body)
+        self._store.move_to_end(key)
+        while len(self._store) > self.capacity:
+            self._store.popitem(last=False)
+
+    def clear(self):
+        self._store.clear()
+
+
 class EngineHandler(BaseHTTPRequestHandler):
     # injected by make_server:
     builder: PlanBuilder = None
     logic: LogicLayer = None
     flush_secret: str | None = None
+    cache: _ResponseCache = None
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -57,7 +95,7 @@ class EngineHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _stream_df(self, df, fmt: str):
+    def _stream_df(self, df, fmt: str, cache_key: str | None = None):
         try:
             formatter = STREAM_FORMATTERS[fmt]
         except KeyError:
@@ -66,12 +104,27 @@ class EngineHandler(BaseHTTPRequestHandler):
         self.send_header("Content-Type", _CONTENT_TYPES[fmt])
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
+        collected: list[bytes] = []
+        total = 0
         for chunk in formatter(df):
             data = chunk.encode()
             if not data:
                 continue
             self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+            if cache_key is not None and total <= self.cache.max_body:
+                collected.append(data)
+                total += len(data)
         self.wfile.write(b"0\r\n\r\n")
+        if cache_key is not None and total <= self.cache.max_body:
+            self.cache.put(cache_key, _CONTENT_TYPES[fmt], b"".join(collected))
+
+    def _send_cached(self, content_type: str, body: bytes):
+        self.send_response(200)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-Cache", "hit")
+        self.end_headers()
+        self.wfile.write(body)
 
     def do_GET(self):
         try:
@@ -97,11 +150,15 @@ class EngineHandler(BaseHTTPRequestHandler):
             endpoint, _, fmt = parts[2].partition(".")
             fmt = fmt or "jsonrecords"
             if endpoint == "aggregate":
+                ck = _ResponseCache.key(url.path, qs)
+                hit = self.cache.get(ck)
+                if hit is not None:
+                    return self._send_cached(*hit)
                 # repeated params arrive as lists (drilldowns, cuts, measures…)
                 agg_params = {k: (v if len(v) > 1 else v[0]) for k, v in qs.items()}
                 q = Query.from_params(agg_params)
                 df = self.builder.dataframe(cube, q)
-                return self._stream_df(df, fmt)
+                return self._stream_df(df, fmt, cache_key=ck)
             if endpoint == "members":
                 df = members_df(self.builder, cube, params["level"])
                 return self._stream_df(df, fmt)
@@ -114,13 +171,24 @@ class EngineHandler(BaseHTTPRequestHandler):
 
         if parts and parts[0].startswith("data"):
             _, _, fmt = parts[0].partition(".")
+            ck = _ResponseCache.key(url.path, qs)
+            hit = self.cache.get(ck)
+            if hit is not None:
+                return self._send_cached(*hit)
             df = self.logic.data(params)
-            return self._stream_df(df, fmt or "jsonrecords")
+            return self._stream_df(df, fmt or "jsonrecords", cache_key=ck)
+
+        if parts and parts[0].startswith("relations"):
+            rows = self.logic.relations(
+                params["cube"], params["level"], params["member"]
+            )
+            return self._send_json({"data": rows})
 
         if parts == ["flush"]:
             if self.flush_secret and params.get("secret") != self.flush_secret:
                 return self._send_json({"error": "bad secret"}, 403)
             type(self).logic = LogicLayer(self.builder, self.logic.config)
+            self.cache.clear()
             return self._send_json({"flushed": True})
 
         self._send_json({"error": f"no route for {url.path}"}, 404)
@@ -140,6 +208,7 @@ def make_server(
             "builder": builder,
             "logic": LogicLayer(builder, logic_config),
             "flush_secret": flush_secret,
+            "cache": _ResponseCache(),
         },
     )
     return ThreadingHTTPServer((host, port), handler)

@@ -147,6 +147,62 @@ def test_validation_errors():
         schema_from_json(multi_no_default)
 
 
+def test_xml_schema_shared_dims():
+    # the reference's own XML test fixture (lib.rs:1350-1374)
+    from tesseract_spark.schema.parse import schema_from_xml
+
+    s = """
+        <Schema name="my_schema">
+            <SharedDimension name="Geo">
+                <Hierarchy name="Country">
+                    <Level name="Country" key_column="id" />
+                </Hierarchy>
+            </SharedDimension>
+            <Cube name="my_cube">
+                <Table name="my_table" />
+                <DimensionUsage name="Import Countries" source="Geo" foreign_key="country_id" />
+                <DimensionUsage name="Export Countries" source="Geo" foreign_key="country_id" />
+                <Measure name="my_mea" column="mea" aggregator="sum" />
+            </Cube>
+        </Schema>
+    """
+    schema = schema_from_xml(s)
+    cube = schema.cube("my_cube")
+    assert [d.name for d in cube.dimensions] == ["Import Countries", "Export Countries"]
+    assert all(d.hierarchies[0].name == "Country" for d in cube.dimensions)
+    assert all(d.foreign_key == "country_id" for d in cube.dimensions)
+
+
+def test_xml_schema_inline_table_and_levels():
+    from tesseract_spark.schema.parse import schema_from_xml
+
+    s = """
+        <Schema name="s">
+            <Cube name="c">
+                <Table name="fact" primary_key="pk" />
+                <Dimension name="D" foreign_key="fk" type="time">
+                    <Hierarchy name="H" primary_key="k" default_member="D.H.L.1">
+                        <InlineTable alias="it">
+                            <ColumnDef name="k" key_type="nontext" />
+                            <ColumnDef name="n" key_type="text" />
+                            <Row><Value column="k">1</Value><Value column="n">One</Value></Row>
+                        </InlineTable>
+                        <Level name="L" key_column="k" name_column="n">
+                            <Property name="P" column="p" caption_set="pt" />
+                        </Level>
+                    </Hierarchy>
+                </Dimension>
+                <Measure name="M" column="v" aggregator="avg" />
+            </Cube>
+        </Schema>
+    """
+    schema = schema_from_xml(s)
+    hier = schema.cube("c").dimension("D").hierarchies[0]
+    assert hier.inline_table.rows == ({"k": "1", "n": "One"},)
+    assert hier.default_member == "D.H.L.1"
+    assert hier.levels[0].properties[0].caption_set == "pt"
+
+
 def test_fixture_schema_loads():
     from tesseract_spark import testdata_schema
 

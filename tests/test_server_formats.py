@@ -79,6 +79,30 @@ def test_diagnosis_endpoint(server):
     assert body["issues"] and all(v == 0 for v in body["issues"].values())
 
 
+def test_response_cache(server):
+    url = (
+        f"{server}/cubes/lineitem_sales/aggregate.jsonrecords"
+        "?drilldowns=Ship+Date.Year&measures=Max+Tax"
+    )
+    first = _get(url)
+    # second hit must be served from cache with identical body
+    req = urllib.request.Request(url)
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers.get("X-Cache") == "hit"
+        assert r.read() == first
+
+
+def test_relations_endpoint(server):
+    body = json.loads(
+        _get(
+            f"{server}/relations?cube=lineitem_sales"
+            "&level=Customer+Geography.Geography.Nation&member=7"
+        )
+    )
+    rels = {r["relation"] for r in body["data"]}
+    assert rels == {"parent", "neighbor"}
+
+
 def test_jsonarrays_format(spark, sf_dir):
     from tesseract_spark import catalog
     from tesseract_spark.formats.format import format_jsonarrays
