@@ -506,6 +506,65 @@ _add(
 )
 
 
+# ---------- extension aggregators: exact + approximate distinct count ----------
+_add(
+    "q_distinct_count",
+    {"drilldowns": ["Return Flag.Return Flag"], "measures": ["Distinct Parts"]},
+    """
+    SELECT l_returnflag AS "Return Flag",
+           count(DISTINCT l_partkey) AS "Distinct Parts"
+    FROM lineitem GROUP BY 1
+    """,
+)
+# approx variant: HLL++ sketch values are engine-specific → rows-only check
+_add(
+    "q_approx_distinct_count",
+    {"drilldowns": ["Return Flag.Return Flag"], "measures": ["Approx Distinct Parts"]},
+    None,
+)
+
+# ---------- sort by a calculation (MeaOrCalc: 'growth' keyword, query.rs:112-149) ----------
+_add(
+    "q_sort_by_growth",
+    {
+        "drilldowns": ["Ship Date.Year"],
+        "measures": ["Quantity"],
+        "growth": "Ship Date.Ship Date.Year,Quantity",
+        "sort": "growth.desc",
+        "limit": "3",
+    },
+    """
+    WITH agg AS (
+      SELECT year(l_shipdate)::INT AS "Year", sum(l_quantity) AS "Quantity"
+      FROM lineitem GROUP BY 1
+    ),
+    g AS (
+      SELECT "Year", "Quantity",
+             "Quantity" - lag("Quantity") OVER (ORDER BY "Year") AS "Quantity Growth Value",
+             ("Quantity" - lag("Quantity") OVER (ORDER BY "Year"))
+               / lag("Quantity") OVER (ORDER BY "Year") AS "Quantity Growth"
+      FROM agg
+    )
+    SELECT * FROM g ORDER BY "Quantity Growth" DESC NULLS LAST, "Year" ASC LIMIT 3
+    """,
+)
+
+# ---------- cut on one level of a dim while drilling another (same hierarchy) ----------
+_add(
+    "q_cut_and_drill_same_dim",
+    {
+        "drilldowns": ["Part.Part.Part"],
+        "cuts": ["Part.Part.Brand.Brand#13"],
+        "measures": ["Quantity"],
+    },
+    """
+    SELECT p.p_partkey AS "Part ID", p.p_name AS "Part", sum(l.l_quantity) AS "Quantity"
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#13'
+    GROUP BY 1, 2
+    """,
+)
+
 # ---------- P9: default-member auto-cut + P10: default-hierarchy semi-join ----------
 # Order Status (default_member = F) is absent from the query → implicit
 # o_orderstatus = 'F'; Customer (default_hierarchy = By Nation) is absent →

@@ -222,6 +222,16 @@ LINEITEM_SCHEMA_JSON = {
                     "column": "l_extendedprice",
                     "aggregator": {"custom": "sum({} * (1 - l_discount))"},
                 },
+                {
+                    "name": "Distinct Parts",
+                    "column": "l_partkey",
+                    "aggregator": "distinct_count",
+                },
+                {
+                    "name": "Approx Distinct Parts",
+                    "column": "l_partkey",
+                    "aggregator": "approx_distinct_count",
+                },
             ],
         },
         {

@@ -22,10 +22,12 @@ from pyspark.sql import functions as F
 
 from ..schema.aggregator import (
     Aggregator,
+    ApproxDistinctCount,
     Average,
     BasicGroupedMedian,
     Count,
     Custom,
+    DistinctCount,
     Max,
     Min,
     Moe,
@@ -73,6 +75,10 @@ def single_pass_agg(measure: Measure) -> Column:
         out = F.max(col)
     elif isinstance(agg, Min):
         out = F.min(col)
+    elif isinstance(agg, DistinctCount):
+        out = F.count_distinct(col)
+    elif isinstance(agg, ApproxDistinctCount):
+        out = F.approx_count_distinct(col, rsd=agg.rsd)
     elif isinstance(agg, WeightedSum):
         out = F.sum(col * F.col(agg.weight_column))
     elif isinstance(agg, WeightedAverage):

@@ -126,6 +126,27 @@ class WeightedAverageMoe(Aggregator):
 
 
 @dataclass(frozen=True)
+class DistinctCount(Aggregator):
+    """Exact distinct count (engine extension — the reference has no distinct
+    aggregator). Non-decomposable: unavailable in the two-phase plan path."""
+
+    kind = "distinct_count"
+
+    def is_decomposable(self) -> bool:
+        return False
+
+
+@dataclass(frozen=True)
+class ApproxDistinctCount(Aggregator):
+    """HyperLogLog++ distinct count (engine extension): sketch-mergeable, the
+    scale path for distinct counts at 100 TB. No SQL oracle (sketch estimates
+    are engine-specific)."""
+
+    kind = "approx_distinct_count"
+    rsd: float = 0.05
+
+
+@dataclass(frozen=True)
 class Custom(Aggregator):
     """SQL template with ``{}`` placeholder for the measure column
     (schema/aggregator.rs:91-92). Compiled via ``F.expr`` — only decomposable
@@ -135,7 +156,10 @@ class Custom(Aggregator):
     template: str = ""
 
 
-_SIMPLE = {a.kind: a for a in (Sum(), Count(), Average(), Max(), Min())}
+_SIMPLE = {
+    a.kind: a
+    for a in (Sum(), Count(), Average(), Max(), Min(), DistinctCount(), ApproxDistinctCount())
+}
 
 
 def parse_aggregator(raw) -> Aggregator:
@@ -156,6 +180,8 @@ def parse_aggregator(raw) -> Aggregator:
                 group_aggregator=params["group_aggregator"],
                 group_dimension=params["group_dimension"],
             )
+        if kind == "approx_distinct_count":
+            return ApproxDistinctCount(rsd=float(params.get("rsd", 0.05)))
         if kind == "weighted_sum":
             return WeightedSum(weight_column=params["weight_column"])
         if kind == "weighted_avg":
