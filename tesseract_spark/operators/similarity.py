@@ -17,6 +17,7 @@ tie-break so results are engine-portable (oracle: DuckDB list_* functions).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -108,7 +109,8 @@ def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
 
 
 def lsh_bucket_col(vec: Column, dim: int, planes: int = 12, seed: int = 42) -> Column:
-    """Sign-bit LSH bucket id over ``planes`` fixed hyperplanes."""
+    """Sign-bit LSH bucket id over ``planes`` fixed hyperplanes (expression
+    form, used where a single bucket column suffices)."""
     bucket = F.lit(0).cast("long")
     vd = F.transform(vec, lambda x: x.cast("double"))
     for p in range(planes):
@@ -116,6 +118,37 @@ def lsh_bucket_col(vec: Column, dim: int, planes: int = 12, seed: int = 42) -> C
         proj = _dot(vd, plane)
         bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
+
+
+def multi_table_bucket_udf(dim: int, planes: int, tables: int, base_seed: int = 42):
+    """All T×P hyperplane projections in ONE Arrow-batched pandas UDF: a single
+    (batch × dim) @ (dim × T·P) numpy matmul, sign-packed into T bucket ids.
+
+    Spark's array higher-order functions (``aggregate``/``zip_with``) run
+    interpreted per element — at T·P·dim multiplications per row they become
+    the bottleneck; the vectorized matmul is ~2 orders of magnitude faster and
+    is the shape that scales to 100 TB corpora (scan → matmul → explode)."""
+    import numpy as np
+
+    w = np.array(
+        [
+            _hyperplane(dim, t * planes + p, base_seed + t)
+            for t in range(tables)
+            for p in range(planes)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, T*P)
+    powers = 2 ** np.arange(planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        signs = (m @ w) > 0  # (batch, T*P)
+        signs = signs.reshape(len(m), tables, planes)
+        ids = (signs * powers).sum(axis=2)  # (batch, T)
+        return pd.Series(list(ids))
+
+    return buckets
 
 
 def ann_lsh_topk(
@@ -138,20 +171,11 @@ def ann_lsh_topk(
     8 tables) give ≈86% recall at cos≈0.33 (the weak-similarity regime of the
     synthetic testdata). Tighter duplicate clusters at production scale afford
     more planes (smaller candidate sets) at the same recall."""
-    bucket_structs = [
-        F.struct(
-            F.lit(t).alias("table"),
-            lsh_bucket_col(F.col(vec_col), dim, planes, seed=42 + t).alias("bucket"),
-        )
-        for t in range(tables)
-    ]
+    bucket_udf = multi_table_bucket_udf(dim, planes, tables)
     with_bucket = df.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*bucket_structs)).alias("tb")
-    ).select(
         F.col(id_col),
         F.col(vec_col),
-        F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("bucket"),
+        F.posexplode(bucket_udf(F.col(vec_col))).alias("table", "bucket"),
     )
     queries = with_bucket.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
