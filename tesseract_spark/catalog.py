@@ -565,6 +565,26 @@ _add(
     """,
 )
 
+# ---------- C5 (completed): conditional cut ----------
+# keep rows of SUPPLIERS that shipped at least one Brand#13 part
+_add(
+    "q_conditional_cut",
+    {
+        "drilldowns": ["Return Flag.Return Flag"],
+        "measures": ["Quantity"],
+        "conditional_cuts": ["Part.Part.Brand.Brand#13@Supplier.Supplier.Supplier"],
+    },
+    """
+    SELECT l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity"
+    FROM lineitem
+    WHERE l_suppkey IN (
+        SELECT l2.l_suppkey FROM lineitem l2
+        JOIN part p ON l2.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#13')
+    GROUP BY 1
+    """,
+)
+
 # ---------- P9: default-member auto-cut + P10: default-hierarchy semi-join ----------
 # Order Status (default_member = F) is absent from the query → implicit
 # o_orderstatus = 'F'; Customer (default_hierarchy = By Nation) is absent →

@@ -288,51 +288,68 @@ class PlanBuilder:
 
     def _apply_cuts(self, cube: Cube, query: Query, fact: DataFrame) -> DataFrame:
         for cut in list(query.cuts) + self._implicit_cuts(cube, query):
-            ref = self.resolve_level(cube, cut.level_name)
-            if not cut.members:
-                # memberless default-hierarchy cut: unconditional semi-join dedup
-                # against the hierarchy table (primary_agg.rs:139-146)
-                if ref.degenerate:
-                    continue
-                pk = ref.hier.effective_primary_key()
-                fk = ref.dim.foreign_key
-                dim_keys = self._dim_df(ref.hier).select(F.col(pk).alias("__cut_key"))
-                fact = fact.join(
-                    self._dim_hint(ref.hier, dim_keys),
-                    fact[fk] == F.col("__cut_key"),
-                    "left_semi",
+            fact = self._apply_one_cut(cube, cut, fact)
+        for cc in query.conditional_cuts:
+            fact = self._apply_conditional_cut(cube, cc, fact)
+        return fact
+
+    def _apply_conditional_cut(self, cube: Cube, cc, fact: DataFrame) -> DataFrame:
+        """C5 (completed): keep rows of groups (by group_level's fact-grain key)
+        containing ≥1 row matching the member cut — the semi-join strategy the
+        reference sketched as 'robust' (conditional_cut.rs:50-57); group-key
+        cardinality scales with the fact, so no broadcast hint (AQE decides)."""
+        gref = self.resolve_level(cube, cc.group_level)
+        if gref.degenerate:
+            group_col = gref.level.key_column
+        else:
+            if gref.dim.foreign_key is None:
+                raise QueryValidationError(
+                    f"conditional cut group dim {gref.dim.name!r} has no foreign key"
                 )
-                continue
+            group_col = gref.dim.foreign_key
+        member_rows = self._apply_one_cut(cube, cc.member_cut, fact)
+        keys = member_rows.select(F.col(group_col).alias("__cc_key")).distinct()
+        return fact.join(keys, fact[group_col] == F.col("__cc_key"), "left_semi")
+
+    def _apply_one_cut(self, cube: Cube, cut: Cut, fact: DataFrame) -> DataFrame:
+        ref = self.resolve_level(cube, cut.level_name)
+        if not cut.members:
+            # memberless default-hierarchy cut: unconditional semi-join dedup
+            # against the hierarchy table (primary_agg.rs:139-146)
             if ref.degenerate:
-                # cut column lives on the fact table — plain filter, pushed to scan
-                fact = fact.filter(self._cut_predicate(ref.level, cut, ref.level.key_column))
-                continue
+                return fact
             pk = ref.hier.effective_primary_key()
             fk = ref.dim.foreign_key
-            if fk is None:
-                raise QueryValidationError(
-                    f"dimension {ref.dim.name!r} has a table but no foreign key"
-                )
-            if (
-                not cut.for_match
-                and ref.level.key_column == pk
-            ):
-                # cut on the join key itself: skip the dim scan, filter the fact fk
-                # directly (generalizes the reference's fact-table cut inlining,
-                # primary_agg.rs:123-137)
-                fact = fact.filter(self._cut_predicate(ref.level, cut, fk))
-                continue
-            # semi-join pushdown (primary_agg.rs:139-160): fk IN (SELECT pk FROM dim WHERE cut)
-            dim_df = self._dim_df(ref.hier)
-            dim_keys = dim_df.filter(
-                self._cut_predicate(ref.level, cut, ref.level.key_column)
-            ).select(F.col(pk).alias("__cut_key"))
-            fact = fact.join(
+            dim_keys = self._dim_df(ref.hier).select(F.col(pk).alias("__cut_key"))
+            return fact.join(
                 self._dim_hint(ref.hier, dim_keys),
                 fact[fk] == F.col("__cut_key"),
                 "left_semi",
             )
-        return fact
+        if ref.degenerate:
+            # cut column lives on the fact table — plain filter, pushed to scan
+            return fact.filter(self._cut_predicate(ref.level, cut, ref.level.key_column))
+        pk = ref.hier.effective_primary_key()
+        fk = ref.dim.foreign_key
+        if fk is None:
+            raise QueryValidationError(
+                f"dimension {ref.dim.name!r} has a table but no foreign key"
+            )
+        if not cut.for_match and ref.level.key_column == pk:
+            # cut on the join key itself: skip the dim scan, filter the fact fk
+            # directly (generalizes the reference's fact-table cut inlining,
+            # primary_agg.rs:123-137)
+            return fact.filter(self._cut_predicate(ref.level, cut, fk))
+        # semi-join pushdown (primary_agg.rs:139-160): fk IN (SELECT pk FROM dim WHERE cut)
+        dim_df = self._dim_df(ref.hier)
+        dim_keys = dim_df.filter(
+            self._cut_predicate(ref.level, cut, ref.level.key_column)
+        ).select(F.col(pk).alias("__cut_key"))
+        return fact.join(
+            self._dim_hint(ref.hier, dim_keys),
+            fact[fk] == F.col("__cut_key"),
+            "left_semi",
+        )
 
     # ---------------- main entry ----------------
 

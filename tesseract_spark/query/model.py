@@ -284,9 +284,34 @@ class RateQuery:
         return cls(level_name, tuple(parts[-1].split(",")))
 
 
+@dataclass(frozen=True)
+class ConditionalCut:
+    """Keep fact rows of groups (keyed by ``group_level``) that contain at
+    least one row matching ``member_cut`` — the reference's unfinished
+    conditional-cut operator (conditional_cut.rs sketch + conditional-cut.txt
+    worked SQL), completed here as a group-key semi-join.
+
+    Param syntax: ``<cut>@<group level name>``, e.g.
+    ``Part.Part.Brand.Brand#13@Supplier.Supplier.Supplier`` = keep the rows of
+    suppliers that shipped any Brand#13 part."""
+
+    member_cut: Cut
+    group_level: LevelName
+
+    @classmethod
+    def parse(cls, s: str) -> "ConditionalCut":
+        cut_str, sep, group = s.partition("@")
+        if not sep:
+            raise QueryParseError(
+                f"conditional cut {s!r}: expected '<cut>@<group level>'"
+            )
+        return cls(Cut.parse(cut_str), LevelName.parse(group))
+
+
 @dataclass
 class Query:
-    """query.rs:14-56. Field-for-field port of the reference query model."""
+    """query.rs:14-56. Field-for-field port of the reference query model, plus
+    the completed ``conditional_cuts`` extension (C5)."""
 
     drilldowns: list[LevelName] = field(default_factory=list)
     cuts: list[Cut] = field(default_factory=list)
@@ -302,6 +327,7 @@ class Query:
     rca: RcaQuery | None = None
     growth: GrowthQuery | None = None
     rate: RateQuery | None = None
+    conditional_cuts: list[ConditionalCut] = field(default_factory=list)
     debug: bool = False
     sparse: bool = False
     exclude_default_members: bool = False
@@ -332,6 +358,9 @@ class Query:
             q.growth = GrowthQuery.parse(params["growth"])
         if params.get("rate"):
             q.rate = RateQuery.parse(params["rate"])
+        q.conditional_cuts = [
+            ConditionalCut.parse(s) for s in _as_list(params.get("conditional_cuts"))
+        ]
         q.debug = _as_bool(params.get("debug"))
         q.sparse = _as_bool(params.get("sparse"))
         q.exclude_default_members = _as_bool(params.get("exclude_default_members"))
