@@ -35,6 +35,9 @@ HEADLINE = [
     "q_ann_cosine_topk",
     "q_ann_lsh_topk",
     "q_events_window",
+    "q_events_sessionize",
+    "q_conditional_cut",
+    "q_distinct_count",
 ]
 
 

@@ -704,6 +704,14 @@ def _wire_pipeline_ops() -> None:
         ev.windowed_agg_oracle_sql(),
     )
 
+    from .streaming import sessions as sess
+
+    _add(
+        "q_events_sessionize",
+        sess.batch_sessionize,
+        sess.sessionize_oracle_sql(),
+    )
+
 
 _wire_pipeline_ops()
 

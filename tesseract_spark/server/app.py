@@ -24,6 +24,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from ..formats.format import STREAM_FORMATTERS
+from .auth import auth_level
 from ..logic.layer import LogicLayer, LogicLayerConfig
 from ..metadata import cube_metadata, diagnosis_dfs, members_df, schema_metadata
 from ..plans.builder import PlanBuilder
@@ -82,6 +83,7 @@ class EngineHandler(BaseHTTPRequestHandler):
     builder: PlanBuilder = None
     logic: LogicLayer = None
     flush_secret: str | None = None
+    jwt_secret: str | None = None
     cache: _ResponseCache = None
 
     def log_message(self, fmt, *args):  # quiet
@@ -129,6 +131,8 @@ class EngineHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         try:
             self._route()
+        except PermissionError as e:
+            self._send_json({"error": str(e)}, 401)
         except Exception as e:  # error envelope (format.rs error body)
             traceback.print_exc()
             self._send_json({"error": str(e)}, 400)
@@ -139,14 +143,31 @@ class EngineHandler(BaseHTTPRequestHandler):
         params = _single_params(qs)
         parts = [p for p in url.path.split("/") if p]
 
+        # auth-level gate (auth.rs:17-108 contract): token carries auth_level,
+        # compared against each cube's min_auth_level; /cubes filters listings
+        level = auth_level(self.jwt_secret, params.get("token"))
+
+        def authorize(cube_name: str):
+            cube_obj = self.builder.schema.cube(cube_name)
+            if cube_obj.min_auth_level > level:
+                raise PermissionError(f"cube {cube_name!r} requires auth")
+            return cube_obj
+
         if parts == ["cubes"]:
-            return self._send_json(schema_metadata(self.builder.schema))
+            meta = schema_metadata(self.builder.schema)
+            meta["cubes"] = [
+                c
+                for c in meta["cubes"]
+                if self.builder.schema.cube(c["name"]).min_auth_level <= level
+            ]
+            return self._send_json(meta)
 
         if len(parts) == 2 and parts[0] == "cubes":
-            return self._send_json(cube_metadata(self.builder.schema.cube(parts[1])))
+            return self._send_json(cube_metadata(authorize(parts[1])))
 
         if len(parts) == 3 and parts[0] == "cubes":
             cube = parts[1]
+            authorize(cube)
             endpoint, _, fmt = parts[2].partition(".")
             fmt = fmt or "jsonrecords"
             if endpoint == "aggregate":
@@ -200,6 +221,7 @@ def make_server(
     port: int = 7777,
     logic_config: LogicLayerConfig | None = None,
     flush_secret: str | None = None,
+    jwt_secret: str | None = None,
 ) -> ThreadingHTTPServer:
     handler = type(
         "BoundEngineHandler",
@@ -208,6 +230,7 @@ def make_server(
             "builder": builder,
             "logic": LogicLayer(builder, logic_config),
             "flush_secret": flush_secret,
+            "jwt_secret": jwt_secret,
             "cache": _ResponseCache(),
         },
     )

@@ -21,6 +21,19 @@ def test_streaming_windowed_agg_matches_batch(spark, sf_dir):
     assert s == b and len(s) > 0
 
 
+def test_streaming_sessionize_matches_batch(spark, sf_dir):
+    """Native session_window through a real streaming query must equal the
+    batch lag-gap algorithm (same boundary semantics: gap >= threshold splits)."""
+    from tesseract_spark.streaming import sessions as sess
+
+    stream_rows = {
+        tuple(r)
+        for r in sess.streaming_sessionize(spark, sf_dir, query_name="t_sess").collect()
+    }
+    batch_rows = {tuple(r) for r in sess.batch_sessionize(spark, sf_dir).collect()}
+    assert stream_rows == batch_rows and len(batch_rows) > 0
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     """LSH ANN must return genuine bucket-mates ranked identically to exact
     cosine within the candidate set, with reasonable recall vs brute force."""

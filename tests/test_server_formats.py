@@ -103,6 +103,84 @@ def test_relations_endpoint(server):
     assert rels == {"parent", "neighbor"}
 
 
+def test_auth_levels(spark, sf_dir):
+    """min_auth_level gating (auth.rs contract): unauthenticated sees only
+    public cubes; a signed token with sufficient level unlocks the rest."""
+    import urllib.error
+
+    from tesseract_spark.plans.builder import PlanBuilder
+    from tesseract_spark.schema.parse import schema_from_json
+    from tesseract_spark.server.app import make_server
+    from tesseract_spark.server.auth import sign_token
+    from tesseract_spark.sources.registry import testdata_registry
+
+    schema = schema_from_json(
+        {
+            "name": "authed",
+            "cubes": [
+                {
+                    "name": "secret_orders",
+                    "min_auth_level": 5,
+                    "table": {"name": "orders"},
+                    "dimensions": [
+                        {
+                            "name": "Status",
+                            "foreign_key": None,
+                            "hierarchies": [
+                                {
+                                    "name": "Status",
+                                    "levels": [
+                                        {
+                                            "name": "Status",
+                                            "key_column": "o_orderstatus",
+                                            "key_type": "text",
+                                        }
+                                    ],
+                                }
+                            ],
+                        }
+                    ],
+                    "measures": [
+                        {"name": "Total", "column": "o_totalprice", "aggregator": "sum"}
+                    ],
+                }
+            ],
+        }
+    )
+    b = PlanBuilder(spark, schema, testdata_registry(spark, sf_dir))
+    srv = make_server(b, port=0, jwt_secret="s3cret")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # anonymous: cube hidden from listing, direct access 401
+        meta = json.loads(_get(f"{base}/cubes"))
+        assert meta["cubes"] == []
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"{base}/cubes/secret_orders/aggregate.jsonrecords"
+                 "?drilldowns=Status.Status&measures=Total")
+        assert e.value.code == 401
+        # forged token rejected
+        with pytest.raises(urllib.error.HTTPError):
+            _get(f"{base}/cubes/secret_orders?token=abc.def")
+        # valid token at sufficient level
+        tok = sign_token("s3cret", 7)
+        body = json.loads(
+            _get(
+                f"{base}/cubes/secret_orders/aggregate.jsonrecords"
+                f"?drilldowns=Status.Status&measures=Total&token={tok}"
+            )
+        )
+        assert len(body["data"]) == 3
+        # valid token at insufficient level
+        low = sign_token("s3cret", 2)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"{base}/cubes/secret_orders?token={low}")
+        assert e.value.code == 401
+    finally:
+        srv.shutdown()
+
+
 def test_jsonarrays_format(spark, sf_dir):
     from tesseract_spark import catalog
     from tesseract_spark.formats.format import format_jsonarrays
