@@ -306,6 +306,30 @@ _add(
     """,
 )
 
+# growth at month grain: non-time drill (Year) partitions the lag window
+_add(
+    "q_growth_month",
+    {
+        "drilldowns": ["Ship Date.Year", "Ship Date.Ship Date.Month"],
+        "measures": ["Quantity"],
+        "growth": "Ship Date.Ship Date.Month,Quantity",
+    },
+    """
+    WITH agg AS (
+      SELECT year(l_shipdate)::INT AS "Year", month(l_shipdate)::INT AS "Month",
+             sum(l_quantity) AS "Quantity"
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT "Year", "Month", "Quantity",
+           "Quantity" - lag("Quantity") OVER (PARTITION BY "Year" ORDER BY "Month")
+             AS "Quantity Growth Value",
+           ("Quantity" - lag("Quantity") OVER (PARTITION BY "Year" ORDER BY "Month"))
+             / lag("Quantity") OVER (PARTITION BY "Year" ORDER BY "Month")
+             AS "Quantity Growth"
+    FROM agg
+    """,
+)
+
 # ---------- C2: RCA (with debug a/b/c/d exposed) ----------
 _RCA_BASE = f"""
     WITH base AS (

@@ -55,9 +55,15 @@ class LogicLayerConfig:
 
 
 class LogicLayer:
-    def __init__(self, builder: PlanBuilder, config: LogicLayerConfig | None = None):
+    def __init__(
+        self,
+        builder: PlanBuilder,
+        config: LogicLayerConfig | None = None,
+        geoservice=None,
+    ):
         self.builder = builder
         self.config = config or LogicLayerConfig()
+        self.geoservice = geoservice  # GeoService for type=geo dims (L4)
         self._caches: dict[str, MemberCache] = {}
 
     # ---------------- naming ----------------
@@ -105,6 +111,20 @@ class LogicLayer:
             if ":" in token:
                 member, op = token.rsplit(":", 1)
                 member_typed = self._typed(cube, ln, member)
+                # geo-typed dims route relations through the geoservice when
+                # configured (geoservice.rs:29-74: resolved IDs are inlined)
+                from ..schema.model import DimensionType
+
+                dim = cube.dimension(ln.dimension)
+                if (
+                    self.geoservice is not None
+                    and dim.dim_type is DimensionType.GEO
+                    and op in ("neighbors", "children", "parents")
+                ):
+                    ids = self.geoservice.relate(op, member_typed)
+                    if ids:
+                        plain.extend(str(i) for i in ids)
+                    continue
                 if op == "children":
                     child_ln, kids = cache.children(ln, member_typed)
                     if kids:

@@ -127,6 +127,45 @@ def test_cut_parents_and_neighbors(layer, builder):
     assert 7 not in ns and len(ns) == 4
 
 
+def test_geoservice_resolution(builder):
+    """Geo-typed dim relations route through the configured geoservice and the
+    returned IDs are inlined into the cut (geoservice.rs contract)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from tesseract_spark.logic.geoservice import HttpGeoService
+
+    class Stub(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            # /neighbors/1 → regions 0 and 2
+            body = json.dumps({"ids": [0, 2]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = HTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        geo = HttpGeoService(f"http://127.0.0.1:{srv.server_address[1]}")
+        gl = LogicLayer(builder, geoservice=geo)
+        df = gl.data(
+            {
+                "cube": "lineitem_sales",
+                "drilldowns": "Region",
+                "measures": "Quantity",
+                "Region": "1:neighbors",
+            }
+        )
+        assert {r["Region ID"] for r in df.collect()} == {0, 2}
+    finally:
+        srv.shutdown()
+
+
 def test_exclude_filter(layer):
     df = layer.data(
         {

@@ -252,6 +252,56 @@ def test_grouped_median_two_phase(builder, duck):
     )
 
 
+def test_sparse_drops_all_null_measure_rows(spark):
+    """P7 with measures that genuinely go NULL: groups where every value is
+    NULL must vanish under sparse=true and survive without it."""
+    from tesseract_spark.plans.builder import PlanBuilder
+    from tesseract_spark.query.model import Query
+    from tesseract_spark.schema.parse import schema_from_json
+    from tesseract_spark.sources.registry import TableRegistry
+
+    schema = schema_from_json(
+        {
+            "name": "s",
+            "cubes": [
+                {
+                    "name": "c",
+                    "table": {"name": "facts"},
+                    "dimensions": [
+                        {
+                            "name": "G",
+                            "foreign_key": None,
+                            "hierarchies": [
+                                {
+                                    "name": "G",
+                                    "levels": [
+                                        {"name": "G", "key_column": "g", "key_type": "text"}
+                                    ],
+                                }
+                            ],
+                        }
+                    ],
+                    "measures": [{"name": "V", "column": "v", "aggregator": "sum"}],
+                }
+            ],
+        }
+    )
+    reg = TableRegistry(spark)
+    reg.register(
+        "facts",
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", None), ("b", None)], "g string, v double"
+        ),
+    )
+    b = PlanBuilder(spark, schema, reg)
+    dense = b.dataframe("c", Query.from_params({"drilldowns": ["G.G"], "measures": ["V"]}))
+    sparse = b.dataframe(
+        "c", Query.from_params({"drilldowns": ["G.G"], "measures": ["V"], "sparse": "true"})
+    )
+    assert {r.G for r in dense.collect()} == {"a", "b"}
+    assert {r.G for r in sparse.collect()} == {"a"}
+
+
 def test_weighted_and_moe_aggs(builder, duck):
     q = Query.from_params(
         {
