@@ -589,6 +589,58 @@ _add(
     """,
 )
 
+# ---------- Spark-native grouping extensions: pivot + rollup ----------
+# (the reference has no pivot/grouping-sets surface; Spark's are exposed as
+# engine extensions — SURVEY §2.4 note on rollup/cube supersets)
+
+
+def _pivot_flags_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    b = get_builder(spark, sf_dir)
+    li = b.registry.load("lineitem_enriched")
+    return (
+        li.groupBy(F.col("l_shipyear").alias("Year"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .withColumnsRenamed({"A": "Qty A", "N": "Qty N", "R": "Qty R"})
+    )
+
+
+_add(
+    "q_pivot_flags",
+    _pivot_flags_by_year,
+    """
+    SELECT year(l_shipdate)::INT AS "Year",
+           sum(l_quantity) FILTER (WHERE l_returnflag = 'A') AS "Qty A",
+           sum(l_quantity) FILTER (WHERE l_returnflag = 'N') AS "Qty N",
+           sum(l_quantity) FILTER (WHERE l_returnflag = 'R') AS "Qty R"
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
+def _rollup_year_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    b = get_builder(spark, sf_dir)
+    li = b.registry.load("lineitem_enriched")
+    return li.rollup(
+        F.col("l_shipyear").alias("Year"),
+        F.col("l_returnflag").alias("Return Flag"),
+    ).agg(F.sum("l_quantity").alias("Quantity"))
+
+
+_add(
+    "q_rollup_year_flag",
+    _rollup_year_flag,
+    """
+    SELECT year(l_shipdate)::INT AS "Year", l_returnflag AS "Return Flag",
+           sum(l_quantity) AS "Quantity"
+    FROM lineitem GROUP BY ROLLUP (1, 2)
+    """,
+)
+
 # ---------- C5 (completed): conditional cut ----------
 # keep rows of SUPPLIERS that shipped at least one Brand#13 part
 _add(

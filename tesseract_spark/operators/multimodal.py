@@ -14,7 +14,6 @@ real and tested.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -47,27 +46,36 @@ def decode_media(payload: bytes, modality: str):
     )
 
 
-def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        payloads = pdf["payload"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "modality": pdf["modality"],
-                "n_bytes": payloads.map(len),
-                "sha256_8": payloads.map(lambda b: hashlib.sha256(b).hexdigest()[:8]),
-                "byte_mean": payloads.map(
-                    lambda b: float(sum(b)) / len(b) if len(b) else 0.0
-                ),
-                "byte_max": payloads.map(lambda b: max(b) if len(b) else 0),
-            }
-        )
-
-
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, payload, modality).
-    Deterministic byte-level stand-in for a real decoder."""
-    return df.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+    Deterministic byte-level stand-in for a real decoder.
+
+    The batch function is a local closure ON PURPOSE: cloudpickle then ships it
+    by value, so executors don't need ``tesseract_spark`` on their PYTHONPATH
+    (module-level functions are pickled by reference and break when the driver
+    process runs outside the repo)."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": payloads.map(len),
+                    "sha256_8": payloads.map(
+                        lambda b: _hashlib.sha256(b).hexdigest()[:8]
+                    ),
+                    "byte_mean": payloads.map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                    "byte_max": payloads.map(lambda b: max(b) if len(b) else 0),
+                }
+            )
+
+    return df.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)
 
 
 def multimodal_features(documents: DataFrame) -> DataFrame:

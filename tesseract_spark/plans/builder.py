@@ -698,6 +698,15 @@ class PlanBuilder:
             from pyspark.sql import Window
 
             by_ref = self.resolve_level(cube, query.top.by_dimension)
+            # by_dimension must be drilled (lib.rs:570-585)
+            drilled = {
+                (s.ref.dim.name, lv.name) for s in specs for lv in s.levels
+            }
+            if (by_ref.dim.name, by_ref.level.name) not in drilled:
+                raise QueryValidationError(
+                    f"top by_dimension {query.top.by_dimension.level!r} must be"
+                    " in drilldowns"
+                )
             by_aliases = [level_key_alias(by_ref.level)]
             if by_ref.level.name_column:
                 by_aliases.append(level_name_alias(by_ref.level))
