@@ -90,6 +90,52 @@ def test_text_analysis_empty_edge(spark):
     assert rows[3].n_tokens == 3 and rows[3].stopword_ratio == 1.0
 
 
+def test_streaming_ingest_to_cube(spark, sf_dir, tmp_path):
+    """End-to-end streaming warehouse: stream events into a parquet sink, lay
+    the events cube over the sink, and run an OLAP query — results must equal
+    the same cube query over the raw source."""
+    import os
+
+    from tesseract_spark.plans.builder import PlanBuilder
+    from tesseract_spark.query.model import Query
+    from tesseract_spark.sources.registry import TableRegistry
+    from tesseract_spark.streaming import ingest
+    from tesseract_spark.streaming.events import _normalize_ts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", src / "events.parquet")
+    sink = str(tmp_path / "sink")
+    ingest.ingest_events(spark, str(src), sink, str(tmp_path / "ckpt"))
+
+    reg = TableRegistry(spark)
+    reg.register("events_ingested", spark.read.parquet(sink))
+    b = PlanBuilder(spark, ingest.events_cube_schema(), reg)
+    q = Query.from_params(
+        {
+            "drilldowns": ["Event Type.Event Type"],
+            "measures": ["Events", "Total Value", "Users"],
+        }
+    )
+    got = {r["Event Type"]: (r["Events"], r["Total Value"], r["Users"])
+           for r in b.dataframe("events_cube", q).collect()}
+
+    raw = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    import pyspark.sql.functions as F
+
+    expect = {
+        r["event_type"]: (r["n"], r["v"], r["u"])
+        for r in raw.groupBy("event_type")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.sum("value").alias("v"),
+            F.count_distinct("user_id").alias("u"),
+        )
+        .collect()
+    }
+    assert got == expect and len(got) >= 3
+
+
 def test_multimodal_plumbing_batch_shape(spark, sf_dir):
     """mapInPandas runs batched (not row-at-a-time) and decode_media stays an
     explicit stub."""

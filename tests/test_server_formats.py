@@ -103,6 +103,30 @@ def test_relations_endpoint(server):
     assert rels == {"parent", "neighbor"}
 
 
+def test_concurrent_requests(server):
+    """The reference's design target is ~100 concurrent requests (DESIGN.md);
+    exercise 24 parallel aggregate queries across distinct cuts — all must
+    return correct, independent results (ThreadingHTTPServer + thread-safe
+    SparkSession, jobs FIFO-scheduled over the executor pool)."""
+    import concurrent.futures
+
+    years = [1995, 1996, 1997, 1998, 1999, 2000] * 4
+
+    def fetch(year):
+        body = json.loads(
+            _get(
+                f"{server}/data.jsonrecords?cube=sales&drilldowns=Year"
+                f"&measures=Quantity&Year={year}&nocache={year}"
+            )
+        )
+        return year, body["data"]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=12) as ex:
+        results = list(ex.map(fetch, years))
+    for year, rows in results:
+        assert len(rows) == 1 and rows[0]["Year"] == year, (year, rows)
+
+
 def test_auth_levels(spark, sf_dir):
     """min_auth_level gating (auth.rs contract): unauthenticated sees only
     public cubes; a signed token with sufficient level unlocks the rest."""
