@@ -460,6 +460,45 @@ _add(
     """,
 )
 
+# ---------- two-phase plan with ALL measure families at once ----------
+# a grouped-median in the query forces the reference's explicit two-phase plan
+# (pre-agg at fact/fk grain) for EVERY measure; this pins the pass-1/pass-2
+# decomposition of each aggregator family under that plan shape
+_add(
+    "q_two_phase_mixed",
+    {
+        "drilldowns": ["Return Flag.Return Flag"],
+        "measures": [
+            "Median Qty By Order",
+            "Quantity",
+            "Row Count",
+            "Weighted Price",
+            "Tax MOE",
+            "Max Tax",
+            "Custom Net",
+        ],
+    },
+    """
+    WITH p1 AS (
+      SELECT l_returnflag AS f, l_orderkey,
+             sum(l_quantity) AS med_in, sum(l_quantity) AS q,
+             count(l_linenumber) AS n,
+             sum(l_extendedprice * l_quantity) AS wnum, sum(l_quantity) AS wden,
+             sum(pow(l_tax / 1.645, 2)) AS moe_sub, max(l_tax) AS mx,
+             sum(l_extendedprice * (1 - l_discount)) AS net
+      FROM lineitem GROUP BY 1, 2)
+    SELECT f AS "Return Flag",
+           median(med_in) AS "Median Qty By Order",
+           sum(q) AS "Quantity",
+           sum(n) AS "Row Count",
+           sum(wnum) / sum(wden) AS "Weighted Price",
+           1.645 * sqrt(sum(moe_sub)) AS "Tax MOE",
+           max(mx) AS "Max Tax",
+           sum(net) AS "Custom Net"
+    FROM p1 GROUP BY 1
+    """,
+)
+
 # ---------- P7: sparse (no-op on dense data — checks it drops nothing) ----------
 _add(
     "q_sparse",

@@ -24,6 +24,11 @@ from ..schema.model import Cube
 
 
 class MemberCache:
+    #: driver-memory guard: member/parent-child caches are meant for DIMENSION
+    #: levels; a fact-grain level (e.g. an order-key degenerate dim at sf≫1)
+    #: would OOM the driver — fail fast instead
+    MAX_MEMBERS = 2_000_000
+
     def __init__(self, builder: PlanBuilder, cube: Cube):
         self.builder = builder
         self.cube = cube
@@ -41,12 +46,13 @@ class MemberCache:
         if key not in self._members:
             ref = self.builder.resolve_level(self.cube, ln)
             src = self._level_source(ref)
-            rows = (
-                src.select(F.col(ref.level.key_column).alias("m"))
-                .distinct()
-                .orderBy("m")
-                .collect()
-            )
+            distinct = src.select(F.col(ref.level.key_column).alias("m")).distinct()
+            rows = distinct.orderBy("m").limit(self.MAX_MEMBERS + 1).collect()
+            if len(rows) > self.MAX_MEMBERS:
+                raise ValueError(
+                    f"level {ln.level!r} has more than {self.MAX_MEMBERS} members —"
+                    " too large for the driver-side member cache; use plain cuts"
+                )
             self._members[key] = [r.m for r in rows]
         return self._members[key]
 

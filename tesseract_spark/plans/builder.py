@@ -660,7 +660,15 @@ class PlanBuilder:
         """Map a measure name or rca/growth keyword to its output column."""
         if isinstance(calc_or_mea, Calculation):
             if calc_or_mea is Calculation.GROWTH:
+                if query.growth is None:
+                    raise QueryValidationError(
+                        "sort/top/filter by 'growth' requires a growth calculation"
+                    )
                 return f"{query.growth.mea} Growth"
+            if query.rca is None:
+                raise QueryValidationError(
+                    "sort/top/filter by 'rca' requires an rca calculation"
+                )
             return f"{query.rca.mea} RCA"
         return calc_or_mea
 
