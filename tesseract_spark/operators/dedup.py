@@ -271,6 +271,55 @@ def minhash_lsh_oracle_sql(
     """
 
 
+# ---------------- duplicate-cluster resolution ----------------
+
+
+def resolve_duplicate_clusters(pairs: DataFrame, corpus_ids: DataFrame | None = None) -> DataFrame:
+    """Candidate pairs → (doc_id, canonical_id): connected components with the
+    minimum id as each cluster's canonical survivor.
+
+    The pair set after LSH banding is orders of magnitude smaller than the
+    corpus (it IS the near-dup signal), so components are solved driver-side
+    with union-find over the collected pairs — one ``collect()`` of edges, no
+    iterative joins. At extreme pair counts switch to iterative
+    min-id-propagation joins (label = min(label) over neighbors until fixpoint).
+
+    ``corpus_ids`` (one ``id`` column), when given, adds singleton docs mapped
+    to themselves so the output covers the whole corpus.
+    """
+    edges = [(r[0], r[1]) for r in pairs.select("id_a", "id_b").collect()]
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # canonical = min id
+            lo, hi = (ra, rb) if str(ra) < str(rb) or ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+    mapping = [(x, find(x)) for x in parent]
+    spark = pairs.sparkSession
+    out = spark.createDataFrame(mapping or [(None, None)], "doc_id long, canonical_id long")
+    if not mapping:
+        out = out.filter(F.col("doc_id").isNotNull())
+    if corpus_ids is not None:
+        singles = corpus_ids.select(F.col("id").alias("doc_id")).join(
+            out.select("doc_id"), "doc_id", "left_anti"
+        ).withColumn("canonical_id", F.col("doc_id"))
+        out = out.unionByName(singles)
+    return out
+
+
 # ---------------- SimHash ----------------
 
 _HEX = "0123456789abcdef"

@@ -68,6 +68,44 @@ class TableRegistry:
     def is_broadcastable(self, name: str) -> bool:
         return name not in self._no_broadcast
 
+    def register_jdbc(
+        self,
+        name: str,
+        url: str,
+        dbtable: str,
+        properties: dict[str, str] | None = None,
+        partition_column: str | None = None,
+        num_partitions: int = 8,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+        broadcastable: bool = True,
+    ):
+        """Bind a table to a JDBC source — the Spark-native analog of the
+        reference's MySQL/Postgres backends (tesseract-mysql/postgres
+        src/lib.rs). Requires the JDBC driver jar on the classpath (not present
+        in the test image — gated behind lazy load). ``partition_column`` +
+        bounds enable parallel partitioned reads; without them the read is
+        single-task (fine for dims, wrong for facts)."""
+
+        def load_jdbc(spark: SparkSession) -> DataFrame:
+            reader = (
+                spark.read.format("jdbc")
+                .option("url", url)
+                .option("dbtable", dbtable)
+            )
+            for k, v in (properties or {}).items():
+                reader = reader.option(k, v)
+            if partition_column is not None:
+                reader = (
+                    reader.option("partitionColumn", partition_column)
+                    .option("numPartitions", str(num_partitions))
+                    .option("lowerBound", str(lower_bound))
+                    .option("upperBound", str(upper_bound))
+                )
+            return reader.load()
+
+        return self.register(name, load_jdbc, broadcastable=broadcastable)
+
     def load(self, table: Table | str) -> DataFrame:
         name = table.full_name() if isinstance(table, Table) else table
         view = self._views.get(name)

@@ -61,6 +61,33 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"suspiciously low LSH recall: {recall}"
 
 
+def test_resolve_duplicate_clusters(spark):
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.dedup import resolve_duplicate_clusters
+
+    # two clusters {1,2,3} (transitively) and {7,9}; 5 is a singleton
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+    corpus = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], "id long")
+    out = {
+        r.doc_id: r.canonical_id
+        for r in resolve_duplicate_clusters(pairs, corpus).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+    # end-to-end: minhash candidates → clusters over real documents
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from tesseract_spark.operators.dedup import minhash_lsh_pairs
+
+    cand = minhash_lsh_pairs(docs)
+    resolved = resolve_duplicate_clusters(
+        cand, docs.select(F.col("doc_id").alias("id"))
+    )
+    assert resolved.count() == docs.count()
+    survivors = resolved.filter(F.col("doc_id") == F.col("canonical_id")).count()
+    assert survivors < docs.count()  # some docs folded into clusters
+
+
 def test_minhash_lsh_finds_near_dups(spark, sf_dir):
     """Candidate pairs from banded MinHash must overlap the exact
     high-Jaccard pairs (prefix-near-dup groups exist in testdata)."""
