@@ -135,14 +135,19 @@ _add(
 
 # ---------- P4: semi-join cut pushdown (cut dim not drilled) ----------
 _add(
+    # the semi-join reorders the double sum → ulp drift vs the oracle, so this
+    # entry uses the exact_scale measure (order-independent decimal sum, cast
+    # mirrored in the oracle — verified bit-equal cross-engine)
     "q_cut_semijoin",
     {
         "drilldowns": ["Return Flag.Return Flag"],
         "cuts": ["Customer Geography.Geography.Region.1,2"],
-        "measures": ["Extended Price"],
+        "measures": ["Extended Price Exact"],
     },
     """
-    SELECT l.l_returnflag AS "Return Flag", sum(l.l_extendedprice) AS "Extended Price"
+    SELECT l.l_returnflag AS "Return Flag",
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS "Extended Price Exact"
     FROM lineitem l
     WHERE l.l_orderkey IN (
         SELECT o.o_orderkey FROM orders o
@@ -465,6 +470,9 @@ _add(
 # (pre-agg at fact/fk grain) for EVERY measure; this pins the pass-1/pass-2
 # decomposition of each aggregator family under that plan shape
 _add(
+    # sum-family measures use exact_scale variants: the two-phase re-sum
+    # reorders double addition → ulp drift vs the oracle; exact decimal sums
+    # (mirrored casts in the oracle CTE) are associative, hence bit-stable
     "q_two_phase_mixed",
     {
         "drilldowns": ["Return Flag.Return Flag"],
@@ -472,10 +480,10 @@ _add(
             "Median Qty By Order",
             "Quantity",
             "Row Count",
-            "Weighted Price",
-            "Tax MOE",
+            "Weighted Price Exact",
+            "Tax MOE Exact",
             "Max Tax",
-            "Custom Net",
+            "Custom Net Exact",
         ],
     },
     """
@@ -483,18 +491,21 @@ _add(
       SELECT l_returnflag AS f, l_orderkey,
              sum(l_quantity) AS med_in, sum(l_quantity) AS q,
              count(l_linenumber) AS n,
-             sum(l_extendedprice * l_quantity) AS wnum, sum(l_quantity) AS wden,
-             sum(pow(l_tax / 1.645, 2)) AS moe_sub, max(l_tax) AS mx,
-             sum(l_extendedprice * (1 - l_discount)) AS net
+             sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS wnum,
+             sum(CAST(l_quantity AS DECIMAL(38,6))) AS wden,
+             sum(CAST(pow(l_tax / 1.645, 2) AS DECIMAL(38,12))) AS moe_sub,
+             max(l_tax) AS mx,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS net
       FROM lineitem GROUP BY 1, 2)
     SELECT f AS "Return Flag",
            median(med_in) AS "Median Qty By Order",
            sum(q) AS "Quantity",
            sum(n) AS "Row Count",
-           sum(wnum) / sum(wden) AS "Weighted Price",
-           1.645 * sqrt(sum(moe_sub)) AS "Tax MOE",
+           CAST(sum(wnum) AS DOUBLE) / CAST(sum(wden) AS DOUBLE)
+             AS "Weighted Price Exact",
+           1.645 * sqrt(CAST(sum(moe_sub) AS DOUBLE)) AS "Tax MOE Exact",
            max(mx) AS "Max Tax",
-           sum(net) AS "Custom Net"
+           CAST(sum(net) AS DOUBLE) AS "Custom Net Exact"
     FROM p1 GROUP BY 1
     """,
 )
@@ -579,11 +590,43 @@ _add(
     FROM lineitem GROUP BY 1
     """,
 )
-# approx variant: HLL++ sketch values are engine-specific → rows-only check
+# approx variant: HLL++ sketch values are engine-specific, so the entry checks
+# the sketch AGAINST the exact count in-plan — output is (exact count,
+# within-error-bound flag), both deterministic and oracle-checkable. The rsd
+# bound uses 5× the sketch's configured rsd (0.05); HLL++ error concentrates
+# within ~2–3 rsd, so the flag is stably TRUE without being vacuous.
+
+
+def _approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    b = get_builder(spark, sf_dir)
+    q = Query.from_params(
+        {
+            "drilldowns": ["Return Flag.Return Flag"],
+            "measures": ["Distinct Parts", "Approx Distinct Parts"],
+        }
+    )
+    df = b.dataframe("lineitem_sales", q)
+    rel_err = F.abs(F.col("Approx Distinct Parts") - F.col("Distinct Parts")) / F.col(
+        "Distinct Parts"
+    )
+    return df.select(
+        "Return Flag",
+        F.col("Distinct Parts"),
+        (rel_err <= F.lit(5 * 0.05)).alias("Approx Within Bounds"),
+    )
+
+
 _add(
     "q_approx_distinct_count",
-    {"drilldowns": ["Return Flag.Return Flag"], "measures": ["Approx Distinct Parts"]},
-    None,
+    _approx_distinct_bounded,
+    """
+    SELECT l_returnflag AS "Return Flag",
+           count(DISTINCT l_partkey) AS "Distinct Parts",
+           TRUE AS "Approx Within Bounds"
+    FROM lineitem GROUP BY 1
+    """,
 )
 
 # ---------- sort by a calculation (MeaOrCalc: 'growth' keyword, query.rs:112-149) ----------
@@ -800,13 +843,15 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: similarity.brute_force_topk(_embs(spark, sf), [0, 1, 2, 3, 4]),
         similarity.brute_force_topk_oracle_sql([0, 1, 2, 3, 4]),
     )
-    # approximate ANN: engine-specific hyperplane buckets — no SQL oracle,
-    # driver records the weaker rows-only check; recall vs brute force is
-    # asserted in tests/test_operators.py
+    # approximate ANN: the hyperplanes are deterministic (seeded splitmix, no
+    # RNG state), so the FULL pipeline — per-table sign-bit bucketing,
+    # any-table candidate union, exact rescoring, top-k — has an exact SQL
+    # mirror; recall vs brute force is additionally asserted in
+    # tests/test_operators.py
     _add(
         "q_ann_lsh_topk",
         lambda spark, sf: similarity.ann_lsh_topk(_embs(spark, sf), [0, 1, 2, 3, 4]),
-        None,
+        similarity.ann_lsh_topk_oracle_sql([0, 1, 2, 3, 4]),
     )
     _add(
         "q_multimodal_features",

@@ -227,6 +227,37 @@ LINEITEM_SCHEMA_JSON = {
                     "column": "l_partkey",
                     "aggregator": "distinct_count",
                 },
+                # exact_scale variants: order-independent decimal sums for
+                # bit-stable results under plan reordering (semi-join pushdown,
+                # two-phase) — see plans/aggregators._exact_sum
+                {
+                    "name": "Extended Price Exact",
+                    "column": "l_extendedprice",
+                    "aggregator": "sum",
+                    "exact_scale": 6,
+                },
+                {
+                    "name": "Weighted Price Exact",
+                    "column": "l_extendedprice",
+                    "aggregator": {"weighted_avg": {"weight_column": "l_quantity"}},
+                    "exact_scale": 6,
+                },
+                {
+                    "name": "Tax MOE Exact",
+                    "column": "l_tax",
+                    "aggregator": {"moe": {"critical_value": 1.645}},
+                    # the per-row pow() terms are ~1e-3, so a deeper scale
+                    # keeps the exact-decimal rounding loss negligible
+                    "exact_scale": 12,
+                },
+                {
+                    "name": "Custom Net Exact",
+                    "column": "l_extendedprice",
+                    "aggregator": {
+                        "custom": "sum(CAST({} * (1 - l_discount) AS DECIMAL(38,6)))"
+                    },
+                    "exact_scale": 6,
+                },
                 {
                     "name": "Approx Distinct Parts",
                     "column": "l_partkey",

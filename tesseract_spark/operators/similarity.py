@@ -210,6 +210,77 @@ def ann_lsh_topk(
     )
 
 
+def ann_lsh_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    planes: int = 3,
+    tables: int = 8,
+    base_seed: int = 42,
+    table: str = "embeddings",
+) -> str:
+    """Exact SQL mirror of :func:`ann_lsh_topk` for the DuckDB oracle.
+
+    Possible because the hyperplanes are pure deterministic functions of
+    (dim, plane_idx, seed) — no RNG state — so they can be inlined as literal
+    DOUBLE[] arrays and the whole pipeline (sign-bit bucketing per table →
+    any-table candidate union → exact rescoring → top-k) is plain SQL.
+    Both engines fold the rescoring dot product sequentially left-to-right
+    (Spark ``aggregate`` HOF ≙ DuckDB ``list_dot_product``), so the rounded
+    cosines are bit-identical; bucket signs agree unless a projection lands
+    within ulps of 0 (measure-zero for real embeddings)."""
+
+    def lit(vals: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+    bucket_cols = []
+    for t in range(tables):
+        terms = []
+        for p in range(planes):
+            w = _hyperplane(dim, t * planes + p, base_seed + t)
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit(w)}) > 0 "
+                f"THEN {2 ** p} ELSE 0 END)"
+            )
+        bucket_cols.append(" + ".join(terms) + f" AS bucket{t}")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, bucket{t} AS bucket FROM b" for t in range(tables)
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {", ".join(bucket_cols)}
+      FROM {table}
+    ),
+    eb AS (
+      {unions}
+    ),
+    q AS (SELECT vec_id AS query_id, tbl, bucket FROM eb WHERE vec_id IN ({ids})),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      FROM q JOIN eb c ON c.tbl = q.tbl AND c.bucket = q.bucket
+                      AND c.vec_id != q.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(
+               list_dot_product(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(ne.embedding::DOUBLE[], ne.embedding::DOUBLE[]))),
+               6) AS cos_sim
+      FROM cand
+      JOIN {table} qe ON qe.vec_id = cand.query_id
+      JOIN {table} ne ON ne.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

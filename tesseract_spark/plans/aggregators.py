@@ -46,8 +46,26 @@ def needs_two_phase(agg: Aggregator, avg_grain: str = "flat") -> bool:
     return isinstance(agg, Average) and avg_grain == "fk"
 
 
-def _moe_sum_sq(col: Column, cv: float) -> Column:
-    return F.sum(F.pow(col / F.lit(cv), F.lit(2)))
+def _moe_sum_sq(col: Column, cv: float, scale: int | None = None) -> Column:
+    return _exact_sum(F.pow(col / F.lit(cv), F.lit(2)), scale)
+
+
+def _exact_sum(expr: Column, scale: int | None) -> Column:
+    """Sum that is order-independent when ``scale`` is set.
+
+    Double addition is non-associative: plan reorderings (semi-join pushdown,
+    two-phase pre-agg, AQE) shift results by ulps. Casting each term to
+    decimal(38, scale) makes the sum exact decimal arithmetic — associative,
+    hence bit-stable across plans AND engines. The per-row double expression
+    itself is IEEE-deterministic, so cross-engine parity holds end-to-end."""
+    if scale is None:
+        return F.sum(expr)
+    return F.sum(expr.cast(f"decimal(38,{scale})"))
+
+
+def _d(out: Column, scale: int | None) -> Column:
+    """Fold an exact decimal aggregate back to the measure's double type."""
+    return out.cast("double") if scale is not None else out
 
 
 def _sq_diff_sum(terms: list[Column]) -> Column:
@@ -65,12 +83,13 @@ def single_pass_agg(measure: Measure) -> Column:
     """
     agg = measure.aggregator
     col = F.col(measure.column)
+    es = measure.exact_scale
     if isinstance(agg, Sum):
-        out = F.sum(col)
+        out = _d(_exact_sum(col, es), es)
     elif isinstance(agg, Count):
         out = F.count(col)
     elif isinstance(agg, Average):
-        out = F.avg(col)
+        out = _d(_exact_sum(col, es), es) / F.count(col) if es is not None else F.avg(col)
     elif isinstance(agg, Max):
         out = F.max(col)
     elif isinstance(agg, Min):
@@ -80,12 +99,16 @@ def single_pass_agg(measure: Measure) -> Column:
     elif isinstance(agg, ApproxDistinctCount):
         out = F.approx_count_distinct(col, rsd=agg.rsd)
     elif isinstance(agg, WeightedSum):
-        out = F.sum(col * F.col(agg.weight_column))
+        out = _d(_exact_sum(col * F.col(agg.weight_column), es), es)
     elif isinstance(agg, WeightedAverage):
-        out = F.sum(col * F.col(agg.weight_column)) / F.sum(F.col(agg.weight_column))
+        out = _d(_exact_sum(col * F.col(agg.weight_column), es), es) / _d(
+            _exact_sum(F.col(agg.weight_column), es), es
+        )
     elif isinstance(agg, Moe):
         # cv * sqrt(sum(pow(col / cv, 2))) — aggregator.rs:64-70,193-198
-        out = F.lit(agg.critical_value) * F.sqrt(_moe_sum_sq(col, agg.critical_value))
+        out = F.lit(agg.critical_value) * F.sqrt(
+            _d(_moe_sum_sq(col, agg.critical_value, es), es)
+        )
     elif isinstance(agg, ReplicateWeightMoe):
         # cv * sqrt(df/n_sec * Σ_i pow(sum(col) - sum(sec_i), 2)) — :52-63,177-192
         factor = agg.design_factor / len(agg.secondary_columns)
@@ -108,8 +131,11 @@ def single_pass_agg(measure: Measure) -> Column:
         )
         out = F.lit(agg.critical_value) * F.sqrt(F.lit(factor) * total)
     elif isinstance(agg, Custom):
-        # template with {} placeholder — schema/aggregator.rs:91-92
+        # template with {} placeholder — schema/aggregator.rs:91-92; under
+        # exact_scale the template is expected to yield a decimal (the user
+        # embeds the cast) and we fold back to double here
         out = F.expr(agg.template.replace("{}", measure.column))
+        out = _d(out, es)
     elif isinstance(agg, BasicGroupedMedian):
         raise ValueError(
             "basic_grouped_median requires the two-phase plan path (hidden drilldown)"
@@ -129,27 +155,32 @@ def pass1_cols(measure: Measure, avg_grain: str = "flat") -> list[Column]:
     agg = measure.aggregator
     n = measure.name
     col = F.col(measure.column)
-    if isinstance(agg, (Sum, Max, Min)):
-        fn = {Sum: F.sum, Max: F.max, Min: F.min}[type(agg)]
+    es = measure.exact_scale
+    if isinstance(agg, Sum):
+        # exact mode: pass-1 KEEPS the decimal type so pass-2's re-sum is
+        # still exact; the fold to double happens only in pass2_col
+        return [_exact_sum(col, es).alias(n)]
+    if isinstance(agg, (Max, Min)):
+        fn = {Max: F.max, Min: F.min}[type(agg)]
         return [fn(col).alias(n)]
     if isinstance(agg, Count):
         return [F.count(col).alias(n)]
     if isinstance(agg, Average):
         if avg_grain == "fk":
             return [F.avg(col).alias(n)]
-        return [F.sum(col).alias(f"{n}__num"), F.count(col).alias(f"{n}__cnt")]
+        return [_exact_sum(col, es).alias(f"{n}__num"), F.count(col).alias(f"{n}__cnt")]
     if isinstance(agg, BasicGroupedMedian):
         group_fn = getattr(F, agg.group_aggregator)
         return [group_fn(col).alias(n)]
     if isinstance(agg, WeightedSum):
-        return [F.sum(col * F.col(agg.weight_column)).alias(n)]
+        return [_exact_sum(col * F.col(agg.weight_column), es).alias(n)]
     if isinstance(agg, WeightedAverage):
         return [
-            F.sum(col * F.col(agg.weight_column)).alias(f"{n}__num"),
-            F.sum(F.col(agg.weight_column)).alias(f"{n}__den"),
+            _exact_sum(col * F.col(agg.weight_column), es).alias(f"{n}__num"),
+            _exact_sum(F.col(agg.weight_column), es).alias(f"{n}__den"),
         ]
     if isinstance(agg, Moe):
-        return [_moe_sum_sq(col, agg.critical_value).alias(f"{n}__sub")]
+        return [_moe_sum_sq(col, agg.critical_value, es).alias(f"{n}__sub")]
     if isinstance(agg, ReplicateWeightMoe):
         cols = [F.sum(col).alias(f"{n}__p")]
         cols += [
@@ -175,8 +206,11 @@ def pass2_col(measure: Measure, avg_grain: str = "flat") -> Column:
     """Pass-2 (drill grain) over pass-1 columns — aggregator.rs:157-223."""
     agg = measure.aggregator
     n = measure.name
+    es = measure.exact_scale
     if isinstance(agg, (Sum, Count, WeightedSum, Custom)):
-        return F.sum(F.col(n)).alias(n)
+        # exact mode: pass-1 emitted decimals, so this re-sum is exact too;
+        # fold to double only here at the very end
+        return _d(F.sum(F.col(n)), es).alias(n)
     if isinstance(agg, Max):
         return F.max(F.col(n)).alias(n)
     if isinstance(agg, Min):
@@ -184,13 +218,15 @@ def pass2_col(measure: Measure, avg_grain: str = "flat") -> Column:
     if isinstance(agg, Average):
         if avg_grain == "fk":
             return F.avg(F.col(n)).alias(n)  # reference avg-of-averages, :163
-        return (F.sum(f"{n}__num") / F.sum(f"{n}__cnt")).alias(n)
+        return (_d(F.sum(f"{n}__num"), es) / F.sum(f"{n}__cnt")).alias(n)
     if isinstance(agg, BasicGroupedMedian):
         return F.median(F.col(n)).alias(n)
     if isinstance(agg, WeightedAverage):
-        return (F.sum(f"{n}__num") / F.sum(f"{n}__den")).alias(n)
+        return (_d(F.sum(f"{n}__num"), es) / _d(F.sum(f"{n}__den"), es)).alias(n)
     if isinstance(agg, Moe):
-        return (F.lit(agg.critical_value) * F.sqrt(F.sum(f"{n}__sub"))).alias(n)
+        return (
+            F.lit(agg.critical_value) * F.sqrt(_d(F.sum(f"{n}__sub"), es))
+        ).alias(n)
     if isinstance(agg, ReplicateWeightMoe):
         factor = agg.design_factor / len(agg.secondary_columns)
         total = _sq_diff_sum(

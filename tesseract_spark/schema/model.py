@@ -158,6 +158,13 @@ class Measure:
     aggregator: Aggregator
     measure_type: MeasureType = MeasureType.STANDARD
     annotations: tuple[Annotation, ...] = ()
+    #: engine extension: when set, sum-family aggregations route through
+    #: decimal(38, exact_scale) so results are order-independent (exact decimal
+    #: arithmetic) — needed for bit-stable results across plan reorderings
+    #: (semi-join pushdown, two-phase, AQE) and across engines. Costs ~6× on
+    #: the agg stage; intended for money-typed columns where determinism
+    #: matters. Final output is cast back to double.
+    exact_scale: int | None = None
 
 
 @dataclass(frozen=True)

@@ -116,6 +116,7 @@ def _measure(raw) -> Measure:
         aggregator=parse_aggregator(raw["aggregator"]),
         measure_type=MeasureType(raw.get("type", "standard")),
         annotations=_annotations(raw.get("annotations")),
+        exact_scale=raw.get("exact_scale"),
     )
 
 

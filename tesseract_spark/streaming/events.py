@@ -39,6 +39,17 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read events.parquet under ANY caller-supplied session.
+
+    The file stores ts as INT64 TIMESTAMP(NANOS), which vanilla Spark rejects
+    (PARQUET_TYPE_ILLEGAL). ``nanosAsLong`` is a runtime-settable SQL conf, so
+    set it here rather than relying on the session having been built by
+    ``get_spark`` — external harnesses pass their own SparkSession."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def windowed_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window event rollup: count + sum(value) + distinct users per
     (window, event_type). Works identically on batch and streaming inputs."""
@@ -73,8 +84,7 @@ def windowed_agg_oracle_sql(table: str = "events", window_hours: int = 1) -> str
 
 
 def batch_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    return windowed_agg(events).drop("approx_users")
+    return windowed_agg(read_events(spark, sf_dir)).drop("approx_users")
 
 
 def run_streaming_demo(
@@ -91,6 +101,7 @@ def run_streaming_demo(
     stage = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = _normalize_ts(
         spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
     ).withWatermark("ts", "2 hours")

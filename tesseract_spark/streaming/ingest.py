@@ -40,6 +40,7 @@ def ingest_events(
 ):
     """Start (and drain, for the local smoke path) a streaming ingest from a
     parquet events source into a parquet sink with derived time levels."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = _normalize_ts(spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir))
     q = (
         _derive(stream)

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from .events import EVENTS_SCHEMA, _normalize_ts
+from .events import EVENTS_SCHEMA, _normalize_ts, read_events
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -75,8 +75,7 @@ def sessionize_oracle_sql(table: str = "events", gap_minutes: int = 30) -> str:
 
 
 def batch_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
-    events = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    return sessionize(events, gap_minutes)
+    return sessionize(read_events(spark, sf_dir), gap_minutes)
 
 
 def streaming_sessionize(
@@ -92,6 +91,7 @@ def streaming_sessionize(
 
     stage = tempfile.mkdtemp(prefix="events_sessions_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = _normalize_ts(
         spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
     ).withWatermark("ts", "2 hours")

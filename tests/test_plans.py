@@ -82,3 +82,51 @@ def test_fact_scaled_dim_not_forced_broadcast(builder):
     # the part/supplier-style hint appears as ResolvedHint/broadcast in logical
     # plans; for the order_geo join no hint may be present
     assert "UnresolvedHint" not in logical
+
+
+def test_exact_scale_sums_match_plain_and_stay_double(builder):
+    """exact_scale measures: decimal-exact sums fold back to double and agree
+    with the plain double sums to float tolerance, in BOTH plan shapes."""
+    from pyspark.sql import types as T
+
+    from tesseract_spark.query.model import Query
+
+    flat = builder.dataframe(
+        "lineitem_sales",
+        Query.from_params(
+            {
+                "drilldowns": ["Return Flag.Return Flag"],
+                "measures": ["Extended Price", "Extended Price Exact"],
+            }
+        ),
+    )
+    assert isinstance(flat.schema["Extended Price Exact"].dataType, T.DoubleType)
+    for r in flat.collect():
+        assert abs(r["Extended Price"] - r["Extended Price Exact"]) < 1e-4
+
+    # a median in the query forces the explicit two-phase plan for all measures
+    two_phase = builder.dataframe(
+        "lineitem_sales",
+        Query.from_params(
+            {
+                "drilldowns": ["Return Flag.Return Flag"],
+                "measures": [
+                    "Median Qty By Order",
+                    "Extended Price",
+                    "Extended Price Exact",
+                    "Weighted Price Exact",
+                    "Tax MOE Exact",
+                    "Custom Net Exact",
+                ],
+            }
+        ),
+    )
+    for name in (
+        "Extended Price Exact",
+        "Weighted Price Exact",
+        "Tax MOE Exact",
+        "Custom Net Exact",
+    ):
+        assert isinstance(two_phase.schema[name].dataType, T.DoubleType), name
+    for r in two_phase.collect():
+        assert abs(r["Extended Price"] - r["Extended Price Exact"]) < 1e-4
