@@ -199,12 +199,24 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 5,
+    max_bucket: int = 256,
+    log_oversize: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: signature split into ``bands`` bands of
     ``num_hashes/bands`` rows; pair is a candidate iff some band hashes equal.
-    Scale shape: explode to (id, band, bucket) then self-join on (band, bucket)
-    — buckets are md5 strings so the join key is uniform; no hot keys unless
-    real duplicate clusters exist (which is the signal)."""
+    Scale shape: explode to (id, band, bucket) then group per (band, bucket)
+    — buckets are md5 strings so the shuffle key is uniform; no hot keys unless
+    real duplicate clusters exist (which is the signal).
+
+    Degenerate buckets (empty-document clusters, boilerplate pages) can hold
+    millions of members; full pair expansion there is O(c²) in ONE task and
+    OOMs. Buckets larger than ``max_bucket`` switch to a **star expansion**
+    (every member paired with the bucket's min id — c−1 pairs): connected
+    components over the pairs are IDENTICAL, output per bucket is linear, and
+    nothing is silently dropped. Full expansion (needed when pairs feed a
+    similarity-verification step) stays for buckets ≤ ``max_bucket``.
+    ``log_oversize=True`` counts and logs the star-expanded buckets (extra
+    action — keep off in latency-sensitive paths)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
@@ -217,17 +229,27 @@ def minhash_lsh_pairs(
     buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    # pair generation WITHOUT a self-join: group ids per (band, bucket) and
-    # expand in-group pairs — one pipeline (signatures computed once), one
-    # shuffle on the bucket key. Bucket membership lists are small unless real
-    # duplicate clusters exist, which is exactly the signal being mined.
     ids = F.array_sort(F.collect_set("id"))
     pair_lists = (
         buckets.groupBy("band", "bucket")
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = pair_lists.select(
+    small = pair_lists.filter(F.size("ids") <= max_bucket)
+    big = pair_lists.filter(F.size("ids") > max_bucket)
+    if log_oversize:
+        n_big = big.count()
+        if n_big:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: %d buckets exceed max_bucket=%d — "
+                "star-expanded (connectivity preserved, member-member pairs "
+                "not emitted for those buckets)",
+                n_big,
+                max_bucket,
+            )
+    small_pairs = small.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -240,6 +262,17 @@ def minhash_lsh_pairs(
             )
         ).alias("p")
     )
+    big_pairs = big.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("ids"), 2, F.size(F.col("ids")) - 1),
+                lambda y: F.struct(
+                    F.element_at(F.col("ids"), 1).alias("id_a"), y.alias("id_b")
+                ),
+            )
+        ).alias("p")
+    )
+    pairs = small_pairs.unionByName(big_pairs)
     return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
 
 
@@ -274,44 +307,113 @@ def minhash_lsh_oracle_sql(
 # ---------------- duplicate-cluster resolution ----------------
 
 
-def resolve_duplicate_clusters(pairs: DataFrame, corpus_ids: DataFrame | None = None) -> DataFrame:
+#: above this many candidate pairs, resolve_duplicate_clusters switches from
+#: driver-side union-find to the distributed label-propagation path
+EDGE_COLLECT_THRESHOLD = 1_000_000
+
+
+def _components_distributed(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Distributed connected components: iterative min-label propagation.
+
+    Each round every node takes the min label over itself and its neighbors,
+    then pointer-jumps (label ← label of its label) — the jump halves chain
+    lengths so convergence is O(log diameter) rounds, each round a pair of
+    shuffles on node id. ``localCheckpoint`` truncates lineage per round.
+    This is the 100 TB path: nothing ever leaves the executors; the driver
+    only sees per-round changed-row counts."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("dst", "id")
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id", F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label")
+        )
+        jump = stepped.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
+        jumped = (
+            stepped.join(jump, stepped["label"] == jump["jid"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("jlabel", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+def resolve_duplicate_clusters(
+    pairs: DataFrame,
+    corpus_ids: DataFrame | None = None,
+    distributed: bool | None = None,
+    edge_threshold: int = EDGE_COLLECT_THRESHOLD,
+) -> DataFrame:
     """Candidate pairs → (doc_id, canonical_id): connected components with the
     minimum id as each cluster's canonical survivor.
 
-    The pair set after LSH banding is orders of magnitude smaller than the
-    corpus (it IS the near-dup signal), so components are solved driver-side
-    with union-find over the collected pairs — one ``collect()`` of edges, no
-    iterative joins. At extreme pair counts switch to iterative
-    min-id-propagation joins (label = min(label) over neighbors until fixpoint).
+    The pair set after LSH banding is usually orders of magnitude smaller than
+    the corpus (it IS the near-dup signal), so small edge sets are solved
+    driver-side with union-find over the collected pairs — one ``collect()``,
+    no iterative jobs. Above ``edge_threshold`` edges (or with
+    ``distributed=True``) the iterative min-label-propagation join path runs
+    instead, so a high-duplication corpus at 100 TB never funnels its edge set
+    through the driver. Both paths produce the identical mapping (asserted in
+    tests).
 
     ``corpus_ids`` (one ``id`` column), when given, adds singleton docs mapped
     to themselves so the output covers the whole corpus.
     """
-    edges = [(r[0], r[1]) for r in pairs.select("id_a", "id_b").collect()]
-    parent: dict = {}
+    if distributed is None:
+        distributed = pairs.limit(edge_threshold + 1).count() > edge_threshold
+    if distributed:
+        out = _components_distributed(pairs)
+    else:
+        edges = [(r[0], r[1]) for r in pairs.select("id_a", "id_b").collect()]
+        parent: dict = {}
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
 
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # canonical = min id
-            lo, hi = (ra, rb) if str(ra) < str(rb) or ra < rb else (rb, ra)
-            parent[hi] = lo
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # canonical = min id: the smaller root always becomes parent,
+                # so every component's root is its minimum member
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
 
-    for a, b in edges:
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        union(a, b)
-    mapping = [(x, find(x)) for x in parent]
-    spark = pairs.sparkSession
-    out = spark.createDataFrame(mapping or [(None, None)], "doc_id long, canonical_id long")
-    if not mapping:
-        out = out.filter(F.col("doc_id").isNotNull())
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            union(a, b)
+        mapping = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        out = spark.createDataFrame(
+            mapping or [(None, None)], "doc_id long, canonical_id long"
+        )
+        if not mapping:
+            out = out.filter(F.col("doc_id").isNotNull())
     if corpus_ids is not None:
         singles = corpus_ids.select(F.col("id").alias("doc_id")).join(
             out.select("doc_id"), "doc_id", "left_anti"

@@ -174,3 +174,63 @@ def test_multimodal_plumbing_batch_shape(spark, sf_dir):
     assert row.n_bytes > 0 and len(row.sha256_8) == 8
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x00", "image")
+
+
+def test_minhash_lsh_oversize_bucket_star_expansion(spark):
+    """A degenerate bucket (every doc identical) above max_bucket must expand
+    linearly (star pairs) instead of O(c²), and clustering must be unchanged."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.dedup import minhash_lsh_pairs, resolve_duplicate_clusters
+
+    n = 2000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page body repeated verbatim everywhere").alias(
+            "text"
+        ),
+    )
+    pairs = minhash_lsh_pairs(docs, max_bucket=64)
+    # star expansion: every member paired with the bucket min (id 0)
+    assert pairs.count() == n - 1
+    assert pairs.filter(F.col("id_a") != 0).count() == 0
+    resolved = resolve_duplicate_clusters(pairs)
+    assert resolved.filter(F.col("canonical_id") != 0).count() == 0
+    assert resolved.count() == n
+
+    # below the cap the same corpus produces the full quadratic pair set
+    small = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("identical tiny doc").alias("text")
+    )
+    full = minhash_lsh_pairs(small, max_bucket=64)
+    assert full.count() == 10 * 9 // 2
+
+
+def test_components_distributed_matches_union_find(spark):
+    """The iterative label-propagation path must produce the identical mapping
+    as the driver-side union-find, including on a long path graph (worst case
+    for propagation depth)."""
+    from tesseract_spark.operators.dedup import resolve_duplicate_clusters
+
+    # chain 0-1-2-...-29 (diameter 29), plus a star and singleton-free corpus
+    chain = [(i, i + 1) for i in range(29)]
+    star = [(100, x) for x in (101, 105, 103)]
+    cross = [(200, 300), (250, 300), (200, 400)]
+    pairs = spark.createDataFrame(chain + star + cross, "id_a long, id_b long")
+    a = {
+        (r.doc_id, r.canonical_id)
+        for r in resolve_duplicate_clusters(pairs, distributed=False).collect()
+    }
+    b = {
+        (r.doc_id, r.canonical_id)
+        for r in resolve_duplicate_clusters(pairs, distributed=True).collect()
+    }
+    assert a == b
+    assert {(i, 0) for i in range(30)} <= a
+
+    # threshold autoswitch: tiny edge_threshold forces the distributed path
+    c = {
+        (r.doc_id, r.canonical_id)
+        for r in resolve_duplicate_clusters(pairs, edge_threshold=2).collect()
+    }
+    assert c == a

@@ -20,12 +20,10 @@ def test_oracle_parity(name, spark, sf_dir, duck):
 
 
 def test_all_queries_have_entry_or_weak_check():
-    # every catalog entry is runnable; oracle-less ones are the documented
-    # non-SQL-expressible set (approximate/engine-specific ops only)
+    # every catalog entry carries a full SQL oracle — the formerly-weak pair
+    # (q_ann_lsh_topk, q_approx_distinct_count) now has exact mirrors too
     weak = {n for n, e in catalog.ENTRIES.items() if e.oracle is None}
-    assert weak == {"q_ann_lsh_topk", "q_approx_distinct_count"}, (
-        f"unexpectedly oracle-less: {weak}"
-    )
+    assert weak == set(), f"unexpectedly oracle-less: {weak}"
 
 
 def test_entry_contract(spark):
