@@ -67,19 +67,49 @@ def apply_growth(
     all_aliases = builder._group_aliases(specs)
     part_aliases = [a for a in all_aliases if a not in time_aliases]
 
-    w = Window.partitionBy(*[F.col(a) for a in part_aliases]).orderBy(
-        *[F.col(a).asc() for a in time_aliases]
-    )
     mea = F.col(growth.mea)
-    prev = F.lag(mea).over(w)
+    time_cols = [F.col(a) for a in time_aliases]
+    if part_aliases:
+        w = Window.partitionBy(*[F.col(a) for a in part_aliases]).orderBy(
+            *[c.asc() for c in time_cols]
+        )
+        prev = F.lag(mea).over(w)
+    else:
+        # Global lag (time is the only drill): a plain window would funnel
+        # every row through ONE task. Distributed form instead: range-partition
+        # by time (earlier periods land in earlier partitions), lag WITHIN each
+        # partition in parallel, then patch each partition's first row with the
+        # previous partition's last value via a tiny per-partition carry table
+        # (#partitions rows; the pid<pid' self-join sidesteps empty range
+        # partitions that a pid+1 equi-join would trip over).
+        df = df.repartitionByRange(*time_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        w_in = Window.partitionBy("__pid").orderBy(*[c.asc() for c in time_cols])
+        df = df.withColumn("__prev_in", F.lag(mea).over(w_in))
+        lasts = df.groupBy("__pid").agg(
+            F.max_by(mea, F.struct(*time_cols)).alias("__last")
+        )
+        carry = (
+            lasts.alias("cur")
+            .join(F.broadcast(lasts.alias("lo")), F.col("lo.__pid") < F.col("cur.__pid"))
+            .groupBy(F.col("cur.__pid").alias("__pid"))
+            .agg(F.max_by(F.col("lo.__last"), F.col("lo.__pid")).alias("__carry"))
+        )
+        df = df.join(F.broadcast(carry), "__pid", "left")
+        prev = F.coalesce(F.col("__prev_in"), F.col("__carry"))
+
     growth_value = mea - prev
     # growth.rs:104 — `(m−Δ)>0 ? Δ/(m−Δ) : Δ/0`; div-by-zero → NULL here (see module doc)
     growth_col = F.when(prev > 0, growth_value / prev).otherwise(
         growth_value / F.lit(0.0)
     )
-    return df.withColumn(f"{growth.mea} Growth Value", growth_value).withColumn(
+    out = df.withColumn(f"{growth.mea} Growth Value", growth_value).withColumn(
         f"{growth.mea} Growth", growth_col
     )
+    if not part_aliases:
+        out = out.drop("__pid", "__prev_in", "__carry")
+    return out
 
 
 def _split_rca_cuts(
@@ -122,11 +152,26 @@ def apply_rca(
     ext_aliases = [a for a in all_aliases if a not in d1_aliases and a not in d2_aliases]
 
     mea = F.col(rca.mea)
-    w_b = Window.partitionBy(*[F.col(a) for a in ext_aliases + d2_aliases])
-    w_d = Window.partitionBy(*[F.col(a) for a in ext_aliases])
     df = df.withColumn("a", mea)
-    df = df.withColumn("b", F.sum("a").over(w_b))
-    df = df.withColumn("d", F.sum("a").over(w_d))
+    base_cols = [c for c in df.columns if c != "a"]
+
+    # b/c/d as grouped aggregates + joins rather than partition-sum windows:
+    # a window partitioned by only (ext) funnels the WHOLE (ext, d1, d2) grain
+    # of one ext value through a single task — exactly RCA's high-cardinality
+    # case. Grouped sums aggregate map-side to tiny results (one row per
+    # group), which Catalyst/AQE then broadcast back onto the grain — no
+    # single-task stage at any cardinality. The re-sums are over the same
+    # values the windows summed, so results are identical (and the catalog's
+    # RCA entries use integer-valued doubles — order-exact sums — so oracle
+    # hashes are unaffected).
+    def _totals(src: DataFrame, keys: list[str], alias: str) -> DataFrame:
+        return src.groupBy(*[F.col(k) for k in keys]).agg(F.sum("a").alias(alias))
+
+    b_tab = _totals(df, ext_aliases + d2_aliases, "b")
+    if ext_aliases:
+        d_tab = _totals(df, ext_aliases, "d")
+    else:
+        d_tab = df.agg(F.sum("a").alias("d"))  # grand total: 1-row scalar
 
     # d1 cuts apply to a/c only — filter AFTER b/d are fixed (rca.rs:86-123)
     _, d1_cuts, _ = _split_rca_cuts(builder, cube, query)
@@ -139,8 +184,18 @@ def apply_rca(
             target = level_name_alias(ref.level)
         df = df.filter(builder._cut_predicate(ref.level, cut, target))
 
-    w_c = Window.partitionBy(*[F.col(a) for a in ext_aliases + d1_aliases])
-    df = df.withColumn("c", F.sum("a").over(w_c))
+    c_tab = _totals(df, ext_aliases + d1_aliases, "c")
+    # no forced broadcast hints on b/c/d: their sizes are data-dependent
+    # (#groups at each grain) and AQE picks broadcast-hash at runtime when the
+    # aggregate output is small — which it is in every non-pathological case.
+    # The grand-total scalar IS always 1 row, so that one is hinted.
+    df = df.join(b_tab, ext_aliases + d2_aliases)
+    df = df.join(c_tab, ext_aliases + d1_aliases)
+    if ext_aliases:
+        df = df.join(d_tab, ext_aliases)
+    else:
+        df = df.crossJoin(F.broadcast(d_tab))
+    df = df.select(*base_cols, "a", "b", "c", "d")
     df = df.withColumn(f"{rca.mea} RCA", (F.col("a") / F.col("b")) / (F.col("c") / F.col("d")))
     if not query.debug:
         df = df.drop("a", "b", "c", "d")
