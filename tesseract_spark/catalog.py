@@ -671,6 +671,48 @@ _add(
     """,
 )
 
+# ---------- L5: multi-level cuts on one dimension → union fan-out ----------
+# the reference expands cuts on several levels of one dimension into a
+# cartesian product of queries — one per cut level — each auto-drilling its
+# cut level, then concatenates results BY POSITION under the first query's
+# headers (logic_layer/aggregate.rs:817-916, merge :321-534). This entry pins
+# that semantics: Region=1 and Nation=5,6 yield (region-grain rows) UNION ALL
+# (nation-grain rows), nation ids surfacing in the Region-named columns.
+
+
+def _multi_cut_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .logic.layer import LogicLayer
+
+    b = get_builder(spark, sf_dir)
+    return LogicLayer(b).data(
+        {
+            "cube": "lineitem_sales",
+            "drilldowns": "Return Flag",
+            "measures": ["Quantity"],
+            "Region": "1",
+            "Nation": "5,6",
+        }
+    )
+
+
+_add(
+    "q_multi_cut_union",
+    _multi_cut_union,
+    f"""
+    SELECT l.l_returnflag AS "Return Flag",
+           g.r_regionkey AS "Region ID", g.r_name AS "Region",
+           sum(l.l_quantity) AS "Quantity"
+    FROM lineitem l JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
+    WHERE g.r_regionkey = 1
+    GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT l.l_returnflag, g.n_nationkey, g.n_name, sum(l.l_quantity)
+    FROM lineitem l JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
+    WHERE g.n_nationkey IN (5, 6)
+    GROUP BY 1, 2, 3
+    """,
+)
+
 # ---------- Spark-native grouping extensions: pivot + rollup ----------
 # (the reference has no pivot/grouping-sets surface; Spark's are exposed as
 # engine extensions — SURVEY §2.4 note on rollup/cube supersets)

@@ -6,13 +6,14 @@ config.rs:160-268): cube-name aliases, unique-level-name drilldowns/cuts
 cut operations ``id:children`` / ``id:parents`` / ``id:neighbors``, and
 ``exclude=`` row drops.
 
-Execution-shape difference from the reference (by design, SURVEY.md L5): the
-reference expands multi-level cut combinations into a cartesian product of N
-SQL queries and concatenates results client-side; this engine emits ONE
-DataFrame plan — cuts on several levels of a dimension are ANDed and the extra
-levels auto-drilled, which yields the identical labeled row set with a single
-scan instead of N. ``exclude=`` becomes an in-plan filter (P8) rather than a
-post-union row drop.
+Multi-level cuts (SURVEY.md L5) follow the reference exactly: cuts on several
+levels of one dimension fan out into the cartesian product of per-level cut
+combinations — one query each, the chosen level auto-drilled — and the results
+are unioned by position under the first combination's headers
+(aggregate.rs:817-916, merge :321-534; pinned by catalog entry
+``q_multi_cut_union``). The Spark advantage is that the fan is N branches of
+ONE union plan executed concurrently, not N sequential round-trips.
+``exclude=`` becomes an in-plan filter (P8) rather than a post-union row drop.
 """
 
 from __future__ import annotations
@@ -220,6 +221,51 @@ class LogicLayer:
         )
         return out
 
+    # ---------------- multi-cut fan-out (L5) ----------------
+
+    def _fanout_union(
+        self,
+        cube: Cube,
+        q: Query,
+        dim_cuts: dict[str, dict[LevelName, Cut]],
+        multi_dims: set[str],
+    ) -> DataFrame:
+        """Reference L5 semantics (aggregate.rs:817-916, merge at :321-534):
+        one query per cut combination (cartesian product choosing one cut level
+        per dimension), the chosen level auto-drilled when its dimension has
+        several cut levels, results unioned BY POSITION with the first
+        combination's headers. Each branch is an independent DataFrame plan;
+        Spark runs the union's branches concurrently, so the fan costs one
+        multi-branch job instead of the reference's N round-trips."""
+        import copy
+        from functools import reduce
+        from itertools import product
+
+        combos = list(product(*[list(per.values()) for per in dim_cuts.values()]))
+        dfs = []
+        for combo in combos:
+            qc = copy.copy(q)
+            qc.drilldowns = list(q.drilldowns)
+            qc.cuts = list(q.cuts) + list(combo)
+            for cut in combo:
+                if (
+                    cut.level_name.dimension in multi_dims
+                    and cut.level_name not in qc.drilldowns
+                ):
+                    qc.drilldowns.append(cut.level_name)
+            dfs.append(self.builder.dataframe(cube.name, qc))
+        first = dfs[0]
+        width = len(first.columns)
+        for other in dfs[1:]:
+            if len(other.columns) != width:
+                raise ValueError(
+                    "multi-cut combinations produced differing column counts "
+                    f"({width} vs {len(other.columns)}); positional union "
+                    "requires symmetric level columns (key [+ name]) across "
+                    "the cut levels of each dimension"
+                )
+        return reduce(lambda a, b: a.union(b.toDF(*first.columns)), dfs[1:], first)
+
     # ---------------- entry point ----------------
 
     def data(self, params: dict) -> DataFrame:
@@ -282,25 +328,36 @@ class LogicLayer:
         ) else ([params.pop("filters")] if params.get("filters") else []):
             q.filters.append(FilterQuery.parse(f))
 
-        # remaining params that name a level are flattened cuts
-        auto_drills: list[LevelName] = []
+        # remaining params that name a level are flattened cuts, grouped per
+        # (dimension, level) for the reference's cut-combination fan-out
+        # (aggregate.rs:817-916): each dimension contributes ONE of its cut
+        # levels per query; the cartesian product across dimensions yields the
+        # query fan; dimensions with several cut levels auto-drill the chosen
+        # level (aggregate.rs:841-845, 882-893)
+        dim_cuts: dict[str, dict[LevelName, Cut]] = {}
         for key, raw in list(params.items()):
             target = lmap.get(key)
             if target is None:
                 continue
             for cut in self._resolve_cut_tokens(cube, target, key, str(raw)):
-                q.cuts.append(cut)
-                # multi-level cut resolution labels rows by auto-drilling the
-                # cut level when the dimension has several cut levels
-                # (aggregate.rs:841-845, 882-893) — single-plan equivalent
-                if (
-                    cut.level_name not in q.drilldowns
-                    and cut.level_name.level != target.level
-                ):
-                    auto_drills.append(cut.level_name)
-        q.drilldowns.extend(d for d in auto_drills if d not in q.drilldowns)
+                per = dim_cuts.setdefault(cut.level_name.dimension, {})
+                prev = per.get(cut.level_name)
+                if prev is not None:
+                    cut = Cut(
+                        cut.level_name,
+                        tuple(dict.fromkeys(prev.members + cut.members)),
+                        prev.mask,
+                        prev.for_match,
+                    )
+                per[cut.level_name] = cut
 
-        df = self.builder.dataframe(cube.name, q)
+        multi_dims = {d for d, per in dim_cuts.items() if len(per) > 1}
+        if not multi_dims:
+            for per in dim_cuts.values():
+                q.cuts.extend(per.values())
+            df = self.builder.dataframe(cube.name, q)
+        else:
+            df = self._fanout_union(cube, q, dim_cuts, multi_dims)
 
         # exclude=Level:id1,id2;Level2:... → in-plan row drops (P8)
         if exclude:

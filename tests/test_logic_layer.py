@@ -177,3 +177,44 @@ def test_exclude_filter(layer):
     )
     flags = {r["Return Flag"] for r in df.collect()}
     assert flags == {"A"}
+
+
+def test_multi_cut_fanout_union(layer, builder):
+    """Cuts on two levels of one dimension must reproduce the reference's
+    union-of-combinations (one query per cut level, positional merge under the
+    first query's headers) — NOT an ANDed intersection."""
+    out = layer.data(
+        {
+            "cube": "sales",
+            "drilldowns": "Return Flag",
+            "measures": "Quantity",
+            "Region": "1",
+            "Nation": "5,6",
+        }
+    )
+    assert out.columns == ["Return Flag", "Region ID", "Region", "Quantity"]
+
+    region_branch = layer.data(
+        {
+            "cube": "sales",
+            "drilldowns": "Return Flag,Region",
+            "measures": "Quantity",
+            "Region": "1",
+        }
+    )
+    nation_branch = layer.data(
+        {
+            "cube": "sales",
+            "drilldowns": "Return Flag,Nation",
+            "measures": "Quantity",
+            "Nation": "5,6",
+        }
+    )
+    expected = {
+        tuple(r) for r in region_branch.select(*out.columns).collect()
+    } | {tuple(r) for r in nation_branch.toDF(*out.columns).select(*out.columns).collect()}
+    got = {tuple(r) for r in out.collect()}
+    assert got == expected and len(got) > 0
+    # both grains present: region id 1 rows AND nation id 5/6 rows
+    ids = {r["Region ID"] for r in out.collect()}
+    assert 1 in ids and ({5, 6} & ids)
