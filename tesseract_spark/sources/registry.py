@@ -82,9 +82,10 @@ class TableRegistry:
     ):
         """Bind a table to a JDBC source — the Spark-native analog of the
         reference's MySQL/Postgres backends (tesseract-mysql/postgres
-        src/lib.rs). Requires the JDBC driver jar on the classpath (not present
-        in the test image — gated behind lazy load). ``partition_column`` +
-        bounds enable parallel partitioned reads; without them the read is
+        src/lib.rs). Requires the JDBC driver jar on the classpath; pass the
+        driver class via ``properties={"driver": ...}``. Exercised end-to-end
+        against embedded Derby in ``tests/test_jdbc.py``. ``partition_column``
+        + bounds enable parallel partitioned reads; without them the read is
         single-task (fine for dims, wrong for facts)."""
 
         def load_jdbc(spark: SparkSession) -> DataFrame:
