@@ -895,6 +895,24 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: similarity.ann_lsh_topk(_embs(spark, sf), [0, 1, 2, 3, 4]),
         similarity.ann_lsh_topk_oracle_sql([0, 1, 2, 3, 4]),
     )
+    # IVF ANN: deterministic k-means (seeded by smallest ids, exact-decimal
+    # centroid means) → inverted lists → nprobe probing → exact rescore; the
+    # whole training + search pipeline has an unrolled-CTE SQL mirror
+    _add(
+        "q_ann_ivf_topk",
+        lambda spark, sf: similarity.ivf_topk(_embs(spark, sf), [0, 1, 2, 3, 4]),
+        similarity.ivf_topk_oracle_sql([0, 1, 2, 3, 4]),
+    )
+    # embedding-cosine near-dup pairs, LSH-bucket-pruned; the synthetic
+    # embeddings' similarity regime tops out near cos≈0.4, so the threshold
+    # pins operator mechanics rather than a production 0.95 dedup bar
+    _add(
+        "q_ann_near_dup",
+        lambda spark, sf: similarity.cosine_near_dup_pairs(
+            _embs(spark, sf), threshold=0.35, planes=4
+        ),
+        similarity.cosine_near_dup_oracle_sql(threshold=0.35, planes=4),
+    )
     _add(
         "q_multimodal_features",
         lambda spark, sf: multimodal.multimodal_features(_docs(spark, sf)),

@@ -113,11 +113,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.5,
+    max_docs: int | None = 100_000,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets for every pair
     sharing ≥1 shingle; keeps pairs ≥ threshold. Inverted-index self-join —
     shuffle keyed on shingle, skew-prone on hot shingles (use MinHash first at
-    scale; AQE skew-join handles moderate skew)."""
+    scale; AQE skew-join handles moderate skew).
+
+    This is the quadratic *verification* path: the shingle self-join blows up
+    on big corpora (hot shingles join every co-containing doc pair). The
+    ``max_docs`` guard refuses inputs above the limit — run
+    :func:`minhash_lsh_pairs` first and verify only its candidates, or pass
+    ``max_docs=None`` to override deliberately. The check is a ``limit(n+1)``
+    probe, not a full count."""
+    if max_docs is not None and df.limit(max_docs + 1).count() > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_pairs: corpus exceeds max_docs={max_docs}; this is "
+            "the O(pairs) verification path — generate candidates with "
+            "minhash_lsh_pairs first, or pass max_docs=None to force"
+        )
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles_col(F.col(text_col), n)).alias("shingle"),

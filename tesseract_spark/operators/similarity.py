@@ -281,6 +281,193 @@ def ann_lsh_topk_oracle_sql(
     """
 
 
+# ---------------- IVF (inverted-file) ANN ----------------
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """|a−b|² via the dot-product identity a·a − 2a·b + b·b.
+
+    Composed from the SAME sequential-fold dot both engines use
+    (Spark ``aggregate`` HOF ≙ DuckDB ``list_dot_product``), so distances are
+    bit-identical cross-engine — rank ties broken on (dist², cid) are then
+    deterministic, which the oracle depends on."""
+    return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: corpus × centroids (broadcast — K rows),
+    row_number over (dist², cid). Map-side only; no shuffle before the
+    per-vector window (partitioned by vector id)."""
+    joined = vecs.crossJoin(F.broadcast(cents))
+    w = Window.partitionBy("id").orderBy(
+        _sq_dist(F.col("vec"), F.col("cvec")).asc(), F.col("cid").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "vec", "cid")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: k-means inverted lists, ``nprobe``-list probing, exact rescore.
+
+    Fully deterministic so the DuckDB oracle can mirror it: seed centroids are
+    the ``n_centroids`` smallest-id vectors (no RNG), each Lloyd iteration
+    recomputes per-cluster means with EXACT decimal sums
+    (``sum(cast(x as decimal(38,9)))/count`` — order-independent, hence
+    bit-stable across partitionings and engines), and every argmin/rank breaks
+    ties on id. Scale shape: assignment is a broadcast cross-join (N×K rows,
+    map-side); centroid recomputation explodes vectors to (cid, dim, x) — at
+    100 TB train on a sample and only the final assignment runs corpus-wide.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    cents = vecs.orderBy("id").limit(n_centroids).select(
+        F.col("id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    for _ in range(iters):
+        assigned = _assign(vecs, cents)
+        ex = assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
+        means = ex.groupBy("cid", (F.col("pos") + 1).alias("i")).agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,9)")).cast("double") / F.count("*")
+            ).alias("v")
+        )
+        cents = (
+            means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
+            .select("cid", F.transform("s", lambda st: st["v"]).alias("cvec"))
+        )
+    lists = _assign(vecs, cents)
+
+    queries = vecs.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        _sq_dist(F.col("qvec"), F.col("cvec")).asc(), F.col("cid").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qvec", "cid")
+    )
+    cand = probes.join(lists, "cid").filter(F.col("id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(cosine_col(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ivf_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """Exact SQL mirror of :func:`ivf_topk` with the Lloyd iterations unrolled
+    as CTE stages (deterministic seeding + exact decimal means — see the
+    operator docstring for why every stage is bit-reproducible)."""
+
+    def assign_sql(src: str, cents: str, out_cols: str = "id, vec, cid") -> str:
+        d2 = (
+            f"(list_dot_product(s.vec, s.vec) - 2*list_dot_product(s.vec, c.cvec)"
+            f" + list_dot_product(c.cvec, c.cvec))"
+        )
+        return f"""(
+      SELECT {out_cols} FROM (
+        SELECT s.id, s.vec, c.cid,
+               row_number() OVER (PARTITION BY s.id ORDER BY {d2} ASC, c.cid ASC) AS rn
+        FROM {src} s CROSS JOIN {cents} c) WHERE rn = 1
+    )"""
+
+    ctes = [
+        f"v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM {table})",
+        f"c0 AS (SELECT id AS cid, vec AS cvec FROM v ORDER BY id LIMIT {n_centroids})",
+    ]
+    cur = "c0"
+    for it in range(iters):
+        nxt = f"c{it + 1}"
+        ctes.append(f"a{it} AS {assign_sql('v', cur)}")
+        ctes.append(
+            f"""m{it + 1} AS (
+      SELECT a.cid, r.i,
+             CAST(sum(CAST(a.vec[r.i] AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS val
+      FROM a{it} a, range(1, {dim + 1}) r(i)
+      GROUP BY a.cid, r.i
+    )"""
+        )
+        ctes.append(
+            f"{nxt} AS (SELECT cid, list(val ORDER BY i) AS cvec FROM m{it + 1} GROUP BY cid)"
+        )
+        cur = nxt
+    ids = ", ".join(str(i) for i in query_ids)
+    d2q = (
+        "(list_dot_product(q.qvec, q.qvec) - 2*list_dot_product(q.qvec, c.cvec)"
+        " + list_dot_product(c.cvec, c.cvec))"
+    )
+    ctes.append(f"lists AS {assign_sql('v', cur)}")
+    ctes.append(f"q AS (SELECT id AS query_id, vec AS qvec FROM v WHERE id IN ({ids}))")
+    ctes.append(
+        f"""probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY {d2q} ASC, c.cid ASC) AS pr
+        FROM q CROSS JOIN {cur} c) WHERE pr <= {nprobe}
+    )"""
+    )
+    ctes.append(
+        """cand AS (
+      SELECT p.query_id, l.id AS neighbor_id
+      FROM probe p JOIN lists l ON l.cid = p.cid AND l.id != p.query_id
+    )"""
+    )
+    ctes.append(
+        """scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_dot_product(q.qvec, nv.vec)
+                   / (sqrt(list_dot_product(q.qvec, q.qvec))
+                    * sqrt(list_dot_product(nv.vec, nv.vec))), 6) AS cos_sim
+      FROM cand
+      JOIN q ON q.query_id = cand.query_id
+      JOIN v nv ON nv.id = cand.neighbor_id
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -306,3 +493,42 @@ def cosine_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
     )
+
+
+def cosine_near_dup_oracle_sql(
+    threshold: float = 0.95,
+    dim: int = 64,
+    planes: int = 8,
+    seed: int = 42,
+    table: str = "embeddings",
+) -> str:
+    """Exact SQL mirror of :func:`cosine_near_dup_pairs` (same deterministic
+    hyperplane inlining as :func:`ann_lsh_topk_oracle_sql`; the sign-bit bucket
+    and the sequential-fold cosine are both bit-identical across engines)."""
+
+    def lit(vals: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+    terms = []
+    for p in range(planes):
+        w = _hyperplane(dim, p, seed)
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit(w)}) > 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT vec_id AS id, embedding, {bucket} AS bucket FROM {table}
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, c.id AS id_b,
+             round(
+               list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               6) AS cos_sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+    """

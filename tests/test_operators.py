@@ -234,3 +234,45 @@ def test_components_distributed_matches_union_find(spark):
         for r in resolve_duplicate_clusters(pairs, edge_threshold=2).collect()
     }
     assert c == a
+
+
+def test_ngram_jaccard_corpus_guard(spark, sf_dir):
+    """The quadratic verification path must refuse oversized corpora unless
+    explicitly overridden."""
+    import pytest as _pytest
+
+    from tesseract_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError, match="max_docs"):
+        ngram_jaccard_pairs(docs, max_docs=10)
+    # explicit override and under-limit both run
+    assert ngram_jaccard_pairs(docs.limit(5), max_docs=10).count() >= 0
+    assert ngram_jaccard_pairs(docs.limit(5), max_docs=None).count() >= 0
+
+
+def test_ivf_topk_recall_and_exact_scores(spark, sf_dir):
+    """IVF candidates are scored exactly (scores must match brute force for the
+    same pair) and probing 2 of 8 lists must retain reasonable recall."""
+    from tesseract_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    ivf = similarity.ivf_topk(embs, qids, k=5).collect()
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.brute_force_topk(embs, qids, k=10**6).collect()
+    }
+    for r in ivf:
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+    true_top = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(embs, qids, k=5).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(true_top & got) / len(true_top)
+    assert recall >= 0.3, f"suspiciously low IVF recall: {recall}"
+    # probing ALL lists must recover the exact top-k (IVF exactness limit)
+    full = similarity.ivf_topk(embs, qids, k=5, n_centroids=8, nprobe=8)
+    got_full = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert got_full == true_top
