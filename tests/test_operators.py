@@ -276,3 +276,30 @@ def test_ivf_topk_recall_and_exact_scores(spark, sf_dir):
     full = similarity.ivf_topk(embs, qids, k=5, n_centroids=8, nprobe=8)
     got_full = {(r.query_id, r.neighbor_id) for r in full.collect()}
     assert got_full == true_top
+
+
+def test_stateful_user_stats_stream_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState per-user running stats: the final streaming state
+    must equal the one-groupBy batch computation."""
+    import os
+
+    from tesseract_spark.streaming import state as st
+    from tesseract_spark.streaming.events import read_events
+
+    src = tmp_path / "src"
+    src.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", src / "events.parquet")
+
+    streamed = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in st.user_stats_streaming(spark, str(src)).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in st.user_stats_batch(read_events(spark, sf_dir)).collect()
+    }
+    assert set(streamed) == set(batch)
+    for uid, (n, total, last) in batch.items():
+        sn, stotal, slast = streamed[uid]
+        assert sn == n and slast == last
+        assert abs(stotal - total) < 1e-9
