@@ -45,23 +45,37 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _update_user_stats(key, pdfs, state: GroupState):
-    """Fold this micro-batch's rows for one user into the persisted state."""
-    (user_id,) = key
-    if state.exists:
-        n, total, last = state.get
-    else:
-        n, total, last = 0, 0.0, None
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        batch_last = pdf["ts"].max()
-        if last is None or batch_last > last:
-            last = batch_last
-    state.update((n, total, last))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [total], "last_ts": [last]}
-    )
+def make_update_user_stats():
+    """Build the per-group state-update function.
+
+    Returned from a factory (→ cloudpickle serializes it BY VALUE) rather than
+    defined at module top level (→ serialized by reference, which breaks on
+    executors whose Python workers can't import this package — e.g. a driver
+    that added the repo to ``sys.path`` manually)."""
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n, total, last = state.get
+        else:
+            n, total, last = 0, 0.0, None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_last = pdf["ts"].max()
+            if last is None or batch_last > last:
+                last = batch_last
+        state.update((n, total, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [last],
+            }
+        )
+
+    return update
 
 
 def user_stats_batch(events: DataFrame) -> DataFrame:
@@ -83,7 +97,7 @@ def user_stats_streaming(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = _normalize_ts(spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir))
     updated = stream.groupBy("user_id").applyInPandasWithState(
-        _update_user_stats,
+        make_update_user_stats(),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
