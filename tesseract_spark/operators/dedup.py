@@ -249,10 +249,8 @@ def minhash_lsh_pairs(
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    small = pair_lists.filter(F.size("ids") <= max_bucket)
-    big = pair_lists.filter(F.size("ids") > max_bucket)
     if log_oversize:
-        n_big = big.count()
+        n_big = pair_lists.filter(F.size("ids") > max_bucket).count()
         if n_big:
             import logging
 
@@ -263,30 +261,27 @@ def minhash_lsh_pairs(
                 n_big,
                 max_bucket,
             )
-    small_pairs = small.select(
+    # ONE conditional expression rather than a small/big filter-union (which
+    # would re-run shingling+signatures once per branch): full quadratic
+    # expansion under the cap, star expansion (min-id hub) above it
+    full_expansion = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    star_expansion = F.transform(
+        F.slice(F.col("ids"), 2, F.size(F.col("ids")) - 1),
+        lambda y: F.struct(F.element_at(F.col("ids"), 1).alias("id_a"), y.alias("id_b")),
+    )
+    pairs = pair_lists.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            )
+            F.when(F.size("ids") <= max_bucket, full_expansion).otherwise(star_expansion)
         ).alias("p")
     )
-    big_pairs = big.select(
-        F.explode(
-            F.transform(
-                F.slice(F.col("ids"), 2, F.size(F.col("ids")) - 1),
-                lambda y: F.struct(
-                    F.element_at(F.col("ids"), 1).alias("id_a"), y.alias("id_b")
-                ),
-            )
-        ).alias("p")
-    )
-    pairs = small_pairs.unionByName(big_pairs)
     return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
 
 
