@@ -629,6 +629,22 @@ _add(
     """,
 )
 
+# ---------- exact interpolated percentiles (extension aggregator) ----------
+_add(
+    "q_percentiles",
+    {
+        "drilldowns": ["Return Flag.Return Flag"],
+        "measures": ["P50 Price", "P90 Price", "Row Count"],
+    },
+    """
+    SELECT l_returnflag AS "Return Flag",
+           quantile_cont(l_extendedprice, 0.5) AS "P50 Price",
+           quantile_cont(l_extendedprice, 0.9) AS "P90 Price",
+           count(l_linenumber) AS "Row Count"
+    FROM lineitem GROUP BY 1
+    """,
+)
+
 # ---------- sort by a calculation (MeaOrCalc: 'growth' keyword, query.rs:112-149) ----------
 _add(
     "q_sort_by_growth",
@@ -922,6 +938,11 @@ def _wire_pipeline_ops() -> None:
         "q_events_window",
         ev.batch_windowed_agg,
         ev.windowed_agg_oracle_sql(),
+    )
+    _add(
+        "q_events_sliding",
+        ev.batch_sliding_windowed_agg,
+        ev.sliding_windowed_agg_oracle_sql(),
     )
 
     from .streaming import sessions as sess

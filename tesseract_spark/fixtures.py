@@ -227,6 +227,20 @@ LINEITEM_SCHEMA_JSON = {
                     "column": "l_partkey",
                     "aggregator": "distinct_count",
                 },
+                # exact interpolated percentiles (engine extension via the
+                # Custom template aggregator): Spark `percentile` ≡ DuckDB
+                # `quantile_cont` bit-for-bit (both linear interpolation over
+                # the sorted group)
+                {
+                    "name": "P90 Price",
+                    "column": "l_extendedprice",
+                    "aggregator": {"custom": "percentile({}, 0.9)"},
+                },
+                {
+                    "name": "P50 Price",
+                    "column": "l_extendedprice",
+                    "aggregator": {"custom": "percentile({}, 0.5)"},
+                },
                 # exact_scale variants: order-independent decimal sums for
                 # bit-stable results under plan reordering (semi-join pushdown,
                 # two-phase) — see plans/aggregators._exact_sum

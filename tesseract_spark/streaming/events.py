@@ -87,6 +87,38 @@ def batch_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_agg(read_events(spark, sf_dir)).drop("approx_users")
 
 
+def sliding_windowed_agg(
+    events: DataFrame, window: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding-window rollup: each event lands in window/slide overlapping
+    windows (Spark materializes the window copies — same shape the DuckDB
+    oracle mirrors with an unnest of the member bucket starts)."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_windowed_agg_oracle_sql(table: str = "events") -> str:
+    # 2h windows sliding by 1h: an event at t belongs to starts
+    # {floor_1h(t), floor_1h(t) − 1h}; both engines align buckets to the epoch
+    return f"""
+    SELECT ws AS window_start, event_type,
+           count(*) AS n_events, sum(value) AS total_value
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                     time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS ws,
+             event_type, value
+      FROM {table})
+    GROUP BY 1, 2
+    """
+
+
+def batch_sliding_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_windowed_agg(read_events(spark, sf_dir))
+
+
 def run_streaming_demo(
     spark: SparkSession, sf_dir: str, query_name: str = "events_rollup"
 ) -> DataFrame:
