@@ -781,6 +781,66 @@ _add(
     """,
 )
 
+
+def _cube_year_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    b = get_builder(spark, sf_dir)
+    li = b.registry.load("lineitem_enriched")
+    return li.cube(
+        F.col("l_shipyear").alias("Year"),
+        F.col("l_returnflag").alias("Return Flag"),
+    ).agg(F.sum("l_quantity").alias("Quantity"))
+
+
+_add(
+    "q_cube_year_flag",
+    _cube_year_flag,
+    """
+    SELECT year(l_shipdate)::INT AS "Year", l_returnflag AS "Return Flag",
+           sum(l_quantity) AS "Quantity"
+    FROM lineitem GROUP BY CUBE (1, 2)
+    """,
+)
+
+# ---------- as-of join (point-in-time-correct feature lookup) ----------
+# every purchase joined to the user's latest click at-or-before it; DuckDB's
+# native ASOF LEFT JOIN pins the Spark union+last-ignore-nulls composition
+# against an independent first-class implementation
+
+
+def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.asof import asof_join
+    from .streaming.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(purchases, clicks, on=["user_id"]).select(
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_asof").alias("click_ts"),
+        F.col("value_asof").alias("click_value"),
+    )
+
+
+_add(
+    "q_asof_purchase_click",
+    _asof_purchase_click,
+    """
+    SELECT p.user_id, p.ts, p.value, c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+
 # ---------- C5 (completed): conditional cut ----------
 # keep rows of SUPPLIERS that shipped at least one Brand#13 part
 _add(
@@ -951,6 +1011,52 @@ def _wire_pipeline_ops() -> None:
         "q_events_sessionize",
         sess.batch_sessionize,
         sess.sessionize_oracle_sql(),
+    )
+
+    from .operators import rangejoin, sampling
+
+    # within-document repetition (Gopher-style duplicate n-gram fraction)
+    _add(
+        "q_text_repetition",
+        lambda spark, sf: text.repetition_scores(_docs(spark, sf)),
+        text.repetition_scores_oracle_sql(),
+    )
+    # deterministic hash-bucket train/val/test split, counted per (lang, split)
+    def _split_counts(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return (
+            sampling.deterministic_split(_docs(spark, sf))
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    _add(
+        "q_split_train_val_test",
+        _split_counts,
+        f"""
+        SELECT lang, {sampling.split_case_sql("doc_id")} AS split,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1, 2
+        """,
+    )
+    # deterministic k-per-group uniform sample (stable across partitionings)
+    _add(
+        "q_sample_per_group",
+        lambda spark, sf: sampling.sample_per_group(
+            _docs(spark, sf).select("doc_id", "lang"), ["lang"], 5
+        ),
+        sampling.sample_per_group_oracle_sql(
+            "documents", ["lang"], 5, ["doc_id", "lang"]
+        ),
+    )
+    # bucketed range join: per purchase, clicks by the same user in the
+    # preceding hour (interval-join decomposed into a 2-candidate-bucket
+    # equi-join — no theta join at any scale)
+    _add(
+        "q_range_join_activity",
+        lambda spark, sf: rangejoin.recent_activity(ev.read_events(spark, sf)),
+        rangejoin.recent_activity_oracle_sql(),
     )
 
 

@@ -1,0 +1,129 @@
+"""Deterministic sampling & dataset splitting for training-data pipelines.
+
+The reference has no sampling surface (its only row-dropping operators are
+cuts/filters — SURVEY.md §2.2); these are the standard LLM-corpus operations:
+
+- :func:`deterministic_split` — stable train/val/test assignment from a hash
+  of the document id. Pure per-row column expression: no shuffle, no RNG
+  state, reproducible across runs/cluster sizes/partitionings — the property
+  that matters at 100 TB, where ``df.randomSplit`` (per-task RNG) changes
+  membership whenever partitioning changes.
+- :func:`sample_per_group` — exact k-per-group uniform sample via a
+  ``row_number`` window ordered by a keyed hash. ONE shuffle on the group
+  key; deterministic, so the same rows are sampled on every run.
+
+Hashing: first 8 hex chars of ``md5(seed || '|' || id)`` = 32 uniform bits,
+compared lexicographically against hex thresholds (lowercase hex sorts
+numerically, and DuckDB/Spark md5 hex strings are identical — the same trick
+the dedup operators use), so every function here has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: default split weights (name, fraction); fractions must sum to 1
+DEFAULT_SPLITS: tuple[tuple[str, float], ...] = (
+    ("train", 0.8),
+    ("val", 0.1),
+    ("test", 0.1),
+)
+
+
+def _hex_threshold(p: float) -> str:
+    """Hex literal h such that P[first-8-hex-chars(md5) < h] == p (8 chars,
+    32 bits)."""
+    return format(min(int(p * 16**8), 16**8 - 1), "08x")
+
+
+def _hash8(seed: str, id_col: Column) -> Column:
+    return F.substring(
+        F.md5(F.concat_ws("|", F.lit(seed), id_col.cast("string"))), 1, 8
+    )
+
+
+def split_col(
+    id_col: Column,
+    seed: str = "split-v1",
+    weights: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+) -> Column:
+    """Split-name column: deterministic hash-bucket assignment with the given
+    cumulative weights."""
+    h = _hash8(seed, id_col)
+    cum = 0.0
+    conds: list[tuple[Column, str]] = []
+    for name, w in weights[:-1]:
+        cum += w
+        conds.append((h < F.lit(_hex_threshold(cum)), name))
+    out: Column = F.lit(weights[-1][0])
+    for cond, name in reversed(conds):
+        out = F.when(cond, F.lit(name)).otherwise(out)
+    return out
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+    weights: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    out_col: str = "split",
+) -> DataFrame:
+    """Attach a stable split assignment; membership depends only on
+    (seed, id) — never on partitioning or cluster size."""
+    return df.withColumn(out_col, split_col(F.col(id_col), seed, weights))
+
+
+def split_case_sql(
+    id_expr: str,
+    seed: str = "split-v1",
+    weights: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+) -> str:
+    """DuckDB CASE expression mirroring :func:`split_col` bit-for-bit."""
+    h = f"substr(md5('{seed}|' || {id_expr}), 1, 8)"
+    cum = 0.0
+    branches = []
+    for name, w in weights[:-1]:
+        cum += w
+        branches.append(f"WHEN {h} < '{_hex_threshold(cum)}' THEN '{name}'")
+    return f"CASE {' '.join(branches)} ELSE '{weights[-1][0]}' END"
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Exactly min(k, group size) uniformly-chosen rows per group,
+    deterministic in (seed, id). The hash orders rows randomly-but-stably;
+    ``id_col`` breaks md5 ties (only possible with duplicate ids)."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        _hash8(seed, F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sample_per_group_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    k: int,
+    select_cols: list[str],
+    id_expr: str = "doc_id",
+    seed: str = "sample-v1",
+) -> str:
+    gc = ", ".join(group_cols)
+    sc = ", ".join(select_cols)
+    return f"""
+    SELECT {sc} FROM (
+      SELECT {sc}, row_number() OVER (
+        PARTITION BY {gc}
+        ORDER BY substr(md5('{seed}|' || {id_expr}), 1, 8), {id_expr}) AS rn
+      FROM {table})
+    WHERE rn <= {k}
+    """

@@ -103,6 +103,51 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(F.array_join(toks, " "))
 
 
+def repetition_score_col(text: Column, n: int = 3) -> Column:
+    """Duplicate word-n-gram fraction in [0,1) — the Gopher-style
+    within-document repetition signal (boilerplate / looping generations
+    score high). 1 − distinct/total over the document's n-gram stream; both
+    counts are pure column expressions (the distinct list reuses the dedup
+    module's Arrow-batched shingler — no shuffle, linear scan)."""
+    from .dedup import word_shingles_col
+
+    words = F.split(F.lower(F.trim(text)), _TOKEN_SPLIT)
+    total = F.greatest(F.size(words) - (n - 1), F.lit(1)).cast("double")
+    distinct = F.size(word_shingles_col(text, n)).cast("double")
+    return F.lit(1.0) - distinct / total
+
+
+def _sql_repetition_score(t: str, n: int = 3) -> str:
+    from .dedup import _sql_word_shingles
+
+    words = f"regexp_split_to_array(lower(trim({t})), '\\s+')"
+    total = f"CAST(greatest(len({words}) - {n - 1}, 1) AS DOUBLE)"
+    distinct = f"CAST(len({_sql_word_shingles(t, n)}) AS DOUBLE)"
+    return f"(1.0 - {distinct} / {total})"
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition scores at 3-gram (phrase looping) and 8-gram
+    (block duplication) granularity."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        repetition_score_col(text, 3).alias("rep_3gram"),
+        repetition_score_col(text, 8).alias("rep_8gram"),
+    )
+
+
+def repetition_scores_oracle_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           {_sql_repetition_score("text", 3)} AS rep_3gram,
+           {_sql_repetition_score("text", 8)} AS rep_8gram
+    FROM {table}
+    """
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     text = F.col(text_col)
     return df.select(

@@ -60,9 +60,11 @@ def assert_df_matches_sql(spark_df, duck, sql, *, atol=1e-9, rtol=1e-9):
     for c in cols:
         sv, dv = sdf[c].tolist(), ddf[c].tolist()
         for i, (a, b) in enumerate(zip(sv, dv)):
-            a_nan = isinstance(a, float) and math.isnan(a)
-            b_nan = isinstance(b, float) and math.isnan(b)
-            if (a is None and b is None) or (a_nan and b_nan):
+            # null on both sides: None, float NaN, or pandas NaT (x != x is
+            # True exactly for NaN/NaT)
+            a_null = a is None or a != a
+            b_null = b is None or b != b
+            if a_null and b_null:
                 continue
             if isinstance(a, float) or isinstance(b, float):
                 assert a is not None and b is not None, f"{c}[{i}]: {a!r} != {b!r}"

@@ -303,3 +303,105 @@ def test_stateful_user_stats_stream_matches_batch(spark, sf_dir, tmp_path):
         sn, stotal, slast = streamed[uid]
         assert sn == n and slast == last
         assert abs(stotal - total) < 1e-9
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive at-or-before match, NULL when no prior right row, resets per
+    key."""
+    import datetime as dt
+
+    from tesseract_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2020, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(5), 50.0), (1, t(10), 100.0), (2, t(3), 30.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 1.0), (1, t(7), 2.0), (3, t(1), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        (r.user_id, r.ts): (r.ts_asof, r.value_asof)
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert out[(1, t(5))] == (t(5), 1.0)  # inclusive: right at the same ts wins
+    assert out[(1, t(10))] == (t(7), 2.0)  # latest at-or-before
+    assert out[(2, t(3))] == (None, None)  # no right rows for key 2
+
+
+def test_range_join_boundaries(spark):
+    """Inclusive [ts-w, ts] window; bucket decomposition must not lose
+    matches that straddle a bucket edge."""
+    import datetime as dt
+
+    from tesseract_spark.operators.rangejoin import range_join
+
+    t = lambda s: dt.datetime(2020, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, t(100)), (2, t(100))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        # for user 1 (window 10s → [90, 100]): 89 out, 90 in (lower edge),
+        # 95 in (crosses bucket 8→9 boundary for left bucket 10), 100 in
+        # (upper edge), 101 out; user 2 has no rows in-window
+        [(1, t(89)), (1, t(90)), (1, t(95)), (1, t(100)), (1, t(101)), (2, t(50))],
+        "user_id long, ts timestamp",
+    )
+    out = range_join(left, right, ["user_id"], 10)
+    got = sorted((r.user_id, r.ts_r.second) for r in out.collect())
+    assert got == [(1, 30), (1, 35), (1, 40)]  # seconds 90,95,100 → .second
+
+
+def test_deterministic_split_stability(spark):
+    """Split assignment is a pure function of (seed, id): repartitioning must
+    not change membership, and fractions must land near the weights."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.sampling import deterministic_split
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in deterministic_split(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in deterministic_split(df.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    frac_val = sum(1 for v in a.values() if v == "val") / n
+    assert abs(frac_train - 0.8) < 0.03 and abs(frac_val - 0.1) < 0.02
+
+
+def test_sample_per_group_exact_k_and_stable(spark):
+    from tesseract_spark.operators.sampling import sample_per_group
+
+    df = (
+        spark.range(0, 300)
+        .withColumnRenamed("id", "doc_id")
+        .selectExpr("doc_id", "doc_id % 3 AS g")
+    )
+    s1 = sample_per_group(df, ["g"], 7, id_col="doc_id")
+    s2 = sample_per_group(df.repartition(5), ["g"], 7, id_col="doc_id")
+    rows1 = sorted((r.g, r.doc_id) for r in s1.collect())
+    rows2 = sorted((r.g, r.doc_id) for r in s2.collect())
+    assert rows1 == rows2
+    from collections import Counter
+
+    assert Counter(g for g, _ in rows1) == {0: 7, 1: 7, 2: 7}
+
+
+def test_repetition_score_semantics(spark):
+    from tesseract_spark.operators.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 3-grams, 3 distinct → 4/7 dup
+            (2, "one two three four five"),  # all distinct → 0
+            (3, "xx"),  # shorter than n → 0 by convention
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.rep_3gram for r in repetition_scores(df).collect()}
+    assert abs(out[1] - 4 / 7) < 1e-12
+    assert out[2] == 0.0 and out[3] == 0.0
