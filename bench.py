@@ -38,6 +38,10 @@ HEADLINE = [
     "q_events_sessionize",
     "q_conditional_cut",
     "q_distinct_count",
+    "q_ann_ivf_topk",
+    "q_asof_purchase_click",
+    "q_range_join_activity",
+    "q_split_train_val_test",
 ]
 
 

@@ -74,9 +74,9 @@ def main() -> None:
         exact = True
         for c in cols:
             for a, b in zip(sdf[c].tolist(), ddf[c].tolist()):
-                a_nan = isinstance(a, float) and math.isnan(a)
-                b_nan = isinstance(b, float) and math.isnan(b)
-                if (a is None and b is None) or (a_nan and b_nan):
+                # None, float NaN, or pandas NaT (x != x holds exactly for
+                # NaN/NaT)
+                if (a is None or a != a) and (b is None or b != b):
                     continue
                 if isinstance(a, float) and isinstance(b, float):
                     if a != b:

@@ -61,9 +61,24 @@ _ORDER_GEO = """
 ENTRIES: dict[str, Entry] = {}
 
 
+def _pin_runtime_confs(fn):
+    """Catalog entries must run under ANY caller-supplied SparkSession (the
+    driver's correctness harness builds its own, without get_spark's pins).
+    ANSI mode and the session timezone change results (x/0 NULL-vs-error,
+    timestamp rendering) and both are runtime-settable SQL confs — pin them
+    per call, mirroring what read_events does for nanosAsLong."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def _add(name: str, params_or_fn, oracle: str | None, avg_grain: str = "flat"):
     fn = params_or_fn if callable(params_or_fn) else _cube_query(params_or_fn, avg_grain)
-    ENTRIES[name] = Entry(spark_fn=fn, oracle=oracle)
+    ENTRIES[name] = Entry(spark_fn=_pin_runtime_confs(fn), oracle=oracle)
 
 
 # ---------- S1/A1: plain degenerate drill + sums ----------
@@ -236,19 +251,24 @@ _add(
 )
 
 # ---------- C4: top-k per group ----------
+# exact_scale measure: the 3-way join reorders the double sum → ulp drift vs
+# the oracle (measured 8 ulps at sf0.01 — a rounding-boundary lottery for the
+# driver's value-hash); decimal sums are associative, hence bit-stable
 _TOP_ORACLE = f"""
     WITH agg AS (
       SELECT g.r_regionkey AS "Region ID", g.r_name AS "Region",
-             p.p_brand AS "Brand", sum(l.l_extendedprice) AS "Extended Price"
+             p.p_brand AS "Brand",
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS "Extended Price Exact"
       FROM lineitem l
       JOIN part p ON l.l_partkey = p.p_partkey
       JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
       GROUP BY 1, 2, 3
     )
-    SELECT "Region ID", "Region", "Brand", "Extended Price"
+    SELECT "Region ID", "Region", "Brand", "Extended Price Exact"
     FROM (SELECT *, row_number() OVER (
              PARTITION BY "Region ID"
-             ORDER BY "Extended Price" DESC, "Brand" ASC) AS rn
+             ORDER BY "Extended Price Exact" DESC, "Brand" ASC) AS rn
           FROM agg)
     WHERE rn <= 2
 """
@@ -256,8 +276,8 @@ _add(
     "q_top_brands_per_region",
     {
         "drilldowns": ["Customer Geography.Geography.Region", "Part.Brand"],
-        "measures": ["Extended Price"],
-        "top": "2,Customer Geography.Geography.Region,Extended Price,desc",
+        "measures": ["Extended Price Exact"],
+        "top": "2,Customer Geography.Geography.Region,Extended Price Exact,desc",
     },
     _TOP_ORACLE,
 )
@@ -410,18 +430,31 @@ _add(
 )
 
 # ---------- A3 fk-grain: reference's avg-of-averages semantics ----------
+def _avg_fk_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drill a level COARSER than the join key so pass-1 (per-l_partkey avg)
+    # and pass-2 (avg of those averages per brand) genuinely differ from a
+    # flat avg. The nested avg divisions rule out associative decimal sums,
+    # so pin bit-stability by rounding to 9 decimals on BOTH sides instead
+    # (the ~1e-16-relative cross-engine drift only survives round(9) within
+    # ~1e-8 of a rounding boundary — measured 5 ulps at sf0.01)
+    from pyspark.sql import functions as F
+
+    df = _cube_query(
+        {"drilldowns": ["Part.Brand"], "measures": ["Avg Discount"]},
+        avg_grain="fk",
+    )(spark, sf_dir)
+    return df.withColumn("Avg Discount", F.round(F.col("Avg Discount"), 9))
+
+
 _add(
     "q_avg_fk_grain",
-    # drill a level COARSER than the join key so pass-1 (per-l_partkey avg) and
-    # pass-2 (avg of those averages per brand) genuinely differ from a flat avg
-    {"drilldowns": ["Part.Brand"], "measures": ["Avg Discount"]},
+    _avg_fk_grain,
     """
-    SELECT p.p_brand AS "Brand", avg(sub.m) AS "Avg Discount"
+    SELECT p.p_brand AS "Brand", round(avg(sub.m), 9) AS "Avg Discount"
     FROM (SELECT l_partkey, avg(l_discount) AS m FROM lineitem GROUP BY 1) sub
     JOIN part p ON sub.l_partkey = p.p_partkey
     GROUP BY 1
     """,
-    avg_grain="fk",
 )
 
 # ---------- A3/A4/A6-A11: the full aggregator battery ----------
