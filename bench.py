@@ -55,8 +55,14 @@ def main() -> None:
 
     spark = get_spark("tesseract_spark_bench")
 
-    # warm the JVM/session with a trivial action (not counted)
+    # warm the JVM/session with a trivial action (not counted), and spawn the
+    # Python-worker pool (first Arrow UDF pays several seconds of process
+    # startup — steady-state throughput is what the bench measures)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    def _warm_iter(batches):
+        yield from batches
+
+    spark.range(32).repartition(32).mapInPandas(_warm_iter, "id long").count()
 
     names = [n for n in HEADLINE if n in catalog.ENTRIES]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")

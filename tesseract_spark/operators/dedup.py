@@ -192,15 +192,25 @@ def minhash_signatures(
     num_hashes: int = 12,
     shingle_n: int = 5,
 ) -> DataFrame:
-    """K min-hashes per doc: min over md5('<seed>|' || shingle) hex strings.
+    """K min-hashes per doc via **double hashing** (Kirsch–Mitzenmeyer):
+    ONE md5 per shingle, split into two 40-bit ints (h1, h2), and the K hash
+    functions are ``h1 + k·h2`` — numerically equivalent quality to K
+    independent hashes for minhash/Bloom use, at 1/K the hashing cost (the
+    previous form computed K md5s per shingle and min'd over 32-char hex
+    strings; this mins over longs). 40-bit halves keep ``h1 + k·h2`` far from
+    64-bit overflow (DuckDB raises on BIGINT overflow; Spark would wrap).
     One explode + one groupBy (single shuffle), K aggregates computed
     map-side-partial by Catalyst."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
     )
+    m = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(m, 1, 10), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 11, 10), 16, 10).cast("long")
+    sh = sh.select("id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh{k}")
+        F.min(F.col("h1") + F.lit(k) * F.col("h2")).alias(f"mh{k}")
         for k in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -293,8 +303,11 @@ def minhash_lsh_oracle_sql(
 ) -> str:
     rows = num_hashes // bands
     shingles = _sql_word_shingles("text", shingle_n)
+    # double-hashing mirror: same two 40-bit md5 halves, same h1 + k*h2
+    h1 = "('0x' || substr(md5(shingle), 1, 10))::BIGINT"
+    h2 = "('0x' || substr(md5(shingle), 11, 10))::BIGINT"
     mh_exprs = ", ".join(
-        f"min(md5('{k}|' || shingle)) AS mh{k}" for k in range(num_hashes)
+        f"min({h1} + {k} * {h2}) AS mh{k}" for k in range(num_hashes)
     )
     band_rows = []
     for b in range(bands):
