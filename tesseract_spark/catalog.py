@@ -678,6 +678,78 @@ _add(
     """,
 )
 
+# ---------- approximate percentile sketch with a bounded-error oracle ----------
+def _approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GK sketch guarantees rank error <= 1/accuracy: the approx p50 must lie
+    # between the exact p50±2/acc quantiles. The oracle pins the exact p50
+    # (Spark percentile ≡ DuckDB quantile_cont bit-for-bit) and the bound flag
+    from pyspark.sql import functions as F
+
+    acc = 1000
+    li = get_builder(spark, sf_dir).registry.load("lineitem_enriched")
+    eps = 2.0 / acc
+    return li.groupBy(F.col("l_returnflag").alias("Return Flag")).agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("P50 Exact"),
+        (
+            F.expr(f"approx_percentile(l_extendedprice, 0.5, {acc})")
+            .between(
+                F.expr(f"percentile(l_extendedprice, {0.5 - eps})"),
+                F.expr(f"percentile(l_extendedprice, {0.5 + eps})"),
+            )
+        ).alias("Approx Within Bounds"),
+    )
+
+
+_add(
+    "q_approx_percentile",
+    _approx_percentile_bounded,
+    """
+    SELECT l_returnflag AS "Return Flag",
+           quantile_cont(l_extendedprice, 0.5) AS "P50 Exact",
+           TRUE AS "Approx Within Bounds"
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
+# ---------- cumulative (running) total over time per group ----------
+def _cumulative_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # running aggregation is an ordered sequential fold on both engines —
+    # bit-equal even for doubles; Quantity is integral anyway
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = _cube_query(
+        {
+            "drilldowns": ["Ship Date.Year", "Return Flag.Return Flag"],
+            "measures": ["Quantity"],
+        }
+    )(spark, sf_dir)
+    w = (
+        Window.partitionBy("Return Flag")
+        .orderBy("Year")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn("Cumulative Quantity", F.sum("Quantity").over(w))
+
+
+_add(
+    "q_cumulative_quantity",
+    _cumulative_quantity,
+    """
+    WITH agg AS (
+      SELECT year(l_shipdate)::INT AS "Year", l_returnflag AS "Return Flag",
+             sum(l_quantity) AS "Quantity"
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT "Year", "Return Flag", "Quantity",
+           sum("Quantity") OVER (
+             PARTITION BY "Return Flag" ORDER BY "Year"
+             ROWS UNBOUNDED PRECEDING) AS "Cumulative Quantity"
+    FROM agg
+    """,
+)
+
 # ---------- sort by a calculation (MeaOrCalc: 'growth' keyword, query.rs:112-149) ----------
 _add(
     "q_sort_by_growth",

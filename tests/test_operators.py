@@ -405,3 +405,38 @@ def test_repetition_score_semantics(spark):
     out = {r.doc_id: r.rep_3gram for r in repetition_scores(df).collect()}
     assert abs(out[1] - 4 / 7) < 1e-12
     assert out[2] == 0.0 and out[3] == 0.0
+
+
+def test_streaming_dedup_exactly_once(spark, sf_dir):
+    """A stream delivering every event twice must come out exactly-once:
+    equal to the batch distinct of a single copy."""
+    from tesseract_spark.streaming.dedup import streaming_dedup_demo
+    from tesseract_spark.streaming.events import read_events
+
+    deduped = streaming_dedup_demo(spark, sf_dir, query_name="t_dedup_stream")
+    batch = read_events(spark, sf_dir)
+    assert deduped.count() == batch.count()
+    assert deduped.select("event_id").distinct().count() == batch.count()
+
+
+def test_rollup_sink_partition_pruning(spark, sf_dir, tmp_path):
+    """Materialized rollup reads must prune partition directories on a
+    partition-column filter, and round-trip the data."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.catalog import ENTRIES
+    from tesseract_spark.sources.rollup_sink import read_rollup, write_rollup
+
+    agg = ENTRIES["q_agg_year"].spark_fn(spark, sf_dir)
+    path = str(tmp_path / "rollup_year")
+    write_rollup(agg, path, ["Year"])
+
+    back = read_rollup(spark, path)
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in agg.collect()
+    }
+
+    one_year = back.filter(F.col("Year") == 1995)
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "Year" in plan.split("PartitionFilters")[1][:120]
+    assert one_year.count() == 1

@@ -1,0 +1,64 @@
+"""Physical-plan regression guard for every catalog entry.
+
+Correctness tests can't see a plan regress from one shuffle to five, or a
+join silently degrade to a cartesian product — at bench scale everything
+still "passes". These tests pin the plan SHAPE: the property that has to
+hold at 1000× the data.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tesseract_spark import catalog
+
+# entries where a BroadcastNestedLoopJoin is the intended physical plan: a
+# deliberately tiny broadcast side (literal query-vector table, 1-row grand
+# total) crossed against the data — bounded work per row, scale-safe
+BNLJ_WHITELIST = {
+    "q_ann_cosine_topk",
+    "q_ann_ivf_topk",
+    "q_ann_lsh_topk",
+    "q_growth_year",
+    "q_rca_debug",
+    "q_rca_region_flag",
+    "q_sort_by_growth",
+}
+
+# exchange-node ceilings (shuffles + broadcasts in the INITIAL adaptive plan;
+# AQE's ReuseExchange dedupes identical subtrees at runtime). Measured at
+# sf0.001 with 2x slack — the guard is against order-of-magnitude plan
+# regressions, not exchange-count golden values
+EXCHANGE_CEILING = {
+    "q_ann_ivf_topk": 30,
+    "q_multi_cut_union": 44,
+    "q_rca_debug": 54,
+    "q_rca_region_flag": 54,
+    "q_cut_like": 22,
+    "q_growth_year": 24,
+    "q_sort_by_growth": 22,
+    "q_cut_semijoin": 14,
+    "q_top_brands_per_region": 16,
+    "q_top_where": 16,
+}
+DEFAULT_CEILING = 12
+
+
+@pytest.mark.parametrize("name", sorted(catalog.ENTRIES))
+def test_plan_shape(name, spark, sf_dir):
+    df = catalog.ENTRIES[name].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in BNLJ_WHITELIST:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join (non-equi or missing key?)"
+        )
+    n_exchange = len(re.findall(r"\bExchange\b", plan))
+    ceiling = EXCHANGE_CEILING.get(name, DEFAULT_CEILING)
+    assert n_exchange <= ceiling, (
+        f"{name}: {n_exchange} exchange nodes (ceiling {ceiling}) — plan "
+        f"regressed; inspect df.explain('formatted')"
+    )
