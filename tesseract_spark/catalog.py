@@ -1164,6 +1164,89 @@ def _wire_pipeline_ops() -> None:
         rangejoin.recent_activity_oracle_sql(),
     )
 
+    # event funnel: per-user stage progression signup → click → purchase via
+    # min-timestamp-per-stage (one groupBy, order-tie-free, hence exact)
+    def _event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        e = ev.read_events(spark, sf)
+        per_user = e.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_pur"),
+        )
+        s1 = F.col("t_signup").isNotNull()
+        s2 = s1 & (F.col("t_click") > F.col("t_signup"))
+        s3 = s2 & (F.col("t_pur") > F.col("t_click"))
+        return per_user.agg(
+            F.sum(s1.cast("long")).alias("n_signup"),
+            F.sum(s2.cast("long")).alias("n_signup_click"),
+            F.sum(s3.cast("long")).alias("n_full_funnel"),
+        )
+
+    _add(
+        "q_event_funnel",
+        _event_funnel,
+        """
+        WITH per_user AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_pur
+          FROM events GROUP BY 1)
+        SELECT
+          sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+          sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+              THEN 1 ELSE 0 END) AS n_signup_click,
+          sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                    AND t_pur > t_click THEN 1 ELSE 0 END) AS n_full_funnel
+        FROM per_user
+        """,
+    )
+
+    # end-to-end corpus curation: quality gate → exact near-dup removal
+    # (first doc per fingerprint wins) → deterministic split — the composed
+    # training-data pipeline, still a single declarative plan
+    def _corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from .operators.sampling import split_col
+        from .operators.text import fingerprint_col, quality_score_col
+
+        docs = _docs(spark, sf)
+        kept = docs.filter(quality_score_col(F.col("text")) >= 0.5).withColumn(
+            "fp", fingerprint_col(F.col("text"))
+        )
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        uniq = kept.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        )
+        return (
+            uniq.withColumn("split", split_col(F.col("doc_id")))
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    from .operators.sampling import split_case_sql
+    from .operators.text import _sql_quality_fragments
+
+    _q, _fp = _sql_quality_fragments("text")
+    _add(
+        "q_corpus_curation",
+        _corpus_curation,
+        f"""
+        WITH kept AS (
+          SELECT doc_id, lang, {_fp} AS fp FROM documents WHERE {_q} >= 0.5),
+        uniq AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM kept)
+        SELECT lang, {split_case_sql("doc_id")} AS split, count(*) AS n_docs
+        FROM uniq WHERE rn = 1 GROUP BY 1, 2
+        """,
+    )
+
 
 _wire_pipeline_ops()
 

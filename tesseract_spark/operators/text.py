@@ -177,10 +177,11 @@ def _sql_marker_hits(t: str, words: tuple[str, ...]) -> str:
     return f"len(regexp_extract_all(lower({t}), '{pattern}'))"
 
 
-def analyze_documents_oracle_sql(table: str = "documents") -> str:
-    t = "text"
+def _sql_quality_fragments(t: str) -> tuple[str, str]:
+    """(quality_score, fingerprint) DuckDB fragments mirroring
+    :func:`quality_score_col` / :func:`fingerprint_col` — shared by the
+    analysis oracle and composed-pipeline oracles."""
     tok = _sql_token_count(t)
-    subword = f"len(regexp_extract_all({t}, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]'))"
     punct = f"(length(regexp_replace({t}, '[\\w\\s]', '', 'g')) / length({t}))"
     stop_hits = _sql_marker_hits(t, STOPWORDS)
     stop_ratio = f"({stop_hits} / {tok})"
@@ -189,6 +190,21 @@ def analyze_documents_oracle_sql(table: str = "documents") -> str:
         f" + CASE WHEN {punct} <= 0.1 THEN 1.0 ELSE 0.0 END"
         f" + CASE WHEN {stop_ratio} >= 0.05 THEN 1.0 ELSE 0.0 END) / 3.0)"
     )
+    fingerprint = (
+        f"md5(array_to_string(list_sort(list_distinct("
+        f"regexp_split_to_array(lower(trim({t})), '\\s+'))), ' '))"
+    )
+    return quality, fingerprint
+
+
+def analyze_documents_oracle_sql(table: str = "documents") -> str:
+    t = "text"
+    tok = _sql_token_count(t)
+    subword = f"len(regexp_extract_all({t}, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]'))"
+    punct = f"(length(regexp_replace({t}, '[\\w\\s]', '', 'g')) / length({t}))"
+    stop_hits = _sql_marker_hits(t, STOPWORDS)
+    stop_ratio = f"({stop_hits} / {tok})"
+    quality, _ = _sql_quality_fragments(t)
     langs = list(LANG_MARKERS)
     scores = {lang: _sql_marker_hits(t, LANG_MARKERS[lang]) for lang in langs}
     cases = []
