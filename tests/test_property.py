@@ -119,3 +119,96 @@ def test_random_query_matches_oracle(builder, duck, qo):
     params, sql = qo
     df = builder.dataframe("lineitem_sales", Query.from_params(params))
     assert_df_matches_sql(df, duck, sql, rtol=1e-6)
+
+
+# ---------------- as-of / range join vs independent references ----------------
+
+_event_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # key
+        st.integers(min_value=0, max_value=500),  # seconds offset
+        st.integers(min_value=0, max_value=99),  # payload
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _to_df(spark, rows, dedup_ts=False):
+    import datetime as dt
+
+    base = dt.datetime(2021, 1, 1)
+    seen = set()
+    out = []
+    for k, s, v in rows:
+        if dedup_ts and (k, s) in seen:
+            continue
+        seen.add((k, s))
+        out.append((k, base + dt.timedelta(seconds=s), float(v)))
+    return spark.createDataFrame(
+        out, "user_id long, ts timestamp, value double"
+    ), out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_event_lists, right=_event_lists)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join ≡ pandas.merge_asof (backward, inclusive) — an independent
+    first-class implementation. Right timestamps deduped per key: when several
+    right rows share (key, ts), which payload wins is tie-order-defined in
+    both engines but not comparably so."""
+    import pandas as pd
+
+    from tesseract_spark.operators.asof import asof_join
+
+    # dedup (key, ts) on BOTH sides: duplicate keys make the expected match
+    # tie-order-defined rather than unique
+    ldf, lrows = _to_df(spark, left, dedup_ts=True)
+    rdf, rrows = _to_df(spark, right, dedup_ts=True)
+    got = {
+        (r.user_id, r.ts): (r.ts_asof, r.value_asof)
+        for r in asof_join(ldf, rdf, on=["user_id"]).collect()
+    }
+    assert len(got) == len(lrows)
+    if not lrows:
+        return
+    if not rrows:
+        assert all(v == (None, None) for v in got.values())
+        return
+    lp = pd.DataFrame(lrows, columns=["user_id", "ts", "value"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["user_id", "ts", "value"]).sort_values("ts")
+    # merge_asof consumes the right 'ts'; carry it as an explicit payload col
+    rp = rp.assign(ts_r=rp["ts"])
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="backward", suffixes=("", "_r")
+    )
+    for row in merged.itertuples(index=False):
+        ts_a, v_a = got[(row.user_id, row.ts.to_pydatetime())]
+        if row.value_r != row.value_r:  # NaN → no match
+            assert ts_a is None and v_a is None
+        else:
+            assert ts_a == row.ts_r.to_pydatetime() and v_a == row.value_r
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_event_lists, right=_event_lists, window=st.integers(1, 120))
+def test_range_join_matches_bruteforce(spark, left, right, window):
+    """Bucketed range_join ≡ brute-force O(n²) filter for every window size."""
+    from tesseract_spark.operators.rangejoin import range_join
+
+    ldf, lrows = _to_df(spark, left)
+    rdf, rrows = _to_df(spark, right)
+    got = sorted(
+        (r.user_id, r.ts, r.ts_r)
+        for r in range_join(ldf, rdf, ["user_id"], window).collect()
+    )
+    import datetime as dt
+
+    w = dt.timedelta(seconds=window)
+    want = sorted(
+        (lk, lts, rts)
+        for lk, lts, _ in lrows
+        for rk, rts, _ in rrows
+        if lk == rk and lts - w <= rts <= lts
+    )
+    assert got == want
