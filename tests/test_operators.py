@@ -440,3 +440,32 @@ def test_rollup_sink_partition_pruning(spark, sf_dir, tmp_path):
     plan = one_year._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "Year" in plan.split("PartitionFilters")[1][:120]
     assert one_year.count() == 1
+
+
+def test_incremental_rollup_upsert_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming foreachBatch upsert into the partitioned rollup must equal
+    the batch windowed aggregate, and reads must partition-prune by date."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.sources.rollup_sink import read_rollup
+    from tesseract_spark.streaming import events as ev
+    from tesseract_spark.streaming.ingest import incremental_rollup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", src / "events.parquet")
+    rollup = str(tmp_path / "rollup")
+    incremental_rollup(spark, str(src), rollup, str(tmp_path / "ckpt"))
+
+    got = read_rollup(spark, rollup).drop("window_date")
+    want = ev.windowed_agg(ev.read_events(spark, sf_dir))
+    g = {tuple(sorted(r.asDict().items())) for r in got.collect()}
+    w = {tuple(sorted(r.asDict().items())) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+    one_day = read_rollup(spark, rollup).filter(F.col("window_date") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert one_day.count() > 0
