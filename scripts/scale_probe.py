@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Scale probe: replicate the sf0.1 testdata N× (default 10 → ~sf1: 6M
+lineitem rows, 50k docs, 100k events) into a temp dir, run a headline-query
+subset there, and print per-query seconds next to the sf0.1 numbers.
+
+Replication semantics per table:
+- lineitem: unmodified copies (facts multiply, dims stay — the realistic
+  growth axis; all FK joins stay valid, aggregates scale 10x).
+- documents/embeddings: id-shifted copies, text/vector unchanged — every doc
+  gains 10 exact duplicates, stressing the dedup bucket paths.
+- events: id-shifted copies with ts shifted by 35*i days, so per-user
+  timelines (asof/range joins, sessions) grow 10x without colliding.
+
+Usage: python scripts/scale_probe.py [N] [--keep]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+PROBE_QUERIES = [
+    "q_agg_year",
+    "q_cut_semijoin",
+    "q_top_brands_per_region",
+    "q_rca_region_flag",
+    "q_median_order",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_text_analysis",
+    "q_ann_lsh_topk",
+    "q_asof_purchase_click",
+    "q_range_join_activity",
+    "q_events_window",
+    "q_corpus_curation",
+]
+
+
+def build(spark, n: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders"]:
+        os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    lis = li
+    for _ in range(n - 1):
+        lis = lis.unionByName(li)
+    lis.repartition(32).write.parquet(f"{out}/lineitem.parquet")
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = [docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000)) for i in range(n)]
+    d = parts[0]
+    for p in parts[1:]:
+        d = d.unionByName(p)
+    d.repartition(32).write.parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    id_col = "vec_id"
+    parts = [emb.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000)) for i in range(n)]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    e.repartition(32).write.parquet(f"{out}/embeddings.parquet")
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")  # ts is LongType nanos here
+    parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000)).withColumn(
+            "ts", F.col("ts") + F.lit(i * 35 * 86400 * 10**9)
+        )
+        for i in range(n)
+    ]
+    v = parts[0]
+    for p in parts[1:]:
+        v = v.unionByName(p)
+    v.repartition(8).write.parquet(f"{out}/events.parquet")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
+    keep = "--keep" in sys.argv
+
+    from tesseract_spark import catalog
+    from tesseract_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    out = tempfile.mkdtemp(prefix=f"scale_x{n}_")
+    print(f"building {n}x replica of sf0.1 in {out} ...", file=sys.stderr)
+    t0 = time.time()
+    build(spark, n, out)
+    print(f"built in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # warm workers like bench.py
+    def _warm_iter(batches):
+        yield from batches
+
+    spark.range(32).repartition(32).mapInPandas(_warm_iter, "id long").count()
+
+    results = {}
+    for name in PROBE_QUERIES:
+        fn = catalog.ENTRIES[name].spark_fn
+        t0 = time.time()
+        df = fn(spark, out)
+        nrows = df.count()
+        results[name] = {"sec": round(time.time() - t0, 2), "rows": nrows}
+        print(f"{name:28s} {results[name]['sec']:7.2f}s  rows={nrows}", file=sys.stderr)
+    print(json.dumps({"replication": n, "queries": results}))
+    if not keep:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
