@@ -466,12 +466,17 @@ def simhash(
             F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         ).alias("tok"),
     )
-    h = F.md5(F.col("tok"))
-    vote_aggs = []
-    for i in range(bits):
-        nibble = F.instr(F.lit(_HEX), F.substring(h, i // 4 + 1, 1)) - 1
-        bit = F.floor(nibble / F.lit(2 ** (3 - i % 4))) % 2
-        vote_aggs.append(F.sum(bit * 2 - 1).alias(f"v{i}"))
+    # one hex→int conversion per token, then integer shift/mask per bit —
+    # same bit values as per-nibble string extraction at a fraction of the
+    # expression cost (bit i counts from the MSB of the bits-wide prefix)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10).cast("long")
+    toks = toks.select("id", h.alias("hv"))
+    vote_aggs = [
+        F.sum(F.shiftright(F.col("hv"), bits - 1 - i).bitwiseAND(1) * 2 - 1).alias(
+            f"v{i}"
+        )
+        for i in range(bits)
+    ]
     votes = toks.groupBy("id").agg(*vote_aggs)
     packed = reduce(
         lambda acc, i: acc
@@ -483,11 +488,10 @@ def simhash(
 
 
 def simhash_oracle_sql(table: str = "documents", bits: int = 16) -> str:
-    vote_exprs = []
-    for i in range(bits):
-        nibble = f"(strpos('{_HEX}', substr(md5(tok), {i // 4 + 1}, 1)) - 1)"
-        bit = f"(floor({nibble} / {2 ** (3 - i % 4)})::BIGINT % 2)"
-        vote_exprs.append(f"sum({bit} * 2 - 1) AS v{i}")
+    hv = f"('0x' || substr(md5(tok), 1, {bits // 4}))::BIGINT"
+    vote_exprs = [
+        f"sum((({hv} >> {bits - 1 - i}) & 1) * 2 - 1) AS v{i}" for i in range(bits)
+    ]
     packed = " + ".join(
         f"CASE WHEN v{i} > 0 THEN {2 ** (bits - 1 - i)} ELSE 0 END" for i in range(bits)
     )
