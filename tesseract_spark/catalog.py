@@ -1061,6 +1061,13 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: dedup.simhash(_docs(spark, sf)),
         dedup.simhash_oracle_sql(),
     )
+    # the composed production pipeline: LSH prune → exact-Jaccard verify
+    # (verification work bounded by candidate count, not corpus pairs)
+    _add(
+        "q_dedup_verified",
+        lambda spark, sf: dedup.minhash_verified_pairs(_docs(spark, sf), threshold=0.2),
+        dedup.minhash_verified_oracle_sql(threshold=0.2),
+    )
     _add(
         "q_ann_cosine_topk",
         lambda spark, sf: similarity.brute_force_topk(_embs(spark, sf), [0, 1, 2, 3, 4]),

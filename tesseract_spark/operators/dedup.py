@@ -8,15 +8,18 @@ for 100 TB corpora:
 - **n-gram Jaccard**: word n-gram shingles → inverted-index self-join → exact
   Jaccard on pair overlap. Quadratic in cluster sizes — the *verification*
   path; cap candidate generation with MinHash at scale.
-- **MinHash + LSH**: K independent min-hashes per doc (min over
-  md5(seed|shingle) hex strings — engine-portable, no bigint bit tricks),
-  banded into B buckets; candidate pairs share any band bucket. Linear scan +
-  one shuffle per band (implemented as one explode + one shuffle).
-- **SimHash**: per-token md5 nibbles → ±1 votes per bit position → sign vector
-  packed into an integer. Near-dup = small Hamming distance.
+- **MinHash + LSH**: K min-hashes per doc via double hashing (one md5 per
+  shingle split into two 40-bit ints; hash_k = h1 + k·h2), banded into B
+  buckets; candidate pairs share any band bucket. Linear scan + one shuffle
+  per band (implemented as one explode + one shuffle).
+- **SimHash**: md5 prefix per token → integer shift/mask bit votes → sign
+  vector packed into an integer. Near-dup = small Hamming distance.
+- **MinHash + verification**: the composed production pipeline — LSH
+  candidates, then exact Jaccard computed ONLY on candidates.
 
-All hashing uses md5 hex strings (identical bytes in Spark and DuckDB), so the
-driver's oracle hash-matching is exact, not approximate.
+All hashing derives from md5 (identical bytes in Spark and DuckDB; hex→int
+via Spark ``conv`` ≡ DuckDB ``('0x' || …)::BIGINT``), so the driver's oracle
+hash-matching is exact, not approximate.
 """
 
 from __future__ import annotations
@@ -503,4 +506,103 @@ def simhash_oracle_sql(table: str = "documents", bits: int = 16) -> str:
     ),
     votes AS (SELECT id, {", ".join(vote_exprs)} FROM toks GROUP BY id)
     SELECT id AS doc_id, ({packed})::BIGINT AS simhash FROM votes
+    """
+
+
+# ---------------- LSH + exact verification (the production pipeline) ----------------
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 5,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """The composed dedup pipeline as run at corpus scale: MinHash-LSH prunes
+    the pair space to candidates, then exact n-gram Jaccard verifies ONLY
+    those candidates (never the inverted-index self-join of
+    :func:`ngram_jaccard_pairs`, whose hot-shingle blowup this exists to
+    avoid). Work is bounded by Σ per-candidate shingle counts: the candidate
+    list joins to side-a shingles, then equi-joins side-b shingles on
+    (id_b, shingle) — every stage is a keyed hash join or groupBy."""
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n, max_bucket
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_verified_oracle_sql(
+    table: str = "documents",
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> str:
+    rows = num_hashes // bands
+    shingles = _sql_word_shingles("text", shingle_n)
+    h1 = "('0x' || substr(md5(shingle), 1, 10))::BIGINT"
+    h2 = "('0x' || substr(md5(shingle), 11, 10))::BIGINT"
+    mh_exprs = ", ".join(
+        f"min({h1} + {k} * {h2}) AS mh{k}" for k in range(num_hashes)
+    )
+    band_rows = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_rows.append(f"SELECT id, {b} AS band, md5({parts}) AS bucket FROM sig")
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest({shingles}) AS shingle FROM {table}
+    ),
+    sig AS (SELECT id, {mh_exprs} FROM sh GROUP BY id),
+    buckets AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.id
+    JOIN sizes sb ON common.id_b = sb.id
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}
     """

@@ -469,3 +469,26 @@ def test_incremental_rollup_upsert_matches_batch(spark, sf_dir, tmp_path):
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert one_day.count() > 0
+
+
+def test_minhash_verified_pairs_consistent(spark, sf_dir):
+    """Verified pairs must be a subset of the LSH candidates, and every
+    reported jaccard must equal the full inverted-index computation's value
+    for that pair."""
+    from tesseract_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_verified_pairs(docs, threshold=0.2).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert set(verified) <= cand
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    for pair, j in verified.items():
+        assert full[pair] == j
