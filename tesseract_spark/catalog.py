@@ -1211,6 +1211,35 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # cohort retention: users grouped by first-seen week, counted distinct in
+    # each later week — two groupBys + a broadcast-sized first-seen join; the
+    # matrix is integers throughout, hence exactly mirrorable
+    def _cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        e = ev.read_events(spark, sf).select(
+            "user_id", F.weekofyear("ts").alias("week")
+        )
+        first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+        return (
+            e.join(first, "user_id")
+            .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+            .agg(F.count_distinct("user_id").alias("n_active"))
+        )
+
+    _add(
+        "q_cohort_retention",
+        _cohort_retention,
+        """
+        WITH e AS (SELECT user_id, weekofyear(ts) AS week FROM events),
+        first AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+        SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+        """,
+    )
+
     # end-to-end corpus curation: quality gate → exact near-dup removal
     # (first doc per fingerprint wins) → deterministic split — the composed
     # training-data pipeline, still a single declarative plan
