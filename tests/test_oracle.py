@@ -14,9 +14,13 @@ ORACLE_NAMES = sorted(catalog.oracle_sql().keys())
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(name, spark, sf_dir, duck):
+    # zero tolerance: every entry is engineered to be BIT-EXACT against its
+    # oracle (exact decimal sums, mirrored rounding, portable hashing — see
+    # scripts/audit_bitexact.py); the driver's value-hash requires it, so a
+    # tolerance here would hide exactly the regressions that gate failures
     entry = catalog.ENTRIES[name]
     df = entry.spark_fn(spark, sf_dir)
-    assert_df_matches_sql(df, duck, entry.oracle, rtol=1e-6)
+    assert_df_matches_sql(df, duck, entry.oracle, rtol=0.0, atol=0.0)
 
 
 def test_all_queries_have_entry_or_weak_check():
