@@ -449,8 +449,6 @@ def resolve_duplicate_clusters(
 
 # ---------------- SimHash ----------------
 
-_HEX = "0123456789abcdef"
-
 
 def simhash(
     df: DataFrame,
