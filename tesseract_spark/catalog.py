@@ -1068,6 +1068,18 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: dedup.minhash_verified_pairs(_docs(spark, sf), threshold=0.2),
         dedup.minhash_verified_oracle_sql(threshold=0.2),
     )
+    # duplicate-cluster resolution over LSH candidates: connected components
+    # with min-id canonicals, singletons mapped to themselves; the oracle
+    # computes the same components via a recursive-CTE transitive closure
+    def _dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        docs = _docs(spark, sf)
+        pairs = dedup.minhash_lsh_pairs(docs)
+        ids = docs.select(F.col("doc_id").alias("id"))
+        return dedup.resolve_duplicate_clusters(pairs, corpus_ids=ids)
+
+    _add("q_dedup_clusters", _dedup_clusters, dedup.cluster_oracle_sql())
     _add(
         "q_ann_cosine_topk",
         lambda spark, sf: similarity.brute_force_topk(_embs(spark, sf), [0, 1, 2, 3, 4]),

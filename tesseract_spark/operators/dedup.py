@@ -559,13 +559,12 @@ def minhash_verified_pairs(
     )
 
 
-def minhash_verified_oracle_sql(
-    table: str = "documents",
-    threshold: float = 0.5,
-    num_hashes: int = 12,
-    bands: int = 4,
-    shingle_n: int = 5,
+def _lsh_cand_cte_sql(
+    table: str, num_hashes: int, bands: int, shingle_n: int
 ) -> str:
+    """CTE chain ``sh, sig, buckets, cand`` producing the LSH candidate pairs
+    — the SQL mirror of :func:`minhash_lsh_pairs`'s sub-cap path, shared by
+    the verified-pairs and cluster oracles."""
     rows = num_hashes // bands
     shingles = _sql_word_shingles("text", shingle_n)
     h1 = "('0x' || substr(md5(shingle), 1, 10))::BIGINT"
@@ -578,8 +577,7 @@ def minhash_verified_oracle_sql(
         parts = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
         band_rows.append(f"SELECT id, {b} AS band, md5({parts}) AS bucket FROM sig")
     bands_sql = " UNION ALL ".join(band_rows)
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
       SELECT doc_id AS id, unnest({shingles}) AS shingle FROM {table}
     ),
     sig AS (SELECT id, {mh_exprs} FROM sh GROUP BY id),
@@ -588,7 +586,18 @@ def minhash_verified_oracle_sql(
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-    ),
+    )"""
+
+
+def minhash_verified_oracle_sql(
+    table: str = "documents",
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> str:
+    return f"""
+    WITH {_lsh_cand_cte_sql(table, num_hashes, bands, shingle_n)},
     sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
     common AS (
       SELECT c.id_a, c.id_b, count(*) AS n_common
@@ -603,4 +612,31 @@ def minhash_verified_oracle_sql(
     JOIN sizes sa ON common.id_a = sa.id
     JOIN sizes sb ON common.id_b = sb.id
     WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}
+    """
+
+
+def cluster_oracle_sql(
+    table: str = "documents",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> str:
+    """Oracle for :func:`resolve_duplicate_clusters` over LSH candidates:
+    connected components via a recursive-CTE transitive closure (DuckDB),
+    canonical = the component's minimum id; singletons map to themselves."""
+    return f"""
+    WITH RECURSIVE {_lsh_cand_cte_sql(table, num_hashes, bands, shingle_n)},
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS canonical_id
+    FROM {table} d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
     """
