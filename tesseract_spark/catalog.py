@@ -1223,6 +1223,27 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # benchmark decontamination: docs sharing 5-grams with a probe set are
+    # flagged. Probes = the two lowest-id docs (deterministic per sf; a tiny
+    # bounded collect), so hits are guaranteed: the probes themselves + any
+    # near-dups. Probe shingles broadcast; corpus side never shuffles text.
+    def _decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.decontaminate import flag_contaminated
+
+        docs = _docs(spark, sf)
+        probes = [r.text for r in docs.orderBy("doc_id").limit(2).collect()]
+        return flag_contaminated(docs, probes)
+
+    from .operators.decontaminate import flag_contaminated_oracle_sql
+
+    _add(
+        "q_decontaminate",
+        _decontaminate,
+        flag_contaminated_oracle_sql(
+            probes_sql="SELECT text FROM documents ORDER BY doc_id LIMIT 2"
+        ),
+    )
+
     # cohort retention: users grouped by first-seen week, counted distinct in
     # each later week — two groupBys + a broadcast-sized first-seen join; the
     # matrix is integers throughout, hence exactly mirrorable

@@ -492,3 +492,23 @@ def test_minhash_verified_pairs_consistent(spark, sf_dir):
     }
     for pair, j in verified.items():
         assert full[pair] == j
+
+
+def test_decontamination_semantics(spark):
+    """Probe overlap flags a doc; disjoint vocabulary stays clean; hit count
+    equals the number of distinct shared 5-grams."""
+    from tesseract_spark.operators.decontaminate import flag_contaminated
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en"),  # contains probe
+            (2, "one two three four five six", "en"),  # disjoint
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.doc_id: (r.n_probe_ngrams, r.contaminated)
+        for r in flag_contaminated(docs, ["alpha beta gamma delta epsilon"]).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
