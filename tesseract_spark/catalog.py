@@ -1223,6 +1223,30 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # data-mixture control: deterministic per-source downsampling (rebalance
+    # an over-represented source); counts per (source, split-agnostic) pin
+    # the exact kept set
+    def _mixture(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .operators.sampling import subsample_by_group
+
+        rates = {"src0": 0.5, "src1": 0.25}
+        kept = subsample_by_group(_docs(spark, sf), rates)
+        return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+    from .operators.sampling import subsample_by_group_oracle_where
+
+    _add(
+        "q_mixture_subsample",
+        _mixture,
+        f"""
+        SELECT source, count(*) AS n_docs FROM documents
+        WHERE {subsample_by_group_oracle_where({"src0": 0.5, "src1": 0.25})}
+        GROUP BY 1
+        """,
+    )
+
     # benchmark decontamination: docs sharing 5-grams with a probe set are
     # flagged. Probes = the two lowest-id docs (deterministic per sf; a tiny
     # bounded collect), so hits are guaranteed: the probes themselves + any

@@ -127,3 +127,43 @@ def sample_per_group_oracle_sql(
       FROM {table})
     WHERE rn <= {k}
     """
+
+
+def subsample_by_group(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Data-mixture control: keep a deterministic hash-fraction of each
+    group (e.g. downsample an over-represented source to rebalance the
+    corpus mixture). Pure per-row expression — no shuffle, stable across
+    partitionings and runs; groups absent from ``rates`` keep
+    ``default_rate``."""
+    h = _hash8(seed, F.col(id_col))
+    keep: Column = F.lit(default_rate >= 1.0) if default_rate >= 1.0 else (
+        h < F.lit(_hex_threshold(default_rate))
+    )
+    for g, r in sorted(rates.items()):
+        cond = h < F.lit(_hex_threshold(r)) if r < 1.0 else F.lit(True)
+        keep = F.when(F.col(group_col) == g, cond).otherwise(keep)
+    return df.filter(keep)
+
+
+def subsample_by_group_oracle_where(
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_expr: str = "doc_id",
+    seed: str = "mix-v1",
+    default_rate: float = 1.0,
+) -> str:
+    """DuckDB WHERE fragment mirroring :func:`subsample_by_group`."""
+    h = f"substr(md5('{seed}|' || {id_expr}), 1, 8)"
+    branches = []
+    for g, r in sorted(rates.items()):
+        cond = f"{h} < '{_hex_threshold(r)}'" if r < 1.0 else "TRUE"
+        branches.append(f"WHEN {group_col} = '{g}' THEN {cond}")
+    default = "TRUE" if default_rate >= 1.0 else f"{h} < '{_hex_threshold(default_rate)}'"
+    return f"CASE {' '.join(branches)} ELSE {default} END"

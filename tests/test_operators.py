@@ -512,3 +512,18 @@ def test_decontamination_semantics(spark):
     }
     assert out[1] == (1, True)
     assert out[2] == (0, False)
+
+
+def test_subsample_by_group_deterministic_rates(spark):
+    from tesseract_spark.operators.sampling import subsample_by_group
+
+    df = spark.range(0, 6000).selectExpr(
+        "id AS doc_id", "concat('s', id % 3) AS source"
+    )
+    kept = subsample_by_group(df, {"s0": 0.5, "s1": 0.1})
+    counts = {r.source: r.n for r in kept.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert abs(counts["s0"] / 2000 - 0.5) < 0.05
+    assert abs(counts["s1"] / 2000 - 0.1) < 0.03
+    assert counts["s2"] == 2000  # default rate 1.0 keeps everything
+    again = {r.source: r.n for r in subsample_by_group(df.repartition(7), {"s0": 0.5, "s1": 0.1}).groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert again == counts
