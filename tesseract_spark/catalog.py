@@ -1118,6 +1118,23 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: multimodal.multimodal_features(_docs(spark, sf)),
         multimodal.multimodal_features_oracle_sql(),
     )
+    # video-style frame sampling (1→N row expansion) and image-style
+    # nearest-neighbor grid resize — decode stubbed, index math + batch
+    # shapes real, outputs pinned by md5 of the produced bytes
+    _add(
+        "q_multimodal_frames",
+        lambda spark, sf: multimodal.sample_frames(
+            multimodal.attach_binary_payload(_docs(spark, sf))
+        ),
+        multimodal.sample_frames_oracle_sql(),
+    )
+    _add(
+        "q_multimodal_resize",
+        lambda spark, sf: multimodal.resize_payload_grid(
+            multimodal.attach_binary_payload(_docs(spark, sf))
+        ),
+        multimodal.resize_payload_grid_oracle_sql(),
+    )
     _add(
         "q_events_window",
         ev.batch_windowed_agg,

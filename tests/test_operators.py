@@ -527,3 +527,37 @@ def test_subsample_by_group_deterministic_rates(spark):
     assert counts["s2"] == 2000  # default rate 1.0 keeps everything
     again = {r.source: r.n for r in subsample_by_group(df.repartition(7), {"s0": 0.5, "s1": 0.1}).groupBy("source").count().withColumnRenamed("count", "n").collect()}
     assert again == counts
+
+
+def test_frame_sampling_and_resize_shapes(spark):
+    """Frame sampling drops trailing partials and empty docs; resize performs
+    exact nearest-neighbor index math (checked against an independent
+    reference computation)."""
+    import hashlib
+
+    from tesseract_spark.operators.multimodal import (
+        resize_payload_grid,
+        sample_frames,
+    )
+
+    payload_a = bytes(range(256))  # 4 frames of 64 → sampled idx 0
+    payload_b = b"x" * 63  # shorter than one frame → no rows
+    df = spark.createDataFrame(
+        [(1, payload_a, "video"), (2, payload_b, "video")],
+        "doc_id long, payload binary, modality string",
+    )
+    frames = sample_frames(df)
+    rows = [(r.doc_id, r.frame_idx, r.n_frames) for r in frames.collect()]
+    assert rows == [(1, 0, 4)]
+
+    # 16x16 grid downsampled to 8x8: pixel (i,j) = byte[(i*16//8)*16 + j*16//8]
+    grid = bytes(range(256))
+    rdf = spark.createDataFrame(
+        [(1, grid, "image")], "doc_id long, payload binary, modality string"
+    )
+    out = resize_payload_grid(rdf).collect()[0]
+    want = bytes(
+        grid[(i * 16 // 8) * 16 + (j * 16 // 8)] for i in range(8) for j in range(8)
+    )
+    assert out.side == 16
+    assert out.pixels_md5 == hashlib.md5(want).hexdigest()
