@@ -1162,6 +1162,17 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: text.repetition_scores(_docs(spark, sf)),
         text.repetition_scores_oracle_sql(),
     )
+    # order-sensitive rolling-hash fingerprint (Rabin-Karp polynomial fold;
+    # sequential HOF fold ≡ DuckDB list_reduce bit-for-bit)
+    def _rolling_fp(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return _docs(spark, sf).select(
+            "doc_id",
+            text.rolling_fingerprint_col(F.col("text")).alias("rolling_fp"),
+        )
+
+    _add("q_text_rolling_fp", _rolling_fp, text.rolling_fingerprint_oracle_sql())
     # deterministic hash-bucket train/val/test split, counted per (lang, split)
     def _split_counts(spark: SparkSession, sf: str) -> DataFrame:
         from pyspark.sql import functions as F

@@ -229,3 +229,38 @@ def analyze_documents_oracle_sql(table: str = "documents") -> str:
            {fingerprint} AS fingerprint
     FROM {table}
     """
+
+
+#: polynomial rolling-hash parameters: base 257, Mersenne-31 modulus — keeps
+#: every intermediate ≤ 2^39, far from BIGINT overflow in either engine
+_RH_BASE = 257
+_RH_MOD = 2_147_483_647
+
+
+def rolling_fingerprint_col(text: Column) -> Column:
+    """Order-sensitive document fingerprint: a Rabin-Karp-style polynomial
+    rolling hash folded left-to-right over the token stream
+    (``h = (h*B + tok) % M``, tokens mapped to 28-bit ints via md5). Unlike
+    :func:`fingerprint_col` (order-insensitive sorted-token md5), reordering
+    words changes this fingerprint. Sequential folds are bit-identical
+    between Spark's ``aggregate`` HOF and DuckDB's ``list_reduce``."""
+    words = F.split(F.lower(F.trim(text)), _TOKEN_SPLIT)
+    toks = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long")
+    )
+    return F.aggregate(
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.element_at(toks, 1),
+        lambda acc, t: (acc * _RH_BASE + t) % _RH_MOD,
+    )
+
+
+def rolling_fingerprint_oracle_sql(table: str = "documents") -> str:
+    words = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    toks = f"list_transform({words}, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT)"
+    return f"""
+    SELECT doc_id,
+           list_reduce({toks},
+                       (a, t) -> (a * {_RH_BASE} + t) % {_RH_MOD}) AS rolling_fp
+    FROM {table}
+    """

@@ -561,3 +561,29 @@ def test_frame_sampling_and_resize_shapes(spark):
     )
     assert out.side == 16
     assert out.pixels_md5 == hashlib.md5(want).hexdigest()
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    """Same tokens, different order → different rolling fingerprint (unlike
+    the sorted-token md5 fingerprint); identical docs agree."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.text import (
+        fingerprint_col,
+        rolling_fingerprint_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.rfp, r.fp)
+        for r in df.select(
+            "doc_id",
+            rolling_fingerprint_col(F.col("text")).alias("rfp"),
+            fingerprint_col(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert rows[1][0] == rows[3][0] != rows[2][0]
+    assert rows[1][1] == rows[2][1]  # sorted-token fp is order-insensitive
