@@ -934,17 +934,42 @@ def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_add(
-    "q_asof_purchase_click",
-    _asof_purchase_click,
-    """
+_ASOF_ORACLE = """
     SELECT p.user_id, p.ts, p.value, c.ts AS click_ts, c.value AS click_value
     FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN
          (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts
-    """,
-)
+    """
+
+_add("q_asof_purchase_click", _asof_purchase_click, _ASOF_ORACLE)
+
+
+def _asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hot-key-safe variant: same semantics, no task holds a whole key's
+    # history; pinned against the SAME native ASOF oracle
+    from pyspark.sql import functions as F
+
+    from .operators.asof import asof_join_bucketed
+    from .streaming.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join_bucketed(
+        purchases, clicks, on=["user_id"], bucket="3 days"
+    ).select(
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_asof").alias("click_ts"),
+        F.col("value_asof").alias("click_value"),
+    )
+
+
+_add("q_asof_bucketed", _asof_bucketed, _ASOF_ORACLE)
 
 # ---------- C5 (completed): conditional cut ----------
 # keep rows of SUPPLIERS that shipped at least one Brand#13 part

@@ -73,3 +73,111 @@ def asof_join(
     return u.filter(F.col("__is_left") == 1).select(
         *left.columns, *[f"{c}{suffix}" for c in carried]
     )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    bucket: str = "30 days",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Hot-key-safe as-of join: identical semantics to :func:`asof_join`, but
+    no task ever holds a whole key's history.
+
+    :func:`asof_join`'s single window puts ALL rows of a join key in one
+    task — correct until one entity dominates (a bot user, a null key). This
+    variant sub-partitions time into fixed buckets:
+
+    1. the same union + last-ignore-nulls window, but partitioned by
+       (key, bucket) — each task sees one key-bucket, volume bounded by the
+       bucket width;
+    2. a per-(key, bucket) "carry" table — the last right-row state at each
+       bucket's end (computed map-side by aggregating the bucket window's
+       final values: ~keys × buckets rows, tiny relative to events);
+    3. a window over the carry table (per key, ordered by bucket) rolls
+       state forward, so bucket b knows the latest right row from ALL
+       earlier buckets;
+    4. left rows with no in-bucket match fill from the previous bucket's
+       rolled-up carry via an equi-join on (key, bucket).
+
+    Cost: two keyed shuffles of the data + one tiny carry shuffle, vs one
+    shuffle for the plain version — pay it when keys are skewed.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    carried = [right_ts, *right_cols]
+
+    bucket_expr = F.window(F.col("__ts"), bucket)["start"]
+
+    l_tag = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    r_tag = (
+        right.select(*on, right_ts, *right_cols)
+        .withColumn("__ts", F.col(right_ts))
+        .withColumn("__is_left", F.lit(0))
+    )
+    for c in carried:
+        r_tag = r_tag.withColumnRenamed(c, f"__r_{c}")
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True).withColumn(
+        "__bucket", bucket_expr
+    )
+
+    w = (
+        Window.partitionBy(*on, "__bucket")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in carried:
+        u = u.withColumn(
+            f"__in_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
+        )
+
+    # per-(key, bucket) final right state = the in-bucket carry at the last
+    # right row (max_by over right rows only; NULL-safe when bucket has none)
+    carry = (
+        u.filter(F.col("__is_left") == 0)
+        .groupBy(*on, "__bucket")
+        .agg(
+            *[
+                F.max_by(F.col(f"__in_{c}"), F.col("__ts")).alias(f"__end_{c}")
+                for c in carried
+            ]
+        )
+    )
+    wc = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # state rolled up to the END of the PREVIOUS bucket, keyed by this bucket
+    prev = carry.select(
+        *on,
+        "__bucket",
+        *[F.col(f"__end_{c}").alias(f"__prevsrc_{c}") for c in carried],
+    )
+    # roll forward over ALL buckets each key has (left or right): build the
+    # full bucket spine first so gaps (buckets with no right rows) still see
+    # older state
+    spine = u.select(*on, "__bucket").distinct()
+    rolled = spine.join(prev, [*on, "__bucket"], "left")
+    for c in carried:
+        rolled = rolled.withColumn(
+            f"__prev_{c}",
+            F.last(F.col(f"__prevsrc_{c}"), ignorenulls=True).over(wc),
+        )
+    rolled = rolled.select(
+        *on, "__bucket", *[f"__prev_{c}" for c in carried]
+    )
+
+    out = (
+        u.filter(F.col("__is_left") == 1)
+        .join(rolled, [*on, "__bucket"], "left")
+    )
+    for c in carried:
+        out = out.withColumn(
+            f"{c}{suffix}", F.coalesce(F.col(f"__in_{c}"), F.col(f"__prev_{c}"))
+        )
+    return out.select(*left.columns, *[f"{c}{suffix}" for c in carried])

@@ -587,3 +587,32 @@ def test_rolling_fingerprint_order_sensitive(spark):
     }
     assert rows[1][0] == rows[3][0] != rows[2][0]
     assert rows[1][1] == rows[2][1]  # sorted-token fp is order-insensitive
+
+
+def test_asof_bucketed_matches_plain(spark, sf_dir):
+    """The hot-key-safe bucketed as-of must produce exactly the plain
+    as-of's result on real event data, including matches that reach across
+    bucket boundaries (tiny bucket width forces cross-bucket carries)."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.asof import asof_join, asof_join_bucketed
+    from tesseract_spark.streaming.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+
+    plain = {
+        (r.user_id, r.ts): (r.ts_asof, r.value_asof)
+        for r in asof_join(purchases, clicks, on=["user_id"]).collect()
+    }
+    for width in ["2 hours", "3 days"]:
+        bucketed = {
+            (r.user_id, r.ts): (r.ts_asof, r.value_asof)
+            for r in asof_join_bucketed(
+                purchases, clicks, on=["user_id"], bucket=width
+            ).collect()
+        }
+        assert bucketed == plain and len(plain) > 0
