@@ -616,3 +616,28 @@ def test_asof_bucketed_matches_plain(spark, sf_dir):
             ).collect()
         }
         assert bucketed == plain and len(plain) > 0
+
+
+def test_stream_interval_join_matches_batch_range_join(spark, sf_dir):
+    """A real stream-stream interval join (watermarked both sides) must emit
+    exactly the batch bucketed range join's pairs."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.rangejoin import range_join
+    from tesseract_spark.streaming.events import read_events
+    from tesseract_spark.streaming.joins import stream_interval_join_demo
+
+    streamed = {
+        (r.l_event_id, r.r_ts, r.r_value)
+        for r in stream_interval_join_demo(spark, sf_dir, query_name="t_ssj").collect()
+    }
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    batch = {
+        (r.event_id, r.ts_r, r.value_r)
+        for r in range_join(purchases, clicks, ["user_id"], 3600).collect()
+    }
+    assert streamed == batch and len(batch) > 0
