@@ -77,3 +77,37 @@ def stream_interval_join_demo(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_static_enrich_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "events_enriched",
+) -> DataFrame:
+    """Stream-static join: the live event stream enriched with a static
+    per-user profile (here: historical mean event value from the at-rest
+    data). The static side is broadcast per micro-batch — no stream state at
+    all, the standard dimension-enrichment shape for streaming cube ingest."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    profile = (
+        _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("user_mean_value"))
+    )
+    stage = tempfile.mkdtemp(prefix="events_enrich_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = _normalize_ts(spark.readStream.schema(EVENTS_SCHEMA).parquet(stage))
+    enriched = stream.join(F.broadcast(profile), "user_id", "left").select(
+        "event_id", "user_id", "value", "user_mean_value"
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -641,3 +641,23 @@ def test_stream_interval_join_matches_batch_range_join(spark, sf_dir):
         for r in range_join(purchases, clicks, ["user_id"], 3600).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment must equal the batch join."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.streaming.events import read_events
+    from tesseract_spark.streaming.joins import stream_static_enrich_demo
+
+    streamed = {
+        (r.event_id, r.user_mean_value)
+        for r in stream_static_enrich_demo(spark, sf_dir, query_name="t_enrich").collect()
+    }
+    ev = read_events(spark, sf_dir)
+    profile = ev.groupBy("user_id").agg(F.avg("value").alias("user_mean_value"))
+    batch = {
+        (r.event_id, r.user_mean_value)
+        for r in ev.join(profile, "user_id", "left").collect()
+    }
+    assert streamed == batch and len(batch) > 0
