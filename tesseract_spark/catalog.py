@@ -1350,6 +1350,50 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # sequence packing: greedy token-budget bin packing per hash shard (the
+    # pretraining batch-assembly op). Token counts computed JVM-side before
+    # the one shuffle on shard; the greedy walk is per-shard sequential by
+    # definition (applyInPandas, two scalars of state); oracle replays it
+    # with a recursive CTE
+    from .operators import packing
+
+    _add(
+        "q_pack_sequences",
+        lambda spark, sf: packing.pack_sequences(_docs(spark, sf)),
+        packing.pack_sequences_oracle_sql(),
+    )
+
+    # PII redaction: email/phone/IPv4 masking + per-category counts, all
+    # JVM regex expressions in the Java∩RE2 dialect; a deterministic PII
+    # footer (derived from doc_id) guarantees positives on the synthetic
+    # corpus, and md5(redacted) pins every redacted byte
+    from .operators import redact
+
+    _add(
+        "q_redact_pii",
+        lambda spark, sf: redact.redact_documents(
+            redact.with_synthetic_pii(_docs(spark, sf))
+        ),
+        redact.redact_documents_oracle_sql(
+            table=f"(SELECT doc_id, {redact.synthetic_pii_sql()} AS text"
+            " FROM documents) s"
+        ),
+    )
+
+    # deterministic epoch shuffle: stable (shard, pos) training order from
+    # keyed hashes — one shuffle on shard, per-shard ranking windows, no
+    # global sort; re-seeding re-deals the epoch
+    def _epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+        return sampling.epoch_shuffle(_docs(spark, sf).select("doc_id")).select(
+            "doc_id", "shard", "pos"
+        )
+
+    _add(
+        "q_epoch_shuffle",
+        _epoch_shuffle,
+        sampling.epoch_shuffle_oracle_sql("documents", ["doc_id"]),
+    )
+
     # end-to-end corpus curation: quality gate → exact near-dup removal
     # (first doc per fingerprint wins) → deterministic split — the composed
     # training-data pipeline, still a single declarative plan

@@ -1,0 +1,142 @@
+"""Sequence packing: greedy token-budget bin packing for pretraining batches.
+
+The classic training-data op the reference lacks entirely (its surface stops at
+aggregation — SURVEY.md §2): documents are concatenated into fixed-capacity
+token bins ("sequences") so no batch slot is wasted. Semantics here are the
+standard *deterministic shard-sequential greedy* packing used by large-corpus
+loaders:
+
+1. every doc gets a stable shard (hash bucket of its id — same md5-hex trick
+   as :mod:`.sampling`, so the assignment is partitioning-independent and has
+   an exact SQL mirror);
+2. within a shard, docs are walked in id order and greedily appended to the
+   current bin; when the bin would overflow ``capacity`` a new bin opens
+   (an over-long doc gets a bin of its own — loaders then truncate).
+
+Scale shape: token counts are computed JVM-side *before* the shuffle, so only
+``(doc_id, shard, n_tokens)`` moves — the text never shuffles. The greedy walk
+is inherently sequential *per shard* (that is its definition), so shards are
+the parallelism unit: one ``applyInPandas`` group each, state = two scalars.
+At 100 TB you size ``n_shards`` to a few× the executor-core count; skew is
+impossible by construction (shards are uniform hash buckets).
+
+The DuckDB oracle replays the same walk with a recursive CTE stepping
+``rn → rn+1`` per shard — bit-exact, since everything is integer.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import token_count_col
+
+#: seed namespacing the shard hash (change to re-deal shards)
+PACK_SEED = "pack-v1"
+
+
+def shard_col(id_col: Column, n_shards: int, seed: str = PACK_SEED) -> Column:
+    """Stable shard in [0, n_shards): first 4 md5-hex chars (16 uniform bits)
+    of the seeded id, mod n_shards."""
+    h = F.substring(F.md5(F.concat_ws("|", F.lit(seed), id_col.cast("string"))), 1, 4)
+    return (F.conv(h, 16, 10).cast("long") % n_shards).alias("shard")
+
+
+def _shard_sql(id_expr: str, n_shards: int, seed: str = PACK_SEED) -> str:
+    h = f"substr(md5('{seed}|' || {id_expr}), 1, 4)"
+    return f"(('0x' || {h})::BIGINT % {n_shards})"
+
+
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+    ]
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document to (shard, bin_id) under the greedy walk above.
+
+    Returns ``(doc_id, shard, bin_id, n_tokens)`` — n_tokens is the
+    whitespace token count (:func:`.text.token_count_col`). bin_id is
+    1-based per shard.
+    """
+    slim = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        shard_col(F.col(id_col), n_shards),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        bins = []
+        bin_id, fill = 0, capacity + 1  # force-open on first doc
+        for tok in pdf["n_tokens"]:
+            if fill + tok > capacity:
+                bin_id += 1
+                fill = tok
+            else:
+                fill += tok
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "shard", "bin_id", "n_tokens"]]
+
+    return slim.groupBy("shard").applyInPandas(pack, schema=_PACK_SCHEMA)
+
+
+def pack_sequences_oracle_sql(
+    table: str = "documents",
+    capacity: int = 256,
+    n_shards: int = 8,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    seed: str = PACK_SEED,
+) -> str:
+    """Recursive-CTE replay of the greedy walk (rn → rn+1 within shard)."""
+    tok = (
+        f"CASE WHEN length(trim({text_expr})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({text_expr}), '\\s+')) END"
+    )
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, shard, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM (SELECT {id_expr} AS doc_id,
+                   {_shard_sql(id_expr, n_shards, seed)} AS shard,
+                   CAST({tok} AS BIGINT) AS n_tokens
+            FROM {table})),
+    packed AS (
+      SELECT doc_id, shard, n_tokens, rn,
+             CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.shard, t.n_tokens, t.rn,
+             CASE WHEN p.fill + t.n_tokens > {capacity}
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill + t.n_tokens > {capacity}
+                  THEN t.n_tokens ELSE p.fill + t.n_tokens END
+      FROM toks t JOIN packed p ON t.shard = p.shard AND t.rn = p.rn + 1)
+    SELECT doc_id, shard, bin_id, n_tokens FROM packed
+    """
+
+
+def pack_stats(packed: DataFrame, capacity: int = 256) -> DataFrame:
+    """Per-shard packing efficiency: bins used, mean fill fraction."""
+    per_bin = packed.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("fill")
+    )
+    return per_bin.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(F.avg(F.col("fill") / F.lit(float(capacity))), 6).alias("avg_fill"),
+    )

@@ -129,6 +129,51 @@ def sample_per_group_oracle_sql(
     """
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: str = "epoch-0",
+) -> DataFrame:
+    """Deterministic training order for one epoch: every row gets a stable
+    ``(shard, pos)`` — shard is a hash bucket of the id, pos the rank of a
+    second keyed hash within the shard. Changing ``seed`` (e.g. per epoch)
+    re-deals both. This is the scalable substitute for a global ORDER BY
+    rand(): ONE shuffle on shard, per-shard ranking windows (never a global
+    single-partition sort), and membership/order independent of
+    partitioning — a data loader reads shard files in pos order."""
+    id_c = F.col(id_col)
+    shard = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(seed + "/shard"), id_c.cast("string"))), 1, 4), 16, 10).cast("long")
+        % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy(
+        _hash8(seed + "/pos", id_c).asc(), id_c.asc()
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
+def epoch_shuffle_oracle_sql(
+    table: str,
+    select_cols: list[str],
+    n_shards: int = 8,
+    id_expr: str = "doc_id",
+    seed: str = "epoch-0",
+) -> str:
+    sc = ", ".join(select_cols)
+    shard = f"(('0x' || substr(md5('{seed}/shard|' || {id_expr}), 1, 4))::BIGINT % {n_shards})"
+    pos_key = f"substr(md5('{seed}/pos|' || {id_expr}), 1, 8)"
+    return f"""
+    SELECT {sc}, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY {pos_key}, {id_expr})
+                AS BIGINT) AS pos
+    FROM (SELECT *, {shard} AS shard FROM {table})
+    """
+
+
 def subsample_by_group(
     df: DataFrame,
     rates: dict[str, float],

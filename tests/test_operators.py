@@ -661,3 +661,96 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
         for r in ev.join(profile, "user_id", "left").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Greedy packing: bins never overflow capacity (except single over-long
+    docs), bin ids are contiguous per shard, every doc assigned exactly once,
+    and the assignment is partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cap = 256
+    packed = pack_sequences(docs, capacity=cap)
+    rows = packed.collect()
+    assert len(rows) == docs.count()
+
+    fills = (
+        packed.groupBy("shard", "bin_id")
+        .agg(F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in fills:
+        assert r.fill <= cap or r.n == 1, f"overfull multi-doc bin: {r}"
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, set()).add(r.bin_id)
+    for shard, bins in per_shard.items():
+        assert bins == set(range(1, len(bins) + 1)), f"gap in shard {shard}"
+
+    repart = pack_sequences(docs.repartition(13), capacity=cap)
+    assert {tuple(r) for r in repart.collect()} == {tuple(r) for r in rows}
+
+
+def test_redact_pii_semantics(spark):
+    """Redaction masks every seeded PII instance and counts match."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.redact import (
+        PII_RULES,
+        redact_documents,
+        redacted_col,
+        with_synthetic_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "plain words only"), (7, "reach me at bob@corp.io or 10.1.2.3")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_documents(with_synthetic_pii(docs)).collect()}
+    # every doc got the synthetic footer → at least one of each category
+    assert out[0].n_email >= 1 and out[0].n_phone >= 1 and out[0].n_ip >= 1
+    # doc 7 has one extra organic email + ip
+    assert out[7].n_email == 2 and out[7].n_ip == 2
+
+    redacted = redact_documents(with_synthetic_pii(docs))
+    # no rule pattern survives in the redacted text
+    full = with_synthetic_pii(docs).select(
+        "doc_id",
+        *[
+            F.size(
+                F.regexp_extract_all(redacted_col(F.col("text")), F.lit(pat), 0)
+            ).alias(f"left_{name}")
+            for name, pat, _ in PII_RULES
+        ],
+    ).collect()
+    for r in full:
+        assert r.left_email == 0 and r.left_phone == 0 and r.left_ip == 0
+
+
+def test_epoch_shuffle_permutation_and_reseed(spark):
+    """(shard, pos) is a proper permutation; re-seeding re-deals it;
+    assignment is partitioning-independent."""
+    from tesseract_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    e0 = epoch_shuffle(df, n_shards=4, seed="epoch-0").collect()
+    assert len(e0) == 300
+    by_shard = {}
+    for r in e0:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    e1 = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(df, n_shards=4, seed="epoch-1").collect()}
+    m0 = {r.doc_id: (r.shard, r.pos) for r in e0}
+    assert any(m0[d] != e1[d] for d in m0), "re-seed did not re-deal"
+
+    stable = {
+        r.doc_id: (r.shard, r.pos)
+        for r in epoch_shuffle(df.repartition(7), n_shards=4, seed="epoch-0").collect()
+    }
+    assert stable == m0
