@@ -908,6 +908,31 @@ _add(
     """,
 )
 
+
+def _grouping_sets_year_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the third grouping superset next to rollup/cube: exactly the listed
+    # grains, here the two 1-D marginals (no combined grain, no grand total)
+    from pyspark.sql import functions as F
+
+    b = get_builder(spark, sf_dir)
+    li = b.registry.load("lineitem_enriched")
+    return li.groupingSets(
+        [["Year"], ["Return Flag"]],
+        F.col("l_shipyear").alias("Year"),
+        F.col("l_returnflag").alias("Return Flag"),
+    ).agg(F.sum("l_quantity").alias("Quantity"))
+
+
+_add(
+    "q_grouping_sets",
+    _grouping_sets_year_flag,
+    """
+    SELECT year(l_shipdate)::INT AS "Year", l_returnflag AS "Return Flag",
+           sum(l_quantity) AS "Quantity"
+    FROM lineitem GROUP BY GROUPING SETS ((1), (2))
+    """,
+)
+
 # ---------- as-of join (point-in-time-correct feature lookup) ----------
 # every purchase joined to the user's latest click at-or-before it; DuckDB's
 # native ASOF LEFT JOIN pins the Spark union+last-ignore-nulls composition
@@ -1348,6 +1373,15 @@ def _wire_pipeline_ops() -> None:
         FROM e JOIN first f ON e.user_id = f.user_id
         GROUP BY 1, 2
         """,
+    )
+
+    # per-doc top-k salient terms: tf-idf with a log-free BM25-shaped idf
+    # (rational in exact ints → bit-identical doubles cross-engine); the
+    # 1-row corpus-count broadcast is the only nested-loop join
+    _add(
+        "q_tfidf_topk_terms",
+        lambda spark, sf: text.rarity_topk_terms(_docs(spark, sf)),
+        text.rarity_topk_terms_oracle_sql(),
     )
 
     # sequence packing: greedy token-budget bin packing per hash shard (the

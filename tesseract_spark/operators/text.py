@@ -231,6 +231,69 @@ def analyze_documents_oracle_sql(table: str = "documents") -> str:
     """
 
 
+def rarity_topk_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k salient terms by a tf-idf-style score.
+
+    Classic keyword extraction over a corpus: term frequency × inverse
+    document frequency. The idf factor is the BM25-shaped rational
+    ``(N − df + 0.5) / (df + 0.5)`` rather than ``ln(N/df)`` — same ordering,
+    but built only from IEEE-exact ops (int arithmetic + one division), so
+    the score is bit-identical across engines (``ln`` is a libm call whose
+    last ulp differs between the JVM and DuckDB).
+
+    Shape: explode → (doc,term) counts → term doc-freqs → join → per-doc
+    ranking window. The doc-freq table is vocabulary-sized (≪ corpus at
+    scale) and the corpus size N is a 1-row broadcast; the only big shuffles
+    are the two token-keyed groupBys and the ranking window on doc_id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_SPLIT)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+def rarity_topk_terms_oracle_sql(table: str = "documents", k: int = 3) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM {table}),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM {table}),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             t.tf * ((n.n - d.df + 0.5) / (d.df + 0.5)) AS score
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored)
+    SELECT doc_id, term, tf, df, score FROM ranked WHERE rn <= {k}
+    """
+
+
 #: polynomial rolling-hash parameters: base 257, Mersenne-31 modulus — keeps
 #: every intermediate ≤ 2^39, far from BIGINT overflow in either engine
 _RH_BASE = 257

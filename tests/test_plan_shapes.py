@@ -25,6 +25,7 @@ BNLJ_WHITELIST = {
     "q_rca_debug",
     "q_rca_region_flag",
     "q_sort_by_growth",
+    "q_tfidf_topk_terms",
 }
 
 # exchange-node ceilings (shuffles + broadcasts in the INITIAL adaptive plan;
