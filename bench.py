@@ -42,6 +42,11 @@ HEADLINE = [
     "q_asof_purchase_click",
     "q_range_join_activity",
     "q_split_train_val_test",
+    "q_tfidf_topk_terms",
+    "q_pack_sequences",
+    "q_redact_pii",
+    "q_epoch_shuffle",
+    "q_corpus_curation",
 ]
 
 

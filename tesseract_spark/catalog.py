@@ -1397,6 +1397,14 @@ def _wire_pipeline_ops() -> None:
         packing.pack_sequences_oracle_sql(),
     )
 
+    # fixed-window chunking (the context-length splitter feeding packing):
+    # shuffle-free 1→⌈n/c⌉ explode, every token boundary pinned by chunk md5
+    _add(
+        "q_chunk_documents",
+        lambda spark, sf: packing.chunk_documents(_docs(spark, sf)),
+        packing.chunk_documents_oracle_sql(),
+    )
+
     # PII redaction: email/phone/IPv4 masking + per-category counts, all
     # JVM regex expressions in the Java∩RE2 dialect; a deterministic PII
     # footer (derived from doc_id) guarantees positives on the synthetic

@@ -131,6 +131,58 @@ def pack_sequences_oracle_sql(
     """
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into fixed-size token windows (the chunking pass
+    that feeds :func:`pack_sequences` when docs exceed the context length).
+
+    Emits ``(doc_id, chunk_id, n_tokens, chunk_md5)`` — chunk_id 0-based,
+    n_tokens ≤ chunk_tokens, chunk_md5 the md5 of the space-joined window
+    (pins every token boundary without shipping text downstream). Pure
+    JVM expressions: split → integer chunk count → explode(sequence) →
+    slice — a 1→⌈n/c⌉ row expansion with no shuffle at all; empty docs
+    yield one empty chunk rather than disappearing.
+    """
+    c = chunk_tokens
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("words"))
+        .withColumn("n_words", F.size(F.col("words")))
+        .withColumn("n_chunks", F.expr(f"greatest((n_words + {c - 1}) div {c}, 1)"))
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)))
+        .withColumn("chunk", F.slice(F.col("words"), F.col("chunk_id") * c + 1, c))
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.array_join(F.col("chunk"), " ")).alias("chunk_md5"),
+    )
+
+
+def chunk_documents_oracle_sql(table: str = "documents", chunk_tokens: int = 128) -> str:
+    c = chunk_tokens
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM {table}),
+    e AS (
+      SELECT doc_id, words,
+             unnest(range(0, greatest((len(words) + {c - 1}) // {c}, 1))) AS chunk_id
+      FROM w)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(words, chunk_id * {c} + 1, chunk_id * {c} + {c}))
+                AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(words, chunk_id * {c} + 1,
+                                          chunk_id * {c} + {c}), ' ')) AS chunk_md5
+    FROM e
+    """
+
+
 def pack_stats(packed: DataFrame, capacity: int = 256) -> DataFrame:
     """Per-shard packing efficiency: bins used, mean fill fraction."""
     per_bin = packed.groupBy("shard", "bin_id").agg(

@@ -754,3 +754,29 @@ def test_epoch_shuffle_permutation_and_reseed(spark):
         for r in epoch_shuffle(df.repartition(7), n_shards=4, seed="epoch-0").collect()
     }
     assert stable == m0
+
+
+def test_chunk_documents_reassembly(spark):
+    """Chunks tile the token stream: full chunks of c, remainder last, and
+    the concatenation of chunk windows equals the original token list."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "one"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=4).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.n_tokens)
+    assert by_doc[1] == [4, 4, 2]
+    assert by_doc[2] == [1]
+    assert by_doc[3] == [1]  # empty doc → one empty-string token chunk
+    # every non-final chunk is full
+    for doc, sizes in by_doc.items():
+        assert all(s == 4 for s in sizes[:-1]) or doc in (2, 3)
