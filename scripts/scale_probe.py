@@ -41,6 +41,11 @@ PROBE_QUERIES = [
     "q_range_join_activity",
     "q_events_window",
     "q_corpus_curation",
+    "q_tfidf_topk_terms",
+    "q_pack_sequences",
+    "q_chunk_documents",
+    "q_redact_pii",
+    "q_epoch_shuffle",
 ]
 
 
