@@ -1375,6 +1375,25 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # data profiling: equi-width histogram (one computed-bucket groupBy) and
+    # one-pass per-column profile (single agg + explode-of-structs unpivot);
+    # extends the reference's /diagnosis QA surface to ingest-time profiling
+    from .operators import profile
+
+    _add(
+        "q_histogram_quantity",
+        lambda spark, sf: profile.equi_width_histogram(
+            spark.read.parquet(f"{sf}/lineitem.parquet"), "l_quantity", 10, 0.0, 50.0
+        ),
+        profile.equi_width_histogram_oracle_sql("lineitem", "l_quantity", 10, 0.0, 50.0),
+    )
+    _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+    _add(
+        "q_profile_documents",
+        lambda spark, sf: profile.profile_columns(_docs(spark, sf), _PROFILE_COLS),
+        profile.profile_columns_oracle_sql("documents", _PROFILE_COLS),
+    )
+
     # per-doc top-k salient terms: tf-idf with a log-free BM25-shaped idf
     # (rational in exact ints → bit-identical doubles cross-engine); the
     # 1-row corpus-count broadcast is the only nested-loop join

@@ -1,0 +1,112 @@
+"""Data-profiling operators: histograms and per-column table profiles.
+
+The reference's only data-QA surface is `/diagnosis` (orphan FKs, duplicate
+dim ids — `tesseract-server/src/handlers/diagnosis.rs:128-215`, covered by
+`q_diag_orphan_fk`); these extend it to the profiling a 100 TB ingest needs
+before cubes are laid over the data.
+
+Both operators are single-aggregation shapes: the histogram is one groupBy
+on a computed bucket (map-side partials, one shuffle); the profile computes
+every column's stats in ONE pass over the table (a single `agg()` with
+5×n_cols expressions — no per-column scans) and unpivots the 1-row result
+with an explode-of-structs, n_cols being schema-bounded.
+
+Min/max are rendered as strings for a type-uniform schema; profile integer /
+string / date columns — float-to-string rendering differs between engines
+(shortest-roundtrip vs printf), so floats belong in the histogram instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def equi_width_histogram(
+    df: DataFrame, col: str, bins: int, lo: float, hi: float
+) -> DataFrame:
+    """Fixed-range equi-width histogram: bucket i covers
+    ``[lo + i*w, lo + (i+1)*w)`` with ``w = (hi − lo)/bins``; values outside
+    [lo, hi) land in buckets 0 / bins−1 (clamped, so the histogram is total).
+    Bounds are caller-fixed (not data-derived) so the bucketing is one
+    deterministic map-side expression + one groupBy — and exactly mirrorable.
+    """
+    w = (hi - lo) / bins
+    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("long")
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(w)).alias("bucket_lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(w)).alias("bucket_hi"),
+            "n",
+        )
+    )
+
+
+def equi_width_histogram_oracle_sql(
+    table: str, col: str, bins: int, lo: float, hi: float
+) -> str:
+    w = (hi - lo) / bins
+    raw = f"CAST(floor(({col} - {lo!r}) / {w!r}) AS BIGINT)"
+    bucket = f"least(greatest({raw}, 0), {bins - 1})"
+    return f"""
+    SELECT bucket,
+           {lo!r} + bucket * {w!r} AS bucket_lo,
+           {lo!r} + (bucket + 1) * {w!r} AS bucket_hi,
+           count(*) AS n
+    FROM (SELECT {bucket} AS bucket FROM {table} WHERE {col} IS NOT NULL)
+    GROUP BY 1
+    """
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profile: per column, row count, null count, exact
+    distinct count, and min/max rendered as strings (one schema regardless
+    of column type). Single `agg()` → Spark evaluates all expressions in
+    one scan; the distinct counts use Spark's exact count_distinct (its own
+    shuffle per column internally via expand — acceptable: profiling runs
+    once per ingest, not per query)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    # unpivot the single aggregated row via explode-of-structs: ONE plan and
+    # ONE scan (a union of per-column selects would re-evaluate the agg
+    # subtree per column)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def profile_columns_oracle_sql(table: str, cols: list[str]) -> str:
+    selects = [
+        f"""
+        SELECT '{c}' AS column,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str
+        FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(selects)
