@@ -1375,6 +1375,37 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # corpus frequent terms: exact global top-k word counts — map-side
+    # partial counts collapse the explode before the one shuffle, and the
+    # ordered limit executes as TakeOrdered (per-partition top-k + driver
+    # merge of k·P rows), never a global sort. A space-saving sketch is NOT
+    # needed at this k: the exact path is already single-shuffle
+    def _top_terms(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        toks = _docs(spark, sf).select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+        return (
+            toks.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("term").asc())
+            .limit(20)
+        )
+
+    _add(
+        "q_top_terms",
+        _top_terms,
+        """
+        SELECT term, count(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+              FROM documents)
+        GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 20
+        """,
+    )
+
     # data profiling: equi-width histogram (one computed-bucket groupBy) and
     # one-pass per-column profile (single agg + explode-of-structs unpivot);
     # extends the reference's /diagnosis QA surface to ingest-time profiling
