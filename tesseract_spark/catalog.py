@@ -1375,6 +1375,29 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # incremental dedup: flag a new ingest batch (doc_id % 5 == 4) against
+    # the accumulated fingerprint index (the rest) — the steady-state
+    # production flow; only 32-char fingerprints join, text never shuffles
+    def _dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .operators.text import fingerprint_col
+
+        docs = _docs(spark, sf)
+        new_b = docs.filter(F.col("doc_id") % 5 == 4)
+        index = docs.filter(F.col("doc_id") % 5 != 4).select(
+            fingerprint_col(F.col("text")).alias("fingerprint")
+        )
+        return dedup.dedup_against_index(new_b, index)
+
+    _add(
+        "q_dedup_incremental",
+        _dedup_incremental,
+        dedup.dedup_against_index_sql(
+            new_where="doc_id % 5 = 4", index_where="doc_id % 5 != 4"
+        ),
+    )
+
     # corpus frequent terms: exact global top-k word counts — map-side
     # partial counts collapse the explode before the one shuffle, and the
     # ordered limit executes as TakeOrdered (per-partition top-k + driver

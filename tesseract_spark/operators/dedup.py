@@ -640,3 +640,67 @@ def cluster_oracle_sql(
     FROM {table} d LEFT JOIN reach r ON r.a = d.doc_id
     GROUP BY d.doc_id
     """
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup: flag newly-ingested docs whose fingerprint already
+    exists in the corpus index (the steady-state production flow — a full
+    corpus self-dedup runs once; every later batch dedups against the
+    accumulated index).
+
+    ``index_df`` needs only a ``fingerprint`` column (persist the index as a
+    parquet/Delta table of fingerprints in production — never the text).
+    Shape: the new batch computes fingerprints map-side and LEFT JOINs the
+    index on the 32-char md5 key; Spark broadcasts the batch or shuffles
+    both sides on the key as AQE sees fit — either way no text moves. Also
+    flags duplicates WITHIN the new batch (first id wins) via one keyed
+    window, so the kept set is internally unique too.
+    """
+    from .text import fingerprint_col
+
+    from pyspark.sql import Window
+
+    fp = new_df.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_col(F.col(text_col)).alias("fingerprint"),
+    )
+    idx = index_df.select(F.col("fingerprint")).distinct().withColumn(
+        "__in_index", F.lit(True)
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        fp.join(idx, "fingerprint", "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "fingerprint",
+            (F.col("__in_index").isNotNull() | (F.col("__rn") > 1)).alias("is_dup"),
+        )
+    )
+
+
+def dedup_against_index_sql(
+    new_where: str, index_where: str, table: str = "documents"
+) -> str:
+    """Oracle: same batch/index split expressed as WHERE fragments."""
+    from .text import _sql_quality_fragments
+
+    _, fp = _sql_quality_fragments("text")
+    return f"""
+    WITH newb AS (
+      SELECT doc_id, {fp} AS fingerprint FROM {table} WHERE {new_where}),
+    idx AS (
+      SELECT DISTINCT {fp} AS fingerprint FROM {table} WHERE {index_where}),
+    rn AS (
+      SELECT doc_id, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM newb)
+    SELECT n.doc_id, n.fingerprint,
+           (i.fingerprint IS NOT NULL OR n.rn > 1) AS is_dup
+    FROM rn n LEFT JOIN idx i USING (fingerprint)
+    """

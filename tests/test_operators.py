@@ -780,3 +780,27 @@ def test_chunk_documents_reassembly(spark):
     # every non-final chunk is full
     for doc, sizes in by_doc.items():
         assert all(s == 4 for s in sizes[:-1]) or doc in (2, 3)
+
+
+def test_dedup_against_index_semantics(spark):
+    """Docs matching the index are dups; within-batch dups keep first id;
+    novel docs are kept."""
+    from tesseract_spark.operators.dedup import dedup_against_index
+    from tesseract_spark.operators.text import fingerprint_col
+    from pyspark.sql import functions as F
+
+    index_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")], "doc_id long, text string"
+    )
+    new_b = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),   # dup of index doc 1
+            (11, "zeta eta"),           # novel
+            (12, "zeta eta"),           # within-batch dup of 11
+            (13, "theta iota"),         # novel
+        ],
+        "doc_id long, text string",
+    )
+    idx = index_docs.select(fingerprint_col(F.col("text")).alias("fingerprint"))
+    out = {r.doc_id: r.is_dup for r in dedup_against_index(new_b, idx).collect()}
+    assert out == {10: True, 11: False, 12: True, 13: False}
