@@ -1470,6 +1470,23 @@ def _wire_pipeline_ops() -> None:
         packing.pack_sequences_oracle_sql(),
     )
 
+    # packing efficiency stats (integer-exact avg fill) and the materialized
+    # training sequences themselves (per-bin id-ordered concat, every byte
+    # pinned by md5; the one stage where text legitimately shuffles, bounded
+    # per row by bin capacity)
+    _add(
+        "q_pack_stats",
+        lambda spark, sf: packing.pack_stats(
+            packing.pack_sequences(_docs(spark, sf))
+        ),
+        packing.pack_stats_oracle_sql(),
+    )
+    _add(
+        "q_pack_sequences_text",
+        lambda spark, sf: packing.materialize_sequences(_docs(spark, sf)),
+        packing.materialize_sequences_oracle_sql(),
+    )
+
     # fixed-window chunking (the context-length splitter feeding packing):
     # shuffle-free 1→⌈n/c⌉ explode, every token boundary pinned by chunk md5
     _add(

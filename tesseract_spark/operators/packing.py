@@ -184,11 +184,92 @@ def chunk_documents_oracle_sql(table: str = "documents", chunk_tokens: int = 128
 
 
 def pack_stats(packed: DataFrame, capacity: int = 256) -> DataFrame:
-    """Per-shard packing efficiency: bins used, mean fill fraction."""
-    per_bin = packed.groupBy("shard", "bin_id").agg(
-        F.sum("n_tokens").alias("fill")
-    )
+    """Per-shard packing efficiency: bins used and mean fill fraction.
+
+    avg_fill is computed as ``sum(tokens) / (n_bins · capacity)`` — one
+    division of exact integers, not an avg of per-bin doubles, so the value
+    is bit-stable across engines and partitionings."""
+    per_bin = packed.groupBy("shard", "bin_id").agg(F.sum("n_tokens").alias("fill"))
     return per_bin.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_bins"),
-        F.round(F.avg(F.col("fill") / F.lit(float(capacity))), 6).alias("avg_fill"),
+        F.sum("fill").alias("sum_tokens"),
+    ).select(
+        "shard",
+        "n_bins",
+        "sum_tokens",
+        (F.col("sum_tokens") / (F.col("n_bins") * F.lit(capacity))).alias("avg_fill"),
     )
+
+
+def pack_stats_oracle_sql(
+    table: str = "documents",
+    capacity: int = 256,
+    n_shards: int = 8,
+    seed: str = PACK_SEED,
+) -> str:
+    packed = pack_sequences_oracle_sql(table, capacity, n_shards, seed=seed)
+    return f"""
+    WITH packed_out AS ({packed}),
+    per_bin AS (
+      SELECT shard, bin_id, sum(n_tokens) AS fill
+      FROM packed_out GROUP BY 1, 2)
+    SELECT shard, count(*) AS n_bins, sum(fill) AS sum_tokens,
+           sum(fill) / (count(*) * {capacity}) AS avg_fill
+    FROM per_bin GROUP BY 1
+    """
+
+
+def materialize_sequences(
+    df: DataFrame,
+    capacity: int = 256,
+    n_shards: int = 8,
+    sep: str = "<|eos|>",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Build the actual training sequences from the packing assignment:
+    per (shard, bin), concatenate member docs in id order with ``sep``
+    between them. Emits ``(shard, bin_id, n_docs, n_tokens, seq_md5)`` —
+    the md5 pins every byte of the materialized sequence without carrying
+    it further.
+
+    This is the one packing stage where text DOES shuffle (it must — the
+    sequence is the product); each row's payload is ≤ capacity tokens by
+    construction, so the collect_list per (shard, bin) is bounded by the
+    bin capacity, never by corpus skew."""
+    assign = pack_sequences(df, capacity, n_shards, id_col, text_col)
+    joined = assign.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+    )
+    per_bin = joined.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "__text"))),
+                lambda s: s["__text"],
+            ),
+            sep,
+        ).alias("__seq"),
+    )
+    return per_bin.select(
+        "shard", "bin_id", "n_docs", "n_tokens", F.md5("__seq").alias("seq_md5")
+    )
+
+
+def materialize_sequences_oracle_sql(
+    table: str = "documents",
+    capacity: int = 256,
+    n_shards: int = 8,
+    sep: str = "<|eos|>",
+    seed: str = PACK_SEED,
+) -> str:
+    packed = pack_sequences_oracle_sql(table, capacity, n_shards, seed=seed)
+    return f"""
+    WITH packed_out AS ({packed})
+    SELECT p.shard, p.bin_id, count(*) AS n_docs, sum(p.n_tokens) AS n_tokens,
+           md5(string_agg(d.text, '{sep}' ORDER BY d.doc_id)) AS seq_md5
+    FROM packed_out p JOIN {table} d ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """
