@@ -1398,6 +1398,15 @@ def _wire_pipeline_ops() -> None:
         ),
     )
 
+    # cross-source duplication matrix: shared distinct n-grams + containment
+    # per source pair — intermediate volume linear in distinct shingles
+    # (fan-out bounded by |sources|² per shingle), output bounded by pairs
+    _add(
+        "q_source_overlap",
+        lambda spark, sf: dedup.source_overlap_matrix(_docs(spark, sf)),
+        dedup.source_overlap_matrix_oracle_sql(),
+    )
+
     # corpus frequent terms: exact global top-k word counts — map-side
     # partial counts collapse the explode before the one shuffle, and the
     # ordered limit executes as TakeOrdered (per-partition top-k + driver

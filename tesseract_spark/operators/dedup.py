@@ -642,6 +642,78 @@ def cluster_oracle_sql(
     """
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct word n-grams they share, and the containment fraction
+    ``shared / min(|A|, |B|)`` (1.0 = the smaller source's shingle set is
+    wholly inside the larger's — e.g. a re-crawl or a subset dump).
+
+    Scale shape: distinct (source, shingle) is one shuffle; the shingle
+    self-join fans out at most |sources|² rows per shingle (sources are
+    few), so intermediate volume is linear in distinct shingles and the
+    output is bounded by the source-pair count — never corpus-quadratic.
+    The division is a single int/int → double op, bit-stable cross-engine.
+    """
+    s = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(word_shingles_col(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    totals = s.groupBy("source").agg(F.count(F.lit(1)).alias("total"))
+    a = s.select(F.col("source").alias("source_a"), "shingle")
+    b = s.select(F.col("source").alias("source_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("total").alias("total_a"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("total").alias("total_b"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            "total_a",
+            "total_b",
+            (
+                F.col("shared_shingles")
+                / F.least(F.col("total_a"), F.col("total_b"))
+            ).alias("containment"),
+        )
+    )
+
+
+def source_overlap_matrix_oracle_sql(table: str = "documents", n: int = 5) -> str:
+    sh = _sql_word_shingles("text", n)
+    return f"""
+    WITH s AS (
+      SELECT DISTINCT source, unnest({sh}) AS shingle FROM {table}),
+    totals AS (SELECT source, count(*) AS total FROM s GROUP BY 1),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared_shingles
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT sh.source_a, sh.source_b, sh.shared_shingles,
+           ta.total AS total_a, tb.total AS total_b,
+           sh.shared_shingles / least(ta.total, tb.total) AS containment
+    FROM shared sh
+    JOIN totals ta ON ta.source = sh.source_a
+    JOIN totals tb ON tb.source = sh.source_b
+    """
+
+
 def dedup_against_index(
     new_df: DataFrame,
     index_df: DataFrame,
