@@ -44,9 +44,16 @@ HEADLINE = [
     "q_split_train_val_test",
     "q_tfidf_topk_terms",
     "q_pack_sequences",
+    "q_pack_sequences_text",
+    "q_chunk_documents",
     "q_redact_pii",
     "q_epoch_shuffle",
     "q_corpus_curation",
+    "q_dedup_incremental",
+    "q_source_overlap",
+    "q_top_terms",
+    "q_histogram_quantity",
+    "q_profile_documents",
 ]
 
 
