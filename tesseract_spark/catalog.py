@@ -750,6 +750,178 @@ _add(
     """,
 )
 
+# ---------- moving average over time per group ----------
+def _moving_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-period trailing mean over the yearly aggregate; Quantity is integral
+    # so the frame sums are exact, and sum/count (not F.avg) keeps the
+    # division a single deterministic double op on both engines
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = _cube_query(
+        {
+            "drilldowns": ["Ship Date.Year", "Return Flag.Return Flag"],
+            "measures": ["Quantity"],
+        }
+    )(spark, sf_dir)
+    w = Window.partitionBy("Return Flag").orderBy("Year").rowsBetween(-2, 0)
+    return df.withColumn(
+        "Quantity MA3",
+        F.sum("Quantity").over(w) / F.count(F.lit(1)).over(w),
+    )
+
+
+_add(
+    "q_moving_avg",
+    _moving_avg_quantity,
+    """
+    WITH agg AS (
+      SELECT year(l_shipdate)::INT AS "Year", l_returnflag AS "Return Flag",
+             sum(l_quantity) AS "Quantity"
+      FROM lineitem GROUP BY 1, 2)
+    SELECT "Year", "Return Flag", "Quantity",
+           sum("Quantity") OVER w / count(*) OVER w AS "Quantity MA3"
+    FROM agg
+    WINDOW w AS (PARTITION BY "Return Flag" ORDER BY "Year"
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
+# ---------- share-of-parent (percent-of-total contribution) ----------
+def _share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # each brand's share of its region's quantity: partition-total window
+    # over the (region, brand) aggregate; integral sums → one exact division
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = _cube_query(
+        {
+            "drilldowns": ["Customer Geography.Geography.Region", "Part.Brand"],
+            "measures": ["Quantity"],
+        }
+    )(spark, sf_dir)
+    w = Window.partitionBy("Region ID")
+    return df.withColumn(
+        "Share of Region", F.col("Quantity") / F.sum("Quantity").over(w)
+    )
+
+
+_add(
+    "q_share_of_region",
+    _share_of_region,
+    f"""
+    WITH agg AS (
+      SELECT g.r_regionkey AS "Region ID", g.r_name AS "Region",
+             p.p_brand AS "Brand", sum(l.l_quantity) AS "Quantity"
+      FROM lineitem l
+      JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2, 3)
+    SELECT "Region ID", "Region", "Brand", "Quantity",
+           "Quantity" / sum("Quantity") OVER (PARTITION BY "Region ID")
+             AS "Share of Region"
+    FROM agg
+    """,
+)
+
+
+# ---------- time densification (calendar gap filling) ----------
+def _dense_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dense (year × flag) grid with zero-filled absent cells: distinct years
+    # × distinct flags is a tiny broadcast cross product LEFT-joined by the
+    # aggregate — the standard dimension-densification shape (the grid is
+    # dimension-sized, never fact-sized)
+    from pyspark.sql import functions as F
+
+    b = get_builder(spark, sf_dir)
+    li = b.registry.load("lineitem_enriched")
+    agg = li.groupBy(
+        F.col("l_shipyear").alias("Year"),
+        F.col("l_returnflag").alias("Return Flag"),
+    ).agg(F.sum("l_quantity").alias("q"))
+    years = li.select(F.col("l_shipyear").alias("Year")).distinct()
+    flags = li.select(F.col("l_returnflag").alias("Return Flag")).distinct()
+    grid = years.crossJoin(F.broadcast(flags))
+    return grid.join(agg, ["Year", "Return Flag"], "left").select(
+        "Year", "Return Flag", F.coalesce(F.col("q"), F.lit(0.0)).alias("Quantity")
+    )
+
+
+_add(
+    "q_dense_yearly",
+    _dense_yearly,
+    """
+    WITH agg AS (
+      SELECT year(l_shipdate)::INT AS "Year", l_returnflag AS "Return Flag",
+             sum(l_quantity) AS q
+      FROM lineitem GROUP BY 1, 2),
+    years AS (SELECT DISTINCT year(l_shipdate)::INT AS "Year" FROM lineitem),
+    flags AS (SELECT DISTINCT l_returnflag AS "Return Flag" FROM lineitem)
+    SELECT y."Year", f."Return Flag", coalesce(a.q, 0.0) AS "Quantity"
+    FROM years y CROSS JOIN flags f
+    LEFT JOIN agg a ON a."Year" = y."Year" AND a."Return Flag" = f."Return Flag"
+    """,
+)
+
+
+# ---------- z-score outlier flags per group ----------
+def _outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-segment order-price z-scores with exact-decimal sum/sumsq (order-
+    # independent), variance/std via deterministic double ops; emits the
+    # outliers (|z| > 1.7; the synthetic uniform-ish price has no far tail) —
+    # grouped-stats join-back, no unpartitioned window
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("Segment"),
+        F.col("o_orderkey").alias("Order Key"),
+        F.col("o_totalprice").alias("price"),
+    )
+    stats = o.groupBy("Segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum(
+            (F.col("price").cast("decimal(38,6)") * F.col("price").cast("decimal(38,6)"))
+        ).cast("double").alias("ss"),
+    )
+    withstats = o.join(F.broadcast(stats), "Segment")
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    z = (F.col("price") - mean) / F.sqrt(var)
+    return (
+        withstats.select("Segment", "Order Key", F.round(z, 6).alias("Z Score"))
+        .filter(F.abs(F.col("Z Score")) > 1.7)
+    )
+
+
+_add(
+    "q_outlier_orders",
+    _outlier_orders,
+    """
+    WITH o AS (
+      SELECT c.c_mktsegment AS "Segment", o.o_orderkey AS "Order Key",
+             o.o_totalprice AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    stats AS (
+      SELECT "Segment", count(*) AS n,
+             CAST(sum(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(price AS DECIMAL(38,6)) * CAST(price AS DECIMAL(38,6)))
+                  AS DOUBLE) AS ss
+      FROM o GROUP BY 1)
+    SELECT o."Segment", o."Order Key",
+           round((price - s / n) / sqrt(ss / n - (s / n) * (s / n)), 6) AS "Z Score"
+    FROM o JOIN stats USING ("Segment")
+    WHERE abs(round((price - s / n) / sqrt(ss / n - (s / n) * (s / n)), 6)) > 1.7
+    """,
+)
+
+
 # ---------- sort by a calculation (MeaOrCalc: 'growth' keyword, query.rs:112-149) ----------
 _add(
     "q_sort_by_growth",

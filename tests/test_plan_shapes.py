@@ -26,6 +26,7 @@ BNLJ_WHITELIST = {
     "q_rca_region_flag",
     "q_sort_by_growth",
     "q_tfidf_topk_terms",
+    "q_dense_yearly",
 }
 
 # exchange-node ceilings (shuffles + broadcasts in the INITIAL adaptive plan;
