@@ -212,3 +212,53 @@ def test_range_join_matches_bruteforce(spark, left, right, window):
         if lk == rk and lts - w <= rts <= lts
     )
     assert got == want
+
+
+# ---------- sequence packing vs a pure-Python reference ----------
+
+
+def _py_pack(rows, capacity):
+    """Independent greedy-walk reference: rows = [(doc_id, shard, n_tokens)]."""
+    out = {}
+    by_shard = {}
+    for doc_id, shard, tok in sorted(rows):
+        by_shard.setdefault(shard, []).append((doc_id, tok))
+    for shard, docs in by_shard.items():
+        bin_id, fill = 0, None
+        for doc_id, tok in docs:
+            if fill is None or fill + tok > capacity:
+                bin_id, fill = bin_id + 1, tok
+            else:
+                fill += tok
+            out[doc_id] = (shard, bin_id, tok)
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=120),
+    capacity=st.integers(min_value=8, max_value=64),
+)
+def test_pack_sequences_matches_python_reference(toks, capacity, spark):
+    """The distributed greedy packing must equal an independent sequential
+    implementation for random token lengths and capacities (including docs
+    longer than the capacity and zero-token docs)."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.packing import pack_sequences, shard_col
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * t) if t else "") for i, t in enumerate(toks)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.shard, r.bin_id, r.n_tokens)
+        for r in pack_sequences(docs, capacity=capacity, n_shards=4).collect()
+    }
+    shards = {
+        r.doc_id: r.shard
+        for r in docs.select("doc_id", shard_col(F.col("doc_id"), 4)).collect()
+    }
+    # token_count_col maps empty/whitespace text to 0 tokens
+    expect = _py_pack([(i, shards[i], t) for i, t in enumerate(toks)], capacity)
+    assert got == expect
