@@ -922,6 +922,113 @@ _add(
 )
 
 
+# ---------- quantile binning via broadcast thresholds ----------
+def _price_quartile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the scalable discretization shape: exact per-group quartile thresholds
+    # from ONE aggregate (percentile ≡ quantile_cont bit-for-bit, proven by
+    # q_percentiles), broadcast back, rows labeled by CASE comparison —
+    # never a global-rank ntile window
+    from pyspark.sql import functions as F
+
+    li = get_builder(spark, sf_dir).registry.load("lineitem_enriched")
+    rows = li.select(
+        F.col("l_returnflag").alias("Return Flag"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    thresholds = rows.groupBy("Return Flag").agg(
+        F.expr("percentile(price, 0.25)").alias("q1"),
+        F.expr("percentile(price, 0.5)").alias("q2"),
+        F.expr("percentile(price, 0.75)").alias("q3"),
+    )
+    labeled = rows.join(F.broadcast(thresholds), "Return Flag").withColumn(
+        "Quartile",
+        F.when(F.col("price") <= F.col("q1"), F.lit("Q1"))
+        .when(F.col("price") <= F.col("q2"), F.lit("Q2"))
+        .when(F.col("price") <= F.col("q3"), F.lit("Q3"))
+        .otherwise(F.lit("Q4")),
+    )
+    return labeled.groupBy("Return Flag", "Quartile").agg(
+        F.count(F.lit(1)).alias("N Rows")
+    )
+
+
+_add(
+    "q_price_quartile_counts",
+    _price_quartile_counts,
+    """
+    WITH rows_ AS (
+      SELECT l_returnflag AS "Return Flag", l_extendedprice AS price
+      FROM lineitem),
+    th AS (
+      SELECT "Return Flag",
+             quantile_cont(price, 0.25) AS q1,
+             quantile_cont(price, 0.5) AS q2,
+             quantile_cont(price, 0.75) AS q3
+      FROM rows_ GROUP BY 1)
+    SELECT r."Return Flag",
+           CASE WHEN price <= q1 THEN 'Q1'
+                WHEN price <= q2 THEN 'Q2'
+                WHEN price <= q3 THEN 'Q3'
+                ELSE 'Q4' END AS "Quartile",
+           count(*) AS "N Rows"
+    FROM rows_ r JOIN th USING ("Return Flag")
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---------- Pearson correlation per group (exact-decimal moments) ----------
+def _corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corr from the five raw moments, each an order-independent exact decimal
+    # sum, combined with deterministic double arithmetic — a native F.corr
+    # would float-sum in partition order and drift against any oracle
+    from pyspark.sql import functions as F
+
+    li = get_builder(spark, sf_dir).registry.load("lineitem_enriched")
+    d = lambda c: F.col(c).cast("decimal(38,6)")  # noqa: E731
+    m = li.groupBy(F.col("l_returnflag").alias("Return Flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("l_extendedprice")).cast("double").alias("sx"),
+        F.sum(d("l_quantity")).cast("double").alias("sy"),
+        F.sum(d("l_extendedprice") * d("l_quantity")).cast("double").alias("sxy"),
+        F.sum(d("l_extendedprice") * d("l_extendedprice")).cast("double").alias("sxx"),
+        F.sum(d("l_quantity") * d("l_quantity")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    vx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    return m.select(
+        "Return Flag",
+        "n",
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 9).alias("Corr Price Qty"),
+    )
+
+
+_add(
+    "q_corr_price_qty",
+    _corr_price_qty,
+    """
+    WITH m AS (
+      SELECT l_returnflag AS "Return Flag", count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))
+                      * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))
+                      * CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))
+                      * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY 1)
+    SELECT "Return Flag", n,
+           round((sxy / n - (sx / n) * (sy / n))
+                 / (sqrt(sxx / n - (sx / n) * (sx / n))
+                  * sqrt(syy / n - (sy / n) * (sy / n))), 9) AS "Corr Price Qty"
+    FROM m
+    """,
+)
+
+
 # ---------- sort by a calculation (MeaOrCalc: 'growth' keyword, query.rs:112-149) ----------
 _add(
     "q_sort_by_growth",
