@@ -1677,6 +1677,18 @@ def _wire_pipeline_ops() -> None:
         ),
     )
 
+    # fixed-point PageRank over the LSH candidate graph: hub-document
+    # centrality for canonical selection; scaled-integer ranks make the
+    # iterative join loop bit-exact across engines and partitionings
+    def _pagerank_dups(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.graph import pagerank_fixed
+
+        return pagerank_fixed(dedup.minhash_lsh_pairs(_docs(spark, sf)))
+
+    from .operators.graph import pagerank_fixed_oracle_sql
+
+    _add("q_pagerank_dups", _pagerank_dups, pagerank_fixed_oracle_sql())
+
     # cross-source duplication matrix: shared distinct n-grams + containment
     # per source pair — intermediate volume linear in distinct shingles
     # (fan-out bounded by |sources|² per shingle), output bounded by pairs

@@ -35,6 +35,7 @@ BNLJ_WHITELIST = {
 # regressions, not exchange-count golden values
 EXCHANGE_CEILING = {
     "q_ann_ivf_topk": 30,
+    "q_pagerank_dups": 98,  # 3 unrolled iterations × (join+groupBy) + LSH sig
     "q_multi_cut_union": 44,
     "q_rca_debug": 54,
     "q_rca_region_flag": 54,
