@@ -54,6 +54,13 @@ HEADLINE = [
     "q_top_terms",
     "q_histogram_quantity",
     "q_profile_documents",
+    "q_pagerank_dups",
+    "q_moving_avg",
+    "q_share_of_region",
+    "q_dense_yearly",
+    "q_outlier_orders",
+    "q_price_quartile_counts",
+    "q_corr_price_qty",
 ]
 
 
