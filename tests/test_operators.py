@@ -804,3 +804,23 @@ def test_dedup_against_index_semantics(spark):
     idx = index_docs.select(fingerprint_col(F.col("text")).alias("fingerprint"))
     out = {r.doc_id: r.is_dup for r in dedup_against_index(new_b, idx).collect()}
     assert out == {10: True, 11: False, 12: True, 13: False}
+
+
+def test_pagerank_star_hub_ranks_highest(spark):
+    """On a star graph the hub must out-rank every leaf, leaves tie exactly
+    (integer arithmetic ⇒ exact equality), and the result is
+    partitioning-independent."""
+    from tesseract_spark.operators.graph import pagerank_fixed
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    ranks = {r.doc_id: r.pr_scaled for r in pagerank_fixed(star).collect()}
+    hub, leaves = ranks[0], [ranks[i] for i in range(1, 9)]
+    assert all(hub > lv for lv in leaves)
+    assert len(set(leaves)) == 1  # exact tie, not float-near
+    again = {
+        r.doc_id: r.pr_scaled
+        for r in pagerank_fixed(star.repartition(5)).collect()
+    }
+    assert again == ranks
