@@ -922,6 +922,45 @@ _add(
 )
 
 
+# ---------- salted aggregation under real key skew ----------
+def _salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_returnflag has 3 values — every key is hot by construction. The
+    # derived-salt two-stage agg must equal the plain GROUP BY exactly:
+    # Quantity is integral-valued (sums exact under any order) and
+    # count/max are order-free, so the oracle is the plain aggregate
+    from pyspark.sql import functions as F
+
+    from .operators.skew import salted_aggregate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs=[
+            ("sum", "l_quantity", "Quantity"),
+            ("count", "l_linenumber", "Row Count"),
+            ("max", "l_tax", "Max Tax"),
+        ],
+        salt_from="l_orderkey",
+    )
+    return out.select(
+        F.col("l_returnflag").alias("Return Flag"), "Quantity", "Row Count", "Max Tax"
+    )
+
+
+_add(
+    "q_salted_agg",
+    _salted_agg,
+    """
+    SELECT l_returnflag AS "Return Flag",
+           sum(l_quantity) AS "Quantity",
+           count(l_linenumber) AS "Row Count",
+           max(l_tax) AS "Max Tax"
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
 # ---------- quantile binning via broadcast thresholds ----------
 def _price_quartile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scalable discretization shape: exact per-group quartile thresholds
@@ -1481,6 +1520,44 @@ def _wire_pipeline_ops() -> None:
         "q_events_sessionize",
         sess.batch_sessionize,
         sess.sessionize_oracle_sql(),
+    )
+
+    # per-window top event types: the windowed-rank composition (tumbling
+    # window agg → ranking window partitioned by window start) — the same
+    # plan runs under Structured Streaming with a watermark
+    def _events_top_types(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        counts = (
+            ev.read_events(spark, sf)
+            .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        )
+        rk = Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type").asc()
+        )
+        return (
+            counts.withColumn("rank", F.row_number().over(rk))
+            .filter(F.col("rank") <= 2)
+        )
+
+    _add(
+        "q_events_top_types",
+        _events_top_types,
+        """
+        WITH counts AS (
+          SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+                 event_type, count(*) AS n_events
+          FROM events GROUP BY 1, 2)
+        SELECT window_start, event_type, n_events, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY window_start
+            ORDER BY n_events DESC, event_type ASC) AS rank
+          FROM counts)
+        WHERE rank <= 2
+        """,
     )
 
     from .operators import rangejoin, sampling
