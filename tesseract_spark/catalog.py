@@ -1522,6 +1522,37 @@ def _wire_pipeline_ops() -> None:
         sess.sessionize_oracle_sql(),
     )
 
+    # semi-structured extraction: events.props is a JSON string — parse it
+    # with a typed schema (from_json, JVM-side) and aggregate the extracted
+    # field; schema-on-read for the property-bag columns every event
+    # pipeline carries
+    def _events_json_props(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        e = ev.read_events(spark, sf).withColumn(
+            "k", F.from_json("props", "k BIGINT").getField("k")
+        )
+        return e.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct("k").alias("distinct_k"),
+        )
+
+    _add(
+        "q_events_json_props",
+        _events_json_props,
+        """
+        SELECT event_type, count(*) AS n_events,
+               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+               max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+               count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS distinct_k
+        FROM events GROUP BY 1
+        """,
+    )
+
     # per-window top event types: the windowed-rank composition (tumbling
     # window agg → ranking window partitioned by window start) — the same
     # plan runs under Structured Streaming with a watermark
