@@ -1865,6 +1865,20 @@ def _wire_pipeline_ops() -> None:
         text.rarity_topk_terms_oracle_sql(),
     )
 
+    # blocked fuzzy name matching: per-part count of near-identical names
+    # (edit distance ≤ 2) under first-token blocking — the record-linkage
+    # primitive; levenshtein is an integer DP, identical cross-engine
+    def _fuzzy_parts(spark: SparkSession, sf: str) -> DataFrame:
+        return text.blocked_fuzzy_match_counts(
+            spark.read.parquet(f"{sf}/part.parquet"), "p_name", "p_partkey"
+        )
+
+    _add(
+        "q_fuzzy_name_match",
+        _fuzzy_parts,
+        text.blocked_fuzzy_match_counts_oracle_sql("part", "p_name", "p_partkey"),
+    )
+
     # sequence packing: greedy token-budget bin packing per hash shard (the
     # pretraining batch-assembly op). Token counts computed JVM-side before
     # the one shuffle on shard; the greedy walk is per-shard sequential by

@@ -294,6 +294,65 @@ def rarity_topk_terms_oracle_sql(table: str = "documents", k: int = 3) -> str:
     """
 
 
+def blocked_fuzzy_match_counts(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    threshold: int = 2,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Entity-resolution primitive: per record, how many OTHER records have a
+    name within ``threshold`` edit distance, under blocking.
+
+    The O(n²) comparison space is cut by a blocking key (default: the name's
+    first token) — only same-block pairs are compared, the standard
+    record-linkage tradeoff (recall bounded by the blocking key; edits in the
+    first token escape the block, and that is part of the operator's
+    declared semantics, mirrored by the oracle). Levenshtein is an integer
+    DP, identical in Spark and DuckDB, so counts are exact.
+
+    Scale: one shuffle on the block key; per-block work is |block|² distance
+    evaluations — size blocks accordingly (a hotter variant would salt or
+    length-band the big blocks like the LSH bucket cap).
+    """
+    # single-space split, mirroring DuckDB split_part(name, ' ', 1)
+    blk = (
+        block_col
+        if block_col is not None
+        else F.split(F.col(name_col), " ").getItem(0)
+    )
+    slim = df.select(
+        F.col(id_col).alias("rid"), F.col(name_col).alias("nm"), blk.alias("blk")
+    )
+    other = slim.select(
+        F.col("rid").alias("rid_b"), F.col("nm").alias("nm_b"), "blk"
+    )
+    pairs = slim.join(other, "blk").filter(
+        (F.col("rid") != F.col("rid_b"))
+        & (F.levenshtein(F.col("nm"), F.col("nm_b")) <= threshold)
+    )
+    return (
+        pairs.groupBy(F.col("rid").alias(id_col), F.col("nm").alias(name_col))
+        .agg(F.count(F.lit(1)).alias("n_near_matches"))
+    )
+
+
+def blocked_fuzzy_match_counts_oracle_sql(
+    table: str, name_col: str, id_col: str, threshold: int = 2
+) -> str:
+    return f"""
+    WITH b AS (
+      SELECT {id_col} AS rid, {name_col} AS nm,
+             split_part({name_col}, ' ', 1) AS blk
+      FROM {table})
+    SELECT a.rid AS {id_col}, a.nm AS {name_col},
+           count(*) AS n_near_matches
+    FROM b a JOIN b c ON a.blk = c.blk AND a.rid != c.rid
+                     AND levenshtein(a.nm, c.nm) <= {threshold}
+    GROUP BY 1, 2
+    """
+
+
 #: polynomial rolling-hash parameters: base 257, Mersenne-31 modulus — keeps
 #: every intermediate ≤ 2^39, far from BIGINT overflow in either engine
 _RH_BASE = 257
