@@ -1865,6 +1865,97 @@ def _wire_pipeline_ops() -> None:
         text.rarity_topk_terms_oracle_sql(),
     )
 
+    # per-dimension embedding stats (the normalization-stats pass before
+    # training): posexplode → one groupBy on dim index; exact-decimal
+    # sums make mean/var deterministic doubles
+    def _embedding_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        ex = _embs(spark, sf).select(
+            F.posexplode(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("dim", "x")
+        )
+        # square in DOUBLE (deterministic per element) THEN cast to decimal
+        # for the order-independent sum — a decimal×decimal product would
+        # blow past precision 38 and Spark silently truncates its scale
+        m = ex.groupBy("dim").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("s"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("ss"),
+        )
+        mean = F.col("s") / F.col("n")
+        return m.select(
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            F.round(mean, 9).alias("dim_mean"),
+            F.round(F.col("ss") / F.col("n") - mean * mean, 9).alias("dim_var"),
+        )
+
+    _add(
+        "q_embedding_dim_stats",
+        _embedding_dim_stats,
+        """
+        WITH ex AS (
+          SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim_idx,
+                 unnest(embedding::DOUBLE[]) AS x
+          FROM embeddings),
+        m AS (
+          SELECT dim_idx, count(*) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s,
+                 CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS ss
+          FROM ex GROUP BY 1)
+        SELECT CAST(dim_idx AS BIGINT) AS dim, n,
+               round(s / n, 9) AS dim_mean,
+               round(ss / n - (s / n) * (s / n), 9) AS dim_var
+        FROM m
+        """,
+    )
+
+    # split-leakage audit: near-dup documents straddling the train/test
+    # boundary defeat held-out evaluation — count fingerprint collisions
+    # across every split pair (composition of deterministic_split +
+    # fingerprint; fingerprints join, text never shuffles)
+    def _split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .operators.text import fingerprint_col
+
+        d = sampling.deterministic_split(_docs(spark, sf)).select(
+            "split", fingerprint_col(F.col("text")).alias("fp"), "doc_id"
+        )
+        a = d.select(F.col("split").alias("split_a"), "fp", F.col("doc_id").alias("id_a"))
+        b = d.select(F.col("split").alias("split_b"), "fp", F.col("doc_id").alias("id_b"))
+        return (
+            a.join(b, "fp")
+            .filter(F.col("split_a") < F.col("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_leak_pairs"),
+                F.count_distinct("fp").alias("n_leaked_fingerprints"),
+            )
+        )
+
+    from .operators.sampling import split_case_sql as _scs
+    from .operators.text import _sql_quality_fragments as _sqf
+
+    _add(
+        "q_split_leakage",
+        _split_leakage,
+        f"""
+        WITH d AS (
+          SELECT {_scs("doc_id")} AS split, {_sqf("text")[1]} AS fp, doc_id
+          FROM documents)
+        SELECT a.split AS split_a, b.split AS split_b,
+               count(*) AS n_leak_pairs,
+               count(DISTINCT a.fp) AS n_leaked_fingerprints
+        FROM d a JOIN d b ON a.fp = b.fp AND a.split < b.split
+        GROUP BY 1, 2
+        """,
+    )
+
     # blocked fuzzy name matching: per-part count of near-identical names
     # (edit distance ≤ 2) under first-token blocking — the record-linkage
     # primitive; levenshtein is an integer DP, identical cross-engine
