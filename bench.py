@@ -61,6 +61,12 @@ HEADLINE = [
     "q_outlier_orders",
     "q_price_quartile_counts",
     "q_corr_price_qty",
+    "q_salted_agg",
+    "q_events_top_types",
+    "q_events_json_props",
+    "q_fuzzy_name_match",
+    "q_embedding_dim_stats",
+    "q_split_leakage",
 ]
 
 

@@ -299,7 +299,7 @@ def blocked_fuzzy_match_counts(
     name_col: str,
     id_col: str,
     threshold: int = 2,
-    block_col: Column | None = None,
+    block_col=None,  # Callable[[Column], Column] deriving the block key from the name
 ) -> DataFrame:
     """Entity-resolution primitive: per record, how many OTHER records have a
     name within ``threshold`` edit distance, under blocking.
@@ -315,25 +315,48 @@ def blocked_fuzzy_match_counts(
     evaluations — size blocks accordingly (a hotter variant would salt or
     length-band the big blocks like the LSH bucket cap).
     """
-    # single-space split, mirroring DuckDB split_part(name, ' ', 1)
-    blk = (
-        block_col
-        if block_col is not None
-        else F.split(F.col(name_col), " ").getItem(0)
+    # compare DISTINCT names, not records: the DP runs over vocabulary-sized
+    # pairs (names repeat heavily in any real corpus), and record-level
+    # counts fall out of the name multiplicities —
+    #   matches(x) = (cnt[x] − 1) + Σ_{y≠x, d(x,y)≤t} cnt[y]
+    # (same-name records are near-matches of each other at distance 0).
+    # This is the declarative-oracle / scalable-plan split: the oracle states
+    # the naive per-record definition, the plan executes the factored form.
+    # The blocking key must be a function of the name for the factoring to
+    # hold; default = first token (single-space split ≙ DuckDB split_part).
+    name_block = block_col if block_col is not None else (
+        lambda c: F.split(c, " ").getItem(0)
     )
-    slim = df.select(
-        F.col(id_col).alias("rid"), F.col(name_col).alias("nm"), blk.alias("blk")
+    names = df.groupBy(F.col(name_col).alias("nm")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).withColumn("blk", name_block(F.col("nm")))
+    other = names.select(
+        F.col("nm").alias("nm_b"), F.col("cnt").alias("cnt_b"), "blk"
     )
-    other = slim.select(
-        F.col("rid").alias("rid_b"), F.col("nm").alias("nm_b"), "blk"
+    near = (
+        names.join(other, "blk")
+        .filter(
+            (F.col("nm") != F.col("nm_b"))
+            & (
+                F.abs(F.length(F.col("nm")) - F.length(F.col("nm_b")))
+                <= F.lit(threshold)
+            )
+            & (F.levenshtein(F.col("nm"), F.col("nm_b"), threshold) >= 0)
+        )
+        .groupBy("nm")
+        .agg(F.sum("cnt_b").alias("cross_matches"))
     )
-    pairs = slim.join(other, "blk").filter(
-        (F.col("rid") != F.col("rid_b"))
-        & (F.levenshtein(F.col("nm"), F.col("nm_b")) <= threshold)
+    per_name = names.join(near, "nm", "left").select(
+        "nm",
+        (
+            (F.col("cnt") - 1) + F.coalesce(F.col("cross_matches"), F.lit(0))
+        ).alias("n_near_matches"),
     )
     return (
-        pairs.groupBy(F.col("rid").alias(id_col), F.col("nm").alias(name_col))
-        .agg(F.count(F.lit(1)).alias("n_near_matches"))
+        df.select(F.col(id_col), F.col(name_col))
+        .join(per_name, F.col(name_col) == F.col("nm"))
+        .filter(F.col("n_near_matches") > 0)
+        .select(id_col, name_col, "n_near_matches")
     )
 
 
