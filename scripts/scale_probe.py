@@ -46,6 +46,7 @@ PROBE_QUERIES = [
     "q_chunk_documents",
     "q_redact_pii",
     "q_epoch_shuffle",
+    "q_fuzzy_name_match",
 ]
 
 
