@@ -47,6 +47,11 @@ PROBE_QUERIES = [
     "q_redact_pii",
     "q_epoch_shuffle",
     "q_fuzzy_name_match",
+    "q_pagerank_dups",
+    "q_source_overlap",
+    "q_split_leakage",
+    "q_embedding_dim_stats",
+    "q_events_json_props",
 ]
 
 
