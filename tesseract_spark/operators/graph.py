@@ -49,13 +49,22 @@ def pagerank_fixed(pairs: DataFrame, iters: int = 3) -> DataFrame:
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # materialize the (possibly expensive) edge derivation ONCE and truncate
+    # lineage — without this every iteration's plan re-embeds the upstream
+    # pipeline (e.g. the whole MinHash-LSH candidate generation), and the
+    # deg.count() action would run it an extra time on top. The standard
+    # iterative-DataFrame hygiene: checkpoint the loop invariants, and the
+    # per-iteration state, so plan depth stays constant in `iters`.
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
     n_nodes = deg.count()  # bounded: one scalar action on the node set
     base = (SCALE // n_nodes) * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
     ranks = deg.select(
         F.col("src").alias("doc_id"), F.lit(SCALE // n_nodes).alias("pr_scaled")
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(deg, "src")
             .join(ranks, edges.src == ranks.doc_id)
@@ -71,6 +80,8 @@ def pagerank_fixed(pairs: DataFrame, iters: int = 3) -> DataFrame:
                 ),
             )
         )
+        if i < iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
