@@ -262,3 +262,29 @@ def test_pack_sequences_matches_python_reference(toks, capacity, spark):
     # token_count_col maps empty/whitespace text to 0 tokens
     expect = _py_pack([(i, shards[i], t) for i, t in enumerate(toks)], capacity)
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    chunk=st.integers(min_value=1, max_value=16),
+)
+def test_chunk_documents_matches_python_reference(toks, chunk, spark):
+    """Chunk sizes must equal the independent ⌈n/c⌉ tiling for random doc
+    lengths and chunk sizes (empty docs → one chunk holding the single
+    empty-string token that split produces)."""
+    from tesseract_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * t)) for i, t in enumerate(toks)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_documents(docs, chunk_tokens=chunk).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = r.n_tokens
+    for i, t in enumerate(toks):
+        n = max(t, 1)  # split("") yields [''] → one token
+        n_chunks = -(-n // chunk)
+        sizes = {c: chunk for c in range(n_chunks - 1)}
+        sizes[n_chunks - 1] = n - chunk * (n_chunks - 1)
+        assert got[i] == sizes, f"doc {i} (len {t}): {got[i]} != {sizes}"
