@@ -1923,9 +1923,11 @@ def _wire_pipeline_ops() -> None:
 
         from .operators.text import fingerprint_col
 
+        # both join sides derive from d: materialize the per-doc fingerprint
+        # scan once (text is md5-folded here; never reaches the join)
         d = sampling.deterministic_split(_docs(spark, sf)).select(
             "split", fingerprint_col(F.col("text")).alias("fp"), "doc_id"
-        )
+        ).localCheckpoint(eager=True)
         a = d.select(F.col("split").alias("split_a"), "fp", F.col("doc_id").alias("id_a"))
         b = d.select(F.col("split").alias("split_b"), "fp", F.col("doc_id").alias("id_b"))
         return (

@@ -666,6 +666,10 @@ def source_overlap_matrix(
         )
         .distinct()
     )
+    # s feeds three plan branches (totals, both join sides): materialize the
+    # shingle explode+distinct once — without this the corpus-sized scan and
+    # its shuffle re-run per branch (measured 3× cost at the 100× probe)
+    s = s.localCheckpoint(eager=True)
     totals = s.groupBy("source").agg(F.count(F.lit(1)).alias("total"))
     a = s.select(F.col("source").alias("source_a"), "shingle")
     b = s.select(F.col("source").alias("source_b"), "shingle")
