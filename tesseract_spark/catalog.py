@@ -479,15 +479,22 @@ _add(
     SELECT year(l_shipdate)::INT AS "Year",
            sum(l_extendedprice * l_quantity) / sum(l_quantity) AS "Weighted Price",
            sum(l_extendedprice * l_quantity) AS "Weighted Price Sum",
-           1.645 * sqrt(sum(pow(l_tax / 1.645, 2))) AS "Tax MOE",
+           -- squares written as x*x, not pow(x,2): pow is a libm call whose
+           -- last ulp varies by build; *,-,/ are IEEE-deterministic
+           1.645 * sqrt(sum((l_tax / 1.645) * (l_tax / 1.645))) AS "Tax MOE",
            1.645 * sqrt(2.0 * (
-               pow(sum(l_discount) - sum(l_tax), 2)
-             + pow(sum(l_discount) - sum(l_quantity), 2))) AS "Discount RW MOE",
+               (sum(l_discount) - sum(l_tax)) * (sum(l_discount) - sum(l_tax))
+             + (sum(l_discount) - sum(l_quantity)) * (sum(l_discount) - sum(l_quantity))))
+             AS "Discount RW MOE",
            1.645 * sqrt(2.0 * (
-               pow(sum(l_extendedprice * l_quantity) / sum(l_quantity)
-                 - sum(l_extendedprice * l_tax) / sum(l_tax), 2)
-             + pow(sum(l_extendedprice * l_quantity) / sum(l_quantity)
-                 - sum(l_extendedprice * l_discount) / sum(l_discount), 2)))
+               (sum(l_extendedprice * l_quantity) / sum(l_quantity)
+                 - sum(l_extendedprice * l_tax) / sum(l_tax))
+             * (sum(l_extendedprice * l_quantity) / sum(l_quantity)
+                 - sum(l_extendedprice * l_tax) / sum(l_tax))
+             + (sum(l_extendedprice * l_quantity) / sum(l_quantity)
+                 - sum(l_extendedprice * l_discount) / sum(l_discount))
+             * (sum(l_extendedprice * l_quantity) / sum(l_quantity)
+                 - sum(l_extendedprice * l_discount) / sum(l_discount))))
              AS "Price WAvg MOE",
            sum(l_extendedprice * (1 - l_discount)) AS "Custom Net",
            avg(l_discount) AS "Avg Discount",
@@ -526,7 +533,7 @@ _add(
              count(l_linenumber) AS n,
              sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS wnum,
              sum(CAST(l_quantity AS DECIMAL(38,6))) AS wden,
-             sum(CAST(pow(l_tax / 1.645, 2) AS DECIMAL(38,12))) AS moe_sub,
+             sum(CAST((l_tax / 1.645) * (l_tax / 1.645) AS DECIMAL(38,12))) AS moe_sub,
              max(l_tax) AS mx,
              sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS net
       FROM lineitem GROUP BY 1, 2)

@@ -47,7 +47,15 @@ def needs_two_phase(agg: Aggregator, avg_grain: str = "flat") -> bool:
 
 
 def _moe_sum_sq(col: Column, cv: float, scale: int | None = None) -> Column:
-    return _exact_sum(F.pow(col / F.lit(cv), F.lit(2)), scale)
+    # Square via multiplication, not pow(x, 2): *,/ are IEEE-deterministic
+    # cross-engine, pow is a libm call whose last ulp varies by build.
+    ratio = col / F.lit(cv)
+    return _exact_sum(ratio * ratio, scale)
+
+
+def _sq(expr: Column) -> Column:
+    """IEEE-deterministic square (see _moe_sum_sq)."""
+    return expr * expr
 
 
 def _exact_sum(expr: Column, scale: int | None) -> Column:
@@ -113,10 +121,7 @@ def single_pass_agg(measure: Measure) -> Column:
         # cv * sqrt(df/n_sec * Σ_i pow(sum(col) - sum(sec_i), 2)) — :52-63,177-192
         factor = agg.design_factor / len(agg.secondary_columns)
         total = _sq_diff_sum(
-            [
-                F.pow(F.sum(col) - F.sum(F.col(sec)), F.lit(2))
-                for sec in agg.secondary_columns
-            ]
+            [_sq(F.sum(col) - F.sum(F.col(sec))) for sec in agg.secondary_columns]
         )
         out = F.lit(agg.critical_value) * F.sqrt(F.lit(factor) * total)
     elif isinstance(agg, WeightedAverageMoe):
@@ -125,7 +130,7 @@ def single_pass_agg(measure: Measure) -> Column:
         primary = F.sum(col * F.col(agg.primary_weight)) / F.sum(F.col(agg.primary_weight))
         total = _sq_diff_sum(
             [
-                F.pow(primary - F.sum(col * F.col(sec)) / F.sum(F.col(sec)), F.lit(2))
+                _sq(primary - F.sum(col * F.col(sec)) / F.sum(F.col(sec)))
                 for sec in agg.secondary_weight_columns
             ]
         )
@@ -231,7 +236,7 @@ def pass2_col(measure: Measure, avg_grain: str = "flat") -> Column:
         factor = agg.design_factor / len(agg.secondary_columns)
         total = _sq_diff_sum(
             [
-                F.pow(F.sum(f"{n}__p") - F.sum(f"{n}__s{i}"), F.lit(2))
+                _sq(F.sum(f"{n}__p") - F.sum(f"{n}__s{i}"))
                 for i in range(len(agg.secondary_columns))
             ]
         )
@@ -241,7 +246,7 @@ def pass2_col(measure: Measure, avg_grain: str = "flat") -> Column:
         primary = F.sum(f"{n}__pnum") / F.sum(f"{n}__pden")
         total = _sq_diff_sum(
             [
-                F.pow(primary - F.sum(f"{n}__snum{i}") / F.sum(f"{n}__sden{i}"), F.lit(2))
+                _sq(primary - F.sum(f"{n}__snum{i}") / F.sum(f"{n}__sden{i}"))
                 for i in range(len(agg.secondary_weight_columns))
             ]
         )
