@@ -1345,12 +1345,13 @@ _add(
 # Order Status (default_member = F) is absent from the query → implicit
 # o_orderstatus = 'F'; Customer (default_hierarchy = By Nation) is absent →
 # memberless semi-join dedup against customer (identity on clean FKs).
-ENTRIES["q_default_member"] = Entry(
-    spark_fn=_cube_query(
+_add(
+    "q_default_member",
+    _cube_query(
         {"drilldowns": ["Order Priority.Priority"], "measures": ["Total Price"]},
         cube="orders_sales",
     ),
-    oracle="""
+    """
     SELECT o_orderpriority AS "Priority", sum(o_totalprice) AS "Total Price"
     FROM orders
     WHERE o_orderstatus = 'F'
@@ -1360,8 +1361,9 @@ ENTRIES["q_default_member"] = Entry(
 )
 
 # drilling the default-member dim with exclude_default_members=true negates it
-ENTRIES["q_default_member_excluded"] = Entry(
-    spark_fn=_cube_query(
+_add(
+    "q_default_member_excluded",
+    _cube_query(
         {
             "drilldowns": ["Order Status.Status"],
             "measures": ["Order Count"],
@@ -1369,7 +1371,7 @@ ENTRIES["q_default_member_excluded"] = Entry(
         },
         cube="orders_sales",
     ),
-    oracle="""
+    """
     SELECT o_orderstatus AS "Status", count(o_orderkey) AS "Order Count"
     FROM orders
     WHERE o_orderstatus NOT IN ('F')
@@ -1379,15 +1381,16 @@ ENTRIES["q_default_member_excluded"] = Entry(
 )
 
 # multi-hierarchy dim drilled through the NON-default hierarchy
-ENTRIES["q_multi_hierarchy_segment"] = Entry(
-    spark_fn=_cube_query(
+_add(
+    "q_multi_hierarchy_segment",
+    _cube_query(
         {
             "drilldowns": ["Customer.By Segment.Segment"],
             "measures": ["Total Price"],
         },
         cube="orders_sales",
     ),
-    oracle="""
+    """
     SELECT c.c_mktsegment AS "Segment", sum(o.o_totalprice) AS "Total Price"
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE o.o_orderstatus = 'F'
