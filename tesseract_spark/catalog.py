@@ -533,7 +533,11 @@ _add(
              count(l_linenumber) AS n,
              sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS wnum,
              sum(CAST(l_quantity AS DECIMAL(38,6))) AS wden,
-             sum(CAST((l_tax / 1.645) * (l_tax / 1.645) AS DECIMAL(38,12))) AS moe_sub,
+             -- cast the RAW column to decimal (boundary-safe: data values are
+             -- 2-decimal), square/sum exactly in decimal; /cv² happens in
+             -- double after aggregation — no computed-double→decimal cast,
+             -- which is where engine versions disagree on the last digit
+             sum(CAST(l_tax AS DECIMAL(18,6)) * CAST(l_tax AS DECIMAL(18,6))) AS moe_sub,
              max(l_tax) AS mx,
              sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS net
       FROM lineitem GROUP BY 1, 2)
@@ -543,7 +547,9 @@ _add(
            sum(n) AS "Row Count",
            CAST(sum(wnum) AS DOUBLE) / CAST(sum(wden) AS DOUBLE)
              AS "Weighted Price Exact",
-           1.645 * sqrt(CAST(sum(moe_sub) AS DOUBLE)) AS "Tax MOE Exact",
+           1.645 * sqrt(CAST(sum(moe_sub) AS DOUBLE)
+                        / (CAST(1.645 AS DOUBLE) * CAST(1.645 AS DOUBLE)))
+             AS "Tax MOE Exact",
            max(mx) AS "Max Tax",
            CAST(sum(net) AS DOUBLE) AS "Custom Net Exact"
     FROM p1 GROUP BY 1
@@ -670,6 +676,11 @@ _add(
 )
 
 # ---------- exact interpolated percentiles (extension aggregator) ----------
+# NOTE small-data oracle: the Custom-template `percentile(...)` measures here
+# exercise Spark's built-in exact percentile, whose aggregation buffer holds
+# every value of a group (fine to ~1e8 rows/group; NOT the 100 TB path). The
+# scale path is q_quantiles_distributed below / operators/quantiles.py, which
+# q_price_quartile_counts also uses for its thresholds.
 _add(
     "q_percentiles",
     {
@@ -681,6 +692,39 @@ _add(
            quantile_cont(l_extendedprice, 0.5) AS "P50 Price",
            quantile_cont(l_extendedprice, 0.9) AS "P90 Price",
            count(l_linenumber) AS "Row Count"
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
+# ---------- distributed exact quantiles (scale-safe, no group buffering) ----------
+def _quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.quantiles import exact_quantiles
+
+    li = get_builder(spark, sf_dir).registry.load("lineitem_enriched")
+    rows = li.select(
+        F.col("l_returnflag").alias("Return Flag"), F.col("l_extendedprice").alias("price")
+    )
+    return exact_quantiles(
+        rows,
+        ["Return Flag"],
+        "price",
+        [0.25, 0.5, 0.75, 0.9],
+        ["P25 Price", "P50 Price", "P75 Price", "P90 Price"],
+    )
+
+
+_add(
+    "q_quantiles_distributed",
+    _quantiles_distributed,
+    """
+    SELECT l_returnflag AS "Return Flag",
+           quantile_cont(l_extendedprice, 0.25) AS "P25 Price",
+           quantile_cont(l_extendedprice, 0.5) AS "P50 Price",
+           quantile_cont(l_extendedprice, 0.75) AS "P75 Price",
+           quantile_cont(l_extendedprice, 0.9) AS "P90 Price"
     FROM lineitem GROUP BY 1
     """,
 )
@@ -971,20 +1015,21 @@ _add(
 # ---------- quantile binning via broadcast thresholds ----------
 def _price_quartile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scalable discretization shape: exact per-group quartile thresholds
-    # from ONE aggregate (percentile ≡ quantile_cont bit-for-bit, proven by
-    # q_percentiles), broadcast back, rows labeled by CASE comparison —
-    # never a global-rank ntile window
+    # from the DISTRIBUTED quantile operator (frequency table + rank window —
+    # no ObjectHashAggregate buffering a whole group; bit-equal to
+    # percentile/quantile_cont), broadcast back, rows labeled by CASE
+    # comparison — never a global-rank ntile window
     from pyspark.sql import functions as F
+
+    from .operators.quantiles import exact_quantiles
 
     li = get_builder(spark, sf_dir).registry.load("lineitem_enriched")
     rows = li.select(
         F.col("l_returnflag").alias("Return Flag"),
         F.col("l_extendedprice").alias("price"),
     )
-    thresholds = rows.groupBy("Return Flag").agg(
-        F.expr("percentile(price, 0.25)").alias("q1"),
-        F.expr("percentile(price, 0.5)").alias("q2"),
-        F.expr("percentile(price, 0.75)").alias("q3"),
+    thresholds = exact_quantiles(
+        rows, ["Return Flag"], "price", [0.25, 0.5, 0.75], ["q1", "q2", "q3"]
     )
     labeled = rows.join(F.broadcast(thresholds), "Return Flag").withColumn(
         "Quartile",
@@ -2103,9 +2148,88 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ENTRIES["q_top_brands_per_region"].spark_fn(spark, sf_dir)
 
 
+# The driver's correctness harness checks only the FIRST 50 queries() entries
+# per round, so ordering is evidence policy, not cosmetics. Round 2/3 checked
+# the same 50 §2/analytics entries and starved the LLM-pipeline surface
+# entirely (VERDICT r2 "What's wrong" #2). This round-4 window front-loads
+# every entry with no prior driver-green row: the 35 never-checked entries,
+# the 10 checked only in round 1, the one round-2/3 hash-fail
+# (q_two_phase_mixed), and 4 §2 anchors as cross-round controls. The union of
+# CORRECTNESS_r{1,2,3} rows plus this window covers all 95 entries.
+# tests/test_driver_window.py trips if an entry falls out of both the recorded
+# rows and this list.
+DRIVER_WINDOW: list[str] = [
+    # round-2/3 hash-fail — re-proving the hardened MOE arithmetic
+    "q_two_phase_mixed",
+    # never driver-checked (rounds 1-3)
+    "q_dedup_verified",
+    "q_dedup_clusters",
+    "q_ann_ivf_topk",
+    "q_ann_near_dup",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    "q_events_sliding",
+    "q_events_json_props",
+    "q_events_top_types",
+    "q_text_repetition",
+    "q_text_rolling_fp",
+    "q_split_train_val_test",
+    "q_sample_per_group",
+    "q_range_join_activity",
+    "q_event_funnel",
+    "q_mixture_subsample",
+    "q_decontaminate",
+    "q_cohort_retention",
+    "q_dedup_incremental",
+    "q_pagerank_dups",
+    "q_source_overlap",
+    "q_top_terms",
+    "q_histogram_quantity",
+    "q_profile_documents",
+    "q_tfidf_topk_terms",
+    "q_embedding_dim_stats",
+    "q_split_leakage",
+    "q_fuzzy_name_match",
+    "q_pack_sequences",
+    "q_pack_stats",
+    "q_pack_sequences_text",
+    "q_chunk_documents",
+    "q_redact_pii",
+    "q_epoch_shuffle",
+    "q_corpus_curation",
+    # checked only in round 1 (testdata has been regenerated since)
+    "q_text_analysis",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_ann_cosine_topk",
+    "q_ann_lsh_topk",
+    "q_multimodal_features",
+    "q_events_window",
+    "q_events_sessionize",
+    # new this round — needs first driver evidence
+    "q_quantiles_distributed",
+    # §2 anchors checked every round (cross-round control group)
+    "q_agg_year",
+    "q_agg_brand",
+    "q_growth_year",
+]
+
+
+def _window_order() -> list[str]:
+    in_window = [n for n in DRIVER_WINDOW if n in ENTRIES]
+    rest = [n for n in ENTRIES if n not in DRIVER_WINDOW]
+    return in_window + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: e.spark_fn for name, e in ENTRIES.items()}
+    return {name: ENTRIES[name].spark_fn for name in _window_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: e.oracle for name, e in ENTRIES.items() if e.oracle is not None}
+    return {
+        name: ENTRIES[name].oracle
+        for name in _window_order()
+        if ENTRIES[name].oracle is not None
+    }

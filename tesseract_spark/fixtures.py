@@ -260,8 +260,9 @@ LINEITEM_SCHEMA_JSON = {
                     "name": "Tax MOE Exact",
                     "column": "l_tax",
                     "aggregator": {"moe": {"critical_value": 1.645}},
-                    # the per-row pow() terms are ~1e-3, so a deeper scale
-                    # keeps the exact-decimal rounding loss negligible
+                    # squared terms carry 2× the raw cast's scale: the raw
+                    # column is cast at decimal(18,6) and squared exactly —
+                    # see plans/aggregators._moe_sum_sq
                     "exact_scale": 12,
                 },
                 {

@@ -49,8 +49,35 @@ def needs_two_phase(agg: Aggregator, avg_grain: str = "flat") -> bool:
 def _moe_sum_sq(col: Column, cv: float, scale: int | None = None) -> Column:
     # Square via multiplication, not pow(x, 2): *,/ are IEEE-deterministic
     # cross-engine, pow is a libm call whose last ulp varies by build.
-    ratio = col / F.lit(cv)
-    return _exact_sum(ratio * ratio, scale)
+    if scale is None:
+        ratio = col / F.lit(cv)
+        return F.sum(ratio * ratio)
+    # Exact mode: cast the RAW column to decimal, not the computed square.
+    # Rounding a computed double (arbitrary digits) to decimal lands near
+    # scale boundaries where engines/versions disagree on the last digit
+    # (Spark goes through the shortest string repr, DuckDB scales the exact
+    # binary value); raw data values are "nice" decimals that sit far from
+    # any boundary, so the cast is identical everywhere. The /cv² fold moves
+    # after aggregation (_moe_fold) where it is a single IEEE double divide.
+    dec = col.cast(f"decimal(18,{_raw_scale(scale)})")
+    return F.sum(dec * dec)
+
+
+def _raw_scale(scale: int) -> int:
+    # squared terms carry 2× the raw cast's scale, so honor the measure's
+    # declared exact_scale by casting the raw column at scale/2 (clamped so
+    # decimal(18,s)² stays inside 38 digits of precision in both engines)
+    return max(1, min(scale // 2, 9))
+
+
+def _moe_fold(sub: Column, cv: float, scale: int | None) -> Column:
+    """cv * sqrt(sum((col/cv)²)) from the aggregated sum-of-squares."""
+    if scale is None:
+        return F.lit(cv) * F.sqrt(sub)
+    # sub is Σ col² in exact decimal; ÷cv² restores Σ (col/cv)² — both the
+    # decimal→double cast (unscaled value < 2^53 at these magnitudes) and the
+    # divide/sqrt/multiply are deterministic IEEE double ops cross-engine
+    return F.lit(cv) * F.sqrt(sub.cast("double") / (F.lit(cv) * F.lit(cv)))
 
 
 def _sq(expr: Column) -> Column:
@@ -114,9 +141,7 @@ def single_pass_agg(measure: Measure) -> Column:
         )
     elif isinstance(agg, Moe):
         # cv * sqrt(sum(pow(col / cv, 2))) — aggregator.rs:64-70,193-198
-        out = F.lit(agg.critical_value) * F.sqrt(
-            _d(_moe_sum_sq(col, agg.critical_value, es), es)
-        )
+        out = _moe_fold(_moe_sum_sq(col, agg.critical_value, es), agg.critical_value, es)
     elif isinstance(agg, ReplicateWeightMoe):
         # cv * sqrt(df/n_sec * Σ_i pow(sum(col) - sum(sec_i), 2)) — :52-63,177-192
         factor = agg.design_factor / len(agg.secondary_columns)
@@ -229,9 +254,7 @@ def pass2_col(measure: Measure, avg_grain: str = "flat") -> Column:
     if isinstance(agg, WeightedAverage):
         return (_d(F.sum(f"{n}__num"), es) / _d(F.sum(f"{n}__den"), es)).alias(n)
     if isinstance(agg, Moe):
-        return (
-            F.lit(agg.critical_value) * F.sqrt(_d(F.sum(f"{n}__sub"), es))
-        ).alias(n)
+        return _moe_fold(F.sum(f"{n}__sub"), agg.critical_value, es).alias(n)
     if isinstance(agg, ReplicateWeightMoe):
         factor = agg.design_factor / len(agg.secondary_columns)
         total = _sq_diff_sum(

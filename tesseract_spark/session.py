@@ -34,8 +34,9 @@ def get_spark(
         # (inf / NULL respectively) — legacy mode's NULL matches DuckDB exactly
         # for every division in the engine (growth, weighted avg, ratios)
         .config("spark.sql.ansi.enabled", "false")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
-        # natively; read as long and convert (streaming/events.py)
+        # legacy events.parquet vintages carried TIMESTAMP(NANOS) which Spark
+        # cannot read natively; read as long and convert (streaming/events.py —
+        # current vintage is timestamp[us]/NTZ, normalized there too)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )

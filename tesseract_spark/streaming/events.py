@@ -18,13 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# ts is TIMESTAMP(NANOS) in the parquet file; with
-# spark.sql.legacy.parquet.nanosAsLong it surfaces as epoch-nanos LongType and
-# _normalize_ts converts (integer DIV — double math would lose precision at 1e18)
+# ts is timestamp[us] without UTC-adjust metadata in the parquet file, which
+# Spark 4 infers as TIMESTAMP_NTZ; _normalize_ts casts it to session-local
+# TIMESTAMP (the engine pins the session timezone to UTC, so wall-clock values
+# are preserved and match DuckDB's naive-timestamp reads bit-for-bit). Older
+# testdata vintages stored INT64 TIMESTAMP(NANOS); both branches are kept.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -34,18 +36,26 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # legacy nanos vintage: integer DIV — double math would lose precision at 1e18
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        # NTZ → TIMESTAMP is a wall-clock-preserving reinterpretation under the
+        # engine's pinned UTC session timezone; downstream arithmetic
+        # (cast-to-double epoch seconds, window(), unix_timestamp) needs LTZ
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read events.parquet under ANY caller-supplied session.
 
-    The file stores ts as INT64 TIMESTAMP(NANOS), which vanilla Spark rejects
-    (PARQUET_TYPE_ILLEGAL). ``nanosAsLong`` is a runtime-settable SQL conf, so
-    set it here rather than relying on the session having been built by
-    ``get_spark`` — external harnesses pass their own SparkSession."""
+    Pins the UTC session timezone (the NTZ→TIMESTAMP cast in _normalize_ts
+    reinterprets wall clock in session tz, and external harnesses pass their
+    own SparkSession) plus ``nanosAsLong`` for legacy nanos-vintage files —
+    both are runtime-settable SQL confs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 

@@ -1,0 +1,77 @@
+"""Distributed exact quantiles: equivalence to Spark's builtin percentile
+(bit-for-bit, including ties / frac==0 exact-rank hits / singleton groups) and
+the scale contract (no ObjectHashAggregate buffering whole groups)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tesseract_spark.operators.quantiles import exact_quantiles
+
+PROBS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+def _reference(spark_df, probs):
+    return spark_df.groupBy("g").agg(
+        *[
+            F.expr(f"percentile(v, {p})").alias(f"q_{p}")
+            for p in probs
+        ]
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_matches_builtin_percentile(spark, seed):
+    rng = random.Random(seed)
+    rows = []
+    # mixed group sizes incl. 1-row group; duplicated values to force ties
+    for g, size in [("a", 1), ("b", 2), ("c", 7), ("d", 40), ("e", 101)]:
+        pool = [round(rng.uniform(0, 1000), 2) for _ in range(max(2, size // 2))]
+        rows += [(g, rng.choice(pool)) for _ in range(size)]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    got = {
+        r["g"]: r.asDict()
+        for r in exact_quantiles(df, ["g"], "v", PROBS).collect()
+    }
+    want = {r["g"]: r.asDict() for r in _reference(df, PROBS).collect()}
+    assert got.keys() == want.keys()
+    for g in want:
+        for p in PROBS:
+            assert got[g][f"q_{p}"] == want[g][f"q_{p}"], (g, p)
+
+
+def test_exact_rank_hits(spark):
+    # n = 5, p = 0.25 -> h = 1.0 exactly: result must be the rank-1 value
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [10, 20, 30, 40, 50]], "g string, v double"
+    )
+    out = exact_quantiles(df, ["g"], "v", [0.0, 0.25, 1.0]).collect()[0]
+    assert out["q_0.0"] == 10.0
+    assert out["q_0.25"] == 20.0
+    assert out["q_1.0"] == 50.0
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", None), ("g", 3.0)], "g string, v double"
+    )
+    out = exact_quantiles(df, ["g"], "v", [0.5]).collect()[0]
+    assert out["q_0.5"] == 2.0
+
+
+def test_no_object_hash_aggregate(spark, sf_dir):
+    """The whole point: the plan must not buffer a group's values in one
+    aggregation buffer (ObjectHashAggregate is the builtin percentile's
+    physical operator)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = (
+        exact_quantiles(li, ["l_returnflag"], "l_extendedprice", [0.25, 0.5])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ObjectHashAggregate" not in plan
