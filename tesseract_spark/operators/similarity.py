@@ -318,6 +318,7 @@ def ivf_topk(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_max_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """IVF ANN: k-means inverted lists, ``nprobe``-list probing, exact rescore.
 
@@ -327,18 +328,34 @@ def ivf_topk(
     (``sum(cast(x as decimal(38,9)))/count`` — order-independent, hence
     bit-stable across partitionings and engines), and every argmin/rank breaks
     ties on id. Scale shape: assignment is a broadcast cross-join (N×K rows,
-    map-side); centroid recomputation explodes vectors to (cid, dim, x) — at
-    100 TB train on a sample and only the final assignment runs corpus-wide.
+    map-side); centroid recomputation explodes vectors to (cid, dim, x), which
+    at corpus scale would re-shuffle every vector per Lloyd iteration — so
+    above ``train_max_rows`` the Lloyd loop trains on a DETERMINISTIC
+    hash-bucket sample of ~that size (``xxhash64(id) % denom < num`` — no RNG,
+    partitioning-independent) and only seeding + final list assignment touch
+    the full corpus. Below the threshold (every test/oracle scale) the sample
+    is the whole corpus, so the DuckDB mirror is unchanged. ``None`` disables
+    sampling outright.
     """
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
+    train = vecs
+    if train_max_rows is not None and iters > 0:
+        # limit-probe first: the full count only runs when actually oversized
+        if vecs.limit(train_max_rows + 1).count() > train_max_rows:
+            n_total = vecs.count()
+            denom = 1 << 20
+            num = max(1, (denom * train_max_rows) // n_total)
+            train = vecs.where(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(denom)) < F.lit(num)
+            )
     cents = vecs.orderBy("id").limit(n_centroids).select(
         F.col("id").alias("cid"), F.col("vec").alias("cvec")
     )
     for _ in range(iters):
-        assigned = _assign(vecs, cents)
+        assigned = _assign(train, cents)
         ex = assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
         means = ex.groupBy("cid", (F.col("pos") + 1).alias("i")).agg(
             (

@@ -278,6 +278,39 @@ def test_ivf_topk_recall_and_exact_scores(spark, sf_dir):
     assert got_full == true_top
 
 
+def test_ivf_sampled_training(spark, sf_dir):
+    """Above train_max_rows the Lloyd loop trains on a deterministic hash
+    sample: results stay valid (k exact-scored neighbors per query) and
+    partitioning-independent; below the threshold results are identical to
+    unsampled training (the default path every oracle run takes)."""
+    from tesseract_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2]
+    key = lambda rows: sorted((r.query_id, r.neighbor_id, r.cos_sim) for r in rows)  # noqa: E731
+
+    # corpus < threshold -> sample is a no-op: bit-identical to disabled
+    base = key(similarity.ivf_topk(embs, qids, k=5, train_max_rows=None).collect())
+    assert key(similarity.ivf_topk(embs, qids, k=5).collect()) == base
+
+    # force sampling: still k neighbors per query, exact scores, and the
+    # hash-bucket sample is partitioning-independent
+    sampled = key(similarity.ivf_topk(embs, qids, k=5, train_max_rows=100).collect())
+    assert len(sampled) == 3 * 5
+    resh = key(
+        similarity.ivf_topk(
+            embs.repartition(7), qids, k=5, train_max_rows=100
+        ).collect()
+    )
+    assert resh == sampled
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.brute_force_topk(embs, qids, k=10**6).collect()
+    }
+    for q, nb, cs in sampled:
+        assert abs(exact[(q, nb)] - cs) < 1e-9
+
+
 def test_stateful_user_stats_stream_matches_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState per-user running stats: the final streaming state
     must equal the one-groupBy batch computation."""
