@@ -1558,6 +1558,14 @@ def _wire_pipeline_ops() -> None:
         ),
         multimodal.resize_payload_grid_oracle_sql(),
     )
+    # REAL image decode end-to-end: bytes wrapped into genuine BMP files and
+    # parsed back by the real header/stride/flip/BGR decoder; the md5 of the
+    # decoded pixel stream is predicted independently by the oracle
+    _add(
+        "q_multimodal_decode",
+        lambda spark, sf: multimodal.decoded_image_features(_docs(spark, sf)),
+        multimodal.decoded_image_features_oracle_sql(),
+    )
     _add(
         "q_events_window",
         ev.batch_windowed_agg,
@@ -2210,9 +2218,9 @@ DRIVER_WINDOW: list[str] = [
     "q_events_sessionize",
     # new this round — needs first driver evidence
     "q_quantiles_distributed",
+    "q_multimodal_decode",
     # §2 anchors checked every round (cross-round control group)
     "q_agg_year",
-    "q_agg_brand",
     "q_growth_year",
 ]
 

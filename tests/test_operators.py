@@ -164,8 +164,8 @@ def test_streaming_ingest_to_cube(spark, sf_dir, tmp_path):
 
 
 def test_multimodal_plumbing_batch_shape(spark, sf_dir):
-    """mapInPandas runs batched (not row-at-a-time) and decode_media stays an
-    explicit stub."""
+    """mapInPandas runs batched (not row-at-a-time); decode_media still
+    honestly refuses codec-requiring formats."""
     from tesseract_spark.operators import multimodal
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -173,7 +173,81 @@ def test_multimodal_plumbing_batch_shape(spark, sf_dir):
     row = feats.orderBy("doc_id").first()
     assert row.n_bytes > 0 and len(row.sha256_8) == 8
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\x00", "image")
+        multimodal.decode_media(b"\x89PNG\r\n", "image")
+
+
+def test_decode_bmp_round_trip_and_variants():
+    """Real BMP decode: encode→decode inverts (incl. widths that force row
+    padding), top-down negative-height files parse, BGR order is honored."""
+    import struct
+
+    from tesseract_spark.operators import multimodal as mm
+
+    # width 5 -> stride 16 with 1 padding byte per row
+    pixels = bytes(range(5 * 3))
+    img = mm.decode_media(mm.encode_bmp_gray(pixels, 5, 3), "image")
+    assert (img["width"], img["height"], img["channels"]) == (5, 3, 3)
+    assert img["pixels"] == b"".join(bytes((b, b, b)) for b in pixels)
+
+    # hand-built top-down (negative height) 1x2 24-bit BMP with distinct BGR
+    data = bytes((255, 0, 0)) + b"\x00" + bytes((0, 0, 255)) + b"\x00"  # blue px, red px
+    raw = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, -2, 1, 24, 0, len(data), 0, 0, 0, 0)
+        + data
+    )
+    img = mm.decode_media(raw, "image")
+    # row 0 is the FIRST stored row (top-down), BGR(255,0,0) -> RGB(0,0,255)
+    assert img["pixels"] == bytes((0, 0, 255)) + bytes((255, 0, 0))
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_bmp(raw[:30] + struct.pack("<I", 1) + raw[34:])  # RLE8
+
+
+def test_decode_ppm_and_wav():
+    import io
+    import wave
+
+    from tesseract_spark.operators import multimodal as mm
+
+    ppm = b"P6\n# comment\n2 2\n255\n" + bytes(range(12))
+    img = mm.decode_media(ppm, "image")
+    assert (img["width"], img["height"]) == (2, 2)
+    assert img["pixels"] == bytes(range(12))
+    pgm = b"P5\n2 1\n255\n" + bytes((7, 9))
+    assert mm.decode_media(pgm, "image")["pixels"] == bytes((7, 7, 7, 9, 9, 9))
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x01\x02\x03\x04")
+    audio = mm.decode_media(buf.getvalue(), "audio")
+    assert audio["sample_rate"] == 8000 and audio["n_frames"] == 2
+    assert audio["pcm"] == b"\x01\x02\x03\x04"
+
+
+def test_decoded_image_features_matches_module_decoder(spark, sf_dir):
+    """The Spark entry's self-contained closure must agree with the public
+    module-level encode/decode pair (guards the deliberate duplication), and
+    the md5 must pin the tripled-byte top-down stream."""
+    import hashlib
+
+    from tesseract_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    got = {r.doc_id: r for r in mm.decoded_image_features(docs).collect()}
+    for src in docs.select("doc_id", "text").collect():
+        payload = src.text.encode()
+        h = len(payload) // 16
+        if h == 0:
+            assert src.doc_id not in got
+            continue
+        img = mm.decode_media(mm.encode_bmp_gray(payload[: 16 * h], 16, h), "image")
+        r = got[src.doc_id]
+        assert (r.width, r.height) == (img["width"], img["height"])
+        assert r.pixels_md5 == hashlib.md5(img["pixels"]).hexdigest()
 
 
 def test_minhash_lsh_oversize_bucket_star_expansion(spark):
