@@ -94,6 +94,22 @@ def main() -> None:
     if extra:
         names = [n for n in extra.split(",") if n in catalog.ENTRIES]
 
+    # per-query JIT warm-up at the smallest SF: whole-stage codegen compiles
+    # per plan shape, and cold-compile spikes (observed: a decimal-moments
+    # query at 13 s cold vs 1.8 s warm) would otherwise be attributed to the
+    # measured run. sf0.001 inputs make this cheap (~0.2 s/query).
+    warm_dir = sf_dir.replace(
+        f"sf{m.group(1).rstrip('.')}" if m else "", "sf0.001"
+    ) if m else sf_dir
+    if os.path.isdir(warm_dir):
+        for name in names:
+            try:
+                catalog.ENTRIES[name].spark_fn(spark, warm_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            except Exception:  # noqa: BLE001 — warm-up must never fail the bench
+                pass
+
     timings: dict[str, float] = {}
     for name in names:
         fn = catalog.ENTRIES[name].spark_fn

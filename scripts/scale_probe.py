@@ -52,6 +52,10 @@ PROBE_QUERIES = [
     "q_split_leakage",
     "q_embedding_dim_stats",
     "q_events_json_props",
+    "q_quantiles_distributed",
+    "q_price_quartile_counts",
+    "q_multimodal_decode",
+    "q_events_sessionize",
 ]
 
 
@@ -83,10 +87,15 @@ def build(spark, n: int, out: str) -> None:
         e = e.unionByName(p)
     e.repartition(32).write.parquet(f"{out}/embeddings.parquet")
 
-    ev = spark.read.parquet(f"{BASE}/events.parquet")  # ts is LongType nanos here
+    # read through the vintage-normalizing reader (current testdata stores
+    # timestamp[us]/NTZ; older vintages stored INT64 nanos) — shift copies by
+    # 35 days so replicas don't stack on the same timeline
+    from tesseract_spark.streaming.events import read_events
+
+    ev = read_events(spark, BASE)
     parts = [
         ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000)).withColumn(
-            "ts", F.col("ts") + F.lit(i * 35 * 86400 * 10**9)
+            "ts", F.timestamp_micros(F.unix_micros(F.col("ts")) + i * 35 * 86400 * 10**6)
         )
         for i in range(n)
     ]

@@ -1848,6 +1848,15 @@ def _wire_pipeline_ops() -> None:
         ),
     )
 
+    # substring-level dedup: repeated passages across otherwise-distinct
+    # docs (boilerplate/license blocks) via stride-windowed span hashing —
+    # the Spark-shaped approximation of suffix-array substring dedup
+    _add(
+        "q_dedup_spans",
+        lambda spark, sf: dedup.repeated_spans(_docs(spark, sf)),
+        dedup.repeated_spans_oracle_sql(),
+    )
+
     # fixed-point PageRank over the LSH candidate graph: hub-document
     # centrality for canonical selection; scaled-integer ranks make the
     # iterative join loop bit-exact across engines and partitionings
@@ -2219,8 +2228,9 @@ DRIVER_WINDOW: list[str] = [
     # new this round — needs first driver evidence
     "q_quantiles_distributed",
     "q_multimodal_decode",
-    # §2 anchors checked every round (cross-round control group)
-    "q_agg_year",
+    "q_dedup_spans",
+    # §2 anchor checked every round (cross-round control; q_agg_year has
+    # three green rows already and yields its slot to the new entries)
     "q_growth_year",
 ]
 

@@ -780,3 +780,93 @@ def dedup_against_index_sql(
            (i.fingerprint IS NOT NULL OR n.rn > 1) AS is_dup
     FROM rn n LEFT JOIN idx i USING (fingerprint)
     """
+
+
+# ---------------- substring-level (span) dedup ----------------
+# Doc-level dedup (exact/MinHash/SimHash above) misses repeated PASSAGES
+# embedded in otherwise-distinct documents — boilerplate headers, license
+# blocks, templated paragraphs — which substring-level deduplication targets
+# (the suffix-array approach of "Deduplicating Training Data Makes Language
+# Models Better" finds them exactly). The Spark-shaped approximation uses
+# CONTENT-DEFINED anchoring (the winnowing/CDC-chunking idea): a window
+# start is an anchor iff the hash of its leading ``probe`` characters is
+# 0 mod ``every``. Anchor positions depend only on local content, NEVER on
+# the offset a passage happens to be embedded at — so every copy of a
+# passage anchors at the same internal positions and produces identical
+# window hashes. (A fixed-stride grid does NOT have this property: copies
+# whose offsets differ mod stride never collide.) A shared passage of
+# length P >= window collides with probability 1 - (1 - 1/every)^(P-window+1)
+# (~99% for P = window + 32 at every=8). Emitted bytes = data * window /
+# every; the per-offset anchor hash is JVM md5 inside whole-stage codegen
+# and only anchored spans reach the single span-hash shuffle.
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    every: int = 8,
+    probe: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated text spans via content-anchored windows.
+
+    Returns one row per anchored ``window``-char span found in at least
+    ``min_docs`` DISTINCT documents: (span_md5, n_docs, n_occurrences,
+    first_doc) — first_doc is the smallest containing doc id, a
+    deterministic canonical occurrence. The anchor hash reuses the engine's
+    portable md5→int idiom (Spark ``conv`` ≡ DuckDB ``('0x' || …)::BIGINT``)
+    so the oracle reproduces anchor selection exactly."""
+    anchor = (
+        f"CAST(conv(substr(md5(substr({text_col}, i + 1, {probe})), 1, 10), 16, 10) "
+        f"AS BIGINT) % {every} = 0"
+    )
+    spans = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN length({text_col}) < {window} THEN array() "
+                f"ELSE transform("
+                f"  filter(sequence(0, length({text_col}) - {window}), i -> {anchor}),"
+                f"  i -> substr({text_col}, i + 1, {window})) END"
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy(F.md5("span").alias("span_md5"))
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def repeated_spans_oracle_sql(
+    table: str = "documents",
+    window: int = 64,
+    every: int = 8,
+    probe: int = 8,
+    min_docs: int = 2,
+) -> str:
+    anchor = (
+        f"('0x' || substr(md5(substr(text, i + 1, {probe})), 1, 10))::BIGINT "
+        f"% {every} = 0"
+    )
+    return f"""
+    WITH spans AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(range(0, length(text) - {window} + 1),
+                           i -> {anchor}),
+               i -> substr(text, i + 1, {window}))) AS span
+      FROM {table} WHERE length(text) >= {window})
+    SELECT md5(span) AS span_md5,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences,
+           min(doc_id) AS first_doc
+    FROM spans GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= {min_docs}
+    """

@@ -931,3 +931,47 @@ def test_pagerank_star_hub_ranks_highest(spark):
         for r in pagerank_fixed(star.repartition(5)).collect()
     }
     assert again == ranks
+
+
+def test_repeated_spans_detects_planted_passage(spark):
+    """Content-defined anchoring: a shared passage containing an anchored
+    window start must collide across its copies at ARBITRARY (different,
+    non-congruent) embedding offsets — the property a fixed-stride grid
+    lacks; unique text must produce no spans."""
+    import hashlib
+    import random
+
+    from tesseract_spark.operators.dedup import repeated_spans
+
+    def has_anchor(passage: str, window=64, every=8, probe=8) -> bool:
+        return any(
+            int(hashlib.md5(passage[i : i + probe].encode()).hexdigest()[:10], 16)
+            % every
+            == 0
+            for i in range(len(passage) - window + 1)
+        )
+
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    for seed in range(100):  # find a passage with an in-window anchor
+        rng = random.Random(seed)
+        uniq = lambda n: "".join(rng.choice(alphabet) for _ in range(n))  # noqa: E731
+        passage = uniq(96)
+        if has_anchor(passage):
+            break
+    assert has_anchor(passage), "no anchored seed found in 100 tries"
+
+    docs = spark.createDataFrame(
+        [
+            (0, uniq(13) + passage + uniq(40)),  # offsets 13 vs 57: not
+            (1, uniq(57) + passage + uniq(5)),   # congruent mod any stride
+            (2, uniq(300)),
+            (3, uniq(300)),
+        ],
+        "doc_id long, text string",
+    )
+    hits = repeated_spans(docs).collect()
+    assert len(hits) >= 1
+    assert all(r.n_docs == 2 and r.first_doc == 0 for r in hits)
+
+    lone = repeated_spans(docs.filter("doc_id >= 2")).collect()
+    assert lone == []
