@@ -161,7 +161,7 @@ _add(
     },
     """
     SELECT l.l_returnflag AS "Return Flag",
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
              AS "Extended Price Exact"
     FROM lineitem l
     WHERE l.l_orderkey IN (
@@ -258,7 +258,7 @@ _TOP_ORACLE = f"""
     WITH agg AS (
       SELECT g.r_regionkey AS "Region ID", g.r_name AS "Region",
              p.p_brand AS "Brand",
-             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
                AS "Extended Price Exact"
       FROM lineitem l
       JOIN part p ON l.l_partkey = p.p_partkey
@@ -531,15 +531,18 @@ _add(
       SELECT l_returnflag AS f, l_orderkey,
              sum(l_quantity) AS med_in, sum(l_quantity) AS q,
              count(l_linenumber) AS n,
-             sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS wnum,
-             sum(CAST(l_quantity AS DECIMAL(38,6))) AS wden,
+             -- scale 2/4 = the true decimal digits of the operands: sums stay
+             -- exact and unscaled values stay < 2^53, so decimal->double is a
+             -- single-rounding exact-integer conversion on every engine
+             sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,2))) AS wnum,
+             sum(CAST(l_quantity AS DECIMAL(38,2))) AS wden,
              -- cast the RAW column to decimal (boundary-safe: data values are
              -- 2-decimal), square/sum exactly in decimal; /cv² happens in
              -- double after aggregation — no computed-double→decimal cast,
              -- which is where engine versions disagree on the last digit
              sum(CAST(l_tax AS DECIMAL(18,6)) * CAST(l_tax AS DECIMAL(18,6))) AS moe_sub,
              max(l_tax) AS mx,
-             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS net
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS net
       FROM lineitem GROUP BY 1, 2)
     SELECT f AS "Return Flag",
            median(med_in) AS "Median Qty By Order",

@@ -248,13 +248,22 @@ LINEITEM_SCHEMA_JSON = {
                     "name": "Extended Price Exact",
                     "column": "l_extendedprice",
                     "aggregator": "sum",
-                    "exact_scale": 6,
+                    # scale 2 = the data's true decimal digits: the sum stays
+                    # exact AND its unscaled decimal value stays < 2^53 at any
+                    # tested SF, so the final decimal->double conversion is a
+                    # single exact-integer fast path on every engine (scale 6
+                    # pushed sums past 2^53 where int128->double conversion
+                    # can double-round differently per engine build)
+                    "exact_scale": 2,
                 },
                 {
                     "name": "Weighted Price Exact",
                     "column": "l_extendedprice",
+                    # price has 2 decimals and quantity is integral, so the
+                    # product is exact at scale 2 (see Extended Price Exact on
+                    # why small scales are the conversion-safe choice)
                     "aggregator": {"weighted_avg": {"weight_column": "l_quantity"}},
-                    "exact_scale": 6,
+                    "exact_scale": 2,
                 },
                 {
                     "name": "Tax MOE Exact",
@@ -269,9 +278,11 @@ LINEITEM_SCHEMA_JSON = {
                     "name": "Custom Net Exact",
                     "column": "l_extendedprice",
                     "aggregator": {
-                        "custom": "sum(CAST({} * (1 - l_discount) AS DECIMAL(38,6)))"
+                        # price(2 decimals) x (1 - discount(2 decimals)) is
+                        # exact at scale 4; keeps the unscaled sum < 2^53
+                        "custom": "sum(CAST({} * (1 - l_discount) AS DECIMAL(38,4)))"
                     },
-                    "exact_scale": 6,
+                    "exact_scale": 4,
                 },
                 {
                     "name": "Approx Distinct Parts",
