@@ -1778,6 +1778,62 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # temperature-weighted mixture (p_s ∝ sqrt(n_s)): rates computed IN-PLAN
+    # from source counts — the rebalancing recipe multilingual corpora use
+    from .operators.sampling import temperature_mixture, temperature_mixture_oracle_sql
+
+    # target below the corpus size at every tested SF so fractional rates
+    # (the hash-threshold path) are actually exercised by the oracle gate
+    _add(
+        "q_mixture_temperature",
+        lambda spark, sf: temperature_mixture(_docs(spark, sf), target_total=200),
+        temperature_mixture_oracle_sql(target_total=200),
+    )
+
+    # per-source quality gate: keep docs at/above their source's median
+    # quality — threshold from the DISTRIBUTED quantile operator (no
+    # per-group buffering), broadcast back, one corpus pass
+    def _quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .operators.quantiles import exact_quantiles
+        from .operators.text import quality_score_col
+
+        scored = _docs(spark, sf).select(
+            "doc_id",
+            "source",
+            F.round(quality_score_col(F.col("text")), 6).alias("score"),
+        )
+        th = exact_quantiles(scored, ["source"], "score", [0.5], ["q50"])
+        return (
+            scored.join(F.broadcast(th), "source")
+            .groupBy("source", "q50")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum((F.col("score") >= F.col("q50")).cast("long")).alias("n_kept"),
+            )
+            .select("source", "n_docs", "n_kept", "q50")
+        )
+
+    from .operators.text import _sql_quality_fragments
+
+    _q_sql, _ = _sql_quality_fragments("text")
+    _add(
+        "q_quality_gate",
+        _quality_gate,
+        f"""
+        WITH scored AS (
+          SELECT doc_id, source, round({_q_sql}, 6) AS score FROM documents),
+        th AS (
+          SELECT source, quantile_cont(score, 0.5) AS q50
+          FROM scored GROUP BY 1)
+        SELECT source, count(*) AS n_docs,
+               sum(CASE WHEN score >= q50 THEN 1 ELSE 0 END) AS n_kept, q50
+        FROM scored JOIN th USING (source)
+        GROUP BY source, q50
+        """,
+    )
+
     # benchmark decontamination: docs sharing 5-grams with a probe set are
     # flagged. Probes = the two lowest-id docs (deterministic per sf; a tiny
     # bounded collect), so hits are guaranteed: the probes themselves + any
@@ -2217,13 +2273,13 @@ DRIVER_WINDOW: list[str] = [
     "q_redact_pii",
     "q_epoch_shuffle",
     "q_corpus_curation",
-    # checked only in round 1 (testdata has been regenerated since)
+    # checked only in round 1, testdata regenerated since (q_dedup_exact and
+    # q_ann_cosine_topk, the two most basic of this group, yield their slots
+    # to brand-new zero-evidence entries; their relatives stay in-window)
     "q_text_analysis",
-    "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
-    "q_ann_cosine_topk",
     "q_ann_lsh_topk",
     "q_multimodal_features",
     "q_events_window",
@@ -2232,6 +2288,8 @@ DRIVER_WINDOW: list[str] = [
     "q_quantiles_distributed",
     "q_multimodal_decode",
     "q_dedup_spans",
+    "q_mixture_temperature",
+    "q_quality_gate",
     # §2 anchor checked every round (cross-round control; q_agg_year has
     # three green rows already and yields its slot to the new entries)
     "q_growth_year",

@@ -212,3 +212,80 @@ def subsample_by_group_oracle_where(
         branches.append(f"WHEN {group_col} = '{g}' THEN {cond}")
     default = "TRUE" if default_rate >= 1.0 else f"{h} < '{_hex_threshold(default_rate)}'"
     return f"CASE {' '.join(branches)} ELSE {default} END"
+
+
+def temperature_mixture(
+    df: DataFrame,
+    target_total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Temperature-weighted mixture rebalancing (the multilingual-corpus
+    p_s ∝ n_s^α recipe at α = 0.5): per-source keep rates are computed
+    IN-PLAN from the source counts so over-represented sources are
+    downsampled toward sqrt-proportional shares of ``target_total``.
+
+    Everything is engine-portable arithmetic: weights are INTEGER
+    floor(sqrt(n)) (an exact, order-independent integer sum across sources —
+    a raw double sqrt-sum would be addition-order-dependent), the rate is a
+    single IEEE multiply/divide chain on exact integers, and the keep
+    decision compares the 32-bit md5 bucket against floor(rate·2^32) (the
+    2^32 scaling is exact power-of-two arithmetic). Returns per-source
+    accounting (source, n_docs, weight, rate, n_kept); the same keep
+    predicate filters the corpus itself in a real pipeline.
+
+    Plan shape: one groupBy for counts, a 1-row broadcast total, a broadcast
+    rates join, one per-row hash comparison — no corpus shuffle."""
+    c = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    c = c.withColumn(
+        "w", F.floor(F.sqrt(F.col("n").cast("double"))).cast("long")
+    )
+    tot = c.agg(F.sum("w").alias("sw"))
+    rates = c.crossJoin(F.broadcast(tot)).withColumn(
+        "rate",
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(target_total)) * F.col("w"))
+            / (F.col("sw").cast("double") * F.col("n")),
+        ),
+    )
+    h = F.conv(_hash8(seed, F.col(id_col)), 16, 10).cast("long")
+    kept = (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("__keep", h < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))
+        .groupBy(group_col, "n", "w", "rate")
+        .agg(F.sum(F.col("__keep").cast("long")).alias("n_kept"))
+    )
+    return kept.select(
+        F.col(group_col), F.col("n").alias("n_docs"), "w", "rate", "n_kept"
+    )
+
+
+def temperature_mixture_oracle_sql(
+    target_total: int,
+    table: str = "documents",
+    group_col: str = "source",
+    id_expr: str = "doc_id",
+    seed: str = "mix-v1",
+) -> str:
+    """DuckDB mirror of :func:`temperature_mixture` — identical expression
+    trees so every IEEE operation rounds identically."""
+    h = f"('0x' || substr(md5('{seed}|' || {id_expr}), 1, 8))::BIGINT"
+    return f"""
+    WITH c AS (
+      SELECT {group_col}, count(*) AS n,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+      FROM {table} GROUP BY 1),
+    t AS (SELECT sum(w) AS sw FROM c),
+    r AS (
+      SELECT {group_col}, n, w,
+             least(1.0, (CAST({target_total} AS DOUBLE) * w)
+                        / (CAST(sw AS DOUBLE) * n)) AS rate
+      FROM c, t)
+    SELECT d.{group_col}, r.n AS n_docs, r.w, r.rate,
+           sum(CASE WHEN {h} < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+                    THEN 1 ELSE 0 END) AS n_kept
+    FROM {table} d JOIN r USING ({group_col})
+    GROUP BY 1, 2, 3, 4
+    """

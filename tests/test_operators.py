@@ -975,3 +975,36 @@ def test_repeated_spans_detects_planted_passage(spark):
 
     lone = repeated_spans(docs.filter("doc_id >= 2")).collect()
     assert lone == []
+
+
+def test_temperature_mixture_rebalances(spark):
+    """sqrt-temperature weighting: the dominant source is cut hardest, small
+    sources keep (near) everything, kept counts track rate*n, and the result
+    is partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.sampling import temperature_mixture
+
+    docs = (
+        spark.range(10_000).select(F.col("id").alias("doc_id"),
+                                   F.lit("big").alias("source"))
+        .unionByName(
+            spark.range(10_000, 10_400).select(
+                F.col("id").alias("doc_id"), F.lit("small").alias("source"))
+        )
+    )
+    rows = {r.source: r for r in temperature_mixture(docs, target_total=2000).collect()}
+    big, small = rows["big"], rows["small"]
+    # sqrt weighting: w_big=100, w_small=20, sw=120 → rates 1/6 vs 5/6 —
+    # the 25:1 corpus imbalance compresses to 5:1 in sampling rate
+    assert abs(big.rate - 2000 * 100 / (120 * 10_000)) < 1e-12
+    assert abs(small.rate - 2000 * 20 / (120 * 400)) < 1e-12
+    assert big.rate < small.rate < 1.0
+    # hash-threshold keep-rate concentrates tightly around rate * n
+    assert abs(big.n_kept - big.rate * big.n_docs) < 4 * (big.n_docs ** 0.5)
+    assert abs(small.n_kept - small.rate * small.n_docs) < 4 * (small.n_docs ** 0.5)
+    again = {
+        r.source: r.n_kept
+        for r in temperature_mixture(docs.repartition(7), target_total=2000).collect()
+    }
+    assert again == {s: r.n_kept for s, r in rows.items()}

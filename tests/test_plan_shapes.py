@@ -27,6 +27,7 @@ BNLJ_WHITELIST = {
     "q_sort_by_growth",
     "q_tfidf_topk_terms",
     "q_dense_yearly",
+    "q_mixture_temperature",  # 1-row broadcast grand-total crossed into rates
 }
 
 # exchange-node ceilings (shuffles + broadcasts in the INITIAL adaptive plan;
