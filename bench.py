@@ -67,6 +67,12 @@ HEADLINE = [
     "q_fuzzy_name_match",
     "q_embedding_dim_stats",
     "q_split_leakage",
+    # round-4 operators
+    "q_quantiles_distributed",
+    "q_multimodal_decode",
+    "q_dedup_spans",
+    "q_mixture_temperature",
+    "q_quality_gate",
 ]
 
 
@@ -110,26 +116,33 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — warm-up must never fail the bench
                 pass
 
+    # one failing query must not wipe out the whole bench artifact (a round-3
+    # environment change crashed one entry and produced NO output at all):
+    # record per-query errors, keep timing the rest, and always emit the JSON
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         fn = catalog.ENTRIES[name].spark_fn
         start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":
