@@ -1450,12 +1450,27 @@ _add(
 # ======== LLM-pipeline operators (documents / embeddings / events) ========
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelize narrow scans: the testdata parquet files are single
+    row-group, so a scan yields ONE input partition and every pre-shuffle
+    operation (per-row text hashing, regex, Arrow batches) runs on one core.
+    A round-robin repartition costs one pass over a few MB and buys full-core
+    parallelism for the CPU-heavy document/embedding operators. On a real
+    multi-file table the scan already yields >= parallelism partitions and
+    this is a no-op — exactly the behavior wanted at cluster scale."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _wire_pipeline_ops() -> None:

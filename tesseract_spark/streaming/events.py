@@ -57,7 +57,14 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     both are runtime-settable SQL confs."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    df = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # single-row-group file => one scan partition; spread so scan-side work
+    # (JSON prop parsing, timestamp math) uses every core. No-op when the
+    # source already yields enough partitions (any real multi-file table).
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
+    return df
 
 
 def windowed_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
