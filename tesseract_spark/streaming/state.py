@@ -124,3 +124,103 @@ def user_stats_streaming(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def make_user_stats_processor():
+    """StatefulProcessor for Spark 4's ``transformWithStateInPandas`` — the
+    successor API to ``applyInPandasWithState`` (typed per-key state handles,
+    timers, TTL, and state evolution). Same semantics as
+    :func:`make_update_user_stats`, expressed as a ValueState of
+    (n_events, total_value, last_ts). Built by a factory so cloudpickle ships
+    the class by value (executors don't import this package).
+
+    Runtime requirement: the TWS Python runtime talks protobuf to the JVM
+    state server (``pyspark.sql.streaming.proto``), so ``google.protobuf``
+    must be installed; environments without it (this container) should use
+    :func:`user_stats_streaming` — the equivalence test skips accordingly."""
+    import pandas as _pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql import types as _T
+
+    state_schema = _T.StructType(
+        [
+            _T.StructField("n_events", _T.LongType()),
+            _T.StructField("total_value", _T.DoubleType()),
+            _T.StructField("last_ts", _T.TimestampType()),
+        ]
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._state.exists():
+                n, total, last = self._state.get()
+            else:
+                n, total, last = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_last = pdf["ts"].max()
+                if last is None or batch_last > last:
+                    last = batch_last
+            self._state.update((n, total, last))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_ts": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStatsProcessor()
+
+
+def user_stats_streaming_tws(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str = "user_stats_tws",
+) -> DataFrame:
+    """The same per-user running stats through ``transformWithStateInPandas``
+    (RocksDB-backed state store — the production state backend; the old API's
+    HDFS-backed store holds state on-heap)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = _normalize_ts(spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir))
+    updated = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_user_stats_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.sql(f"SELECT * FROM {query_name}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -412,6 +412,40 @@ def test_stateful_user_stats_stream_matches_batch(spark, sf_dir, tmp_path):
         assert abs(stotal - total) < 1e-9
 
 
+def test_stateful_tws_matches_batch(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas (typed ValueState, RocksDB store):
+    the same per-user stats through the successor API must also equal the
+    batch groupBy. The TWS runtime speaks protobuf to the JVM state server,
+    so this skips where google.protobuf is absent (this container)."""
+    import os
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas needs protobuf at runtime",
+    )
+
+    from tesseract_spark.streaming import state as st
+    from tesseract_spark.streaming.events import read_events
+
+    src = tmp_path / "src_tws"
+    src.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", src / "events.parquet")
+
+    streamed = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in st.user_stats_streaming_tws(spark, str(src)).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in st.user_stats_batch(read_events(spark, sf_dir)).collect()
+    }
+    assert set(streamed) == set(batch)
+    for uid, (n, total, last) in batch.items():
+        sn, stotal, slast = streamed[uid]
+        assert sn == n and slast == last
+        assert abs(stotal - total) < 1e-9
+
+
 def test_asof_join_semantics(spark):
     """Inclusive at-or-before match, NULL when no prior right row, resets per
     key."""
