@@ -1793,6 +1793,84 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # ---- logic-layer semantics as oracle-gated entries (SURVEY §2.10
+    # L2/L3/L4 — previously pinned by tests only): alias+named-set expansion,
+    # time=latest resolution via the member cache, and id:children cut ops ----
+    def _logic_layer(spark: SparkSession, sf: str):
+        from .logic.layer import LogicLayer, LogicLayerConfig
+
+        cfg = LogicLayerConfig.from_json(
+            {
+                "cubes": [{"name": "lineitem_sales", "alternatives": ["sales"]}],
+                "named_sets": [
+                    {
+                        "level_name": "Region",
+                        "sets": [{"set_name": "Old World", "values": ["2", "3"]}],
+                    }
+                ],
+            }
+        )
+        return LogicLayer(get_builder(spark, sf), cfg)
+
+    _add(
+        "q_logic_time_latest",
+        lambda spark, sf: _logic_layer(spark, sf).data(
+            {
+                "cube": "lineitem_sales",
+                "drilldowns": "Return Flag",
+                "measures": "Quantity",
+                "time": "year.latest",
+            }
+        ),
+        """
+        SELECT l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity"
+        FROM lineitem
+        WHERE year(l_shipdate) = (SELECT max(year(l_shipdate)) FROM lineitem)
+        GROUP BY 1
+        """,
+    )
+
+    _add(
+        "q_logic_named_set",
+        lambda spark, sf: _logic_layer(spark, sf).data(
+            {
+                "cube": "sales",  # alias resolution exercised too (L1)
+                "drilldowns": "Region",
+                "measures": "Quantity",
+                "Region": "Old World",
+            }
+        ),
+        f"""
+        SELECT g.r_regionkey AS "Region ID", g.r_name AS "Region",
+               sum(l.l_quantity) AS "Quantity"
+        FROM lineitem l
+        JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
+        WHERE g.r_regionkey IN (2, 3)
+        GROUP BY 1, 2
+        """,
+    )
+
+    _add(
+        "q_logic_cut_children",
+        lambda spark, sf: _logic_layer(spark, sf).data(
+            {
+                "cube": "sales",
+                "drilldowns": "Nation",
+                "measures": "Quantity",
+                "Region": "1:children",
+            }
+        ),
+        f"""
+        SELECT g.n_nationkey AS "Nation ID", g.n_name AS "Nation",
+               sum(l.l_quantity) AS "Quantity"
+        FROM lineitem l
+        JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
+        WHERE g.n_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        GROUP BY 1, 2
+        """,
+    )
+
     # temperature-weighted mixture (p_s ∝ sqrt(n_s)): rates computed IN-PLAN
     # from source counts — the rebalancing recipe multilingual corpora use
     from .operators.sampling import temperature_mixture, temperature_mixture_oracle_sql
@@ -2288,15 +2366,14 @@ DRIVER_WINDOW: list[str] = [
     "q_redact_pii",
     "q_epoch_shuffle",
     "q_corpus_curation",
-    # checked only in round 1, testdata regenerated since (q_dedup_exact and
-    # q_ann_cosine_topk, the two most basic of this group, yield their slots
-    # to brand-new zero-evidence entries; their relatives stay in-window)
+    # checked only in round 1, testdata regenerated since. Several of this
+    # group (q_dedup_exact, q_ann_cosine_topk, q_dedup_ngram_jaccard,
+    # q_dedup_simhash, q_multimodal_features) yield their slots to brand-new
+    # zero-evidence entries: a parity re-proof is worth less than a first
+    # proof, and all retain r1-green rows plus the repo's bit-exact audit
     "q_text_analysis",
-    "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
     "q_ann_lsh_topk",
-    "q_multimodal_features",
     "q_events_window",
     "q_events_sessionize",
     # new this round — needs first driver evidence
@@ -2305,6 +2382,9 @@ DRIVER_WINDOW: list[str] = [
     "q_dedup_spans",
     "q_mixture_temperature",
     "q_quality_gate",
+    "q_logic_time_latest",
+    "q_logic_named_set",
+    "q_logic_cut_children",
     # §2 anchor checked every round (cross-round control; q_agg_year has
     # three green rows already and yields its slot to the new entries)
     "q_growth_year",
