@@ -1793,6 +1793,83 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # ---- raw-text source round-trips: training corpora usually arrive as
+    # JSONL/CSV, not parquet. Write the testdata out through Spark's
+    # JSON/CSV sinks, read it back through the matching source, and prove
+    # the round-trip lossless against an oracle over the ORIGINAL parquet
+    # (JSON escaping, header handling, and numeric parsing all in play) ----
+    def _jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        stage = tempfile.mkdtemp(prefix="jsonl_src_")
+        _docs(spark, sf).select("doc_id", "text", "source").write.mode(
+            "overwrite"
+        ).json(stage)
+        back = spark.read.schema("doc_id long, text string, source string").json(stage)
+        return (
+            back.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                # md5 of the id-ordered concatenated text hashes EVERY byte of
+                # every document — any escaping loss breaks it
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "text"))
+                        ).getField("text"),
+                    )
+                ).alias("corpus_md5"),
+            )
+        )
+
+    _add(
+        "q_source_jsonl_roundtrip",
+        _jsonl_roundtrip,
+        """
+        SELECT source, count(*) AS n_docs,
+               md5(string_agg(text, chr(31) ORDER BY doc_id)) AS corpus_md5
+        FROM documents GROUP BY 1
+        """,
+    )
+
+    def _csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        stage = tempfile.mkdtemp(prefix="csv_src_")
+        li = get_builder(spark, sf).registry.load("lineitem_enriched")
+        li.select("l_returnflag", "l_quantity", "l_extendedprice").write.mode(
+            "overwrite"
+        ).option("header", True).csv(stage)
+        back = spark.read.option("header", True).schema(
+            "l_returnflag string, l_quantity double, l_extendedprice double"
+        ).csv(stage)
+        return back.groupBy(F.col("l_returnflag").alias("Return Flag")).agg(
+            F.count(F.lit(1)).alias("Row Count"),
+            F.sum("l_quantity").alias("Quantity"),
+            # exact decimal sum survives the text round-trip bit-for-bit:
+            # Spark prints shortest-repr doubles and parses them back exactly
+            F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("Extended Price"),
+        )
+
+    _add(
+        "q_source_csv_roundtrip",
+        _csv_roundtrip,
+        """
+        SELECT l_returnflag AS "Return Flag", count(*) AS "Row Count",
+               sum(l_quantity) AS "Quantity",
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+                 AS "Extended Price"
+        FROM lineitem GROUP BY 1
+        """,
+    )
+
     # ---- logic-layer semantics as oracle-gated entries (SURVEY §2.10
     # L2/L3/L4 — previously pinned by tests only): alias+named-set expansion,
     # time=latest resolution via the member cache, and id:children cut ops ----
@@ -2371,9 +2448,7 @@ DRIVER_WINDOW: list[str] = [
     # q_dedup_simhash, q_multimodal_features) yield their slots to brand-new
     # zero-evidence entries: a parity re-proof is worth less than a first
     # proof, and all retain r1-green rows plus the repo's bit-exact audit
-    "q_text_analysis",
     "q_dedup_minhash_lsh",
-    "q_ann_lsh_topk",
     "q_events_window",
     "q_events_sessionize",
     # new this round — needs first driver evidence
@@ -2385,6 +2460,8 @@ DRIVER_WINDOW: list[str] = [
     "q_logic_time_latest",
     "q_logic_named_set",
     "q_logic_cut_children",
+    "q_source_jsonl_roundtrip",
+    "q_source_csv_roundtrip",
     # §2 anchor checked every round (cross-round control; q_agg_year has
     # three green rows already and yields its slot to the new entries)
     "q_growth_year",
