@@ -74,7 +74,10 @@ def windowed_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # exact decimal sum: plain double addition is partitioning-order
+            # dependent (the single-row-group scan used to hide this); the
+            # data has 2-decimal values so scale 6 is exact and tiny
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(
@@ -94,7 +97,7 @@ def windowed_agg_oracle_sql(table: str = "events", window_hours: int = 1) -> str
     SELECT time_bucket(INTERVAL '{window_hours} hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           sum(value) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM {table}
     GROUP BY 1, 2
     """
@@ -112,7 +115,10 @@ def sliding_windowed_agg(
     oracle mirrors with an unnest of the member bucket starts)."""
     return (
         events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
 
@@ -122,7 +128,8 @@ def sliding_windowed_agg_oracle_sql(table: str = "events") -> str:
     # {floor_1h(t), floor_1h(t) − 1h}; both engines align buckets to the epoch
     return f"""
     SELECT ws AS window_start, event_type,
-           count(*) AS n_events, sum(value) AS total_value
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM (
       SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
                      time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS ws,

@@ -89,10 +89,17 @@ def stream_static_enrich_demo(
     data). The static side is broadcast per micro-batch — no stream state at
     all, the standard dimension-enrichment shape for streaming cube ingest."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # exact decimal numerator: double avg is partitioning-order dependent,
+    # and the equivalence test recomputes this profile independently
     profile = (
         _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
         .groupBy("user_id")
-        .agg(F.avg("value").alias("user_mean_value"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count("value")
+            ).alias("user_mean_value")
+        )
     )
     stage = tempfile.mkdtemp(prefix="events_enrich_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")

@@ -42,7 +42,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
         )
         .drop("__session")
     )
@@ -69,7 +69,7 @@ def sessionize_oracle_sql(table: str = "events", gap_minutes: int = 30) -> str:
            min(ts) AS session_start,
            max(ts) AS session_end,
            count(*) AS n_events,
-           sum(value) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM sessions GROUP BY user_id, session_id
     """
 
@@ -101,7 +101,7 @@ def streaming_sessionize(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )

@@ -796,7 +796,12 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
         for r in stream_static_enrich_demo(spark, sf_dir, query_name="t_enrich").collect()
     }
     ev = read_events(spark, sf_dir)
-    profile = ev.groupBy("user_id").agg(F.avg("value").alias("user_mean_value"))
+    profile = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count("value")
+        ).alias("user_mean_value")
+    )
     batch = {
         (r.event_id, r.user_mean_value)
         for r in ev.join(profile, "user_id", "left").collect()
