@@ -1948,6 +1948,27 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # importance sampling: k docs per source, inclusion odds proportional to
+    # an integer weight (here n_chars — prefer longer documents), via the
+    # libm-free priority form hash/weight
+    from .operators.sampling import (
+        weighted_sample_oracle_sql,
+        weighted_sample_per_group,
+    )
+
+    _add(
+        "q_weighted_sample",
+        lambda spark, sf: weighted_sample_per_group(
+            _docs(spark, sf).select("doc_id", "source", "n_chars"),
+            ["source"],
+            5,
+            "n_chars",
+        ),
+        weighted_sample_oracle_sql(
+            select_cols="doc_id, source, n_chars", k=5, weight_expr="n_chars"
+        ),
+    )
+
     # temperature-weighted mixture (p_s ∝ sqrt(n_s)): rates computed IN-PLAN
     # from source counts — the rebalancing recipe multilingual corpora use
     from .operators.sampling import temperature_mixture, temperature_mixture_oracle_sql
@@ -2448,10 +2469,10 @@ DRIVER_WINDOW: list[str] = [
     # q_dedup_simhash, q_multimodal_features) yield their slots to brand-new
     # zero-evidence entries: a parity re-proof is worth less than a first
     # proof, and all retain r1-green rows plus the repo's bit-exact audit
-    "q_dedup_minhash_lsh",
     "q_events_window",
     "q_events_sessionize",
     # new this round — needs first driver evidence
+    "q_weighted_sample",
     "q_quantiles_distributed",
     "q_multimodal_decode",
     "q_dedup_spans",

@@ -289,3 +289,60 @@ def temperature_mixture_oracle_sql(
     FROM {table} d JOIN r USING ({group_col})
     GROUP BY 1, 2, 3, 4
     """
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Importance sampling: min(k, group size) rows per group, inclusion
+    probability increasing with INTEGER ``weight_col`` (priority sampling:
+    order by hash/weight ascending — a weight-w row is ~w times likelier to
+    make the cut than a weight-1 row).
+
+    Engine-portable by construction: the md5 bucket is an exact 32-bit
+    integer, the weight is an integer, and their quotient as an IEEE double
+    divide is correctly rounded — so both engines order rows identically,
+    with (priority, id) tie-breaks making equal quotients deterministic.
+    The standard A-ES form (u^(1/w)) needs pow/log — libm calls whose last
+    ulp varies per build — which is why the priority form is used instead.
+    Rows with NULL or non-positive weight are excluded (they have no
+    well-defined priority)."""
+    h = F.conv(_hash8(seed, F.col(id_col)), 16, 10).cast("long")
+    priority = h.cast("double") / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(
+        priority.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def weighted_sample_oracle_sql(
+    select_cols: str,
+    k: int,
+    weight_expr: str,
+    table: str = "documents",
+    group_col: str = "source",
+    id_expr: str = "doc_id",
+    seed: str = "wsample-v1",
+) -> str:
+    """DuckDB mirror of :func:`weighted_sample_per_group`."""
+    h = f"('0x' || substr(md5('{seed}|' || {id_expr}), 1, 8))::BIGINT"
+    return f"""
+    SELECT {select_cols} FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY {group_col}
+               ORDER BY CAST({h} AS DOUBLE) / CAST({weight_expr} AS DOUBLE) ASC,
+                        {id_expr} ASC) AS rn
+      FROM {table}
+      WHERE ({weight_expr}) IS NOT NULL AND ({weight_expr}) > 0)
+    WHERE rn <= {k}
+    """

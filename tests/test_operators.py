@@ -1047,3 +1047,33 @@ def test_temperature_mixture_rebalances(spark):
         for r in temperature_mixture(docs.repartition(7), target_total=2000).collect()
     }
     assert again == {s: r.n_kept for s, r in rows.items()}
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Priority sampling: within one group, the inclusion rate of weight-10
+    rows must far exceed weight-1 rows; output is exactly k per group and
+    partitioning-independent; non-positive weights are excluded."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.sampling import weighted_sample_per_group
+
+    # 500 light rows (w=1) + 100 heavy rows (w=10) in one group
+    docs = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.lit("g").alias("source"),
+        F.when(F.col("id") < 100, F.lit(10)).otherwise(F.lit(1)).alias("w"),
+    )
+    got = weighted_sample_per_group(docs, ["source"], 50, "w").collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r.doc_id < 100)
+    # heavy rows are 1/6 of the pool but ~10x likelier per row; expected
+    # heavy share ~2/3 — require a clear majority (p(<25 | correct) ~ 1e-5)
+    assert heavy >= 25, f"heavy rows under-sampled: {heavy}/50"
+    again = weighted_sample_per_group(docs.repartition(7), ["source"], 50, "w").collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in got}
+
+    with_bad = docs.withColumn(
+        "w", F.when(F.col("doc_id") >= 590, F.lit(None)).otherwise(F.col("w"))
+    )
+    kept = weighted_sample_per_group(with_bad, ["source"], 1000, "w").collect()
+    assert {r.doc_id for r in kept} == set(range(590))
