@@ -1948,6 +1948,25 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # training-shard materialization: partitioned parquet sink + manifest
+    # read back FROM THE SINK, equality with the source-predicted oracle
+    # proves the partitioned write lost nothing
+    def _training_shards(spark: SparkSession, sf: str) -> DataFrame:
+        import tempfile
+
+        from .operators.packing import write_training_shards
+
+        stage = tempfile.mkdtemp(prefix="shards_")
+        return write_training_shards(_docs(spark, sf), stage)
+
+    from .operators.packing import training_shards_manifest_oracle_sql
+
+    _add(
+        "q_training_shards",
+        _training_shards,
+        training_shards_manifest_oracle_sql(),
+    )
+
     # importance sampling: k docs per source, inclusion odds proportional to
     # an integer weight (here n_chars — prefer longer documents), via the
     # libm-free priority form hash/weight
@@ -2469,10 +2488,12 @@ DRIVER_WINDOW: list[str] = [
     # q_dedup_simhash, q_multimodal_features) yield their slots to brand-new
     # zero-evidence entries: a parity re-proof is worth less than a first
     # proof, and all retain r1-green rows plus the repo's bit-exact audit
-    "q_events_window",
+    # (q_events_window's r1-green slot goes to a new entry; q_events_sliding —
+    # never checked, same read path and window machinery — stays in-window)
     "q_events_sessionize",
     # new this round — needs first driver evidence
     "q_weighted_sample",
+    "q_training_shards",
     "q_quantiles_distributed",
     "q_multimodal_decode",
     "q_dedup_spans",

@@ -273,3 +273,77 @@ def materialize_sequences_oracle_sql(
     FROM packed_out p JOIN {table} d ON d.doc_id = p.doc_id
     GROUP BY 1, 2
     """
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "shard-v1",
+) -> DataFrame:
+    """Materialize the corpus as partitioned training shards + a manifest.
+
+    Writes ``path/shard=K/*.parquet`` (hash-assigned shards — deterministic,
+    partitioning-independent, resumable) via a partitioned parquet sink, then
+    returns the MANIFEST read back from the written files: per shard, row
+    count, total whitespace-token count, and an md5 over the id-ordered doc
+    ids — the artifact a training job consumes to plan epochs and verify
+    integrity. Reading the manifest from the SINK (not the input) makes the
+    round-trip part of the contract: a lost or duplicated row changes it.
+
+    Scale shape: one hash partition column derivation (no shuffle — the
+    partitioned write redistributes by partition value at file granularity),
+    one read-back aggregation on the shard files."""
+    from .text import token_count_col
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_shards),
+        ).alias("shard"),
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    back = out.sparkSession.read.parquet(path)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_col(F.col("text"))).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.col("doc_id"))),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("ids_md5"),
+        )
+    )
+
+
+def training_shards_manifest_oracle_sql(
+    table: str = "documents", n_shards: int = 8, seed: str = "shard-v1"
+) -> str:
+    """Manifest predicted straight from the source table — equality with the
+    sink-derived manifest proves the partitioned write lost nothing."""
+    from .text import _sql_token_count
+
+    tok = _sql_token_count("text")
+    h = f"('0x' || substr(md5('{seed}|' || doc_id), 1, 8))::BIGINT % {n_shards}"
+    return f"""
+    SELECT {h} AS shard, count(*) AS n_docs,
+           sum({tok}) AS n_tokens,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_md5
+    FROM {table} GROUP BY 1
+    """

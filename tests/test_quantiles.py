@@ -75,3 +75,55 @@ def test_no_object_hash_aggregate(spark, sf_dir):
         .toString()
     )
     assert "ObjectHashAggregate" not in plan
+
+
+def test_quantiles_hypothesis_fuzz(spark):
+    """Property fuzz vs the builtin: arbitrary group sizes, heavy ties,
+    negative/huge values, probs spanning the exact-rank and interpolated
+    cases. (settings tuned for one Spark job per example batch — examples
+    are pooled into one DataFrame.)"""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.quantiles import exact_quantiles
+
+    values = st.lists(
+        st.one_of(
+            st.integers(min_value=-1000, max_value=1000).map(float),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False, width=64,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(values, min_size=1, max_size=4), st.data())
+    def run(groups, data):
+        probs = data.draw(
+            st.lists(
+                st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+                min_size=1, max_size=4, unique=True,
+            )
+        )
+        rows = [(f"g{gi}", v) for gi, vs in enumerate(groups) for v in vs]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            r["g"]: r.asDict()
+            for r in exact_quantiles(df, ["g"], "v", probs).collect()
+        }
+        want = {
+            r["g"]: r.asDict()
+            for r in df.groupBy("g")
+            .agg(*[F.expr(f"percentile(v, {p})").alias(f"q_{p}") for p in probs])
+            .collect()
+        }
+        assert got.keys() == want.keys()
+        for g in want:
+            for p in probs:
+                assert got[g][f"q_{p}"] == want[g][f"q_{p}"], (g, p, groups)
+
+    run()
