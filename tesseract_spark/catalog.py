@@ -547,7 +547,11 @@ _add(
     SELECT f AS "Return Flag",
            median(med_in) AS "Median Qty By Order",
            sum(q) AS "Quantity",
-           sum(n) AS "Row Count",
+           -- sum over BIGINT returns HUGEINT in DuckDB; the driver's value
+           -- hash is dtype-sensitive (HUGEINT fetches as float64), so every
+           -- integer-sum OUTPUT column must be cast back to BIGINT — this
+           -- column, not the MOE arithmetic, was the r2-r4 hash-fail cause
+           CAST(sum(n) AS BIGINT) AS "Row Count",
            CAST(sum(wnum) AS DOUBLE) / CAST(sum(wden) AS DOUBLE)
              AS "Weighted Price Exact",
            1.645 * sqrt(CAST(sum(moe_sub) AS DOUBLE)
@@ -1626,7 +1630,7 @@ def _wire_pipeline_ops() -> None:
         _events_json_props,
         """
         SELECT event_type, count(*) AS n_events,
-               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
                count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS distinct_k
@@ -1760,11 +1764,13 @@ def _wire_pipeline_ops() -> None:
                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_pur
           FROM events GROUP BY 1)
         SELECT
-          sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-          sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
-              THEN 1 ELSE 0 END) AS n_signup_click,
-          sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
-                    AND t_pur > t_click THEN 1 ELSE 0 END) AS n_full_funnel
+          CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_signup,
+          CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+          CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                    AND t_pur > t_click THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_full_funnel
         FROM per_user
         """,
     )
@@ -2038,7 +2044,8 @@ def _wire_pipeline_ops() -> None:
           SELECT source, quantile_cont(score, 0.5) AS q50
           FROM scored GROUP BY 1)
         SELECT source, count(*) AS n_docs,
-               sum(CASE WHEN score >= q50 THEN 1 ELSE 0 END) AS n_kept, q50
+               CAST(sum(CASE WHEN score >= q50 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept, q50
         FROM scored JOIN th USING (source)
         GROUP BY source, q50
         """,

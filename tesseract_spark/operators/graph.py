@@ -122,5 +122,8 @@ def pagerank_fixed_oracle_sql(
         prelude
         + ",\n    "
         + ",\n    ".join(steps)
-        + f"\n    SELECT doc_id, pr AS pr_scaled FROM r{iters}"
+        # pr is HUGEINT (integer-sum arithmetic); cast the OUTPUT to BIGINT —
+        # the driver's value hash is dtype-sensitive and HUGEINT fetches as
+        # float64 (the r4 hash-fail cause); values are bounded ≪ 2^63
+        + f"\n    SELECT doc_id, CAST(pr AS BIGINT) AS pr_scaled FROM r{iters}"
     )

@@ -213,8 +213,13 @@ def pack_stats_oracle_sql(
     per_bin AS (
       SELECT shard, bin_id, sum(n_tokens) AS fill
       FROM packed_out GROUP BY 1, 2)
-    SELECT shard, count(*) AS n_bins, sum(fill) AS sum_tokens,
-           sum(fill) / (count(*) * {capacity}) AS avg_fill
+    SELECT shard, count(*) AS n_bins,
+           -- integer sums are HUGEINT in DuckDB; cast output columns back
+           -- to BIGINT (the driver's value hash is dtype-sensitive), and
+           -- make the fill-fraction division an explicit BIGINT/BIGINT
+           -- double division so it mirrors Spark's long/long semantics
+           CAST(sum(fill) AS BIGINT) AS sum_tokens,
+           CAST(sum(fill) AS BIGINT) / (count(*) * {capacity}) AS avg_fill
     FROM per_bin GROUP BY 1
     """
 
@@ -268,7 +273,8 @@ def materialize_sequences_oracle_sql(
     packed = pack_sequences_oracle_sql(table, capacity, n_shards, seed=seed)
     return f"""
     WITH packed_out AS ({packed})
-    SELECT p.shard, p.bin_id, count(*) AS n_docs, sum(p.n_tokens) AS n_tokens,
+    SELECT p.shard, p.bin_id, count(*) AS n_docs,
+           CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
            md5(string_agg(d.text, '{sep}' ORDER BY d.doc_id)) AS seq_md5
     FROM packed_out p JOIN {table} d ON d.doc_id = p.doc_id
     GROUP BY 1, 2
@@ -343,7 +349,7 @@ def training_shards_manifest_oracle_sql(
     h = f"('0x' || substr(md5('{seed}|' || doc_id), 1, 8))::BIGINT % {n_shards}"
     return f"""
     SELECT {h} AS shard, count(*) AS n_docs,
-           sum({tok}) AS n_tokens,
+           CAST(sum({tok}) AS BIGINT) AS n_tokens,
            md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_md5
     FROM {table} GROUP BY 1
     """

@@ -284,8 +284,8 @@ def temperature_mixture_oracle_sql(
                         / (CAST(sw AS DOUBLE) * n)) AS rate
       FROM c, t)
     SELECT d.{group_col}, r.n AS n_docs, r.w, r.rate,
-           sum(CASE WHEN {h} < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
-                    THEN 1 ELSE 0 END) AS n_kept
+           CAST(sum(CASE WHEN {h} < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM {table} d JOIN r USING ({group_col})
     GROUP BY 1, 2, 3, 4
     """

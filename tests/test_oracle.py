@@ -23,6 +23,35 @@ def test_oracle_parity(name, spark, sf_dir, duck):
     assert_df_matches_sql(df, duck, entry.oracle, rtol=0.0, atol=0.0)
 
 
+#: DuckDB result types a driver-checked oracle may emit. The driver's value
+#: hash is dtype-sensitive: HUGEINT (what DuckDB returns for sum() over any
+#: integer type) fetches to pandas as float64, so a Spark BIGINT vs oracle
+#: HUGEINT column hashes differently even when every value is identical —
+#: this exact mismatch was ALL NINE r4 hash-fails (and q_two_phase_mixed's
+#: r2/r3 fails): 9/9 failing entries had a HUGEINT output column, 0/98 green
+#: entries did. Every integer-sum output column must CAST(... AS BIGINT).
+#: DECIMAL(22,1) is grandfathered: q_histogram_quantity emits it and is
+#: driver-green (r4).
+_DRIVER_SAFE_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "TIMESTAMP",
+                      "BOOLEAN", "DATE", "DECIMAL(22,1)"}
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_output_types_are_driver_safe(name, duck):
+    rel = duck.sql(catalog.ENTRIES[name].oracle)
+    bad = [
+        f"{c}: {t}"
+        for c, t in zip(rel.columns, [str(x) for x in rel.types])
+        if str(t) not in _DRIVER_SAFE_TYPES
+    ]
+    assert not bad, (
+        f"{name} oracle emits driver-unsafe output types {bad} — "
+        "HUGEINT/other exotic types fetch with a different dtype than the "
+        "Spark side and fail the driver's value hash; CAST the column "
+        "(integer sums -> BIGINT)"
+    )
+
+
 def test_all_queries_have_entry_or_weak_check():
     # every catalog entry carries a full SQL oracle — the formerly-weak pair
     # (q_ann_lsh_topk, q_approx_distinct_count) now has exact mirrors too
