@@ -2417,6 +2417,64 @@ def _wire_pipeline_ops() -> None:
     from .operators.text import _sql_quality_fragments
 
     _q, _fp = _sql_quality_fragments("text")
+    # ---- environment probes: single-construct canaries for the driver's
+    # external correctness gate. Each isolates ONE cross-engine contract so
+    # that if a class of entries ever hash-fails again, the probe row
+    # pinpoints (or rules out) the suspect construct in the same round.
+    # Both are expected green everywhere; a red row is diagnostic, not a
+    # regression in query logic. ----
+    def _probe_sum_bigint(spark: SparkSession, sf: str) -> DataFrame:
+        # integer-sum dtype contract: DuckDB sum(integer) returns HUGEINT,
+        # which fetches as float64 and fails dtype-sensitive value hashing
+        # (the r4 failure class); the oracle casts to BIGINT like every
+        # shipped entry now does. Red here ⇒ integer aggregation itself
+        # diverges in the driver environment, not just its dtype.
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return li.agg(
+            F.sum(F.col("l_linenumber").cast("long")).alias("sum_linenumber"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    _add(
+        "q_probe_sum_bigint",
+        _probe_sum_bigint,
+        """
+        SELECT CAST(sum(l_linenumber) AS BIGINT) AS sum_linenumber,
+               count(*) AS n_rows
+        FROM lineitem
+        """,
+    )
+
+    def _probe_events_ts(spark: SparkSession, sf: str) -> DataFrame:
+        # data-vintage canary: epoch-microsecond extremes of the events
+        # table as BIGINTs (no formatting, no timezone rendering). Red here
+        # ⇒ the driver's events.parquet differs from the local vintage or
+        # its timestamp decode path shifted — which would implicate every
+        # timestamp-comparing entry without any of them being wrong.
+        from pyspark.sql import functions as F
+
+        e = ev.read_events(spark, sf)
+        return e.agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("min_ts_us"),
+            F.unix_micros(F.max("ts")).alias("max_ts_us"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+
+    _add(
+        "q_probe_events_ts",
+        _probe_events_ts,
+        """
+        SELECT count(*) AS n_events,
+               epoch_us(min(ts)) AS min_ts_us,
+               epoch_us(max(ts)) AS max_ts_us,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events
+        """,
+    )
+
     _add(
         "q_corpus_curation",
         _corpus_curation,
@@ -2442,78 +2500,80 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness harness checks only the FIRST 50 queries() entries
-# per round, so ordering is evidence policy, not cosmetics. Round 2/3 checked
-# the same 50 §2/analytics entries and starved the LLM-pipeline surface
-# entirely (VERDICT r2 "What's wrong" #2). This round-4 window front-loads
-# every entry with no prior driver-green row: the 35 never-checked entries,
-# the 10 checked only in round 1, the one round-2/3 hash-fail
-# (q_two_phase_mixed), and 4 §2 anchors as cross-round controls. The union of
-# CORRECTNESS_r{1,2,3} rows plus this window covers all 95 entries.
-# tests/test_driver_window.py trips if an entry falls out of both the recorded
-# rows and this list.
+# per round, so ordering is evidence policy, not cosmetics. Round-5 window,
+# built from the per-entry evidence ledger (union of CORRECTNESS_r1-r4):
+#  - the 9 r4 hash-fails (all had HUGEINT oracle output columns, fixed this
+#    round by BIGINT casts) — the failed-rows tripwire forces these anyway;
+#  - the 2 entries that have NEVER had a green driver row (q_ann_lsh_topk:
+#    r1 no_oracle, oracle added r2; q_events_window: r1 nanos crash, fixed
+#    r1) — starved by the old rotation-policy bug (VERDICT r4 #2), which
+#    counted their r1 *error* rows as evidence;
+#  - the 7 entries whose only green row predates the testdata regeneration
+#    (r1-only: dedup family, cosine ANN, text analysis, multimodal feats);
+#  - 2 environment probes (integer-sum dtype contract, events-ts vintage);
+#  - 2 permanent cross-round anchors (q_growth_year, q_agg_year — ADVICE r4:
+#    keep high-traffic §2 anchors in every window);
+#  - q_quantiles_distributed re-proof (exact_quantiles de-skew rewrite this
+#    round) plus 27 of the 48 entries whose newest green row is r3, oldest
+#    evidence first; the remaining 20 r3-green entries rotate into r6.
 DRIVER_WINDOW: list[str] = [
-    # round-2/3 hash-fail — re-proving the hardened MOE arithmetic
+    # r4 hash-fails, oracle outputs BIGINT-cast this round
     "q_two_phase_mixed",
-    # never driver-checked (rounds 1-3)
-    "q_dedup_verified",
-    "q_dedup_clusters",
-    "q_ann_ivf_topk",
-    "q_ann_near_dup",
-    "q_multimodal_frames",
-    "q_multimodal_resize",
-    "q_events_sliding",
     "q_events_json_props",
-    "q_events_top_types",
-    "q_text_repetition",
-    "q_text_rolling_fp",
-    "q_split_train_val_test",
-    "q_sample_per_group",
-    "q_range_join_activity",
     "q_event_funnel",
-    "q_mixture_subsample",
-    "q_decontaminate",
-    "q_cohort_retention",
-    "q_dedup_incremental",
     "q_pagerank_dups",
-    "q_source_overlap",
-    "q_top_terms",
-    "q_histogram_quantity",
-    "q_profile_documents",
-    "q_tfidf_topk_terms",
-    "q_embedding_dim_stats",
-    "q_split_leakage",
-    "q_fuzzy_name_match",
-    "q_pack_sequences",
     "q_pack_stats",
     "q_pack_sequences_text",
-    "q_chunk_documents",
-    "q_redact_pii",
-    "q_epoch_shuffle",
-    "q_corpus_curation",
-    # checked only in round 1, testdata regenerated since. Several of this
-    # group (q_dedup_exact, q_ann_cosine_topk, q_dedup_ngram_jaccard,
-    # q_dedup_simhash, q_multimodal_features) yield their slots to brand-new
-    # zero-evidence entries: a parity re-proof is worth less than a first
-    # proof, and all retain r1-green rows plus the repo's bit-exact audit
-    # (q_events_window's r1-green slot goes to a new entry; q_events_sliding —
-    # never checked, same read path and window machinery — stays in-window)
-    "q_events_sessionize",
-    # new this round — needs first driver evidence
-    "q_weighted_sample",
     "q_training_shards",
-    "q_quantiles_distributed",
-    "q_multimodal_decode",
-    "q_dedup_spans",
     "q_mixture_temperature",
     "q_quality_gate",
-    "q_logic_time_latest",
-    "q_logic_named_set",
-    "q_logic_cut_children",
-    "q_source_jsonl_roundtrip",
-    "q_source_csv_roundtrip",
-    # §2 anchor checked every round (cross-round control; q_agg_year has
-    # three green rows already and yields its slot to the new entries)
+    # never-green (r1 errors on long-fixed bugs; starved since)
+    "q_ann_lsh_topk",
+    "q_events_window",
+    # r1-only green — re-prove on the regenerated testdata
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_ann_cosine_topk",
+    "q_text_analysis",
+    "q_multimodal_features",
+    # environment probes (single-construct canaries)
+    "q_probe_sum_bigint",
+    "q_probe_events_ts",
+    # permanent anchors
     "q_growth_year",
+    "q_agg_year",
+    # exact_quantiles rewrite re-proof
+    "q_quantiles_distributed",
+    # oldest-evidence rotation (newest green row = r3)
+    "q_agg_brand",
+    "q_cut_include",
+    "q_cut_exclude",
+    "q_cut_like",
+    "q_cut_semijoin",
+    "q_parents",
+    "q_property",
+    "q_inline_status",
+    "q_filter_having",
+    "q_sort_limit_offset",
+    "q_top_brands_per_region",
+    "q_top_where",
+    "q_growth_month",
+    "q_rca_region_flag",
+    "q_rate_returnflag",
+    "q_median_order",
+    "q_avg_fk_grain",
+    "q_aggregators",
+    "q_members_nation",
+    "q_distinct_count",
+    "q_percentiles",
+    "q_cumulative_quantity",
+    "q_moving_avg",
+    "q_share_of_region",
+    "q_price_quartile_counts",
+    "q_corr_price_qty",
+    "q_multi_cut_union",
 ]
 
 

@@ -24,12 +24,43 @@ from tesseract_spark import catalog
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _recorded_rows() -> set[str]:
-    names: set[str] = set()
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+def _is_green(row: dict) -> bool:
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and row.get("err") is None
+    )
+
+
+def _rounds() -> dict[str, dict]:
+    """round-id -> {entry: row}, ascending round order."""
+    out: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path).split("_r")[-1].split(".")[0]
         with open(path) as f:
-            names.update(json.load(f).keys())
-    return names
+            out[rnd] = json.load(f)
+    return out
+
+
+def _ever_green_rows() -> set[str]:
+    """Entries with at least one GREEN driver row in ANY round. An errored or
+    hash-failed row is not evidence (the r1-r4 rotation bug: q_ann_lsh_topk
+    and q_events_window retained r1 *error* rows, were counted as covered,
+    and starved for three rounds — VERDICT r4, 'What's wrong' #2)."""
+    green: set[str] = set()
+    for rows in _rounds().values():
+        green.update(n for n, r in rows.items() if _is_green(r))
+    return green
+
+
+def _latest_status() -> dict[str, str]:
+    """entry -> status of its MOST RECENT driver row across all rounds."""
+    latest: dict[str, str] = {}
+    for rnd in sorted(_rounds()):
+        for n, r in _rounds()[rnd].items():
+            latest[n] = "green" if _is_green(r) else "bad"
+    return latest
 
 
 def test_window_well_formed():
@@ -46,25 +77,23 @@ def test_window_leads_queries_order():
 
 
 def test_no_entry_starved():
-    """Every entry has driver evidence, or is scheduled in the next window."""
-    covered = _recorded_rows() | set(catalog.DRIVER_WINDOW)
+    """Every entry has a GREEN driver row in some round, or is scheduled in
+    the next window. Any-row coverage is not enough: an error/fail row means
+    the entry has never been externally proven."""
+    covered = _ever_green_rows() | set(catalog.DRIVER_WINDOW)
     starved = [n for n in catalog.ENTRIES if n not in covered]
     assert not starved, (
-        f"{len(starved)} entries have no driver-correctness row and are not in "
-        f"DRIVER_WINDOW — rotate them in: {starved}"
+        f"{len(starved)} entries have no GREEN driver-correctness row in any "
+        f"round and are not in DRIVER_WINDOW — rotate them in: {starved}"
     )
 
 
 def test_failed_rows_stay_in_window():
-    """A hash-failed driver row must be re-proven, not rotated away."""
-    latest = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))[-1]
-    with open(latest) as f:
-        rows = json.load(f)
-    failed = [
+    """An entry whose MOST RECENT driver row (across all rounds, errors
+    included) is not green must be re-proven, not rotated away."""
+    missing = [
         n
-        for n, r in rows.items()
-        if not (r.get("rows_match") and r.get("schema_match") and r.get("hash_match"))
-        and r.get("err") is None
+        for n, status in _latest_status().items()
+        if status == "bad" and n in catalog.ENTRIES and n not in catalog.DRIVER_WINDOW
     ]
-    missing = [n for n in failed if n in catalog.ENTRIES and n not in catalog.DRIVER_WINDOW]
-    assert not missing, f"failed driver rows rotated out of the window: {missing}"
+    assert not missing, f"non-green driver rows rotated out of the window: {missing}"
