@@ -103,11 +103,18 @@ def main() -> None:
     # per-query JIT warm-up at the smallest SF: whole-stage codegen compiles
     # per plan shape, and cold-compile spikes (observed: a decimal-moments
     # query at 13 s cold vs 1.8 s warm) would otherwise be attributed to the
-    # measured run. sf0.001 inputs make this cheap (~0.2 s/query).
+    # measured run. sf0.001 inputs make this cheap (~0.2 s/query). Skipped
+    # when the warm dir IS the measured dir (ADVICE r4: never execute the
+    # measured query twice on the measured data), and recorded in the
+    # artifact as "warmed" so cross-round comparisons account for the
+    # methodology change (r1-r3 ran cold).
     warm_dir = sf_dir.replace(
         f"sf{m.group(1).rstrip('.')}" if m else "", "sf0.001"
     ) if m else sf_dir
-    if os.path.isdir(warm_dir):
+    warmed = os.path.isdir(warm_dir) and os.path.realpath(
+        warm_dir
+    ) != os.path.realpath(sf_dir)
+    if warmed:
         for name in names:
             try:
                 catalog.ENTRIES[name].spark_fn(spark, warm_dir).write.format(
@@ -132,13 +139,45 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 4)
+
+    # long-tail tier (VERDICT r4 #5): time every remaining catalog entry so
+    # no operator ships performance-unmeasured. Kept OUT of the headline
+    # metric ("value") to preserve cross-round comparability; recorded in a
+    # separate "tail_queries" section of the same artifact. Disable with
+    # SPARK_GRAFT_BENCH_TAIL=0 for quick iteration loops.
+    tail_timings: dict[str, float] = {}
+    if not extra and os.environ.get("SPARK_GRAFT_BENCH_TAIL", "1") != "0":
+        tail = [n for n in catalog.ENTRIES if n not in set(names)]
+        if warmed:
+            for name in tail:
+                try:
+                    catalog.ENTRIES[name].spark_fn(
+                        spark, warm_dir
+                    ).write.format("noop").mode("overwrite").save()
+                except Exception:  # noqa: BLE001
+                    pass
+        for name in tail:
+            fn = catalog.ENTRIES[name].spark_fn
+            start = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                tail_timings[name] = round(time.perf_counter() - start, 4)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "warmed": warmed,
     }
+    if tail_timings:
+        out["tail_queries"] = tail_timings
+        out["tail_total_sec"] = round(sum(tail_timings.values()), 4)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

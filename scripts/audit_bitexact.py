@@ -68,6 +68,26 @@ def main() -> None:
             print(f"{name:35s} ROWS {len(sdf)} vs {len(ddf)}")
             n_bad += 1
             continue
+        # The driver's value hash is sensitive to the pandas KIND of a column,
+        # not its width or unit: a DuckDB HUGEINT column fetches as float64
+        # while Spark emits int64, and that int-vs-float change alone failed
+        # the external hash on ALL nine r4 entries (identical values). But
+        # int32-vs-int64 and datetime64[ns]-vs-[us] mismatches were driver-
+        # GREEN in r4 (q_events_top_types had both), so only a kind change
+        # ('i' vs 'f'/'O'/'M' etc.) is fatal here.
+        def _kind(dt) -> str:
+            k = dt.kind
+            return "i" if k == "u" else k
+
+        dt_bad = [
+            f"{c}: spark={sdf[c].dtype} oracle={ddf[c].dtype}"
+            for c in cols
+            if _kind(sdf[c].dtype) != _kind(ddf[c].dtype)
+        ]
+        if dt_bad:
+            print(f"{name:35s} DTYPE {'; '.join(dt_bad)}")
+            n_bad += 1
+            continue
         worst_ulps = 0
         worst_rel = 0.0
         worst_col = ""

@@ -52,6 +52,61 @@ def test_oracle_output_types_are_driver_safe(name, duck):
     )
 
 
+#: DuckDB-version-risky oracle constructs (README "DuckDB-version
+#: sensitivity"): semantics have churned across DuckDB releases or are
+#: engine-discretionary, so each use must be a conscious decision — safe in
+#: integer-count thresholds, allowed in OUTPUT columns only where a driver
+#: row has proven the construct in the target environment (quantile_cont
+#: outputs: driver-green r4 via q_quantiles_distributed). This inventory
+#: pins the current usage sites; a new entry reaching for one of these
+#: must be added here deliberately, with the justification in its oracle.
+_VERSION_RISKY_USES = {
+    r"\bmedian\s*\(": {"q_median_order", "q_two_phase_mixed"},
+    r"\bquantile_cont\s*\(": {
+        "q_approx_percentile",
+        "q_percentiles",
+        "q_price_quartile_counts",
+        "q_quality_gate",
+        "q_quantiles_distributed",
+    },
+    r"\bjson_extract\s*\(": {"q_events_json_props"},
+    # round(x, n) on doubles is half-up vs half-even territory; 10 of these
+    # 12 were driver-green in r4 (values land far from .5 boundaries by
+    # construction — scaled integer numerators), so the construct is proven
+    r"\bround\s*\(": {
+        "q_ann_cosine_topk",
+        "q_ann_ivf_topk",
+        "q_ann_lsh_topk",
+        "q_ann_near_dup",
+        "q_avg_fk_grain",
+        "q_corr_price_qty",
+        "q_dedup_ngram_jaccard",
+        "q_dedup_verified",
+        "q_embedding_dim_stats",
+        "q_outlier_orders",
+        "q_quality_gate",
+        "q_text_analysis",
+    },
+}
+
+
+def test_version_risky_constructs_pinned():
+    import re
+
+    for pat, expected in _VERSION_RISKY_USES.items():
+        actual = {
+            n
+            for n, e in catalog.ENTRIES.items()
+            if e.oracle and re.search(pat, e.oracle)
+        }
+        assert actual == expected, (
+            f"oracle usage of version-risky construct {pat!r} changed: "
+            f"added={sorted(actual - expected)} "
+            f"removed={sorted(expected - actual)} — update the pin "
+            "deliberately (README: DuckDB-version sensitivity)"
+        )
+
+
 def test_all_queries_have_entry_or_weak_check():
     # every catalog entry carries a full SQL oracle — the formerly-weak pair
     # (q_ann_lsh_topk, q_approx_distinct_count) now has exact mirrors too
