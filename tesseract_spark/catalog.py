@@ -2072,6 +2072,29 @@ def _wire_pipeline_ops() -> None:
         ),
     )
 
+    # Bloom-filter decontamination over the same probe set: the probe
+    # shingles are compressed into a fixed 8 KiB bit array broadcast as one
+    # literal — no join on the hot path, so executor memory is independent
+    # of benchmark count (the exact semi-join above stays the zero-FP
+    # verification tier). The oracle rebuilds the filter in SQL, so packing,
+    # hashing, AND membership tests are all externally proven.
+    def _decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.decontaminate import bloom_decontaminate
+
+        docs = _docs(spark, sf)
+        probes = [r.text for r in docs.orderBy("doc_id").limit(2).collect()]
+        return bloom_decontaminate(docs, probes)
+
+    from .operators.decontaminate import bloom_decontaminate_oracle_sql
+
+    _add(
+        "q_decontaminate_bloom",
+        _decontaminate_bloom,
+        bloom_decontaminate_oracle_sql(
+            probes_sql="SELECT text FROM documents ORDER BY doc_id LIMIT 2"
+        ),
+    )
+
     # cohort retention: users grouped by first-seen week, counted distinct in
     # each later week — two groupBys + a broadcast-sized first-seen join; the
     # matrix is integers throughout, hence exactly mirrorable
@@ -2573,7 +2596,9 @@ DRIVER_WINDOW: list[str] = [
     "q_share_of_region",
     "q_price_quartile_counts",
     "q_corr_price_qty",
-    "q_multi_cut_union",
+    # round-5 additions (never-green by definition; each takes a rotation
+    # slot — displaced r3-green entries move to the r6 rotation)
+    "q_decontaminate_bloom",
 ]
 
 

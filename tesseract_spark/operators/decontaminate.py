@@ -15,6 +15,8 @@ shingle set against the probes' shingle set:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -56,6 +58,143 @@ def flag_contaminated(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def _py_word_shingles(text: str, n: int = 5) -> list[str]:
+    """Driver-side twin of :func:`word_shingles_col` (same split/lower/distinct
+    semantics) for probe sets, which are driver-resident strings anyway."""
+    ws = (text or "").lower().split()
+    if len(ws) >= n:
+        return list(dict.fromkeys(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)))
+    return [" ".join(ws)]
+
+
+def _bloom_pos(j: int, shingle: str, m_bits: int) -> int:
+    """Position of hash j for a shingle: first 48 bits of md5(f"{j}|{shingle}")
+    mod m — the exact arithmetic the Spark expressions and the DuckDB oracle
+    mirror (md5 hex → int ≡ conv(substr(md5…),16,10) ≡ ('0x'||substr…)::BIGINT)."""
+    return int(hashlib.md5(f"{j}|{shingle}".encode()).hexdigest()[:12], 16) % m_bits
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    probe_texts: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter decontamination: probe shingles compressed into an m-bit
+    filter (k deterministic md5-derived hashes), corpus shingles membership-
+    tested against it. Flags a superset of :func:`flag_contaminated`'s exact
+    hits (a Bloom filter has no false negatives); ``n_bf_hits`` counts the
+    document's distinct BF-positive shingles, false positives included.
+
+    The 100 TB story vs the exact probe-shingle semi-join: the broadcast side
+    is a FIXED-SIZE bit array (m/8 bytes — 8 KiB at the default) independent
+    of benchmark size, attached to the scan as one array literal; the corpus
+    side is a linear shingle scan with k pure-expression bit tests and ONE
+    shuffle (the per-doc count). No join at all on the hot path, so executor
+    memory stays flat however many benchmarks are screened. Size m so the
+    probe-shingle load factor keeps the FP rate acceptable
+    (~(s·k/m)^k per distinct shingle tested); the exact semi-join variant
+    remains the zero-FP verification path.
+
+    The bit array is built driver-side from the probe texts (probes are
+    driver-resident by contract — benchmarks are KBs–MBs) with the same
+    md5 arithmetic the executors use, packed 32 bits per BIGINT word so the
+    DuckDB oracle's ``1::BIGINT << (pos % 32)`` packing is bit-identical.
+    """
+    words = [0] * ((m_bits + 31) // 32)
+    for t in probe_texts:
+        for sh in _py_word_shingles(t, n):
+            for j in range(k):
+                pos = _bloom_pos(j, sh, m_bits)
+                words[pos // 32] |= 1 << (pos % 32)
+
+    def _hit(j: int) -> str:
+        pos = (
+            f"(CAST(conv(substring(md5(concat('{j}|', shingle)), 1, 12), 16, 10)"
+            f" AS BIGINT) % {m_bits})"
+        )
+        return (
+            f"(element_at(__bloom, CAST({pos} DIV 32 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % 32 AS INT))) != 0"
+        )
+
+    all_hit = " AND ".join(_hit(j) for j in range(k))
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles_col(F.col(text_col), n)).alias("shingle"),
+        )
+        .withColumn("__bloom", F.lit(words).cast("array<bigint>"))
+        .where(F.expr(all_hit))
+    )
+    hits = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        df.select(F.col(id_col).alias("id"), "lang")
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "lang",
+            F.coalesce("n_hits", F.lit(0)).alias("n_bf_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("flagged"),
+        )
+    )
+
+
+def bloom_decontaminate_oracle_sql(
+    probe_texts: list[str] | None = None,
+    table: str = "documents",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    probes_sql: str | None = None,
+) -> str:
+    """Oracle mirror: the filter is rebuilt IN SQL from the probe set (bit_or
+    aggregate over the same md5-derived positions, 32-bit words in BIGINT),
+    so the oracle proves the whole pipeline including the packing."""
+    if probes_sql is None:
+        lits = ", ".join("(" + "'" + t.replace("'", "''") + "')" for t in probe_texts)
+        probes_sql = f"VALUES {lits}"
+    pos = (
+        f"(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || shingle), 1, 12))"
+        f"::BIGINT % {m_bits})"
+    )
+    return f"""
+    WITH probes(text) AS ({probes_sql}),
+    probe_sh AS (
+      SELECT DISTINCT unnest({_sql_word_shingles("text", n)}) AS shingle
+      FROM probes),
+    probe_pos AS (
+      SELECT {pos} AS pos
+      FROM probe_sh, (SELECT unnest(range(0, {k})) AS j)),
+    bloom AS (
+      SELECT pos // 32 AS w, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+      FROM probe_pos GROUP BY 1),
+    doc_sh AS (
+      SELECT doc_id AS id, unnest({_sql_word_shingles("text", n)}) AS shingle
+      FROM {table}),
+    doc_pos AS (
+      SELECT id, shingle, {pos} AS pos
+      FROM doc_sh, (SELECT unnest(range(0, {k})) AS j)),
+    checked AS (
+      SELECT id, shingle,
+             count(*) FILTER (
+               b.word IS NOT NULL
+               AND (b.word & (1::BIGINT << CAST(pos % 32 AS INT))) != 0
+             ) = {k} AS hit
+      FROM doc_pos LEFT JOIN bloom b ON pos // 32 = b.w
+      GROUP BY 1, 2),
+    hits AS (
+      SELECT id, count(*) AS n_hits FROM checked WHERE hit GROUP BY 1)
+    SELECT d.doc_id, d.lang,
+           coalesce(h.n_hits, 0) AS n_bf_hits,
+           coalesce(h.n_hits, 0) > 0 AS flagged
+    FROM {table} d LEFT JOIN hits h ON d.doc_id = h.id
+    """
 
 
 def flag_contaminated_oracle_sql(

@@ -655,6 +655,33 @@ def test_decontamination_semantics(spark):
     assert out[2] == (0, False)
 
 
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """The Bloom tier must flag a SUPERSET of the exact semi-join's hits
+    (no false negatives by construction), with per-doc BF hit counts >= the
+    exact distinct-probe-shingle counts; an adversarially tiny filter
+    (m=64 bits, saturated) must flag everything — FPs, never FNs."""
+    from tesseract_spark.operators.decontaminate import (
+        bloom_decontaminate,
+        flag_contaminated,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = [r.text for r in docs.orderBy("doc_id").limit(2).collect()]
+    exact = {
+        r.doc_id: r.n_probe_ngrams
+        for r in flag_contaminated(docs, probes).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_bf_hits for r in bloom_decontaminate(docs, probes).collect()
+    }
+    assert set(bloom) == set(exact)
+    for d, n_exact in exact.items():
+        assert bloom[d] >= n_exact, f"doc {d}: BF dropped an exact hit"
+
+    saturated = bloom_decontaminate(docs, probes, m_bits=64, k=2)
+    assert saturated.where("NOT flagged").count() == 0
+
+
 def test_subsample_by_group_deterministic_rates(spark):
     from tesseract_spark.operators.sampling import subsample_by_group
 
