@@ -1558,6 +1558,14 @@ def _wire_pipeline_ops() -> None:
         ),
         similarity.cosine_near_dup_oracle_sql(threshold=0.35, planes=4),
     )
+    # SemDeDup-style semantic dedup: k-means clusters bound the pairwise scan
+    # to within-cluster blocks, greedy smallest-id survivor; threshold in the
+    # synthetic embeddings' similarity regime (see q_ann_near_dup note)
+    _add(
+        "q_semantic_dedup",
+        lambda spark, sf: similarity.semantic_dedup(_embs(spark, sf), threshold=0.35),
+        similarity.semantic_dedup_oracle_sql(threshold=0.35),
+    )
     _add(
         "q_multimodal_features",
         lambda spark, sf: multimodal.multimodal_features(_docs(spark, sf)),
@@ -2595,10 +2603,10 @@ DRIVER_WINDOW: list[str] = [
     "q_moving_avg",
     "q_share_of_region",
     "q_price_quartile_counts",
-    "q_corr_price_qty",
     # round-5 additions (never-green by definition; each takes a rotation
     # slot — displaced r3-green entries move to the r6 rotation)
     "q_decontaminate_bloom",
+    "q_semantic_dedup",
 ]
 
 

@@ -309,38 +309,24 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def ivf_topk(
-    df: DataFrame,
-    query_ids: list[int],
-    k: int = 5,
+def train_kmeans(
+    vecs: DataFrame,
     n_centroids: int = 8,
-    nprobe: int = 2,
     iters: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
     train_max_rows: int | None = 1_000_000,
 ) -> DataFrame:
-    """IVF ANN: k-means inverted lists, ``nprobe``-list probing, exact rescore.
+    """Deterministic Lloyd k-means over ``(id, vec)`` rows → ``(cid, cvec)``.
 
-    Fully deterministic so the DuckDB oracle can mirror it: seed centroids are
+    Fully deterministic so a DuckDB oracle can mirror it: seed centroids are
     the ``n_centroids`` smallest-id vectors (no RNG), each Lloyd iteration
     recomputes per-cluster means with EXACT decimal sums
     (``sum(cast(x as decimal(38,9)))/count`` — order-independent, hence
-    bit-stable across partitionings and engines), and every argmin/rank breaks
-    ties on id. Scale shape: assignment is a broadcast cross-join (N×K rows,
-    map-side); centroid recomputation explodes vectors to (cid, dim, x), which
-    at corpus scale would re-shuffle every vector per Lloyd iteration — so
-    above ``train_max_rows`` the Lloyd loop trains on a DETERMINISTIC
-    hash-bucket sample of ~that size (``xxhash64(id) % denom < num`` — no RNG,
-    partitioning-independent) and only seeding + final list assignment touch
-    the full corpus. Below the threshold (every test/oracle scale) the sample
-    is the whole corpus, so the DuckDB mirror is unchanged. ``None`` disables
-    sampling outright.
-    """
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    )
+    bit-stable across partitionings and engines), and every argmin breaks
+    ties on id. Above ``train_max_rows`` the Lloyd loop trains on a
+    DETERMINISTIC hash-bucket sample of ~that size
+    (``xxhash64(id) % denom < num`` — no RNG, partitioning-independent);
+    below the threshold (every test/oracle scale) the sample is the whole
+    corpus, so the SQL mirror is unchanged. ``None`` disables sampling."""
     train = vecs
     if train_max_rows is not None and iters > 0:
         # limit-probe first: the full count only runs when actually oversized
@@ -367,6 +353,31 @@ def ivf_topk(
             .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
             .select("cid", F.transform("s", lambda st: st["v"]).alias("cvec"))
         )
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_max_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """IVF ANN: k-means inverted lists, ``nprobe``-list probing, exact rescore.
+
+    Training is :func:`train_kmeans` (deterministic seeding, exact decimal
+    means, capped training sample — see its docstring); assignment is a
+    broadcast cross-join (N×K rows, map-side) so only seeding + final list
+    assignment touch the full corpus."""
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    cents = train_kmeans(vecs, n_centroids, iters, train_max_rows)
     lists = _assign(vecs, cents)
 
     queries = vecs.filter(F.col("id").isin(query_ids)).select(
@@ -397,31 +408,28 @@ def ivf_topk(
     )
 
 
-def ivf_topk_oracle_sql(
-    query_ids: list[int],
-    k: int = 5,
-    n_centroids: int = 8,
-    nprobe: int = 2,
-    iters: int = 1,
-    dim: int = 64,
-    table: str = "embeddings",
-) -> str:
-    """Exact SQL mirror of :func:`ivf_topk` with the Lloyd iterations unrolled
-    as CTE stages (deterministic seeding + exact decimal means — see the
-    operator docstring for why every stage is bit-reproducible)."""
-
-    def assign_sql(src: str, cents: str, out_cols: str = "id, vec, cid") -> str:
-        d2 = (
-            f"(list_dot_product(s.vec, s.vec) - 2*list_dot_product(s.vec, c.cvec)"
-            f" + list_dot_product(c.cvec, c.cvec))"
-        )
-        return f"""(
+def _sql_assign(src: str, cents: str, out_cols: str = "id, vec, cid") -> str:
+    """DuckDB fragment: nearest-centroid assignment of ``src`` to ``cents``
+    (same dot-product-identity distance + (dist², cid) tie-break as
+    :func:`_assign`)."""
+    d2 = (
+        f"(list_dot_product(s.vec, s.vec) - 2*list_dot_product(s.vec, c.cvec)"
+        f" + list_dot_product(c.cvec, c.cvec))"
+    )
+    return f"""(
       SELECT {out_cols} FROM (
         SELECT s.id, s.vec, c.cid,
                row_number() OVER (PARTITION BY s.id ORDER BY {d2} ASC, c.cid ASC) AS rn
         FROM {src} s CROSS JOIN {cents} c) WHERE rn = 1
     )"""
 
+
+def _sql_kmeans_ctes(
+    n_centroids: int, iters: int, dim: int, table: str
+) -> tuple[list[str], str]:
+    """CTE list mirroring :func:`train_kmeans` (Lloyd iterations unrolled;
+    deterministic seeding + exact decimal means), and the name of the final
+    centroid CTE. The vector CTE is named ``v``."""
     ctes = [
         f"v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM {table})",
         f"c0 AS (SELECT id AS cid, vec AS cvec FROM v ORDER BY id LIMIT {n_centroids})",
@@ -429,7 +437,7 @@ def ivf_topk_oracle_sql(
     cur = "c0"
     for it in range(iters):
         nxt = f"c{it + 1}"
-        ctes.append(f"a{it} AS {assign_sql('v', cur)}")
+        ctes.append(f"a{it} AS {_sql_assign('v', cur)}")
         ctes.append(
             f"""m{it + 1} AS (
       SELECT a.cid, r.i,
@@ -442,6 +450,23 @@ def ivf_topk_oracle_sql(
             f"{nxt} AS (SELECT cid, list(val ORDER BY i) AS cvec FROM m{it + 1} GROUP BY cid)"
         )
         cur = nxt
+    return ctes, cur
+
+
+def ivf_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """Exact SQL mirror of :func:`ivf_topk` with the Lloyd iterations unrolled
+    as CTE stages (deterministic seeding + exact decimal means — see the
+    operator docstring for why every stage is bit-reproducible)."""
+    assign_sql = _sql_assign
+    ctes, cur = _sql_kmeans_ctes(n_centroids, iters, dim, table)
     ids = ", ".join(str(i) for i in query_ids)
     d2q = (
         "(list_dot_product(q.qvec, q.qvec) - 2*list_dot_product(q.qvec, c.cvec)"
@@ -510,6 +535,84 @@ def cosine_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_max_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-cluster the embeddings,
+    then inside each cluster drop every vector that has a SMALLER-id near
+    duplicate (rounded cosine ≥ ``threshold``). One row per vector:
+    ``(vec_id, cid, kept)``.
+
+    The clustering bounds the pairwise work: candidate pairs are generated
+    only within a cluster (join keyed on cid — one shuffle), so total pair
+    work is ~N²/K instead of N². At 100 TB pick K ≈ √N (the SemDeDup paper's
+    regime) so each cluster's pair block stays executor-sized; training cost
+    is capped by :func:`train_kmeans`'s deterministic sample. The greedy
+    keep-smallest-id rule is deterministic and engine-portable (no RNG, no
+    float ordering beyond the rounded cosine), which is what lets the DuckDB
+    oracle mirror the whole pipeline exactly."""
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    cents = train_kmeans(vecs, n_centroids, iters, train_max_rows)
+    lists = _assign(vecs, cents)
+    a, b = lists.alias("a"), lists.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("cos_sim", F.round(cosine_col(F.col("a.vec"), F.col("b.vec")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return (
+        lists.join(dropped.withColumn("__dropped", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    iters: int = 1,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """Exact SQL mirror of :func:`semantic_dedup` (k-means CTEs from
+    :func:`_sql_kmeans_ctes`, within-cluster pair scan, greedy smallest-id
+    survivor)."""
+    ctes, cur = _sql_kmeans_ctes(n_centroids, iters, dim, table)
+    ctes.append(f"lists AS {_sql_assign('v', cur)}")
+    ctes.append(
+        f"""dropped AS (
+      SELECT DISTINCT b.id
+      FROM lists a JOIN lists b ON a.cid = b.cid AND a.id < b.id
+      WHERE round(list_dot_product(a.vec, b.vec)
+                  / (sqrt(list_dot_product(a.vec, a.vec))
+                   * sqrt(list_dot_product(b.vec, b.vec))), 6) >= {threshold}
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT l.id AS vec_id, l.cid, d.id IS NULL AS kept
+    FROM lists l LEFT JOIN dropped d ON d.id = l.id
+    """
 
 
 def cosine_near_dup_oracle_sql(

@@ -655,6 +655,38 @@ def test_decontamination_semantics(spark):
     assert out[2] == (0, False)
 
 
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """One row per vector; the smallest id of every cluster is always kept;
+    every dropped vector really has a kept-or-dropped smaller-id neighbor in
+    its cluster above the threshold (greedy rule), and ivf assignment reuse
+    means cluster ids are a subset of the seed vec_ids."""
+    from tesseract_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.semantic_dedup(embs, threshold=0.35).toPandas()
+    assert len(out) == embs.count()
+    assert out.groupby("cid").vec_id.min().isin(out[out.kept].vec_id).all()
+    assert set(out.cid) <= set(out.vec_id)  # cluster labels are seed vec_ids
+    dropped = out[~out.kept]
+    if len(dropped):
+        # verify a sample of dropped rows against an exact within-cluster scan
+        import pandas as pd
+
+        vecs = {r.vec_id: r.embedding for r in embs.collect()}
+        by_cluster = out.groupby("cid").vec_id.apply(list).to_dict()
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+            return round(num / den, 6)
+
+        for r in dropped.head(5).itertuples():
+            peers = [i for i in by_cluster[r.cid] if i < r.vec_id]
+            assert any(cos(vecs[i], vecs[r.vec_id]) >= 0.35 for i in peers), (
+                f"vec {r.vec_id} dropped without a smaller-id near-dup"
+            )
+
+
 def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
     """The Bloom tier must flag a SUPERSET of the exact semi-join's hits
     (no false negatives by construction), with per-doc BF hit counts >= the
