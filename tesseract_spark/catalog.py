@@ -1807,6 +1807,22 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # stratified sampling with exact Hamilton allocation: integer seat math
+    # (sum(n_target) == total_n exactly), hash-ordered selection de-skewed by
+    # the same hash-prefix-bucket + carry-table pattern as exact_quantiles
+    def _stratified(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.sampling import stratified_sample_exact
+
+        return stratified_sample_exact(_docs(spark, sf), total_n=100)
+
+    from .operators.sampling import stratified_sample_oracle_sql
+
+    _add(
+        "q_stratified_sample",
+        _stratified,
+        stratified_sample_oracle_sql(total_n=100),
+    )
+
     # ---- raw-text source round-trips: training corpora usually arrive as
     # JSONL/CSV, not parquet. Write the testdata out through Spark's
     # JSON/CSV sinks, read it back through the matching source, and prove
@@ -1881,6 +1897,38 @@ def _wire_pipeline_ops() -> None:
                CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
                  AS "Extended Price"
         FROM lineitem GROUP BY 1
+        """,
+    )
+
+    def _orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        stage = tempfile.mkdtemp(prefix="orc_src_")
+        _docs(spark, sf).select("doc_id", "text", "lang").write.mode(
+            "overwrite"
+        ).option("compression", "zlib").orc(stage)
+        back = spark.read.orc(stage)
+        return back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "text"))
+                    ).getField("text"),
+                )
+            ).alias("corpus_md5"),
+        )
+
+    _add(
+        "q_source_orc_roundtrip",
+        _orc_roundtrip,
+        """
+        SELECT lang, count(*) AS n_docs,
+               md5(string_agg(text, chr(31) ORDER BY doc_id)) AS corpus_md5
+        FROM documents GROUP BY 1
         """,
     )
 
@@ -2601,12 +2649,12 @@ DRIVER_WINDOW: list[str] = [
     "q_percentiles",
     "q_cumulative_quantity",
     "q_moving_avg",
-    "q_share_of_region",
-    "q_price_quartile_counts",
     # round-5 additions (never-green by definition; each takes a rotation
     # slot — displaced r3-green entries move to the r6 rotation)
     "q_decontaminate_bloom",
     "q_semantic_dedup",
+    "q_stratified_sample",
+    "q_source_orc_roundtrip",
 ]
 
 

@@ -291,6 +291,166 @@ def temperature_mixture_oracle_sql(
     """
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    total_n: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "strat-v1",
+) -> DataFrame:
+    """Stratified sampling with EXACT proportional allocation: ``total_n``
+    rows split across strata by the largest-remainder (Hamilton) method —
+    pure integer arithmetic, so the allocation is deterministic and
+    engine-portable — then selected within each stratum by keyed-hash order.
+    Returns the per-stratum manifest
+    ``(group, n_docs, n_target, n_sampled, ids_md5)``; the same rank
+    predicate filters the corpus itself in a real pipeline.
+
+    Allocation: ``base_g = total_n·n_g DIV N``, leftover seats go to the
+    strata with the largest integer remainders (ties on group asc), so
+    ``sum(n_target) == min(total_n, N)`` exactly — the property quota
+    sampling needs and ``rate``-based filters can't give.
+
+    Selection at scale: ranking within a stratum would be a single task per
+    stratum (the skew shape VERDICT r4 #3 flagged for quantiles), so rows
+    are ranked within (stratum, hash-prefix bucket) — 256 uniform md5
+    buckets — and offset by a carry table of per-bucket counts (≤256 tiny
+    rows per stratum), the same range-bucket + carry pattern as
+    ``exact_quantiles``. The bucket prefix IS the hash prefix, so
+    bucket-major order equals global hash order. One data-sized shuffle
+    (the bucketed rank), everything else is stratum-count-sized."""
+    g, idc = F.col(group_col), F.col(id_col)
+    c = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = c.agg(F.sum("n_docs").alias("N"))
+    seats = c.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        (F.lit(total_n) * F.col("n_docs")).cast("long").alias("scaled"),
+        "N",
+    )
+    seats = seats.select(
+        group_col,
+        "n_docs",
+        # DIV, not '/': Spark's '/' on longs is double division, which loses
+        # exactness once total_n·n_g crosses 2^53
+        F.expr("scaled DIV N").alias("base"),
+        (F.col("scaled") % F.col("N")).alias("rem"),
+        "N",
+    )
+    # leftover seats: total_n - sum(base); strata ranked by remainder. Both
+    # windows run over stratum-count-sized data (thousands at most).
+    w_left = Window.partitionBy(F.lit(1))
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("rem").desc(), g.asc()
+    )
+    alloc = (
+        seats.withColumn(
+            "leftover", F.least(F.lit(total_n), F.col("N")) - F.sum("base").over(w_left)
+        )
+        .withColumn("rr", F.row_number().over(w_rank))
+        .select(
+            group_col,
+            "n_docs",
+            F.least(
+                F.col("n_docs"),
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("leftover"), F.lit(1)).otherwise(F.lit(0)),
+            ).alias("n_target"),
+        )
+    )
+
+    h = _hash8(seed, idc)
+    rows = df.select(g.alias("__g"), idc.alias("__id"), h.alias("__h"))
+    rows = rows.withColumn(
+        "__b", F.conv(F.substring(F.col("__h"), 1, 2), 16, 10).cast("int")
+    )
+    bc = rows.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = (
+        Window.partitionBy("__g")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = bc.withColumn(
+        "__start", F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0))
+    ).select("__g", "__b", "__start")
+    w_in = Window.partitionBy("__g", "__b").orderBy(
+        F.col("__h").asc(), F.col("__id").asc()
+    )
+    ranked = rows.join(F.broadcast(starts), ["__g", "__b"]).withColumn(
+        "__grank", F.col("__start") + F.row_number().over(w_in)
+    )
+    sel = ranked.join(
+        F.broadcast(alloc.select(F.col(group_col).alias("__g"), "n_target")), "__g"
+    ).where(F.col("__grank") <= F.col("n_target"))
+    picked = sel.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.col("__id"))),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("ids_md5"),
+    )
+    return (
+        alloc.join(picked.withColumnRenamed("__g", group_col), group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            "n_target",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            "ids_md5",
+        )
+    )
+
+
+def stratified_sample_oracle_sql(
+    total_n: int,
+    table: str = "documents",
+    group_col: str = "source",
+    id_expr: str = "doc_id",
+    seed: str = "strat-v1",
+) -> str:
+    """DuckDB mirror of :func:`stratified_sample_exact` — identical integer
+    allocation and hash-order selection (global rank equals the bucketed
+    rank by construction, so the mirror uses the plain per-stratum
+    row_number)."""
+    h = f"substr(md5('{seed}|' || {id_expr}), 1, 8)"
+    return f"""
+    WITH c AS (
+      SELECT {group_col}, count(*) AS n_docs FROM {table} GROUP BY 1),
+    t AS (SELECT sum(n_docs) AS N FROM c),
+    seats AS (
+      SELECT {group_col}, n_docs,
+             ({total_n} * n_docs) // N AS base,
+             ({total_n} * n_docs) % N AS rem, N
+      FROM c, t),
+    alloc AS (
+      SELECT {group_col}, n_docs,
+             CAST(least(n_docs, base + CASE WHEN
+               row_number() OVER (ORDER BY rem DESC, {group_col} ASC)
+               <= least({total_n}, N) - sum(base) OVER ()
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+      FROM seats),
+    ranked AS (
+      SELECT {group_col}, {id_expr} AS id,
+             row_number() OVER (PARTITION BY {group_col}
+                                ORDER BY {h}, {id_expr}) AS grank
+      FROM {table}),
+    picked AS (
+      SELECT r.{group_col}, count(*) AS n_sampled,
+             md5(string_agg(r.id::VARCHAR, ',' ORDER BY r.id)) AS ids_md5
+      FROM ranked r JOIN alloc a USING ({group_col})
+      WHERE r.grank <= a.n_target
+      GROUP BY 1)
+    SELECT a.{group_col}, a.n_docs, a.n_target,
+           coalesce(p.n_sampled, 0) AS n_sampled, p.ids_md5
+    FROM alloc a LEFT JOIN picked p USING ({group_col})
+    """
+
+
 def weighted_sample_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -655,6 +655,27 @@ def test_decontamination_semantics(spark):
     assert out[2] == (0, False)
 
 
+def test_stratified_sample_exact_allocation(spark, sf_dir):
+    """sum(n_target) == total_n exactly (the Hamilton-allocation property a
+    rate filter can't give); n_sampled == n_target per stratum; allocation is
+    proportional within 1 seat; selection is stable across partitionings."""
+    from tesseract_spark.operators.sampling import stratified_sample_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample_exact(docs, total_n=97).toPandas()
+    assert out.n_target.sum() == 97
+    assert (out.n_sampled == out.n_target).all()
+    N = out.n_docs.sum()
+    for r in out.itertuples():
+        exact = 97 * r.n_docs / N
+        assert abs(r.n_target - exact) < 1, (r.source, r.n_target, exact)
+
+    repartitioned = stratified_sample_exact(docs.repartition(7), total_n=97).toPandas()
+    a = out.sort_values("source", ignore_index=True)
+    b = repartitioned.sort_values("source", ignore_index=True)
+    assert a.equals(b), "selection must not depend on partitioning"
+
+
 def test_semantic_dedup_invariants(spark, sf_dir):
     """One row per vector; the smallest id of every cluster is always kept;
     every dropped vector really has a kept-or-dropped smaller-id neighbor in

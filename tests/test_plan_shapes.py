@@ -29,6 +29,7 @@ BNLJ_WHITELIST = {
     "q_dense_yearly",
     "q_mixture_temperature",  # 1-row broadcast grand-total crossed into rates
     "q_semantic_dedup",  # broadcast-centroid assignment (same shape as ivf)
+    "q_stratified_sample",  # 1-row broadcast grand-total crossed into seats
 }
 
 # exchange-node ceilings (shuffles + broadcasts in the INITIAL adaptive plan;
@@ -38,6 +39,7 @@ BNLJ_WHITELIST = {
 EXCHANGE_CEILING = {
     "q_ann_ivf_topk": 30,
     "q_semantic_dedup": 48,  # k-means train + assign + in-cluster pair scan
+    "q_stratified_sample": 24,  # seat math (tiny) + bucketed rank + manifest
     "q_pagerank_dups": 98,  # 3 unrolled iterations × (join+groupBy) + LSH sig
     "q_multi_cut_union": 44,
     "q_rca_debug": 54,
