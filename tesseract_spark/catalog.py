@@ -2282,6 +2282,16 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: profile.profile_columns(_docs(spark, sf), _PROFILE_COLS),
         profile.profile_columns_oracle_sql("documents", _PROFILE_COLS),
     )
+    # join/groupBy-key skew diagnostic: top-k heavy hitters + integer ppm
+    # share — the measurement that decides when operators/skew.py's salting
+    # is warranted (one combined groupBy, TakeOrdered top-k, never a sort)
+    _add(
+        "q_key_skew_profile",
+        lambda spark, sf: profile.key_skew_profile(
+            spark.read.parquet(f"{sf}/lineitem.parquet"), "l_suppkey", 10
+        ),
+        profile.key_skew_profile_oracle_sql("lineitem", "l_suppkey", 10),
+    )
 
     # per-doc top-k salient terms: tf-idf with a log-free BM25-shaped idf
     # (rational in exact ints → bit-identical doubles cross-engine); the
@@ -2648,13 +2658,13 @@ DRIVER_WINDOW: list[str] = [
     "q_distinct_count",
     "q_percentiles",
     "q_cumulative_quantity",
-    "q_moving_avg",
     # round-5 additions (never-green by definition; each takes a rotation
     # slot — displaced r3-green entries move to the r6 rotation)
     "q_decontaminate_bloom",
     "q_semantic_dedup",
     "q_stratified_sample",
     "q_source_orc_roundtrip",
+    "q_key_skew_profile",
 ]
 
 

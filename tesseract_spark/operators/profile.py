@@ -18,7 +18,7 @@ string / date columns — float-to-string rendering differs between engines
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -95,6 +95,51 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         for c in cols
     ]
     return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join/groupBy-key skew diagnostic: the ``top_k`` heaviest keys with
+    row counts and integer parts-per-million share of the table. This is
+    the measurement that decides WHEN to reach for `operators.skew`'s
+    salting or AQE skew-join handling — a key above ~1/partitions of the
+    table serializes its partition at shuffle time.
+
+    Shape: one map-side-combined groupBy on the key, a top-k TakeOrdered
+    (never a global sort), and a 1-row broadcast total for the share —
+    safe at any cardinality because only k rows survive the count stage.
+    ``share_ppm`` is integer arithmetic (n·1_000_000 DIV total), exact on
+    every engine."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "key",
+        "n_rows",
+        F.expr("n_rows * 1000000 DIV total").alias("share_ppm"),
+    )
+
+
+def key_skew_profile_oracle_sql(table: str, key_expr: str, top_k: int = 10) -> str:
+    return f"""
+    WITH c AS (
+      SELECT CAST({key_expr} AS VARCHAR) AS key, count(*) AS n_rows
+      FROM {table} GROUP BY 1),
+    t AS (SELECT count(*) AS total FROM {table})
+    SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC) AS BIGINT)
+             AS rank,
+           key, n_rows,
+           n_rows * 1000000 // total AS share_ppm
+    FROM c, t
+    ORDER BY n_rows DESC, key ASC LIMIT {top_k}
+    """
 
 
 def profile_columns_oracle_sql(table: str, cols: list[str]) -> str:

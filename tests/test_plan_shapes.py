@@ -30,6 +30,7 @@ BNLJ_WHITELIST = {
     "q_mixture_temperature",  # 1-row broadcast grand-total crossed into rates
     "q_semantic_dedup",  # broadcast-centroid assignment (same shape as ivf)
     "q_stratified_sample",  # 1-row broadcast grand-total crossed into seats
+    "q_key_skew_profile",  # 1-row broadcast grand-total crossed into top-k
 }
 
 # exchange-node ceilings (shuffles + broadcasts in the INITIAL adaptive plan;
