@@ -1558,6 +1558,14 @@ def _wire_pipeline_ops() -> None:
         ),
         similarity.cosine_near_dup_oracle_sql(threshold=0.35, planes=4),
     )
+    # JL random-projection compression (64→8 dims): the cheap pre-filter
+    # tier ahead of exact rescoring; zero-shuffle per-row map, hyperplanes
+    # deterministic so the projection itself is oracle-checked
+    _add(
+        "q_embed_projection",
+        lambda spark, sf: similarity.project_embeddings(_embs(spark, sf)),
+        similarity.project_embeddings_oracle_sql(),
+    )
     # SemDeDup-style semantic dedup: k-means clusters bound the pairwise scan
     # to within-cluster blocks, greedy smallest-id survivor; threshold in the
     # synthetic embeddings' similarity regime (see q_ann_near_dup note)
@@ -2657,7 +2665,6 @@ DRIVER_WINDOW: list[str] = [
     "q_members_nation",
     "q_distinct_count",
     "q_percentiles",
-    "q_cumulative_quantity",
     # round-5 additions (never-green by definition; each takes a rotation
     # slot — displaced r3-green entries move to the r6 rotation)
     "q_decontaminate_bloom",
@@ -2665,6 +2672,7 @@ DRIVER_WINDOW: list[str] = [
     "q_stratified_sample",
     "q_source_orc_roundtrip",
     "q_key_skew_profile",
+    "q_embed_projection",
 ]
 
 

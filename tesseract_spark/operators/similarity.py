@@ -537,6 +537,56 @@ def cosine_near_dup_pairs(
     )
 
 
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style random-projection compression: each vector
+    is projected onto ``out_dim`` deterministic pseudo-random hyperplanes
+    (the same seeded splitmix generator the LSH family uses — no RNG state),
+    emitted as columns ``p0..p{out_dim-1}`` rounded to 6 decimals.
+
+    The compressed vectors preserve pairwise distances within the JL bound,
+    so they serve as a cheap pre-filter tier in front of exact rescoring
+    (8 doubles vs 64 floats = 8× less candidate-scoring I/O). The dot
+    products use the sequential-fold ``aggregate`` HOF — bit-identical to
+    DuckDB's ``list_dot_product`` — because the rounded outputs are
+    hash-checked cross-engine; at production scale swap in the numpy-matmul
+    Pandas UDF (:func:`multi_table_bucket_udf`'s shape) where bit-parity
+    against an oracle is not required. Pure per-row map: zero shuffles."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = [F.col(id_col)]
+    for j in range(out_dim):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, j, seed)])
+        cols.append(F.round(_dot(vd, plane), 6).alias(f"p{j}"))
+    return df.select(*cols)
+
+
+def project_embeddings_oracle_sql(
+    out_dim: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    table: str = "embeddings",
+) -> str:
+    """Exact SQL mirror of :func:`project_embeddings` (literal hyperplanes,
+    sequential-fold dot, same rounding)."""
+
+    def lit(vals: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+    cols = ["vec_id"]
+    for j in range(out_dim):
+        w = _hyperplane(dim, j, seed)
+        cols.append(
+            f"round(list_dot_product(embedding::DOUBLE[], {lit(w)}), 6) AS p{j}"
+        )
+    return f"SELECT {', '.join(cols)} FROM {table}"
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,

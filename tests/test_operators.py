@@ -655,6 +655,54 @@ def test_decontamination_semantics(spark):
     assert out[2] == (0, False)
 
 
+def test_projection_preserves_neighborhoods(spark):
+    """JL sanity on PLANTED structure (the sf embeddings are near-uniform, so
+    their pairwise distances concentrate and rank order is noise): three
+    well-separated clusters in 64-dim must stay separated after the 64→8
+    projection — every intra-cluster distance below every inter-cluster one."""
+    import itertools
+
+    from tesseract_spark.operators.similarity import project_embeddings
+
+    def splitmix(x):
+        x = (x * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        return (x >> 11) / 2**53
+
+    centers = [[10.0 * splitmix(c * 64 + i) - 5.0 for i in range(64)] for c in range(3)]
+    rows, vid = [], 0
+    members: dict[int, int] = {}
+    for c, ctr in enumerate(centers):
+        for m in range(5):
+            noise = [0.05 * (splitmix(1000 + vid * 64 + i) - 0.5) for i in range(64)]
+            rows.append((vid, [x + n for x, n in zip(ctr, noise)]))
+            members[vid] = c
+            vid += 1
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj = {
+        r.vec_id: [r[f"p{j}"] for j in range(8)]
+        for r in project_embeddings(embs).collect()
+    }
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    intra = [
+        d2(proj[a], proj[b])
+        for a, b in itertools.combinations(proj, 2)
+        if members[a] == members[b]
+    ]
+    inter = [
+        d2(proj[a], proj[b])
+        for a, b in itertools.combinations(proj, 2)
+        if members[a] != members[b]
+    ]
+    assert max(intra) < min(inter), (
+        f"projection destroyed cluster structure: max intra {max(intra):.3f} "
+        f">= min inter {min(inter):.3f}"
+    )
+
+
 def test_stratified_sample_exact_allocation(spark, sf_dir):
     """sum(n_target) == total_n exactly (the Hamilton-allocation property a
     rate filter can't give); n_sampled == n_target per stratum; allocation is

@@ -82,9 +82,11 @@ _VERSION_RISKY_USES = {
         "q_corr_price_qty",
         "q_dedup_ngram_jaccard",
         "q_dedup_verified",
+        "q_embed_projection",  # r5: rounded JL projections, construct proven r4
         "q_embedding_dim_stats",
         "q_outlier_orders",
         "q_quality_gate",
+        "q_semantic_dedup",  # r5: threshold comparison only, not an output
         "q_text_analysis",
     },
 }
