@@ -655,6 +655,31 @@ def test_decontamination_semantics(spark):
     assert out[2] == (0, False)
 
 
+def test_cosine_udf_bit_equals_hof_fold(spark, sf_dir):
+    """The vectorized cumsum cosine must be BIT-identical to the sequential
+    aggregate-HOF fold (which the DuckDB oracles mirror) on real embedding
+    pairs — any pairwise-summation shortcut would drift ulps and break the
+    zero-tolerance oracle gate."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.similarity import cosine_col, cosine_pairs_udf
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+    a = embs.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = embs.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    cos = cosine_pairs_udf()
+    out = pairs.select(
+        cosine_col(F.col("va"), F.col("vb")).alias("hof"),
+        cos(F.col("va"), F.col("vb")).alias("vec"),
+    ).collect()
+    assert len(out) > 1000
+    for r in out:
+        assert struct.pack("<d", r.hof) == struct.pack("<d", r.vec), (r.hof, r.vec)
+
+
 def test_projection_preserves_neighborhoods(spark):
     """JL sanity on PLANTED structure (the sf embeddings are near-uniform, so
     their pairwise distances concentrate and rank order is noise): three
