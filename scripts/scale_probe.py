@@ -56,6 +56,12 @@ PROBE_QUERIES = [
     "q_price_quartile_counts",
     "q_multimodal_decode",
     "q_events_sessionize",
+    # round-5 operators
+    "q_decontaminate_bloom",
+    "q_semantic_dedup",
+    "q_stratified_sample",
+    "q_key_skew_profile",
+    "q_embed_projection",
 ]
 
 

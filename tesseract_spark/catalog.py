@@ -2301,6 +2301,14 @@ def _wire_pipeline_ops() -> None:
         profile.key_skew_profile_oracle_sql("lineitem", "l_suppkey", 10),
     )
 
+    # tokenizer-prep vocabulary coverage: top-k token types with cumulative
+    # integer-ppm corpus coverage — the vocab-size curve before BPE training
+    _add(
+        "q_vocab_coverage",
+        lambda spark, sf: text.vocab_coverage(_docs(spark, sf), top_k=50),
+        text.vocab_coverage_oracle_sql(top_k=50),
+    )
+
     # per-doc top-k salient terms: tf-idf with a log-free BM25-shaped idf
     # (rational in exact ints → bit-identical doubles cross-engine); the
     # 1-row corpus-count broadcast is the only nested-loop join
@@ -2664,7 +2672,6 @@ DRIVER_WINDOW: list[str] = [
     "q_aggregators",
     "q_members_nation",
     "q_distinct_count",
-    "q_percentiles",
     # round-5 additions (never-green by definition; each takes a rotation
     # slot — displaced r3-green entries move to the r6 rotation)
     "q_decontaminate_bloom",
@@ -2673,6 +2680,7 @@ DRIVER_WINDOW: list[str] = [
     "q_source_orc_roundtrip",
     "q_key_skew_profile",
     "q_embed_projection",
+    "q_vocab_coverage",
 ]
 
 

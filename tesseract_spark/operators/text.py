@@ -294,6 +294,65 @@ def rarity_topk_terms_oracle_sql(table: str = "documents", k: int = 3) -> str:
     """
 
 
+def vocab_coverage(
+    df: DataFrame, top_k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-prep vocabulary builder: the ``top_k`` most frequent
+    whitespace tokens with rank, count, and CUMULATIVE corpus coverage in
+    integer parts-per-million — the curve that decides a vocab size before
+    BPE training ("how many types cover 95% of tokens?").
+
+    Shape: one explode + one map-side-combined term groupBy (the only
+    data-sized shuffle), a 1-row broadcast token total, TakeOrdered top-k
+    (never a global sort), then rank/cumsum windows over k rows. Coverage
+    arithmetic is pure integers (cumsum·10⁶ DIV total), exact everywhere."""
+    toks = df.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_SPLIT)
+        ).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "term",
+        "n",
+        F.expr(
+            "sum(n) OVER (ORDER BY n DESC, term ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "* 1000000 DIV total"
+        ).alias("cum_ppm"),
+    )
+
+
+def vocab_coverage_oracle_sql(table: str = "documents", top_k: int = 50) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM {table}),
+    c AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+    t AS (SELECT count(*) AS total FROM toks),
+    top AS (
+      SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT {top_k})
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS BIGINT)
+             AS rank,
+           term, n,
+           CAST(sum(n) OVER (ORDER BY n DESC, term ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) * 1000000 // total AS cum_ppm
+    FROM top, t
+    ORDER BY rank
+    """
+
+
 def blocked_fuzzy_match_counts(
     df: DataFrame,
     name_col: str,

@@ -31,6 +31,7 @@ BNLJ_WHITELIST = {
     "q_semantic_dedup",  # broadcast-centroid assignment (same shape as ivf)
     "q_stratified_sample",  # 1-row broadcast grand-total crossed into seats
     "q_key_skew_profile",  # 1-row broadcast grand-total crossed into top-k
+    "q_vocab_coverage",  # 1-row broadcast token total crossed into top-k
 }
 
 # exchange-node ceilings (shuffles + broadcasts in the INITIAL adaptive plan;
