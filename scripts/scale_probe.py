@@ -114,6 +114,12 @@ def build(spark, n: int, out: str) -> None:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
     keep = "--keep" in sys.argv
+    # optional positional query names restrict the probe set (spot-checks at
+    # expensive replication factors)
+    only = [a for a in sys.argv[2:] if not a.startswith("--")]
+    global PROBE_QUERIES
+    if only:
+        PROBE_QUERIES = [q for q in PROBE_QUERIES if q in only] or only
 
     from tesseract_spark import catalog
     from tesseract_spark.session import get_spark
