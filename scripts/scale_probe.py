@@ -62,6 +62,8 @@ PROBE_QUERIES = [
     "q_stratified_sample",
     "q_key_skew_profile",
     "q_embed_projection",
+    "q_vocab_coverage",
+    "q_embed_dup_clusters",
 ]
 
 

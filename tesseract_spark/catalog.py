@@ -1566,6 +1566,29 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: similarity.project_embeddings(_embs(spark, sf)),
         similarity.project_embeddings_oracle_sql(),
     )
+    # composed pipeline: embedding near-dup pairs → connected-component
+    # cluster resolution (union-find small / min-label propagation large) —
+    # the same resolution stage the text-LSH path uses, proving the
+    # components operator is pair-source-agnostic
+    def _embed_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        embs = _embs(spark, sf)
+        pairs = similarity.cosine_near_dup_pairs(embs, threshold=0.35, planes=4)
+        ids = embs.select(F.col("vec_id").alias("id"))
+        return dedup.resolve_duplicate_clusters(pairs, corpus_ids=ids)
+
+    _add(
+        "q_embed_dup_clusters",
+        _embed_dup_clusters,
+        dedup.closure_oracle_sql(
+            "SELECT id_a, id_b FROM ("
+            + similarity.cosine_near_dup_oracle_sql(threshold=0.35, planes=4)
+            + ")",
+            table="embeddings",
+            id_expr="vec_id",
+        ),
+    )
     # SemDeDup-style semantic dedup: k-means clusters bound the pairwise scan
     # to within-cluster blocks, greedy smallest-id survivor; threshold in the
     # synthetic embeddings' similarity regime (see q_ann_near_dup note)
@@ -2671,7 +2694,6 @@ DRIVER_WINDOW: list[str] = [
     "q_avg_fk_grain",
     "q_aggregators",
     "q_members_nation",
-    "q_distinct_count",
     # round-5 additions (never-green by definition; each takes a rotation
     # slot — displaced r3-green entries move to the r6 rotation)
     "q_decontaminate_bloom",
@@ -2681,6 +2703,7 @@ DRIVER_WINDOW: list[str] = [
     "q_key_skew_profile",
     "q_embed_projection",
     "q_vocab_coverage",
+    "q_embed_dup_clusters",
 ]
 
 

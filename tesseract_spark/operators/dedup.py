@@ -642,6 +642,32 @@ def cluster_oracle_sql(
     """
 
 
+def closure_oracle_sql(
+    cand_sql: str, table: str = "documents", id_expr: str = "doc_id"
+) -> str:
+    """Generic oracle for :func:`resolve_duplicate_clusters` over ANY
+    candidate-pair SQL (columns ``id_a``, ``id_b``): recursive-CTE transitive
+    closure, canonical = component minimum, singletons map to themselves.
+    The LSH-specific :func:`cluster_oracle_sql` is this closure specialized
+    to the minhash candidate CTE."""
+    return f"""
+    WITH RECURSIVE cand AS ({cand_sql}),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT d.{id_expr} AS doc_id,
+           least(d.{id_expr}, coalesce(min(r.b), d.{id_expr})) AS canonical_id
+    FROM {table} d LEFT JOIN reach r ON r.a = d.{id_expr}
+    GROUP BY d.{id_expr}
+    """
+
+
 def source_overlap_matrix(
     df: DataFrame,
     n: int = 5,

@@ -655,6 +655,52 @@ def test_decontamination_semantics(spark):
     assert out[2] == (0, False)
 
 
+def test_hamilton_allocation_fuzz():
+    """Property-fuzz the stratified allocation arithmetic through the SQL
+    oracle (DuckDB-only — both engines share the identical integer math, and
+    the Spark side is already pinned bit-equal by the oracle-parity test):
+    for random stratum sizes and totals, seats sum EXACTLY to
+    min(total_n, N), every stratum gets within 1 seat of its exact
+    proportional share, and no stratum exceeds its size."""
+    import duckdb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tesseract_spark.operators.sampling import stratified_sample_oracle_sql
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(1, 500), min_size=1, max_size=12),
+        total_n=st.integers(1, 800),
+    )
+    def check(sizes, total_n):
+        con = duckdb.connect()
+        rows = ", ".join(
+            f"({g}, {i})" for g, n in enumerate(sizes) for i in range(n)
+        )
+        con.execute(
+            f"CREATE TABLE docs(source INTEGER, doc_id INTEGER);"
+            f"INSERT INTO docs VALUES {rows}"
+        )
+        sql = stratified_sample_oracle_sql(
+            total_n, table="docs", group_col="source", id_expr="doc_id"
+        )
+        out = con.execute(sql).fetchall()
+        N = sum(sizes)
+        targets = {r[0]: r[2] for r in out}
+        assert sum(targets.values()) == min(total_n, N)
+        for r in out:
+            src, n_docs, n_target, n_sampled = r[0], r[1], r[2], r[3]
+            assert n_target <= n_docs
+            assert n_sampled == n_target
+            if total_n <= N:
+                exact = total_n * n_docs / N
+                assert abs(n_target - exact) < 1.0 + 1e-9
+
+    check()
+
+
 def test_cosine_udf_bit_equals_hof_fold(spark, sf_dir):
     """The vectorized cumsum cosine must be BIT-identical to the sequential
     aggregate-HOF fold (which the DuckDB oracles mirror) on real embedding
