@@ -2313,6 +2313,19 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: profile.profile_columns(_docs(spark, sf), _PROFILE_COLS),
         profile.profile_columns_oracle_sql("documents", _PROFILE_COLS),
     )
+    # Count-Min Sketch heavy-hitter estimates: fixed d×w counter state
+    # regardless of key cardinality (mergeable across partitions/streams);
+    # deterministic md5 hashing makes the whole sketch exactly oracle-able
+    from .operators import sketch
+
+    _add(
+        "q_cms_heavy_hitters",
+        lambda spark, sf: sketch.cms_estimate_heavy_hitters(
+            spark.read.parquet(f"{sf}/lineitem.parquet"), "l_suppkey"
+        ),
+        sketch.cms_estimate_oracle_sql("lineitem", "l_suppkey"),
+    )
+
     # join/groupBy-key skew diagnostic: top-k heavy hitters + integer ppm
     # share — the measurement that decides when operators/skew.py's salting
     # is warranted (one combined groupBy, TakeOrdered top-k, never a sort)
@@ -2693,7 +2706,6 @@ DRIVER_WINDOW: list[str] = [
     "q_median_order",
     "q_avg_fk_grain",
     "q_aggregators",
-    "q_members_nation",
     # round-5 additions (never-green by definition; each takes a rotation
     # slot — displaced r3-green entries move to the r6 rotation)
     "q_decontaminate_bloom",
@@ -2704,6 +2716,7 @@ DRIVER_WINDOW: list[str] = [
     "q_embed_projection",
     "q_vocab_coverage",
     "q_embed_dup_clusters",
+    "q_cms_heavy_hitters",
 ]
 
 

@@ -1,0 +1,135 @@
+"""Count-Min Sketch: fixed-size frequency estimation over unbounded key
+cardinality.
+
+The exact heavy-hitter profile (`profile.key_skew_profile`) shuffles one row
+per distinct key; at 100 TB a high-cardinality key column (URLs, user ids)
+makes even that aggregate large. The CMS bounds state at d×w counters
+REGARDLESS of cardinality, is mergeable across partitions/streams (counter
+matrices add), and over-estimates only (never under) — the standard sketch
+for streaming heavy-hitter and frequency queries.
+
+Everything is deterministic md5-derived hashing (the engine's portable-hash
+convention), so unlike typical sketches the WHOLE pipeline — counter matrix
+and estimates — has an exact DuckDB mirror: the oracle rebuilds the sketch
+in SQL and must match counter-for-counter.
+
+Scale shape: one explode (×d) over the key scan, one groupBy on (row, col)
+with map-side combine collapsing every task's output to ≤ d·w rows — the
+shuffle moves at most tasks × d × w counters, independent of data size.
+Estimation joins the d·w-row counter table (broadcast) against the queried
+keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cms_col(i: int, key: Column, w: int) -> Column:
+    """Column index of hash row ``i`` for a key: first 48 bits of
+    md5(f"{i}|{key}") mod w — identical in the SQL mirror."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), key)), 1, 12), 16, 10
+        ).cast("long")
+        % w
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """The d×w counter matrix as ``(i, j, c)`` rows (absent cells are 0).
+    Mergeable: sketches of two datasets add cell-wise."""
+    key = F.col(key_col).cast("string")
+    arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), _cms_col(i, key, w).alias("j"))
+            for i in range(d)
+        ]
+    )
+    ex = df.select(F.explode(arr).alias("s")).select("s.i", "s.j")
+    return ex.groupBy("i", "j").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimate_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+    top_k: int = 10,
+) -> DataFrame:
+    """Build a CMS over ``key_col`` and compare its estimates against the
+    exact counts of the ``top_k`` heaviest keys:
+    ``(key, true_n, cms_n, overestimate)``. ``cms_n >= true_n`` always (the
+    CMS guarantee); equality on heavy keys means no colliding mass.
+
+    In production the exact-count side doesn't exist (that's the point of
+    the sketch); this operator's paired output is the calibration/QA view —
+    and what makes the whole construction oracle-checkable."""
+    key = F.col(key_col).cast("string")
+    sketch = cms_build(df, key_col, d, w)
+
+    top = (
+        df.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("key").asc())
+        .limit(top_k)
+    )
+    probes = top.select(
+        "key",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_col(i, F.col("key"), w).alias("j"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("s"),
+    ).select("key", "true_n", "s.i", "s.j")
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "j"])
+        .groupBy("key", "true_n")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return est.select(
+        "key",
+        "true_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("true_n")).alias("overestimate"),
+    )
+
+
+def cms_estimate_oracle_sql(
+    table: str, key_expr: str, d: int = 4, w: int = 256, top_k: int = 10
+) -> str:
+    """Exact SQL mirror — rebuilds the sketch and the estimates in DuckDB."""
+    h = (
+        f"(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || key), 1, 12))"
+        f"::BIGINT % {w})"
+    )
+    return f"""
+    WITH keys AS (
+      SELECT CAST({key_expr} AS VARCHAR) AS key FROM {table}),
+    cells AS (
+      SELECT i, {h} AS j, count(*) AS c
+      FROM keys, (SELECT unnest(range(0, {d})) AS i)
+      GROUP BY 1, 2),
+    top AS (
+      SELECT key, count(*) AS true_n FROM keys GROUP BY 1
+      ORDER BY true_n DESC, key ASC LIMIT {top_k}),
+    probes AS (
+      SELECT key, true_n, i, {h} AS j
+      FROM top, (SELECT unnest(range(0, {d})) AS i)),
+    est AS (
+      SELECT p.key, p.true_n, min(c.c) AS cms_n
+      FROM probes p JOIN cells c USING (i, j)
+      GROUP BY 1, 2)
+    SELECT key, true_n, cms_n, cms_n - true_n AS overestimate
+    FROM est
+    """

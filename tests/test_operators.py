@@ -655,6 +655,28 @@ def test_decontamination_semantics(spark):
     assert out[2] == (0, False)
 
 
+def test_cms_never_underestimates(spark, sf_dir):
+    """CMS guarantee: estimate >= true count for EVERY key (not just top-k),
+    and the counter matrix total mass equals d x rows; a tiny w forces
+    collisions and must still never underestimate."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.sketch import cms_build, cms_estimate_heavy_hitters
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = cms_estimate_heavy_hitters(li, "l_suppkey", top_k=50).toPandas()
+    assert (out.cms_n >= out.true_n).all()
+    assert (out.overestimate >= 0).all()
+
+    n_rows = li.count()
+    d, w = 3, 8  # saturated: heavy collisions guaranteed
+    mass = cms_build(li, "l_suppkey", d=d, w=w).agg(F.sum("c")).collect()[0][0]
+    assert mass == d * n_rows
+    tiny = cms_estimate_heavy_hitters(li, "l_suppkey", d=d, w=w, top_k=50).toPandas()
+    assert (tiny.cms_n >= tiny.true_n).all()
+    assert tiny.overestimate.sum() > 0, "w=8 over ~100s of keys must collide"
+
+
 def test_hamilton_allocation_fuzz():
     """Property-fuzz the stratified allocation arithmetic through the SQL
     oracle (DuckDB-only — both engines share the identical integer math, and
