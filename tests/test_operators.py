@@ -655,6 +655,44 @@ def test_decontamination_semantics(spark):
     assert out[2] == (0, False)
 
 
+def test_cms_stream_merge_matches_batch(spark, sf_dir, tmp_path):
+    """Mergeability proof in streaming: per-microbatch CMS counter matrices
+    merged cell-wise (sum) must equal the one-shot batch sketch — counters
+    are additive, which is the property that lets a 100 TB pipeline keep a
+    running frequency sketch over an unbounded stream."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.sketch import cms_build
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_suppkey")
+    # split into 3 files so the file stream produces multiple batches
+    li.repartition(3).write.mode("overwrite").parquet(src)
+
+    merged: dict = {}
+
+    def upsert(batch_df, batch_id):
+        for r in cms_build(batch_df, "l_suppkey", d=3, w=64).collect():
+            merged[(r.i, r.j)] = merged.get((r.i, r.j), 0) + r.c
+
+    stream = spark.readStream.schema("l_suppkey long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = {
+        (r.i, r.j): r.c for r in cms_build(li, "l_suppkey", d=3, w=64).collect()
+    }
+    assert merged == batch
+
+
 def test_cms_never_underestimates(spark, sf_dir):
     """CMS guarantee: estimate >= true count for EVERY key (not just top-k),
     and the counter matrix total mass equals d x rows; a tiny w forces
