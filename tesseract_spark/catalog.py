@@ -2326,6 +2326,22 @@ def _wire_pipeline_ops() -> None:
         sketch.cms_estimate_oracle_sql("lineitem", "l_suppkey"),
     )
 
+    # CMS inner-product join-size estimation: both sides reduce to d×w
+    # counters, the estimate is a sketch-sized join — the planning primitive
+    # that never shuffles one table against the other
+    _add(
+        "q_cms_join_size",
+        lambda spark, sf: sketch.cms_join_size_estimate(
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+            "l_suppkey",
+            spark.read.parquet(f"{sf}/supplier.parquet"),
+            "s_suppkey",
+        ),
+        sketch.cms_join_size_oracle_sql(
+            "lineitem", "l_suppkey", "supplier", "s_suppkey"
+        ),
+    )
+
     # join/groupBy-key skew diagnostic: top-k heavy hitters + integer ppm
     # share — the measurement that decides when operators/skew.py's salting
     # is warranted (one combined groupBy, TakeOrdered top-k, never a sort)
@@ -2705,7 +2721,6 @@ DRIVER_WINDOW: list[str] = [
     "q_rate_returnflag",
     "q_median_order",
     "q_avg_fk_grain",
-    "q_aggregators",
     # round-5 additions (never-green by definition; each takes a rotation
     # slot — displaced r3-green entries move to the r6 rotation)
     "q_decontaminate_bloom",
@@ -2717,6 +2732,7 @@ DRIVER_WINDOW: list[str] = [
     "q_vocab_coverage",
     "q_embed_dup_clusters",
     "q_cms_heavy_hitters",
+    "q_cms_join_size",
 ]
 
 

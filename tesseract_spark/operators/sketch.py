@@ -105,6 +105,86 @@ def cms_estimate_heavy_hitters(
     )
 
 
+def cms_join_size_estimate(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Equi-join cardinality estimation from two CMS sketches: the inner
+    product ``sum_j cA(i,j)·cB(i,j)`` over-estimates ``|A ⋈ B|`` for every
+    hash row i; the estimate is the min over rows. The join-planning
+    primitive for 100 TB: both sides reduce to d×w counters (mergeable,
+    computable in one pass each — no shuffle of either table against the
+    other), then the estimate is a d×w-sized join. The paired exact size
+    (per-key count join — itself never materializing the join) makes the
+    output oracle-checkable and doubles as the calibration view."""
+    ca = cms_build(df_a, key_a, d, w).withColumnRenamed("c", "ca")
+    cb = cms_build(df_b, key_b, d, w).withColumnRenamed("c", "cb")
+    est = (
+        ca.join(cb, ["i", "j"])
+        .groupBy("i")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").alias("cms_join_rows"))
+    )
+    na = df_a.groupBy(F.col(key_a).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    nb = df_b.groupBy(F.col(key_b).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    true = na.join(nb, "key").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias(
+            "true_join_rows"
+        )
+    )
+    return true.crossJoin(F.broadcast(est)).select(
+        "true_join_rows",
+        "cms_join_rows",
+        (F.col("cms_join_rows") - F.col("true_join_rows")).alias("overestimate"),
+    )
+
+
+def cms_join_size_oracle_sql(
+    table_a: str,
+    key_a: str,
+    table_b: str,
+    key_b: str,
+    d: int = 4,
+    w: int = 1024,
+) -> str:
+    def cells(table: str, key: str) -> str:
+        h = (
+            f"(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || key), 1, 12))"
+            f"::BIGINT % {w})"
+        )
+        return f"""(
+      SELECT i, {h} AS j, count(*) AS c
+      FROM (SELECT CAST({key} AS VARCHAR) AS key FROM {table}),
+           (SELECT unnest(range(0, {d})) AS i)
+      GROUP BY 1, 2)"""
+
+    return f"""
+    WITH ca AS {cells(table_a, key_a)},
+    cb AS {cells(table_b, key_b)},
+    est AS (
+      SELECT CAST(min(ip) AS BIGINT) AS cms_join_rows FROM (
+        SELECT a.i, CAST(sum(a.c * b.c) AS BIGINT) AS ip
+        FROM ca a JOIN cb b USING (i, j) GROUP BY 1)),
+    tj AS (
+      SELECT CAST(coalesce(sum(na.n * nb.n), 0) AS BIGINT) AS true_join_rows
+      FROM (SELECT CAST({key_a} AS VARCHAR) AS key, count(*) AS n
+            FROM {table_a} GROUP BY 1) na
+      JOIN (SELECT CAST({key_b} AS VARCHAR) AS key, count(*) AS n
+            FROM {table_b} GROUP BY 1) nb USING (key))
+    SELECT true_join_rows, cms_join_rows,
+           cms_join_rows - true_join_rows AS overestimate
+    FROM tj, est
+    """
+
+
 def cms_estimate_oracle_sql(
     table: str, key_expr: str, d: int = 4, w: int = 256, top_k: int = 10
 ) -> str:

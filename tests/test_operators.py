@@ -693,6 +693,30 @@ def test_cms_stream_merge_matches_batch(spark, sf_dir, tmp_path):
     assert merged == batch
 
 
+def test_cms_join_size_bounds(spark, sf_dir):
+    """The inner-product estimate must never underestimate the true join
+    cardinality, and with a collision-free width (w >> distinct keys) it
+    must equal it exactly."""
+    from tesseract_spark.operators.sketch import cms_join_size_estimate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    true_n = li.join(su, li.l_suppkey == su.s_suppkey).count()
+
+    r = cms_join_size_estimate(li, "l_suppkey", su, "s_suppkey").collect()[0]
+    assert r.true_join_rows == true_n
+    assert r.cms_join_rows >= true_n
+    assert r.overestimate == r.cms_join_rows - true_n
+
+    wide = cms_join_size_estimate(
+        li, "l_suppkey", su, "s_suppkey", d=2, w=1 << 16
+    ).collect()[0]
+    assert wide.cms_join_rows == true_n, "collision-free width must be exact"
+
+    tiny = cms_join_size_estimate(li, "l_suppkey", su, "s_suppkey", d=2, w=4).collect()[0]
+    assert tiny.cms_join_rows >= true_n
+
+
 def test_cms_never_underestimates(spark, sf_dir):
     """CMS guarantee: estimate >= true count for EVERY key (not just top-k),
     and the counter matrix total mass equals d x rows; a tiny w forces

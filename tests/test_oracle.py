@@ -82,6 +82,7 @@ _VERSION_RISKY_USES = {
         "q_corr_price_qty",
         "q_dedup_ngram_jaccard",
         "q_dedup_verified",
+        "q_embed_dup_clusters",  # r5: cosine threshold only, not an output
         "q_embed_projection",  # r5: rounded JL projections, construct proven r4
         "q_embedding_dim_stats",
         "q_outlier_orders",
