@@ -2676,8 +2676,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  - 2 permanent cross-round anchors (q_growth_year, q_agg_year — ADVICE r4:
 #    keep high-traffic §2 anchors in every window);
 #  - q_quantiles_distributed re-proof (exact_quantiles de-skew rewrite this
-#    round) plus 27 of the 48 entries whose newest green row is r3, oldest
-#    evidence first; the remaining 20 r3-green entries rotate into r6.
+#    round);
+#  - the 10 round-5 operator entries (never-green by definition — each new
+#    entry MUST debut in a window or the starvation tripwire fires);
+#  - the remaining slots hold r3-green rotation entries, oldest evidence
+#    first; the r3-green entries displaced by the round-5 debuts rotate
+#    into r6 with the rest.
 DRIVER_WINDOW: list[str] = [
     # r4 hash-fails, oracle outputs BIGINT-cast this round
     "q_two_phase_mixed",
