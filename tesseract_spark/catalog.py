@@ -2609,6 +2609,32 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    def _probe_duck_version(spark: SparkSession, sf: str) -> DataFrame:
+        # single-bit oracle-ENGINE version probe: the oracle inspects its own
+        # version() and emits 1 iff it is the 1.0.x line every local audit
+        # pins; the Spark side emits the constant 1. Green ⇒ the driver's
+        # DuckDB is 1.0.x (local bit-exactness transfers); red with both
+        # sum/ts probes green ⇒ the driver runs a different DuckDB line —
+        # the one environment fact three rounds of arithmetic re-derivation
+        # could not observe (ADVICE r4: "pin or detect the driver's DuckDB
+        # version ... emit it in the artifact").
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(f"{sf}/region.parquet")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .select(F.lit(1).cast("long").alias("oracle_is_duckdb_1_0"))
+        )
+
+    _add(
+        "q_probe_duck_version",
+        _probe_duck_version,
+        """
+        SELECT CAST(CASE WHEN version() LIKE 'v1.0.%' THEN 1 ELSE 0 END
+                    AS BIGINT) AS oracle_is_duckdb_1_0
+        """,
+    )
+
     def _probe_events_ts(spark: SparkSession, sf: str) -> DataFrame:
         # data-vintage canary: epoch-microsecond extremes of the events
         # table as BIGINTs (no formatting, no timezone rendering). Red here
@@ -2707,6 +2733,7 @@ DRIVER_WINDOW: list[str] = [
     # environment probes (single-construct canaries)
     "q_probe_sum_bigint",
     "q_probe_events_ts",
+    "q_probe_duck_version",
     # permanent anchors
     "q_growth_year",
     "q_agg_year",
@@ -2729,7 +2756,6 @@ DRIVER_WINDOW: list[str] = [
     "q_rca_region_flag",
     "q_rate_returnflag",
     "q_median_order",
-    "q_avg_fk_grain",
     # round-5 additions (never-green by definition; each takes a rotation
     # slot — displaced r3-green entries move to the r6 rotation)
     "q_decontaminate_bloom",
