@@ -2331,6 +2331,20 @@ def _wire_pipeline_ops() -> None:
         sketch.cms_estimate_oracle_sql("lineitem", "l_suppkey"),
     )
 
+    # HLL register sketch next to the exact distinct count: fixed 2^p
+    # integer registers, element-wise-max mergeable; rank via bin/lpad/instr
+    # string ops (no libm), so the registers are exactly oracle-able —
+    # unlike approx_count_distinct's engine-private HLL++ (q_distinct_count
+    # keeps the exact path; this is the bounded-state scale path)
+    _add(
+        "q_hll_distinct",
+        lambda spark, sf: sketch.hll_sketch_summary(
+            _spread(spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey")),
+            "l_orderkey",
+        ),
+        sketch.hll_sketch_oracle_sql("lineitem", "l_orderkey"),
+    )
+
     # CMS inner-product join-size estimation: both sides reduce to d×w
     # counters, the estimate is a sketch-sized join — the planning primitive
     # that never shuffles one table against the other
@@ -2754,7 +2768,6 @@ DRIVER_WINDOW: list[str] = [
     "q_top_where",
     "q_growth_month",
     "q_rca_region_flag",
-    "q_rate_returnflag",
     "q_median_order",
     # round-5 additions (never-green by definition; each takes a rotation
     # slot — displaced r3-green entries move to the r6 rotation)
@@ -2768,6 +2781,7 @@ DRIVER_WINDOW: list[str] = [
     "q_embed_dup_clusters",
     "q_cms_heavy_hitters",
     "q_cms_join_size",
+    "q_hll_distinct",
 ]
 
 

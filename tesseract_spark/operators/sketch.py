@@ -185,6 +185,91 @@ def cms_join_size_oracle_sql(
     """
 
 
+def hll_registers(
+    df: DataFrame, key_col: str, p: int = 10
+) -> DataFrame:
+    """HyperLogLog register table ``(j, r)`` over ``2^p`` registers: register
+    j holds the max leading-zero rank of the 48-bit md5-derived hash values
+    routed to it (absent registers are rank 0). Mergeable: registers of a
+    union are the element-wise MAX — the property that makes distinct
+    counting one fixed-size state per partition/stream at any cardinality.
+
+    The rank is computed with ``instr(lpad(bin(v)))`` — string position of
+    the first '1' bit — identical in Spark and DuckDB, so unlike production
+    HLL implementations (whose hash and bias tables are engine-private)
+    this sketch is exactly oracle-able. No libm anywhere."""
+    m = 1 << p
+    bits = 48 - p
+    key = F.col(key_col).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll|"), key)), 1, 12), 16, 10
+    ).cast("long")
+    # h DIV 2^p as a right shift (h is a non-negative 48-bit value; DuckDB
+    # mirrors it as integer // — identical for powers of two)
+    rows = df.select((h % m).alias("j"), F.shiftright(h, p).alias("__v"))
+    rho = F.when(F.col("__v") == 0, F.lit(bits + 1)).otherwise(
+        F.instr(F.lpad(F.bin(F.col("__v")), bits, "0"), "1")
+    )
+    return rows.select("j", rho.alias("rho")).groupBy("j").agg(
+        F.max("rho").alias("r")
+    )
+
+
+def hll_sketch_summary(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
+    """One-row HLL accounting next to the exact distinct count:
+    ``(m, n_exact, harmonic_scaled, n_zero_registers)``. The float estimate
+    is ``alpha_m · m² / (harmonic_scaled / 2^48)`` — derived OFFLINE from the
+    integer output (keeping the entry's columns pure integers makes them
+    engine-version-proof; see README's DuckDB-version sensitivity policy).
+    ``harmonic_scaled = sum_j 2^(48 − r_j)`` over all m registers (empty
+    register ⇒ 2^48), bounded by m·2^48 < 2^63 for p ≤ 14."""
+    m = 1 << p
+    regs = hll_registers(df, key_col, p)
+    full = (
+        df.sparkSession.range(m)
+        .select(F.col("id").alias("j"))
+        .join(regs, "j", "left")
+        .select(F.coalesce("r", F.lit(0)).alias("r"))
+    )
+    summary = full.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 48 - r)")).alias(
+            "harmonic_scaled"
+        ),
+        F.sum((F.col("r") == 0).cast("long")).alias("n_zero_registers"),
+    )
+    exact = df.agg(F.count_distinct(F.col(key_col)).alias("n_exact"))
+    return exact.crossJoin(F.broadcast(summary)).select(
+        "m", "n_exact", "harmonic_scaled", "n_zero_registers"
+    )
+
+
+def hll_sketch_oracle_sql(table: str, key_expr: str, p: int = 10) -> str:
+    m = 1 << p
+    bits = 48 - p
+    h = f"(('0x' || substr(md5('hll|' || CAST({key_expr} AS VARCHAR)), 1, 12))::BIGINT)"
+    return f"""
+    WITH rows_ AS (
+      SELECT {h} % {m} AS j, {h} // {m} AS v FROM {table}),
+    regs AS (
+      SELECT j, max(CASE WHEN v = 0 THEN {bits + 1}
+                         ELSE strpos(lpad(bin(v), {bits}, '0'), '1') END) AS r
+      FROM rows_ GROUP BY 1),
+    full_ AS (
+      SELECT coalesce(regs.r, 0) AS r
+      FROM (SELECT unnest(range(0, {m})) AS j) g LEFT JOIN regs USING (j)),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(1::BIGINT << CAST(48 - r AS INT)) AS BIGINT)
+               AS harmonic_scaled,
+             CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_registers
+      FROM full_),
+    e AS (SELECT count(DISTINCT {key_expr}) AS n_exact FROM {table})
+    SELECT m, n_exact, harmonic_scaled, n_zero_registers FROM e, s
+    """
+
+
 def cms_estimate_oracle_sql(
     table: str, key_expr: str, d: int = 4, w: int = 256, top_k: int = 10
 ) -> str:

@@ -693,6 +693,41 @@ def test_cms_stream_merge_matches_batch(spark, sf_dir, tmp_path):
     assert merged == batch
 
 
+def test_hll_registers_merge_and_estimate(spark, sf_dir):
+    """HLL invariants: registers of a union equal the element-wise max of
+    the halves' registers (mergeability), and the estimate reconstructed
+    offline from the integer output lands within the sketch's error regime
+    (~1.04/sqrt(m) std; assert 5 sigma)."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.sketch import hll_registers, hll_sketch_summary
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    half_a = li.where(F.col("l_orderkey") % 2 == 0)
+    half_b = li.where(F.col("l_orderkey") % 2 == 1)
+
+    def regdict(df):
+        return {r.j: r.r for r in hll_registers(df, "l_orderkey").collect()}
+
+    whole, ra, rb = regdict(li), regdict(half_a), regdict(half_b)
+    merged = {
+        j: max(ra.get(j, 0), rb.get(j, 0)) for j in set(ra) | set(rb)
+    }
+    assert whole == merged
+
+    row = hll_sketch_summary(li, "l_orderkey").collect()[0]
+    m = row.m
+    z = row.harmonic_scaled / float(1 << 48)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / z
+    if est < 2.5 * m and row.n_zero_registers > 0:  # small-range correction
+        import math
+
+        est = m * math.log(m / row.n_zero_registers)
+    rel_err = abs(est - row.n_exact) / row.n_exact
+    assert rel_err < 5 * 1.04 / m**0.5, (est, row.n_exact, rel_err)
+
+
 def test_cms_join_size_bounds(spark, sf_dir):
     """The inner-product estimate must never underestimate the true join
     cardinality, and with a collision-free width (w >> distinct keys) it
