@@ -774,6 +774,47 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert tiny.overestimate.sum() > 0, "w=8 over ~100s of keys must collide"
 
 
+def test_bloom_superset_fuzz(spark):
+    """Property-fuzz the no-false-negative guarantee on adversarial corpora:
+    random word-soup docs, probes drawn from the corpus itself, tiny filter
+    widths forcing collisions — every exact hit must survive the Bloom tier."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tesseract_spark.operators.decontaminate import (
+        bloom_decontaminate,
+        flag_contaminated,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    doc = st.lists(st.sampled_from(words), min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        texts=st.lists(doc, min_size=2, max_size=6),
+        m_bits=st.sampled_from([64, 256, 1 << 12]),
+        n=st.integers(1, 3),
+    )
+    def check(texts, m_bits, n):
+        docs = spark.createDataFrame(
+            [(i, t, "en") for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string",
+        )
+        probes = texts[:1]
+        exact = {
+            r.doc_id: r.n_probe_ngrams
+            for r in flag_contaminated(docs, probes, n=n).collect()
+        }
+        bloom = {
+            r.doc_id: r.n_bf_hits
+            for r in bloom_decontaminate(docs, probes, n=n, m_bits=m_bits).collect()
+        }
+        for d, n_exact in exact.items():
+            assert bloom[d] >= n_exact
+
+    check()
+
+
 def test_hamilton_allocation_fuzz():
     """Property-fuzz the stratified allocation arithmetic through the SQL
     oracle (DuckDB-only — both engines share the identical integer math, and
