@@ -752,6 +752,38 @@ def test_cms_join_size_bounds(spark, sf_dir):
     assert tiny.cms_join_rows >= true_n
 
 
+def test_hll_stream_merge_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming mergeability for HLL: per-microbatch register tables merged
+    by element-wise MAX must equal the one-shot batch registers — bounded
+    distinct-count state over an unbounded stream."""
+    import os
+
+    from tesseract_spark.operators.sketch import hll_registers
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    li.repartition(3).write.mode("overwrite").parquet(src)
+
+    merged: dict = {}
+
+    def upsert(batch_df, batch_id):
+        for r in hll_registers(batch_df, "l_orderkey", p=8).collect():
+            merged[r.j] = max(merged.get(r.j, 0), r.r)
+
+    stream = spark.readStream.schema("l_orderkey long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = {r.j: r.r for r in hll_registers(li, "l_orderkey", p=8).collect()}
+    assert merged == batch
+
+
 def test_cms_never_underestimates(spark, sf_dir):
     """CMS guarantee: estimate >= true count for EVERY key (not just top-k),
     and the counter matrix total mass equals d x rows; a tiny w forces
