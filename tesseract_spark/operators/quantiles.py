@@ -32,6 +32,15 @@ DuckDB ``quantile_cont``: ``(k + 1 - h)·lower + (h - k)·upper`` over
 operator at all (tesseract-clickhouse/src/sql/aggregator.rs covers
 sum/avg/moe/median families); this is an engine extension sized for the
 100 TB target.
+
+Adaptive (round 6): the bucket/carry machinery exists to bound per-task sort
+work at scale, but below ~2 M distinct (group, value) rows it is pure
+overhead (VERDICT r5 #2 measured 1.7× at sf0.1). The distinct table's
+cardinality is known for free — the lazy localCheckpoint is materialized by
+the path-picking ``count()`` in the same single job the eager checkpoint
+used to run — so small inputs take a direct per-group sort window over the
+checkpointed table and large inputs keep the de-skewed bucketed shape. Both
+paths share the straddling-rank fold and are fuzz-tested bit-equal.
 """
 
 from __future__ import annotations
@@ -44,6 +53,14 @@ from pyspark.sql import functions as F
 #: carry table is |groups|·B rows, so even 1024 stays broadcast-small.
 DEFAULT_BUCKETS = 64
 
+#: distinct-row count at/below which the bucketed de-skew machinery is pure
+#: overhead (VERDICT r5 #2: the r4→r5 rewrite cost 1.7× at sf0.1). Sorting
+#: ≤2 M (group, value) pairs in one window task is tens of MB / sub-second;
+#: the bucket + carry stages only pay for themselves past that. The count is
+#: known for free: the distinct aggregation is materialized (checkpointed)
+#: before any downstream branch regardless of path.
+SMALL_THRESHOLD = 2_000_000
+
 
 def exact_quantiles(
     df: DataFrame,
@@ -52,12 +69,21 @@ def exact_quantiles(
     probs: list[float],
     out_names: list[str] | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
+    small_threshold: int = SMALL_THRESHOLD,
 ) -> DataFrame:
     """Per-group exact interpolated quantiles, one output column per prob.
 
     Returns ``group_cols + out_names`` (default ``q_<p>``), each a double,
     bit-equal to ``F.expr(f"percentile({value_col}, p)")`` / DuckDB
     ``quantile_cont`` for non-null inputs.
+
+    Adaptive: when the distinct (group, value) table holds at most
+    ``small_threshold`` rows, ranks come from a plain per-group sort window
+    over the checkpointed table (the bucket/carry machinery is pure overhead
+    there); above it, the bucketed de-skewed path bounds every sort task to
+    ~1/``n_buckets`` of a group. ``small_threshold=0`` forces the bucketed
+    path (used by the plan-shape tests). Both paths share the straddling-rank
+    fold and are bit-equal.
     """
     if out_names is None:
         out_names = [f"q_{p}" for p in probs]
@@ -72,12 +98,37 @@ def exact_quantiles(
     # 8 scans of the raw input without the checkpoint, 1 with). The table is
     # |distinct (group, value)| rows — already aggregated, far smaller than
     # the input. Same truncate-the-reused-lineage hygiene as PageRank.
+    # Lazy checkpoint + count(): ONE job both materializes the table and
+    # yields the cardinality that picks the path — the large path pays
+    # nothing it didn't already pay for the eager checkpoint.
     counts = (
         rows.groupBy(*group_cols, "__v")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
+    )
+    n_distinct = counts.count()
+
+    if n_distinct <= small_threshold:
+        ranked = _rank_direct(counts, group_cols)
+    else:
+        ranked = _rank_bucketed(counts, group_cols, n_buckets)
+    return _fold_straddlers(ranked, group_cols, probs, out_names)
+
+
+def _rank_direct(counts: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Small-input ranking: per-group sort window straight over the distinct
+    table. One task per group — fine at ≤ SMALL_THRESHOLD distinct rows,
+    exactly the shape the bucketed path exists to avoid beyond that."""
+    w_ord = Window.partitionBy(*group_cols).orderBy("__v")
+    w_all = Window.partitionBy(*group_cols)
+    return counts.withColumn("__hi", F.sum("__c").over(w_ord)).withColumn(
+        "__n", F.sum("__c").over(w_all)
     )
 
+
+def _rank_bucketed(
+    counts: DataFrame, group_cols: list[str], n_buckets: int
+) -> DataFrame:
     # equi-width range boundaries from the per-group value extremes — a
     # trivial re-aggregation of the checkpointed distinct table, so
     # bucketing costs no extra pass over the data. Boundary placement
@@ -128,11 +179,22 @@ def exact_quantiles(
         .select(*group_cols, "__b", "__before", "__n")
     )
 
-    ranked = (
-        ranked0.join(F.broadcast(carry), [*group_cols, "__b"])
-        .withColumn("__hi", F.col("__before") + F.col("__hi_b"))
+    return ranked0.join(F.broadcast(carry), [*group_cols, "__b"]).withColumn(
+        "__hi", F.col("__before") + F.col("__hi_b")
     )
 
+
+def _fold_straddlers(
+    ranked: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+    out_names: list[str],
+) -> DataFrame:
+    """Shared tail of both rank paths: conditional aggregation picks the two
+    straddling ranks per prob and interpolates exactly as Spark's
+    ``Percentile.getPercentile`` / DuckDB ``quantile_cont``. Requires columns
+    ``__v __c __hi __n`` (value, multiplicity, cumulative count, group
+    total)."""
     aggs = []
     relevant = F.lit(False)
     for i, p in enumerate(probs):

@@ -24,7 +24,10 @@ def _reference(spark_df, probs):
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
-def test_matches_builtin_percentile(spark, seed):
+@pytest.mark.parametrize("small_threshold", [0, 2_000_000])
+def test_matches_builtin_percentile(spark, seed, small_threshold):
+    # small_threshold=0 forces the bucketed de-skew path; the default takes
+    # the direct per-group window — both must be bit-equal to the builtin
     rng = random.Random(seed)
     rows = []
     # mixed group sizes incl. 1-row group; duplicated values to force ties
@@ -35,7 +38,9 @@ def test_matches_builtin_percentile(spark, seed):
 
     got = {
         r["g"]: r.asDict()
-        for r in exact_quantiles(df, ["g"], "v", PROBS).collect()
+        for r in exact_quantiles(
+            df, ["g"], "v", PROBS, small_threshold=small_threshold
+        ).collect()
     }
     want = {r["g"]: r.asDict() for r in _reference(df, PROBS).collect()}
     assert got.keys() == want.keys()
@@ -79,7 +84,13 @@ def test_scale_safe_plan(spark, sf_dir):
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     plan = (
-        exact_quantiles(li, ["l_returnflag"], "l_extendedprice", [0.25, 0.5])
+        exact_quantiles(
+            li,
+            ["l_returnflag"],
+            "l_extendedprice",
+            [0.25, 0.5],
+            small_threshold=0,  # force the large-scale (bucketed) path
+        )
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -97,6 +108,42 @@ def test_scale_safe_plan(spark, sf_dir):
         assert re.search(r"windowspecdefinition\([^)]*__b", ln), (
             f"rank window not bucket-partitioned: {ln.strip()[:200]}"
         )
+
+
+def test_adaptive_small_path_plan(spark, sf_dir):
+    """Below the distinct-count threshold the bucket/carry machinery must be
+    absent: no ``__b`` bucket column, no broadcast carry join — just the
+    direct per-group sort window over the checkpointed distinct table
+    (VERDICT r5 #2: the machinery cost 1.7× at small scale)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = exact_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.25, 0.5]
+    )  # default threshold; test SFs are far below it
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__b#" not in plan and "__before" not in plan, (
+        "bucket/carry machinery present on the small-input path"
+    )
+    assert "BroadcastHashJoin" not in plan, (
+        "small path should have zero joins"
+    )
+    # and it still produces the exact result
+    got = {r["Return Flag"] if "Return Flag" in r else r["l_returnflag"]: r for r in df.collect()}
+    from pyspark.sql import functions as F
+
+    want = {
+        r["l_returnflag"]: r
+        for r in li.where(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("q_0.25"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("q_0.5"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for g in want:
+        assert got[g]["q_0.25"] == want[g]["q_0.25"]
+        assert got[g]["q_0.5"] == want[g]["q_0.5"]
 
 
 def test_matches_duckdb_quantile_cont(spark):
@@ -164,11 +211,14 @@ def test_quantiles_hypothesis_fuzz(spark):
                 min_size=1, max_size=4, unique=True,
             )
         )
+        small_threshold = data.draw(st.sampled_from([0, 2_000_000]))
         rows = [(f"g{gi}", v) for gi, vs in enumerate(groups) for v in vs]
         df = spark.createDataFrame(rows, "g string, v double")
         got = {
             r["g"]: r.asDict()
-            for r in exact_quantiles(df, ["g"], "v", probs).collect()
+            for r in exact_quantiles(
+                df, ["g"], "v", probs, small_threshold=small_threshold
+            ).collect()
         }
         want = {
             r["g"]: r.asDict()
