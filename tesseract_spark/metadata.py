@@ -58,8 +58,21 @@ def cube_metadata(cube: Cube) -> dict:
     }
 
 
-def members_df(builder: PlanBuilder, cube_name: str, level: str | LevelName) -> DataFrame:
-    """Distinct (ID[, Label]) members of a level (members_sql, lib.rs:211-239)."""
+def members_df(
+    builder: PlanBuilder,
+    cube_name: str,
+    level: str | LevelName,
+    locale: str | None = None,
+) -> DataFrame:
+    """Distinct (ID[, Label]) members of a level (members_sql, lib.rs:211-239).
+
+    With ``locale`` (comma-separated list, lib.rs:243-322 members_locale_sql),
+    the Label column is replaced by one ``"<LOCALE> Label"`` column per
+    requested locale: the caption-set property (or inline-table caption
+    column) matching that locale, plus — for the schema's default locale —
+    the level's own name column. Locales with no matching caption set
+    contribute no column, exactly like the reference.
+    """
     cube = builder.schema.cube(cube_name)
     ln = level if isinstance(level, LevelName) else LevelName.parse(level)
     ref = builder.resolve_level(cube, ln)
@@ -69,8 +82,27 @@ def members_df(builder: PlanBuilder, cube_name: str, level: str | LevelName) -> 
         else builder._dim_df(ref.hier)
     )
     cols = [F.col(ref.level.key_column).alias("ID")]
-    if ref.level.name_column:
-        cols.append(F.col(ref.level.name_column).alias("Label"))
+    if locale is None:
+        if ref.level.name_column:
+            cols.append(F.col(ref.level.name_column).alias("Label"))
+    else:
+        for loc in locale.split(","):
+            if ref.hier.inline_table is not None:
+                for cd in ref.hier.inline_table.column_definitions:
+                    if cd.caption_set == loc:
+                        cols.append(F.col(cd.name).alias(f"{loc.upper()} Label"))
+                        break
+            else:
+                for prop in ref.level.properties:
+                    if prop.caption_set == loc:
+                        cols.append(F.col(prop.column).alias(f"{loc.upper()} Label"))
+                        break
+                # NOT elif: the reference appends the name column for the
+                # default locale even when a caption property also matched
+                if loc == builder.schema.default_locale and ref.level.name_column:
+                    cols.append(
+                        F.col(ref.level.name_column).alias(f"{loc.upper()} Label")
+                    )
     return src.select(*cols).distinct().orderBy("ID")
 
 

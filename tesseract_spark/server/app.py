@@ -181,7 +181,9 @@ class EngineHandler(BaseHTTPRequestHandler):
                 df = self.builder.dataframe(cube, q)
                 return self._stream_df(df, fmt, cache_key=ck)
             if endpoint == "members":
-                df = members_df(self.builder, cube, params["level"])
+                df = members_df(
+                    self.builder, cube, params["level"], params.get("locale")
+                )
                 return self._stream_df(df, fmt)
             if endpoint == "diagnosis":
                 counts = {

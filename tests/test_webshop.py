@@ -13,6 +13,7 @@ from tesseract_spark.sources.registry import TableRegistry
 
 WEBSHOP_SCHEMA = {
     "name": "webshop",
+    "default_locale": "en",
     "shared_dimensions": [
         {
             "name": "Geography",
@@ -224,6 +225,77 @@ def test_inline_table_caption(webshop_builder):
     )
     rows = {r["Category"]: r["Quantity"] for r in webshop_builder.dataframe("Sales", q).collect()}
     assert rows == {"Livros": 130.0, "Esportes": 136.0, "Vários": 10.0, "Vídeos": 5.0}
+
+
+def test_members_locale_captions(webshop_builder):
+    """/members?locale= (members_locale_sql, tesseract-core/src/lib.rs:243-322):
+    one '<LOCALE> Label' column per requested locale — caption-set property
+    match, plus the name column for the schema's default locale."""
+    from tesseract_spark.metadata import members_df
+
+    df = members_df(
+        webshop_builder, "Sales", "Geography.Geography.Continent", locale="pt,es"
+    )
+    assert df.columns == ["ID", "PT Label", "ES Label"]
+    rows = {r["ID"]: r.asDict() for r in df.collect()}
+    assert rows["na"]["PT Label"] == "América do Norte"
+    assert rows["na"]["ES Label"] == "Norteamérica"
+    assert rows["eu"]["PT Label"] == "Europa"
+
+    # default locale -> the level's own name column, reference header shape
+    df_en = members_df(
+        webshop_builder, "Sales", "Geography.Geography.Country", locale="en"
+    )
+    assert df_en.columns == ["ID", "EN Label"]
+    assert {r["EN Label"] for r in df_en.collect()} == {"Germany", "France", "USA"}
+
+    # unknown locale contributes no column (reference: silently skipped)
+    df_fr = members_df(
+        webshop_builder, "Sales", "Geography.Geography.Continent", locale="fr"
+    )
+    assert df_fr.columns == ["ID"]
+
+    # no locale param -> unchanged base contract
+    base = members_df(webshop_builder, "Sales", "Geography.Geography.Continent")
+    assert base.columns == ["ID", "Label"]
+
+
+def test_members_locale_inline_table(webshop_builder):
+    """Inline-table hierarchies take captions from column_definitions'
+    caption_set (lib.rs:273-287)."""
+    from tesseract_spark.metadata import members_df
+
+    df = members_df(webshop_builder, "Sales", "Category.Category.Category", locale="pt")
+    assert df.columns == ["ID", "PT Label"]
+    assert {r["PT Label"] for r in df.collect()} == {
+        "Livros", "Esportes", "Vários", "Vídeos"
+    }
+
+
+def test_members_locale_endpoint(webshop_builder):
+    """Server route passes ?locale= through to the members scan."""
+    import json
+    import threading
+    import urllib.request
+
+    from tesseract_spark.server.app import make_server
+
+    srv = make_server(webshop_builder, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = (
+            f"http://127.0.0.1:{srv.server_address[1]}/cubes/Sales/"
+            "members.jsonrecords?level=Geography.Geography.Continent&locale=pt"
+        )
+        with urllib.request.urlopen(url, timeout=120) as r:
+            body = json.loads(r.read())
+        assert set(body["data"][0]) == {"ID", "PT Label"}
+        assert {row["PT Label"] for row in body["data"]} == {
+            "Europa", "América do Norte"
+        }
+    finally:
+        srv.shutdown()
 
 
 def test_parents_with_parent_caption(webshop_builder):
