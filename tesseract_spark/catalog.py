@@ -331,6 +331,40 @@ _add(
     """,
 )
 
+# growth_div0=inf: ClickHouse Δ/0 parity (growth.rs:104 emits ±inf/NaN where
+# Spark/DuckDB division yields NULL). The Post96 measure sums to 0 through
+# 1996, so the fixture has a real zero-previous-period: 1995 NULL (first
+# period), 1996 NaN (0/0), 1997 +inf (Δ/0), 1998+ ordinary ratios.
+_add(
+    "q_growth_div0_inf",
+    {
+        "drilldowns": ["Ship Date.Year"],
+        "measures": ["Post96 Quantity"],
+        "growth": "Ship Date.Ship Date.Year,Post96 Quantity",
+        "growth_div0": "inf",
+    },
+    """
+    WITH agg AS (
+      SELECT year(l_shipdate)::INT AS "Year",
+             sum(l_quantity * CAST(year(l_shipdate) > 1996 AS INT)) AS "Post96 Quantity"
+      FROM lineitem GROUP BY 1
+    ), g AS (
+      SELECT "Year", "Post96 Quantity",
+             "Post96 Quantity" - lag("Post96 Quantity") OVER (ORDER BY "Year") AS d,
+             lag("Post96 Quantity") OVER (ORDER BY "Year") AS prev
+      FROM agg
+    )
+    SELECT "Year", "Post96 Quantity",
+           d AS "Post96 Quantity Growth Value",
+           CASE WHEN prev > 0 THEN d / prev
+                WHEN d IS NULL THEN NULL
+                WHEN d > 0 THEN 'infinity'::DOUBLE
+                WHEN d < 0 THEN '-infinity'::DOUBLE
+                ELSE 'nan'::DOUBLE END AS "Post96 Quantity Growth"
+    FROM g
+    """,
+)
+
 # growth at month grain: non-time drill (Year) partitions the lag window
 _add(
     "q_growth_month",
@@ -2772,7 +2806,8 @@ DRIVER_WINDOW: list[str] = [
     "q_events_sliding",
     "q_events_sessionize",
     "q_events_top_types",
-    # round-6 debuts (added below by _wire_round6_ops as they land)
+    # round-6 debuts (new entries MUST debut in a window)
+    "q_growth_div0_inf",
 ]
 
 

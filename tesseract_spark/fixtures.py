@@ -227,6 +227,14 @@ LINEITEM_SCHEMA_JSON = {
                     "column": "l_partkey",
                     "aggregator": "distinct_count",
                 },
+                # zero-for-early-periods measure: its yearly sums are 0 through
+                # 1996, giving growth a real Δ/0 branch to exercise (the
+                # growth_div0=inf ClickHouse-parity mode, q_growth_div0_inf)
+                {
+                    "name": "Post96 Quantity",
+                    "column": "l_quantity",
+                    "aggregator": {"custom": "sum({} * CAST(l_shipyear > 1996 AS INT))"},
+                },
                 # exact interpolated percentiles (engine extension via the
                 # Custom template aggregator): Spark `percentile` ≡ DuckDB
                 # `quantile_cont` bit-for-bit (both linear interpolation over

@@ -100,10 +100,19 @@ def apply_growth(
         prev = F.coalesce(F.col("__prev_in"), F.col("__carry"))
 
     growth_value = mea - prev
-    # growth.rs:104 — `(m−Δ)>0 ? Δ/(m−Δ) : Δ/0`; div-by-zero → NULL here (see module doc)
-    growth_col = F.when(prev > 0, growth_value / prev).otherwise(
-        growth_value / F.lit(0.0)
-    )
+    # growth.rs:104 — `(m−Δ)>0 ? Δ/(m−Δ) : Δ/0`. Default div-by-zero → NULL
+    # (see module doc); growth_div0=inf reproduces ClickHouse Float64
+    # semantics on the Δ/0 branch without dividing (ANSI-mode safe):
+    # +Δ→+inf, −Δ→−inf, 0→NaN, NULL first period stays NULL.
+    if growth.div0 == "inf":
+        div0_branch = (
+            F.when(growth_value > 0, F.lit(float("inf")))
+            .when(growth_value < 0, F.lit(float("-inf")))
+            .when(growth_value == 0, F.lit(float("nan")))
+        )
+    else:
+        div0_branch = growth_value / F.lit(0.0)
+    growth_col = F.when(prev > 0, growth_value / prev).otherwise(div0_branch)
     out = df.withColumn(f"{growth.mea} Growth Value", growth_value).withColumn(
         f"{growth.mea} Growth", growth_col
     )

@@ -243,13 +243,20 @@ class GrowthQuery:
     # query.rs:389-426
     time_drill: LevelName
     mea: str
+    #: div-by-zero compat mode for the Δ/0 branch (growth.rs:104): "null"
+    #: (engine default — Spark/DuckDB semantics) or "inf" (ClickHouse
+    #: reference parity: +Δ→+inf, −Δ→−inf, 0→NaN). Set via the
+    #: ``growth_div0`` URL param.
+    div0: str = "null"
 
     @classmethod
-    def parse(cls, s: str) -> "GrowthQuery":
+    def parse(cls, s: str, div0: str = "null") -> "GrowthQuery":
         parts = s.split(",")
         if len(parts) != 2:
             raise QueryParseError(f"could not parse growth query {s!r}")
-        return cls(LevelName.parse(parts[0]), parts[1])
+        if div0 not in ("null", "inf"):
+            raise QueryParseError(f"growth_div0 must be 'null' or 'inf', got {div0!r}")
+        return cls(LevelName.parse(parts[0]), parts[1], div0)
 
 
 @dataclass(frozen=True)
@@ -355,7 +362,9 @@ class Query:
         if params.get("rca"):
             q.rca = RcaQuery.parse(params["rca"])
         if params.get("growth"):
-            q.growth = GrowthQuery.parse(params["growth"])
+            q.growth = GrowthQuery.parse(
+                params["growth"], params.get("growth_div0", "null")
+            )
         if params.get("rate"):
             q.rate = RateQuery.parse(params["rate"])
         q.conditional_cuts = [

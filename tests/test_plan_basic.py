@@ -346,3 +346,87 @@ def test_weighted_and_moe_aggs(builder, duck):
         """,
         rtol=1e-6,
     )
+
+
+def test_growth_div0_inf_mode(spark):
+    """growth_div0=inf reproduces ClickHouse's Δ/0 branch (growth.rs:104):
+    +Δ→+inf, −Δ→−inf, 0/0→NaN, first period NULL; default mode yields NULL
+    for all three div-0 cases. Negative measure values drive the −inf arm
+    (unreachable from the non-negative testdata measures)."""
+    import math
+
+    from tesseract_spark.plans.builder import PlanBuilder
+    from tesseract_spark.schema.parse import schema_from_json
+    from tesseract_spark.sources.registry import TableRegistry
+
+    schema = schema_from_json(
+        {
+            "name": "t",
+            "cubes": [
+                {
+                    "name": "c",
+                    "table": {"name": "fact"},
+                    "dimensions": [
+                        {
+                            "name": "Time",
+                            "type": "time",
+                            "hierarchies": [
+                                {
+                                    "name": "Time",
+                                    "levels": [{"name": "Year", "key_column": "year"}],
+                                }
+                            ],
+                        }
+                    ],
+                    "measures": [{"name": "M", "column": "v", "aggregator": "sum"}],
+                }
+            ],
+        }
+    )
+    reg = TableRegistry(spark)
+    # yearly sums: 2000→0, 2001→-3, 2002→0, 2003→5; prev≤0 everywhere, so
+    # every non-first row takes the Δ/0 branch with Δ of each sign
+    reg.register(
+        "fact",
+        spark.createDataFrame(
+            [(2000, 5.0), (2000, -5.0), (2001, -3.0), (2002, 0.0), (2003, 5.0)],
+            "year int, v double",
+        ),
+    )
+    b = PlanBuilder(spark, schema, reg)
+
+    def run(div0):
+        q = Query.from_params(
+            {
+                "drilldowns": ["Time.Year"],
+                "measures": ["M"],
+                "growth": "Time.Time.Year,M",
+                "growth_div0": div0,
+            }
+        )
+        return {r["Year"]: r["M Growth"] for r in b.dataframe("c", q).collect()}
+
+    inf = run("inf")
+    assert inf[2000] is None  # first period
+    assert inf[2001] == float("-inf")  # Δ=-3, prev=0
+    assert inf[2002] == float("inf")  # Δ=+3, prev=-3 (not >0) → Δ/0
+    assert inf[2003] == float("inf")  # Δ=+5, prev=0
+    null = run("null")
+    assert all(null[y] is None for y in (2000, 2001, 2002, 2003))
+
+    # the 0/0 → NaN arm: consecutive equal periods on a non-positive base
+    reg.register(
+        "fact",
+        spark.createDataFrame([(2000, 0.0), (2001, 0.0)], "year int, v double"),
+    )
+    b2 = PlanBuilder(spark, schema, reg)
+    q = Query.from_params(
+        {
+            "drilldowns": ["Time.Year"],
+            "measures": ["M"],
+            "growth": "Time.Time.Year,M",
+            "growth_div0": "inf",
+        }
+    )
+    out = {r["Year"]: r["M Growth"] for r in b2.dataframe("c", q).collect()}
+    assert math.isnan(out[2001])

@@ -22,6 +22,7 @@ BNLJ_WHITELIST = {
     "q_ann_ivf_topk",
     "q_ann_lsh_topk",
     "q_growth_year",
+    "q_growth_div0_inf",  # same global-lag pid<pid' carry shape as q_growth_year
     "q_rca_debug",
     "q_rca_region_flag",
     "q_sort_by_growth",
@@ -50,6 +51,7 @@ EXCHANGE_CEILING = {
     "q_rca_region_flag": 54,
     "q_cut_like": 22,
     "q_growth_year": 24,
+    "q_growth_div0_inf": 24,
     "q_sort_by_growth": 22,
     "q_cut_semijoin": 14,
     "q_top_brands_per_region": 16,

@@ -90,6 +90,10 @@ def test_filters():
 def test_calcs():
     g = GrowthQuery.parse("Time.Year,Quantity")
     assert g.time_drill == LevelName("Time", "Time", "Year") and g.mea == "Quantity"
+    assert g.div0 == "null"
+    assert GrowthQuery.parse("Time.Year,Quantity", "inf").div0 == "inf"
+    with pytest.raises(QueryParseError):
+        GrowthQuery.parse("Time.Year,Quantity", "zero")
 
     r = RcaQuery.parse("Geo.Nation,Part.Brand,Extended Price")
     assert r.drill_1 == LevelName("Geo", "Geo", "Nation")
