@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""100-concurrent-client HTTP throughput/latency probe (VERDICT r5 #6).
+
+The reference's stated design target is ~100 concurrent requests
+(DESIGN.md:1-5: actix async server over the ClickHouse HTTP pool). This
+probe boots the real HTTP server over the testdata cube at
+$SPARK_GRAFT_SF_DIR (default sf0.1), fires N=100 aggregate calls from 100
+simultaneous client threads (mixed query shapes, cache-busted so every
+request does real work), and prints p50/p95/max per-request latency, wall
+time, throughput, and the error count. A second pass with the response
+cache warm shows the cached ceiling.
+
+Usage: python scripts/concurrency_probe.py [n_clients]
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    n_clients = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from tesseract_spark import PlanBuilder, get_spark, testdata_registry, testdata_schema
+    from tesseract_spark.logic.layer import LogicLayerConfig
+    from tesseract_spark.server.app import make_server
+
+    spark = get_spark("concurrency_probe")
+    builder = PlanBuilder(spark, testdata_schema(), testdata_registry(spark, sf_dir))
+    cfg = LogicLayerConfig.from_json(
+        {"cubes": [{"name": "lineitem_sales", "alternatives": ["sales"]}]}
+    )
+    srv = make_server(builder, port=0, logic_config=cfg)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    # mixed shapes: degenerate drill + cut, joined-dim drill, measure filter
+    shapes = [
+        "/cubes/lineitem_sales/aggregate.jsonrecords?drilldowns=Ship+Date.Year"
+        "&measures=Quantity&cuts=Ship+Date.Ship+Date.Year.{y}",
+        "/cubes/lineitem_sales/aggregate.jsonrecords?drilldowns=Part.Brand"
+        "&measures=Extended+Price&cuts=Ship+Date.Ship+Date.Year.{y}",
+        "/cubes/lineitem_sales/aggregate.jsonrecords?drilldowns=Return+Flag.Return+Flag"
+        "&measures=Quantity,Max+Tax&cuts=Ship+Date.Ship+Date.Year.{y}",
+        "/data.jsonrecords?cube=sales&drilldowns=Year&measures=Quantity&Year={y}",
+    ]
+    years = [1995, 1996, 1997, 1998, 1999, 2000, 2001]
+
+    def fetch(i: int, bust: bool) -> tuple[float, str | None]:
+        url = base + shapes[i % len(shapes)].format(y=years[i % len(years)])
+        if bust:
+            url += f"&nocache={i}"
+        start = time.perf_counter()
+        try:
+            with urllib.request.urlopen(url, timeout=600) as r:
+                body = r.read()
+            json.loads(body)
+            return time.perf_counter() - start, None
+        except Exception as e:  # noqa: BLE001 — probe must report, not die
+            return time.perf_counter() - start, f"{type(e).__name__}: {e}"[:120]
+
+    # JVM/codegen warm-up (uncounted): one call per shape
+    for i in range(len(shapes)):
+        fetch(i, bust=False)
+
+    def run_pass(label: str, bust: bool) -> dict:
+        wall0 = time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(max_workers=n_clients) as ex:
+            results = list(ex.map(lambda i: fetch(i, bust), range(n_clients)))
+        wall = time.perf_counter() - wall0
+        lat = sorted(t for t, _ in results)
+        errors = [e for _, e in results if e]
+        out = {
+            "pass": label,
+            "clients": n_clients,
+            "wall_sec": round(wall, 2),
+            "throughput_rps": round(n_clients / wall, 1),
+            "p50_sec": round(lat[len(lat) // 2], 3),
+            "p95_sec": round(lat[int(len(lat) * 0.95)], 3),
+            "max_sec": round(lat[-1], 3),
+            "errors": len(errors),
+        }
+        if errors:
+            out["first_error"] = errors[0]
+        return out
+
+    cold = run_pass("uncached", bust=True)
+    warm_seed = run_pass("cache_seed", bust=False)  # populates the LRU
+    warm = run_pass("cached", bust=False)
+    print(json.dumps({"sf_dir": sf_dir, "passes": [cold, warm_seed, warm]}, indent=1))
+    srv.shutdown()
+    return 1 if cold["errors"] or warm["errors"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

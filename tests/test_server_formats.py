@@ -104,25 +104,30 @@ def test_relations_endpoint(server):
 
 
 def test_concurrent_requests(server):
-    """The reference's design target is ~100 concurrent requests (DESIGN.md);
-    exercise 24 parallel aggregate queries across distinct cuts — all must
-    return correct, independent results (ThreadingHTTPServer + thread-safe
-    SparkSession, jobs FIFO-scheduled over the executor pool)."""
+    """The reference's design target is ~100 concurrent requests
+    (DESIGN.md:1-5); fire 100 aggregate queries from 100 simultaneous client
+    threads across distinct cuts — all must return correct, independent
+    results with zero errors (ThreadingHTTPServer + thread-safe SparkSession,
+    jobs FIFO-scheduled over the executor pool). The measured sf0.1
+    throughput/latency figure comes from scripts/concurrency_probe.py
+    (recorded in ROUND_NOTES.md); this gate pins the behavior at test SF."""
     import concurrent.futures
 
-    years = [1995, 1996, 1997, 1998, 1999, 2000] * 4
+    years = [1995, 1996, 1997, 1998, 1999, 2000] * 17  # 102 requests
 
-    def fetch(year):
+    def fetch(i_year):
+        i, year = i_year
         body = json.loads(
             _get(
                 f"{server}/data.jsonrecords?cube=sales&drilldowns=Year"
-                f"&measures=Quantity&Year={year}&nocache={year}"
+                f"&measures=Quantity&Year={year}&nocache={i}"
             )
         )
         return year, body["data"]
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=12) as ex:
-        results = list(ex.map(fetch, years))
+    with concurrent.futures.ThreadPoolExecutor(max_workers=100) as ex:
+        results = list(ex.map(fetch, enumerate(years)))
+    assert len(results) == len(years)
     for year, rows in results:
         assert len(rows) == 1 and rows[0]["Year"] == year, (year, rows)
 
