@@ -114,11 +114,13 @@ def build(spark, n: int, out: str) -> None:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
+    # args: an optional leading replication factor (digits), then any number
+    # of query names, flags anywhere. `scale_probe.py q_foo` (no factor)
+    # must treat q_foo as a filter, not silently run the full set (ADVICE r5)
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(pos.pop(0)) if pos and pos[0].isdigit() else 10
     keep = "--keep" in sys.argv
-    # optional positional query names restrict the probe set (spot-checks at
-    # expensive replication factors)
-    only = [a for a in sys.argv[2:] if not a.startswith("--")]
+    only = pos
     global PROBE_QUERIES
     if only:
         PROBE_QUERIES = [q for q in PROBE_QUERIES if q in only] or only

@@ -108,10 +108,15 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     (never a global sort), and a 1-row broadcast total for the share —
     safe at any cardinality because only k rows survive the count stage.
     ``share_ppm`` is integer arithmetic (n·1_000_000 DIV total), exact on
-    every engine."""
-    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
+    every engine.
+
+    NULL keys are reported under the ``"(null)"`` sentinel — a NULL-heavy
+    key is a classic skew cause, so it must appear in the profile, and the
+    sentinel keeps the key-ASC tiebreak engine-portable (Spark orders NULLS
+    FIRST, DuckDB NULLS LAST; ADVICE r5)."""
+    counts = df.groupBy(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("(null)")).alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
     total = df.agg(F.count(F.lit(1)).alias("total"))
     top = (
         counts.orderBy(F.col("n_rows").desc(), F.col("key").asc())
@@ -130,7 +135,8 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
 def key_skew_profile_oracle_sql(table: str, key_expr: str, top_k: int = 10) -> str:
     return f"""
     WITH c AS (
-      SELECT CAST({key_expr} AS VARCHAR) AS key, count(*) AS n_rows
+      SELECT COALESCE(CAST({key_expr} AS VARCHAR), '(null)') AS key,
+             count(*) AS n_rows
       FROM {table} GROUP BY 1),
     t AS (SELECT count(*) AS total FROM {table})
     SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC) AS BIGINT)

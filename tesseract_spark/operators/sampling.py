@@ -318,8 +318,15 @@ def stratified_sample_exact(
     rows per stratum), the same range-bucket + carry pattern as
     ``exact_quantiles``. The bucket prefix IS the hash prefix, so
     bucket-major order equals global hash order. One data-sized shuffle
-    (the bucketed rank), everything else is stratum-count-sized."""
+    (the bucketed rank), everything else is stratum-count-sized.
+
+    NULL strata are excluded up front (ADVICE r5: a NULL group would
+    receive a Hamilton allocation but its rows are unreachable through the
+    non-null-safe ``__g`` joins, silently under-filling ``total_n``).
+    Bucket NULL-group rows into a real stratum before calling if they
+    should participate."""
     g, idc = F.col(group_col), F.col(id_col)
+    df = df.where(g.isNotNull())
     c = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     tot = c.agg(F.sum("n_docs").alias("N"))
     seats = c.crossJoin(F.broadcast(tot)).select(
@@ -420,7 +427,8 @@ def stratified_sample_oracle_sql(
     h = f"substr(md5('{seed}|' || {id_expr}), 1, 8)"
     return f"""
     WITH c AS (
-      SELECT {group_col}, count(*) AS n_docs FROM {table} GROUP BY 1),
+      SELECT {group_col}, count(*) AS n_docs FROM {table}
+      WHERE {group_col} IS NOT NULL GROUP BY 1),
     t AS (SELECT sum(n_docs) AS N FROM c),
     seats AS (
       SELECT {group_col}, n_docs,

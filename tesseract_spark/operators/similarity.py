@@ -54,17 +54,34 @@ def cosine_pairs_udf():
     correctly-rounded IEEE ops identical everywhere. numpy's pairwise-
     summation shortcut applies to ``sum``/``add.reduce``, NOT ``cumsum`` —
     do not "simplify" this to ``(a*b).sum(axis=1)``, which is pairwise and
-    drifts ulps from the fold."""
+    drifts ulps from the fold.
+
+    Contract: vectors must be FIXED-DIM within a batch (ragged rows break
+    the 2-D ``np.array`` pack — enforce a single embedding dimension
+    upstream, as every caller in this package does). NULL vectors propagate
+    to NULL output like the ``cosine_col`` expression form, via a masked
+    slow path that costs nothing when no NULLs are present (ADVICE r5: the
+    previous version raised inside ``np.array`` and failed the whole job
+    on one null row)."""
     import numpy as np
 
-    @F.pandas_udf("double")
-    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+    def _block(a: pd.Series, b: pd.Series) -> np.ndarray:
         ma = np.array(a.tolist(), dtype=np.float64)
         mb = np.array(b.tolist(), dtype=np.float64)
         dot = np.cumsum(ma * mb, axis=1)[:, -1]
         na = np.sqrt(np.cumsum(ma * ma, axis=1)[:, -1])
         nb = np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
-        return pd.Series(dot / (na * nb))
+        return dot / (na * nb)
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        mask = a.isna().to_numpy() | b.isna().to_numpy()
+        if not mask.any():
+            return pd.Series(_block(a, b))
+        out = pd.array([None] * len(a), dtype="Float64")
+        if (~mask).any():
+            out[~mask] = _block(a[~mask], b[~mask])
+        return pd.Series(out)
 
     return cos
 
@@ -327,17 +344,29 @@ def sq_dist_pairs_udf():
     :func:`_sq_dist`, BIT-IDENTICAL to it (cumsum = sequential fold, then
     the identical ``da − 2·dab + db`` IEEE chain) but vectorized — the
     assignment cross-join evaluates rows × centroids distances, where the
-    interpreted HOF dominates wall-clock."""
+    interpreted HOF dominates wall-clock.
+
+    Same contract as :func:`cosine_pairs_udf`: fixed-dim vectors; NULL
+    inputs propagate to NULL (masked slow path, free when no NULLs)."""
     import numpy as np
 
-    @F.pandas_udf("double")
-    def d2(a: pd.Series, b: pd.Series) -> pd.Series:
+    def _block(a: pd.Series, b: pd.Series) -> np.ndarray:
         ma = np.array(a.tolist(), dtype=np.float64)
         mb = np.array(b.tolist(), dtype=np.float64)
         daa = np.cumsum(ma * ma, axis=1)[:, -1]
         dab = np.cumsum(ma * mb, axis=1)[:, -1]
         dbb = np.cumsum(mb * mb, axis=1)[:, -1]
-        return pd.Series(daa - 2.0 * dab + dbb)
+        return daa - 2.0 * dab + dbb
+
+    @F.pandas_udf("double")
+    def d2(a: pd.Series, b: pd.Series) -> pd.Series:
+        mask = a.isna().to_numpy() | b.isna().to_numpy()
+        if not mask.any():
+            return pd.Series(_block(a, b))
+        out = pd.array([None] * len(a), dtype="Float64")
+        if (~mask).any():
+            out[~mask] = _block(a[~mask], b[~mask])
+        return pd.Series(out)
 
     return d2
 
@@ -345,8 +374,10 @@ def sq_dist_pairs_udf():
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: corpus × centroids (broadcast — K rows),
     row_number over (dist², cid). Map-side only; no shuffle before the
-    per-vector window (partitioned by vector id)."""
-    joined = vecs.crossJoin(F.broadcast(cents))
+    per-vector window (partitioned by vector id). NULL vectors are dropped
+    (a NULL distance would otherwise win the NULLS-FIRST rank and assign
+    them to an arbitrary centroid)."""
+    joined = vecs.where(F.col("vec").isNotNull()).crossJoin(F.broadcast(cents))
     d2 = sq_dist_pairs_udf()
     w = Window.partitionBy("id").orderBy(
         d2(F.col("vec"), F.col("cvec")).asc(), F.col("cid").asc()

@@ -41,7 +41,10 @@ def cms_build(
     df: DataFrame, key_col: str, d: int = 4, w: int = 256
 ) -> DataFrame:
     """The d×w counter matrix as ``(i, j, c)`` rows (absent cells are 0).
-    Mergeable: sketches of two datasets add cell-wise."""
+    Mergeable: sketches of two datasets add cell-wise. NULL keys are
+    excluded — they hash to NULL cells and would also break the top-k key
+    tiebreak's engine portability (ADVICE r5)."""
+    df = df.where(F.col(key_col).isNotNull())
     key = F.col(key_col).cast("string")
     arr = F.array(
         *[
@@ -67,7 +70,9 @@ def cms_estimate_heavy_hitters(
 
     In production the exact-count side doesn't exist (that's the point of
     the sketch); this operator's paired output is the calibration/QA view —
-    and what makes the whole construction oracle-checkable."""
+    and what makes the whole construction oracle-checkable. NULL keys are
+    excluded (see cms_build)."""
+    df = df.where(F.col(key_col).isNotNull())
     key = F.col(key_col).cast("string")
     sketch = cms_build(df, key_col, d, w)
 
@@ -162,7 +167,8 @@ def cms_join_size_oracle_sql(
         )
         return f"""(
       SELECT i, {h} AS j, count(*) AS c
-      FROM (SELECT CAST({key} AS VARCHAR) AS key FROM {table}),
+      FROM (SELECT CAST({key} AS VARCHAR) AS key FROM {table}
+            WHERE {key} IS NOT NULL),
            (SELECT unnest(range(0, {d})) AS i)
       GROUP BY 1, 2)"""
 
@@ -280,7 +286,8 @@ def cms_estimate_oracle_sql(
     )
     return f"""
     WITH keys AS (
-      SELECT CAST({key_expr} AS VARCHAR) AS key FROM {table}),
+      SELECT CAST({key_expr} AS VARCHAR) AS key FROM {table}
+      WHERE {key_expr} IS NOT NULL),
     cells AS (
       SELECT i, {h} AS j, count(*) AS c
       FROM keys, (SELECT unnest(range(0, {d})) AS i)

@@ -1468,3 +1468,85 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     )
     kept = weighted_sample_per_group(with_bad, ["source"], 1000, "w").collect()
     assert {r.doc_id for r in kept} == set(range(590))
+
+
+# ---------- ADVICE r5: NULL-input hardening ----------
+
+
+def test_key_skew_profile_null_keys(spark, duck):
+    """NULL keys are profiled under the '(null)' sentinel, identically in
+    operator and oracle — the raw key-ASC tiebreak orders NULLs FIRST in
+    Spark but LAST in DuckDB, so a NULL at a top-k tie boundary diverged."""
+    from tesseract_spark.operators.profile import (
+        key_skew_profile,
+        key_skew_profile_oracle_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [(None,)] * 5 + [("b",)] * 3, "k string"
+    )
+    got = {r["key"]: (r["rank"], r["n_rows"]) for r in key_skew_profile(df, "k", top_k=2).collect()}
+    # NULL ties with 'a' at 5 rows; sentinel '(null)' sorts before 'a'
+    assert got == {"(null)": (1, 5), "a": (2, 5)}
+
+    duck.execute("CREATE OR REPLACE TABLE _skewt AS SELECT * FROM (VALUES " +
+                 ", ".join(["('a')"] * 5 + ["(NULL)"] * 5 + ["('b')"] * 3) + ") t(k)")
+    want = {
+        r[1]: (r[0], r[2])
+        for r in duck.execute(
+            key_skew_profile_oracle_sql("_skewt", "k", top_k=2)
+        ).fetchall()
+    }
+    assert want == got
+
+
+def test_stratified_sample_null_group_excluded(spark):
+    """A NULL stratum must not receive a Hamilton allocation it can never
+    fill (its rows are unreachable through the non-null-safe joins): NULL
+    groups are excluded up front, and every returned stratum fills its
+    target exactly."""
+    from tesseract_spark.operators.sampling import stratified_sample_exact
+
+    rows = [(f"d{i}", "s1") for i in range(40)] + [
+        (f"e{i}", "s2") for i in range(20)
+    ] + [(f"n{i}", None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = stratified_sample_exact(df, total_n=30).collect()
+    got = {r["source"]: r for r in out}
+    assert set(got) == {"s1", "s2"}  # no NULL stratum
+    # allocation over the 60 non-null rows only: 30*40/60=20, 30*20/60=10
+    assert got["s1"]["n_target"] == 20 and got["s1"]["n_sampled"] == 20
+    assert got["s2"]["n_target"] == 10 and got["s2"]["n_sampled"] == 10
+
+
+def test_cosine_pairs_udf_null_propagation(spark):
+    """NULL vectors propagate to NULL scores (the expression form's
+    semantics) instead of crashing the batch; non-null rows are bit-equal
+    to the all-valid fast path."""
+    from tesseract_spark.operators.similarity import (
+        cosine_pairs_udf,
+        sq_dist_pairs_udf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, None, [1.0, 0.0]),
+            (3, [0.0, 2.0], None),
+            (4, [1.0, 1.0], [1.0, 0.0]),
+        ],
+        "id int, a array<double>, b array<double>",
+    )
+    cos, d2 = cosine_pairs_udf(), sq_dist_pairs_udf()
+    out = {
+        r["id"]: (r["c"], r["d"])
+        for r in df.select(
+            "id", cos("a", "b").alias("c"), d2("a", "b").alias("d")
+        ).collect()
+    }
+    assert out[2] == (None, None) and out[3] == (None, None)
+    assert out[1] == (1.0, 0.0)
+    import math
+
+    assert math.isclose(out[4][0], 1.0 / math.sqrt(2.0))
+    assert out[4][1] == 1.0
