@@ -2423,6 +2423,18 @@ def _wire_pipeline_ops() -> None:
         text.rarity_topk_terms_oracle_sql(),
     )
 
+    # count-based bigram-LM document scoring (the CCNet-style perplexity
+    # quality gate, integer-exact: per-bigram Laplace likelihood in ppb,
+    # per-doc exact integer mean — no libm, no order-sensitive double sums)
+    def _lm_bigram(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.lm import bigram_lm_score
+
+        return bigram_lm_score(_docs(spark, sf))
+
+    from .operators.lm import bigram_lm_oracle_sql
+
+    _add("q_lm_bigram_score", _lm_bigram, bigram_lm_oracle_sql())
+
     # per-dimension embedding stats (the normalization-stats pass before
     # training): posexplode → one groupBy on dim index; exact-decimal
     # sums make mean/var deterministic doubles
@@ -2808,6 +2820,7 @@ DRIVER_WINDOW: list[str] = [
     "q_events_top_types",
     # round-6 debuts (new entries MUST debut in a window)
     "q_growth_div0_inf",
+    "q_lm_bigram_score",
 ]
 
 

@@ -1550,3 +1550,58 @@ def test_cosine_pairs_udf_null_propagation(spark):
 
     assert math.isclose(out[4][0], 1.0 / math.sqrt(2.0))
     assert out[4][1] == 1.0
+
+
+# ---------- round 6: bigram-LM scoring ----------
+
+
+def test_bigram_lm_matches_duckdb(spark, duck, sf_dir):
+    """Integer-exact bit parity with the DuckDB mirror on real documents."""
+    from tesseract_spark.operators.lm import bigram_lm_oracle_sql, bigram_lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_lik_ppb"])
+        for r in bigram_lm_score(docs).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(bigram_lm_oracle_sql()).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bigram_lm_edge_docs(spark):
+    """Sub-2-token docs score NULL with n_bigrams=0; unseen bigrams get the
+    smoothed floor instead of erroring; in-domain text outscores anomalous."""
+    from tesseract_spark.operators.lm import bigram_lm_score
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the rug"),
+            (3, "the dog sat on the mat"),
+            (4, "one"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(corpus).collect()}
+    assert len(out) == 5
+    assert out[4]["n_bigrams"] == 0 and out[4]["avg_lik_ppb"] is None
+    assert out[5]["n_bigrams"] == 0 and out[5]["avg_lik_ppb"] is None
+    assert out[1]["n_bigrams"] == 5
+
+    # score an out-of-domain doc under the trained model: every bigram
+    # unseen -> floor likelihood, strictly below any in-domain doc
+    ood = spark.createDataFrame(
+        [(9, "zq xw vv uu tt ss")], "doc_id long, text string"
+    )
+    scored = {
+        r["doc_id"]: r["avg_lik_ppb"]
+        for r in bigram_lm_score(ood, train_df=corpus).collect()
+    }
+    in_domain = min(
+        v["avg_lik_ppb"] for k, v in out.items() if v["avg_lik_ppb"] is not None
+    )
+    assert scored[9] is not None and scored[9] < in_domain

@@ -35,6 +35,7 @@ BNLJ_WHITELIST = {
     "q_vocab_coverage",  # 1-row broadcast token total crossed into top-k
     "q_cms_join_size",  # 1-row broadcast estimate crossed into 1-row true size
     "q_hll_distinct",  # 1-row broadcast register summary crossed into exact
+    "q_lm_bigram_score",  # 1-row broadcast vocabulary size crossed into lik
 }
 
 # exchange-node ceilings (shuffles + broadcasts in the INITIAL adaptive plan;
