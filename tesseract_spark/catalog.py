@@ -2435,6 +2435,22 @@ def _wire_pipeline_ops() -> None:
 
     _add("q_lm_bigram_score", _lm_bigram, bigram_lm_oracle_sql())
 
+    # DSIR-shaped data selection (hashed-bigram importance weights vs a
+    # target distribution, integer-ppb ratios, TakeOrdered top-k manifest);
+    # target = the English slice, candidates = everything else
+    def _dsir(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .operators.dsir import dsir_importance
+
+        return dsir_importance(
+            _docs(spark, sf), F.col("lang") == F.lit("en"), top_k=100
+        )
+
+    from .operators.dsir import dsir_importance_oracle_sql
+
+    _add("q_dsir_importance", _dsir, dsir_importance_oracle_sql("lang = 'en'", top_k=100))
+
     # per-dimension embedding stats (the normalization-stats pass before
     # training): posexplode → one groupBy on dim index; exact-decimal
     # sums make mean/var deterministic doubles
@@ -2817,10 +2833,12 @@ DRIVER_WINDOW: list[str] = [
     "q_multimodal_decode",
     "q_events_sliding",
     "q_events_sessionize",
-    "q_events_top_types",
-    # round-6 debuts (new entries MUST debut in a window)
+    # round-6 debuts (new entries MUST debut in a window; each past the
+    # first displaced one r4-cohort slot — the displaced entries stay
+    # r4-green and rotate in r7)
     "q_growth_div0_inf",
     "q_lm_bigram_score",
+    "q_dsir_importance",
 ]
 
 

@@ -41,9 +41,14 @@ from .text import _TOKEN_SPLIT
 PPB = 1_000_000_000
 
 
-def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, w1, w2) rows — adjacent lowercase whitespace tokens, in
-    document order, via array slicing (no positional window needed)."""
+def _doc_bigrams(
+    df: DataFrame, text_col: str, id_col: str, extra: list = ()
+) -> DataFrame:
+    """(doc_id, w1, w2[, extra...]) rows — adjacent lowercase whitespace
+    tokens, in document order, via array slicing (no positional window
+    needed). ``extra`` names columns of ``df`` that ride through the
+    explode (e.g. a target flag), avoiding a re-join against the doc
+    table."""
     arr = F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_SPLIT)
     n1 = F.greatest(F.size(arr) - 1, F.lit(0))
     pairs = F.arrays_zip(
@@ -51,8 +56,15 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.slice(arr, F.lit(2), n1).alias("w2"),
     )
     return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p")
-    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra],
+        F.explode(pairs).alias("p"),
+    ).select(
+        "doc_id",
+        *extra,
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+    )
 
 
 def bigram_lm_score(

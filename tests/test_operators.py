@@ -1605,3 +1605,55 @@ def test_bigram_lm_edge_docs(spark):
         v["avg_lik_ppb"] for k, v in out.items() if v["avg_lik_ppb"] is not None
     )
     assert scored[9] is not None and scored[9] < in_domain
+
+
+# ---------- round 6: DSIR importance weighting ----------
+
+
+def test_dsir_matches_duckdb(spark, duck, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.dsir import (
+        dsir_importance,
+        dsir_importance_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["is_target"], r["n_features"], r["importance_ppb"], r["selected"])
+        for r in dsir_importance(
+            docs, F.col("lang") == F.lit("en"), top_k=20
+        ).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in duck.execute(
+            dsir_importance_oracle_sql("lang = 'en'", top_k=20)
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+    assert sum(1 for v in got.values() if v[3]) == 20
+    assert not any(v[0] and v[3] for v in got.values()), "targets never selected"
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs sharing the target's bigrams outrank disjoint-vocabulary docs."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.dsir import dsir_importance
+
+    rows = (
+        [(i, "alpha beta gamma delta", "tgt") for i in range(10)]
+        + [(100, "alpha beta gamma delta", "raw")]
+        + [(101, "omega psi chi phi", "raw")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            df, F.col("kind") == F.lit("tgt"), top_k=1
+        ).collect()
+    }
+    assert out[100]["importance_ppb"] > out[101]["importance_ppb"]
+    assert out[100]["selected"] and not out[101]["selected"]
+    assert not out[0]["selected"]
