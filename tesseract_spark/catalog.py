@@ -2451,6 +2451,24 @@ def _wire_pipeline_ops() -> None:
 
     _add("q_dsir_importance", _dsir, dsir_importance_oracle_sql("lang = 'en'", top_k=100))
 
+    # token-budget mixture planner (the "data recipe": Hamilton-exact
+    # per-source token allocation + sampling rate / epoch multipliers);
+    # planning complement of temperature_mixture / epoch_shuffle
+    _BUDGET_WEIGHTS = {"src0": 5, "src1": 3, "src2": 2, "src7": 1}
+
+    def _token_budget(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.budget import plan_token_budget
+
+        return plan_token_budget(_docs(spark, sf), _BUDGET_WEIGHTS, 10_000)
+
+    from .operators.budget import plan_token_budget_oracle_sql
+
+    _add(
+        "q_token_budget_plan",
+        _token_budget,
+        plan_token_budget_oracle_sql(_BUDGET_WEIGHTS, 10_000),
+    )
+
     # per-dimension embedding stats (the normalization-stats pass before
     # training): posexplode → one groupBy on dim index; exact-decimal
     # sums make mean/var deterministic doubles
@@ -2832,13 +2850,13 @@ DRIVER_WINDOW: list[str] = [
     "q_multimodal_resize",
     "q_multimodal_decode",
     "q_events_sliding",
-    "q_events_sessionize",
     # round-6 debuts (new entries MUST debut in a window; each past the
     # first displaced one r4-cohort slot — the displaced entries stay
     # r4-green and rotate in r7)
     "q_growth_div0_inf",
     "q_lm_bigram_score",
     "q_dsir_importance",
+    "q_token_budget_plan",
 ]
 
 

@@ -1657,3 +1657,50 @@ def test_dsir_prefers_target_like_docs(spark):
     assert out[100]["importance_ppb"] > out[101]["importance_ppb"]
     assert out[100]["selected"] and not out[101]["selected"]
     assert not out[0]["selected"]
+
+
+# ---------- round 6: token-budget mixture planning ----------
+
+
+def test_token_budget_matches_duckdb(spark, duck, sf_dir):
+    from tesseract_spark.operators.budget import (
+        plan_token_budget,
+        plan_token_budget_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"src0": 5, "src1": 3, "src2": 2, "src7": 1, "absent": 9}
+    got = {
+        r["source"]: tuple(r)[1:]
+        for r in plan_token_budget(docs, weights, 7_777).collect()
+    }
+    want = {
+        r[0]: tuple(r)[1:]
+        for r in duck.execute(
+            plan_token_budget_oracle_sql(weights, 7_777)
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_token_budget_hamilton_properties(spark):
+    """sum(target) == budget exactly; absent-source weights reallocate;
+    zero-weight sources are inventoried but excluded; epochs_ppk expresses
+    up-sampling (>1000 = repeats)."""
+    from tesseract_spark.operators.budget import plan_token_budget
+
+    rows = (
+        [(f"a{i}", "small", "x y z") for i in range(2)]       # 6 tokens
+        + [(f"b{i}", "big", "t " * 50) for i in range(10)]     # 500 tokens
+        + [(f"c{i}", "unweighted", "u v") for i in range(3)]   # 4 tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {r["source"]: r for r in plan_token_budget(
+        df, {"small": 1, "big": 1, "ghost": 8}, 100
+    ).collect()}
+    assert set(out) == {"small", "big", "unweighted"}
+    assert sum(r["target_tokens"] for r in out.values()) == 100
+    assert out["unweighted"]["target_tokens"] == 0
+    assert out["small"]["target_tokens"] == 50  # equal weights, ghost dropped
+    assert out["small"]["epochs_ppk"] == 50 * 1000 // 6  # heavy up-sampling
+    assert out["big"]["rate_ppm"] == 50 * 1_000_000 // 500  # subsample
