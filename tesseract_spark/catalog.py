@@ -2469,6 +2469,14 @@ def _wire_pipeline_ops() -> None:
         plan_token_budget_oracle_sql(_BUDGET_WEIGHTS, 10_000),
     )
 
+    # cross-document boilerplate fraction (shingles frequent across ≥2 docs,
+    # integer-ppm share per doc) — linear inverted-index shape, no self-join
+    _add(
+        "q_boilerplate_fraction",
+        lambda spark, sf: dedup.boilerplate_fraction(_docs(spark, sf)),
+        dedup.boilerplate_fraction_oracle_sql(),
+    )
+
     # per-dimension embedding stats (the normalization-stats pass before
     # training): posexplode → one groupBy on dim index; exact-decimal
     # sums make mean/var deterministic doubles
@@ -2849,7 +2857,6 @@ DRIVER_WINDOW: list[str] = [
     "q_multimodal_frames",
     "q_multimodal_resize",
     "q_multimodal_decode",
-    "q_events_sliding",
     # round-6 debuts (new entries MUST debut in a window; each past the
     # first displaced one r4-cohort slot — the displaced entries stay
     # r4-green and rotate in r7)
@@ -2857,6 +2864,7 @@ DRIVER_WINDOW: list[str] = [
     "q_lm_bigram_score",
     "q_dsir_importance",
     "q_token_budget_plan",
+    "q_boilerplate_fraction",
 ]
 
 

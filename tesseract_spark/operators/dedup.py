@@ -896,3 +896,77 @@ def repeated_spans_oracle_sql(
     FROM spans GROUP BY 1
     HAVING count(DISTINCT doc_id) >= {min_docs}
     """
+
+
+# ---------------- cross-document boilerplate fraction ----------------
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    min_docs: int = 2,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of word n-gram shingles that are CORPUS-frequent
+    (appear in ≥ ``min_docs`` distinct documents) — the cross-document
+    complement of ``repeated_spans``/``text_repetition``: headers, footers,
+    license blocks and templated text score high even when no full document
+    is a duplicate (the RefinedWeb/Gopher-style boilerplate signal).
+
+    Returns ``(doc_id, n_shingles, n_boilerplate, boilerplate_ppm)`` with
+    the fraction as exact integer parts-per-million (engine-portable — no
+    double division).
+
+    Shape: one shingle explode (distinct per doc), one shingle-keyed
+    doc-frequency aggregation (vocabulary-sized output), one join back and
+    a per-doc conditional count. Unlike the Jaccard verifier there is no
+    self-join — hot shingles cost one counter row, not a pair blow-up, so
+    the operator is linear at any corpus size.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")  # shingles are distinct per doc
+    )
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= min_docs, 1).otherwise(0)
+            ).alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boilerplate",
+            F.expr("n_boilerplate * 1000000 DIV n_shingles").alias(
+                "boilerplate_ppm"
+            ),
+        )
+    )
+
+
+def boilerplate_fraction_oracle_sql(
+    table: str = "documents", min_docs: int = 2, n: int = 5
+) -> str:
+    shingles = _sql_word_shingles("text", n)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({shingles}) AS shingle FROM {table}),
+    dfreq AS (
+      SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN d.df >= {min_docs} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           CAST(sum(CASE WHEN d.df >= {min_docs} THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000000
+             // count(*) AS boilerplate_ppm
+    FROM sh JOIN dfreq d USING (shingle)
+    GROUP BY 1
+    """

@@ -1704,3 +1704,46 @@ def test_token_budget_hamilton_properties(spark):
     assert out["small"]["target_tokens"] == 50  # equal weights, ghost dropped
     assert out["small"]["epochs_ppk"] == 50 * 1000 // 6  # heavy up-sampling
     assert out["big"]["rate_ppm"] == 50 * 1_000_000 // 500  # subsample
+
+
+# ---------- round 6: cross-document boilerplate fraction ----------
+
+
+def test_boilerplate_matches_duckdb(spark, duck, sf_dir):
+    from tesseract_spark.operators.dedup import (
+        boilerplate_fraction,
+        boilerplate_fraction_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_boilerplate"], r["boilerplate_ppm"])
+        for r in boilerplate_fraction(docs).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.execute(boilerplate_fraction_oracle_sql()).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_boilerplate_flags_shared_template(spark):
+    """A footer shared by several docs scores high for every carrier; a
+    unique doc scores 0; exact duplicates hit 10^6."""
+    from tesseract_spark.operators.dedup import boilerplate_fraction
+
+    footer = "subscribe to our newsletter for updates every single day"
+    rows = [
+        (1, "alpha words one two three four five six " + footer),
+        (2, "beta other seven eight nine ten eleven twelve " + footer),
+        (3, "gamma text unique only here nothing shared at all today"),
+        (4, "delta copy same doc body here exactly now"),
+        (5, "delta copy same doc body here exactly now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_fraction(df).collect()}
+    assert out[3]["boilerplate_ppm"] == 0
+    assert out[4]["boilerplate_ppm"] == 1_000_000
+    assert out[5]["boilerplate_ppm"] == 1_000_000
+    assert out[1]["boilerplate_ppm"] > 0 and out[1]["boilerplate_ppm"] < 1_000_000
+    assert out[1]["n_boilerplate"] > 0
