@@ -64,6 +64,11 @@ PROBE_QUERIES = [
     "q_embed_projection",
     "q_vocab_coverage",
     "q_embed_dup_clusters",
+    # round-6 operators
+    "q_lm_bigram_score",
+    "q_dsir_importance",
+    "q_boilerplate_fraction",
+    "q_token_budget_plan",
 ]
 
 
