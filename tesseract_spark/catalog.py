@@ -2477,6 +2477,19 @@ def _wire_pipeline_ops() -> None:
         dedup.boilerplate_fraction_oracle_sql(),
     )
 
+    # BM25 lexical retrieval (rational idf + fixed expression tree +
+    # integer-ppm term scores → bit-stable doc scores; TakeOrdered top-k)
+    _BM25_QUERY = "table window spark batch merge"
+
+    def _bm25(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.retrieval import bm25_topk
+
+        return bm25_topk(_docs(spark, sf), _BM25_QUERY, k=15)
+
+    from .operators.retrieval import bm25_topk_oracle_sql
+
+    _add("q_bm25_topk", _bm25, bm25_topk_oracle_sql(_BM25_QUERY, k=15))
+
     # per-dimension embedding stats (the normalization-stats pass before
     # training): posexplode → one groupBy on dim index; exact-decimal
     # sums make mean/var deterministic doubles
@@ -2856,7 +2869,6 @@ DRIVER_WINDOW: list[str] = [
     "q_ann_near_dup",
     "q_multimodal_frames",
     "q_multimodal_resize",
-    "q_multimodal_decode",
     # round-6 debuts (new entries MUST debut in a window; each past the
     # first displaced one r4-cohort slot — the displaced entries stay
     # r4-green and rotate in r7)
@@ -2865,6 +2877,7 @@ DRIVER_WINDOW: list[str] = [
     "q_dsir_importance",
     "q_token_budget_plan",
     "q_boilerplate_fraction",
+    "q_bm25_topk",
 ]
 
 

@@ -1747,3 +1747,43 @@ def test_boilerplate_flags_shared_template(spark):
     assert out[5]["boilerplate_ppm"] == 1_000_000
     assert out[1]["boilerplate_ppm"] > 0 and out[1]["boilerplate_ppm"] < 1_000_000
     assert out[1]["n_boilerplate"] > 0
+
+
+# ---------- round 6: BM25 lexical retrieval ----------
+
+
+def test_bm25_matches_duckdb(spark, duck, sf_dir):
+    from tesseract_spark.operators.retrieval import bm25_topk, bm25_topk_oracle_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = "table window spark batch merge"
+    got = [
+        (r["doc_id"], r["n_matched_terms"], r["score_ppm"])
+        for r in bm25_topk(docs, q, k=12).collect()
+    ]
+    want = [tuple(r) for r in duck.execute(bm25_topk_oracle_sql(q, k=12)).fetchall()]
+    assert got == want and len(got) == 12  # ORDER included in the assert
+
+
+def test_bm25_ranking_semantics(spark):
+    """More query-term hits rank higher; rare terms outweigh common ones;
+    empty query raises."""
+    import pytest as _pytest
+
+    from tesseract_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "zebra apple apple apple"),      # rare term + repeats
+        (2, "apple banana banana banana"),   # common terms only
+        (3, "banana banana cherry cherry"),
+        (4, "apple banana zebra cherry"),    # all four terms
+        (5, "unrelated words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [r["doc_id"] for r in bm25_topk(df, "zebra apple banana cherry", k=5).collect()]
+    assert out[0] == 4  # matches every term
+    assert 5 not in out  # no matched terms -> absent
+    scores = {r["doc_id"]: r["score_ppm"] for r in bm25_topk(df, "zebra", k=5).collect()}
+    assert set(scores) == {1, 4}  # only zebra carriers
+    with _pytest.raises(ValueError):
+        bm25_topk(df, "   ")

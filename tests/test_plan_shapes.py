@@ -36,6 +36,7 @@ BNLJ_WHITELIST = {
     "q_cms_join_size",  # 1-row broadcast estimate crossed into 1-row true size
     "q_hll_distinct",  # 1-row broadcast register summary crossed into exact
     "q_lm_bigram_score",  # 1-row broadcast vocabulary size crossed into lik
+    "q_bm25_topk",  # 1-row broadcast corpus stats (N, total_dl) crossed in
 }
 
 # exchange-node ceilings (shuffles + broadcasts in the INITIAL adaptive plan;
