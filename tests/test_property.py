@@ -288,3 +288,68 @@ def test_chunk_documents_matches_python_reference(toks, chunk, spark):
         sizes = {c: chunk for c in range(n_chunks - 1)}
         sizes[n_chunks - 1] = n - chunk * (n_chunks - 1)
         assert got[i] == sizes, f"doc {i} (len {t}): {got[i]} != {sizes}"
+
+
+# ---------- round 6: tokenizer-parity fuzz for the count-based text ops ----------
+
+_texty = st.text(
+    alphabet=st.sampled_from(
+        list("abcdef XYZ.,!?\"'()-_/\\:;\t\n") + ["é", "ü", "中", "→"]
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(st.lists(_texty, min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bigram_lm_tokenizer_parity_fuzz(spark, texts):
+    """Random punctuation/unicode/whitespace corpora: the Spark tokenization
+    + integer scoring must stay bit-equal to the DuckDB mirror (this is the
+    surface where split/regexp semantics could silently diverge)."""
+    import duckdb
+
+    from tesseract_spark.operators.lm import bigram_lm_oracle_sql, bigram_lm_score
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_lik_ppb"])
+        for r in bigram_lm_score(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2]) for r in con.execute(bigram_lm_oracle_sql()).fetchall()}
+    assert got == want
+
+
+@given(st.lists(_texty, min_size=1, max_size=8), st.data())
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bm25_tokenizer_parity_fuzz(spark, texts, data):
+    import duckdb
+
+    from tesseract_spark.operators.retrieval import bm25_topk, bm25_topk_oracle_sql
+
+    # query drawn from the corpus' own tokens when possible, else a literal
+    vocab = sorted({w for t in texts for w in t.lower().split()})
+    if vocab:
+        qterms = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=3)
+        )
+    else:
+        qterms = ["zzz"]
+    # quotes break the inlined IN-list only if unescaped — keep them in to
+    # prove the escaping
+    query = " ".join(qterms)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["n_matched_terms"], r["score_ppm"])
+        for r in bm25_topk(df, query, k=10).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = [tuple(r) for r in con.execute(bm25_topk_oracle_sql(query, k=10)).fetchall()]
+    assert got == want
