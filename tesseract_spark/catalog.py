@@ -1661,6 +1661,14 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: multimodal.decoded_image_features(_docs(spark, sf)),
         multimodal.decoded_image_features_oracle_sql(),
     )
+    # perceptual image dedup: real BMP decode → 8×8 average-hash (exact
+    # integer block comparison) → hash-keyed duplicate groups; oracle
+    # predicts every hash independently from the source bytes
+    _add(
+        "q_image_ahash_dedup",
+        lambda spark, sf: multimodal.image_ahash_groups(_docs(spark, sf)),
+        multimodal.image_ahash_groups_oracle_sql(),
+    )
     _add(
         "q_events_window",
         ev.batch_windowed_agg,
@@ -2868,7 +2876,6 @@ DRIVER_WINDOW: list[str] = [
     "q_ann_ivf_topk",
     "q_ann_near_dup",
     "q_multimodal_frames",
-    "q_multimodal_resize",
     # round-6 debuts (new entries MUST debut in a window; each past the
     # first displaced one r4-cohort slot — the displaced entries stay
     # r4-green and rotate in r7)
@@ -2878,6 +2885,7 @@ DRIVER_WINDOW: list[str] = [
     "q_token_budget_plan",
     "q_boilerplate_fraction",
     "q_bm25_topk",
+    "q_image_ahash_dedup",
 ]
 
 

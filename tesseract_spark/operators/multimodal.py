@@ -407,3 +407,143 @@ def resize_payload_grid_oracle_sql(
                                  + (j * {side} // {out_w}) + 1]))), '')) AS pixels_md5
     FROM {table}
     """
+
+
+AHASH_SCHEMA = "doc_id long, ahash string"
+
+
+def image_ahash(documents: DataFrame, width: int = 16) -> DataFrame:
+    """Per-image 8×8 average-hash (aHash) over REAL decoded images: each
+    document's bytes round-trip through the genuine BMP encoder/decoder
+    (same closure pair as ``decoded_image_features``), the decoded grayscale
+    grid is 8×8 block-pooled, and each block's bit is 1 iff its mean exceeds
+    the image mean — the classic perceptual fingerprint for image-level
+    dedup (near-identical images collide even when bytes differ).
+
+    The pooled comparison is EXACT integer cross-multiplication
+    (``block_sum·n_pixels > total_sum·block_n``) — no float means — so the
+    DuckDB oracle predicts the hash independently from the source bytes.
+    The 64-bit hash is emitted as 16 hex chars (two 32-bit halves;
+    sign-free on every engine)."""
+    docs = documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        def enc(pixels: bytes, w: int, h: int) -> bytes:
+            stride = (w * 3 + 3) & ~3
+            pad = b"\x00" * (stride - w * 3)
+            rows = [
+                b"".join(bytes((b, b, b)) for b in pixels[y * w : (y + 1) * w]) + pad
+                for y in range(h - 1, -1, -1)
+            ]
+            data = b"".join(rows)
+            return (
+                _struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+                + _struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+                )
+                + data
+            )
+
+        def dec_gray(payload: bytes) -> tuple:
+            assert payload[:2] == b"BM"
+            (off,) = _struct.unpack_from("<I", payload, 10)
+            _, w, h_raw = _struct.unpack_from("<Iii", payload, 14)
+            (bpp,) = _struct.unpack_from("<H", payload, 28)
+            h, bottom_up = abs(h_raw), h_raw > 0
+            n_ch = bpp // 8
+            stride = (w * n_ch + 3) & ~3
+            gray = []
+            for y in range(h):
+                sy = (h - 1 - y) if bottom_up else y
+                row = payload[off + sy * stride :][: w * n_ch]
+                gray.extend(row[x * n_ch] for x in range(w))  # R==G==B
+            return w, h, gray
+
+        for pdf in it:
+            out = {"doc_id": [], "ahash": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = len(payload) // width
+                if h == 0:
+                    continue
+                w, hh, gray = dec_gray(enc(payload[: width * h], width, h))
+                tsum, tn = sum(gray), len(gray)
+                bsum: dict = {}
+                bn: dict = {}
+                for i, g in enumerate(gray):
+                    y, x = divmod(i, w)
+                    key = ((y * 8) // hh, (x * 8) // w)
+                    bsum[key] = bsum.get(key, 0) + g
+                    bn[key] = bn.get(key, 0) + 1
+                hv = 0
+                for (by, bx), s in bsum.items():
+                    if s * tn > tsum * bn[(by, bx)]:
+                        hv |= 1 << (by * 8 + bx)
+                out["doc_id"].append(did)
+                out["ahash"].append(f"{hv >> 32:08x}{hv & 0xFFFFFFFF:08x}")
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+def image_ahash_groups(documents: DataFrame, width: int = 16) -> DataFrame:
+    """Perceptual-duplicate groups: images sharing an aHash, with group size
+    and smallest member id — the multimodal counterpart of exact text dedup
+    (one map-side hash per image, one hash-keyed groupBy; linear)."""
+    return (
+        image_ahash(documents, width)
+        .groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+def image_ahash_groups_oracle_sql(table: str = "documents", width: int = 16) -> str:
+    """Independent SQL prediction: decoded gray pixel i == source byte i
+    (ASCII testdata; decoder returns bytes top-down), blocks pooled by the
+    same integer cross-multiplied comparison, hash assembled as two 32-bit
+    hex halves."""
+    return f"""
+    WITH imgs AS (
+      SELECT doc_id, substr(text, 1, {width} * h) AS clipped, h
+      FROM (SELECT doc_id, text,
+                   (octet_length(encode(text)) // {width}) AS h
+            FROM {table})
+      WHERE h >= 1),
+    px AS (
+      SELECT doc_id, h,
+             unnest(range(0, {width} * h)) AS i
+      FROM imgs),
+    gpx AS (
+      SELECT p.doc_id, p.h,
+             ord(substr(i2.clipped, p.i + 1, 1)) AS g,
+             (p.i // {width}) AS y, (p.i % {width}) AS x
+      FROM px p JOIN imgs i2 USING (doc_id)),
+    blk AS (
+      SELECT doc_id, (y * 8) // h AS by, (x * 8) // {width} AS bx,
+             CAST(sum(g) AS BIGINT) AS bsum, count(*) AS bn
+      FROM gpx GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT doc_id, CAST(sum(g) AS BIGINT) AS tsum, count(*) AS tn
+      FROM gpx GROUP BY 1),
+    bits AS (
+      SELECT b.doc_id, (b.by * 8 + b.bx) AS idx,
+             CASE WHEN b.bsum * t.tn > t.tsum * b.bn THEN 1 ELSE 0 END AS bit
+      FROM blk b JOIN tot t USING (doc_id)),
+    hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx)
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY 1)
+    SELECT lower(lpad(to_hex(hi), 8, '0') || lpad(to_hex(lo), 8, '0')) AS ahash,
+           count(*) AS n_images,
+           min(doc_id) AS first_doc
+    FROM hashes GROUP BY 1
+    """

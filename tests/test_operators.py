@@ -1849,3 +1849,45 @@ def test_bigram_lm_counts_merge_across_stream(spark, sf_dir, tmp_path):
         for r in bigram_lm_score(docs.repartition(7)).collect()
     }
     assert a == b
+
+
+# ---------- round 6: perceptual image-hash dedup ----------
+
+
+def test_image_ahash_matches_duckdb(spark, duck, sf_dir):
+    from tesseract_spark.operators.multimodal import (
+        image_ahash_groups,
+        image_ahash_groups_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["ahash"]: (r["n_images"], r["first_doc"])
+        for r in image_ahash_groups(docs).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(image_ahash_groups_oracle_sql()).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_image_ahash_perceptual_robustness(spark):
+    """The point of aHash over an exact byte hash: small pixel perturbations
+    that don't flip any block's above/below-mean relation keep the hash,
+    while structurally different images differ. Exact duplicates collide."""
+    from tesseract_spark.operators.multimodal import image_ahash
+
+    base = ("a" * 128 + "z" * 128) * 4  # strong light/dark block structure
+    # perturb one char within the dark half by 1 code point — block means
+    # barely move, no bit flips
+    near = base[:200] + "y" + base[201:]
+    different = ("az" * 128) * 4  # fine-grained alternation — flat blocks
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, different)],
+        "doc_id long, text string",
+    )
+    h = {r["doc_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert h[1] == h[2]  # exact duplicate
+    assert h[1] == h[3]  # near-duplicate collides (perceptual)
+    assert h[1] != h[4]  # different structure separates
