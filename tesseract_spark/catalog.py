@@ -1669,6 +1669,14 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: multimodal.image_ahash_groups(_docs(spark, sf)),
         multimodal.image_ahash_groups_oracle_sql(),
     )
+    # audio-modality fingerprint: real 8-bit PCM WAV round-trip → frame
+    # energy profile (integer cross-multiplied bits) — energy-envelope
+    # matching, the audio analog of the image aHash
+    _add(
+        "q_audio_fingerprint",
+        lambda spark, sf: multimodal.audio_energy_fingerprint(_docs(spark, sf)),
+        multimodal.audio_energy_fingerprint_oracle_sql(),
+    )
     _add(
         "q_events_window",
         ev.batch_windowed_agg,
@@ -2875,7 +2883,6 @@ DRIVER_WINDOW: list[str] = [
     "q_dedup_clusters",
     "q_ann_ivf_topk",
     "q_ann_near_dup",
-    "q_multimodal_frames",
     # round-6 debuts (new entries MUST debut in a window; each past the
     # first displaced one r4-cohort slot — the displaced entries stay
     # r4-green and rotate in r7)
@@ -2886,6 +2893,7 @@ DRIVER_WINDOW: list[str] = [
     "q_boilerplate_fraction",
     "q_bm25_topk",
     "q_image_ahash_dedup",
+    "q_audio_fingerprint",
 ]
 
 

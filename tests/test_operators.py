@@ -1891,3 +1891,44 @@ def test_image_ahash_perceptual_robustness(spark):
     assert h[1] == h[2]  # exact duplicate
     assert h[1] == h[3]  # near-duplicate collides (perceptual)
     assert h[1] != h[4]  # different structure separates
+
+
+# ---------- round 6: audio energy fingerprint ----------
+
+
+def test_audio_fingerprint_matches_duckdb(spark, duck, sf_dir):
+    from tesseract_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+        audio_energy_fingerprint_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_samples"], r["audio_fp"])
+        for r in audio_energy_fingerprint(docs).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(audio_energy_fingerprint_oracle_sql()).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_audio_fingerprint_envelope_semantics(spark):
+    """Identical clips collide; a loudness-envelope-preserving perturbation
+    collides; a reshaped envelope separates."""
+    from tesseract_spark.operators.multimodal import audio_energy_fingerprint
+
+    # 8-bit PCM centers at 128: ' ' (32) is far off-center = HIGH energy,
+    # '~' (126) is near-silence = LOW energy
+    high, low = " " * 64, "~" * 64
+    a = (high + low) * 4
+    b = a[:10] + "}" + a[11:]  # one near-silent sample nudged, envelope intact
+    c = (low + high) * 4       # inverted envelope
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, b), (4, c)], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["audio_fp"] for r in audio_energy_fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[4]
