@@ -1582,6 +1582,15 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: similarity.ivf_topk(_embs(spark, sf), [0, 1, 2, 3, 4]),
         similarity.ivf_topk_oracle_sql([0, 1, 2, 3, 4]),
     )
+    # int8-quantized ANN: symmetric per-dim quantization → EXACT integer
+    # coarse dot ranking (bit-oracle-able, unlike float dots) → exact
+    # rescore of rescore_factor*k candidates — the memory-bound scale path
+    # (int8 scan is 4x smaller than float32)
+    _add(
+        "q_ann_int8_topk",
+        lambda spark, sf: similarity.ann_int8_topk(_embs(spark, sf), [0, 1, 2, 3, 4]),
+        similarity.ann_int8_topk_oracle_sql([0, 1, 2, 3, 4]),
+    )
     # embedding-cosine near-dup pairs, LSH-bucket-pruned; the synthetic
     # embeddings' similarity regime tops out near cos≈0.4, so the threshold
     # pins operator mechanics rather than a production 0.95 dedup bar
@@ -2882,7 +2891,6 @@ DRIVER_WINDOW: list[str] = [
     "q_dedup_verified",
     "q_dedup_clusters",
     "q_ann_ivf_topk",
-    "q_ann_near_dup",
     # round-6 debuts (new entries MUST debut in a window; each past the
     # first displaced one r4-cohort slot — the displaced entries stay
     # r4-green and rotate in r7)
@@ -2894,6 +2902,7 @@ DRIVER_WINDOW: list[str] = [
     "q_bm25_topk",
     "q_image_ahash_dedup",
     "q_audio_fingerprint",
+    "q_ann_int8_topk",
 ]
 
 

@@ -788,3 +788,144 @@ def cosine_near_dup_oracle_sql(
     )
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
     """
+
+
+# ---------------- int8-quantized ANN (memory-bound scale path) ----------------
+
+
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-dimension int8 quantization: ``q = floor(v·127/s + 0.5)``
+    with ``s`` = per-dim max |v| over the corpus (zero-variance dims → 0).
+    Emitted EXPLODED as ``(id, pos, q)`` — the exact-integer form every
+    downstream dot product consumes, and the layout that makes the 4×
+    memory saving real on a 100 TB vector store (int8 + dictionary pages
+    in parquet vs float32).
+
+    ``floor(x + 0.5)`` instead of ``round`` on purpose: Spark's HALF_UP and
+    DuckDB's rounding disagree on ties; floor of an identical double is
+    identical everywhere."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).select("id", "pos", F.col("v").cast("double").alias("v"))
+    scales = ex.groupBy("pos").agg(F.max(F.abs(F.col("v"))).alias("s"))
+    return ex.join(F.broadcast(scales), "pos").select(
+        "id",
+        "pos",
+        F.when(
+            F.col("s") > 0,
+            F.floor((F.col("v") * F.lit(127.0)) / F.col("s") + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("q"),
+    )
+
+
+def ann_int8_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-tier ANN with int8 coarse scoring: rank candidates by the EXACT
+    integer dot product of quantized vectors (order-independent int sums —
+    bit-oracle-able, unlike float dots), keep ``rescore_factor·k`` per
+    query, then rescore those exactly in float and emit the final top-k
+    ``(query_id, neighbor_id, cos_sim, rank)`` — same output contract as
+    ``brute_force_topk``.
+
+    At scale this is the memory-bound regime's standard shape: the corpus
+    scan reads int8 (4× less than float32), full-precision vectors are
+    fetched only for ~rescore_factor·k·|queries| candidate rows."""
+    qv = quantize_embeddings(df, id_col, vec_col)
+    qq = qv.join(
+        F.broadcast(
+            df.select(F.col(id_col).alias("id")).where(F.col("id").isin(query_ids))
+        ),
+        "id",
+    ).select(F.col("id").alias("query_id"), "pos", F.col("q").alias("qa"))
+
+    coarse = (
+        qv.join(F.broadcast(qq), "pos")
+        .where(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum(F.col("q") * F.col("qa")).alias("dot_int"))
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("dot_int").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        coarse.withColumn("crank", F.row_number().over(w_c))
+        .where(F.col("crank") <= rescore_factor * k)
+        .select("query_id", "neighbor_id")
+    )
+
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    rescored = (
+        cand.join(vecs.withColumnRenamed("vid", "query_id").withColumnRenamed("vec", "qvec"), "query_id")
+        .join(vecs.withColumnRenamed("vid", "neighbor_id").withColumnRenamed("vec", "nvec"), "neighbor_id")
+        .withColumn("cos_sim", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 6))
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_r))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ann_int8_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    rescore_factor: int = 4,
+    table: str = "embeddings",
+    dim: int = 64,
+) -> str:
+    """SQL mirror: identical quantization doubles (same expression tree,
+    same floor), identical integer coarse ranks, identical rescore."""
+    ids = ", ".join(str(i) for i in query_ids)
+    m = rescore_factor * k
+    return f"""
+    WITH dims AS (SELECT unnest(range(1, {dim} + 1)) AS pos),
+    ex AS (
+      SELECT e.vec_id AS id, d.pos, e.embedding[d.pos]::DOUBLE AS v
+      FROM {table} e CROSS JOIN dims d),
+    scales AS (SELECT pos, max(abs(v)) AS s FROM ex GROUP BY 1),
+    qv AS (
+      SELECT ex.id, ex.pos,
+             CASE WHEN sc.s > 0
+                  THEN CAST(floor((ex.v * 127.0) / sc.s + 0.5) AS BIGINT)
+                  ELSE 0 END AS q
+      FROM ex JOIN scales sc USING (pos)),
+    qq AS (SELECT id AS query_id, pos, q AS qa FROM qv WHERE id IN ({ids})),
+    coarse AS (
+      SELECT qq.query_id, c.id AS neighbor_id,
+             CAST(sum(c.q * qq.qa) AS BIGINT) AS dot_int
+      FROM qv c JOIN qq USING (pos)
+      WHERE c.id != qq.query_id
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot_int DESC, neighbor_id ASC) AS crank
+        FROM coarse)
+      WHERE crank <= {m}),
+    rescored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               6) AS cos_sim
+      FROM cand
+      JOIN {table} q ON q.vec_id = cand.query_id
+      JOIN {table} c ON c.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM rescored)
+    WHERE rank <= {k}
+    """

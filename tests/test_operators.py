@@ -1932,3 +1932,67 @@ def test_audio_fingerprint_envelope_semantics(spark):
     assert fp[1] == fp[2]
     assert fp[1] == fp[3]
     assert fp[1] != fp[4]
+
+
+# ---------- round 6: int8-quantized ANN ----------
+
+
+def test_ann_int8_matches_duckdb(spark, duck, sf_dir):
+    from tesseract_spark.operators.similarity import (
+        ann_int8_topk,
+        ann_int8_topk_oracle_sql,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2]
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in ann_int8_topk(embs, qids, k=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    want = [
+        (r[0], r[3], r[1], r[2])
+        for r in duck.execute(
+            "SELECT * FROM (" + ann_int8_topk_oracle_sql(qids, k=4) + ") ORDER BY query_id, rank"
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 12
+
+
+def test_ann_int8_recall_vs_exact(spark, sf_dir):
+    """Quantization to int8 with a 4x rescore pool must recover most of the
+    exact top-k (the rescore is exact, so errors only come from coarse-tier
+    misses); on clearly separated clusters the top-1 is always exact."""
+    from tesseract_spark.operators.similarity import ann_int8_topk, brute_force_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 7, 21, 33]
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_int8_topk(embs, qids, k=5).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embs, qids, k=5).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8
+
+    # planted separated clusters: int8 coarse tier must keep the true top-1
+    base = [[10.0] + [0.0] * 7, [0.0] * 4 + [10.0] * 4, [-10.0] + [0.0] * 7]
+    rows = []
+    for cid, c in enumerate(base):
+        for j in range(4):
+            v = list(c)
+            v[(j + 1) % 8] += 0.25 * (j + 1)
+            rows.append((cid * 10 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ann_int8_topk(df, [0, 10, 20], k=1, rescore_factor=2).collect()
+    }
+    exact1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(df, [0, 10, 20], k=1).collect()
+    }
+    assert out == exact1
