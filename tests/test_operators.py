@@ -1996,3 +1996,43 @@ def test_ann_int8_recall_vs_exact(spark, sf_dir):
         for r in brute_force_topk(df, [0, 10, 20], k=1).collect()
     }
     assert out == exact1
+
+
+def test_bloom_decontaminate_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """The Bloom gate is join-free on the hot path (fixed 8KiB literal bit
+    array + per-doc count), so it runs unchanged under Structured Streaming
+    — the shape that lets decontamination screen an unbounded ingest stream.
+    Stream output (union over micro-batches) must equal the batch result."""
+    import os
+
+    from tesseract_spark.operators.decontaminate import bloom_decontaminate
+
+    src = str(tmp_path / "bloom_src")
+    os.makedirs(src)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    probes = [r["text"] for r in docs.orderBy("doc_id").limit(3).collect()]
+
+    collected: dict = {}
+
+    def sink(batch_df, batch_id):
+        for r in bloom_decontaminate(batch_df, probes).collect():
+            collected[r["doc_id"]] = (r["n_bf_hits"], r["flagged"])
+
+    stream = spark.readStream.schema("doc_id long, text string, lang string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = {
+        r["doc_id"]: (r["n_bf_hits"], r["flagged"])
+        for r in bloom_decontaminate(docs, probes).collect()
+    }
+    assert collected == batch
+    assert any(v[1] for v in batch.values())  # the probe docs themselves flag
