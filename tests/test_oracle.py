@@ -75,6 +75,7 @@ _VERSION_RISKY_USES = {
     # construction — scaled integer numerators), so the construct is proven
     r"\bround\s*\(": {
         "q_ann_cosine_topk",
+        "q_ann_int8_topk",  # r6: same round-6 cosine rescore as the ANN family
         "q_ann_ivf_topk",
         "q_ann_lsh_topk",
         "q_ann_near_dup",
