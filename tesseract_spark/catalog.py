@@ -2832,9 +2832,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (VERDICT r5 "next round" #2: oldest-evidence-first). Evidence ledger after
 # r5: union of green rows over r1-r5 covers 121/121 entries; latest-green
 # histogram 50@r5 / 39@r4 / 32@r3. This window re-proves the entire r3
-# cohort plus the 10 oldest r4 entries (catalog definition order breaks the
-# within-r4 tie; the remaining 29 r4 entries rotate into r7), so after r6 no
-# entry's latest green row predates r4. Fixed slots:
+# cohort plus the oldest r4 entries (catalog definition order breaks the
+# within-r4 tie; each round-6 debut displaced one r4 slot, leaving 3 of the
+# original 10 — all displaced/remaining r4 entries stay r4-green and rotate
+# into r7), so after r6 no entry's latest green row predates r4. Fixed slots:
 #  - 3 environment probes (integer-sum dtype, events-ts vintage, DuckDB
 #    version) — any external divergence localizes in-round;
 #  - 2 permanent cross-round anchors (q_growth_year, q_agg_year);
@@ -2887,7 +2888,8 @@ DRIVER_WINDOW: list[str] = [
     "q_default_member",
     "q_default_member_excluded",
     "q_multi_hierarchy_segment",
-    # oldest 10 of the r4 cohort (catalog order; rest rotate into r7)
+    # oldest r4-cohort entries (catalog order; 7 of the original 10 were
+    # displaced by round-6 debuts — rest rotate into r7)
     "q_dedup_verified",
     "q_dedup_clusters",
     "q_ann_ivf_topk",
