@@ -353,3 +353,105 @@ def test_bm25_tokenizer_parity_fuzz(spark, texts, data):
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
     want = [tuple(r) for r in con.execute(bm25_topk_oracle_sql(query, k=10)).fetchall()]
     assert got == want
+
+
+# ---------- round 6: growth-calculation fuzz (lag windows + div0 modes) ----------
+
+_GROWTH_MEASURES = {
+    "Quantity": "sum(l_quantity)",
+    "Max Tax": "max(l_tax)",
+    "Custom Net": "sum(l_extendedprice * (1 - l_discount))",
+    # sums to 0 through 1996 — the only measure that reaches the Δ/0 branch,
+    # so drawing it exercises the growth_div0 modes against real zero periods
+    "Post96 Quantity": "sum(l_quantity * CAST(year(l_shipdate) > 1996 AS INT))",
+}
+
+
+@st.composite
+def growth_query_and_oracle(draw):
+    monthly = draw(st.booleans())
+    extra_flag = draw(st.booleans())
+    mea = draw(st.sampled_from(sorted(_GROWTH_MEASURES)))
+    div0 = draw(st.sampled_from(["null", "inf"]))
+
+    drills = ["Ship Date.Year"] + (["Ship Date.Ship Date.Month"] if monthly else [])
+    time_level = "Month" if monthly else "Year"
+    if extra_flag:
+        drills.append("Return Flag.Return Flag")
+    params = {
+        "drilldowns": drills,
+        "measures": [mea],
+        "growth": f"Ship Date.Ship Date.{time_level},{mea}",
+        "growth_div0": div0,
+        "cuts": [],
+    }
+    where = []
+    if draw(st.booleans()):
+        years = draw(st.lists(st.integers(1995, 2001), min_size=1, max_size=4, unique=True))
+        params["cuts"].append("Ship Date.Ship Date.Year." + ",".join(map(str, years)))
+        where.append(f"year(l_shipdate) IN ({', '.join(map(str, years))})")
+    if draw(st.booleans()) and not extra_flag:
+        flags = draw(st.lists(st.sampled_from(["A", "N", "R"]), min_size=1, max_size=2, unique=True))
+        params["cuts"].append("Return Flag.Return Flag." + ",".join(flags))
+        where.append(f"l_returnflag IN ({', '.join(repr(f) for f in flags)})")
+
+    sels = ['year(l_shipdate)::INT AS "Year"']
+    groups = ['"Year"']
+    time_aliases = ['"Year"']
+    part_aliases = []
+    if monthly:
+        sels.append('month(l_shipdate)::INT AS "Month"')
+        groups.append('"Month"')
+        # lag is over Month; Year becomes a partition alias (apply_growth
+        # partitions by every non-time-drill alias)
+        time_aliases = ['"Month"']
+        part_aliases.append('"Year"')
+    if extra_flag:
+        sels.append('l_returnflag AS "Return Flag"')
+        groups.append('"Return Flag"')
+        part_aliases.append('"Return Flag"')
+
+    part = f"PARTITION BY {', '.join(part_aliases)} " if part_aliases else ""
+    w = f"{part}ORDER BY {', '.join(time_aliases)}"
+    if div0 == "null":
+        growth_case = 'CASE WHEN prev > 0 THEN d / prev END'
+    else:
+        growth_case = (
+            "CASE WHEN prev > 0 THEN d / prev"
+            " WHEN d IS NULL THEN NULL"
+            " WHEN d > 0 THEN 'infinity'::DOUBLE"
+            " WHEN d < 0 THEN '-infinity'::DOUBLE"
+            " ELSE 'nan'::DOUBLE END"
+        )
+    sql = f"""
+    WITH agg AS (
+      SELECT {", ".join(sels)}, {_GROWTH_MEASURES[mea]} AS "{mea}"
+      FROM lineitem
+      {"WHERE " + " AND ".join(where) if where else ""}
+      GROUP BY {", ".join(groups)}),
+    g AS (
+      SELECT *, "{mea}" - lag("{mea}") OVER ({w}) AS d,
+             lag("{mea}") OVER ({w}) AS prev
+      FROM agg)
+    SELECT {", ".join(groups)}, "{mea}",
+           d AS "{mea} Growth Value",
+           {growth_case} AS "{mea} Growth"
+    FROM g
+    """
+    return params, sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(growth_query_and_oracle())
+def test_random_growth_matches_oracle(builder, duck, qo):
+    """Random growth queries (year/month grain, extra partition drill, cuts,
+    both div0 modes, incl. the zero-period measure) vs a mechanically
+    generated lag-window oracle — fuzzes the calculation layer the way the
+    base family fuzzes cut x drill x filter."""
+    params, sql = qo
+    df = builder.dataframe("lineitem_sales", Query.from_params(params))
+    assert_df_matches_sql(df, duck, sql, rtol=1e-6)
