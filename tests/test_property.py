@@ -455,3 +455,140 @@ def test_random_growth_matches_oracle(builder, duck, qo):
     params, sql = qo
     df = builder.dataframe("lineitem_sales", Query.from_params(params))
     assert_df_matches_sql(df, duck, sql, rtol=1e-6)
+
+
+# ---------- round 6: top-k / sort / limit-offset fuzz ----------
+
+# integral-valued or accumulation-free measures ONLY: rank/limit boundaries
+# select ROWS, so a 1-ulp sum drift between engines would change the result
+# set, not just a compared value
+_EXACT_MEASURES = {
+    "Quantity": "sum(l_quantity)",
+    "Row Count": "count(l_linenumber)",
+    "Max Tax": "max(l_tax)",
+}
+
+_TOP_BY = {
+    # by-level -> (its drill param, its output alias)
+    "Return Flag.Return Flag": ("Return Flag.Return Flag", '"Return Flag"'),
+    "Part.Brand": ("Part.Brand", '"Brand"'),
+    "Ship Date.Ship Date.Year": ("Ship Date.Year", '"Year"'),
+}
+
+
+@st.composite
+def top_query_and_oracle(draw):
+    by = draw(st.sampled_from(sorted(_TOP_BY)))
+    by_drill, by_alias = _TOP_BY[by]
+    others = draw(
+        st.lists(
+            st.sampled_from([d for d in sorted(DRILLS) if d != by_drill]),
+            min_size=1,
+            max_size=2,
+            unique=True,
+        )
+    )
+    mea = draw(st.sampled_from(sorted(_EXACT_MEASURES)))
+    k = draw(st.integers(1, 4))
+    direction = draw(st.sampled_from(["asc", "desc"]))
+    params = {
+        "drilldowns": [by_drill, *others],
+        "measures": [mea],
+        "top": f"{k},{by},{mea},{direction}",
+        "cuts": [],
+    }
+    where = []
+    if draw(st.booleans()):
+        years = draw(st.lists(st.integers(1995, 2001), min_size=1, max_size=3, unique=True))
+        params["cuts"].append("Ship Date.Ship Date.Year." + ",".join(map(str, years)))
+        where.append(f"year(l_shipdate) IN ({', '.join(map(str, years))})")
+
+    sel_parts, group_parts, join_names = [], [], []
+    for d in [by_drill, *others]:
+        sel, grp, join = DRILLS[d]
+        sel_parts.append(sel)
+        group_parts.extend(grp)
+        if join:
+            join_names.append(join)
+    joins = " ".join(JOINS[j] for j in dict.fromkeys(join_names))
+    tiebreaks = [g for g in group_parts if g != by_alias]
+    order = f'"{mea}" {direction.upper()}' + "".join(f", {t} ASC" for t in tiebreaks)
+    sql = f"""
+    WITH agg AS (
+      SELECT {", ".join(sel_parts)}, {_EXACT_MEASURES[mea]} AS "{mea}"
+      FROM lineitem l {joins}
+      {"WHERE " + " AND ".join(where) if where else ""}
+      GROUP BY {", ".join(group_parts)}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY {by_alias} ORDER BY {order}) AS rn
+      FROM agg)
+    SELECT {", ".join(group_parts)}, "{mea}" FROM ranked WHERE rn <= {k}
+    """
+    return params, sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(top_query_and_oracle())
+def test_random_topk_matches_oracle(builder, duck, qo):
+    """Random top-k-per-member queries (by-level x extra drills x direction x
+    cuts) vs a generated ranking-window oracle with the engine's documented
+    tie-break (remaining drill columns asc)."""
+    params, sql = qo
+    df = builder.dataframe("lineitem_sales", Query.from_params(params))
+    assert_df_matches_sql(df, duck, sql, rtol=1e-6)
+
+
+@st.composite
+def sort_limit_query_and_oracle(draw):
+    drills = draw(
+        st.lists(st.sampled_from(sorted(DRILLS)), min_size=1, max_size=2, unique=True)
+    )
+    mea = draw(st.sampled_from(sorted(_EXACT_MEASURES)))
+    direction = draw(st.sampled_from(["asc", "desc"]))
+    n = draw(st.integers(1, 12))
+    offset = draw(st.integers(0, 8))
+    params = {
+        "drilldowns": drills,
+        "measures": [mea],
+        "sort": f"{mea}.{direction}",
+        # reference param format is "offset,n" (query.rs:263-289)
+        "limit": f"{offset},{n}" if offset else str(n),
+    }
+    sel_parts, group_parts, join_names = [], [], []
+    for d in drills:
+        sel, grp, join = DRILLS[d]
+        sel_parts.append(sel)
+        group_parts.extend(grp)
+        if join:
+            join_names.append(join)
+    joins = " ".join(JOINS[j] for j in dict.fromkeys(join_names))
+    order = f'"{mea}" {direction.upper()}' + "".join(
+        f", {g} ASC" for g in group_parts
+    )
+    sql = f"""
+    SELECT {", ".join(sel_parts)}, {_EXACT_MEASURES[mea]} AS "{mea}"
+    FROM lineitem l {joins}
+    GROUP BY {", ".join(group_parts)}
+    ORDER BY {order}
+    LIMIT {n} OFFSET {offset}
+    """
+    return params, sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(sort_limit_query_and_oracle())
+def test_random_sort_limit_matches_oracle(builder, duck, qo):
+    """Random sort + limit/offset: the selected row WINDOW must match, which
+    requires the engine's deterministic total order (measure direction then
+    all drill columns asc) to agree with the mirrored ORDER BY."""
+    params, sql = qo
+    df = builder.dataframe("lineitem_sales", Query.from_params(params))
+    assert_df_matches_sql(df, duck, sql, rtol=1e-6)
