@@ -592,3 +592,145 @@ def test_random_sort_limit_matches_oracle(builder, duck, qo):
     params, sql = qo
     df = builder.dataframe("lineitem_sales", Query.from_params(params))
     assert_df_matches_sql(df, duck, sql, rtol=1e-6)
+
+
+# ---------- round 6: RCA fuzz (cut routing + window denominators) ----------
+
+_GEO_JOIN = (
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer cu ON o.o_custkey = cu.c_custkey "
+    "JOIN nation n ON cu.c_nationkey = n.n_nationkey "
+    "JOIN region g ON n.n_regionkey = g.r_regionkey"
+)
+
+_RCA_DIMS = {
+    "region": {
+        "level": "Customer Geography.Geography.Region",
+        "sel": 'g.r_regionkey AS "Region ID", g.r_name AS "Region"',
+        "aliases": ['"Region ID"', '"Region"'],
+        "key": '"Region ID"',
+        "join": _GEO_JOIN,
+        "cut": lambda vals: (
+            "Customer Geography.Geography.Region." + ",".join(map(str, vals)),
+            f'"Region ID" IN ({", ".join(map(str, vals))})',
+        ),
+        "cutvals": [0, 1, 2, 3, 4],
+    },
+    "flag": {
+        "level": "Return Flag.Return Flag.Return Flag",
+        "sel": 'l.l_returnflag AS "Return Flag"',
+        "aliases": ['"Return Flag"'],
+        "key": '"Return Flag"',
+        "join": None,
+        "cut": lambda vals: (
+            "Return Flag.Return Flag." + ",".join(vals),
+            f'"Return Flag" IN ({", ".join(repr(v) for v in vals)})',
+        ),
+        "cutvals": ["A", "N", "R"],
+    },
+    "year": {
+        "level": "Ship Date.Ship Date.Year",
+        "sel": 'year(l.l_shipdate)::INT AS "Year"',
+        "aliases": ['"Year"'],
+        "key": '"Year"',
+        "join": None,
+        "cut": lambda vals: (
+            "Ship Date.Ship Date.Year." + ",".join(map(str, vals)),
+            f'"Year" IN ({", ".join(map(str, vals))})',
+        ),
+        "cutvals": [1995, 1996, 1997, 1998, 1999, 2000, 2001],
+    },
+}
+
+
+@st.composite
+def rca_query_and_oracle(draw):
+    d1, d2 = draw(
+        st.sampled_from(
+            [(a, b) for a in sorted(_RCA_DIMS) for b in sorted(_RCA_DIMS) if a != b]
+        )
+    )
+    D1, D2 = _RCA_DIMS[d1], _RCA_DIMS[d2]
+    debug = draw(st.booleans())
+    params = {"rca": f"{D1['level']},{D2['level']},Quantity", "cuts": []}
+    if debug:
+        params["debug"] = "true"
+
+    base_where = []
+    post_where = []  # d1 cuts: a/c only — entire d1 partitions drop, so the
+    # b (per-d2) and d (grand) window sums must be computed BEFORE the filter
+
+    if draw(st.booleans()):  # d1 cut
+        vals = draw(
+            st.lists(st.sampled_from(D1["cutvals"]), min_size=1, max_size=3, unique=True)
+        )
+        cut_param, cut_sql = D1["cut"](vals)
+        params["cuts"].append(cut_param)
+        post_where.append(cut_sql)
+    if draw(st.booleans()):  # d2 cut — the reference DROPS these entirely
+        vals = draw(
+            st.lists(st.sampled_from(D2["cutvals"]), min_size=1, max_size=2, unique=True)
+        )
+        cut_param, _ = D2["cut"](vals)
+        params["cuts"].append(cut_param)
+    ext = next(k for k in sorted(_RCA_DIMS) if k not in (d1, d2))
+    if ext != "region" and draw(st.booleans()):  # external cut (in-base everywhere)
+        E = _RCA_DIMS[ext]
+        vals = draw(
+            st.lists(st.sampled_from(E["cutvals"]), min_size=1, max_size=3, unique=True)
+        )
+        cut_param, _ = E["cut"](vals)
+        params["cuts"].append(cut_param)
+        if ext == "year":
+            base_where.append(
+                f"year(l.l_shipdate) IN ({', '.join(str(v) for v in vals)})"
+            )
+        else:
+            base_where.append(
+                f"l.l_returnflag IN ({', '.join(repr(v) for v in vals)})"
+            )
+
+    joins = " ".join(j for j in [D1["join"], D2["join"]] if j)
+    aliases = D1["aliases"] + D2["aliases"]
+    groups = ", ".join(str(i + 1) for i in range(len(aliases)))
+    debug_cols = (
+        """,
+           "Quantity" AS a,
+           sum("Quantity") OVER (PARTITION BY {b_part}) AS b,
+           sum("Quantity") OVER (PARTITION BY {c_part}) AS c,
+           sum("Quantity") OVER () AS d"""
+        if debug
+        else ""
+    ).format(b_part=D2["key"], c_part=D1["key"])
+    sql = f"""
+    WITH base AS (
+      SELECT {D1["sel"]}, {D2["sel"]}, sum(l.l_quantity) AS "Quantity"
+      FROM lineitem l {joins}
+      {"WHERE " + " AND ".join(base_where) if base_where else ""}
+      GROUP BY {groups}),
+    w AS (
+      SELECT *,
+             ("Quantity" / sum("Quantity") OVER (PARTITION BY {D2["key"]}))
+           / (sum("Quantity") OVER (PARTITION BY {D1["key"]})
+              / sum("Quantity") OVER ()) AS "Quantity RCA"{debug_cols}
+      FROM base)
+    SELECT * FROM w
+    {"WHERE " + " AND ".join(post_where) if post_where else ""}
+    """
+    return params, sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rca_query_and_oracle())
+def test_random_rca_matches_oracle(builder, duck, qo):
+    """Random RCA queries over every ordered dim pair, with the reference's
+    cut routing fuzzed: d1 cuts filter a/c only (post-window), d2 cuts are
+    dropped, external cuts land in the base — vs a generated window-sum
+    oracle. Debug mode additionally pins a/b/c/d."""
+    params, sql = qo
+    df = builder.dataframe("lineitem_sales", Query.from_params(params))
+    assert_df_matches_sql(df, duck, sql, rtol=1e-6)
