@@ -734,3 +734,90 @@ def test_random_rca_matches_oracle(builder, duck, qo):
     params, sql = qo
     df = builder.dataframe("lineitem_sales", Query.from_params(params))
     assert_df_matches_sql(df, duck, sql, rtol=1e-6)
+
+
+# ---------- round 6: rate fuzz (hidden drill + kept-member share) ----------
+
+_RATE_LEVELS = {
+    "Return Flag.Return Flag.Return Flag": (
+        "l.l_returnflag",
+        ["A", "N", "R"],
+        lambda v: repr(v),
+    ),
+    "Line Status.Line Status.Status": (
+        "l.l_linestatus",
+        ["O", "F"],
+        lambda v: repr(v),
+    ),
+}
+
+
+@st.composite
+def rate_query_and_oracle(draw):
+    rate_level = draw(st.sampled_from(sorted(_RATE_LEVELS)))
+    rate_col, rate_vals, lit = _RATE_LEVELS[rate_level]
+    kept = draw(
+        st.lists(st.sampled_from(rate_vals), min_size=1, max_size=len(rate_vals) - 1, unique=True)
+    )
+    # drills must not include the rate dimension (the rate level is the
+    # HIDDEN extra drill)
+    pool = [
+        d
+        for d in sorted(DRILLS)
+        if d.split(".")[0] != rate_level.split(".")[0]
+    ]
+    drills = draw(st.lists(st.sampled_from(pool), min_size=1, max_size=2, unique=True))
+    mea = draw(st.sampled_from(["Quantity", "Row Count"]))
+    params = {
+        "drilldowns": drills,
+        "measures": [mea],
+        "rate": f"{rate_level}.{','.join(kept)}",
+        "cuts": [],
+    }
+    where = []
+    if draw(st.booleans()):
+        years = draw(st.lists(st.integers(1995, 2001), min_size=1, max_size=3, unique=True))
+        params["cuts"].append("Ship Date.Ship Date.Year." + ",".join(map(str, years)))
+        where.append(f"year(l.l_shipdate) IN ({', '.join(map(str, years))})")
+
+    sel_parts, group_parts, join_names = [], [], []
+    for d in drills:
+        sel, grp, join = DRILLS[d]
+        sel_parts.append(sel)
+        group_parts.extend(grp)
+        if join:
+            join_names.append(join)
+    joins = " ".join(JOINS[j] for j in dict.fromkeys(join_names))
+    kept_sql = ", ".join(lit(v) for v in kept)
+    # reference rate.rs:50-53: a COUNT-aggregator measure is re-aggregated
+    # with count over the hidden-drill rows (i.e. "how many rate members
+    # are present"), everything else with sum
+    ragg = "count" if mea == "Row Count" else "sum"
+    sql = f"""
+    WITH base AS (
+      SELECT {", ".join(sel_parts)}, {rate_col} AS rk,
+             {MEASURES[mea]} AS m
+      FROM lineitem l {joins}
+      {"WHERE " + " AND ".join(where) if where else ""}
+      GROUP BY {", ".join(group_parts)}, rk)
+    SELECT {", ".join(group_parts)}, {ragg}(m) AS "{mea}",
+           {ragg}(m) FILTER (WHERE rk IN ({kept_sql}))
+             / {ragg}(m)::DOUBLE AS "Rate"
+    FROM base GROUP BY {", ".join(group_parts)}
+    """
+    return params, sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rate_query_and_oracle())
+def test_random_rate_matches_oracle(builder, duck, qo):
+    """Random rate queries (rate level x kept-member subsets x drills x cuts)
+    vs a generated hidden-drill share oracle — completes fuzz coverage of
+    the calculation trio (growth/rca/rate)."""
+    params, sql = qo
+    df = builder.dataframe("lineitem_sales", Query.from_params(params))
+    assert_df_matches_sql(df, duck, sql, rtol=1e-6)
