@@ -821,3 +821,88 @@ def test_random_rate_matches_oracle(builder, duck, qo):
     params, sql = qo
     df = builder.dataframe("lineitem_sales", Query.from_params(params))
     assert_df_matches_sql(df, duck, sql, rtol=1e-6)
+
+
+# ---------- round 6: parents + properties fuzz ----------
+
+_ORDER_GEO_SQL = (
+    "(SELECT o.o_orderkey, n.n_nationkey, n.n_name, r.r_regionkey, r.r_name"
+    " FROM orders o"
+    " JOIN customer c ON o.o_custkey = c.c_custkey"
+    " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " JOIN region r ON n.n_regionkey = r.r_regionkey) g"
+)
+
+
+@st.composite
+def parents_props_query_and_oracle(draw):
+    """Snowflake Nation drill with parents=true (ancestor Region columns),
+    optional Part drill with property subsets, cuts on either hierarchy
+    level, random measures."""
+    parents = draw(st.booleans())
+    props = draw(
+        st.lists(st.sampled_from(["Type", "Size"]), min_size=0, max_size=2, unique=True)
+    )
+    with_part = draw(st.booleans()) or bool(props)
+    measures = draw(
+        st.lists(st.sampled_from(sorted(MEASURES)), min_size=1, max_size=2, unique=True)
+    )
+    params = {
+        "drilldowns": ["Customer Geography.Geography.Nation"]
+        + (["Part.Part"] if with_part else []),
+        "measures": measures,
+        "parents": "true" if parents else "false",
+        "cuts": [],
+    }
+    if props:
+        params["properties"] = [f"Part.Part.Part.{p}" for p in props]
+
+    where = []
+    if draw(st.booleans()):
+        # cut on the PARENT level (Region) while drilling Nation — the
+        # ancestor-cut path through the snowflake
+        regions = draw(st.lists(st.integers(0, 4), min_size=1, max_size=3, unique=True))
+        params["cuts"].append(
+            "Customer Geography.Geography.Region." + ",".join(map(str, regions))
+        )
+        where.append(f"g.r_regionkey IN ({', '.join(map(str, regions))})")
+    if draw(st.booleans()):
+        nations = draw(st.lists(st.integers(0, 24), min_size=1, max_size=4, unique=True))
+        params["cuts"].append(
+            "Customer Geography.Geography.Nation." + ",".join(map(str, nations))
+        )
+        where.append(f"g.n_nationkey IN ({', '.join(map(str, nations))})")
+
+    sels = []
+    if parents:
+        sels += ['g.r_regionkey AS "Region ID"', 'g.r_name AS "Region"']
+    sels += ['g.n_nationkey AS "Nation ID"', 'g.n_name AS "Nation"']
+    if with_part:
+        # parents=true applies to EVERY drill: the Part hierarchy is
+        # Brand -> Part, so Part gains its ancestor Brand column too
+        if parents:
+            sels += ['p.p_brand AS "Brand"']
+        sels += ['p.p_partkey AS "Part ID"', 'p.p_name AS "Part"']
+        sels += [f'p.p_{p.lower()} AS "{p}"' for p in props]
+    part_join = "JOIN part p ON l.l_partkey = p.p_partkey " if with_part else ""
+    groups = ", ".join(str(i + 1) for i in range(len(sels)))
+    meas = ", ".join(f'{MEASURES[m]} AS "{m}"' for m in measures)
+    sql = f"""
+    SELECT {", ".join(sels)}, {meas}
+    FROM lineitem l {part_join}JOIN {_ORDER_GEO_SQL} ON l.l_orderkey = g.o_orderkey
+    {"WHERE " + " AND ".join(where) if where else ""}
+    GROUP BY {groups}
+    """
+    return params, sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(parents_props_query_and_oracle())
+def test_random_parents_props_matches_oracle(builder, duck, qo):
+    params, sql = qo
+    df = builder.dataframe("lineitem_sales", Query.from_params(params))
+    assert_df_matches_sql(df, duck, sql, rtol=1e-6)
