@@ -75,13 +75,23 @@ def cosine_pairs_udf():
 
     @F.pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        mask = a.isna().to_numpy() | b.isna().to_numpy()
-        if not mask.any():
+        # EAFP, not a mask probe: Series.isna() on object-dtype list columns
+        # costs more than the whole vectorized block (measured 3.4× on
+        # semantic_dedup), so the all-valid fast path must run unchecked;
+        # np.array raises on None/ragged rows, which routes the rare
+        # null-bearing batch to the masked fallback
+        try:
             return pd.Series(_block(a, b))
-        out = pd.array([None] * len(a), dtype="Float64")
-        if (~mask).any():
-            out[~mask] = _block(a[~mask], b[~mask])
-        return pd.Series(out)
+        except (TypeError, ValueError):
+            import numpy as np
+
+            mask = np.fromiter((x is None for x in a), bool, len(a)) | np.fromiter(
+                (x is None for x in b), bool, len(b)
+            )
+            out = pd.array([None] * len(a), dtype="Float64")
+            if (~mask).any():
+                out[~mask] = _block(a[~mask], b[~mask])
+            return pd.Series(out)
 
     return cos
 
@@ -360,13 +370,19 @@ def sq_dist_pairs_udf():
 
     @F.pandas_udf("double")
     def d2(a: pd.Series, b: pd.Series) -> pd.Series:
-        mask = a.isna().to_numpy() | b.isna().to_numpy()
-        if not mask.any():
+        # EAFP fast path — see cosine_pairs_udf
+        try:
             return pd.Series(_block(a, b))
-        out = pd.array([None] * len(a), dtype="Float64")
-        if (~mask).any():
-            out[~mask] = _block(a[~mask], b[~mask])
-        return pd.Series(out)
+        except (TypeError, ValueError):
+            import numpy as np
+
+            mask = np.fromiter((x is None for x in a), bool, len(a)) | np.fromiter(
+                (x is None for x in b), bool, len(b)
+            )
+            out = pd.array([None] * len(a), dtype="Float64")
+            if (~mask).any():
+                out[~mask] = _block(a[~mask], b[~mask])
+            return pd.Series(out)
 
     return d2
 
