@@ -50,7 +50,9 @@ def plan_token_budget(
     Sources present in the corpus but absent from ``weights`` get weight 0
     (target 0 — excluded from the mix but still inventoried); weights for
     sources with no corpus rows are ignored (their share is re-allocated by
-    the Hamilton remainder pass over the present sources).
+    the Hamilton remainder pass over the present sources). If NO weighted
+    source exists in the corpus the plan raises at execution time rather
+    than silently allocating zero tokens everywhere (ADVICE r6).
     """
     inv = df.groupBy(F.col(source_col).alias("source")).agg(
         F.sum(token_count_col(F.col(text_col))).alias("available_tokens")
@@ -74,7 +76,20 @@ def plan_token_budget(
             F.when(
                 F.col("W") > 0,
                 F.expr(f"{budget_tokens} * weight DIV W"),
-            ).otherwise(F.lit(0)),
+            ).otherwise(
+                # ADVICE r6: W == 0 means no weighted source exists in the
+                # corpus — the whole budget would silently allocate to
+                # nothing. Fail loudly at execution time instead of
+                # planning a zero-token mix (lazy, so the check costs
+                # nothing on well-formed recipes).
+                F.raise_error(
+                    F.lit(
+                        "plan_token_budget: no weighted source present in "
+                        "the corpus (sum of weights over present sources "
+                        "is 0) — check the recipe's source names"
+                    )
+                ).cast("long")
+            ),
         )
         .withColumn(
             "rem",

@@ -505,13 +505,14 @@ def image_ahash_groups(documents: DataFrame, width: int = 16) -> DataFrame:
 
 def image_ahash_groups_oracle_sql(table: str = "documents", width: int = 16) -> str:
     """Independent SQL prediction: decoded gray pixel i == source byte i
-    (ASCII testdata; decoder returns bytes top-down), blocks pooled by the
-    same integer cross-multiplied comparison, hash assembled as two 32-bit
-    hex halves."""
+    (decoder returns bytes top-down), blocks pooled by the same integer
+    cross-multiplied comparison, hash assembled as two 32-bit hex halves.
+    Byte-indexed via ``to_hex(encode(text))`` hex pairs, so non-ASCII
+    documents (multi-byte UTF-8) agree with the Spark side's byte clip."""
     return f"""
     WITH imgs AS (
-      SELECT doc_id, substr(text, 1, {width} * h) AS clipped, h
-      FROM (SELECT doc_id, text,
+      SELECT doc_id, hex, h
+      FROM (SELECT doc_id, to_hex(encode(text)) AS hex,
                    (octet_length(encode(text)) // {width}) AS h
             FROM {table})
       WHERE h >= 1),
@@ -521,7 +522,7 @@ def image_ahash_groups_oracle_sql(table: str = "documents", width: int = 16) -> 
       FROM imgs),
     gpx AS (
       SELECT p.doc_id, p.h,
-             ord(substr(i2.clipped, p.i + 1, 1)) AS g,
+             ('0x' || substr(i2.hex, 2 * p.i + 1, 2))::INT AS g,
              (p.i // {width}) AS y, (p.i % {width}) AS x
       FROM px p JOIN imgs i2 USING (doc_id)),
     blk AS (
@@ -618,12 +619,13 @@ def audio_energy_fingerprint_oracle_sql(
     table: str = "documents", n_frames: int = 16
 ) -> str:
     """Independent prediction: 8-bit PCM samples ARE the source bytes, so
-    frame energies are computable from the text directly (ASCII testdata:
-    byte == codepoint)."""
+    frame energies are computable from the text directly. Byte-indexed via
+    ``to_hex(encode(text))`` hex pairs, so non-ASCII (multi-byte UTF-8)
+    documents agree with the Spark side's byte clip."""
     return f"""
     WITH clips AS (
-      SELECT doc_id, substr(text, 1, fl * {n_frames}) AS clipped, fl
-      FROM (SELECT doc_id, text,
+      SELECT doc_id, hex, fl
+      FROM (SELECT doc_id, to_hex(encode(text)) AS hex,
                    (octet_length(encode(text)) // {n_frames}) AS fl
             FROM {table})
       WHERE fl >= 1),
@@ -632,7 +634,7 @@ def audio_energy_fingerprint_oracle_sql(
       FROM clips),
     samples AS (
       SELECT s.doc_id, (s.i // s.fl) AS f,
-             (ord(substr(c.clipped, s.i + 1, 1)) - 128) AS v
+             (('0x' || substr(c.hex, 2 * s.i + 1, 2))::INT - 128) AS v
       FROM sx s JOIN clips c USING (doc_id)),
     fe AS (
       SELECT doc_id, f, CAST(sum(v * v) AS BIGINT) AS e

@@ -110,23 +110,25 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     ``share_ppm`` is integer arithmetic (n·1_000_000 DIV total), exact on
     every engine.
 
-    NULL keys are reported under the ``"(null)"`` sentinel — a NULL-heavy
-    key is a classic skew cause, so it must appear in the profile, and the
-    sentinel keeps the key-ASC tiebreak engine-portable (Spark orders NULLS
-    FIRST, DuckDB NULLS LAST; ADVICE r5)."""
+    NULL keys are reported under the ``"(null)"`` sentinel with
+    ``is_null=true`` — a NULL-heavy key is a classic skew cause, so it must
+    appear in the profile; the sentinel keeps the key-ASC tiebreak
+    engine-portable (Spark orders NULLS FIRST, DuckDB NULLS LAST; ADVICE
+    r5), and the explicit ``is_null`` flag makes the encoding
+    collision-proof against a genuine string key ``"(null)"`` (ADVICE
+    r6)."""
     counts = df.groupBy(
-        F.coalesce(F.col(key_col).cast("string"), F.lit("(null)")).alias("key")
+        F.coalesce(F.col(key_col).cast("string"), F.lit("(null)")).alias("key"),
+        F.col(key_col).isNull().alias("is_null"),
     ).agg(F.count(F.lit(1)).alias("n_rows"))
+    order = [F.col("n_rows").desc(), F.col("key").asc(), F.col("is_null").asc()]
     total = df.agg(F.count(F.lit(1)).alias("total"))
-    top = (
-        counts.orderBy(F.col("n_rows").desc(), F.col("key").asc())
-        .limit(top_k)
-        .crossJoin(F.broadcast(total))
-    )
-    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    top = counts.orderBy(*order).limit(top_k).crossJoin(F.broadcast(total))
+    w = Window.orderBy(*order)
     return top.select(
         F.row_number().over(w).alias("rank"),
         "key",
+        "is_null",
         "n_rows",
         F.expr("n_rows * 1000000 DIV total").alias("share_ppm"),
     )
@@ -136,15 +138,16 @@ def key_skew_profile_oracle_sql(table: str, key_expr: str, top_k: int = 10) -> s
     return f"""
     WITH c AS (
       SELECT COALESCE(CAST({key_expr} AS VARCHAR), '(null)') AS key,
+             ({key_expr} IS NULL) AS is_null,
              count(*) AS n_rows
-      FROM {table} GROUP BY 1),
+      FROM {table} GROUP BY 1, 2),
     t AS (SELECT count(*) AS total FROM {table})
-    SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC) AS BIGINT)
-             AS rank,
-           key, n_rows,
+    SELECT CAST(row_number() OVER
+             (ORDER BY n_rows DESC, key ASC, is_null ASC) AS BIGINT) AS rank,
+           key, is_null, n_rows,
            n_rows * 1000000 // total AS share_ppm
     FROM c, t
-    ORDER BY n_rows DESC, key ASC LIMIT {top_k}
+    ORDER BY n_rows DESC, key ASC, is_null ASC LIMIT {top_k}
     """
 
 

@@ -126,8 +126,10 @@ def bm25_topk_oracle_sql(
       SELECT tf.doc_id,
              CAST(floor(
                ((stats.N - dfreq.df + 0.5) / (dfreq.df + 0.5))
-               * ((tf.tf * {k1 + 1.0!r}) / (tf.tf + {k1!r} *
-                  ({1.0 - b!r} + {b!r} * (dl.dl * stats.N) / stats.total_dl)))
+               * ((tf.tf * CAST({k1 + 1.0!r} AS DOUBLE)) /
+                  (tf.tf + CAST({k1!r} AS DOUBLE) *
+                  (CAST({1.0 - b!r} AS DOUBLE) +
+                   CAST({b!r} AS DOUBLE) * (dl.dl * stats.N) / stats.total_dl)))
                * 1000000) AS BIGINT) AS ppm
       FROM tf
       JOIN dfreq USING (term)

@@ -39,6 +39,14 @@ def get_spark(
         # current vintage is timestamp[us]/NTZ, normalized there too)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # keep Derby's derby.log (dropped by the embedded-JDBC tests) out of
+        # the repo root — Derby writes it to derby.stream.error.file, which
+        # defaults to cwd (VERDICT r6 hygiene item)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.stream.error.file=/tmp/tesseract_spark_derby.log "
+            "-Dderby.system.home=/tmp",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

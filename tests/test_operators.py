@@ -1485,16 +1485,55 @@ def test_key_skew_profile_null_keys(spark, duck):
     df = spark.createDataFrame(
         [("a",)] * 5 + [(None,)] * 5 + [("b",)] * 3, "k string"
     )
-    got = {r["key"]: (r["rank"], r["n_rows"]) for r in key_skew_profile(df, "k", top_k=2).collect()}
+    got = {
+        (r["key"], r["is_null"]): (r["rank"], r["n_rows"])
+        for r in key_skew_profile(df, "k", top_k=2).collect()
+    }
     # NULL ties with 'a' at 5 rows; sentinel '(null)' sorts before 'a'
-    assert got == {"(null)": (1, 5), "a": (2, 5)}
+    assert got == {("(null)", True): (1, 5), ("a", False): (2, 5)}
 
     duck.execute("CREATE OR REPLACE TABLE _skewt AS SELECT * FROM (VALUES " +
                  ", ".join(["('a')"] * 5 + ["(NULL)"] * 5 + ["('b')"] * 3) + ") t(k)")
     want = {
-        r[1]: (r[0], r[2])
+        (r[1], r[2]): (r[0], r[3])
         for r in duck.execute(
             key_skew_profile_oracle_sql("_skewt", "k", top_k=2)
+        ).fetchall()
+    }
+    assert want == got
+
+
+def test_key_skew_profile_null_vs_literal_sentinel(spark, duck):
+    """A genuine string key '(null)' must NOT merge with NULL keys: the
+    is_null flag disambiguates, so the two produce separate profile rows
+    with separate counts (ADVICE r6)."""
+    from tesseract_spark.operators.profile import (
+        key_skew_profile,
+        key_skew_profile_oracle_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("(null)",)] * 4 + [(None,)] * 3 + [("x",)] * 2, "k string"
+    )
+    got = {
+        (r["key"], r["is_null"]): (r["rank"], r["n_rows"], r["share_ppm"])
+        for r in key_skew_profile(df, "k", top_k=3).collect()
+    }
+    assert got == {
+        ("(null)", False): (1, 4, 4 * 1_000_000 // 9),
+        ("(null)", True): (2, 3, 3 * 1_000_000 // 9),
+        ("x", False): (3, 2, 2 * 1_000_000 // 9),
+    }
+
+    duck.execute(
+        "CREATE OR REPLACE TABLE _skewc AS SELECT * FROM (VALUES "
+        + ", ".join(["('(null)')"] * 4 + ["(NULL)"] * 3 + ["('x')"] * 2)
+        + ") t(k)"
+    )
+    want = {
+        (r[1], r[2]): (r[0], r[3], r[4])
+        for r in duck.execute(
+            key_skew_profile_oracle_sql("_skewc", "k", top_k=3)
         ).fetchall()
     }
     assert want == got
@@ -1704,6 +1743,21 @@ def test_token_budget_hamilton_properties(spark):
     assert out["small"]["target_tokens"] == 50  # equal weights, ghost dropped
     assert out["small"]["epochs_ppk"] == 50 * 1000 // 6  # heavy up-sampling
     assert out["big"]["rate_ppm"] == 50 * 1_000_000 // 500  # subsample
+
+
+def test_token_budget_no_weighted_source_raises(spark):
+    """A recipe whose weighted sources are ALL absent from the corpus must
+    fail loudly at execution time, not plan a zero-token mix (ADVICE r6)."""
+    import pytest as _pytest
+
+    from tesseract_spark.operators.budget import plan_token_budget
+
+    df = spark.createDataFrame(
+        [("d1", "present", "a b c")], "doc_id string, source string, text string"
+    )
+    plan = plan_token_budget(df, {"ghost": 1, "phantom": 2}, 1000)
+    with _pytest.raises(Exception, match="no weighted source"):
+        plan.collect()
 
 
 # ---------- round 6: cross-document boilerplate fraction ----------
