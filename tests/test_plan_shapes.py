@@ -72,6 +72,17 @@ def test_plan_shape(name, spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: unexpected nested-loop join (non-equi or missing key?)"
         )
+    if name == "q_approx_percentile":
+        # VERDICT r6 #2: the bracket must come from the distributed
+        # exact_quantiles rank fold, never from built-in exact `percentile`
+        # (an ObjectHashAggregate whose buffer holds EVERY group value).
+        # approx_percentile (bounded GK sketch buffer) is the entry's
+        # subject and is allowed.
+        exact_pct = re.findall(r"(?<!approx_)percentile\(", plan)
+        assert not exact_pct, (
+            "q_approx_percentile: exact `percentile` aggregate back in the "
+            "plan — the bracket regressed to per-group value buffering"
+        )
     n_exchange = len(re.findall(r"\bExchange\b", plan))
     ceiling = EXCHANGE_CEILING.get(name, DEFAULT_CEILING)
     assert n_exchange <= ceiling, (
