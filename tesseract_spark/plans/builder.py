@@ -736,6 +736,11 @@ class PlanBuilder:
             )
             # reference final order: by_dim asc, sort measure dir (options.rs:56-60)
             sort_cols = [F.col(a).asc() for a in by_aliases] + order
+        elif query.sort is not None and query.sort.is_none:
+            # sort=none: skip the final ORDER BY (engine extension — the
+            # default all-drills sort is reference parity but pure cost when
+            # the consumer is a sink; SURVEY §7 risk 7 / VERDICT r6 #3)
+            sort_cols = []
         elif query.sort is not None:
             c = F.col(self._calc_column_name(query.sort.measure, query))
             first = c.desc() if query.sort.direction is SortDirection.DESC else c.asc()
@@ -746,6 +751,11 @@ class PlanBuilder:
             # default deterministic order: all drill columns asc (options.rs:60-66)
             sort_cols = [F.col(a).asc() for a in self._group_aliases(specs)]
 
+        if query.sort is not None and query.sort.is_none:
+            # sort=none also suppresses top's presentation-order sort (the
+            # ranking FILTER above already ran; only the final ordering of
+            # surviving rows is skipped)
+            sort_cols = []
         if sort_cols:
             df = df.orderBy(*sort_cols)
 

@@ -227,15 +227,26 @@ class LimitQuery:
 @dataclass(frozen=True)
 class SortQuery:
     # query.rs:292-315
-    measure: object  # measure-name str | Calculation
-    direction: SortDirection
+    measure: object  # measure-name str | Calculation | None (= sort=none)
+    direction: SortDirection | None
 
     @classmethod
     def parse(cls, s: str) -> "SortQuery":
+        # "none" disables the final sort entirely (engine extension, not in
+        # the reference): the reference's default all-drill-columns ORDER BY
+        # (options.rs:60-66) is pure cost when the consumer is a sink rather
+        # than a reader — at scale it forces a full range-partitioned
+        # shuffle+sort of the result for nothing. Default order unchanged.
+        if s.strip().lower() == "none":
+            return cls(None, None)
         mea, _, direction = s.rpartition(".")
         if not mea:
             raise QueryParseError(f"could not parse sort query {s!r}")
         return cls(parse_mea_or_calc(mea), SortDirection(direction))
+
+    @property
+    def is_none(self) -> bool:
+        return self.measure is None
 
 
 @dataclass(frozen=True)

