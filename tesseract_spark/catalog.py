@@ -1690,6 +1690,16 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: multimodal.decoded_image_features(_docs(spark, sf)),
         multimodal.decoded_image_features_oracle_sql(),
     )
+    # REAL COMPRESSED image decode end-to-end (round 7): bytes wrapped into
+    # genuine 8-bit grayscale PNGs (zlib IDAT, CRC-stamped chunks, scanline
+    # filters cycling None/Sub/Up/Average/Paeth per row) and parsed back by
+    # the real chunk-walk/inflate/defilter decoder; the md5 of the decoded
+    # pixel stream is predicted independently by the oracle
+    _add(
+        "q_image_png_decode",
+        lambda spark, sf: multimodal.decoded_png_features(_docs(spark, sf)),
+        multimodal.decoded_png_features_oracle_sql(),
+    )
     # perceptual image dedup: real BMP decode → 8×8 average-hash (exact
     # integer block comparison) → hash-keyed duplicate groups; oracle
     # predicts every hash independently from the source bytes

@@ -247,7 +247,109 @@ def test_decoded_image_features_matches_module_decoder(spark, sf_dir):
         img = mm.decode_media(mm.encode_bmp_gray(payload[: 16 * h], 16, h), "image")
         r = got[src.doc_id]
         assert (r.width, r.height) == (img["width"], img["height"])
-        assert r.pixels_md5 == hashlib.md5(img["pixels"]).hexdigest()
+        # portable lowercase-hex md5 (round 7): hash of the hex text, not raw bytes
+        assert r.pixels_md5 == hashlib.md5(img["pixels"].hex().encode()).hexdigest()
+
+
+def test_png_round_trip_every_filter():
+    """PNG encode→decode inverts for each scanline filter type alone AND for
+    the cycling encoder (every filter on the same image), on data crafted to
+    stress each predictor; corrupt CRC and unsupported variants fail loudly."""
+    import struct
+    import zlib
+
+    from tesseract_spark.operators import multimodal as mm
+
+    # gradient + noise pattern: left/up/avg/paeth predictors all differ
+    w, h = 7, 10
+    pixels = bytes(((x * 37 + y * 101 + (x * y) % 13) % 256) for y in range(h) for x in range(w))
+
+    # cycling encoder exercises filters 0..4 across rows
+    png = mm.encode_png_gray(pixels, w, h, filter_cycle=True)
+    img = mm.decode_media(png, "image")
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    assert img["pixels"] == b"".join(bytes((b, b, b)) for b in pixels)
+
+    # each filter type alone: hand-build single-filter PNGs via the module
+    # primitives to pin each reconstruction function independently
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF
+        )
+
+    for ft in range(5):
+        raw = bytearray()
+        prior = bytes(w)
+        for y in range(h):
+            row = pixels[y * w : (y + 1) * w]
+            raw.append(ft)
+            for x in range(w):
+                left = row[x - 1] if x else 0
+                up = prior[x]
+                ul = prior[x - 1] if x else 0
+                pred = (
+                    0 if ft == 0 else left if ft == 1 else up if ft == 2
+                    else (left + up) >> 1 if ft == 3 else mm._paeth(left, up, ul)
+                )
+                raw.append((row[x] - pred) & 0xFF)
+            prior = row
+        png1 = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert mm.decode_png(png1)["pixels"] == b"".join(
+            bytes((b, b, b)) for b in pixels
+        ), f"filter {ft} reconstruction broken"
+
+    # RGB (color type 2) decodes without tripling
+    rgb = bytes(range(2 * 1 * 3))
+    raw = b"\x00" + rgb[:6]
+    png_rgb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert mm.decode_png(png_rgb)["pixels"] == rgb[:6]
+
+    # corrupt CRC fails loudly
+    bad = bytearray(png)
+    bad[-5] ^= 0xFF  # inside IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(bad))
+    # 16-bit and interlaced are honest NotImplementedError boundaries
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(png16)
+
+
+def test_decoded_png_features_matches_module_decoder(spark, sf_dir):
+    """The PNG Spark entry's self-contained closure must agree with the
+    module-level encode_png_gray/decode_png pair, and the round-trip must be
+    the identity (so the md5 equals the BMP entry's for the same doc)."""
+    import hashlib
+
+    from tesseract_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    got = {r.doc_id: r for r in mm.decoded_png_features(docs).collect()}
+    for src in docs.select("doc_id", "text").collect():
+        payload = src.text.encode()
+        h = len(payload) // 16
+        if h == 0:
+            assert src.doc_id not in got
+            continue
+        img = mm.decode_media(mm.encode_png_gray(payload[: 16 * h], 16, h), "image")
+        r = got[src.doc_id]
+        assert (r.width, r.height) == (img["width"], img["height"])
+        assert r.pixels_md5 == hashlib.md5(img["pixels"].hex().encode()).hexdigest()
 
 
 def test_minhash_lsh_oversize_bucket_star_expansion(spark):
