@@ -714,6 +714,31 @@ def test_incremental_rollup_upsert_matches_batch(spark, sf_dir, tmp_path):
     assert one_day.count() > 0
 
 
+def test_ivf_index_bit_equal_to_in_memory_and_prunes(spark, sf_dir, tmp_path):
+    """The persistent IVF index must return EXACTLY what the in-memory
+    ivf_topk computes (same trained centroids + assignments, serialized and
+    served back), and the probed-list scan must statically partition-prune
+    on cid (PartitionFilters in the plan) — VERDICT r6 #5."""
+    from tesseract_spark.operators import ann_index, similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    want = sorted(map(tuple, similarity.ivf_topk(embs, qids).collect()))
+
+    path = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(embs, path)
+    got_df = ann_index.query_ivf_index(spark, path, qids)
+    assert sorted(map(tuple, got_df.collect())) == want
+
+    # the scan the query path builds must carry the cid partition filter
+    pruned = ann_index.pruned_lists_scan(spark, path, [1, 3])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters")[1][:160]
+    # and prune for real: only the two probed directories' rows survive
+    assert set(r["cid"] for r in pruned.select("cid").distinct().collect()) <= {1, 3}
+
+
 def test_minhash_verified_pairs_consistent(spark, sf_dir):
     """Verified pairs must be a subset of the LSH candidates, and every
     reported jaccard must equal the full inverted-index computation's value

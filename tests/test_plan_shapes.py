@@ -20,6 +20,7 @@ from tesseract_spark import catalog
 BNLJ_WHITELIST = {
     "q_ann_cosine_topk",
     "q_ann_ivf_topk",
+    "q_ann_ivf_index",  # same broadcast-centroid probe shape, index-served
     "q_ann_lsh_topk",
     "q_growth_year",
     "q_growth_div0_inf",  # same global-lag pid<pid' carry shape as q_growth_year
@@ -45,6 +46,7 @@ BNLJ_WHITELIST = {
 # regressions, not exchange-count golden values
 EXCHANGE_CEILING = {
     "q_ann_ivf_topk": 30,
+    "q_ann_ivf_index": 30,  # build (train+assign+partitioned write) + probe
     "q_semantic_dedup": 48,  # k-means train + assign + in-cluster pair scan
     "q_stratified_sample": 24,  # seat math (tiny) + bucketed rank + manifest
     "q_pagerank_dups": 98,  # 3 unrolled iterations × (join+groupBy) + LSH sig
