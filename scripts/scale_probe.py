@@ -11,7 +11,20 @@ Replication semantics per table:
 - events: id-shifted copies with ts shifted by 35*i days, so per-user
   timelines (asof/range joins, sessions) grow 10x without colliding.
 
-Usage: python scripts/scale_probe.py [N] [--keep]
+Usage: python scripts/scale_probe.py [N] [--keep] [--all] [query names...]
+
+``--all`` (VERDICT r6 #7, the full-catalog scale gate): sweep EVERY catalog
+entry, timing each at sf0.1 (1×) and at the N× replica in the same session,
+and flag any entry whose time grows faster than data+output. Flag rule,
+documented in SCALE.md: an entry is flagged when
+
+    t_Nx > 1.2 * N * t_1x + 2.0 s
+
+i.e. more than N× growth with 20% slack plus a 2 s fixed-overhead floor
+(Spark job-launch noise dominates sub-second queries; without the floor
+every 0.2 s → 2.5 s entry would false-positive). Linear-in-data operators
+sit well under the line; anything super-linear (an accidental all-pairs
+join, a lost pushdown) blows past it.
 """
 
 from __future__ import annotations
@@ -125,13 +138,17 @@ def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos.pop(0)) if pos and pos[0].isdigit() else 10
     keep = "--keep" in sys.argv
+    sweep_all = "--all" in sys.argv
     only = pos
     global PROBE_QUERIES
-    if only:
-        PROBE_QUERIES = [q for q in PROBE_QUERIES if q in only] or only
 
     from tesseract_spark import catalog
     from tesseract_spark.session import get_spark
+
+    if sweep_all:
+        PROBE_QUERIES = sorted(catalog.ENTRIES)
+    if only:
+        PROBE_QUERIES = [q for q in PROBE_QUERIES if q in only] or only
 
     spark = get_spark("scale_probe")
     out = tempfile.mkdtemp(prefix=f"scale_x{n}_")
@@ -147,14 +164,41 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(_warm_iter, "id long").count()
 
     results = {}
+    n_flagged = 0
     for name in PROBE_QUERIES:
         fn = catalog.ENTRIES[name].spark_fn
+        rec = {}
+        if sweep_all:
+            # 1x baseline in the same session — the flag compares same-box,
+            # same-JVM timings, not cross-round numbers
+            t0 = time.time()
+            rec["rows_1x"] = fn(spark, BASE).count()
+            rec["sec_1x"] = round(time.time() - t0, 2)
         t0 = time.time()
         df = fn(spark, out)
         nrows = df.count()
-        results[name] = {"sec": round(time.time() - t0, 2), "rows": nrows}
-        print(f"{name:28s} {results[name]['sec']:7.2f}s  rows={nrows}", file=sys.stderr)
-    print(json.dumps({"replication": n, "queries": results}))
+        rec["sec"] = round(time.time() - t0, 2)
+        rec["rows"] = nrows
+        if sweep_all:
+            # flag rule (see module docstring): > N x growth with 20% slack
+            # + 2 s fixed-overhead floor
+            rec["flag"] = rec["sec"] > 1.2 * n * rec["sec_1x"] + 2.0
+            n_flagged += rec["flag"]
+            mark = " <<< FLAG" if rec["flag"] else ""
+            print(
+                f"{name:32s} 1x={rec['sec_1x']:6.2f}s  {n}x={rec['sec']:7.2f}s"
+                f"  ratio={rec['sec'] / max(rec['sec_1x'], 0.01):5.1f}"
+                f"  rows={nrows}{mark}",
+                file=sys.stderr,
+            )
+        else:
+            print(f"{name:28s} {rec['sec']:7.2f}s  rows={nrows}", file=sys.stderr)
+        results[name] = rec
+    summary = {"replication": n, "queries": results}
+    if sweep_all:
+        summary["flagged"] = n_flagged
+        print(f"flagged: {n_flagged}/{len(PROBE_QUERIES)}", file=sys.stderr)
+    print(json.dumps(summary))
     if not keep:
         shutil.rmtree(out, ignore_errors=True)
 

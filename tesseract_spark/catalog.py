@@ -2293,6 +2293,26 @@ def _wire_pipeline_ops() -> None:
         ),
     )
 
+    # graded contamination (round 7): per-doc fraction of distinct 5-grams
+    # found in the probe set — the "≥X% of n-grams seen" metric published
+    # recipes filter on, vs the boolean tiers above. Integer-ppm exact.
+    def _decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.decontaminate import ngram_overlap_fraction
+
+        docs = _docs(spark, sf)
+        probes = [r.text for r in docs.orderBy("doc_id").limit(2).collect()]
+        return ngram_overlap_fraction(docs, probes)
+
+    from .operators.decontaminate import ngram_overlap_fraction_oracle_sql
+
+    _add(
+        "q_decontaminate_ngram",
+        _decontaminate_ngram,
+        ngram_overlap_fraction_oracle_sql(
+            probes_sql="SELECT text FROM documents ORDER BY doc_id LIMIT 2"
+        ),
+    )
+
     # cohort retention: users grouped by first-seen week, counted distinct in
     # each later week — two groupBys + a broadcast-sized first-seen join; the
     # matrix is integers throughout, hence exactly mirrorable

@@ -197,6 +197,97 @@ def bloom_decontaminate_oracle_sql(
     """
 
 
+def ngram_overlap_fraction(
+    df: DataFrame,
+    probe_texts: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold_ppm: int = 100_000,
+) -> DataFrame:
+    """Per-document n-gram OVERLAP FRACTION vs an evaluation benchmark — the
+    graded contamination metric published pretraining recipes filter on
+    (e.g. "drop documents where ≥X% of n-grams appear in any eval set"),
+    complementing the boolean hit flag (:func:`flag_contaminated`) and the
+    Bloom tier (:func:`bloom_decontaminate`): those answer "touched at
+    all?", this answers "how much of the document IS benchmark text", which
+    is what separates a quoted sentence from a wholesale eval-set copy.
+
+    Returns ``(doc_id, n_ngrams, n_overlap, overlap_ppm, flagged)`` where
+    ``overlap_ppm`` is the integer parts-per-million share of the document's
+    DISTINCT n-grams found in the probe set (exact integer DIV — engine
+    portable) and ``flagged = overlap_ppm >= threshold_ppm``.
+
+    Scale shape: one per-row shingle explode, one broadcast LEFT join
+    against the probe shingles (eval suites are KB-to-MB — always broadcast
+    side), one map-side-combined groupBy on doc id. No corpus-side text ever
+    shuffles; executor memory is bounded by the probe set.
+    """
+    spark = df.sparkSession
+    probes = spark.createDataFrame([(t,) for t in probe_texts], ["text"])
+    probe_sh = (
+        probes.select(F.explode(word_shingles_col(F.col("text"), n)).alias("shingle"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+    per_doc = (
+        sh.join(F.broadcast(probe_sh), "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_overlap"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_ngrams",
+        "n_overlap",
+        F.expr("n_overlap * 1000000 DIV n_ngrams").alias("overlap_ppm"),
+        (F.expr("n_overlap * 1000000 DIV n_ngrams") >= F.lit(threshold_ppm)).alias(
+            "flagged"
+        ),
+    )
+
+
+def ngram_overlap_fraction_oracle_sql(
+    probe_texts: list[str] | None = None,
+    table: str = "documents",
+    n: int = 5,
+    threshold_ppm: int = 100_000,
+    probes_sql: str | None = None,
+) -> str:
+    """Oracle mirror of :func:`ngram_overlap_fraction` — same shingling,
+    same integer-ppm arithmetic."""
+    if probes_sql is None:
+        lits = ", ".join("(" + "'" + t.replace("'", "''") + "')" for t in probe_texts)
+        probes_sql = f"VALUES {lits}"
+    return f"""
+    WITH probes(text) AS ({probes_sql}),
+    probe_sh AS (
+      SELECT DISTINCT unnest({_sql_word_shingles("text", n)}) AS shingle
+      FROM probes
+    ),
+    sh AS (
+      SELECT doc_id AS id, unnest({_sql_word_shingles("text", n)}) AS shingle
+      FROM {table}
+    ),
+    per AS (
+      SELECT sh.id, count(*) AS n_ngrams,
+             CAST(sum(CASE WHEN p.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overlap
+      FROM sh LEFT JOIN probe_sh p USING (shingle) GROUP BY 1
+    )
+    SELECT id AS doc_id, n_ngrams, n_overlap,
+           n_overlap * 1000000 // n_ngrams AS overlap_ppm,
+           (n_overlap * 1000000 // n_ngrams) >= {threshold_ppm} AS flagged
+    FROM per
+    """
+
+
 def flag_contaminated_oracle_sql(
     probe_texts: list[str] | None = None,
     table: str = "documents",

@@ -1173,6 +1173,30 @@ def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
     assert saturated.where("NOT flagged").count() == 0
 
 
+def test_ngram_overlap_fraction_grades_partial_overlap(spark):
+    """The graded metric must separate a wholesale benchmark copy
+    (overlap=100%) from a document quoting one benchmark sentence (partial)
+    from a clean document (0), with exact integer-ppm arithmetic and the
+    threshold flag applied to the ppm value."""
+    from tesseract_spark.operators.decontaminate import ngram_overlap_fraction
+
+    bench = "alpha beta gamma delta epsilon zeta"  # 2 distinct 5-grams
+    docs = spark.createDataFrame(
+        [
+            (1, bench),  # full copy: both 5-grams hit -> 1_000_000 ppm
+            # quotes the first benchmark 5-gram, then diverges: the doc has
+            # 5 distinct 5-grams, exactly 1 in the benchmark -> 200_000 ppm
+            (2, "alpha beta gamma delta epsilon one two three four"),
+            (3, "totally unrelated text with no benchmark words at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_overlap_fraction(docs, [bench], threshold_ppm=500_000).collect()}
+    assert (out[1].n_ngrams, out[1].n_overlap, out[1].overlap_ppm, out[1].flagged) == (2, 2, 1_000_000, True)
+    assert (out[2].n_ngrams, out[2].n_overlap, out[2].overlap_ppm, out[2].flagged) == (5, 1, 200_000, False)
+    assert (out[3].n_overlap, out[3].overlap_ppm, out[3].flagged) == (0, 0, False)
+
+
 def test_subsample_by_group_deterministic_rates(spark):
     from tesseract_spark.operators.sampling import subsample_by_group
 
