@@ -2900,23 +2900,26 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness harness checks only the FIRST 50 queries() entries
-# per round, so ordering is evidence policy, not cosmetics. Round-6 window
-# (VERDICT r5 "next round" #2: oldest-evidence-first). Evidence ledger after
-# r5: union of green rows over r1-r5 covers 121/121 entries; latest-green
-# histogram 50@r5 / 39@r4 / 32@r3. This window re-proves the entire r3
-# cohort plus the oldest r4 entries (catalog definition order breaks the
-# within-r4 tie; each round-6 debut displaced one r4 slot, leaving 3 of the
-# original 10 — all displaced/remaining r4 entries stay r4-green and rotate
-# into r7), so after r6 no entry's latest green row predates r4. Fixed slots:
+# per round, so ordering is evidence policy, not cosmetics. Round-7 window
+# (VERDICT r6 "next round" #1: oldest-evidence-first). Evidence ledger after
+# r6: union of green rows over r1-r6 covers 130/130 entries; latest-green
+# histogram 50@r6 / 44@r5 / 36@r4. This window re-proves the ENTIRE r4
+# cohort (36 entries — after r7 no entry's latest green row predates r5),
+# plus every entry whose code or oracle changed this round, plus the three
+# round-7 debuts. Fixed slots:
 #  - 3 environment probes (integer-sum dtype, events-ts vintage, DuckDB
 #    version) — any external divergence localizes in-round;
 #  - 2 permanent cross-round anchors (q_growth_year, q_agg_year);
-#  - q_quantiles_distributed re-proof: the r6 adaptive small-input path
-#    (operators/quantiles.py) changes the code path the driver exercises at
-#    sf0.01, so it must be re-proven the round it lands (its r3-cohort
-#    sibling q_price_quartile_counts is in the rotation anyway);
-#  - every operator entry NEW in r6 (starvation tripwire: new entries MUST
-#    debut in a window).
+#  - changed-entry re-proofs (r6 policy: a changed code path or oracle must
+#    be re-proven the round it lands): q_approx_percentile (bracket now from
+#    exact_quantiles — VERDICT r6 #2), q_key_skew_profile (is_null column),
+#    q_bm25_topk (oracle DOUBLE casts), q_image_ahash_dedup /
+#    q_audio_fingerprint (byte-indexed oracles), q_token_budget_plan (W=0
+#    raise branch); q_multimodal_decode also changed (hex md5) and is in
+#    the r4 cohort below;
+#  - every entry NEW in r7 (starvation tripwire: new entries MUST debut in
+#    a window): q_image_png_decode, q_ann_ivf_index, q_decontaminate_ngram.
+# The 44-entry r5 cohort stays r5-green and rotates in r8.
 DRIVER_WINDOW: list[str] = [
     # environment probes (single-construct canaries)
     "q_probe_sum_bigint",
@@ -2925,58 +2928,54 @@ DRIVER_WINDOW: list[str] = [
     # permanent anchors
     "q_growth_year",
     "q_agg_year",
-    # adaptive-quantile re-proof (code path changed this round)
-    "q_quantiles_distributed",
-    # r3 cohort — every entry whose latest green row is r3 (32 entries)
-    "q_rca_debug",
-    "q_rate_returnflag",
-    "q_avg_fk_grain",
-    "q_aggregators",
-    "q_sparse",
-    "q_members_nation",
-    "q_diag_orphan_fk",
-    "q_distinct_count",
-    "q_approx_distinct_count",
-    "q_percentiles",
+    # r4 cohort — every entry whose latest green row is r4 (36 entries)
+    "q_ann_near_dup",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    "q_events_sliding",
+    "q_events_top_types",
+    "q_text_repetition",
+    "q_text_rolling_fp",
+    "q_split_train_val_test",
+    "q_sample_per_group",
+    "q_range_join_activity",
+    "q_mixture_subsample",
+    "q_decontaminate",
+    "q_cohort_retention",
+    "q_dedup_incremental",
+    "q_source_overlap",
+    "q_top_terms",
+    "q_histogram_quantity",
+    "q_profile_documents",
+    "q_tfidf_topk_terms",
+    "q_embedding_dim_stats",
+    "q_split_leakage",
+    "q_fuzzy_name_match",
+    "q_pack_sequences",
+    "q_chunk_documents",
+    "q_redact_pii",
+    "q_epoch_shuffle",
+    "q_corpus_curation",
+    "q_events_sessionize",
+    "q_weighted_sample",
+    "q_multimodal_decode",
+    "q_dedup_spans",
+    "q_logic_time_latest",
+    "q_logic_named_set",
+    "q_logic_cut_children",
+    "q_source_jsonl_roundtrip",
+    "q_source_csv_roundtrip",
+    # changed-code/oracle re-proofs (round 7)
     "q_approx_percentile",
-    "q_cumulative_quantity",
-    "q_moving_avg",
-    "q_share_of_region",
-    "q_dense_yearly",
-    "q_outlier_orders",
-    "q_salted_agg",
-    "q_price_quartile_counts",
-    "q_corr_price_qty",
-    "q_sort_by_growth",
-    "q_cut_and_drill_same_dim",
-    "q_multi_cut_union",
-    "q_pivot_flags",
-    "q_rollup_year_flag",
-    "q_cube_year_flag",
-    "q_grouping_sets",
-    "q_asof_purchase_click",
-    "q_asof_bucketed",
-    "q_conditional_cut",
-    "q_default_member",
-    "q_default_member_excluded",
-    "q_multi_hierarchy_segment",
-    # oldest r4-cohort entries (catalog order; 7 of the original 10 were
-    # displaced by round-6 debuts — rest rotate into r7)
-    "q_dedup_verified",
-    "q_dedup_clusters",
-    "q_ann_ivf_topk",
-    # round-6 debuts (new entries MUST debut in a window; each past the
-    # first displaced one r4-cohort slot — the displaced entries stay
-    # r4-green and rotate in r7)
-    "q_growth_div0_inf",
-    "q_lm_bigram_score",
-    "q_dsir_importance",
-    "q_token_budget_plan",
-    "q_boilerplate_fraction",
+    "q_key_skew_profile",
     "q_bm25_topk",
     "q_image_ahash_dedup",
     "q_audio_fingerprint",
-    "q_ann_int8_topk",
+    "q_token_budget_plan",
+    # round-7 debuts (new entries MUST debut in a window)
+    "q_image_png_decode",
+    "q_ann_ivf_index",
+    "q_decontaminate_ngram",
 ]
 
 
