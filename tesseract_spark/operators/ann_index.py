@@ -114,6 +114,34 @@ def query_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to an existing index WITHOUT retraining —
+    the standard IVF add path: assign the new batch to the FROZEN stored
+    centroids and append to the partitioned lists. One broadcast-assign map
+    over the new batch + one partitioned append; the existing lists are
+    never rewritten (each parquet partition directory just gains files).
+
+    Centroids drift as the corpus grows — the usual practice is periodic
+    :func:`build_ivf_index` re-trains between which appends accumulate.
+    Queries over an appended index are exactly the frozen-centroid answer:
+    bit-equal to rebuilding the ASSIGNMENT over the union corpus with the
+    same centroids (tested)."""
+    spark = df.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    _assign(vecs, cents).write.mode("append").partitionBy("cid").parquet(
+        f"{path}/lists"
+    )
+
+
 def pruned_lists_scan(spark: SparkSession, path: str, cids: list[int]) -> DataFrame:
     """The pruned inverted-list scan on its own (for plan inspection)."""
     return spark.read.parquet(f"{path}/lists").filter(F.col("cid").isin(cids))

@@ -330,6 +330,26 @@ def test_png_round_trip_every_filter():
         mm.decode_png(png16)
 
 
+def test_png_round_trip_fuzz():
+    """Property fuzz: encode→decode is the identity for arbitrary byte
+    grids over a spread of widths/heights (both filter modes), including
+    degenerate 1-pixel and 1-row/1-column shapes."""
+    import random
+
+    from tesseract_spark.operators import multimodal as mm
+
+    rng = random.Random(0x5EED)
+    shapes = [(1, 1), (1, 7), (7, 1), (2, 2), (5, 3), (16, 11), (33, 4)]
+    for w, h in shapes:
+        for cycle in (False, True):
+            pixels = bytes(rng.randrange(256) for _ in range(w * h))
+            img = mm.decode_png(mm.encode_png_gray(pixels, w, h, filter_cycle=cycle))
+            assert (img["width"], img["height"]) == (w, h)
+            assert img["pixels"] == b"".join(bytes((b, b, b)) for b in pixels), (
+                f"round-trip broken at {w}x{h} cycle={cycle}"
+            )
+
+
 def test_decoded_png_features_matches_module_decoder(spark, sf_dir):
     """The PNG Spark entry's self-contained closure must agree with the
     module-level encode_png_gray/decode_png pair, and the round-trip must be
@@ -737,6 +757,39 @@ def test_ivf_index_bit_equal_to_in_memory_and_prunes(spark, sf_dir, tmp_path):
     assert "cid" in plan.split("PartitionFilters")[1][:160]
     # and prune for real: only the two probed directories' rows survive
     assert set(r["cid"] for r in pruned.select("cid").distinct().collect()) <= {1, 3}
+
+
+def test_ivf_index_incremental_append_equals_frozen_rebuild(spark, sf_dir, tmp_path):
+    """Appending a batch to an existing index (frozen centroids, no
+    retrain) must serve exactly what an index whose LISTS were assigned
+    over the union corpus with the SAME centroids would serve — and must
+    not rewrite existing list files."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import ann_index
+    from tesseract_spark.operators.similarity import _assign
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = embs.filter(F.col("vec_id") % 2 == 0)
+    new = embs.filter(F.col("vec_id") % 2 == 1)
+    qids = [0, 2, 5, 9]
+
+    path = str(tmp_path / "ivf_inc")
+    ann_index.build_ivf_index(old, path)
+    ann_index.append_to_ivf_index(new, path)
+    got = sorted(map(tuple, ann_index.query_ivf_index(spark, path, qids).collect()))
+
+    # frozen-centroid reference: same stored centroids, union assignment
+    cents = spark.read.parquet(f"{path}/centroids")
+    union_vecs = embs.select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+    ref_path = str(tmp_path / "ivf_ref")
+    cents.write.parquet(f"{ref_path}/centroids")
+    _assign(union_vecs, cents).write.partitionBy("cid").parquet(f"{ref_path}/lists")
+    want = sorted(map(tuple, ann_index.query_ivf_index(spark, ref_path, qids).collect()))
+    assert got == want and len(got) > 0
 
 
 def test_minhash_verified_pairs_consistent(spark, sf_dir):
