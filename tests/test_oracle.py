@@ -77,6 +77,7 @@ _VERSION_RISKY_USES = {
         "q_ann_cosine_topk",
         "q_ann_int8_topk",  # r6: same round-6 cosine rescore as the ANN family
         "q_ann_ivf_topk",
+        "q_ann_ivf_index",  # r7: reuses the ivf_topk oracle verbatim
         "q_ann_lsh_topk",
         "q_ann_near_dup",
         "q_avg_fk_grain",
