@@ -853,6 +853,95 @@ def image_ahash_groups_oracle_sql(table: str = "documents", width: int = 16) -> 
     """
 
 
+def image_ahash_near_dup_pairs(
+    documents: DataFrame, width: int = 16, max_hamming: int = 6
+) -> DataFrame:
+    """Perceptual NEAR-duplicate image pairs: distinct aHash values within
+    ``max_hamming`` bits of each other — the tolerance tier above
+    :func:`image_ahash_groups` (exact-hash collisions), catching images
+    that differ by a few blocks (small crops, brightness steps, corner
+    logos) the way hash equality cannot.
+
+    Scale shape (never all-pairs): work happens over DISTINCT hashes, not
+    images — identical-hash members are transitively covered by the groups
+    operator, so only hash-level pairs matter, and candidate generation is
+    hamming-LSH banding: the 64-bit hash splits into 8 one-byte bands (=
+    its hex pairs), and two hashes within hamming ≤ 7 MUST share at least
+    one band exactly (pigeonhole), so a band-keyed equi-self-join over
+    distinct hashes finds every true pair with zero distance computations
+    outside the buckets. Exact recall requires ``max_hamming <= 7``
+    (asserted); the brute-force DuckDB oracle is therefore bit-equal.
+
+    Returns ``(hash_a, hash_b, hamming, n_images_a, n_images_b)`` with
+    ``hash_a < hash_b`` and ``1 <= hamming <= max_hamming``; expand through
+    the per-hash membership (``image_ahash``) when image-level pairs are
+    needed."""
+    assert 1 <= max_hamming <= 7, "8x8-bit banding guarantees recall to 7 bits"
+    groups = image_ahash_groups(documents, width).select(
+        F.col("ahash"), F.col("n_images")
+    )
+    bands = groups.select(
+        "ahash",
+        "n_images",
+        F.posexplode(
+            F.array(*[F.substring("ahash", 2 * i + 1, 2) for i in range(8)])
+        ).alias("band", "bv"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.ahash") < F.col("b.ahash")),
+        )
+        .select(
+            F.col("a.ahash").alias("hash_a"),
+            F.col("b.ahash").alias("hash_b"),
+            F.col("a.n_images").alias("n_images_a"),
+            F.col("b.n_images").alias("n_images_b"),
+        )
+        .distinct()
+    )
+
+    def half(c: str, start: int) -> F.Column:
+        return F.conv(F.substring(c, start, 8), 16, 10).cast("long")
+
+    ham = F.bit_count(
+        half("hash_a", 1).bitwiseXOR(half("hash_b", 1))
+    ) + F.bit_count(half("hash_a", 9).bitwiseXOR(half("hash_b", 9)))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("hash_a", "hash_b", "hamming", "n_images_a", "n_images_b")
+    )
+
+
+def image_ahash_near_dup_pairs_oracle_sql(
+    table: str = "documents", width: int = 16, max_hamming: int = 6
+) -> str:
+    """Brute-force mirror over the distinct hashes the aHash oracle
+    predicts: banding is exact-recall at ``max_hamming <= 7``, so the
+    banded Spark plan and this all-pairs SQL agree bit-for-bit. The
+    distinct-hash table is small (bounded by image variety), so the SQL
+    cross pair scan is fine at oracle scale."""
+    groups = image_ahash_groups_oracle_sql(table, width)
+    return f"""
+    WITH groups AS ({groups}),
+    h AS (
+      SELECT ahash, n_images,
+             ('0x' || substr(ahash, 1, 8))::BIGINT AS hi,
+             ('0x' || substr(ahash, 9, 8))::BIGINT AS lo
+      FROM groups)
+    SELECT a.ahash AS hash_a, b.ahash AS hash_b,
+           (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))) AS hamming,
+           a.n_images AS n_images_a, b.n_images AS n_images_b
+    FROM h a JOIN h b ON a.ahash < b.ahash
+    WHERE (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))
+            <= {max_hamming}
+    """
+
+
 AUDIO_FP_SCHEMA = "doc_id long, n_samples int, audio_fp string"
 
 

@@ -330,6 +330,67 @@ def test_png_round_trip_every_filter():
         mm.decode_png(png16)
 
 
+def test_image_ahash_near_dup_pairs_matches_bruteforce_oracle(spark, duck, sf_dir):
+    """Banded hamming-LSH candidate generation must find EXACTLY the pairs
+    the brute-force all-distinct-hash scan finds (8x8-bit banding is
+    exact-recall at hamming <= 7), on the real corpus."""
+    from tesseract_spark.operators.multimodal import (
+        image_ahash_near_dup_pairs,
+        image_ahash_near_dup_pairs_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r.hash_a, r.hash_b, r.hamming, r.n_images_a, r.n_images_b)
+        for r in image_ahash_near_dup_pairs(docs).collect()
+    )
+    want = sorted(map(tuple, duck.execute(image_ahash_near_dup_pairs_oracle_sql()).fetchall()))
+    assert got == want
+
+
+def test_image_ahash_near_dup_planted_perturbation(spark):
+    """An image with a handful of strongly perturbed pixels must surface as
+    a NEAR-dup pair (small positive hamming) while an unrelated image must
+    not; exact duplicates (hamming 0) are excluded — they belong to the
+    groups operator."""
+    from tesseract_spark.operators.multimodal import (
+        image_ahash,
+        image_ahash_near_dup_pairs,
+    )
+
+    # ASCII-safe pixel values (<128) so the operator's UTF-8 encode is 1:1
+    # with the intended byte grid. 16x32 -> 8x8 blocks of 2x4 pixels each;
+    # base is a hard left/right split (left blocks far BELOW the mean,
+    # right far ABOVE), so exactly the perturbed block flips.
+    w = 16
+    base = bytes((10 if x < 8 else 110) for y in range(32) for x in range(w))
+    pert = bytearray(base)
+    for y in range(4):  # block (0,0) only: rows 0-3, cols 0-1
+        for x in range(2):
+            pert[y * w + x] = 125
+    noise = bytes((10 if (x + y) % 2 == 0 else 110) for y in range(32) for x in range(w))
+    docs = spark.createDataFrame(
+        [
+            (1, base.decode("ascii")),
+            (2, bytes(pert).decode("ascii")),
+            (3, base.decode("ascii")),  # exact dup of 1 -> hamming 0, excluded
+            (4, noise.decode("ascii")),
+        ],
+        "doc_id long, text string",
+    )
+    hashes = {r.doc_id: r.ahash for r in image_ahash(docs, w).collect()}
+    assert hashes[1] == hashes[3] and hashes[1] != hashes[2]
+
+    pairs = {
+        (r.hash_a, r.hash_b): r.hamming
+        for r in image_ahash_near_dup_pairs(docs, w, max_hamming=7).collect()
+    }
+    near = tuple(sorted((hashes[1], hashes[2])))
+    assert near in pairs and pairs[near] == 1  # exactly the perturbed block
+    for (a, b) in pairs:
+        assert hashes[4] not in (a, b), "unrelated image matched as near-dup"
+
+
 def test_png_round_trip_fuzz():
     """Property fuzz: encode→decode is the identity for arbitrary byte
     grids over a spread of widths/heights (both filter modes), including
