@@ -2355,3 +2355,43 @@ def test_bloom_decontaminate_streaming_matches_batch(spark, sf_dir, tmp_path):
     }
     assert collected == batch
     assert any(v[1] for v in batch.values())  # the probe docs themselves flag
+
+
+def test_ngram_overlap_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """The graded overlap metric is per-document independent (fixed probe
+    set, broadcast join, per-doc aggregation), so foreachBatch over
+    micro-batches must reproduce the batch result exactly — the shape that
+    lets the graded gate screen an ingest stream like the Bloom tier."""
+    import os
+
+    from tesseract_spark.operators.decontaminate import ngram_overlap_fraction
+
+    src = str(tmp_path / "ngram_src")
+    os.makedirs(src)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    probes = [r["text"] for r in docs.orderBy("doc_id").limit(2).collect()]
+
+    collected: dict = {}
+
+    def sink(batch_df, batch_id):
+        for r in ngram_overlap_fraction(batch_df, probes).collect():
+            collected[r["doc_id"]] = (r["n_ngrams"], r["n_overlap"], r["overlap_ppm"], r["flagged"])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = {
+        r["doc_id"]: (r["n_ngrams"], r["n_overlap"], r["overlap_ppm"], r["flagged"])
+        for r in ngram_overlap_fraction(docs, probes).collect()
+    }
+    assert collected == batch
+    assert any(v[3] for v in batch.values())  # the probe docs themselves flag
