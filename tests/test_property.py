@@ -594,6 +594,28 @@ def test_random_sort_limit_matches_oracle(builder, duck, qo):
     assert_df_matches_sql(df, duck, sql, rtol=1e-6)
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(sort_limit_query_and_oracle())
+def test_random_sort_none_same_values_no_sort_stage(builder, qo):
+    """sort=none fuzz (round 7): over random drill/measure combinations the
+    toggle must (a) remove every top-level Sort from the plan and (b) leave
+    the aggregated VALUES identical to the default-ordered plan. limit/
+    offset are dropped — a row window without an order is meaningless."""
+    params, _ = qo
+    params = {k: v for k, v in params.items() if k != "limit"}
+    rows_on = builder.dataframe("lineitem_sales", Query.from_params(params)).collect()
+    df_off = builder.dataframe(
+        "lineitem_sales", Query.from_params({**params, "sort": "none"})
+    )
+    plan = df_off._jdf.queryExecution().executedPlan().toString()
+    assert "Sort " not in plan and "Sort[" not in plan, plan
+    assert sorted(map(tuple, df_off.collect())) == sorted(map(tuple, rows_on))
+
+
 # ---------- round 6: RCA fuzz (cut routing + window denominators) ----------
 
 _GEO_JOIN = (
