@@ -142,6 +142,52 @@ def append_to_ivf_index(
     )
 
 
+def query_ivf_index_with_vectors(
+    spark: SparkSession,
+    path: str,
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve top-k neighbors for ARBITRARY query vectors (not necessarily
+    indexed) — the online-serving shape: a fresh embedding arrives, probe
+    the index, return neighbors. ``query_vectors`` is a small
+    ``[(query_id, vector), ...]`` batch (becomes a broadcast literal table);
+    the pruned-scan mechanics are identical to :func:`query_ivf_index`,
+    minus the self-match exclusion (an external query has no index row)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in query_vectors],
+        "query_id long, qvec array<double>",
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        _sq_dist(F.col("qvec"), F.col("cvec")).asc(), F.col("cid").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qvec", "cid")
+    )
+    probed_cids = [r[0] for r in probes.select("cid").distinct().collect()]
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("cid").isin(probed_cids)
+    )
+    scored = probes.join(lists, "cid").select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(cosine_col(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def pruned_lists_scan(spark: SparkSession, path: str, cids: list[int]) -> DataFrame:
     """The pruned inverted-list scan on its own (for plan inspection)."""
     return spark.read.parquet(f"{path}/lists").filter(F.col("cid").isin(cids))

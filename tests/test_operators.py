@@ -853,6 +853,80 @@ def test_ivf_index_incremental_append_equals_frozen_rebuild(spark, sf_dir, tmp_p
     assert got == want and len(got) > 0
 
 
+def test_ivf_index_query_with_external_vectors(spark, sf_dir, tmp_path):
+    """Arbitrary-vector serving: querying the index with an INDEXED row's
+    own vector must return that row at rank 1 (cos 1.0) plus the same
+    neighbor tail the id-based path finds; a vector absent from the index
+    still gets a full top-k."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import ann_index
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_ext")
+    ann_index.build_ivf_index(embs, path)
+
+    v0 = [float(x) for x in embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    perturbed = [x + 0.001 for x in v0]
+    out = ann_index.query_ivf_index_with_vectors(
+        spark, path, [(100_000, v0), (100_001, perturbed)], k=4
+    )
+    rows = {(r.query_id, r.rank): (r.neighbor_id, r.cos_sim) for r in out.collect()}
+    assert rows[(100_000, 1)] == (0, 1.0)  # self-match at rank 1
+    assert rows[(100_001, 1)][0] == 0  # near-copy still resolves to vec 0
+
+    # the neighbor tail after the self-match equals the id-based serving path
+    id_path = {
+        r.rank: r.neighbor_id
+        for r in ann_index.query_ivf_index(spark, path, [0], k=3).collect()
+    }
+    ext_tail = [rows[(100_000, r)][0] for r in (2, 3, 4)]
+    assert ext_tail == [id_path[1], id_path[2], id_path[3]]
+
+
+def test_ivf_index_streaming_append_ingest(spark, sf_dir, tmp_path):
+    """The append path must absorb a micro-batched vector STREAM
+    (foreachBatch → append_to_ivf_index) and serve the same answers as a
+    single batch append of the whole feed — the unbounded-ingest shape."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import ann_index
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = embs.filter(F.col("vec_id") % 2 == 0)
+    new = embs.filter(F.col("vec_id") % 2 == 1)
+    qids = [0, 2, 5, 9]
+
+    src = str(tmp_path / "vec_stream")
+    os.makedirs(src)
+    new.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream_path = str(tmp_path / "ivf_stream")
+    ann_index.build_ivf_index(old, stream_path)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(
+        lambda batch_df, _id: ann_index.append_to_ivf_index(batch_df, stream_path)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_path = str(tmp_path / "ivf_batch")
+    ann_index.build_ivf_index(old, batch_path)
+    ann_index.append_to_ivf_index(new, batch_path)
+
+    got = sorted(map(tuple, ann_index.query_ivf_index(spark, stream_path, qids).collect()))
+    want = sorted(map(tuple, ann_index.query_ivf_index(spark, batch_path, qids).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_minhash_verified_pairs_consistent(spark, sf_dir):
     """Verified pairs must be a subset of the LSH candidates, and every
     reported jaccard must equal the full inverted-index computation's value
