@@ -177,3 +177,116 @@ def plan_token_budget_oracle_sql(
                 ELSE 0 END AS epochs_ppk
     FROM final
     """
+
+
+def apply_token_budget(
+    df: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "budget-v1",
+) -> DataFrame:
+    """EXECUTE the mixture :func:`plan_token_budget` computes — the bridge
+    between planning and materialization: emit one ``(doc_id, source,
+    epoch)`` row per kept document-pass, where under-supplied sources
+    repeat (multiple epochs) and over-supplied ones subsample, so the
+    expected kept-token count per source equals its Hamilton target.
+
+    Mechanics, all integer-exact and hash-deterministic:
+
+    - ``total_rate_ppm = target·10^6 DIV available`` (UNcapped — above
+      10^6 means repeats);
+    - every document emits epochs ``0 .. total_rate_ppm DIV 10^6 - 1``
+      unconditionally (full passes);
+    - one final partial epoch keeps a document iff its 32-bit keyed hash of
+      ``(seed | epoch | id)`` falls below ``total_rate_ppm mod 10^6``
+      (exact integer cross-multiplication against 2^32 — no floats), so
+      membership is reproducible across runs/partitionings and each epoch's
+      subsample is independent of every other epoch's.
+
+    Scale shape: the plan is a source-count-sized broadcast; the corpus
+    side is one explode (bounded by epochs-per-source) + a per-row hash
+    filter — no shuffle at all. Downstream, ``epoch`` is the replication
+    tag sequence packers/shufflers consume."""
+    plan = plan_token_budget(df, weights, budget_tokens, source_col, text_col)
+    rates = plan.select(
+        F.col("source").alias("__src"),
+        F.when(
+            F.col("available_tokens") > 0,
+            F.expr("target_tokens * 1000000 DIV available_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .alias("__rppm"),
+    )
+    # explode epochs on the SOURCE-COUNT-sized rates table (still broadcast
+    # small: sources × epochs rows), not on corpus rows — the corpus side
+    # stays a plain broadcast join + per-row filter, zero shuffle
+    full = F.expr("__rppm DIV 1000000")
+    partial = F.expr("__rppm % 1000000")
+    rates_e = rates.withColumn("epoch", F.explode(F.sequence(F.lit(0), full)))
+    joined = df.select(
+        F.col(id_col), F.col(source_col).alias("__doc_src")
+    ).join(F.broadcast(rates_e), F.col("__doc_src") == F.col("__src"))
+    hash_int = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(seed), F.col("epoch").cast("string"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return joined.filter(
+        (F.col("epoch") < full)
+        | (hash_int * F.lit(1_000_000) < partial * F.lit(4_294_967_296))
+    ).select(
+        F.col(id_col),
+        F.col("__doc_src").alias(source_col),
+        F.col("epoch").cast("int").alias("epoch"),
+    )
+
+
+def apply_token_budget_oracle_sql(
+    weights: dict[str, int],
+    budget_tokens: int,
+    table: str = "documents",
+    source_col: str = "source",
+    text_col: str = "text",
+    id_expr: str = "doc_id",
+    seed: str = "budget-v1",
+) -> str:
+    """DuckDB mirror: the plan oracle as a CTE, then the same uncapped-rate
+    explode + keyed-hash partial-epoch filter (md5 hex prefixes are
+    identical across engines; the comparison is exact integer
+    cross-multiplication). The epoch unnest runs over the source-count-sized
+    rates table BEFORE the corpus join — both the better plan and a
+    workaround for a DuckDB 1.0 binder bug with unnest-after-join."""
+    plan = plan_token_budget_oracle_sql(
+        weights, budget_tokens, table, source_col, text_col
+    )
+    return f"""
+    WITH plan AS ({plan}),
+    rates AS (
+      SELECT source,
+             CASE WHEN available_tokens > 0
+                  THEN target_tokens * 1000000 // available_tokens
+                  ELSE 0 END AS rppm
+      FROM plan),
+    re AS (
+      SELECT source, rppm,
+             unnest(range(0, (rppm // 1000000) + 1)) AS epoch
+      FROM rates)
+    SELECT d.{id_expr} AS doc_id, d.{source_col} AS source,
+           re.epoch::INT AS epoch
+    FROM {table} d JOIN re ON d.{source_col} = re.source
+    WHERE re.epoch < re.rppm // 1000000
+       OR ('0x' || substr(md5('{seed}|' || re.epoch || '|' || d.{id_expr}),
+             1, 8))::BIGINT * 1000000 < (re.rppm % 1000000) * 4294967296
+    """

@@ -2084,6 +2084,63 @@ def test_token_budget_hamilton_properties(spark):
     assert out["big"]["rate_ppm"] == 50 * 1_000_000 // 500  # subsample
 
 
+def test_apply_token_budget_matches_duckdb(spark, duck, sf_dir):
+    """The materialized mixture (epoch replication + keyed-hash partial
+    subsample) must match the SQL mirror row-for-row."""
+    from tesseract_spark.operators.budget import (
+        apply_token_budget,
+        apply_token_budget_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"src1": 3, "src5": 5, "src9": 2}
+    got = sorted(
+        (r.doc_id, r.source, r.epoch)
+        for r in apply_token_budget(docs, weights, 200_000).collect()
+    )
+    want = sorted(
+        map(tuple, duck.execute(apply_token_budget_oracle_sql(weights, 200_000)).fetchall())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_apply_token_budget_epoch_semantics(spark):
+    """An under-supplied source must emit full epoch copies (every doc at
+    epochs 0..full-1) plus a hash-subsampled partial epoch; an over-supplied
+    source only subsamples epoch 0; expected kept tokens track the Hamilton
+    targets."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.budget import (
+        apply_token_budget,
+        plan_token_budget,
+    )
+
+    rows = (
+        [(i, "small", "a b c d") for i in range(5)]          # 20 tokens
+        + [(100 + i, "big", "t " * 40) for i in range(50)]    # 2000 tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    weights = {"small": 1, "big": 1}
+    budget = 400  # 200 per source: small repeats 10x, big subsamples 10%
+    plan = {r["source"]: r for r in plan_token_budget(df, weights, budget).collect()}
+    assert plan["small"]["epochs_ppk"] == 200 * 1000 // 20  # 10 epochs
+    out = apply_token_budget(df, weights, budget).collect()
+
+    small = [(r.doc_id, r.epoch) for r in out if r.source == "small"]
+    # full epochs 0..9 present for every small doc (rate 10.0 exactly ->
+    # partial epoch keeps nothing at ppm 0)
+    for d in range(5):
+        for e in range(10):
+            assert (d, e) in small
+    assert all(e < 10 for _, e in small)
+
+    big = [(r.doc_id, r.epoch) for r in out if r.source == "big"]
+    assert all(e == 0 for _, e in big)  # subsample only, no repeats
+    # ~10% keep rate on 50 docs: deterministic, bounded well away from all/none
+    assert 1 <= len(big) <= 15
+
+
 def test_token_budget_no_weighted_source_raises(spark):
     """A recipe whose weighted sources are ALL absent from the corpus must
     fail loudly at execution time, not plan a zero-token mix (ADVICE r6)."""
