@@ -1007,6 +1007,87 @@ def audio_energy_fingerprint(documents: DataFrame, n_frames: int = 16) -> DataFr
     return docs.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
 
 
+def audio_fp_near_dup_pairs(
+    documents: DataFrame, n_frames: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Audio NEAR-duplicate pairs: distinct energy fingerprints within
+    ``max_hamming`` bits — the tolerance tier above exact-fingerprint
+    grouping, catching clips whose loudness envelope differs in a frame or
+    two (trimmed silence, level steps). Same hamming-LSH banding as
+    :func:`image_ahash_near_dup_pairs`: the fingerprint splits into
+    byte-bands (its hex pairs), and two fingerprints within
+    ``n_frames/8 - 1`` bits must share a band (pigeonhole), so candidate
+    generation is a band-keyed equi-join over DISTINCT fingerprints and the
+    brute-force oracle is bit-equal. ``n_frames`` must be a multiple of 8;
+    default 32 frames → 4 bands → exact recall to hamming 3.
+
+    Returns ``(fp_a, fp_b, hamming, n_clips_a, n_clips_b)`` with
+    ``fp_a < fp_b`` and ``1 <= hamming <= max_hamming``."""
+    assert n_frames % 8 == 0, "byte-banding needs n_frames divisible by 8"
+    n_bands = n_frames // 8
+    assert 1 <= max_hamming <= n_bands - 1, (
+        f"{n_bands} bands guarantee recall only to hamming {n_bands - 1}"
+    )
+    groups = (
+        audio_energy_fingerprint(documents, n_frames)
+        .groupBy("audio_fp")
+        .agg(F.count(F.lit(1)).alias("n_clips"))
+    )
+    bands = groups.select(
+        "audio_fp",
+        "n_clips",
+        F.posexplode(
+            F.array(*[F.substring("audio_fp", 2 * i + 1, 2) for i in range(n_bands)])
+        ).alias("band", "bv"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.audio_fp") < F.col("b.audio_fp")),
+        )
+        .select(
+            F.col("a.audio_fp").alias("fp_a"),
+            F.col("b.audio_fp").alias("fp_b"),
+            F.col("a.n_clips").alias("n_clips_a"),
+            F.col("b.n_clips").alias("n_clips_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.conv(F.col("fp_a"), 16, 10)
+        .cast("long")
+        .bitwiseXOR(F.conv(F.col("fp_b"), 16, 10).cast("long"))
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("fp_a", "fp_b", "hamming", "n_clips_a", "n_clips_b")
+    )
+
+
+def audio_fp_near_dup_pairs_oracle_sql(
+    table: str = "documents", n_frames: int = 32, max_hamming: int = 3
+) -> str:
+    """Brute-force mirror over the distinct fingerprints the audio oracle
+    predicts (banding is exact-recall at the asserted bounds)."""
+    fps = audio_energy_fingerprint_oracle_sql(table, n_frames)
+    return f"""
+    WITH fps AS ({fps}),
+    h AS (
+      SELECT audio_fp, count(*) AS n_clips,
+             ('0x' || audio_fp)::BIGINT AS v
+      FROM fps GROUP BY 1)
+    SELECT a.audio_fp AS fp_a, b.audio_fp AS fp_b,
+           bit_count(xor(a.v, b.v)) AS hamming,
+           a.n_clips AS n_clips_a, b.n_clips AS n_clips_b
+    FROM h a JOIN h b ON a.audio_fp < b.audio_fp
+    WHERE bit_count(xor(a.v, b.v)) <= {max_hamming}
+    """
+
+
 def audio_energy_fingerprint_oracle_sql(
     table: str = "documents", n_frames: int = 16
 ) -> str:

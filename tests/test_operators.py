@@ -391,6 +391,59 @@ def test_image_ahash_near_dup_planted_perturbation(spark):
         assert hashes[4] not in (a, b), "unrelated image matched as near-dup"
 
 
+def test_audio_fp_near_dup_pairs_matches_bruteforce_oracle(spark, duck, sf_dir):
+    """The audio analog of the image near-dup banding: banded candidates
+    over distinct fingerprints must equal the brute-force scan exactly."""
+    from tesseract_spark.operators.multimodal import (
+        audio_fp_near_dup_pairs,
+        audio_fp_near_dup_pairs_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r.fp_a, r.fp_b, r.hamming, r.n_clips_a, r.n_clips_b)
+        for r in audio_fp_near_dup_pairs(docs).collect()
+    )
+    want = sorted(
+        map(tuple, duck.execute(audio_fp_near_dup_pairs_oracle_sql()).fetchall())
+    )
+    assert got == want
+
+
+def test_audio_fp_near_dup_planted_envelope_shift(spark):
+    """A clip whose loudness envelope differs in exactly one frame must
+    surface at hamming 1; quiet-vs-loud alternation must not match."""
+    from tesseract_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+        audio_fp_near_dup_pairs,
+    )
+
+    nf = 32
+    frame = 8  # bytes per frame
+    # base: loud in even frames (value far from 128 -> high energy), quiet
+    # in odd ones (128 -> zero energy); ASCII-safe values
+    def clip(loud_frames):
+        out = bytearray()
+        for f in range(nf):
+            out += bytes([40 if f in loud_frames else 127] * frame)
+        return bytes(out).decode("ascii")
+
+    loud = {f for f in range(nf) if f % 2 == 0}
+    base = clip(loud)
+    shifted = clip((loud - {0}) | {1})  # frame 0 quiet, frame 1 loud
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.audio_fp for r in audio_energy_fingerprint(docs, nf).collect()}
+    assert fps[1] != fps[2]
+    pairs = {
+        (r.fp_a, r.fp_b): r.hamming
+        for r in audio_fp_near_dup_pairs(docs, nf, max_hamming=3).collect()
+    }
+    key = tuple(sorted((fps[1], fps[2])))
+    assert key in pairs and pairs[key] == 2  # two frame bits moved
+
+
 def test_png_round_trip_fuzz():
     """Property fuzz: encode→decode is the identity for arbitrary byte
     grids over a spread of widths/heights (both filter modes), including
