@@ -27,7 +27,7 @@ from __future__ import annotations
 from functools import reduce
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------- shingling ----------------
@@ -383,6 +383,62 @@ def _components_distributed(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+def best_in_cluster(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware survivor selection: given a ``(doc_id, canonical_id)``
+    cluster mapping (:func:`resolve_duplicate_clusters`) and a per-document
+    quality table, keep each cluster's HIGHEST-scoring member instead of the
+    arbitrary min-id canonical — what a curation pipeline actually wants
+    (when near-dups differ, keep the cleanest copy, not the lowest id).
+
+    Returns ``(doc_id, canonical_id, score, n_members)`` — one row per
+    cluster, ``doc_id`` = the kept member. Ties break on smallest id, so the
+    pure-dup case (equal scores) degrades to the min-id behavior exactly.
+
+    Shape: one broadcast-or-shuffle join on doc id + one ranking window
+    partitioned by cluster — both keyed, no skew beyond cluster sizes
+    (bounded by the dedup signal itself)."""
+    q = quality.select(
+        F.col(id_col).alias("__qid"), F.col(score_col).alias("score")
+    )
+    joined = clusters.join(q, clusters[id_col] == F.col("__qid")).drop("__qid")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy("canonical_id")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wn))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "canonical_id", "score", "n_members")
+    )
+
+
+def best_in_cluster_oracle_sql(
+    clusters_sql: str, quality_sql: str, id_expr: str = "doc_id"
+) -> str:
+    """Mirror: ``clusters_sql`` yields (doc_id, canonical_id), ``quality_sql``
+    yields (doc_id, score)."""
+    return f"""
+    WITH cl AS ({clusters_sql}), q AS ({quality_sql}),
+    j AS (
+      SELECT cl.{id_expr}, cl.canonical_id, q.score
+      FROM cl JOIN q USING ({id_expr})),
+    r AS (
+      SELECT {id_expr}, canonical_id, score,
+             row_number() OVER (PARTITION BY canonical_id
+               ORDER BY score DESC, {id_expr} ASC) AS rn,
+             count(*) OVER (PARTITION BY canonical_id) AS n_members
+      FROM j)
+    SELECT {id_expr}, canonical_id, score, CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """
 
 
 def resolve_duplicate_clusters(

@@ -147,6 +147,79 @@ def brute_force_topk_oracle_sql(
     """
 
 
+def hard_negative_band(
+    df: DataFrame,
+    query_ids: list[int],
+    sim_lo: float = 0.2,
+    sim_hi: float = 0.35,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-k
+    neighbors whose cosine lies in ``[sim_lo, sim_hi)`` — similar enough to
+    be informative negatives, below the near-dup band so they aren't
+    positives in disguise (the standard retrieval-training recipe; the
+    ceiling is what dedup thresholds like SemDeDup's cut off above).
+
+    Exact-scoring base tier (broadcast query side, one window) mirroring
+    :func:`brute_force_topk`; swap the scoring join for the IVF/int8 paths
+    when the corpus outgrows brute force — band filtering composes the same
+    way. Thresholds compare on the ROUNDED score (6 dp), so the SQL mirror
+    is bit-equal."""
+    queries = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 6))
+        .filter((F.col("cos_sim") >= sim_lo) & (F.col("cos_sim") < sim_hi))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hard_negative_band_oracle_sql(
+    query_ids: list[int],
+    sim_lo: float = 0.2,
+    sim_hi: float = 0.35,
+    k: int = 5,
+    table: str = "embeddings",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM {table}
+               WHERE vec_id IN ({ids})),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(
+               list_dot_product(q.qvec::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               6) AS cos_sim
+      FROM q JOIN {table} c ON c.vec_id != q.query_id
+    ),
+    banded AS (
+      SELECT * FROM scored
+      WHERE cos_sim >= CAST({sim_lo!r} AS DOUBLE)
+        AND cos_sim < CAST({sim_hi!r} AS DOUBLE)
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM banded)
+    WHERE rank <= {k}
+    """
+
+
 # ---------------- LSH-bucketed ANN (scale path; no SQL oracle) ----------------
 
 

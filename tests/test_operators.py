@@ -980,6 +980,96 @@ def test_ivf_index_streaming_append_ingest(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_hard_negative_band_matches_duckdb(spark, duck, sf_dir):
+    """Band-restricted neighbor mining must match the SQL mirror exactly,
+    and every returned similarity must sit inside [lo, hi) strictly below
+    the near-dup zone; results must be disjoint from the top-k positives
+    whenever those score above hi."""
+    from tesseract_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negative_band,
+        hard_negative_band_oracle_sql,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    lo, hi = 0.15, 0.3
+    got_rows = hard_negative_band(embs, qids, lo, hi, k=5).collect()
+    got = sorted((r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in got_rows)
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(hard_negative_band_oracle_sql(qids, lo, hi, 5)).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+    assert all(lo <= r.cos_sim < hi for r in got_rows)
+
+    positives = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(embs, qids, k=5).collect()
+        if r.cos_sim >= hi
+    }
+    negatives = {(r.query_id, r.neighbor_id) for r in got_rows}
+    assert positives.isdisjoint(negatives)
+
+
+def test_best_in_cluster_quality_survivor(spark, duck, sf_dir):
+    """Quality-aware survivor selection: the kept member per cluster is the
+    highest-scoring one (min-id on ties, so pure dups degrade to the
+    canonical min-id behavior); full oracle parity on the corpus via the
+    recursive-closure clusters + SQL quality mirror."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.dedup import (
+        best_in_cluster,
+        best_in_cluster_oracle_sql,
+        closure_oracle_sql,
+        minhash_lsh_pairs,
+        resolve_duplicate_clusters,
+    )
+    from tesseract_spark.operators.text import quality_score_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    clusters = resolve_duplicate_clusters(pairs, corpus_ids=ids)
+    quality = docs.select(
+        "doc_id", F.round(quality_score_col(F.col("text")), 6).alias("score")
+    )
+    got = sorted(
+        (r.doc_id, r.canonical_id, r.score, r.n_members)
+        for r in best_in_cluster(clusters, quality).collect()
+    )
+
+    from tesseract_spark.operators.dedup import cluster_oracle_sql
+    from tesseract_spark.operators.text import _sql_quality_fragments
+
+    q_sql, _ = _sql_quality_fragments("text")
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                best_in_cluster_oracle_sql(
+                    cluster_oracle_sql(),
+                    f"SELECT doc_id, round({q_sql}, 6) AS score FROM documents",
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # synthetic: higher-quality member wins even with a larger id
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, canonical_id long"
+    )
+    sc = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5)], "doc_id long, score double"
+    )
+    out = {r.canonical_id: (r.doc_id, r.n_members) for r in best_in_cluster(cl, sc).collect()}
+    assert out == {1: (2, 2), 3: (3, 1)}
+
+
 def test_minhash_verified_pairs_consistent(spark, sf_dir):
     """Verified pairs must be a subset of the LSH candidates, and every
     reported jaccard must equal the full inverted-index computation's value
