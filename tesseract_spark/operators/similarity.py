@@ -220,6 +220,84 @@ def hard_negative_band_oracle_sql(
     """
 
 
+def feature_hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashed bag-of-tokens embedding (HashingTF with signed
+    hashing): every whitespace token hashes to a dimension index and a ±1
+    sign from its md5, and the document vector is the signed count per
+    dimension — the deterministic, model-free text embedding that makes the
+    ANN/index/dedup stack usable on corpora with no embedding column
+    (signed hashing keeps collisions unbiased; Weinberger et al.'s hashing
+    trick). Integer-exact, so the DuckDB mirror is bit-equal.
+
+    Returns ``(id, vec)`` with ``vec`` an ``array<double>`` of length
+    ``dim`` (doubles so the output plugs straight into ``cosine_col``,
+    :func:`brute_force_topk`, and ``ann_index.build_ivf_index`` via their
+    ``vec_col`` parameters). One explode + one groupBy on the id, map-side
+    combinable; no shuffle wider than the id."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h8 = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    sign = F.when(
+        F.substring(F.md5(F.col("tok")), 9, 1).isin(*list("01234567")), F.lit(1)
+    ).otherwise(F.lit(-1))
+    cells = (
+        toks.withColumn("idx", (h8 % dim).cast("int"))
+        .withColumn("s", sign)
+        .groupBy("id", "idx")
+        .agg(F.sum("s").alias("v"))
+    )
+    assembled = (
+        cells.groupBy("id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("idx", "v"))).alias("m")
+        )
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i.cast("int")), F.lit(0)
+                ).cast("double"),
+            ).alias("vec"),
+        )
+    )
+    return assembled
+
+
+def feature_hash_embed_oracle_sql(
+    dim: int = 64,
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """Mirror: identical md5 dimension/sign hashing, identical list
+    assembly (zero-filled by index)."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_expr} AS id,
+             unnest(regexp_split_to_array(lower(trim({text_expr})), '\\s+')) AS tok
+      FROM {table}),
+    cells AS (
+      SELECT id,
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT % {dim})::INT AS idx,
+             CAST(sum(CASE WHEN substr(md5(tok), 9, 1) IN
+               ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS BIGINT) AS v
+      FROM toks WHERE tok != '' GROUP BY 1, 2),
+    maps AS (
+      SELECT id, map(list(idx), list(v)) AS m FROM cells GROUP BY 1)
+    SELECT id,
+           [COALESCE(m[i][1], 0)::DOUBLE for i in range(0, {dim})] AS vec
+    FROM maps
+    """
+
+
 # ---------------- LSH-bucketed ANN (scale path; no SQL oracle) ----------------
 
 

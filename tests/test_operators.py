@@ -980,6 +980,61 @@ def test_ivf_index_streaming_append_ingest(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_feature_hash_embed_matches_duckdb(spark, duck, sf_dir):
+    """The signed feature-hash embedding must match the SQL mirror
+    bit-for-bit (integer counts cast to double) for every document."""
+    from tesseract_spark.operators.similarity import (
+        feature_hash_embed,
+        feature_hash_embed_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r.id: list(r.vec) for r in feature_hash_embed(docs, dim=16).collect()}
+    want = {
+        r[0]: list(r[1])
+        for r in duck.execute(feature_hash_embed_oracle_sql(16)).fetchall()
+    }
+    assert got == want and len(got) == docs.count()
+
+
+def test_chunk_embed_index_query_composition(spark, sf_dir, tmp_path):
+    """End-to-end interop: chunk documents -> feature-hash embed the chunks
+    -> build the persistent IVF index -> query with an external vector. The
+    query vector is a chunk's own embedding, so it must come back at
+    rank 1 with cosine 1.0 — proving the text stack feeds the vector stack
+    with no impedance mismatch."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import ann_index
+    from tesseract_spark.operators.packing import chunk_documents
+    from tesseract_spark.operators.similarity import feature_hash_embed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    c = 128
+    chunks = chunk_documents(docs, chunk_tokens=c)
+    # reconstruct each chunk's text window (same tokenization) keyed by the
+    # chunk ids chunk_documents emitted — the realistic pipeline join
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
+    )
+    chunk_texts = chunks.join(toks, "doc_id").select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"),
+        F.array_join(
+            F.slice(F.col("ws"), F.col("chunk_id") * c + 1, c), " "
+        ).alias("text"),
+    )
+    embs = feature_hash_embed(chunk_texts, dim=32)
+
+    path = str(tmp_path / "chunk_ivf")
+    ann_index.build_ivf_index(embs, path, id_col="id", vec_col="vec")
+    probe = embs.limit(1).collect()[0]
+    out = ann_index.query_ivf_index_with_vectors(
+        spark, path, [(999_999, list(probe.vec))], k=3
+    ).collect()
+    by_rank = {r.rank: (r.neighbor_id, r.cos_sim) for r in out}
+    assert by_rank[1] == (probe.id, 1.0)
+
+
 def test_hard_negative_band_matches_duckdb(spark, duck, sf_dir):
     """Band-restricted neighbor mining must match the SQL mirror exactly,
     and every returned similarity must sit inside [lo, hi) strictly below
