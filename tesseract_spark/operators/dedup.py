@@ -400,6 +400,9 @@ def best_in_cluster(
     Returns ``(doc_id, canonical_id, score, n_members)`` — one row per
     cluster, ``doc_id`` = the kept member. Ties break on smallest id, so the
     pure-dup case (equal scores) degrades to the min-id behavior exactly.
+    The join is INNER: cluster members missing from ``quality`` are not
+    eligible survivors and don't count toward ``n_members`` — score the
+    whole corpus (the curation-pipeline invariant) before resolving.
 
     Shape: one broadcast-or-shuffle join on doc id + one ranking window
     partitioned by cluster — both keyed, no skew beyond cluster sizes

@@ -238,7 +238,9 @@ def feature_hash_embed(
     ``dim`` (doubles so the output plugs straight into ``cosine_col``,
     :func:`brute_force_topk`, and ``ann_index.build_ivf_index`` via their
     ``vec_col`` parameters). One explode + one groupBy on the id, map-side
-    combinable; no shuffle wider than the id."""
+    combinable; no shuffle wider than the id. Documents with no tokens
+    (empty/whitespace-only text) have no vector and are absent from the
+    output — identically in the SQL mirror."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
