@@ -1610,12 +1610,15 @@ def _wire_pipeline_ops() -> None:
     # path, so the ivf_topk oracle applies unchanged — bit-equal by design.
     def _ann_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
         import hashlib as _hl
+        import os as _os
         import tempfile as _tf
 
         from .operators import ann_index
 
+        # pid in the tag: two processes running this entry concurrently
+        # (audit + tests) must not read each other's half-rewritten lists
         tag = _hl.md5(sf.encode()).hexdigest()[:10]
-        path = f"{_tf.gettempdir()}/tesseract_spark_ivf_{tag}"
+        path = f"{_tf.gettempdir()}/tesseract_spark_ivf_{tag}_{_os.getpid()}"
         ann_index.build_ivf_index(_embs(spark, sf), path)
         return ann_index.query_ivf_index(spark, path, [0, 1, 2, 3, 4])
 
