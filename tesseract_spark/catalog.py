@@ -2917,9 +2917,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    be re-proven the round it lands): q_approx_percentile (bracket now from
 #    exact_quantiles — VERDICT r6 #2), q_key_skew_profile (is_null column),
 #    q_bm25_topk (oracle DOUBLE casts), q_image_ahash_dedup /
-#    q_audio_fingerprint (byte-indexed oracles), q_token_budget_plan (W=0
-#    raise branch); q_multimodal_decode also changed (hex md5) and is in
-#    the r4 cohort below;
+#    q_audio_fingerprint / q_multimodal_features (byte-indexed oracles);
+#    q_multimodal_decode also changed (hex md5) and is in the r4 cohort
+#    below. q_token_budget_plan's change (a W=0 raise branch that cannot
+#    fire on testdata) is result-identical and bit-audited this round, so
+#    it keeps its r6 green row and yields its slot to the materially
+#    changed q_multimodal_features oracle;
 #  - every entry NEW in r7 (starvation tripwire: new entries MUST debut in
 #    a window): q_image_png_decode, q_ann_ivf_index, q_decontaminate_ngram.
 # The 44-entry r5 cohort stays r5-green and rotates in r8.
@@ -2974,7 +2977,7 @@ DRIVER_WINDOW: list[str] = [
     "q_bm25_topk",
     "q_image_ahash_dedup",
     "q_audio_fingerprint",
-    "q_token_budget_plan",
+    "q_multimodal_features",
     # round-7 debuts (new entries MUST debut in a window)
     "q_image_png_decode",
     "q_ann_ivf_index",

@@ -342,17 +342,22 @@ def multimodal_features(documents: DataFrame) -> DataFrame:
 
 
 def multimodal_features_oracle_sql(table: str = "documents") -> str:
-    """Byte-level features are reproducible in SQL on UTF-8 payloads (testdata
-    text is ASCII, so octet arithmetic matches Python's byte view)."""
+    """Byte-level features are reproducible in SQL on UTF-8 payloads.
+    Byte-indexed via ``to_hex(encode(text))`` hex pairs (round 7 — the last
+    char-vs-byte ASCII assumption in the multimodal oracles), so non-ASCII
+    documents agree with the Spark side's byte view."""
+    n = "octet_length(encode(text))"
+    byte_list = f"[('0x' || substr(hex, 2 * i + 1, 2))::INT for i in range(0, {n})]"
     return f"""
     SELECT doc_id,
            'text' AS modality,
-           octet_length(encode(text)) AS n_bytes,
+           {n} AS n_bytes,
            substr(sha256(text), 1, 8) AS sha256_8,
-           (list_aggregate([ord(x) for x in split(text, '')], 'sum')::DOUBLE
-             / octet_length(encode(text))) AS byte_mean,
-           list_aggregate([ord(x) for x in split(text, '')], 'max') AS byte_max
-    FROM {table}
+           CASE WHEN {n} = 0 THEN 0.0 ELSE
+             list_aggregate({byte_list}, 'sum')::DOUBLE / {n} END AS byte_mean,
+           CASE WHEN {n} = 0 THEN 0 ELSE
+             list_aggregate({byte_list}, 'max') END AS byte_max
+    FROM (SELECT doc_id, text, to_hex(encode(text)) AS hex FROM {table})
     """
 
 
