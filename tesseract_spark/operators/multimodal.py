@@ -483,9 +483,10 @@ def sample_frames(
     """Video-style frame sampling: treat each payload as ``n_frames``
     fixed-size frames and emit every ``every``-th one — the 1→N row
     expansion shape real video pipelines need (decode stubbed as byte
-    slicing; each emitted frame is identified by the md5 of its bytes so the
-    oracle can mirror it). Trailing partial frames are dropped, matching
-    fixed-frame decoders."""
+    slicing; each emitted frame is identified by the md5 of the LOWERCASE
+    HEX of its bytes — engine-portable for every byte value, same
+    convention as the decode entries — so the oracle can mirror it).
+    Trailing partial frames are dropped, matching fixed-frame decoders."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -500,6 +501,8 @@ def sample_frames(
                     out["frame_md5"].append(
                         _hashlib.md5(
                             payload[fi * frame_size : (fi + 1) * frame_size]
+                            .hex()
+                            .encode()
                         ).hexdigest()
                     )
                     out["n_frames"].append(n)
@@ -511,14 +514,17 @@ def sample_frames(
 def sample_frames_oracle_sql(
     table: str = "documents", frame_size: int = 64, every: int = 4
 ) -> str:
-    """ASCII testdata ⇒ byte slices == substr slices, so frame hashes are
-    reproducible in SQL (md5 of a string hashes its UTF-8 bytes)."""
+    """Byte-indexed via ``to_hex(encode(text))`` (round 7): frame bytes are
+    hex-pair slices, hashed as lowercase hex text — agrees with the Spark
+    side for non-ASCII documents too."""
     nf = f"(octet_length(encode(text)) // {frame_size})"
     return f"""
     SELECT doc_id, fi::INT AS frame_idx,
-           md5(substr(text, fi * {frame_size} + 1, {frame_size})) AS frame_md5,
+           md5(lower(substr(hex, fi * {frame_size} * 2 + 1, {frame_size} * 2)))
+             AS frame_md5,
            {nf}::INT AS n_frames
-    FROM {table}, unnest(range(0, {nf}, {every})) AS u(fi)
+    FROM (SELECT doc_id, text, to_hex(encode(text)) AS hex FROM {table}),
+         unnest(range(0, {nf}, {every})) AS u(fi)
     """
 
 
@@ -550,7 +556,11 @@ def resize_payload_grid(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFr
                 out["side"].append(side)
                 out["out_w"].append(out_w)
                 out["out_h"].append(out_h)
-                out["pixels_md5"].append(_hashlib.md5(px).hexdigest())
+                # lowercase-hex md5 — engine-portable for every byte value
+                # (round 7, same convention as the decode/frame entries)
+                out["pixels_md5"].append(
+                    _hashlib.md5(px.hex().encode()).hexdigest()
+                )
             yield pd.DataFrame(out)
 
     return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
@@ -560,18 +570,19 @@ def resize_payload_grid_oracle_sql(
     table: str = "documents", out_w: int = 8, out_h: int = 8
 ) -> str:
     side = "CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT)"
-    # chars list is 1-indexed; pixel (i,j) reads byte (i*side//out_h)*side +
-    # (j*side//out_w), exactly the Python index math above
+    # hex pairs are byte-indexed; pixel (i,j) reads byte (i*side//out_h)*side
+    # + (j*side//out_w), exactly the Python index math above
     return f"""
     SELECT doc_id,
            {side}::INT AS side,
            {out_w} AS out_w, {out_h} AS out_h,
-           md5(array_to_string(flatten(
+           md5(lower(array_to_string(flatten(
              list_transform(range(0, {out_h}), i ->
                list_transform(range(0, {out_w}), j ->
-                 split(text, '')[(i * {side} // {out_h}) * {side}
-                                 + (j * {side} // {out_w}) + 1]))), '')) AS pixels_md5
-    FROM {table}
+                 substr(hex, ((i * {side} // {out_h}) * {side}
+                              + (j * {side} // {out_w})) * 2 + 1, 2)))), '')))
+             AS pixels_md5
+    FROM (SELECT doc_id, text, to_hex(encode(text)) AS hex FROM {table})
     """
 
 

@@ -1629,7 +1629,8 @@ def test_frame_sampling_and_resize_shapes(spark):
         grid[(i * 16 // 8) * 16 + (j * 16 // 8)] for i in range(8) for j in range(8)
     )
     assert out.side == 16
-    assert out.pixels_md5 == hashlib.md5(want).hexdigest()
+    # lowercase-hex md5 (round 7): hash of the hex text, not raw bytes
+    assert out.pixels_md5 == hashlib.md5(want.hex().encode()).hexdigest()
 
 
 def test_rolling_fingerprint_order_sensitive(spark):
