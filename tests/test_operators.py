@@ -444,6 +444,49 @@ def test_audio_fp_near_dup_planted_envelope_shift(spark):
     assert key in pairs and pairs[key] == 2  # two frame bits moved
 
 
+def test_png_decoder_rejects_malformed_inputs():
+    """Corrupt containers must fail LOUDLY (ValueError /
+    NotImplementedError), never return garbage pixels: truncated IDAT,
+    IDAT length mismatch, missing IHDR, invalid filter byte, bad zlib
+    stream."""
+    import struct
+    import zlib
+
+    from tesseract_spark.operators import multimodal as mm
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+
+    # IDAT holds too few scanline bytes (length mismatch after inflate)
+    short = sig + ihdr + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02")) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="length mismatch"):
+        mm.decode_png(short)
+
+    # invalid scanline filter type 9
+    bad_filter = sig + ihdr + chunk(
+        b"IDAT", zlib.compress(b"\x09\x01\x02" + b"\x00\x03\x04")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="filter 9"):
+        mm.decode_png(bad_filter)
+
+    # IDAT not valid zlib
+    with pytest.raises(Exception):
+        mm.decode_png(sig + ihdr + chunk(b"IDAT", b"notzlib") + chunk(b"IEND", b""))
+
+    # missing IHDR entirely
+    with pytest.raises(ValueError, match="IHDR"):
+        mm.decode_png(sig + chunk(b"IEND", b""))
+
+    # not a PNG at all
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"GIF89a....")
+
+
 def test_png_round_trip_fuzz():
     """Property fuzz: encode→decode is the identity for arbitrary byte
     grids over a spread of widths/heights (both filter modes), including
