@@ -2383,6 +2383,46 @@ def test_apply_token_budget_epoch_semantics(spark):
     assert 1 <= len(big) <= 15
 
 
+def test_round7_operators_partitioning_independent(spark, sf_dir):
+    """The round-7 deterministic operators must return IDENTICAL results
+    under adversarial repartitioning — the property that makes them safe at
+    1000 executors: membership/scores derive from keyed hashes and exact
+    integer math, never from task or partition state."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.budget import apply_token_budget
+    from tesseract_spark.operators.decontaminate import ngram_overlap_fraction
+    from tesseract_spark.operators.similarity import feature_hash_embed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = [r.text for r in docs.orderBy("doc_id").limit(2).collect()]
+    variants = [docs, docs.repartition(7), docs.repartition(3, "source")]
+
+    outs = [
+        sorted(
+            (r.doc_id, r.source, r.epoch)
+            for r in apply_token_budget(v, {"src1": 1, "src2": 2}, 100_000).collect()
+        )
+        for v in variants
+    ]
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
+
+    embeds = [
+        {r.id: list(r.vec) for r in feature_hash_embed(v, dim=16).collect()}
+        for v in variants
+    ]
+    assert embeds[0] == embeds[1] == embeds[2]
+
+    overlaps = [
+        sorted(
+            (r.doc_id, r.overlap_ppm, r.flagged)
+            for r in ngram_overlap_fraction(v, probes).collect()
+        )
+        for v in variants
+    ]
+    assert overlaps[0] == overlaps[1] == overlaps[2]
+
+
 def test_token_budget_no_weighted_source_raises(spark):
     """A recipe whose weighted sources are ALL absent from the corpus must
     fail loudly at execution time, not plan a zero-token mix (ADVICE r6)."""
