@@ -65,6 +65,111 @@ def quality_score_col(text: Column) -> Column:
     return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_x10: int = 30,
+    max_mean_word_len_x10: int = 100,
+    max_symbol_word_ppm: int = 100_000,
+    min_alpha_word_ppm: int = 800_000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Named Gopher-rules document filter (Rae et al. 2021 §A1.1 thresholds
+    as defaults), each rule an EXPLICIT per-document flag so a pipeline can
+    report WHY a document dropped, not just that it did:
+
+    - ``ok_word_count``: whitespace words in [min_words, max_words];
+    - ``ok_mean_word_len``: mean word length in [3.0, 10.0] characters —
+      compared as exact integers (total_chars·10 vs bounds·word_count, no
+      float division);
+    - ``ok_symbol_ratio``: ('#' + '…' + '...') occurrences per word ≤ 0.1
+      (integer ppm cross-multiplication);
+    - ``ok_alpha_words``: ≥ 80% of words contain an alphabetic character;
+    - ``ok_stopwords``: ≥ ``min_stop_hits`` stop-word occurrences;
+    - ``keep`` = all of the above.
+
+    Every comparison is integer-exact, so the DuckDB mirror is bit-equal.
+    Pure per-row JVM expressions — no shuffle, no UDF."""
+    text = F.col(text_col)
+    words = F.split(F.lower(F.trim(text)), _TOKEN_SPLIT)
+    wc = token_count_col(text)
+    total_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    symbols = F.size(
+        F.regexp_extract_all(text, F.lit(r"#|\.\.\.|…"), 0)
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    stop_pattern = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    stop_hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(stop_pattern), 0))
+
+    ok_wc = (wc >= min_words) & (wc <= max_words)
+    ok_mwl = (total_chars * 10 >= F.lit(min_mean_word_len_x10) * wc) & (
+        total_chars * 10 <= F.lit(max_mean_word_len_x10) * wc
+    )
+    ok_sym = symbols * F.lit(1_000_000) <= F.lit(max_symbol_word_ppm) * wc
+    ok_alpha = alpha_words * F.lit(1_000_000) >= F.lit(min_alpha_word_ppm) * wc
+    ok_stop = stop_hits >= min_stop_hits
+    return df.select(
+        F.col(id_col),
+        wc.alias("n_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+def gopher_quality_flags_oracle_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_x10: int = 30,
+    max_mean_word_len_x10: int = 100,
+    max_symbol_word_ppm: int = 100_000,
+    min_alpha_word_ppm: int = 800_000,
+    min_stop_hits: int = 2,
+) -> str:
+    """Mirror: identical tokenization, identical integer comparisons."""
+    words = f"regexp_split_to_array(lower(trim({text_expr})), '\\s+')"
+    wc = (
+        f"CASE WHEN length(trim({text_expr})) = 0 THEN 0 "
+        f"ELSE len({words}) END"
+    )
+    total_chars = f"list_aggregate(list_transform({words}, w -> length(w)), 'sum')"
+    symbols = f"len(regexp_extract_all({text_expr}, '#|\\.\\.\\.|…'))"
+    alpha = f"len(list_filter({words}, w -> regexp_matches(w, '[a-z]')))"
+    stop_pattern = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    stops = f"len(regexp_extract_all(lower({text_expr}), '{stop_pattern}'))"
+    return f"""
+    SELECT {id_expr},
+           CAST({wc} AS INT) AS n_words,
+           ({wc} >= {min_words} AND {wc} <= {max_words}) AS ok_word_count,
+           ({total_chars} * 10 >= {min_mean_word_len_x10} * {wc}
+            AND {total_chars} * 10 <= {max_mean_word_len_x10} * {wc})
+             AS ok_mean_word_len,
+           ({symbols} * 1000000 <= {max_symbol_word_ppm} * {wc})
+             AS ok_symbol_ratio,
+           ({alpha} * 1000000 >= {min_alpha_word_ppm} * {wc})
+             AS ok_alpha_words,
+           ({stops} >= {min_stop_hits}) AS ok_stopwords,
+           (({wc} >= {min_words} AND {wc} <= {max_words})
+            AND ({total_chars} * 10 >= {min_mean_word_len_x10} * {wc}
+                 AND {total_chars} * 10 <= {max_mean_word_len_x10} * {wc})
+            AND ({symbols} * 1000000 <= {max_symbol_word_ppm} * {wc})
+            AND ({alpha} * 1000000 >= {min_alpha_word_ppm} * {wc})
+            AND ({stops} >= {min_stop_hits})) AS keep
+    FROM {table}
+    """
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     out = {}
     for lang, words in LANG_MARKERS.items():

@@ -2383,6 +2383,40 @@ def test_apply_token_budget_epoch_semantics(spark):
     assert 1 <= len(big) <= 15
 
 
+def test_gopher_quality_flags_matches_duckdb(spark, duck, sf_dir):
+    """Per-rule flags and the composite keep must match the SQL mirror
+    exactly on the corpus, and hand-built rule violations must trip exactly
+    their own flag."""
+    from tesseract_spark.operators.text import (
+        gopher_quality_flags,
+        gopher_quality_flags_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(map(tuple, gopher_quality_flags(docs).collect()))
+    want = sorted(
+        map(tuple, duck.execute(gopher_quality_flags_oracle_sql()).fetchall())
+    )
+    assert got == want and len(got) > 0
+
+    cases = spark.createDataFrame(
+        [
+            (1, "the quick brown fox " * 20),  # passes everything
+            (2, "word " * 10),  # too few words
+            (3, ("the of " + "# " * 20) * 10),  # symbol ratio trips
+            (4, ("the of " + "12345 " * 20) * 10),  # alpha-word rule trips
+            (5, "zzz " * 60),  # no stop-words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(cases).collect()}
+    assert out[1].keep
+    assert not out[2].ok_word_count and not out[2].keep
+    assert not out[3].ok_symbol_ratio and not out[3].keep
+    assert not out[4].ok_alpha_words and not out[4].keep
+    assert not out[5].ok_stopwords and not out[5].keep
+
+
 def test_round7_operators_partitioning_independent(spark, sf_dir):
     """The round-7 deterministic operators must return IDENTICAL results
     under adversarial repartitioning — the property that makes them safe at
