@@ -170,6 +170,82 @@ def gopher_quality_flags_oracle_sql(
     """
 
 
+#: C4's blocked-phrase list (lowercased substring match per line) — the
+#: public "bad words on a line" subset that needs no external list
+C4_BLOCK_PHRASES: tuple[str, ...] = ("javascript", "lorem ipsum", "{")
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation (. ! ? ”), have at least
+    ``min_line_words`` words, and contain none of the blocked phrases;
+    re-assemble the document from the surviving lines. The line, not the
+    document, is C4's cleaning unit — this is the op that strips nav bars
+    and cookie banners without dropping the page.
+
+    Returns ``(doc_id, n_lines, n_kept, clean_text)`` where ``clean_text``
+    is the newline-joined surviving lines ('' when none survive — the
+    caller drops empties). Pure per-row JVM array expressions: one split,
+    one filter, one join; no shuffle, no UDF, no explode (the line array
+    never leaves its row)."""
+    text = F.col(text_col)
+    lines = F.split(text, r"\n")
+
+    def line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        ends_ok = t.rlike(r'[.!?”"]$')
+        words_ok = F.size(F.split(t, r"\s+")) >= min_line_words
+        blocked = None
+        for p in C4_BLOCK_PHRASES:
+            hit = F.lower(t).contains(p)
+            blocked = hit if blocked is None else (blocked | hit)
+        return ends_ok & words_ok & ~blocked
+
+    kept = F.filter(lines, line_ok)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(F.transform(kept, lambda l: F.trim(l)), "\n").alias(
+            "clean_text"
+        ),
+    )
+
+
+def c4_line_filter_oracle_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    min_line_words: int = 3,
+) -> str:
+    """Mirror: identical line split, rules, and reassembly."""
+    blocked = " OR ".join(
+        f"contains(lower(trim(l)), '{p.replace(chr(39), chr(39) * 2)}')"
+        for p in C4_BLOCK_PHRASES
+    )
+    ok = (
+        f"regexp_matches(trim(l), '[.!?”\"]$') "
+        f"AND len(regexp_split_to_array(trim(l), '\\s+')) >= {min_line_words} "
+        f"AND NOT ({blocked})"
+    )
+    return f"""
+    SELECT {id_expr},
+           len(string_split({text_expr}, chr(10))) AS n_lines,
+           len(list_filter(string_split({text_expr}, chr(10)), l -> {ok}))
+             AS n_kept,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(string_split({text_expr}, chr(10)), l -> {ok}),
+               l -> trim(l)), chr(10)), '') AS clean_text
+    FROM {table}
+    """
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     out = {}
     for lang, words in LANG_MARKERS.items():

@@ -2417,6 +2417,39 @@ def test_gopher_quality_flags_matches_duckdb(spark, duck, sf_dir):
     assert not out[5].ok_stopwords and not out[5].keep
 
 
+def test_c4_line_filter_matches_duckdb(spark, duck, sf_dir):
+    """Line-level C4 cleaning must match the SQL mirror on the corpus, and
+    on a multi-line synthetic page must keep exactly the prose lines:
+    punctuation-terminated, long enough, no blocked phrases."""
+    from tesseract_spark.operators.text import (
+        c4_line_filter,
+        c4_line_filter_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(map(tuple, c4_line_filter(docs).collect()))
+    want = sorted(map(tuple, duck.execute(c4_line_filter_oracle_sql()).fetchall()))
+    assert got == want and len(got) > 0
+
+    page = "\n".join(
+        [
+            "Home | About | Contact",               # no terminal punctuation
+            "This is a real paragraph of text.",    # keep
+            "Enable JavaScript to continue.",       # blocked phrase
+            "Ok.",                                  # too few words
+            "Another good sentence stays here!",    # keep
+            "if (x) { return; }",                   # blocked '{'
+        ]
+    )
+    out = c4_line_filter(
+        spark.createDataFrame([(1, page)], "doc_id long, text string")
+    ).collect()[0]
+    assert (out.n_lines, out.n_kept) == (6, 2)
+    assert out.clean_text == (
+        "This is a real paragraph of text.\nAnother good sentence stays here!"
+    )
+
+
 def test_round7_operators_partitioning_independent(spark, sf_dir):
     """The round-7 deterministic operators must return IDENTICAL results
     under adversarial repartitioning — the property that makes them safe at
