@@ -444,6 +444,36 @@ def test_audio_fp_near_dup_planted_envelope_shift(spark):
     assert key in pairs and pairs[key] == 2  # two frame bits moved
 
 
+def test_bmp_wav_decoders_reject_malformed_inputs():
+    """The BMP and WAV decoders must also fail loudly on corrupt
+    containers: truncated pixel data reads what exists (bounded), but wrong
+    magic, unsupported bit depths, and non-RIFF payloads raise."""
+    import struct
+
+    from tesseract_spark.operators import multimodal as mm
+
+    # wrong magic
+    with pytest.raises(ValueError, match="not a BMP"):
+        mm.decode_bmp(b"XX" + b"\x00" * 60)
+    # 8-bit palette BMP unsupported (honest boundary)
+    hdr = (
+        struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0)
+        + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        mm.decode_bmp(hdr)
+    # BITMAPCOREHEADER (dib size < 40)
+    core = struct.pack("<2sIHHI", b"BM", 26, 0, 0, 26) + struct.pack(
+        "<IHHHH", 12, 1, 1, 1, 24
+    )
+    with pytest.raises(NotImplementedError, match="BITMAPCOREHEADER"):
+        mm.decode_bmp(core)
+    # WAV: non-RIFF payload through decode_media hits the honest NIE fence
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\x00\x01\x02\x03" * 4, "audio")
+
+
 def test_png_decoder_rejects_malformed_inputs():
     """Corrupt containers must fail LOUDLY (ValueError /
     NotImplementedError), never return garbage pixels: truncated IDAT,
