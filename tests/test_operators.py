@@ -2480,6 +2480,64 @@ def test_c4_line_filter_matches_duckdb(spark, duck, sf_dir):
     )
 
 
+def test_round7_text_ops_unicode_parity_fuzz(spark, duck):
+    """Cross-engine parity fuzz on hostile unicode corpora (accents, CJK,
+    emoji, mixed punctuation, newlines): feature-hash embeddings, Gopher
+    flags, and C4 line cleaning must agree with their DuckDB mirrors —
+    pinning that the regex/tokenizer semantics both engines share hold
+    beyond ASCII."""
+    import random
+
+    from tesseract_spark.operators.similarity import (
+        feature_hash_embed,
+        feature_hash_embed_oracle_sql,
+    )
+    from tesseract_spark.operators.text import (
+        c4_line_filter,
+        c4_line_filter_oracle_sql,
+        gopher_quality_flags,
+        gopher_quality_flags_oracle_sql,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    atoms = (
+        "the of and fox café naïve 汉字 данные 🎉 x1 #tag … {brace} "
+        "word. end! why? plain"
+    ).split() + ["\n"]
+    docs = []
+    for did in range(40):
+        n = rng.randrange(1, 120)
+        docs.append((did, " ".join(rng.choice(atoms) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    duck.execute("DROP TABLE IF EXISTS _unifuzz")
+    duck.execute("CREATE TABLE _unifuzz (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO _unifuzz VALUES (?, ?)", docs)
+
+    got = {r.id: list(r.vec) for r in feature_hash_embed(df, dim=16).collect()}
+    want = {
+        r[0]: list(r[1])
+        for r in duck.execute(
+            feature_hash_embed_oracle_sql(16, table="_unifuzz")
+        ).fetchall()
+    }
+    assert got == want
+
+    g = sorted(map(tuple, gopher_quality_flags(df).collect()))
+    w = sorted(
+        map(
+            tuple,
+            duck.execute(gopher_quality_flags_oracle_sql(table="_unifuzz")).fetchall(),
+        )
+    )
+    assert g == w
+
+    g = sorted(map(tuple, c4_line_filter(df).collect()))
+    w = sorted(
+        map(tuple, duck.execute(c4_line_filter_oracle_sql(table="_unifuzz")).fetchall())
+    )
+    assert g == w
+
+
 def test_round7_operators_partitioning_independent(spark, sf_dir):
     """The round-7 deterministic operators must return IDENTICAL results
     under adversarial repartitioning — the property that makes them safe at
