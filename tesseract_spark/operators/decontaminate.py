@@ -288,6 +288,80 @@ def ngram_overlap_fraction_oracle_sql(
     """
 
 
+def excise_contaminated_lines(
+    df: DataFrame,
+    probe_texts: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """SURGICAL decontamination: drop only the LINES that share an n-gram
+    with the benchmark, keep the rest of the document — what production
+    pipelines do when a page merely quotes an eval item (whole-document
+    dropping throws away the other 99%; the graded metric
+    :func:`ngram_overlap_fraction` decides WHICH treatment, this one
+    applies the lighter one).
+
+    Returns ``(doc_id, n_lines, n_kept, clean_text)`` with ``clean_text``
+    the newline-joined surviving lines. Pure per-row JVM array expressions:
+    the probe shingle set is a broadcast-sized array literal (eval suites
+    are bounded), each line's shingles come from the HOF shingler inside
+    the filter lambda, and ``arrays_overlap`` does the membership test —
+    no shuffle, no UDF, no explode."""
+    from .dedup import word_shingles_expr
+
+    probe_shingles = sorted(
+        {
+            s
+            for t in probe_texts
+            for s in _py_word_shingles(t, n)
+        }
+    )
+    probe_lit = F.array(*[F.lit(s) for s in probe_shingles])
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(
+        lines,
+        lambda l: ~F.arrays_overlap(word_shingles_expr(l, n), probe_lit),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def excise_contaminated_lines_oracle_sql(
+    probe_texts: list[str] | None = None,
+    table: str = "documents",
+    n: int = 5,
+    probes_sql: str | None = None,
+) -> str:
+    """Mirror: same line split, same shingling per line, same overlap test
+    (``list_has_any`` against the probe shingle set)."""
+    if probes_sql is None:
+        lits = ", ".join("(" + "'" + t.replace("'", "''") + "')" for t in probe_texts)
+        probes_sql = f"VALUES {lits}"
+    probe_list = (
+        f"(SELECT list(DISTINCT s) FROM (SELECT unnest({_sql_word_shingles('text', n)}) AS s "
+        f"FROM (SELECT * FROM probes_cte) ))"
+    )
+    line_sh = _sql_word_shingles("l", n)
+    return f"""
+    WITH probes_cte(text) AS ({probes_sql}),
+    pl AS (SELECT {probe_list} AS probe_shingles)
+    SELECT doc_id,
+           len(string_split(text, chr(10))) AS n_lines,
+           len(list_filter(string_split(text, chr(10)),
+               l -> NOT list_has_any({line_sh}, pl.probe_shingles))) AS n_kept,
+           COALESCE(array_to_string(
+             list_filter(string_split(text, chr(10)),
+               l -> NOT list_has_any({line_sh}, pl.probe_shingles)),
+             chr(10)), '') AS clean_text
+    FROM {table}, pl
+    """
+
+
 def flag_contaminated_oracle_sql(
     probe_texts: list[str] | None = None,
     table: str = "documents",

@@ -1632,6 +1632,51 @@ def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
     assert saturated.where("NOT flagged").count() == 0
 
 
+def test_excise_contaminated_lines_matches_duckdb(spark, duck, sf_dir):
+    """Surgical line excision must match the SQL mirror on the corpus, and
+    on a synthetic page must drop exactly the quoting line while keeping
+    the rest of the document."""
+    from tesseract_spark.operators.decontaminate import (
+        excise_contaminated_lines,
+        excise_contaminated_lines_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = [r.text for r in docs.orderBy("doc_id").limit(2).collect()]
+    got = sorted(map(tuple, excise_contaminated_lines(docs, probes).collect()))
+    lits = ", ".join("('" + t.replace("'", "''") + "')" for t in probes)
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                excise_contaminated_lines_oracle_sql(probes_sql=f"VALUES {lits}")
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # the probe documents themselves lose their (only) line
+    excised = {r[0]: r for r in got}
+    probe_ids = [r.doc_id for r in docs.orderBy("doc_id").limit(2).collect()]
+    for pid in probe_ids:
+        assert excised[pid][2] == 0 and excised[pid][3] == ""
+
+    bench = "alpha beta gamma delta epsilon zeta"
+    page = "\n".join(
+        [
+            "an innocent first line of prose here",
+            f"quoting the eval set: {bench} verbatim",
+            "and an innocent closing line too",
+        ]
+    )
+    out = excise_contaminated_lines(
+        spark.createDataFrame([(1, page)], "doc_id long, text string"),
+        [bench],
+    ).collect()[0]
+    assert (out.n_lines, out.n_kept) == (3, 2)
+    assert "eval set" not in out.clean_text
+    assert out.clean_text.count("\n") == 1
+
+
 def test_ngram_overlap_fraction_grades_partial_overlap(spark):
     """The graded metric must separate a wholesale benchmark copy
     (overlap=100%) from a document quoting one benchmark sentence (partial)
