@@ -246,6 +246,93 @@ def c4_line_filter_oracle_sql(
     """
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm): hash every character ``k``-gram, slide a window of
+    ``w`` consecutive hashes, and select each window's minimum (RIGHTMOST
+    on ties); the selected (position, hash) pairs are the fingerprints.
+    Guarantee: any substring match of length ≥ ``w + k - 1`` shares at
+    least one fingerprint — the local-fingerprint property the existing
+    content-defined ``rolling_fp``/``repeated_spans`` anchors approximate,
+    here in its canonical published form.
+
+    Returns ``(doc_id, pos, fp)`` — distinct selected positions with their
+    32-bit k-gram hash (portable md5-int idiom: Python md5 of the k-gram's
+    UTF-8 bytes ≡ Spark/DuckDB md5 of the character substring). Documents
+    with fewer than ``w`` k-grams emit no rows (shorter than one window).
+    Arrow-batched ``mapInPandas`` — the O(len·w) rolling selection is a
+    tight per-row loop, the wrong shape for interpreted array HOFs (the
+    HOF formulation measured ~100× slower); a pure per-row map either way,
+    no shuffle until the caller aggregates fingerprints across documents."""
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    def batches(it):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            out = {"doc_id": [], "pos": [], "fp": []}
+            for did, text in zip(pdf["id"], pdf["text"]):
+                t = text or ""
+                n = len(t) - k + 1
+                if n < w:
+                    continue
+                hs = [
+                    int(_hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+                    for i in range(n)
+                ]
+                seen = set()
+                for s in range(n - w + 1):
+                    window = hs[s : s + w]
+                    m = min(window)
+                    j = s + w - 1 - window[::-1].index(m)  # rightmost min
+                    if j not in seen:
+                        seen.add(j)
+                        out["doc_id"].append(did)
+                        out["pos"].append(j)
+                        out["fp"].append(hs[j])
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema="doc_id long, pos long, fp long")
+
+
+def winnowing_fingerprints_oracle_sql(
+    table: str = "documents",
+    k: int = 8,
+    w: int = 4,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """Mirror: identical k-gram hashing, identical rightmost-min window
+    selection via list comprehensions."""
+    grams = (
+        f"[('0x' || substr(md5(substr({text_expr}, i + 1, {k})), 1, 8))::BIGINT "
+        f"for i in range(0, length({text_expr}) - {k} + 1)]"
+    )
+    return f"""
+    WITH g AS (
+      SELECT {id_expr} AS doc_id, {grams} AS h,
+             length({text_expr}) - {k} + 1 AS n
+      FROM {table}
+      WHERE length({text_expr}) - {k} + 1 >= {w}),
+    sel AS (
+      SELECT doc_id, h,
+             unnest([list_max([j for j in range(s, s + {w})
+                               if h[j + 1] = list_min(h[s + 1 : s + {w}])])
+                     for s in range(0, n - {w} + 1)]) AS p
+      FROM g)
+    SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos, h[p + 1] AS fp
+    FROM sel
+    """
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     out = {}
     for lang, words in LANG_MARKERS.items():

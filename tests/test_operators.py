@@ -2525,6 +2525,47 @@ def test_c4_line_filter_matches_duckdb(spark, duck, sf_dir):
     )
 
 
+def test_winnowing_fingerprints_match_duckdb_and_guarantee(spark, duck, sf_dir):
+    """Winnowing must match the SQL mirror exactly on the corpus, and must
+    honor the published guarantee: documents sharing a substring of length
+    >= w + k - 1 share at least one fingerprint HASH, while positions are
+    offset-shifted (the local-fingerprint property)."""
+    from tesseract_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    got = sorted(
+        (r.doc_id, r.pos, r.fp) for r in winnowing_fingerprints(docs).collect()
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW _win100 AS SELECT * FROM documents "
+        "ORDER BY doc_id LIMIT 100"
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(winnowing_fingerprints_oracle_sql("_win100")).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # guarantee: k=8, w=4 -> any shared substring of length >= 11 shares a hash
+    shared = "the quick brown fox jumps over the lazy dog"
+    a = "PREFIX AAAA " + shared + " SUFFIX BBBB"
+    b = "totally different opening words here " + shared
+    c = "no overlap with anything interesting at all whatsoever zzz"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    fps = {}
+    for r in winnowing_fingerprints(df).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared passage produced no common fingerprint"
+    assert not (fps[1] & fps[3] and fps[2] & fps[3])
+
+
 def test_round7_text_ops_unicode_parity_fuzz(spark, duck):
     """Cross-engine parity fuzz on hostile unicode corpora (accents, CJK,
     emoji, mixed punctuation, newlines): feature-hash embeddings, Gopher
