@@ -385,6 +385,89 @@ def _components_distributed(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 
+def dedup_lines_across_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document EXACT LINE dedup — C4's other cleaning rule (Raffel
+    et al. 2020 §2.2 deduplicates exact repeated spans across the corpus at
+    line-ish granularity): every distinct line keeps only its FIRST global
+    occurrence (smallest ``(doc_id, line_idx)``), and each document is
+    reassembled from its surviving lines. This removes the boilerplate
+    that repeats ACROSS pages (footers, license blocks) which
+    within-document rules can't see.
+
+    Returns ``(doc_id, n_lines, n_kept, clean_text)`` for EVERY input
+    document ('' when no line survives). Empty lines dedupe like any other
+    exact line (only the first survives) — C4's rule is exact-match,
+    whitespace included.
+
+    Shape: one shuffle keyed on the line (first-occurrence window), one
+    shuffle back on the doc id for reassembly — the minimum for a global
+    property; both keyed, no skew beyond genuinely viral lines."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("idx", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(F.col("id").asc(), F.col("idx").asc())
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    re_doc = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), r"\n")).alias("n_lines"),
+    )
+    return base.join(re_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def dedup_lines_across_docs_oracle_sql(
+    table: str = "documents", id_expr: str = "doc_id", text_expr: str = "text"
+) -> str:
+    """Mirror: same first-occurrence window on the exploded lines, same
+    index-ordered reassembly."""
+    return f"""
+    WITH lines AS (
+      SELECT id, u.idx AS idx, u.line AS line
+      FROM (
+        SELECT {id_expr} AS id,
+               unnest([{{'idx': i, 'line': ls[i + 1]}}
+                       for i in range(0, len(ls))]) AS u
+        FROM (SELECT {id_expr}, string_split({text_expr}, chr(10)) AS ls
+              FROM {table}))),
+    kept AS (
+      SELECT id, idx, line FROM (
+        SELECT id, idx, line,
+               row_number() OVER (PARTITION BY line
+                                  ORDER BY id ASC, idx ASC) AS rn
+        FROM lines) WHERE rn = 1),
+    re_doc AS (
+      SELECT id, count(*) AS n_kept,
+             array_to_string(list(line ORDER BY idx), chr(10)) AS clean_text
+      FROM kept GROUP BY 1)
+    SELECT d.{id_expr},
+           len(string_split(d.{text_expr}, chr(10))) AS n_lines,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM {table} d LEFT JOIN re_doc r ON d.{id_expr} = r.id
+    """
+
+
 def best_in_cluster(
     clusters: DataFrame,
     quality: DataFrame,

@@ -1142,6 +1142,40 @@ def test_hard_negative_band_matches_duckdb(spark, duck, sf_dir):
     assert positives.isdisjoint(negatives)
 
 
+def test_dedup_lines_across_docs_matches_duckdb(spark, duck, sf_dir):
+    """Cross-doc exact-line dedup must match the SQL mirror on the corpus
+    (single-line docs: exact text dups lose their line to the smallest doc
+    id), and on a synthetic multi-page corpus must strip the repeated
+    footer from every page but the first."""
+    from tesseract_spark.operators.dedup import (
+        dedup_lines_across_docs,
+        dedup_lines_across_docs_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(map(tuple, dedup_lines_across_docs(docs).collect()))
+    want = sorted(
+        map(tuple, duck.execute(dedup_lines_across_docs_oracle_sql()).fetchall())
+    )
+    assert got == want and len(got) > 0
+
+    footer = "copyright 2024 example corp all rights reserved"
+    pages = [
+        (1, "unique first page content\n" + footer),
+        (2, "second page says other things\n" + footer),
+        (3, "third page has its own words\n" + footer),
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup_lines_across_docs(
+            spark.createDataFrame(pages, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1].n_kept == 2 and footer in out[1].clean_text
+    for pid in (2, 3):
+        assert out[pid].n_kept == 1 and footer not in out[pid].clean_text
+
+
 def test_best_in_cluster_quality_survivor(spark, duck, sf_dir):
     """Quality-aware survivor selection: the kept member per cluster is the
     highest-scoring one (min-id on ties, so pure dups degrade to the
