@@ -385,6 +385,61 @@ def _components_distributed(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 
+def minhash_against_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 5,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """NEAR-dup screening of a new batch against an existing corpus — the
+    incremental-crawl question ("is this page a near-dup of anything we
+    already have?") that :func:`dedup_against_index` answers only for EXACT
+    fingerprints. Runs the LSH+verify pipeline over the tagged union but
+    returns ONLY cross-side pairs: new↔new duplicates are the next
+    corpus-build's problem, and index↔index pairs were already resolved
+    when the index was built — emitting either would redo finished work.
+
+    Returns ``(new_id, index_id, jaccard)`` with ``jaccard >= threshold``.
+    Requires disjoint id spaces (new ids are new by definition). At scale,
+    persist the index side's band buckets rather than recomputing per
+    batch — the banding here recomputes them for self-containedness; the
+    pair semantics are what this operator pins."""
+    union = (
+        index_df.select(F.col(id_col), F.col(text_col))
+        .unionByName(new_df.select(F.col(id_col), F.col(text_col)))
+    )
+    pairs = minhash_verified_pairs(
+        union, text_col, id_col, threshold, num_hashes, bands, shingle_n, max_bucket
+    )
+    # side membership via two left joins on the new-id set; Catalyst/AQE
+    # broadcasts it when the batch is small and shuffles when it isn't —
+    # don't force a broadcast that a large batch would OOM
+    new_ids = new_df.select(F.col(id_col).alias("__nid"))
+    a_new = pairs.join(
+        new_ids, pairs["id_a"] == F.col("__nid"), "left"
+    ).withColumnRenamed("__nid", "__a_new")
+    both = a_new.join(
+        new_ids, a_new["id_b"] == F.col("__nid"), "left"
+    ).withColumnRenamed("__nid", "__b_new")
+    cross = both.filter(
+        F.col("__a_new").isNotNull() != F.col("__b_new").isNotNull()
+    )
+    return cross.select(
+        F.when(F.col("__a_new").isNotNull(), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("new_id"),
+        F.when(F.col("__a_new").isNotNull(), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("index_id"),
+        "jaccard",
+    )
+
+
 def dedup_lines_across_docs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

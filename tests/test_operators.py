@@ -1142,6 +1142,42 @@ def test_hard_negative_band_matches_duckdb(spark, duck, sf_dir):
     assert positives.isdisjoint(negatives)
 
 
+def test_minhash_against_index_cross_pairs_only(spark, sf_dir):
+    """Screening a new batch against an index must return exactly the
+    cross-side subset of the full-corpus verified pairs — no new-new, no
+    index-index — with every new_id from the batch and every index_id from
+    the corpus; the verified-pairs oracle already pins the pair values."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.dedup import (
+        minhash_against_index,
+        minhash_verified_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    got = sorted(
+        (r.new_id, r.index_id, r.jaccard)
+        for r in minhash_against_index(new, index).collect()
+    )
+    assert len(got) > 0
+    assert all(n % 2 == 1 and i % 2 == 0 for n, i, _ in got)
+
+    full = minhash_verified_pairs(docs).collect()
+    want = sorted(
+        (
+            (r.id_a, r.id_b, r.jaccard)
+            if r.id_a % 2 == 1
+            else (r.id_b, r.id_a, r.jaccard)
+        )
+        for r in full
+        if (r.id_a % 2) != (r.id_b % 2)
+    )
+    assert got == want
+
+
 def test_dedup_lines_across_docs_matches_duckdb(spark, duck, sf_dir):
     """Cross-doc exact-line dedup must match the SQL mirror on the corpus
     (single-line docs: exact text dups lose their line to the smallest doc
