@@ -129,6 +129,86 @@ def sample_per_group_oracle_sql(
     """
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 4,
+    id_col: str = "doc_id",
+    seed: str = "curriculum-0",
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum data ordering: bucket rows by EXACT score quantiles
+    (``operators.quantiles.exact_quantiles`` — the scale-safe path, never a
+    per-group value buffer) and shuffle deterministically WITHIN each
+    bucket — the standard easy→hard curriculum shape where difficulty
+    tiers are strict but order inside a tier is random-but-reproducible.
+
+    Returns the input plus ``(bucket, order_hash)``: train in ``bucket``
+    ascending (or descending when ``ascending=False``), ``order_hash``
+    ascending within it; a writer range-partitions on the pair — no global
+    single-task sort anywhere. ``bucket`` = number of quantile thresholds
+    at or below the score (0..n_buckets-1), thresholds at probabilities
+    ``1/n .. (n-1)/n``; ties at a threshold go to the higher bucket, so the
+    mapping is a pure function of the score and engine-portable (the
+    thresholds are interpolated doubles shared with the oracle
+    bit-for-bit)."""
+    from .quantiles import exact_quantiles
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    names = [f"__t{i}" for i in range(1, n_buckets)]
+    th = exact_quantiles(
+        df.select(F.lit(1).alias("__g"), F.col(score_col)),
+        ["__g"],
+        score_col,
+        probs,
+        names,
+    ).drop("__g")
+    out = df.crossJoin(F.broadcast(th))
+    bucket = None
+    for nm in names:
+        b = F.when(F.col(score_col) >= F.col(nm), 1).otherwise(0)
+        bucket = b if bucket is None else bucket + b
+    if not ascending:
+        bucket = F.lit(n_buckets - 1) - bucket
+    return out.select(
+        *df.columns,
+        bucket.cast("int").alias("bucket"),
+        _hash8(seed, F.col(id_col)).alias("order_hash"),
+    )
+
+
+def curriculum_order_oracle_sql(
+    table: str,
+    score_expr: str,
+    select_cols: list[str],
+    n_buckets: int = 4,
+    id_expr: str = "doc_id",
+    seed: str = "curriculum-0",
+    ascending: bool = True,
+) -> str:
+    """Mirror: quantile_cont thresholds (bit-equal to exact_quantiles) +
+    the same md5 order hash."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    th = ", ".join(
+        f"quantile_cont({score_expr}, {p!r}) AS t{i}"
+        for i, p in enumerate(probs, start=1)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN {score_expr} >= th.t{i} THEN 1 ELSE 0 END"
+        for i in range(1, n_buckets)
+    )
+    if not ascending:
+        bucket = f"{n_buckets - 1} - ({bucket})"
+    sc = ", ".join(select_cols)
+    return f"""
+    WITH th AS (SELECT {th} FROM {table})
+    SELECT {sc},
+           CAST({bucket} AS INT) AS bucket,
+           substr(md5('{seed}|' || {id_expr}), 1, 8) AS order_hash
+    FROM {table}, th
+    """
+
+
 def epoch_shuffle(
     df: DataFrame,
     n_shards: int = 8,

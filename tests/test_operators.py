@@ -1142,6 +1142,53 @@ def test_hard_negative_band_matches_duckdb(spark, duck, sf_dir):
     assert positives.isdisjoint(negatives)
 
 
+def test_curriculum_order_matches_duckdb(spark, duck, sf_dir):
+    """Bucket assignment (exact-quantile thresholds) and the deterministic
+    order hash must match the SQL mirror; bucket sizes are near-equal
+    (equi-depth); descending flips tiers without changing membership."""
+    from collections import Counter
+
+    from tesseract_spark.operators.sampling import (
+        curriculum_order,
+        curriculum_order_oracle_sql,
+    )
+    from tesseract_spark.operators.text import quality_score_col
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").alias("score")
+    )
+    got = sorted(
+        (r.doc_id, r.bucket, r.order_hash)
+        for r in curriculum_order(docs, "score").collect()
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW _curr AS "
+        "SELECT doc_id, length(text) AS score FROM documents"
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                curriculum_order_oracle_sql("_curr", "score", ["doc_id"])
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 500
+
+    sizes = Counter(b for _, b, _ in got)
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 50  # equi-depth-ish
+
+    desc = {
+        r.doc_id: r.bucket
+        for r in curriculum_order(docs, "score", ascending=False).collect()
+    }
+    asc = {d: b for d, b, _ in got}
+    assert all(desc[d] == 3 - asc[d] for d in asc)
+
+
 def test_minhash_against_index_cross_pairs_only(spark, sf_dir):
     """Screening a new batch against an index must return exactly the
     cross-side subset of the full-corpus verified pairs — no new-new, no
