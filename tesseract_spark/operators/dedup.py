@@ -456,18 +456,24 @@ def dedup_lines_across_docs(
     exact line (only the first survives) — C4's rule is exact-match,
     whitespace included.
 
-    Shape: one shuffle keyed on the line (first-occurrence window), one
-    shuffle back on the doc id for reassembly — the minimum for a global
-    property; both keyed, no skew beyond genuinely viral lines."""
+    Shape: the first occurrence per line is a MAP-SIDE-COMBINABLE
+    ``min(struct(id, idx))`` aggregation — a viral line (an empty string,
+    a footer on every page) collapses to one row per map task before the
+    shuffle, where a per-line ranking window would funnel all its
+    occurrences through one task. One combine-shuffle on the line + the
+    membership join back + one reassembly shuffle on the doc id — the
+    minimum for a global property, skew-free."""
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("idx", "line"),
     )
-    w = Window.partitionBy("line").orderBy(F.col("id").asc(), F.col("idx").asc())
+    canon = lines.groupBy("line").agg(
+        F.min(F.struct("id", "idx")).alias("first")
+    )
     kept = (
-        lines.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        lines.join(canon, "line")
+        .where((F.col("id") == F.col("first.id")) & (F.col("idx") == F.col("first.idx")))
+        .select("id", "idx", "line")
     )
     re_doc = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
