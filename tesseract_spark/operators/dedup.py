@@ -440,6 +440,38 @@ def minhash_against_index(
     )
 
 
+def minhash_against_index_oracle_sql(
+    index_sql: str,
+    new_sql: str,
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> str:
+    """Direct mirror of :func:`minhash_against_index`: the verified-pairs
+    oracle over the union of the two sides (each a ``(doc_id, text)``
+    SELECT), restricted to cross-side pairs and normalized to
+    ``(new_id, index_id, jaccard)``."""
+    union = (
+        f"(SELECT doc_id, text FROM ({index_sql}) "
+        f"UNION ALL SELECT doc_id, text FROM ({new_sql}))"
+    )
+    verified = minhash_verified_oracle_sql(
+        union, threshold, num_hashes, bands, shingle_n
+    )
+    return f"""
+    WITH v AS ({verified}),
+    nids AS (SELECT doc_id AS nid FROM ({new_sql}))
+    SELECT CASE WHEN id_a IN (SELECT nid FROM nids) THEN id_a ELSE id_b END
+             AS new_id,
+           CASE WHEN id_a IN (SELECT nid FROM nids) THEN id_b ELSE id_a END
+             AS index_id,
+           jaccard
+    FROM v
+    WHERE (id_a IN (SELECT nid FROM nids)) != (id_b IN (SELECT nid FROM nids))
+    """
+
+
 def dedup_lines_across_docs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1225,6 +1225,37 @@ def test_minhash_against_index_cross_pairs_only(spark, sf_dir):
     assert got == want
 
 
+def test_minhash_against_index_matches_duckdb(spark, duck, sf_dir):
+    """The direct SQL mirror (verified-pairs oracle over the tagged union,
+    cross-side filter) must match the operator bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.dedup import (
+        minhash_against_index,
+        minhash_against_index_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    got = sorted(
+        (r.new_id, r.index_id, r.jaccard)
+        for r in minhash_against_index(new, index).collect()
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                minhash_against_index_oracle_sql(
+                    "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+                    "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_dedup_lines_across_docs_matches_duckdb(spark, duck, sf_dir):
     """Cross-doc exact-line dedup must match the SQL mirror on the corpus
     (single-line docs: exact text dups lose their line to the smallest doc
