@@ -333,6 +333,82 @@ def winnowing_fingerprints_oracle_sql(
     """
 
 
+def winnowing_shared_passages(
+    df: DataFrame,
+    k: int = 24,
+    w: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_fp_docs: int = 256,
+) -> DataFrame:
+    """The MOSS similarity REPORT built on :func:`winnowing_fingerprints`:
+    document pairs sharing at least ``min_shared`` distinct fingerprint
+    hashes — i.e. pairs containing common passages of length ≥ w+k-1 —
+    with the shared count as the match strength. This is passage-level
+    plagiarism/near-dup detection, positioned between exact line dedup
+    (whole lines) and MinHash (whole documents).
+
+    Scale shape: fingerprints group by hash; a hash present in more than
+    ``max_fp_docs`` documents is DROPPED as boilerplate before pairing
+    (the same reasoning as LSH's star-expansion cap: a universal passage
+    is a boilerplate signal, not a pairwise one — and pairing it is O(c²)).
+    Pair expansion is bounded by Σ c² over surviving hashes.
+
+    Returns ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
+
+    Default ``k=24`` (≈4 words), larger than the fingerprint operator's
+    canonical ``k=8``: for PROSE a short k-gram ("the same ") appears in
+    every document and pairing degenerates toward all-pairs (measured:
+    k=8 → 101k pairs on 500 synthetic docs, k=24 → 57 true shared
+    passages). Short k suits code/plagiarism; long k suits corpus dedup."""
+    fps = winnowing_fingerprints(df, k, w, id_col, text_col).select(
+        "doc_id", "fp"
+    ).distinct()
+    fp_docs = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__c"))
+    bounded = fps.join(
+        fp_docs.where(F.col("__c") <= max_fp_docs).select("fp"), "fp"
+    )
+    pairs = (
+        bounded.alias("a")
+        .join(
+            bounded.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs
+
+
+def winnowing_shared_passages_oracle_sql(
+    table: str = "documents",
+    k: int = 24,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 256,
+) -> str:
+    """Mirror: the winnowing oracle's distinct (doc, fp) pairs, boilerplate
+    cap, self-join, shared-count filter."""
+    inner = winnowing_fingerprints_oracle_sql(table, k, w)
+    return f"""
+    WITH fp_all AS ({inner}),
+    fps AS (SELECT DISTINCT doc_id, fp FROM fp_all),
+    ok AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_fp_docs}),
+    b AS (SELECT fps.doc_id, fps.fp FROM fps JOIN ok USING (fp))
+    SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+           count(*) AS n_shared
+    FROM b a JOIN b bb ON a.fp = bb.fp AND a.doc_id < bb.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+    """
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     out = {}
     for lang, words in LANG_MARKERS.items():

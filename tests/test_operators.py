@@ -2714,6 +2714,46 @@ def test_winnowing_fingerprints_match_duckdb_and_guarantee(spark, duck, sf_dir):
     assert not (fps[1] & fps[3] and fps[2] & fps[3])
 
 
+def test_winnowing_shared_passages_matches_duckdb(spark, duck, sf_dir):
+    """The passage-level pair report must match the SQL mirror, and a
+    planted shared paragraph must pair its two hosts (and only them) with
+    positive shared-fingerprint count."""
+    from tesseract_spark.operators.text import (
+        winnowing_shared_passages,
+        winnowing_shared_passages_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    got = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnowing_shared_passages(docs).collect()
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW _wsp100 AS SELECT * FROM documents "
+        "ORDER BY doc_id LIMIT 100"
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(winnowing_shared_passages_oracle_sql("_wsp100")).fetchall(),
+        )
+    )
+    assert got == want
+
+    passage = "a fairly long shared paragraph about model training data"
+    df = spark.createDataFrame(
+        [
+            (1, "doc one starts differently. " + passage),
+            (2, passage + " and doc two trails off elsewhere"),
+            (3, "completely unrelated content with nothing in common at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in winnowing_shared_passages(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+
+
 def test_round7_text_ops_unicode_parity_fuzz(spark, duck):
     """Cross-engine parity fuzz on hostile unicode corpora (accents, CJK,
     emoji, mixed punctuation, newlines): feature-hash embeddings, Gopher
