@@ -97,6 +97,121 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
+def profile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols: list[str],
+    max_null_shift_ppm: int = 50_000,
+    max_distinct_ratio_pct: int = 50,
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus drift report — the QA gate between two
+    ingests of "the same" dataset: per column, both snapshots'
+    row/null/distinct counts plus integer drift metrics and flags:
+
+    - ``null_shift_ppm``: |null fraction A − null fraction B| where each
+      side's fraction is integer ppm (``nulls·10^6 DIV rows`` — no float
+      division anywhere);
+    - ``distinct_ratio_pct``: |ΔD|·100 DIV max(D) — relative distinct-count
+      change;
+    - ``min/max changed`` booleans (rendered-string compare, type-uniform);
+    - ``drifted`` when any threshold trips.
+
+    A schema change (column present in one snapshot only) surfaces as a
+    missing join row — loud by absence in the report the caller compares
+    against ``cols``. Two single-pass profiles + a column-count-sized join:
+    the data-sized work is exactly two table scans."""
+    pa = profile_columns(df_a, cols)
+    pb = profile_columns(df_b, cols)
+    a = pa.select(
+        "column",
+        F.col("n_rows").alias("rows_a"),
+        F.col("n_nulls").alias("nulls_a"),
+        F.col("n_distinct").alias("distinct_a"),
+        F.col("min_str").alias("min_a"),
+        F.col("max_str").alias("max_a"),
+    )
+    b = pb.select(
+        "column",
+        F.col("n_rows").alias("rows_b"),
+        F.col("n_nulls").alias("nulls_b"),
+        F.col("n_distinct").alias("distinct_b"),
+        F.col("min_str").alias("min_b"),
+        F.col("max_str").alias("max_b"),
+    )
+    j = a.join(b, "column")
+    null_shift_ppm = F.abs(
+        F.expr("nulls_a * 1000000 DIV rows_a")
+        - F.expr("nulls_b * 1000000 DIV rows_b")
+    )
+    dmax = F.greatest("distinct_a", "distinct_b")
+    distinct_ratio = F.when(
+        dmax > 0,
+        F.expr("abs(distinct_a - distinct_b) * 100 DIV "
+               "greatest(distinct_a, distinct_b)"),
+    ).otherwise(F.lit(0))
+    minmax_changed = ~(
+        F.col("min_a").eqNullSafe(F.col("min_b"))
+        & F.col("max_a").eqNullSafe(F.col("max_b"))
+    )
+    drifted = (
+        (null_shift_ppm > max_null_shift_ppm)
+        | (distinct_ratio > max_distinct_ratio_pct)
+        | minmax_changed
+    )
+    return j.select(
+        "column",
+        "rows_a",
+        "rows_b",
+        "nulls_a",
+        "nulls_b",
+        "distinct_a",
+        "distinct_b",
+        null_shift_ppm.alias("null_shift_ppm"),
+        distinct_ratio.alias("distinct_ratio_pct"),
+        minmax_changed.alias("minmax_changed"),
+        drifted.alias("drifted"),
+    )
+
+
+def profile_drift_oracle_sql(
+    table_a: str,
+    table_b: str,
+    cols: list[str],
+    max_null_shift_ppm: int = 50_000,
+    max_distinct_ratio_pct: int = 50,
+) -> str:
+    """Mirror: the two profile oracles joined on column, same integer
+    drift arithmetic."""
+    pa = profile_columns_oracle_sql(table_a, cols)
+    pb = profile_columns_oracle_sql(table_b, cols)
+    return f"""
+    WITH pa AS ({pa}), pb AS ({pb})
+    SELECT pa.column,
+           pa.n_rows AS rows_a, pb.n_rows AS rows_b,
+           pa.n_nulls AS nulls_a, pb.n_nulls AS nulls_b,
+           pa.n_distinct AS distinct_a, pb.n_distinct AS distinct_b,
+           abs(pa.n_nulls * 1000000 // pa.n_rows
+               - pb.n_nulls * 1000000 // pb.n_rows) AS null_shift_ppm,
+           CASE WHEN greatest(pa.n_distinct, pb.n_distinct) > 0
+                THEN abs(pa.n_distinct - pb.n_distinct) * 100
+                     // greatest(pa.n_distinct, pb.n_distinct)
+                ELSE 0 END AS distinct_ratio_pct,
+           NOT (pa.min_str IS NOT DISTINCT FROM pb.min_str
+                AND pa.max_str IS NOT DISTINCT FROM pb.max_str)
+             AS minmax_changed,
+           (abs(pa.n_nulls * 1000000 // pa.n_rows
+                - pb.n_nulls * 1000000 // pb.n_rows) > {max_null_shift_ppm}
+            OR (CASE WHEN greatest(pa.n_distinct, pb.n_distinct) > 0
+                     THEN abs(pa.n_distinct - pb.n_distinct) * 100
+                          // greatest(pa.n_distinct, pb.n_distinct)
+                     ELSE 0 END) > {max_distinct_ratio_pct}
+            OR NOT (pa.min_str IS NOT DISTINCT FROM pb.min_str
+                    AND pa.max_str IS NOT DISTINCT FROM pb.max_str))
+             AS drifted
+    FROM pa JOIN pb ON pa.column = pb.column
+    """
+
+
 def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     """Join/groupBy-key skew diagnostic: the ``top_k`` heaviest keys with
     row counts and integer parts-per-million share of the table. This is

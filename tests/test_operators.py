@@ -2277,6 +2277,40 @@ def test_weighted_sample_prefers_heavy_rows(spark):
 # ---------- ADVICE r5: NULL-input hardening ----------
 
 
+def test_profile_drift_matches_duckdb(spark, duck, sf_dir):
+    """The drift report between two snapshot views (full corpus vs a
+    filtered 'next ingest') must match the SQL mirror, flag the columns
+    that genuinely changed, and stay quiet on identical snapshots."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.profile import (
+        profile_drift,
+        profile_drift_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = docs.filter(F.col("doc_id") < 250)
+    cols = ["doc_id", "source", "lang"]
+    got = sorted(map(tuple, profile_drift(docs, half, cols).collect()))
+    duck.execute(
+        "CREATE OR REPLACE VIEW _dr_half AS SELECT * FROM documents WHERE doc_id < 250"
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                profile_drift_oracle_sql("documents", "_dr_half", cols)
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 3
+    by_col = {r[0]: r for r in got}
+    assert by_col["doc_id"][-1]  # max doc_id changed -> drifted
+    # identical snapshots: nothing drifts
+    same = profile_drift(docs, docs, cols).collect()
+    assert all(not r.drifted for r in same)
+
+
 def test_key_skew_profile_null_keys(spark, duck):
     """NULL keys are profiled under the '(null)' sentinel, identically in
     operator and oracle — the raw key-ASC tiebreak orders NULLs FIRST in
