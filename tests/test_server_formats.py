@@ -47,6 +47,21 @@ def test_aggregate_jsonrecords(server):
     assert len(rows) >= 5 and {"Year", "Quantity"} <= set(rows[0])
 
 
+def test_aggregate_sort_none_param(server):
+    """sort=none over the wire: same rows as the default-ordered response,
+    order-free (round 7 — the sink-consumer toggle must be reachable
+    through the HTTP surface, not just the library)."""
+    base = (
+        f"{server}/cubes/lineitem_sales/aggregate.jsonrecords"
+        "?drilldowns=Part.Brand&measures=Quantity"
+    )
+    ordered = json.loads(_get(base))["data"]
+    unordered = json.loads(_get(base + "&sort=none"))["data"]
+    key = lambda r: (r["Brand"], r["Quantity"])  # noqa: E731
+    assert sorted(unordered, key=key) == sorted(ordered, key=key)
+    assert len(ordered) > 1
+
+
 def test_aggregate_csv_stream(server):
     text = _get(
         f"{server}/cubes/lineitem_sales/aggregate.csv"
