@@ -1189,6 +1189,40 @@ def test_curriculum_order_matches_duckdb(spark, duck, sf_dir):
     assert all(desc[d] == 3 - asc[d] for d in asc)
 
 
+def test_curriculum_order_threshold_ties(spark, duck):
+    """When a quantile threshold lands EXACTLY on a data value (integral
+    rank — the risky boundary), the >= rule must put tied rows in the
+    higher bucket identically on both engines."""
+    from tesseract_spark.operators.sampling import (
+        curriculum_order,
+        curriculum_order_oracle_sql,
+    )
+
+    # 5 values, n_buckets=4: thresholds at h = p*(n-1) ∈ {1, 2, 3} — all
+    # integral ranks, every threshold EQUALS a data value (20/30/40)
+    rows = [(i, float(v)) for i, v in enumerate([10, 20, 30, 40, 50])]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = sorted(
+        (r.doc_id, r.bucket, r.order_hash)
+        for r in curriculum_order(df, "score").collect()
+    )
+    duck.execute("DROP TABLE IF EXISTS _ties")
+    duck.execute("CREATE TABLE _ties (doc_id BIGINT, score DOUBLE)")
+    duck.executemany("INSERT INTO _ties VALUES (?, ?)", rows)
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                curriculum_order_oracle_sql("_ties", "score", ["doc_id"])
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # tied values (20/30/40 == thresholds) land in the HIGHER bucket
+    buckets = {d: b for d, b, _ in got}
+    assert buckets == {0: 0, 1: 1, 2: 2, 3: 3, 4: 3}
+
+
 def test_minhash_against_index_cross_pairs_only(spark, sf_dir):
     """Screening a new batch against an index must return exactly the
     cross-side subset of the full-corpus verified pairs — no new-new, no
