@@ -2920,6 +2920,56 @@ def test_round7_operators_partitioning_independent(spark, sf_dir):
     assert overlaps[0] == overlaps[1] == overlaps[2]
 
 
+def test_apply_token_budget_random_recipes_fuzz(spark, duck, sf_dir):
+    """Random (weights, budget) recipes: the materialized mixture must
+    match DuckDB row-for-row and its per-source pass counts must bracket
+    the plan's epoch arithmetic (full epochs ≤ passes per doc ≤ full+1)."""
+    import random
+
+    from tesseract_spark.operators.budget import (
+        apply_token_budget,
+        apply_token_budget_oracle_sql,
+        plan_token_budget,
+    )
+
+    rng = random.Random(0xB00C)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sources = [f"src{i}" for i in range(20)]
+    for trial in range(3):
+        weights = {
+            s: rng.randrange(1, 9)
+            for s in rng.sample(sources, rng.randrange(2, 6))
+        }
+        budget = rng.randrange(10_000, 500_000)
+        got = sorted(
+            (r.doc_id, r.source, r.epoch)
+            for r in apply_token_budget(docs, weights, budget).collect()
+        )
+        want = sorted(
+            map(
+                tuple,
+                duck.execute(
+                    apply_token_budget_oracle_sql(weights, budget)
+                ).fetchall(),
+            )
+        )
+        assert got == want, f"trial {trial}: weights={weights} budget={budget}"
+
+        plan = {
+            r["source"]: r
+            for r in plan_token_budget(docs, weights, budget).collect()
+        }
+        per_doc: dict = {}
+        for d, s, e in got:
+            per_doc.setdefault((s, d), 0)
+            per_doc[(s, d)] += 1
+        for (s, d), passes in per_doc.items():
+            full = plan[s]["epochs_ppk"] // 1000
+            assert full <= passes <= full + 1, (
+                f"{s}/{d}: {passes} passes vs {full} full epochs"
+            )
+
+
 def test_token_budget_no_weighted_source_raises(spark):
     """A recipe whose weighted sources are ALL absent from the corpus must
     fail loudly at execution time, not plan a zero-token mix (ADVICE r6)."""
