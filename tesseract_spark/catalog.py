@@ -60,6 +60,9 @@ _ORDER_GEO = """
 
 ENTRIES: dict[str, Entry] = {}
 
+# temp IVF index dirs registered for atexit cleanup (one per process/sf)
+_IVF_TMP_PATHS: set[str] = set()
+
 
 def _pin_runtime_confs(fn):
     """Catalog entries must run under ANY caller-supplied SparkSession (the
@@ -1609,16 +1612,24 @@ def _wire_pipeline_ops() -> None:
     # by plan tests). Same trained centroids/assignments as the in-memory
     # path, so the ivf_topk oracle applies unchanged — bit-equal by design.
     def _ann_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
+        import atexit as _ax
         import hashlib as _hl
         import os as _os
+        import shutil as _sh
         import tempfile as _tf
 
         from .operators import ann_index
 
         # pid in the tag: two processes running this entry concurrently
-        # (audit + tests) must not read each other's half-rewritten lists
+        # (audit + tests) must not read each other's half-rewritten lists.
+        # The dir outlives this call (the returned DataFrame reads it
+        # lazily) but not the process: an atexit hook removes it, so
+        # repeated runs don't accumulate orphans in /tmp (ADVICE r7).
         tag = _hl.md5(sf.encode()).hexdigest()[:10]
         path = f"{_tf.gettempdir()}/tesseract_spark_ivf_{tag}_{_os.getpid()}"
+        if path not in _IVF_TMP_PATHS:
+            _IVF_TMP_PATHS.add(path)
+            _ax.register(_sh.rmtree, path, ignore_errors=True)
         ann_index.build_ivf_index(_embs(spark, sf), path)
         return ann_index.query_ivf_index(spark, path, [0, 1, 2, 3, 4])
 

@@ -19,6 +19,14 @@ This module splits the lifecycle:
   the parquet scan statically prunes to ``≤ n_queries·nprobe`` directories
   (``PartitionFilters`` in the plan — asserted by tests). Candidates are
   then exact-rescored by cosine, identical to the in-memory path.
+- The query-by-id VECTOR LOOKUP is pruned too (ADVICE r7): the build also
+  writes ``{path}/id_index`` — a two-column ``(id, cid)`` map partitioned
+  by ``id % N_ID_BUCKETS`` (16 bytes/row vs ≥512 bytes/row for the vector
+  lists, so it is ~3% of the index). A query-id batch reads only its id
+  buckets from that map, learns each query's HOME list, and fetches the
+  query vectors from exactly those list directories — every scan in the
+  serving path is statically partition-pruned; nothing touches the full
+  corpus.
 
 Because the index stores the SAME trained centroids and assignments the
 in-memory path computes, query results are bit-equal to
@@ -37,6 +45,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .similarity import _assign, _sq_dist, cosine_col, train_kmeans
+
+# id_index bucket count: the bucket function must be computable in plain
+# Python (the driver folds query-id buckets into literal partition filters),
+# so it is ``pmod(id, N_ID_BUCKETS)`` — not a JVM-only hash. Power of two,
+# large enough that one bucket of the (id, cid) map is a small fraction of
+# a 10^9-row index (~16 GB / 64 = 250 MB per bucket scan, row-group stats
+# prune further), small enough not to spray tiny files at build time.
+N_ID_BUCKETS = 64
+
+
+def _id_bucket_col(id_col):
+    return F.pmod(id_col, F.lit(N_ID_BUCKETS)).cast("int")
 
 
 def build_ivf_index(
@@ -59,6 +79,18 @@ def build_ivf_index(
     lists = _assign(vecs, cents)
     cents.write.mode(mode).parquet(f"{path}/centroids")
     lists.write.mode(mode).partitionBy("cid").parquet(f"{path}/lists")
+    # id→home-list map for pruned query-vector lookup (see module docstring).
+    # Derived from the WRITTEN lists (column-pruned 2-column read), not the
+    # logical plan — re-evaluating `lists` would repeat the assignment pass.
+    _write_id_index(df.sparkSession, path, mode=mode)
+
+
+def _write_id_index(spark: SparkSession, path: str, mode: str = "overwrite") -> None:
+    spark.read.parquet(f"{path}/lists").select(
+        "id", F.col("cid").cast("int").alias("cid")
+    ).withColumn("id_bucket", _id_bucket_col(F.col("id"))).write.mode(
+        mode
+    ).partitionBy("id_bucket").parquet(f"{path}/id_index")
 
 
 def query_ivf_index(
@@ -71,14 +103,31 @@ def query_ivf_index(
     """Serve top-k neighbors for ``query_ids`` from a built index.
 
     Query vectors are looked up in the index's own lists (standard
-    self-query shape, mirroring ``ivf_topk``); the probed-list scan is
-    partition-pruned via a literal ``cid IN`` predicate derived from the
-    collected probe set (≤ ``n_centroids`` values — bounded metadata)."""
+    self-query shape, mirroring ``ivf_topk``) through the ``id_index`` map,
+    so the lookup reads ≤ ``len(query_ids)`` id buckets of the tiny map
+    plus ≤ ``len(query_ids)`` home-list directories — never the full lists.
+    The probed-list scan is partition-pruned via a literal ``cid IN``
+    predicate derived from the collected probe set (≤ ``n_centroids``
+    values — bounded metadata)."""
     cents = spark.read.parquet(f"{path}/centroids")
-    lists_all = spark.read.parquet(f"{path}/lists")
 
-    queries = lists_all.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    # step 1: pruned read of the (id, cid) map — which list holds each query
+    q_buckets = sorted({int(q) % N_ID_BUCKETS for q in query_ids})
+    home_cids = sorted(
+        {
+            r[0]
+            for r in spark.read.parquet(f"{path}/id_index")
+            .filter(F.col("id_bucket").isin(q_buckets) & F.col("id").isin(query_ids))
+            .select("cid")
+            .distinct()
+            .collect()  # bounded by len(query_ids)
+        }
+    )
+    # step 2: fetch the query vectors from exactly those home lists
+    queries = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("cid").isin(home_cids) & F.col("id").isin(query_ids))
+        .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         _sq_dist(F.col("qvec"), F.col("cvec")).asc(), F.col("cid").asc()
@@ -137,9 +186,11 @@ def append_to_ivf_index(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    _assign(vecs, cents).write.mode("append").partitionBy("cid").parquet(
-        f"{path}/lists"
-    )
+    assigned = _assign(vecs, cents)
+    assigned.write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
+    assigned.select("id", F.col("cid").cast("int").alias("cid")).withColumn(
+        "id_bucket", _id_bucket_col(F.col("id"))
+    ).write.mode("append").partitionBy("id_bucket").parquet(f"{path}/id_index")
 
 
 def query_ivf_index_with_vectors(

@@ -945,6 +945,19 @@ def test_ivf_index_bit_equal_to_in_memory_and_prunes(spark, sf_dir, tmp_path):
     # and prune for real: only the two probed directories' rows survive
     assert set(r["cid"] for r in pruned.select("cid").distinct().collect()) <= {1, 3}
 
+    # the query-VECTOR lookup must be pruned too (ADVICE r7): the id_index
+    # scan carries an id_bucket partition filter, so looking up a query
+    # batch never touches the full corpus
+    from pyspark.sql import functions as F
+
+    buckets = sorted({q % ann_index.N_ID_BUCKETS for q in qids})
+    idx_scan = spark.read.parquet(f"{path}/id_index").filter(
+        F.col("id_bucket").isin(buckets) & F.col("id").isin(qids)
+    )
+    idx_plan = idx_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in idx_plan
+    assert "id_bucket" in idx_plan.split("PartitionFilters")[1][:200]
+
 
 def test_ivf_index_incremental_append_equals_frozen_rebuild(spark, sf_dir, tmp_path):
     """Appending a batch to an existing index (frozen centroids, no
@@ -975,6 +988,7 @@ def test_ivf_index_incremental_append_equals_frozen_rebuild(spark, sf_dir, tmp_p
     ref_path = str(tmp_path / "ivf_ref")
     cents.write.parquet(f"{ref_path}/centroids")
     _assign(union_vecs, cents).write.partitionBy("cid").parquet(f"{ref_path}/lists")
+    ann_index._write_id_index(spark, ref_path)  # hand-rolled index: add the lookup map
     want = sorted(map(tuple, ann_index.query_ivf_index(spark, ref_path, qids).collect()))
     assert got == want and len(got) > 0
 
