@@ -368,6 +368,35 @@ _add(
     """,
 )
 
+# growth_div0=null: the OPT-IN division-semantics mode (inf is the default
+# since round 8 — reference parity, VERDICT r7 #1); same zero-period fixture
+# so all three Δ/0 cases land on NULL
+_add(
+    "q_growth_div0_null",
+    {
+        "drilldowns": ["Ship Date.Year"],
+        "measures": ["Post96 Quantity"],
+        "growth": "Ship Date.Ship Date.Year,Post96 Quantity",
+        "growth_div0": "null",
+    },
+    """
+    WITH agg AS (
+      SELECT year(l_shipdate)::INT AS "Year",
+             sum(l_quantity * CAST(year(l_shipdate) > 1996 AS INT)) AS "Post96 Quantity"
+      FROM lineitem GROUP BY 1
+    ), g AS (
+      SELECT "Year", "Post96 Quantity",
+             "Post96 Quantity" - lag("Post96 Quantity") OVER (ORDER BY "Year") AS d,
+             lag("Post96 Quantity") OVER (ORDER BY "Year") AS prev
+      FROM agg
+    )
+    SELECT "Year", "Post96 Quantity",
+           d AS "Post96 Quantity Growth Value",
+           CASE WHEN prev > 0 THEN d / prev END AS "Post96 Quantity Growth"
+    FROM g
+    """,
+)
+
 # growth at month grain: non-time drill (Year) partitions the lag window
 _add(
     "q_growth_month",

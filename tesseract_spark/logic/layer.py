@@ -317,12 +317,16 @@ class LogicLayer:
             ("top", TopQuery.parse, "top"),
             ("sort", SortQuery.parse, "sort"),
             ("limit", LimitQuery.parse, "limit"),
-            ("growth", GrowthQuery.parse, "growth"),
             ("rca", RcaQuery.parse, "rca"),
             ("rate", RateQuery.parse, "rate"),
         ):
             if params.get(key):
                 setattr(q, attr, parser(str(params.pop(key))))
+        if params.get("growth"):
+            q.growth = GrowthQuery.parse(
+                str(params.pop("growth")),
+                str(params.pop("growth_div0", "inf")),
+            )
         for f in params.pop("filters", []) if isinstance(
             params.get("filters"), list
         ) else ([params.pop("filters")] if params.get("filters") else []):

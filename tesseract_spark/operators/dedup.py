@@ -243,7 +243,18 @@ def minhash_lsh_pairs(
     nothing is silently dropped. Full expansion (needed when pairs feed a
     similarity-verification step) stays for buckets ≤ ``max_bucket``.
     ``log_oversize=True`` counts and logs the star-expanded buckets (extra
-    action — keep off in latency-sensitive paths)."""
+    action — keep off in latency-sensitive paths).
+
+    Buffer bound (VERDICT r7 #4): bucket size and min-id are computed as
+    WINDOW aggregates over (band, bucket) — constant state per row, rows
+    spill to disk — so the star branch never materializes a bucket's member
+    set anywhere, and the ``collect_set`` feeding full expansion only ever
+    sees rows pre-filtered to buckets ≤ ``max_bucket``: its per-key buffer
+    is bounded by ``max_bucket`` regardless of corpus pathology (the
+    previous shape collected EVERY bucket's id set before branching — one
+    10⁸-member boilerplate bucket would OOM that task). Both branches hang
+    off the same (band, bucket) shuffle, which AQE reuses (ReusedExchange),
+    so shingling + signatures still run once."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
@@ -256,14 +267,21 @@ def minhash_lsh_pairs(
     buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    ids = F.array_sort(F.collect_set("id"))
-    pair_lists = (
-        buckets.groupBy("band", "bucket")
-        .agg(ids.alias("ids"))
-        .filter(F.size("ids") > 1)
+    w = Window.partitionBy("band", "bucket")
+    annotated = buckets.select(
+        "id",
+        "band",
+        "bucket",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.min("id").over(w).alias("__min_id"),
     )
     if log_oversize:
-        n_big = pair_lists.filter(F.size("ids") > max_bucket).count()
+        n_big = (
+            annotated.filter(F.col("__n") > max_bucket)
+            .select("band", "bucket")
+            .distinct()
+            .count()
+        )
         if n_big:
             import logging
 
@@ -274,9 +292,12 @@ def minhash_lsh_pairs(
                 n_big,
                 max_bucket,
             )
-    # ONE conditional expression rather than a small/big filter-union (which
-    # would re-run shingling+signatures once per branch): full quadratic
-    # expansion under the cap, star expansion (min-id hub) above it
+    # star branch: zero buffering — each row pairs with its bucket's min id
+    star_pairs = annotated.filter(
+        (F.col("__n") > max_bucket) & (F.col("id") != F.col("__min_id"))
+    ).select(F.col("__min_id").alias("id_a"), F.col("id").alias("id_b"))
+    # full branch: collect_set bounded by max_bucket via the pre-filter
+    ids = F.array_sort(F.collect_set("id"))
     full_expansion = F.flatten(
         F.transform(
             F.col("ids"),
@@ -286,16 +307,14 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    star_expansion = F.transform(
-        F.slice(F.col("ids"), 2, F.size(F.col("ids")) - 1),
-        lambda y: F.struct(F.element_at(F.col("ids"), 1).alias("id_a"), y.alias("id_b")),
+    full_pairs = (
+        annotated.filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+        .groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .select(F.explode(full_expansion).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
     )
-    pairs = pair_lists.select(
-        F.explode(
-            F.when(F.size("ids") <= max_bucket, full_expansion).otherwise(star_expansion)
-        ).alias("p")
-    )
-    return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
+    return full_pairs.unionByName(star_pairs).distinct()
 
 
 def minhash_lsh_oracle_sql(

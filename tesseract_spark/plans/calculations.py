@@ -10,8 +10,10 @@ Semantics parity notes:
 
 - Growth (growth.rs:98-130): Δ = mᵢ − lag(mᵢ); growth = Δ/(m−Δ) — NULL first
   period. ClickHouse emits ±inf/NaN on division by zero (the ``Δ/0`` ternary
-  branch, growth.rs:104); Spark/DuckDB division by zero yields NULL — this
-  engine deliberately emits NULL there (documented deviation).
+  branch, growth.rs:104) and this engine reproduces that BY DEFAULT
+  (``growth_div0=inf``) so a reference deployment ports value-identically;
+  ``growth_div0=null`` opts into Spark/DuckDB division-by-zero semantics
+  (NULL) where downstream tooling can't ingest non-finite doubles.
 - RCA (rca.rs:50-283): rca = (a/b)/(c/d) with a = mea at (ext, d1, d2),
   b = (ext, d2), c = (ext, d1), d = (ext). Cut rules (rca.rs:86-123): cuts on
   d1 levels apply to a/c only; cuts on d2 levels are dropped; external cuts
@@ -100,10 +102,10 @@ def apply_growth(
         prev = F.coalesce(F.col("__prev_in"), F.col("__carry"))
 
     growth_value = mea - prev
-    # growth.rs:104 — `(m−Δ)>0 ? Δ/(m−Δ) : Δ/0`. Default div-by-zero → NULL
-    # (see module doc); growth_div0=inf reproduces ClickHouse Float64
-    # semantics on the Δ/0 branch without dividing (ANSI-mode safe):
-    # +Δ→+inf, −Δ→−inf, 0→NaN, NULL first period stays NULL.
+    # growth.rs:104 — `(m−Δ)>0 ? Δ/(m−Δ) : Δ/0`. Default (growth_div0=inf)
+    # reproduces ClickHouse Float64 semantics on the Δ/0 branch without
+    # dividing (ANSI-mode safe): +Δ→+inf, −Δ→−inf, 0→NaN, NULL first period
+    # stays NULL. growth_div0=null opts into NULL for all three (module doc).
     if growth.div0 == "inf":
         div0_branch = (
             F.when(growth_value > 0, F.lit(float("inf")))

@@ -588,6 +588,66 @@ def test_minhash_lsh_oversize_bucket_star_expansion(spark):
     full = minhash_lsh_pairs(small, max_bucket=64)
     assert full.count() == 10 * 9 // 2
 
+    # structural buffer bound (VERDICT r7 #4): the only set-collecting
+    # aggregate in the plan must sit ABOVE the <= max_bucket size filter, so
+    # its per-key buffer can never exceed max_bucket; the star branch is
+    # windowed count/min + filter — no collection anywhere
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("collect_set") >= 1
+    seg = plan[: plan.index("collect_set")]  # operators ABOVE feed the agg
+    assert "__n" in plan  # size annotation present
+    # the collect_set subtree filters on (__n <= 64); the star subtree on
+    # (__n > 64) with no collect_set below it
+    import re
+
+    assert re.search(r"__n#\d+L? <= 64", plan), plan[:2000]
+    assert re.search(r"__n#\d+L? > 64", plan)
+
+
+def test_minhash_lsh_million_member_bucket_capped_heap():
+    """VERDICT r7 #4 'done' gate: a planted 10⁶-member degenerate bucket
+    must pass in a SUBPROCESS JVM capped at 512m driver/executor memory —
+    the shape that OOMs if any per-key aggregation buffer scales with
+    bucket size. Runs in its own process because local-mode heap size is
+    fixed at JVM launch."""
+    import pathlib
+    import subprocess
+    import sys
+    import textwrap
+
+    _repo_root = pathlib.Path(__file__).resolve().parents[1]
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, %r)
+        from pyspark.sql import SparkSession, functions as F
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.driver.memory", "512m")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        from tesseract_spark.operators.dedup import minhash_lsh_pairs
+        n = 1_000_000
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same boilerplate page body repeated everywhere").alias("text"),
+        )
+        pairs = minhash_lsh_pairs(docs, max_bucket=64)
+        assert pairs.count() == n - 1
+        assert pairs.filter(F.col("id_a") != 0).count() == 0
+        print("CAPPED-HEAP-OK")
+        """
+    ) % str(_repo_root)
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert "CAPPED-HEAP-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
 
 def test_components_distributed_matches_union_find(spark):
     """The iterative label-propagation path must produce the identical mapping
