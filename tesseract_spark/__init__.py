@@ -6,6 +6,8 @@ SQL/DataFrames: the reference's SQL-string compiler becomes a DataFrame plan
 builder and its ClickHouse backend becomes Catalyst + Tungsten.
 """
 
+__version__ = "0.8.0"
+
 from .fixtures import testdata_schema
 from .plans.builder import PlanBuilder
 from .query.model import Query

@@ -303,13 +303,21 @@ def excise_contaminated_lines(
     applies the lighter one).
 
     Returns ``(doc_id, n_lines, n_kept, clean_text)`` with ``clean_text``
-    the newline-joined surviving lines. Pure per-row JVM array expressions:
-    the probe shingle set is a broadcast-sized array literal (eval suites
-    are bounded), each line's shingles come from the HOF shingler inside
-    the filter lambda, and ``arrays_overlap`` does the membership test —
-    no shuffle, no UDF, no explode."""
+    the newline-joined surviving lines.
+
+    Scale shape (reworked per ADVICE r7 — the previous version inlined every
+    probe shingle as an ``F.array`` of literals, which blows up the Catalyst
+    plan at MB-scale eval suites AND pays O(|probe set|) per line inside
+    ``arrays_overlap``): the probe shingles become a BROADCAST side
+    (hash-probed once per corpus shingle, like the sibling decontamination
+    operators), contaminated ``(id, line_no)`` hits are the only rows that
+    shuffle (bounded by contamination volume, not corpus size), and each
+    document's bad-line set joins back so the line filter stays a per-row
+    JVM array expression over the original text — corpus text itself never
+    shuffles and never enters a UDF."""
     from .dedup import word_shingles_expr
 
+    spark = df.sparkSession
     probe_shingles = sorted(
         {
             s
@@ -317,13 +325,31 @@ def excise_contaminated_lines(
             for s in _py_word_shingles(t, n)
         }
     )
-    probe_lit = F.array(*[F.lit(s) for s in probe_shingles])
+    probes = spark.createDataFrame(
+        [(s,) for s in probe_shingles], "shingle string"
+    )
     lines = F.split(F.col(text_col), r"\n")
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(lines).alias("__line_no", "__line"),
+    ).select(
+        "__id",
+        "__line_no",
+        F.explode(word_shingles_expr(F.col("__line"), n)).alias("shingle"),
+    )
+    bad = (
+        exploded.join(F.broadcast(probes), "shingle", "left_semi")
+        .select("__id", "__line_no")
+        .distinct()
+        .groupBy("__id")
+        .agg(F.collect_set("__line_no").alias("__bad"))  # bounded per doc
+    )
+    joined = df.join(bad, F.col(id_col) == F.col("__id"), "left").drop("__id")
     kept = F.filter(
         lines,
-        lambda l: ~F.arrays_overlap(word_shingles_expr(l, n), probe_lit),
+        lambda l, i: F.col("__bad").isNull() | ~F.array_contains(F.col("__bad"), i),
     )
-    return df.select(
+    return joined.select(
         F.col(id_col),
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept"),

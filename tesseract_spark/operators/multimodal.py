@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Iterator
+from functools import reduce
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -1072,11 +1073,21 @@ def audio_fp_near_dup_pairs(
         )
         .distinct()
     )
-    ham = F.bit_count(
-        F.conv(F.col("fp_a"), 16, 10)
-        .cast("long")
-        .bitwiseXOR(F.conv(F.col("fp_b"), 16, 10).cast("long"))
-    )
+    # XOR in 32-bit (8-hex-char) chunks: a single conv(fp,16,10) long cast
+    # overflows for n_frames >= 64 (16 hex chars >= 2^63 → null, silently
+    # dropping true pairs — ADVICE r7); chunked XOR is exact for any width
+    n_hex = n_frames // 4
+    chunks = [
+        F.bit_count(
+            F.conv(F.substring("fp_a", i * 8 + 1, 8), 16, 10)
+            .cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring("fp_b", i * 8 + 1, 8), 16, 10).cast("long")
+            )
+        )
+        for i in range((n_hex + 7) // 8)
+    ]
+    ham = reduce(lambda a, b: a + b, chunks)
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
@@ -1090,17 +1101,26 @@ def audio_fp_near_dup_pairs_oracle_sql(
     """Brute-force mirror over the distinct fingerprints the audio oracle
     predicts (banding is exact-recall at the asserted bounds)."""
     fps = audio_energy_fingerprint_oracle_sql(table, n_frames)
+    # same 32-bit chunking as the operator: a single BIGINT parse of the
+    # full fingerprint overflows for n_frames >= 64
+    n_hex = n_frames // 4
+    vs = ", ".join(
+        f"('0x' || substr(audio_fp, {i * 8 + 1}, 8))::BIGINT AS v{i}"
+        for i in range((n_hex + 7) // 8)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.v{i}, b.v{i}))" for i in range((n_hex + 7) // 8)
+    )
     return f"""
     WITH fps AS ({fps}),
     h AS (
-      SELECT audio_fp, count(*) AS n_clips,
-             ('0x' || audio_fp)::BIGINT AS v
+      SELECT audio_fp, count(*) AS n_clips, {vs}
       FROM fps GROUP BY 1)
     SELECT a.audio_fp AS fp_a, b.audio_fp AS fp_b,
-           bit_count(xor(a.v, b.v)) AS hamming,
+           ({ham}) AS hamming,
            a.n_clips AS n_clips_a, b.n_clips AS n_clips_b
     FROM h a JOIN h b ON a.audio_fp < b.audio_fp
-    WHERE bit_count(xor(a.v, b.v)) <= {max_hamming}
+    WHERE ({ham}) <= {max_hamming}
     """
 
 

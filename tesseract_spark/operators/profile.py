@@ -239,7 +239,9 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     order = [F.col("n_rows").desc(), F.col("key").asc(), F.col("is_null").asc()]
     total = df.agg(F.count(F.lit(1)).alias("total"))
     top = counts.orderBy(*order).limit(top_k).crossJoin(F.broadcast(total))
-    w = Window.orderBy(*order)
+    # literal partition key: <= top_k rows post-limit; silences the benign
+    # "No Partition Defined" warning (VERDICT r7 #7)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
     return top.select(
         F.row_number().over(w).alias("rank"),
         "key",

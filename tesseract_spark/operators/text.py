@@ -664,13 +664,17 @@ def vocab_coverage(
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    # constant partition key: the window runs AFTER .limit(top_k) so one
+    # partition holds <= k rows by construction; partitioning by a literal
+    # keeps Spark's "No Partition Defined" warning out of the logs, where
+    # it would be indistinguishable from a real scale bug (VERDICT r7 #7)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("term").asc())
     return top.select(
         F.row_number().over(w).alias("rank"),
         "term",
         "n",
         F.expr(
-            "sum(n) OVER (ORDER BY n DESC, term ASC "
+            "sum(n) OVER (PARTITION BY 'all' ORDER BY n DESC, term ASC "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
             "* 1000000 DIV total"
         ).alias("cum_ppm"),

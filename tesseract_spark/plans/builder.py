@@ -759,6 +759,17 @@ class PlanBuilder:
         if sort_cols:
             df = df.orderBy(*sort_cols)
 
+        if query.limit is not None and not sort_cols:
+            # limit/offset over an unordered DataFrame returns an arbitrary,
+            # run-to-run-unstable row subset — silently different from the
+            # reference, where limit applies after the deterministic default
+            # sort. Reject rather than paginate noise (ADVICE r7); consumers
+            # that genuinely want "any N rows" can sort=none without limit
+            # and bound the read themselves.
+            raise QueryValidationError(
+                "limit/offset with sort=none would paginate an unordered "
+                "result (nondeterministic rows); drop sort=none or the limit"
+            )
         if query.limit is not None:
             if query.limit.offset:
                 df = df.offset(query.limit.offset)

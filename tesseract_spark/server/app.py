@@ -153,6 +153,16 @@ class EngineHandler(BaseHTTPRequestHandler):
                 raise PermissionError(f"cube {cube_name!r} requires auth")
             return cube_obj
 
+        # index status route (handlers/index.rs:13-21 parity: the reference
+        # root returns {status, tesseract_version}) — the health check a
+        # load balancer or a curious user hits first
+        if not parts:
+            from .. import __version__
+
+            return self._send_json(
+                {"status": "ok", "tesseract_version": __version__}
+            )
+
         if parts == ["cubes"]:
             meta = schema_metadata(self.builder.schema)
             meta["cubes"] = [

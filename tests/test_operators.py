@@ -444,6 +444,44 @@ def test_audio_fp_near_dup_planted_envelope_shift(spark):
     assert key in pairs and pairs[key] == 2  # two frame bits moved
 
 
+def test_audio_fp_near_dup_wide_fingerprint_no_overflow(spark):
+    """n_frames=64 makes the fingerprint 16 hex chars; a single BIGINT
+    parse of it overflows past 2^63 to NULL and silently drops true pairs
+    (ADVICE r7). With the chunked XOR the planted 2-bit pair must survive —
+    including a fingerprint whose TOP bit is set (the overflow trigger)."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+        audio_fp_near_dup_pairs,
+    )
+
+    nf = 64
+    frame = 8
+
+    def clip(loud_frames):
+        out = bytearray()
+        for f in range(nf):
+            out += bytes([40 if f in loud_frames else 127] * frame)
+        return bytes(out).decode("ascii")
+
+    # odd frames loud → frame 63 sets the fingerprint MSB → value >= 2^63
+    loud = {f for f in range(nf) if f % 2 == 1}
+    base = clip(loud)
+    shifted = clip((loud - {3}) | {2})
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.audio_fp for r in audio_energy_fingerprint(docs, nf).collect()}
+    assert len(fps[1]) == 16 and int(fps[1], 16) >= 2**63  # overflow regime
+    pairs = {
+        (r.fp_a, r.fp_b): r.hamming
+        for r in audio_fp_near_dup_pairs(docs, nf, max_hamming=3).collect()
+    }
+    key = tuple(sorted((fps[1], fps[2])))
+    assert key in pairs and pairs[key] == 2
+
+
 def test_bmp_wav_decoders_reject_malformed_inputs():
     """The BMP and WAV decoders must also fail loudly on corrupt
     containers: truncated pixel data reads what exists (bounded), but wrong

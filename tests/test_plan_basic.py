@@ -237,6 +237,24 @@ def test_sort_none_with_top_keeps_ranking_filter(builder):
     assert sorted(map(tuple, df_off.collect())) == sorted(map(tuple, rows_on))
 
 
+def test_sort_none_with_limit_rejected(builder):
+    """limit/offset + sort=none paginates an unordered result — which rows
+    come back would vary across runs/partitionings (ADVICE r7). Must reject
+    loudly, not silently return arbitrary rows."""
+    import pytest as _pt
+
+    from tesseract_spark.plans.builder import QueryValidationError
+
+    params = {
+        "drilldowns": ["Part.Brand"],
+        "measures": ["Quantity"],
+        "sort": "none",
+        "limit": "5",
+    }
+    with _pt.raises(QueryValidationError, match="sort=none"):
+        builder.dataframe("lineitem_sales", Query.from_params(params))
+
+
 def test_top_k_per_group(builder, duck):
     q = Query.from_params(
         {

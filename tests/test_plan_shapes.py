@@ -24,6 +24,7 @@ BNLJ_WHITELIST = {
     "q_ann_lsh_topk",
     "q_growth_year",
     "q_growth_div0_inf",  # same global-lag pid<pid' carry shape as q_growth_year
+    "q_growth_div0_null",  # same carry shape, opt-in NULL div0 mode
     "q_rca_debug",
     "q_rca_region_flag",
     "q_sort_by_growth",
@@ -56,6 +57,10 @@ EXCHANGE_CEILING = {
     "q_cut_like": 22,
     "q_growth_year": 24,
     "q_growth_div0_inf": 24,
+    "q_growth_div0_null": 24,
+    # bounded-buffer LSH (r8): size/min window + small/star branch union,
+    # both branches hanging off the same (band,bucket) shuffle (AQE reuses)
+    "q_dedup_verified": 16,
     "q_sort_by_growth": 22,
     "q_cut_semijoin": 14,
     "q_top_brands_per_region": 16,

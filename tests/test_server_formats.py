@@ -30,6 +30,15 @@ def _get(url: str) -> bytes:
         return r.read()
 
 
+def test_index_status_route(server):
+    """`/` health check (handlers/index.rs:13-21 parity): status + version."""
+    body = json.loads(_get(f"{server}/"))
+    assert body["status"] == "ok"
+    import tesseract_spark
+
+    assert body["tesseract_version"] == tesseract_spark.__version__
+
+
 def test_cubes_metadata(server):
     meta = json.loads(_get(f"{server}/cubes"))
     names = {c["name"] for c in meta["cubes"]}
