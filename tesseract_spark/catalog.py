@@ -64,6 +64,27 @@ ENTRIES: dict[str, Entry] = {}
 _IVF_TMP_PATHS: set[str] = set()
 
 
+def _ivf_tmp_path(sf_dir: str, tag: str) -> str:
+    """Per-(sf, tag, pid) temp index dir. pid in the name: two processes
+    running an index entry concurrently (audit + tests) must not read each
+    other's half-rewritten lists. The dir outlives the entry call (the
+    returned DataFrame reads it lazily) but not the process: an atexit hook
+    removes it, so repeated runs don't accumulate orphans in /tmp
+    (ADVICE r7)."""
+    import atexit as _ax
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    h = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{_tf.gettempdir()}/tesseract_spark_ivf_{h}_{tag}_{_os.getpid()}"
+    if path not in _IVF_TMP_PATHS:
+        _IVF_TMP_PATHS.add(path)
+        _ax.register(_sh.rmtree, path, ignore_errors=True)
+    return path
+
+
 def _pin_runtime_confs(fn):
     """Catalog entries must run under ANY caller-supplied SparkSession (the
     driver's correctness harness builds its own, without get_spark's pins).
@@ -1661,24 +1682,9 @@ def _wire_pipeline_ops() -> None:
     # by plan tests). Same trained centroids/assignments as the in-memory
     # path, so the ivf_topk oracle applies unchanged — bit-equal by design.
     def _ann_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
-        import atexit as _ax
-        import hashlib as _hl
-        import os as _os
-        import shutil as _sh
-        import tempfile as _tf
-
         from .operators import ann_index
 
-        # pid in the tag: two processes running this entry concurrently
-        # (audit + tests) must not read each other's half-rewritten lists.
-        # The dir outlives this call (the returned DataFrame reads it
-        # lazily) but not the process: an atexit hook removes it, so
-        # repeated runs don't accumulate orphans in /tmp (ADVICE r7).
-        tag = _hl.md5(sf.encode()).hexdigest()[:10]
-        path = f"{_tf.gettempdir()}/tesseract_spark_ivf_{tag}_{_os.getpid()}"
-        if path not in _IVF_TMP_PATHS:
-            _IVF_TMP_PATHS.add(path)
-            _ax.register(_sh.rmtree, path, ignore_errors=True)
+        path = _ivf_tmp_path(sf, "self")
         ann_index.build_ivf_index(_embs(spark, sf), path)
         return ann_index.query_ivf_index(spark, path, [0, 1, 2, 3, 4])
 
@@ -2957,91 +2963,322 @@ def _wire_pipeline_ops() -> None:
 _wire_pipeline_ops()
 
 
+def _wire_round8_ops() -> None:
+    """Catalog entries for the 14 round-7 operators that had DuckDB-parity
+    pytest coverage but no driver-green row (VERDICT r7 "next round" #1) —
+    the oracles are the same SQL mirrors the tests already exercise, lifted
+    to static strings over the driver's pre-registered views."""
+    from pyspark.sql import functions as F
+
+    from .operators import budget, dedup, multimodal, sampling, similarity, text
+    from .operators.text import _sql_quality_fragments
+
+    # mixture EXECUTION (planning is q_token_budget_plan): epoch replication
+    # + keyed-hash partial subsample per source — zero corpus shuffle
+    _BUDGET_W = {"src1": 3, "src5": 5, "src9": 2}
+    _add(
+        "q_token_budget_apply",
+        lambda spark, sf: budget.apply_token_budget(
+            _docs(spark, sf), _BUDGET_W, 200_000
+        ),
+        budget.apply_token_budget_oracle_sql(_BUDGET_W, 200_000),
+    )
+
+    # perceptual NEAR-dup pairs (hamming-banded LSH over distinct hashes,
+    # exact recall at the asserted band/hamming bounds) — image and audio
+    _add(
+        "q_image_ahash_near_dup",
+        lambda spark, sf: multimodal.image_ahash_near_dup_pairs(_docs(spark, sf)),
+        multimodal.image_ahash_near_dup_pairs_oracle_sql(),
+    )
+    _add(
+        "q_audio_fp_near_dup",
+        lambda spark, sf: multimodal.audio_fp_near_dup_pairs(_docs(spark, sf)),
+        multimodal.audio_fp_near_dup_pairs_oracle_sql(),
+    )
+
+    # Gopher rule flags + C4 line cleaning: the two canonical web-corpus
+    # quality filters, all JVM regex/integer expressions
+    _add(
+        "q_gopher_quality",
+        lambda spark, sf: text.gopher_quality_flags(_docs(spark, sf)),
+        text.gopher_quality_flags_oracle_sql(),
+    )
+    _add(
+        "q_c4_line_filter",
+        lambda spark, sf: text.c4_line_filter(_docs(spark, sf)),
+        text.c4_line_filter_oracle_sql(),
+    )
+
+    # winnowing fingerprints + MOSS-style shared-passage pairs; the 100-doc
+    # deterministic slice keeps the char-level rolling hash affordable at
+    # oracle scale (the operator itself is linear in text length)
+    _WIN100 = "(SELECT * FROM documents ORDER BY doc_id LIMIT 100)"
+
+    def _win_docs(spark: SparkSession, sf: str) -> DataFrame:
+        return _docs(spark, sf).orderBy("doc_id").limit(100)
+
+    _add(
+        "q_winnowing_fp",
+        lambda spark, sf: text.winnowing_fingerprints(_win_docs(spark, sf)),
+        text.winnowing_fingerprints_oracle_sql(_WIN100),
+    )
+    _add(
+        "q_winnowing_passages",
+        lambda spark, sf: text.winnowing_shared_passages(_win_docs(spark, sf)),
+        text.winnowing_shared_passages_oracle_sql(_WIN100),
+    )
+
+    # cross-document exact-line dedup (repeated footers/boilerplate lose
+    # every occurrence but the smallest doc id's)
+    _add(
+        "q_dedup_lines_across",
+        lambda spark, sf: dedup.dedup_lines_across_docs(_docs(spark, sf)),
+        dedup.dedup_lines_across_docs_oracle_sql(),
+    )
+
+    # screening a NEW batch against an already-deduped index: cross-side
+    # verified pairs only (no new-new, no index-index)
+    def _minhash_vs_index(spark: SparkSession, sf: str) -> DataFrame:
+        docs = _docs(spark, sf)
+        return dedup.minhash_against_index(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+        )
+
+    _add(
+        "q_minhash_vs_index",
+        _minhash_vs_index,
+        dedup.minhash_against_index_oracle_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",
+        ),
+    )
+
+    # curriculum ordering: exact-quantile difficulty tiers + deterministic
+    # in-tier shuffle (score = document length, the classic length
+    # curriculum)
+    def _curriculum(spark: SparkSession, sf: str) -> DataFrame:
+        return sampling.curriculum_order(
+            _docs(spark, sf).select(
+                "doc_id", F.length("text").cast("long").alias("score")
+            ),
+            "score",
+        )
+
+    _add(
+        "q_curriculum_order",
+        _curriculum,
+        sampling.curriculum_order_oracle_sql(
+            "(SELECT doc_id, CAST(length(text) AS BIGINT) AS score FROM documents)",
+            "score",
+            ["doc_id", "score"],
+        ),
+    )
+
+    # quality-aware cluster survivor selection: LSH clusters + quality
+    # scores -> keep the best-scoring member per duplicate cluster
+    def _best_in_cluster(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.text import quality_score_col
+
+        docs = _docs(spark, sf)
+        clusters = dedup.resolve_duplicate_clusters(
+            dedup.minhash_lsh_pairs(docs),
+            corpus_ids=docs.select(F.col("doc_id").alias("id")),
+        )
+        quality = docs.select(
+            "doc_id", F.round(quality_score_col(F.col("text")), 6).alias("score")
+        )
+        return dedup.best_in_cluster(clusters, quality)
+
+    _q8_qsql, _ = _sql_quality_fragments("text")
+    _add(
+        "q_best_in_cluster",
+        _best_in_cluster,
+        dedup.best_in_cluster_oracle_sql(
+            dedup.cluster_oracle_sql(),
+            f"SELECT doc_id, round({_q8_qsql}, 6) AS score FROM documents",
+        ),
+    )
+
+    # hard-negative mining: band-restricted neighbors (similar but strictly
+    # below the near-dup zone) for contrastive training
+    _add(
+        "q_hard_negative_band",
+        lambda spark, sf: similarity.hard_negative_band(
+            _embs(spark, sf), [0, 1, 2, 3, 4], 0.15, 0.3, k=5
+        ),
+        similarity.hard_negative_band_oracle_sql([0, 1, 2, 3, 4], 0.15, 0.3, 5),
+    )
+
+    # signed feature-hash embeddings: the trainable-model-free text
+    # vectorizer feeding the ANN stack (integer counts, zero shuffle). The
+    # entry emits one (id, dim, v) row per vector component — the driver's
+    # value hash sorts cells, which array columns can't do
+    def _feature_hash(spark: SparkSession, sf: str) -> DataFrame:
+        return similarity.feature_hash_embed(_docs(spark, sf), dim=16).select(
+            "id", F.posexplode("vec").alias("dim", "v")
+        ).select("id", F.col("dim").cast("long").alias("dim"), "v")
+
+    _add(
+        "q_feature_hash_embed",
+        _feature_hash,
+        f"""
+        WITH e AS ({similarity.feature_hash_embed_oracle_sql(16)})
+        SELECT id, unnest(generate_series(1, len(vec))) - 1 AS dim,
+               unnest(vec) AS v
+        FROM e
+        """,
+    )
+
+    # surgical decontamination: drop only the LINES sharing an n-gram with
+    # the probe texts (the two smallest docs — a bounded 2-row collect)
+    def _excise(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.decontaminate import excise_contaminated_lines
+
+        docs = _docs(spark, sf)
+        probes = [r.text for r in docs.orderBy("doc_id").limit(2).collect()]
+        return excise_contaminated_lines(docs, probes)
+
+    from .operators.decontaminate import excise_contaminated_lines_oracle_sql
+
+    _add(
+        "q_excise_lines",
+        _excise,
+        excise_contaminated_lines_oracle_sql(
+            probes_sql="SELECT text FROM documents ORDER BY doc_id LIMIT 2"
+        ),
+    )
+
+    # ONLINE serving shape for the persistent IVF index: external query
+    # vectors (odd ids — genuinely absent from the even-id index) probe the
+    # pruned lists; the oracle replays train/assign/probe/rescore over the
+    # even-id corpus with the same external queries
+    def _ivf_query_vectors(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators import ann_index
+
+        embs = _embs(spark, sf)
+        path = _ivf_tmp_path(sf, "ext")
+        ann_index.build_ivf_index(embs.filter(F.col("vec_id") % 2 == 0), path)
+        qvecs = [
+            (r.vec_id, [float(x) for x in r.embedding])
+            for r in embs.filter(F.col("vec_id").isin([1, 3, 5, 7, 9]))
+            .select("vec_id", "embedding")
+            .collect()  # bounded: 5 rows
+        ]
+        return ann_index.query_ivf_index_with_vectors(spark, path, qvecs)
+
+    _add(
+        "q_ann_ivf_query_vectors",
+        _ivf_query_vectors,
+        similarity.ivf_external_query_oracle_sql(
+            "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)",
+            "SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec "
+            "FROM embeddings WHERE vec_id IN (1, 3, 5, 7, 9)",
+        ),
+    )
+
+
+_wire_round8_ops()
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke query: top-2 brands per region by revenue."""
     return ENTRIES["q_top_brands_per_region"].spark_fn(spark, sf_dir)
 
 
 # The driver's correctness harness checks only the FIRST 50 queries() entries
-# per round, so ordering is evidence policy, not cosmetics. Round-7 window
-# (VERDICT r6 "next round" #1: oldest-evidence-first). Evidence ledger after
-# r6: union of green rows over r1-r6 covers 130/130 entries; latest-green
-# histogram 50@r6 / 44@r5 / 36@r4. This window re-proves the ENTIRE r4
-# cohort (36 entries — after r7 no entry's latest green row predates r5),
-# plus every entry whose code or oracle changed this round, plus the three
-# round-7 debuts. Fixed slots:
+# per round, so ordering is evidence policy, not cosmetics. Round-8 window.
+# Evidence ledger after r7: union of green rows over r1-r7 covers 133/133
+# pre-r8 entries; latest-green histogram 50@r7 / 41@r6 / 42@r5. Budget:
 #  - 3 environment probes (integer-sum dtype, events-ts vintage, DuckDB
 #    version) — any external divergence localizes in-round;
 #  - 2 permanent cross-round anchors (q_growth_year, q_agg_year);
-#  - changed-entry re-proofs (r6 policy: a changed code path or oracle must
-#    be re-proven the round it lands): q_approx_percentile (bracket now from
-#    exact_quantiles — VERDICT r6 #2), q_key_skew_profile (is_null column),
-#    q_bm25_topk (oracle DOUBLE casts), q_image_ahash_dedup /
-#    q_audio_fingerprint / q_multimodal_features (byte-indexed oracles);
-#    q_multimodal_decode also changed (hex md5) and is in the r4 cohort
-#    below. q_token_budget_plan's change (a W=0 raise branch that cannot
-#    fire on testdata) is result-identical and bit-audited this round, so
-#    it keeps its r6 green row and yields its slot to the materially
-#    changed q_multimodal_features oracle;
-#  - every entry NEW in r7 (starvation tripwire: new entries MUST debut in
-#    a window): q_image_png_decode, q_ann_ivf_index, q_decontaminate_ngram.
-# The 44-entry r5 cohort stays r5-green and rotates in r8.
+#    q_growth_year doubles as the re-proof of this round's growth div0
+#    default flip to ClickHouse +-inf parity (growth.rs:104);
+#  - 16 debuts (starvation tripwire: new entries MUST debut in a window):
+#    the 15 round-7 library operators wired as entries this round
+#    (VERDICT r7 "next round" #1) plus q_growth_div0_null (the NULL
+#    division mode the old default became);
+#  - 5 changed-entry re-proofs (standing policy: a changed code path or
+#    oracle must be re-proven the round it lands): q_ann_ivf_index
+#    (build now writes the id-bucketed (id,cid) side map and the query
+#    path prunes through it — ADVICE r7), q_key_skew_profile (literal
+#    window partition), q_quantiles_distributed + q_price_quartile_counts
+#    (shared memoized rank fold — VERDICT r7 #8), q_growth_div0_inf
+#    (its flag now matches the new default);
+#  - 24 of the 42-entry r5 cohort (oldest-evidence-first): the 4 whose
+#    code changed this round (q_dedup_minhash_lsh bucket bounding,
+#    q_sort_limit_offset sort=none pagination guard, q_vocab_coverage
+#    literal window, q_growth_month div0 default) lead; then the OLAP
+#    cut/filter core and the dedup/ANN/text spine. The remaining 18
+#    (q_agg_brand, q_cms_heavy_hitters, q_cms_join_size,
+#    q_decontaminate_bloom, q_embed_projection, q_event_funnel,
+#    q_events_json_props, q_events_window, q_hll_distinct,
+#    q_median_order, q_mixture_temperature, q_pack_sequences_text,
+#    q_pack_stats, q_pagerank_dups, q_source_orc_roundtrip,
+#    q_stratified_sample, q_top_brands_per_region, q_training_shards)
+#    rotate in r9 — all stay r5-green, locally bit-audited, and three
+#    (q_agg_brand, q_median_order, q_top_brands_per_region) carry the
+#    judge's independent r7 bit-exact re-audit.
 DRIVER_WINDOW: list[str] = [
     # environment probes (single-construct canaries)
     "q_probe_sum_bigint",
     "q_probe_events_ts",
     "q_probe_duck_version",
-    # permanent anchors
+    # permanent anchors (q_growth_year also re-proves the div0=inf default)
     "q_growth_year",
     "q_agg_year",
-    # r4 cohort — every entry whose latest green row is r4 (36 entries)
-    "q_ann_near_dup",
-    "q_multimodal_frames",
-    "q_multimodal_resize",
-    "q_events_sliding",
-    "q_events_top_types",
-    "q_text_repetition",
-    "q_text_rolling_fp",
-    "q_split_train_val_test",
-    "q_sample_per_group",
-    "q_range_join_activity",
-    "q_mixture_subsample",
-    "q_decontaminate",
-    "q_cohort_retention",
-    "q_dedup_incremental",
-    "q_source_overlap",
-    "q_top_terms",
-    "q_histogram_quantity",
-    "q_profile_documents",
-    "q_tfidf_topk_terms",
-    "q_embedding_dim_stats",
-    "q_split_leakage",
-    "q_fuzzy_name_match",
-    "q_pack_sequences",
-    "q_chunk_documents",
-    "q_redact_pii",
-    "q_epoch_shuffle",
-    "q_corpus_curation",
-    "q_events_sessionize",
-    "q_weighted_sample",
-    "q_multimodal_decode",
-    "q_dedup_spans",
-    "q_logic_time_latest",
-    "q_logic_named_set",
-    "q_logic_cut_children",
-    "q_source_jsonl_roundtrip",
-    "q_source_csv_roundtrip",
-    # changed-code/oracle re-proofs (round 7)
-    "q_approx_percentile",
-    "q_key_skew_profile",
-    "q_bm25_topk",
-    "q_image_ahash_dedup",
-    "q_audio_fingerprint",
-    "q_multimodal_features",
-    # round-7 debuts (new entries MUST debut in a window)
-    "q_image_png_decode",
+    # round-8 debuts
+    "q_token_budget_apply",
+    "q_image_ahash_near_dup",
+    "q_audio_fp_near_dup",
+    "q_gopher_quality",
+    "q_c4_line_filter",
+    "q_winnowing_fp",
+    "q_winnowing_passages",
+    "q_dedup_lines_across",
+    "q_minhash_vs_index",
+    "q_curriculum_order",
+    "q_best_in_cluster",
+    "q_hard_negative_band",
+    "q_feature_hash_embed",
+    "q_excise_lines",
+    "q_ann_ivf_query_vectors",
+    "q_growth_div0_null",
+    # changed-code/oracle re-proofs (round 8)
     "q_ann_ivf_index",
-    "q_decontaminate_ngram",
+    "q_key_skew_profile",
+    "q_quantiles_distributed",
+    "q_price_quartile_counts",
+    "q_growth_div0_inf",
+    # r5 cohort, changed-code entries first
+    "q_dedup_minhash_lsh",
+    "q_sort_limit_offset",
+    "q_vocab_coverage",
+    "q_growth_month",
+    # r5 cohort — OLAP cut/filter core
+    "q_cut_include",
+    "q_cut_exclude",
+    "q_cut_like",
+    "q_cut_semijoin",
+    "q_parents",
+    "q_property",
+    "q_filter_having",
+    "q_top_where",
+    "q_inline_status",
+    "q_rca_region_flag",
+    "q_two_phase_mixed",
+    # r5 cohort — dedup/ANN/text spine
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_ann_cosine_topk",
+    "q_ann_lsh_topk",
+    "q_embed_dup_clusters",
+    "q_semantic_dedup",
+    "q_text_analysis",
+    "q_quality_gate",
 ]
 
 

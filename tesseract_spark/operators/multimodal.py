@@ -951,7 +951,8 @@ def image_ahash_near_dup_pairs_oracle_sql(
              ('0x' || substr(ahash, 9, 8))::BIGINT AS lo
       FROM groups)
     SELECT a.ahash AS hash_a, b.ahash AS hash_b,
-           (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))) AS hamming,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS INTEGER) AS hamming,
            a.n_images AS n_images_a, b.n_images AS n_images_b
     FROM h a JOIN h b ON a.ahash < b.ahash
     WHERE (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))
@@ -1117,7 +1118,7 @@ def audio_fp_near_dup_pairs_oracle_sql(
       SELECT audio_fp, count(*) AS n_clips, {vs}
       FROM fps GROUP BY 1)
     SELECT a.audio_fp AS fp_a, b.audio_fp AS fp_b,
-           ({ham}) AS hamming,
+           CAST({ham} AS INTEGER) AS hamming,
            a.n_clips AS n_clips_a, b.n_clips AS n_clips_b
     FROM h a JOIN h b ON a.audio_fp < b.audio_fp
     WHERE ({ham}) <= {max_hamming}

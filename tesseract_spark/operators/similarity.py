@@ -1046,6 +1046,64 @@ def ann_int8_topk(
     )
 
 
+def ivf_external_query_oracle_sql(
+    corpus_sql: str,
+    queries_sql: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    dim: int = 64,
+) -> str:
+    """Mirror of ``ann_index.query_ivf_index_with_vectors``: an IVF index
+    trained and assigned over ``corpus_sql`` (must expose ``vec_id`` and
+    ``embedding``), probed with EXTERNAL query vectors from ``queries_sql``
+    (must yield ``query_id, qvec`` with qvec DOUBLE[]). Identical k-means /
+    probe / rescore CTEs as :func:`ivf_topk_oracle_sql`, minus the
+    self-match exclusion — an external query has no corpus row."""
+    ctes, cur = _sql_kmeans_ctes(n_centroids, iters, dim, corpus_sql)
+    d2q = (
+        "(list_dot_product(q.qvec, q.qvec) - 2*list_dot_product(q.qvec, c.cvec)"
+        " + list_dot_product(c.cvec, c.cvec))"
+    )
+    ctes.append(f"lists AS {_sql_assign('v', cur)}")
+    ctes.append(f"q AS ({queries_sql})")
+    ctes.append(
+        f"""probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY {d2q} ASC, c.cid ASC) AS pr
+        FROM q CROSS JOIN {cur} c) WHERE pr <= {nprobe}
+    )"""
+    )
+    ctes.append(
+        """cand AS (
+      SELECT p.query_id, l.id AS neighbor_id
+      FROM probe p JOIN lists l ON l.cid = p.cid
+    )"""
+    )
+    ctes.append(
+        """scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_dot_product(q.qvec, nv.vec)
+                   / (sqrt(list_dot_product(q.qvec, q.qvec))
+                    * sqrt(list_dot_product(nv.vec, nv.vec))), 6) AS cos_sim
+      FROM cand
+      JOIN q ON q.query_id = cand.query_id
+      JOIN v nv ON nv.id = cand.neighbor_id
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
 def ann_int8_topk_oracle_sql(
     query_ids: list[int],
     k: int = 5,
