@@ -148,7 +148,13 @@ def main() -> None:
     if sweep_all:
         PROBE_QUERIES = sorted(catalog.ENTRIES)
     if only:
-        PROBE_QUERIES = [q for q in PROBE_QUERIES if q in only] or only
+        # honor the explicit list verbatim — intersecting with the default
+        # PROBE_QUERIES silently dropped any requested entry not already in
+        # the default set (r8: q_dedup_verified/q_ann_ivf_index skipped)
+        unknown = [q for q in only if q not in catalog.ENTRIES]
+        if unknown:
+            raise SystemExit(f"unknown entries: {unknown}")
+        PROBE_QUERIES = only
 
     spark = get_spark("scale_probe")
     out = tempfile.mkdtemp(prefix=f"scale_x{n}_")

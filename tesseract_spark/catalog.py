@@ -2221,6 +2221,29 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # logic-layer exclude= (P8): the reference drops matching rows from the
+    # RESULT post-union (logic_layer/aggregate.rs exclude handling); here the
+    # drop is an in-plan filter on the drilled column — identical rows for a
+    # drilled level (excluded members form their own groups either way), but
+    # the filter reaches the scan
+    _add(
+        "q_logic_exclude",
+        lambda spark, sf: _logic_layer(spark, sf).data(
+            {
+                "cube": "sales",
+                "drilldowns": "Return Flag",
+                "measures": "Quantity",
+                "exclude": "Return Flag:N",
+            }
+        ),
+        """
+        SELECT l_returnflag AS "Return Flag", sum(l_quantity) AS "Quantity"
+        FROM lineitem
+        WHERE l_returnflag <> 'N'
+        GROUP BY 1
+        """,
+    )
+
     # training-shard materialization: partitioned parquet sink + manifest
     # read back FROM THE SINK, equality with the source-predicted oracle
     # proves the partitioned write lost nothing
@@ -3196,10 +3219,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  - 2 permanent cross-round anchors (q_growth_year, q_agg_year);
 #    q_growth_year doubles as the re-proof of this round's growth div0
 #    default flip to ClickHouse +-inf parity (growth.rs:104);
-#  - 16 debuts (starvation tripwire: new entries MUST debut in a window):
+#  - 17 debuts (starvation tripwire: new entries MUST debut in a window):
 #    the 15 round-7 library operators wired as entries this round
 #    (VERDICT r7 "next round" #1) plus q_growth_div0_null (the NULL
-#    division mode the old default became);
+#    division mode the old default became) and q_logic_exclude (the
+#    logic layer's exclude= row drop — VERDICT r7 #10, previously
+#    pytest-only);
 #  - 5 changed-entry re-proofs (standing policy: a changed code path or
 #    oracle must be re-proven the round it lands): q_ann_ivf_index
 #    (build now writes the id-bucketed (id,cid) side map and the query
@@ -3207,7 +3232,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    window partition), q_quantiles_distributed + q_price_quartile_counts
 #    (shared memoized rank fold — VERDICT r7 #8), q_growth_div0_inf
 #    (its flag now matches the new default);
-#  - 24 of the 42-entry r5 cohort (oldest-evidence-first): the 4 whose
+#  - 23 of the 42-entry r5 cohort (oldest-evidence-first): the 4 whose
 #    code changed this round (q_dedup_minhash_lsh bucket bounding,
 #    q_sort_limit_offset sort=none pagination guard, q_vocab_coverage
 #    literal window, q_growth_month div0 default) lead; then the OLAP
@@ -3217,8 +3242,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    q_events_json_props, q_events_window, q_hll_distinct,
 #    q_median_order, q_mixture_temperature, q_pack_sequences_text,
 #    q_pack_stats, q_pagerank_dups, q_source_orc_roundtrip,
-#    q_stratified_sample, q_top_brands_per_region, q_training_shards)
-#    rotate in r9 — all stay r5-green, locally bit-audited, and three
+#    q_stratified_sample, q_top_brands_per_region, q_training_shards,
+#    and q_quality_gate — which yielded its slot to the q_logic_exclude
+#    debut) rotate in r9 — all stay r5-green, locally bit-audited, and three
 #    (q_agg_brand, q_median_order, q_top_brands_per_region) carry the
 #    judge's independent r7 bit-exact re-audit.
 DRIVER_WINDOW: list[str] = [
@@ -3278,7 +3304,7 @@ DRIVER_WINDOW: list[str] = [
     "q_embed_dup_clusters",
     "q_semantic_dedup",
     "q_text_analysis",
-    "q_quality_gate",
+    "q_logic_exclude",
 ]
 
 

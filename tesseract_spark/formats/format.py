@@ -97,6 +97,23 @@ def format_jsonarrays(df: DataFrame, source: dict | None = None) -> str:
     return "".join(format_jsonarrays_stream(df, source))
 
 
+class LocalRows:
+    """Driver-side stand-in for a DataFrame in the formatters: ``columns`` +
+    ``toLocalIterator()`` over already-materialized dict rows. Lets small
+    in-memory tables (``/relations`` output, cached member lists — bounded by
+    construction) go through the SAME csv/jsonrecords/jsonarrays streamers as
+    query results, matching the reference where ``/relations.{format}`` runs
+    through ``format_records`` like any aggregate
+    (handlers/logic_layer/relations.rs:157-167)."""
+
+    def __init__(self, columns: list[str], rows: list[dict]):
+        self.columns = list(columns)
+        self._rows = rows
+
+    def toLocalIterator(self):  # noqa: N802 — DataFrame-API name
+        return iter(self._rows)
+
+
 FORMATTERS = {
     "csv": format_csv,
     "jsonrecords": format_jsonrecords,

@@ -215,7 +215,16 @@ class EngineHandler(BaseHTTPRequestHandler):
             rows = self.logic.relations(
                 params["cube"], params["level"], params["member"]
             )
-            return self._send_json({"data": rows})
+            # /relations.{fmt} streams through the same formatters as
+            # aggregates (relations.rs:157-167); bare /relations keeps the
+            # jsonrecords {"data": [...]} envelope it always had
+            _, _, fmt = parts[0].partition(".")
+            from ..formats.format import LocalRows
+
+            return self._stream_df(
+                LocalRows(["relation", "level", "id", "of"], rows),
+                fmt or "jsonrecords",
+            )
 
         if parts == ["flush"]:
             if self.flush_secret and params.get("secret") != self.flush_secret:

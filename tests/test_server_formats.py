@@ -127,6 +127,26 @@ def test_relations_endpoint(server):
     assert rels == {"parent", "neighbor"}
 
 
+def test_relations_formats(server):
+    """/relations.{fmt} streams through the same csv/jsonarrays formatters as
+    aggregates (relations.rs:157-167 runs relations through format_records)."""
+    base = (
+        "cube=lineitem_sales"
+        "&level=Customer+Geography.Geography.Nation&member=7"
+    )
+    text = _get(f"{server}/relations.csv?{base}").decode()
+    lines = text.strip().split("\n")
+    assert lines[0] == "relation,level,id,of"
+    assert any(line.startswith("parent,") for line in lines[1:])
+
+    arrays = json.loads(_get(f"{server}/relations.jsonarrays?{base}"))
+    assert arrays["headers"] == ["relation", "level", "id", "of"]
+    # same row multiset as the default jsonrecords envelope
+    records = json.loads(_get(f"{server}/relations?{base}"))["data"]
+    as_rows = sorted([r["relation"], r["level"], r["id"], r["of"]] for r in records)
+    assert sorted(arrays["data"]) == as_rows
+
+
 def test_concurrent_requests(server):
     """The reference's design target is ~100 concurrent requests
     (DESIGN.md:1-5); fire 100 aggregate queries from 100 simultaneous client
