@@ -9,6 +9,7 @@ builder and its ClickHouse backend becomes Catalyst + Tungsten.
 __version__ = "0.8.0"
 
 from .fixtures import testdata_schema
+from .plans.aggnav import AggregateNavigator
 from .plans.builder import PlanBuilder
 from .query.model import Query
 from .schema.parse import schema_from_json
@@ -16,6 +17,7 @@ from .session import get_spark
 from .sources.registry import TableRegistry, testdata_registry
 
 __all__ = [
+    "AggregateNavigator",
     "PlanBuilder",
     "Query",
     "TableRegistry",

@@ -1,0 +1,231 @@
+"""Aggregate navigation (plans/aggnav.py): materialized pass-1 rollups
+serving coarser queries bit-identically, with partition pruning, ancestor
+serving, and conservative fallback.
+
+The reference has no agg-table story (every query re-scans the fact table
+through ClickHouse); this is the engine's 100 TB dashboard path, so the
+tests pin BOTH values (bit-equality with the fact-table plan for exact-mode
+measures) and plan shape (no fact scan, PartitionFilters on partition cuts).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401 (parity with sibling tests)
+
+from tesseract_spark.plans.aggnav import AggregateNavigator
+from tesseract_spark.query.model import Query
+
+GRAIN_DRILLS = [
+    "Ship Date.Ship Date.Year",
+    "Part.Brand",
+    "Customer Geography.Geography.Nation",
+]
+GRAIN_MEASURES = [
+    "Quantity",
+    "Extended Price Exact",
+    "Row Count",
+    "Avg Discount",
+    "Max Tax",
+    "Min Tax",
+    "Weighted Price Exact",
+    "Tax MOE Exact",
+]
+# bit-exact across re-aggregation: decimal sums (exact_scale), integer-valued
+# double sums (< 2^53: order-independent), counts, min/max, decimal MOE subs
+EXACT_MEASURES = [
+    "Quantity",
+    "Extended Price Exact",
+    "Row Count",
+    "Max Tax",
+    "Min Tax",
+    "Weighted Price Exact",
+    "Tax MOE Exact",
+]
+
+
+@pytest.fixture(scope="module")
+def nav(builder, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("aggnav") / "grain_ybn")
+    n = AggregateNavigator(builder)
+    n.materialize(
+        "lineitem_sales",
+        GRAIN_DRILLS,
+        GRAIN_MEASURES,
+        path,
+        partition_by="Ship Date.Ship Date.Year",
+    )
+    yield n
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _q(**params):
+    return Query.from_params(params)
+
+
+def test_served_bit_equals_direct(nav, builder):
+    q = _q(drilldowns=["Ship Date.Ship Date.Year"], measures=EXACT_MEASURES)
+    served = nav.serve("lineitem_sales", q)
+    assert served is not None
+    assert served.collect() == builder.dataframe("lineitem_sales", q).collect()
+
+
+def test_served_subgrain_combinations(nav, builder):
+    for drills in (
+        ["Part.Brand"],
+        ["Ship Date.Ship Date.Year", "Customer Geography.Geography.Nation"],
+        GRAIN_DRILLS,  # identity grain
+    ):
+        q = _q(drilldowns=drills, measures=["Quantity", "Extended Price Exact"])
+        served = nav.serve("lineitem_sales", q)
+        assert served is not None, drills
+        assert (
+            served.collect() == builder.dataframe("lineitem_sales", q).collect()
+        ), drills
+
+
+def test_nonexact_measure_served_within_ulps(nav, builder):
+    """Plain-double sums (no exact_scale) re-aggregate to the same value up
+    to ulp-level non-associativity — the documented caveat."""
+    q = _q(drilldowns=["Ship Date.Ship Date.Year"], measures=["Avg Discount"])
+    served = nav.serve("lineitem_sales", q)
+    assert served is not None
+    got = {r["Year"]: r["Avg Discount"] for r in served.collect()}
+    want = {
+        r["Year"]: r["Avg Discount"]
+        for r in builder.dataframe("lineitem_sales", q).collect()
+    }
+    assert got.keys() == want.keys()
+    for y in want:
+        assert got[y] == pytest.approx(want[y], rel=1e-12)
+
+
+def test_ancestor_serving_from_parents(nav, builder):
+    """parents=True materialization stores ancestor columns, so the Region
+    grain (ancestor of the Nation drill) is served with no hierarchy walk."""
+    q = _q(
+        drilldowns=["Customer Geography.Geography.Region"],
+        measures=["Quantity"],
+    )
+    served = nav.serve("lineitem_sales", q)
+    assert served is not None
+    assert served.collect() == builder.dataframe("lineitem_sales", q).collect()
+
+
+def test_cut_sort_limit_and_top_served(nav, builder):
+    q = _q(
+        drilldowns=["Part.Brand"],
+        measures=["Extended Price Exact"],
+        cuts=["Ship Date.Ship Date.Year.1996,1997"],
+        sort="Extended Price Exact.desc",
+        limit="5",
+    )
+    served = nav.serve("lineitem_sales", q)
+    assert served is not None
+    assert served.collect() == builder.dataframe("lineitem_sales", q).collect()
+
+    q_top = _q(
+        drilldowns=["Customer Geography.Geography.Region", "Part.Brand"],
+        measures=["Quantity"],
+        top="2,Customer Geography.Geography.Region,Quantity,desc",
+    )
+    served = nav.serve("lineitem_sales", q_top)
+    assert served is not None
+    assert served.collect() == builder.dataframe("lineitem_sales", q_top).collect()
+
+
+def test_served_plan_never_touches_fact(nav):
+    q = _q(
+        drilldowns=["Ship Date.Ship Date.Year"],
+        measures=["Quantity"],
+        cuts=["Ship Date.Ship Date.Year.1997"],
+    )
+    served = nav.serve("lineitem_sales", q)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan  # rollup only — the whole point
+    # the Year cut prunes partition directories, not rows
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "c0" in pf and "1997" in pf
+
+
+def test_fallbacks(nav):
+    # non-decomposable aggregator
+    assert (
+        nav.serve(
+            "lineitem_sales",
+            _q(
+                drilldowns=["Ship Date.Ship Date.Year"],
+                measures=["Median Qty By Order"],
+            ),
+        )
+        is None
+    )
+    # finer-than-grain drilldown
+    assert (
+        nav.serve(
+            "lineitem_sales",
+            _q(drilldowns=["Ship Date.Ship Date.Month"], measures=["Quantity"]),
+        )
+        is None
+    )
+    # cut on a level outside the grain
+    assert (
+        nav.serve(
+            "lineitem_sales",
+            _q(
+                drilldowns=["Part.Brand"],
+                measures=["Quantity"],
+                cuts=["Line Status.Line Status.Status.O"],
+            ),
+        )
+        is None
+    )
+    # calculations recompute from the fact path
+    assert (
+        nav.serve(
+            "lineitem_sales",
+            _q(
+                drilldowns=["Ship Date.Ship Date.Year"],
+                measures=["Quantity"],
+                growth="Ship Date.Ship Date.Year,Quantity",
+            ),
+        )
+        is None
+    )
+    # measure not materialized
+    assert (
+        nav.serve(
+            "lineitem_sales",
+            _q(drilldowns=["Ship Date.Ship Date.Year"], measures=["P90 Price"]),
+        )
+        is None
+    )
+
+
+def test_dataframe_routes_and_falls_back(nav, builder):
+    q_roll = _q(drilldowns=["Ship Date.Ship Date.Year"], measures=["Quantity"])
+    routed = nav.dataframe("lineitem_sales", q_roll)
+    assert "lineitem" not in routed._jdf.queryExecution().executedPlan().toString()
+
+    q_fact = _q(
+        drilldowns=["Ship Date.Ship Date.Month"], measures=["Quantity"]
+    )
+    fell_back = nav.dataframe("lineitem_sales", q_fact)
+    assert (
+        fell_back.collect()
+        == builder.dataframe("lineitem_sales", q_fact).collect()
+    )
+
+
+def test_load_grain_fresh_navigator(nav, builder, spark):
+    path = nav.grains[0].path
+    nav2 = AggregateNavigator(builder)
+    g = nav2.load_grain(spark, path)
+    assert g.cube == "lineitem_sales" and g.partition_by == ["Year"]
+    q = _q(drilldowns=["Part.Brand"], measures=["Quantity", "Row Count"])
+    assert (
+        nav2.serve("lineitem_sales", q).collect()
+        == builder.dataframe("lineitem_sales", q).collect()
+    )

@@ -64,6 +64,8 @@ _VERSION_RISKY_USES = {
     r"\bmedian\s*\(": {"q_median_order", "q_two_phase_mixed"},
     r"\bquantile_cont\s*\(": {
         "q_approx_percentile",
+        "q_curriculum_order",  # r8: tier thresholds, bit-audited vs the
+        # operator's exact-quantile boundaries (integer length scores)
         "q_percentiles",
         "q_price_quartile_counts",
         "q_quality_gate",
@@ -91,6 +93,11 @@ _VERSION_RISKY_USES = {
         "q_quality_gate",
         "q_semantic_dedup",  # r5: threshold comparison only, not an output
         "q_text_analysis",
+        # r8 debuts, all bit-audited at sf0.01+sf0.1 this round:
+        "q_ann_ivf_query_vectors",  # same round-6 cosine rescore as the family
+        "q_best_in_cluster",  # round(quality,6) mirrors the Spark-side round
+        "q_hard_negative_band",  # cosine rescore
+        "q_minhash_vs_index",  # jaccard round, same as q_dedup_verified
     },
 }
 
