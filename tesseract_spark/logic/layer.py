@@ -61,11 +61,22 @@ class LogicLayer:
         builder: PlanBuilder,
         config: LogicLayerConfig | None = None,
         geoservice=None,
+        navigator=None,
     ):
         self.builder = builder
         self.config = config or LogicLayerConfig()
         self.geoservice = geoservice  # GeoService for type=geo dims (L4)
+        # optional plans.aggnav.AggregateNavigator: queries a materialized
+        # rollup can answer are served from it (bit-equal for exact-scale
+        # measures), everything else falls through to the builder — the
+        # navigator's own dataframe() does the routing
+        self.navigator = navigator
         self._caches: dict[str, MemberCache] = {}
+
+    def _engine_dataframe(self, cube_name: str, q: Query):
+        if self.navigator is not None:
+            return self.navigator.dataframe(cube_name, q)
+        return self.builder.dataframe(cube_name, q)
 
     # ---------------- naming ----------------
 
@@ -253,7 +264,7 @@ class LogicLayer:
                     and cut.level_name not in qc.drilldowns
                 ):
                     qc.drilldowns.append(cut.level_name)
-            dfs.append(self.builder.dataframe(cube.name, qc))
+            dfs.append(self._engine_dataframe(cube.name, qc))
         first = dfs[0]
         width = len(first.columns)
         for other in dfs[1:]:
@@ -359,7 +370,7 @@ class LogicLayer:
         if not multi_dims:
             for per in dim_cuts.values():
                 q.cuts.extend(per.values())
-            df = self.builder.dataframe(cube.name, q)
+            df = self._engine_dataframe(cube.name, q)
         else:
             df = self._fanout_union(cube, q, dim_cuts, multi_dims)
 

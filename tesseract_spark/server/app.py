@@ -82,6 +82,7 @@ class EngineHandler(BaseHTTPRequestHandler):
     # injected by make_server:
     builder: PlanBuilder = None
     logic: LogicLayer = None
+    navigator = None  # optional AggregateNavigator (rollup-serving route)
     flush_secret: str | None = None
     jwt_secret: str | None = None
     cache: _ResponseCache = None
@@ -188,7 +189,8 @@ class EngineHandler(BaseHTTPRequestHandler):
                 # repeated params arrive as lists (drilldowns, cuts, measures…)
                 agg_params = {k: (v if len(v) > 1 else v[0]) for k, v in qs.items()}
                 q = Query.from_params(agg_params)
-                df = self.builder.dataframe(cube, q)
+                engine = self.navigator if self.navigator is not None else self.builder
+                df = engine.dataframe(cube, q)
                 return self._stream_df(df, fmt, cache_key=ck)
             if endpoint == "members":
                 df = members_df(
@@ -229,7 +231,9 @@ class EngineHandler(BaseHTTPRequestHandler):
         if parts == ["flush"]:
             if self.flush_secret and params.get("secret") != self.flush_secret:
                 return self._send_json({"error": "bad secret"}, 403)
-            type(self).logic = LogicLayer(self.builder, self.logic.config)
+            type(self).logic = LogicLayer(
+                self.builder, self.logic.config, navigator=self.navigator
+            )
             self.cache.clear()
             return self._send_json({"flushed": True})
 
@@ -243,13 +247,19 @@ def make_server(
     logic_config: LogicLayerConfig | None = None,
     flush_secret: str | None = None,
     jwt_secret: str | None = None,
+    navigator=None,
 ) -> ThreadingHTTPServer:
+    """``navigator``: optional ``plans.aggnav.AggregateNavigator`` — when its
+    registered grains cover a request (measures/drills/cuts inside a
+    materialized rollup), /aggregate and /data serve from the rollup instead
+    of the fact table; everything else routes to ``builder`` unchanged."""
     handler = type(
         "BoundEngineHandler",
         (EngineHandler,),
         {
             "builder": builder,
-            "logic": LogicLayer(builder, logic_config),
+            "navigator": navigator,
+            "logic": LogicLayer(builder, logic_config, navigator=navigator),
             "flush_secret": flush_secret,
             "jwt_secret": jwt_secret,
             "cache": _ResponseCache(),

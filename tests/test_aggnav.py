@@ -229,3 +229,49 @@ def test_load_grain_fresh_navigator(nav, builder, spark):
         nav2.serve("lineitem_sales", q).collect()
         == builder.dataframe("lineitem_sales", q).collect()
     )
+
+
+def test_logic_layer_routes_through_navigator(nav, builder):
+    from tesseract_spark.logic.layer import LogicLayer
+
+    layer = LogicLayer(builder, navigator=nav)
+    df = layer.data(
+        {
+            "cube": "lineitem_sales",
+            "drilldowns": "Brand",
+            "measures": "Quantity",
+        }
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan  # served from the rollup
+    direct = LogicLayer(builder).data(
+        {"cube": "lineitem_sales", "drilldowns": "Brand", "measures": "Quantity"}
+    )
+    assert df.collect() == direct.collect()
+
+
+def test_server_serves_from_navigator(nav, builder):
+    import json
+    import threading
+    import urllib.request
+
+    from tesseract_spark.server.app import make_server
+
+    srv = make_server(builder, port=0, navigator=nav)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        url = (
+            f"{base}/cubes/lineitem_sales/aggregate.jsonrecords"
+            "?drilldowns=Ship+Date.Ship+Date.Year&measures=Quantity"
+        )
+        with urllib.request.urlopen(url, timeout=120) as r:
+            rows = json.loads(r.read())["data"]
+        q = _q(drilldowns=["Ship Date.Ship Date.Year"], measures=["Quantity"])
+        want = [
+            {"Year": r["Year"], "Quantity": r["Quantity"]}
+            for r in builder.dataframe("lineitem_sales", q).collect()
+        ]
+        assert rows == want
+    finally:
+        srv.shutdown()
