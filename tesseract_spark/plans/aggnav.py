@@ -118,6 +118,40 @@ def _implicit_sig(builder, cube, query: Query) -> str:
     )
 
 
+def _merge_cols(measure, avg_grain: str) -> list[Column]:
+    """Partial-PRESERVING merge of pass-1 columns — ``pass2_col`` without the
+    final fold, so merged rollup rows keep the exact pass-1 schema (decimal
+    sums stay decimal, (num,cnt) pairs stay pairs) and remain serveable.
+    Every pass-1 partial is a sum except min/max, which merge as min/max;
+    deletes are NOT expressible (min/max can't retract) — refresh is
+    append-only by contract."""
+    agg = measure.aggregator
+    n = measure.name
+    if isinstance(agg, Max):
+        return [F.max(n).alias(n)]
+    if isinstance(agg, Min):
+        return [F.min(n).alias(n)]
+    if isinstance(agg, Average) and avg_grain != "fk":
+        names = [f"{n}__num", f"{n}__cnt"]
+    elif isinstance(agg, WeightedAverage):
+        names = [f"{n}__num", f"{n}__den"]
+    elif isinstance(agg, Moe):
+        names = [f"{n}__sub"]
+    elif isinstance(agg, ReplicateWeightMoe):
+        names = [f"{n}__p"] + [
+            f"{n}__s{i}" for i in range(len(agg.secondary_columns))
+        ]
+    elif isinstance(agg, WeightedAverageMoe):
+        names = [f"{n}__pnum", f"{n}__pden"]
+        for i in range(len(agg.secondary_weight_columns)):
+            names += [f"{n}__snum{i}", f"{n}__sden{i}"]
+    elif isinstance(agg, (Sum, Count, WeightedSum)):
+        names = [n]
+    else:  # same gate as _decomposable — unreachable via materialize()
+        raise ValueError(f"non-mergeable aggregator {agg!r}")
+    return [F.sum(c).alias(c) for c in names]
+
+
 class AggregateNavigator:
     """Routes queries to a compatible materialized grain, else to the
     fact-table builder. Register grains via :meth:`materialize` (build) or
@@ -146,27 +180,9 @@ class AggregateNavigator:
         this rollup."""
         b = self.builder
         cube = b.schema.cube(cube_name)
-        params: dict = {"drilldowns": drilldowns, "measures": measures}
-        if parents:
-            params["parents"] = "true"
-        q = Query.from_params(params)
-        b._validate(cube, q)
-        specs = b._drill_specs(cube, q)
-        mea_objs = [cube.measure(m) for m in q.measures]
-        bad = [m.name for m in mea_objs if not _decomposable(m, b.avg_grain)]
-        if bad:
-            raise ValueError(
-                f"measures not decomposable for aggregate navigation: {bad}"
-            )
-
-        fact = b.registry.load(cube.table)
-        fact = b._apply_cuts(cube, q, fact)  # implicit default-member cuts
-        for alias, col in b._degenerate_projection(specs).items():
-            fact = fact.withColumn(alias, col)
-        joined = b._join_dims(specs, fact)
-        group_cols = b._group_aliases(specs)
-        p1 = [c for m in mea_objs for c in agg_mod.pass1_cols(m, b.avg_grain)]
-        pre = joined.groupBy(*[F.col(c) for c in group_cols]).agg(*p1)
+        q, group_cols, pre = self._build_partials(
+            cube_name, drilldowns, measures, parents
+        )
 
         columns = pre.columns
         dtypes = [dict(pre.dtypes)[c] for c in columns]
@@ -200,9 +216,104 @@ class AggregateNavigator:
             implicit_sig=_implicit_sig(b, cube, q),
             parents=parents,
         )
-        self._write_meta(fact.sparkSession, grain, mode)
+        self._write_meta(b.spark, grain, mode)
         self.grains.append(grain)
         return grain
+
+    def _build_partials(
+        self,
+        cube_name: str,
+        drilldowns: list[str],
+        measures: list[str],
+        parents: bool,
+        fact: DataFrame | None = None,
+    ):
+        """The grain pipeline shared by materialize (full fact) and refresh
+        (an increment): projection + dim joins + pass-1 partial aggregation.
+        Returns (query, grain group aliases, partials DataFrame)."""
+        b = self.builder
+        cube = b.schema.cube(cube_name)
+        params: dict = {"drilldowns": drilldowns, "measures": measures}
+        if parents:
+            params["parents"] = "true"
+        q = Query.from_params(params)
+        b._validate(cube, q)
+        specs = b._drill_specs(cube, q)
+        mea_objs = [cube.measure(m) for m in q.measures]
+        bad = [m.name for m in mea_objs if not _decomposable(m, b.avg_grain)]
+        if bad:
+            raise ValueError(
+                f"measures not decomposable for aggregate navigation: {bad}"
+            )
+
+        if fact is None:
+            fact = b.registry.load(cube.table)
+        fact = b._apply_cuts(cube, q, fact)  # implicit default-member cuts
+        for alias, col in b._degenerate_projection(specs).items():
+            fact = fact.withColumn(alias, col)
+        joined = b._join_dims(specs, fact)
+        group_cols = b._group_aliases(specs)
+        p1 = [c for m in mea_objs for c in agg_mod.pass1_cols(m, b.avg_grain)]
+        pre = joined.groupBy(*[F.col(c) for c in group_cols]).agg(*p1)
+        return q, group_cols, pre
+
+    def refresh(self, grain: MaterializedGrain, new_fact: DataFrame) -> list:
+        """APPEND-ONLY incremental maintenance: fold new fact rows into the
+        rollup, rewriting ONLY the partition directories the increment
+        touches (Spark dynamic partition overwrite). The 100 TB shape: a
+        daily fact arrival re-aggregates one day's rows and rewrites the
+        affected Year (or whatever the partition drill is) directories —
+        the rest of the rollup is untouched bytes. Deletes/corrections are
+        not expressible (min/max partials can't retract); rebuild with
+        :meth:`materialize` for those. Returns the affected partition values.
+
+        Exactness: merged partials keep the pass-1 schema via
+        :func:`_merge_cols` (decimal sums stay decimal), so a refreshed
+        rollup serves bit-identically to one materialized from the full
+        fact — pinned by ``tests/test_aggnav.py``."""
+        b = self.builder
+        cube = b.schema.cube(grain.cube)
+        _, group_cols, new_partials = self._build_partials(
+            grain.cube, grain.drilldowns, grain.measures, grain.parents, new_fact
+        )
+        # normalize column order to the grain's written layout
+        new_partials = new_partials.select(*[F.col(c) for c in grain.columns])
+
+        part_col = grain.partition_by[0]
+        # bounded collect: one row per AFFECTED partition value (partition
+        # drills are low-cardinality by design — see rollup_sink notes)
+        affected = [
+            r[0] for r in new_partials.select(part_col).distinct().collect()
+        ]
+        if not affected:
+            return []
+
+        existing = self._read_partials(b.spark, grain).filter(
+            F.col(part_col).isin(affected)
+        )
+        mea_objs = [cube.measure(m) for m in grain.measures]
+        merged = (
+            existing.unionByName(new_partials)
+            .groupBy(*[F.col(c) for c in group_cols])
+            .agg(*[c for m in mea_objs for c in _merge_cols(m, b.avg_grain)])
+            .select(*[F.col(c) for c in grain.columns])
+        )
+        # break lineage before overwriting the path being read (bounded:
+        # only the affected partitions' rollup rows — grain cardinality)
+        merged = merged.localCheckpoint(eager=True)
+
+        safe = dict(zip(grain.columns, _safe_names(grain.columns)))
+        out = merged.select(*[F.col(c).alias(safe[c]) for c in grain.columns])
+        spark = b.spark
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.repartition(safe[part_col]).write.mode("overwrite").partitionBy(
+                safe[part_col]
+            ).parquet(f"{grain.path}/partials")
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return affected
 
     @staticmethod
     def _write_meta(spark: SparkSession, g: MaterializedGrain, mode: str) -> None:

@@ -275,3 +275,76 @@ def test_server_serves_from_navigator(nav, builder):
         assert rows == want
     finally:
         srv.shutdown()
+
+
+def test_refresh_merges_increment_bit_exactly(builder, spark, tmp_path):
+    """Materialize over a historical slice, refresh with the remainder —
+    served results must be bit-identical to a full-fact materialization,
+    and only the touched partition directories may be rewritten."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "grain_incr")
+    fact = builder.registry.load("lineitem_enriched")
+    hist = fact.filter(F.year("l_shipdate") < 1997)
+    incr = fact.filter(F.year("l_shipdate") >= 1997)
+
+    nav = AggregateNavigator(builder)
+    # historical build: swap the registry binding, restore after
+    builder.registry.register("lineitem_enriched", hist, broadcastable=False)
+    try:
+        g = nav.materialize(
+            "lineitem_sales",
+            ["Ship Date.Ship Date.Year", "Part.Brand"],
+            EXACT_MEASURES,
+            path,
+            partition_by="Ship Date.Ship Date.Year",
+        )
+    finally:
+        builder.registry.register("lineitem_enriched", fact, broadcastable=False)
+
+    # snapshot pre-refresh file set of an untouched partition (1995)
+    pdir = f"{path}/partials"
+    untouched = sorted(
+        f for f in os.listdir(f"{pdir}/c0=1995") if f.endswith(".parquet")
+    )
+
+    affected = nav.refresh(g, incr)
+    assert set(affected) >= {1997, 1998}
+    assert 1995 not in affected and 1996 not in affected
+    assert (
+        sorted(
+            f for f in os.listdir(f"{pdir}/c0=1995") if f.endswith(".parquet")
+        )
+        == untouched
+    ), "untouched partition rewritten"
+
+    # served == direct full-fact for every sub-grain, bit-exact
+    for drills in (["Ship Date.Ship Date.Year"], ["Part.Brand"]):
+        q = _q(drilldowns=drills, measures=EXACT_MEASURES)
+        served = nav.serve("lineitem_sales", q)
+        assert served is not None
+        assert (
+            served.collect() == builder.dataframe("lineitem_sales", q).collect()
+        ), drills
+
+
+def test_refresh_empty_increment_noop(builder, spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "grain_noop")
+    nav = AggregateNavigator(builder)
+    g = nav.materialize(
+        "lineitem_sales",
+        ["Ship Date.Ship Date.Year"],
+        ["Quantity"],
+        path,
+    )
+    fact = builder.registry.load("lineitem_enriched")
+    assert nav.refresh(g, fact.filter(F.lit(False))) == []
+    q = _q(drilldowns=["Ship Date.Ship Date.Year"], measures=["Quantity"])
+    assert (
+        nav.serve("lineitem_sales", q).collect()
+        == builder.dataframe("lineitem_sales", q).collect()
+    )
