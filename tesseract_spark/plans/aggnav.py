@@ -103,6 +103,7 @@ class MaterializedGrain:
     partition_by: list[str]  # real names of partition columns
     implicit_sig: str  # default-member cut signature at materialize time
     parents: bool
+    n_rows: int  # rollup cardinality — match() prefers the smallest cover
 
 
 def _safe_names(columns: list[str]) -> list[str]:
@@ -215,6 +216,8 @@ class AggregateNavigator:
             partition_by=part_cols,
             implicit_sig=_implicit_sig(b, cube, q),
             parents=parents,
+            # parquet metadata count — no data scan; lets match() rank grains
+            n_rows=b.spark.read.parquet(f"{path}/partials").count(),
         )
         self._write_meta(b.spark, grain, mode)
         self.grains.append(grain)
@@ -313,6 +316,8 @@ class AggregateNavigator:
             ).parquet(f"{grain.path}/partials")
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        grain.n_rows = spark.read.parquet(f"{grain.path}/partials").count()
+        self._write_meta(spark, grain, "overwrite")
         return affected
 
     @staticmethod
@@ -327,13 +332,15 @@ class AggregateNavigator:
                 g.partition_by,
                 g.implicit_sig,
                 g.parents,
+                g.n_rows,
             )
         ]
         spark.createDataFrame(
             row,
             "cube string, drilldowns array<string>, measures array<string>,"
             " columns array<string>, dtypes array<string>,"
-            " partition_by array<string>, implicit_sig string, parents boolean",
+            " partition_by array<string>, implicit_sig string,"
+            " parents boolean, n_rows long",
         ).coalesce(1).write.mode(mode).parquet(f"{g.path}/meta")
 
     def load_grain(self, spark: SparkSession, path: str) -> MaterializedGrain:
@@ -349,6 +356,7 @@ class AggregateNavigator:
             partition_by=list(r.partition_by),
             implicit_sig=r.implicit_sig,
             parents=r.parents,
+            n_rows=r.n_rows,
         )
         self.grains.append(grain)
         return grain
@@ -396,7 +404,8 @@ class AggregateNavigator:
         for cut in query.cuts:
             ref = b.resolve_level(cube, cut.level_name)
             cut_keys.append(level_key_alias(ref.level))
-        for g in self.grains:
+        # smallest covering rollup wins: fewer rows = less to rescan
+        for g in sorted(self.grains, key=lambda g: g.n_rows):
             if g.cube != cube_name:
                 continue
             have = set(g.columns)

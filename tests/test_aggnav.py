@@ -348,3 +348,20 @@ def test_refresh_empty_increment_noop(builder, spark, tmp_path):
         nav.serve("lineitem_sales", q).collect()
         == builder.dataframe("lineitem_sales", q).collect()
     )
+
+
+def test_match_prefers_smallest_covering_grain(nav, builder, tmp_path):
+    """With a coarse (Year) rollup registered alongside the wide module
+    grain, a Year query must route to the smaller rollup."""
+    path = str(tmp_path / "grain_year_only")
+    nav2 = AggregateNavigator(builder)
+    nav2.grains = list(nav.grains)  # wide grain first
+    small = nav2.materialize(
+        "lineitem_sales", ["Ship Date.Ship Date.Year"], ["Quantity"], path
+    )
+    assert small.n_rows < nav.grains[0].n_rows
+    q = _q(drilldowns=["Ship Date.Ship Date.Year"], measures=["Quantity"])
+    assert nav2.match("lineitem_sales", q) is small
+    # queries the small grain can't cover still route to the wide one
+    q_wide = _q(drilldowns=["Part.Brand"], measures=["Quantity"])
+    assert nav2.match("lineitem_sales", q_wide) is nav.grains[0]
