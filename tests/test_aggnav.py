@@ -365,3 +365,47 @@ def test_match_prefers_smallest_covering_grain(nav, builder, tmp_path):
     # queries the small grain can't cover still route to the wide one
     q_wide = _q(drilldowns=["Part.Brand"], measures=["Quantity"])
     assert nav2.match("lineitem_sales", q_wide) is nav.grains[0]
+
+
+def test_streaming_grain_refresh_matches_full_fact(builder, spark, tmp_path):
+    """Stream fact increments through grain_refresh_stream — the rollup must
+    end bit-identical to a full-fact materialization, and a replayed batch
+    (simulated by re-running the drained stream) must NOT double-count."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.streaming.ingest import grain_refresh_stream
+
+    path = str(tmp_path / "grain_stream")
+    fact = builder.registry.load("lineitem_enriched")
+    hist = fact.filter(F.year("l_shipdate") < 1997)
+    incr = fact.filter(F.year("l_shipdate") >= 1997)
+
+    nav = AggregateNavigator(builder)
+    builder.registry.register("lineitem_enriched", hist, broadcastable=False)
+    try:
+        g = nav.materialize(
+            "lineitem_sales",
+            ["Ship Date.Ship Date.Year"],
+            ["Quantity", "Extended Price Exact"],
+            path,
+        )
+    finally:
+        builder.registry.register("lineitem_enriched", fact, broadcastable=False)
+
+    src = tmp_path / "fact_arrivals"
+    incr.coalesce(2).write.parquet(str(src))
+    ckpt = str(tmp_path / "ckpt")
+    grain_refresh_stream(nav, g, str(src), ckpt, incr.schema)
+
+    q = _q(
+        drilldowns=["Ship Date.Ship Date.Year"],
+        measures=["Quantity", "Extended Price Exact"],
+    )
+    want = builder.dataframe("lineitem_sales", q).collect()
+    assert nav.serve("lineitem_sales", q).collect() == want
+
+    # drained re-run: same checkpoint, no new files -> no batches; a fresh
+    # checkpoint replays the same FILES and the file-level ledger skips them
+    grain_refresh_stream(nav, g, str(src), ckpt, incr.schema)
+    grain_refresh_stream(nav, g, str(src), str(tmp_path / "ckpt2"), incr.schema)
+    assert nav.serve("lineitem_sales", q).collect() == want
