@@ -409,3 +409,58 @@ def test_streaming_grain_refresh_matches_full_fact(builder, spark, tmp_path):
     grain_refresh_stream(nav, g, str(src), ckpt, incr.schema)
     grain_refresh_stream(nav, g, str(src), str(tmp_path / "ckpt2"), incr.schema)
     assert nav.serve("lineitem_sales", q).collect() == want
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SERVE_DRILLS = [
+    "Ship Date.Ship Date.Year",
+    "Part.Brand",
+    "Customer Geography.Geography.Nation",
+    "Customer Geography.Geography.Region",  # ancestor via parents=True
+]
+
+
+@st.composite
+def _subgrain_query(draw):
+    drills = draw(
+        st.lists(
+            st.sampled_from(_SERVE_DRILLS), min_size=1, max_size=3, unique=True
+        )
+    )
+    # Region + Nation together is fine (Region is Nation's stored ancestor)
+    measures = draw(
+        st.lists(
+            st.sampled_from(EXACT_MEASURES), min_size=1, max_size=4, unique=True
+        )
+    )
+    params: dict = {"drilldowns": drills, "measures": measures}
+    if draw(st.booleans()):
+        years = draw(
+            st.lists(
+                st.sampled_from(["1995", "1996", "1997", "1998"]),
+                min_size=1,
+                max_size=2,
+                unique=True,
+            )
+        )
+        params["cuts"] = [f"Ship Date.Ship Date.Year.{','.join(years)}"]
+    return params
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(params=_subgrain_query())
+def test_property_served_equals_fact_path(nav, builder, params):
+    """Any sub-grain drill/measure/cut combination the grain covers must be
+    served bit-identically to the fact-table plan."""
+    q = Query.from_params(params)
+    served = nav.serve("lineitem_sales", q)
+    assert served is not None, params
+    assert (
+        served.collect() == builder.dataframe("lineitem_sales", q).collect()
+    ), params
