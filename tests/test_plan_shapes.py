@@ -38,6 +38,10 @@ BNLJ_WHITELIST = {
     "q_cms_join_size",  # 1-row broadcast estimate crossed into 1-row true size
     "q_hll_distinct",  # 1-row broadcast register summary crossed into exact
     "q_lm_bigram_score",  # 1-row broadcast vocabulary size crossed into lik
+    # round-8 debuts — all bounded-broadcast crosses, small side <= k rows:
+    "q_curriculum_order",  # n_tiers-1 threshold rows crossed into the corpus
+    "q_hard_negative_band",  # <=k query vectors broadcast over the corpus
+    "q_ann_ivf_query_vectors",  # <=k query vectors x n_centroids probe
     "q_bm25_topk",  # 1-row broadcast corpus stats (N, total_dl) crossed in
 }
 
@@ -65,6 +69,10 @@ EXCHANGE_CEILING = {
     "q_cut_semijoin": 14,
     "q_top_brands_per_region": 16,
     "q_top_where": 16,
+    # two full pipelines composed (LSH+verify over the tagged union of the
+    # new batch and the index side) — the honest sum of q_dedup_verified's
+    # branches plus the cross-side anti-duplication split
+    "q_minhash_vs_index": 24,
 }
 DEFAULT_CEILING = 12
 

@@ -90,7 +90,7 @@ def test_filters():
 def test_calcs():
     g = GrowthQuery.parse("Time.Year,Quantity")
     assert g.time_drill == LevelName("Time", "Time", "Year") and g.mea == "Quantity"
-    assert g.div0 == "null"
+    assert g.div0 == "inf"  # ClickHouse-parity default since r8 (growth.rs:104)
     assert GrowthQuery.parse("Time.Year,Quantity", "inf").div0 == "inf"
     with pytest.raises(QueryParseError):
         GrowthQuery.parse("Time.Year,Quantity", "zero")
