@@ -594,3 +594,58 @@ def weighted_sample_oracle_sql(
       WHERE ({weight_expr}) IS NOT NULL AND ({weight_expr}) > 0)
     WHERE rn <= {k}
     """
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+    weights: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    out_col: str = "split",
+) -> DataFrame:
+    """Cluster-aware train/val/test assignment: near-duplicate documents
+    NEVER straddle a split boundary.
+
+    :func:`deterministic_split` hashes each document independently, so the
+    two sides of a near-dup pair land in train and test with probability
+    ``2·p_train·p_test`` — the classic eval-contamination leak (a held-out
+    document whose 0.95-Jaccard twin was trained on is not held out).
+    Here the candidate ``pairs`` (``id_a``/``id_b`` — LSH candidates or
+    verified near-dups) are resolved to connected components and every
+    member inherits the split of its cluster CANONICAL id: one hash
+    decision per cluster, so whole duplicate families move together.
+    Returns ``(doc_id, canonical_id, split)`` covering the whole corpus
+    (singletons hash their own id, making this a strict superset of
+    :func:`deterministic_split` semantics).
+
+    Scale shape: adds nothing beyond cluster resolution itself (driver
+    union-find below the edge threshold, iterative min-label propagation
+    above — ``dedup.resolve_duplicate_clusters``); the split is a per-row
+    expression on the resolved mapping. Deterministic in (seed, canonical),
+    independent of partitioning.
+    """
+    from .dedup import resolve_duplicate_clusters
+
+    ids = df.select(F.col(id_col).alias("id"))
+    clusters = resolve_duplicate_clusters(pairs, corpus_ids=ids)
+    return clusters.withColumn(
+        out_col, split_col(F.col("canonical_id"), seed, weights)
+    )
+
+
+def leakage_safe_split_oracle_sql(
+    cluster_sql: str,
+    seed: str = "split-v1",
+    weights: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    out_col: str = "split",
+) -> str:
+    """DuckDB mirror of :func:`leakage_safe_split`: wraps a cluster oracle
+    (``doc_id``, ``canonical_id`` — e.g. ``dedup.cluster_oracle_sql()``'s
+    recursive-CTE closure) with the bit-identical split CASE expression on
+    the canonical id."""
+    case = split_case_sql("canonical_id", seed, weights)
+    return f"""
+    SELECT doc_id, canonical_id, {case} AS {out_col}
+    FROM ({cluster_sql})
+    """

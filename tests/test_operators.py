@@ -3467,3 +3467,112 @@ def test_ngram_overlap_streaming_matches_batch(spark, sf_dir, tmp_path):
     }
     assert collected == batch
     assert any(v[3] for v in batch.values())  # the probe docs themselves flag
+
+
+def test_classifier_separates_planted_corpora(spark):
+    """Clearly-separable seeds: positive docs use one vocabulary, negatives
+    another — the trained gate must keep positives, drop negatives, give
+    mixed docs an intermediate score, and score unseen-vocabulary docs at
+    the exact uninformative prior."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.classifier import (
+        PRIOR_PPM,
+        classifier_quality_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta", 1),
+            (2, "beta gamma alpha gamma", 1),
+            (3, "zork quux blort zork quux", 0),
+            (4, "quux blort zork blort", 0),
+            (5, "alpha beta zork quux", 0),  # mixed text, negative label
+            (6, "nebula nebula nebula", 0),  # vocabulary unseen positives
+            (7, "   ", 0),  # empty after trim
+        ],
+        "doc_id long, text string, label int",
+    )
+    out = {
+        r.doc_id: r
+        for r in classifier_quality_gate(
+            docs, F.col("label") == 1, n_buckets=64
+        ).collect()
+    }
+    assert out[1].keep and out[2].keep
+    assert not out[3].keep and not out[4].keep
+    # mixed doc sits strictly between the pure corpora
+    assert out[3].score_ppm < out[5].score_ppm < out[1].score_ppm
+    # doc 6's tokens hash to buckets only it trained (all-negative evidence)
+    assert out[6].score_ppm < PRIOR_PPM
+    # empty doc: no tokens, NULL score, never kept
+    assert out[7].n_tokens == 0 and out[7].score_ppm is None and not out[7].keep
+
+
+def test_classifier_unseen_tokens_score_exact_prior(spark):
+    """Scoring a corpus disjoint from the seed vocabulary must yield exactly
+    the Laplace prior (500000 ppm) for every token — the model contributes
+    nothing it never saw."""
+    from tesseract_spark.operators.classifier import (
+        PRIOR_PPM,
+        score_token_classifier,
+        train_token_classifier,
+    )
+
+    seeds = spark.createDataFrame(
+        [(1, "good fine great", 1), (2, "bad awful poor", 0)],
+        "doc_id long, text string, label int",
+    )
+    model = train_token_classifier(seeds, n_buckets=4096)
+    other = spark.createDataFrame(
+        [(10, "gggg hhhh jjjj")], "doc_id long, text string"
+    )
+    row = score_token_classifier(other, model, n_buckets=4096).collect()[0]
+    assert row.score_ppm == PRIOR_PPM
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every candidate pair must land in one split, transitively through
+    chains — and the planted chain must demonstrate the leak the plain
+    per-doc split would have allowed (members that hash apart)."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.sampling import (
+        leakage_safe_split,
+        split_col,
+    )
+
+    n = 500
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(n)],
+                                 "doc_id long, text string")
+    # chains of near-dups: (0,1),(1,2), (10,11),(11,12), ... every 10th id
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, n - 2, 10)]
+        + [(i + 1, i + 2) for i in range(0, n - 2, 10)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(docs, pairs)
+    rows = out.collect()
+    assert len(rows) == n  # whole-corpus coverage, singletons included
+    split_of = {r.doc_id: r.split for r in rows}
+    for a, b in [(p.id_a, p.id_b) for p in pairs.collect()]:
+        assert split_of[a] == split_of[b]
+        # transitivity through the chain
+    for i in range(0, n - 2, 10):
+        assert split_of[i] == split_of[i + 2]
+    # the naive per-doc hash split WOULD have straddled at least one pair
+    naive = {
+        r.doc_id: r.naive
+        for r in docs.select(
+            "doc_id", split_col(F.col("doc_id")).alias("naive")
+        ).collect()
+    }
+    assert any(
+        naive[i] != naive[i + 1] or naive[i + 1] != naive[i + 2]
+        for i in range(0, n - 2, 10)
+    )
+    # split fractions are sane (train is the 0.8 bucket)
+    from collections import Counter
+
+    c = Counter(split_of.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"]
