@@ -2720,6 +2720,24 @@ def _wire_pipeline_ops() -> None:
 
     _add("q_bm25_topk", _bm25, bm25_topk_oracle_sql(_BM25_QUERY, k=15))
 
+    # hybrid lexical+semantic retrieval: reciprocal-rank fusion of the BM25
+    # top-k and the exact-cosine top-k (rank-only integer fusion — engine-
+    # portable by construction; the two legs are their own proven oracles)
+    def _hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.retrieval import hybrid_rrf_topk
+
+        return hybrid_rrf_topk(
+            _docs(spark, sf), _embs(spark, sf), _BM25_QUERY, 3, k=15
+        )
+
+    from .operators.retrieval import hybrid_rrf_oracle_sql
+
+    _add(
+        "q_hybrid_rrf",
+        _hybrid_rrf,
+        hybrid_rrf_oracle_sql(_BM25_QUERY, 3, k=15),
+    )
+
     # per-dimension embedding stats (the normalization-stats pass before
     # training): posexplode → one groupBy on dim index; exact-decimal
     # sums make mean/var deterministic doubles
@@ -3315,17 +3333,19 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  - 2 permanent cross-round anchors (q_growth_year, q_agg_year);
 #    q_growth_year doubles as the re-proof of this round's growth div0
 #    default flip to ClickHouse +-inf parity (growth.rs:104);
-#  - 20 debuts (starvation tripwire: new entries MUST debut in a window):
+#  - 21 debuts (starvation tripwire: new entries MUST debut in a window):
 #    the 15 round-7 library operators wired as entries this round
 #    (VERDICT r7 "next round" #1) plus q_growth_div0_null (the NULL
 #    division mode the old default became) and q_logic_exclude (the
 #    logic layer's exclude= row drop — VERDICT r7 #10, previously
 #    pytest-only) and q_aggnav_serve (aggregate navigation: a coarse
 #    query served bit-exactly from a materialized pass-1 rollup, new
-#    this round in plans/aggnav.py), and the two late-round-8 debuts
-#    q_classifier_gate (trained hashed-token quality classifier) and
+#    this round in plans/aggnav.py), and the three late-round-8 debuts
+#    q_classifier_gate (trained hashed-token quality classifier),
 #    q_leakage_safe_split (cluster-aware split — near-dups never straddle
-#    train/test);
+#    train/test), and q_hybrid_rrf (reciprocal-rank fusion of the BM25
+#    and exact-cosine legs — which also exercises brute_force_topk, the
+#    heart of the displaced q_ann_cosine_topk, inside its semantic leg);
 #  - 5 changed-entry re-proofs (standing policy: a changed code path or
 #    oracle must be re-proven the round it lands): q_ann_ivf_index
 #    (build now writes the id-bucketed (id,cid) side map and the query
@@ -3333,11 +3353,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    window partition), q_quantiles_distributed + q_price_quartile_counts
 #    (shared memoized rank fold — VERDICT r7 #8), q_growth_div0_inf
 #    (its flag now matches the new default);
-#  - 20 of the 42-entry r5 cohort (oldest-evidence-first): the 4 whose
+#  - 19 of the 42-entry r5 cohort (oldest-evidence-first): the 4 whose
 #    code changed this round (q_dedup_minhash_lsh bucket bounding,
 #    q_sort_limit_offset sort=none pagination guard, q_vocab_coverage
 #    literal window, q_growth_month div0 default) lead; then the OLAP
-#    cut/filter core and the dedup/ANN/text spine. The remaining 22
+#    cut/filter core and the dedup/ANN/text spine. The remaining 23
 #    (q_agg_brand, q_cms_heavy_hitters, q_cms_join_size,
 #    q_decontaminate_bloom, q_embed_projection, q_event_funnel,
 #    q_events_json_props, q_events_window, q_hll_distinct,
@@ -3346,8 +3366,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    q_stratified_sample, q_top_brands_per_region, q_training_shards,
 #    q_quality_gate + q_text_analysis — which yielded their slots to
 #    the q_logic_exclude and q_aggnav_serve debuts — and
-#    q_dedup_ngram_jaccard + q_dedup_simhash — which yielded theirs to
-#    the q_classifier_gate and q_leakage_safe_split debuts) rotate in
+#    q_dedup_ngram_jaccard + q_dedup_simhash + q_ann_cosine_topk — which
+#    yielded theirs to the q_classifier_gate, q_leakage_safe_split, and
+#    q_hybrid_rrf debuts) rotate in
 #    r9 — all stay r5-green, locally bit-audited, and three
 #    (q_agg_brand, q_median_order, q_top_brands_per_region) carry the
 #    judge's independent r7 bit-exact re-audit.
@@ -3378,6 +3399,7 @@ DRIVER_WINDOW: list[str] = [
     "q_growth_div0_null",
     "q_classifier_gate",
     "q_leakage_safe_split",
+    "q_hybrid_rrf",
     # changed-code/oracle re-proofs (round 8)
     "q_ann_ivf_index",
     "q_key_skew_profile",
@@ -3403,7 +3425,6 @@ DRIVER_WINDOW: list[str] = [
     "q_two_phase_mixed",
     # r5 cohort — dedup/ANN/text spine
     "q_dedup_exact",
-    "q_ann_cosine_topk",
     "q_ann_lsh_topk",
     "q_embed_dup_clusters",
     "q_semantic_dedup",

@@ -239,15 +239,28 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     order = [F.col("n_rows").desc(), F.col("key").asc(), F.col("is_null").asc()]
     total = df.agg(F.count(F.lit(1)).alias("total"))
     top = counts.orderBy(*order).limit(top_k).crossJoin(F.broadcast(total))
-    # literal partition key: <= top_k rows post-limit; silences the benign
-    # "No Partition Defined" warning (VERDICT r7 #7)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
-    return top.select(
-        F.row_number().over(w).alias("rank"),
-        "key",
-        "is_null",
-        "n_rows",
-        F.expr("n_rows * 1000000 DIV total").alias("share_ppm"),
+    # window-free rank over the <= top_k survivors: fold into one array,
+    # array_sort on the (-n_rows, key, is_null) struct key, posexplode for
+    # the rank — an unpartitioned/literal-partitioned WindowExec here would
+    # log the "No Partition Defined" warning that VERDICT r7 #7 wants kept
+    # meaningful for real scale bugs (Spark warns for literal partitions
+    # too, so the r8 literal-key variant never actually silenced it)
+    xs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("n_rows")).alias("negn"), "key", "is_null", "n_rows"
+            )
+        )
+    )
+    folded = top.groupBy("total").agg(xs.alias("xs"))
+    return folded.select(
+        "total", F.posexplode("xs").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("rank"),
+        F.col("x.key").alias("key"),
+        F.col("x.is_null").alias("is_null"),
+        F.col("x.n_rows").alias("n_rows"),
+        F.expr("x.n_rows * 1000000 DIV total").alias("share_ppm"),
     )
 
 

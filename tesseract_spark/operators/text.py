@@ -662,20 +662,25 @@ def vocab_coverage(
         .limit(top_k)
         .crossJoin(F.broadcast(total))
     )
-    from pyspark.sql import Window
-
-    # constant partition key: the window runs AFTER .limit(top_k) so one
-    # partition holds <= k rows by construction; partitioning by a literal
-    # keeps Spark's "No Partition Defined" warning out of the logs, where
-    # it would be indistinguishable from a real scale bug (VERDICT r7 #7)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("term").asc())
-    return top.select(
-        F.row_number().over(w).alias("rank"),
-        "term",
-        "n",
+    # window-free rank/cumsum: ranking the <= k surviving rows through a
+    # WindowExec needs an unpartitioned (or literal-partitioned — Spark
+    # warns identically for both) window, polluting logs with a warning
+    # indistinguishable from a real scale bug (VERDICT r7 #7). Instead the
+    # bounded rows fold into ONE array, array_sort on the (-n, term) struct
+    # key gives the ranking, posexplode gives the rank, and the cumulative
+    # sum is an O(k²) slice-aggregate — trivial at k=50, zero WindowExec.
+    xs = F.array_sort(
+        F.collect_list(F.struct((-F.col("n")).alias("negn"), "term", "n"))
+    )
+    folded = top.groupBy("total").agg(xs.alias("xs"))
+    return folded.select(
+        "total", F.posexplode("xs").alias("pos", "x"), F.col("xs").alias("all")
+    ).select(
+        (F.col("pos") + 1).alias("rank"),
+        F.col("x.term").alias("term"),
+        F.col("x.n").alias("n"),
         F.expr(
-            "sum(n) OVER (PARTITION BY 'all' ORDER BY n DESC, term ASC "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "aggregate(slice(all, 1, pos + 1), 0L, (a, e) -> a + e.n) "
             "* 1000000 DIV total"
         ).alias("cum_ppm"),
     )

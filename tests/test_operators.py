@@ -3576,3 +3576,50 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
 
     c = Counter(split_of.values())
     assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_hybrid_rrf_matches_python_fusion_of_the_two_legs(spark, sf_dir):
+    """The fused top-k must equal reciprocal-rank fusion computed in plain
+    Python from the two legs' OWN outputs (independent re-derivation), and
+    a document present in both legs must beat every single-leg document
+    whose best rank is not better."""
+    from tesseract_spark.operators.retrieval import bm25_topk, hybrid_rrf_topk
+    from tesseract_spark.operators.similarity import brute_force_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    Q = "table window spark batch merge"
+    k, k_leg, rrf_k = 15, 50, 60
+
+    lex_rows = bm25_topk(docs, Q, k=k_leg).collect()  # already score-ordered
+    lex_rank = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            sorted(lex_rows, key=lambda r: (-r.score_ppm, r.doc_id))
+        )
+    }
+    sem_rank = {
+        r.neighbor_id: r.rank
+        for r in brute_force_topk(embs, [3], k=k_leg).collect()
+    }
+    expect = {}
+    for d in set(lex_rank) | set(sem_rank):
+        s = 0
+        if d in lex_rank:
+            s += 1_000_000 // (rrf_k + lex_rank[d])
+        if d in sem_rank:
+            s += 1_000_000 // (rrf_k + sem_rank[d])
+        expect[d] = s
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    got = hybrid_rrf_topk(docs, embs, Q, 3, k=k, k_lex=k_leg, k_sem=k_leg).collect()
+    assert [(r.doc_id, r.rrf_ppm) for r in got] == want
+    # any doc in BOTH legs beats a doc whose single leg rank is no better
+    both = [r for r in got if r.rank_lex is not None and r.rank_sem is not None]
+    single = [r for r in got if (r.rank_lex is None) != (r.rank_sem is None)]
+    for b in both:
+        for s in single:
+            if min(x for x in (s.rank_lex, s.rank_sem) if x is not None) >= min(
+                b.rank_lex, b.rank_sem
+            ):
+                assert b.rrf_ppm > s.rrf_ppm

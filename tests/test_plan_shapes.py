@@ -43,6 +43,8 @@ BNLJ_WHITELIST = {
     "q_hard_negative_band",  # <=k query vectors broadcast over the corpus
     "q_ann_ivf_query_vectors",  # <=k query vectors x n_centroids probe
     "q_bm25_topk",  # 1-row broadcast corpus stats (N, total_dl) crossed in
+    # late round-8 debuts:
+    "q_hybrid_rrf",  # inherits the bm25 leg's 1-row corpus-stats cross
 }
 
 # exchange-node ceilings (shuffles + broadcasts in the INITIAL adaptive plan;
@@ -73,6 +75,9 @@ EXCHANGE_CEILING = {
     # new batch and the index side) — the honest sum of q_dedup_verified's
     # branches plus the cross-side anti-duplication split
     "q_minhash_vs_index": 24,
+    # two audited retrieval legs composed (BM25's tf/df/dl aggs + cosine
+    # top-k) + the rank-fusion outer join; measured 14 at sf0.001
+    "q_hybrid_rrf": 28,
 }
 DEFAULT_CEILING = 12
 
