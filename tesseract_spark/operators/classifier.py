@@ -232,3 +232,31 @@ def classifier_gate_oracle_sql(
                     FALSE) AS keep
     FROM {table} d LEFT JOIN agg a ON a.doc_id = d.{id_expr}
     """
+
+
+def merge_token_classifiers(
+    models: list[DataFrame], alpha: int = 1
+) -> DataFrame:
+    """Merge independently-trained model tables into the model of the
+    union corpus — EXACTLY (not approximately): the model is raw counts
+    plus a purity derived from them, and counts are mergeable by
+    summation, so ``merge(train(A), train(B)) == train(A ∪ B)`` bit-for-
+    bit (property-tested). This is what makes the classifier incremental
+    at 100 TB: train per batch/partition/day, keep the tiny model tables,
+    merge on demand — the corpus is never re-scanned. ``alpha`` must match
+    the constituents' training."""
+    assert models, "merge_token_classifiers: no models"
+    merged = models[0]
+    for m in models[1:]:
+        merged = merged.unionByName(m)
+    counts = merged.groupBy("bucket").agg(
+        F.sum("c_pos").alias("c_pos"), F.sum("c_tot").alias("c_tot")
+    )
+    return counts.select(
+        "bucket",
+        "c_pos",
+        "c_tot",
+        F.expr(
+            f"((c_pos + {alpha}) * {PPM}) DIV (c_tot + {2 * alpha})"
+        ).alias("purity_ppm"),
+    )

@@ -3623,3 +3623,68 @@ def test_hybrid_rrf_matches_python_fusion_of_the_two_legs(spark, sf_dir):
                 b.rank_lex, b.rank_sem
             ):
                 assert b.rrf_ppm > s.rrf_ppm
+
+
+def test_classifier_merge_equals_union_training(spark):
+    """Incremental-training invariant: merging per-batch models must equal
+    training on the union corpus bit-for-bit (counts are mergeable; purity
+    is derived from counts)."""
+    from tesseract_spark.operators.classifier import (
+        merge_token_classifiers,
+        train_token_classifier,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} alpha", i % 2) for i in range(40)],
+        "doc_id long, text string, label int",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, f"tok{i % 5} beta beta", (i + 1) % 2) for i in range(30)],
+        "doc_id long, text string, label int",
+    )
+    merged = merge_token_classifiers(
+        [train_token_classifier(a, n_buckets=128),
+         train_token_classifier(b, n_buckets=128)]
+    )
+    union = train_token_classifier(a.unionByName(b), n_buckets=128)
+    m = {tuple(r) for r in merged.collect()}
+    u = {tuple(r) for r in union.collect()}
+    assert m == u and len(m) > 0
+
+
+def test_classifier_scoring_streaming_matches_batch(spark, tmp_path):
+    """Scoring with a pre-trained model under Structured Streaming
+    (foreachBatch over a file stream) must equal the batch run — the gate
+    slots into an ingest pipeline unchanged."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.classifier import (
+        score_token_classifier,
+        train_token_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("good fine " if i % 2 else "bad awful ") * (1 + i % 3))
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    seeds = docs.withColumn("label", (F.col("doc_id") % 2).cast("int"))
+    model = train_token_classifier(seeds, n_buckets=256)
+
+    src = str(tmp_path / "docs_in")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    got = []
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _eid: got.extend(
+                score_token_classifier(bdf, model, n_buckets=256).collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = score_token_classifier(docs, model, n_buckets=256).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in batch} and len(got) == 50
