@@ -73,6 +73,11 @@ HEADLINE = [
     "q_dedup_spans",
     "q_mixture_temperature",
     "q_quality_gate",
+    # late round-8 debuts: the trained-classifier filtering tier, the
+    # leakage FIX pairing q_split_leakage's diagnostic, and hybrid retrieval
+    "q_classifier_gate",
+    "q_leakage_safe_split",
+    "q_hybrid_rrf",
 ]
 
 

@@ -188,9 +188,30 @@ class EngineHandler(BaseHTTPRequestHandler):
                     return self._send_cached(*hit)
                 # repeated params arrive as lists (drilldowns, cuts, measures…)
                 agg_params = {k: (v if len(v) > 1 else v[0]) for k, v in qs.items()}
+                explain = str(agg_params.pop("explain", "")).lower() in (
+                    "true",
+                    "1",
+                )
                 q = Query.from_params(agg_params)
                 engine = self.navigator if self.navigator is not None else self.builder
                 df = engine.dataframe(cube, q)
+                if explain:
+                    # Spark-native ops surface (no reference counterpart —
+                    # the reference's debug flag only logs its ClickHouse
+                    # SQL server-side): return the optimized + physical
+                    # plan so a user can check pushdown/broadcast/shuffle
+                    # shape without driver access. Plain text, never cached.
+                    jvm = df.sparkSession._jvm
+                    plan = jvm.PythonSQLUtils.explainString(
+                        df._jdf.queryExecution(), "formatted"
+                    )
+                    body = plan.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return None
                 return self._stream_df(df, fmt, cache_key=ck)
             if endpoint == "members":
                 df = members_df(

@@ -263,3 +263,25 @@ def test_jsonarrays_format(spark, sf_dir):
     assert body["headers"] == ["Return Flag", "Quantity"]
     assert body["source"]["name"] == "lineitem_sales"
     assert len(body["data"]) == 2
+
+
+def test_aggregate_explain_returns_plan_text(server):
+    """`?explain=true` returns the formatted Spark plan instead of data —
+    the Spark-native ops surface for checking pushdown/broadcast shape
+    over HTTP (no reference counterpart; its debug flag only logs SQL
+    server-side)."""
+    body = _get(
+        f"{server}/cubes/lineitem_sales/aggregate.jsonrecords"
+        "?drilldowns=Part.Brand&measures=Extended+Price&explain=true"
+    ).decode()
+    assert "== Physical Plan ==" in body
+    # the dim join must show as a broadcast in the served plan
+    assert "BroadcastHashJoin" in body
+    # and the same URL without the flag still serves data
+    rows = json.loads(
+        _get(
+            f"{server}/cubes/lineitem_sales/aggregate.jsonrecords"
+            "?drilldowns=Part.Brand&measures=Extended+Price"
+        )
+    )["data"]
+    assert len(rows) > 0
