@@ -3688,3 +3688,77 @@ def test_classifier_scoring_streaming_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     batch = score_token_classifier(docs, model, n_buckets=256).collect()
     assert {tuple(r) for r in got} == {tuple(r) for r in batch} and len(got) == 50
+
+
+def test_bpe_training_hand_checked_merges(spark):
+    """Tiny corpus with a known pair structure: 'ab' dominates, then 'abc'."""
+    from tesseract_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "abc abc abc abd"), (2, "abc abd xy")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=3)
+    # 'a b' appears in every word occurrence (6): clear first merge; then
+    # 'ab c' (4 occurrences) beats 'ab d' (2) and 'x y' (1)
+    assert merges[0] == ("a", "b")
+    assert merges[1] == ("ab", "c")
+    assert merges[2] == ("ab", "d")
+
+
+def test_bpe_spark_pipeline_matches_pure_python_reference(spark, sf_dir):
+    """Train+encode through Spark (explode/groupBy + pandas_udf) must equal
+    an INDEPENDENT pure-Python implementation over the collected corpus —
+    the oracle tier for this inherently iterative operator."""
+    from collections import Counter
+
+    from tesseract_spark.operators.bpe import (
+        bpe_tokenize,
+        encode_word,
+        train_bpe,
+        train_bpe_from_freqs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+
+    # pure-Python training: same tokenizer, same cap ordering
+    c: Counter = Counter()
+    for _, t in rows:
+        c.update((t or "").lower().split())
+    freqs = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100_000]
+    want_merges = train_bpe_from_freqs(freqs, 60)
+
+    got_merges = train_bpe(docs, n_merges=60)
+    assert got_merges == want_merges
+
+    ranks = {p: i for i, p in enumerate(got_merges)}
+    want = {
+        d: [s for w in (t or "").lower().split() for s in encode_word(w, ranks)]
+        for d, t in rows
+    }
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe_tokenize(docs, got_merges).collect()
+    }
+    assert got == want
+    # lossless within words: concatenating a word's symbols restores it
+    for d, t in rows[:20]:
+        toks = got[d]
+        assert "".join(toks) == "".join((t or "").lower().split())
+
+
+def test_bpe_encoding_reproduces_training_segmentation(spark):
+    """A training word, encoded with all merges available, segments exactly
+    as the training loop left it (the classic BPE consistency property) —
+    here 'abcabc' fully collapses to one symbol."""
+    from tesseract_spark.operators.bpe import encode_word, train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "abcabc abcabc abcabc")], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, n_merges=10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("abcabc", ranks) == ("abcabc",)
+    # unseen word degrades gracefully to known pieces + single chars
+    assert "".join(encode_word("abcz", ranks)) == "abcz"
