@@ -65,17 +65,25 @@ def pack_sequences(
     n_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign every document to (shard, bin_id) under the greedy walk above.
 
     Returns ``(doc_id, shard, bin_id, n_tokens)`` — n_tokens is the
-    whitespace token count (:func:`.text.token_count_col`). bin_id is
-    1-based per shard.
+    whitespace token count (:func:`.text.token_count_col`), or the
+    precomputed ``n_tokens_col`` when given (e.g. ``bpe.bpe_tokenize``'s
+    ``n_bpe_tokens`` — packing under the REAL tokenizer's lengths). bin_id
+    is 1-based per shard.
     """
+    tok = (
+        F.col(n_tokens_col)
+        if n_tokens_col is not None
+        else token_count_col(F.col(text_col))
+    )
     slim = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         shard_col(F.col(id_col), n_shards),
-        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+        tok.cast("long").alias("n_tokens"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -3762,3 +3762,42 @@ def test_bpe_encoding_reproduces_training_segmentation(spark):
     assert encode_word("abcabc", ranks) == ("abcabc",)
     # unseen word degrades gracefully to known pieces + single chars
     assert "".join(encode_word("abcz", ranks)) == "abcz"
+
+
+def test_bpe_token_lengths_feed_sequence_packing(spark, sf_dir):
+    """End-to-end composition: pack under the TRAINED tokenizer's lengths
+    (bpe_tokenize → pack_sequences(n_tokens_col=...)). Bin fills respect
+    capacity with the BPE lengths, and every document lands in exactly one
+    bin."""
+    from tesseract_spark.operators.bpe import bpe_tokenize, train_bpe
+    from tesseract_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    merges = train_bpe(docs, n_merges=80)
+    toks = bpe_tokenize(docs, merges)
+    packed = pack_sequences(
+        docs.join(toks.select("doc_id", "n_bpe_tokens"), "doc_id"),
+        capacity=512,
+        n_shards=4,
+        n_tokens_col="n_bpe_tokens",
+    )
+    rows = packed.collect()
+    assert len(rows) == 200 and len({r.doc_id for r in rows}) == 200
+    # n_tokens in the output ARE the BPE lengths
+    want = {r.doc_id: r.n_bpe_tokens for r in toks.collect()}
+    assert all(r.n_tokens == want[r.doc_id] for r in rows)
+    # greedy fill: re-walk each shard in doc_id order and check bins match
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        by_shard[r.shard].append(r)
+    for shard_rows in by_shard.values():
+        bin_id, fill = 0, 513
+        for r in shard_rows:
+            if fill + r.n_tokens > 512:
+                bin_id += 1
+                fill = r.n_tokens
+            else:
+                fill += r.n_tokens
+            assert r.bin_id == bin_id
