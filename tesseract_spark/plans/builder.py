@@ -410,6 +410,36 @@ class PlanBuilder:
         df = self._order_headers(cube, query, specs, out_specs, df)
         return df
 
+    def drillthrough(
+        self, cube_name: str, query: Query, limit: int = 1000
+    ) -> DataFrame:
+        """The fact rows BEHIND an aggregate cell (classic OLAP
+        drill-through — absent from the reference, which only serves
+        aggregates): apply the query's cuts exactly as the aggregate path
+        does (IN/LIKE/semi-join pushdown, default-member implicit cuts),
+        label each row with the drilled levels' key/caption columns, and
+        project the measures' RAW fact columns instead of aggregating.
+
+        Deterministic page: rows order by every projected column (the cut
+        cell is a small slice of the fact table by construction — the sort
+        runs on the filtered subset, never the full fact) and ``limit``
+        bounds the page. Reuses the aggregate path's cut/join machinery,
+        so a drill-through always sees exactly the rows its cell
+        aggregated."""
+        cube = self.schema.cube(cube_name)
+        self._validate(cube, query)
+        specs = self._drill_specs(cube, query)
+        measures = [cube.measure(m) for m in query.measures]
+        fact = self.registry.load(cube.table)
+        fact = self._apply_cuts(cube, query, fact)
+        for alias, col in self._degenerate_projection(specs).items():
+            fact = fact.withColumn(alias, col)
+        joined = self._join_dims(specs, fact)
+        out_cols = [F.col(a) for a in self._group_aliases(specs)]
+        out_cols += [F.col(m.column).alias(m.name) for m in measures]
+        out = joined.select(*out_cols)
+        return out.orderBy(*[F.col(c) for c in out.columns]).limit(limit)
+
     def _order_headers(
         self,
         cube: Cube,

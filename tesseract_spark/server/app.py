@@ -213,6 +213,17 @@ class EngineHandler(BaseHTTPRequestHandler):
                     self.wfile.write(body)
                     return None
                 return self._stream_df(df, fmt, cache_key=ck)
+            if endpoint == "drillthrough":
+                # the fact rows behind an aggregate cell (no reference
+                # counterpart; the aggregate path's cuts are reused, so a
+                # drill-through sees exactly the rows its cell aggregated)
+                agg_params = {
+                    k: (v if len(v) > 1 else v[0]) for k, v in qs.items()
+                }
+                dt_limit = int(str(agg_params.pop("limit", "1000")))
+                q = Query.from_params(agg_params)
+                df = self.builder.drillthrough(cube, q, limit=dt_limit)
+                return self._stream_df(df, fmt)
             if endpoint == "members":
                 df = members_df(
                     self.builder, cube, params["level"], params.get("locale")

@@ -285,3 +285,19 @@ def test_aggregate_explain_returns_plan_text(server):
         )
     )["data"]
     assert len(rows) > 0
+
+
+def test_drillthrough_route(server):
+    """`/cubes/{cube}/drillthrough.jsonrecords` pages the fact rows behind
+    a cell, labeled with drill columns, capped by `limit`."""
+    body = json.loads(
+        _get(
+            f"{server}/cubes/lineitem_sales/drillthrough.jsonrecords"
+            "?drilldowns=Return+Flag.Return+Flag&measures=Extended+Price"
+            "&cuts=Return+Flag.Return+Flag.R&limit=7"
+        )
+    )
+    rows = body["data"]
+    assert len(rows) == 7
+    assert set(rows[0]) == {"Return Flag", "Extended Price"}
+    assert all(r["Return Flag"] == "R" for r in rows)
