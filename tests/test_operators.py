@@ -3801,3 +3801,65 @@ def test_bpe_token_lengths_feed_sequence_packing(spark, sf_dir):
             else:
                 fill += r.n_tokens
             assert r.bin_id == bin_id
+
+
+def test_curation_v2_pipeline_composes_new_tiers(spark, sf_dir):
+    """Round-8 tiers compose end-to-end: heuristic gate → trained
+    classifier gate → near-dup clusters → leakage-safe split → BPE token
+    accounting → packing of the train split. Checks the invariants each
+    stage must hand the next (no dropped/duplicated docs, split
+    consistency inside clusters, bins under capacity)."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import dedup
+    from tesseract_spark.operators.bpe import bpe_tokenize, train_bpe
+    from tesseract_spark.operators.classifier import classifier_quality_gate
+    from tesseract_spark.operators.packing import pack_sequences
+    from tesseract_spark.operators.sampling import leakage_safe_split
+    from tesseract_spark.operators.text import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    # stage 1: heuristic gate (permissive thresholds for the tiny corpus)
+    flags = gopher_quality_flags(docs, min_words=5, min_stop_hits=0)
+    survivors = docs.join(
+        flags.filter("keep").select("doc_id"), "doc_id", "semi"
+    )
+    n_surv = survivors.count()
+    assert 0 < n_surv <= n_docs
+
+    # stage 2: trained classifier scores (keep above corpus-median score)
+    scored = classifier_quality_gate(
+        survivors, F.col("lang") == "en", threshold_ppm=0
+    )
+    assert scored.count() == n_surv
+
+    # stage 3+4: clusters + leakage-safe split over the survivors
+    pairs = dedup.minhash_lsh_pairs(survivors)
+    split = leakage_safe_split(survivors, pairs)
+    assert split.count() == n_surv
+    by_doc = {r.doc_id: (r.canonical_id, r.split) for r in split.collect()}
+    for p in pairs.collect():
+        assert by_doc[p.id_a][1] == by_doc[p.id_b][1]
+
+    # stage 5: BPE lengths for the train split, packed under capacity
+    train_ids = {d for d, (_, s) in by_doc.items() if s == "train"}
+    train_docs = survivors.filter(F.col("doc_id").isin(list(train_ids)))
+    merges = train_bpe(train_docs, n_merges=60)
+    toks = bpe_tokenize(train_docs, merges)
+    packed = pack_sequences(
+        train_docs.join(toks.select("doc_id", "n_bpe_tokens"), "doc_id"),
+        capacity=1024,
+        n_shards=4,
+        n_tokens_col="n_bpe_tokens",
+    )
+    rows = packed.collect()
+    assert {r.doc_id for r in rows} == train_ids
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for r in rows:
+        if r.n_tokens <= 1024:  # oversize docs get a bin alone by contract
+            fill[(r.shard, r.bin_id)] += r.n_tokens
+    assert all(v <= 1024 for v in fill.values())
