@@ -260,3 +260,34 @@ def merge_token_classifiers(
             f"((c_pos + {alpha}) * {PPM}) DIV (c_tot + {2 * alpha})"
         ).alias("purity_ppm"),
     )
+
+
+def calibrate_threshold(
+    scored: DataFrame, keep_rate: float, score_col: str = "score_ppm"
+) -> int:
+    """The integer threshold that keeps (approximately, to score-tie
+    granularity) the top ``keep_rate`` fraction of scored documents:
+    the exact (1 − keep_rate) quantile of the score distribution, via the
+    distributed rank fold (``operators.quantiles`` — no value buffering),
+    ceiled to the next integer so ``score >= threshold`` keeps AT MOST
+    the requested mass plus ties. Null scores (empty docs) are excluded —
+    they can never be kept anyway. The standard way to turn "keep the
+    best 30% by classifier" into a gate parameter."""
+    assert 0.0 < keep_rate < 1.0
+    import math
+
+    from .quantiles import exact_quantiles
+
+    q = exact_quantiles(
+        scored.where(F.col(score_col).isNotNull()).withColumn(
+            "__g", F.lit(0)
+        ),
+        ["__g"],
+        score_col,
+        [1.0 - keep_rate],
+        out_names=["q"],
+    )
+    row = q.collect()
+    if not row:
+        return PRIOR_PPM
+    return int(math.ceil(row[0]["q"]))

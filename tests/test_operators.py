@@ -3863,3 +3863,28 @@ def test_curation_v2_pipeline_composes_new_tiers(spark, sf_dir):
         if r.n_tokens <= 1024:  # oversize docs get a bin alone by contract
             fill[(r.shard, r.bin_id)] += r.n_tokens
     assert all(v <= 1024 for v in fill.values())
+
+
+def test_classifier_threshold_calibration_hits_keep_rate(spark, sf_dir):
+    """calibrate_threshold keeps ~the requested fraction (exact up to score
+    ties) and composes with score_token_classifier's threshold_ppm."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.classifier import (
+        calibrate_threshold,
+        classifier_quality_gate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = classifier_quality_gate(docs, F.col("lang") == "en")
+    n = scored.where("score_ppm is not null").count()
+    thr = calibrate_threshold(scored, keep_rate=0.3)
+    kept = scored.where(F.col("score_ppm") >= thr).count()
+    # exact quantile: kept mass is the requested 30% up to tie granularity
+    assert kept <= int(n * 0.3) + 1
+    assert kept >= int(n * 0.3) - max(1, n // 20)
+    # the calibrated threshold drives the gate directly
+    gated = classifier_quality_gate(
+        docs, F.col("lang") == "en", threshold_ppm=thr
+    )
+    assert gated.where("keep").count() == kept
