@@ -3346,18 +3346,22 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    train/test), and q_hybrid_rrf (reciprocal-rank fusion of the BM25
 #    and exact-cosine legs — which also exercises brute_force_topk, the
 #    heart of the displaced q_ann_cosine_topk, inside its semantic leg);
-#  - 5 changed-entry re-proofs (standing policy: a changed code path or
-#    oracle must be re-proven the round it lands): q_ann_ivf_index
+#  - 6 changed-entry re-proofs (standing policy: a changed code path or
+#    oracle must be re-proven the round it lands): q_pack_sequences
+#    (pack_sequences gained the optional n_tokens_col parameter for
+#    BPE-length packing — default path unchanged, re-proven anyway;
+#    q_filter_having, r5-green and untouched, yielded the slot to r9)
+#    plus q_ann_ivf_index
 #    (build now writes the id-bucketed (id,cid) side map and the query
 #    path prunes through it — ADVICE r7), q_key_skew_profile (literal
 #    window partition), q_quantiles_distributed + q_price_quartile_counts
 #    (shared memoized rank fold — VERDICT r7 #8), q_growth_div0_inf
 #    (its flag now matches the new default);
-#  - 19 of the 42-entry r5 cohort (oldest-evidence-first): the 4 whose
+#  - 18 of the 42-entry r5 cohort (oldest-evidence-first): the 4 whose
 #    code changed this round (q_dedup_minhash_lsh bucket bounding,
 #    q_sort_limit_offset sort=none pagination guard, q_vocab_coverage
 #    literal window, q_growth_month div0 default) lead; then the OLAP
-#    cut/filter core and the dedup/ANN/text spine. The remaining 23
+#    cut/filter core and the dedup/ANN/text spine. The remaining 24
 #    (q_agg_brand, q_cms_heavy_hitters, q_cms_join_size,
 #    q_decontaminate_bloom, q_embed_projection, q_event_funnel,
 #    q_events_json_props, q_events_window, q_hll_distinct,
@@ -3401,6 +3405,7 @@ DRIVER_WINDOW: list[str] = [
     "q_leakage_safe_split",
     "q_hybrid_rrf",
     # changed-code/oracle re-proofs (round 8)
+    "q_pack_sequences",
     "q_ann_ivf_index",
     "q_key_skew_profile",
     "q_quantiles_distributed",
@@ -3418,7 +3423,6 @@ DRIVER_WINDOW: list[str] = [
     "q_cut_semijoin",
     "q_parents",
     "q_property",
-    "q_filter_having",
     "q_top_where",
     "q_inline_status",
     "q_rca_region_flag",
