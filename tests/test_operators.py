@@ -3888,3 +3888,106 @@ def test_classifier_threshold_calibration_hits_keep_rate(spark, sf_dir):
         docs, F.col("lang") == "en", threshold_ppm=thr
     )
     assert gated.where("keep").count() == kept
+
+
+def test_classifier_unicode_parity_fuzz(spark, duck):
+    """Classifier train→score parity fuzz on hostile unicode (accents, CJK,
+    cyrillic, emoji, newlines): the md5-bucket tokenizer semantics must
+    agree with the DuckDB mirror beyond ASCII, including the label plumbing
+    through the seed CTE."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.classifier import (
+        classifier_gate_oracle_sql,
+        classifier_quality_gate,
+    )
+
+    rng = random.Random(0xBEEF)
+    atoms = (
+        "the of and fox café naïve 汉字 данные 🎉 x1 #tag … {brace} "
+        "word. end! why? plain"
+    ).split() + ["\n"]
+    docs = []
+    for did in range(50):
+        n = rng.randrange(0, 80)
+        docs.append((did, " ".join(rng.choice(atoms) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    duck.execute("DROP TABLE IF EXISTS _clfuzz")
+    duck.execute("CREATE TABLE _clfuzz (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO _clfuzz VALUES (?, ?)", docs)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.score_ppm, r.keep)
+        for r in classifier_quality_gate(
+            df, F.col("doc_id") % 3 == 0, n_buckets=512
+        ).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.execute(
+            classifier_gate_oracle_sql(
+                "doc_id % 3 = 0", table="_clfuzz", n_buckets=512
+            )
+        ).fetchall()
+    }
+    assert got == want and len(got) == 50
+
+
+def test_leakage_safe_split_degenerates_to_plain_split_without_pairs(spark):
+    """With an empty pair set every document is its own cluster, so the
+    leakage-safe split must equal deterministic_split exactly (same seed,
+    same hash, same members)."""
+    from tesseract_spark.operators.sampling import (
+        deterministic_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(300)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r.doc_id: (r.canonical_id, r.split)
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    want = {
+        r.doc_id: r.split for r in deterministic_split(docs).collect()
+    }
+    assert len(got) == 300
+    assert all(c == d and s == want[d] for d, (c, s) in got.items())
+
+
+def test_bpe_apply_streaming_matches_batch(spark, tmp_path):
+    """bpe_tokenize with a pre-trained merge list under Structured Streaming
+    (foreachBatch) equals the batch run — the tokenizer slots into an
+    ingest pipeline like the classifier gate does."""
+    from tesseract_spark.operators.bpe import bpe_tokenize, train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, f"abcabc abd{i % 5} xyz" * (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=30)
+    src = str(tmp_path / "bpe_in")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    got = []
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _eid: got.extend(
+                (r.doc_id, tuple(r.bpe_tokens))
+                for r in bpe_tokenize(bdf, merges).collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "bpe_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = {
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in bpe_tokenize(docs, merges).collect()
+    }
+    assert set(got) == batch and len(got) == 40
