@@ -203,6 +203,23 @@ class LogicLayer:
             cuts.append(Cut(target, (str(value),)))
         return cuts
 
+    # ---------------- members (logic-layer naming) ----------------
+
+    def members(self, cube_name: str, level: str, locale: str | None = None):
+        """Logic-layer `/members`: the cube name resolves through aliases
+        and the level through its UNIQUE name (no Dim.Hier.Level
+        qualification needed — handlers/logic_layer/metadata.rs:47-130),
+        then the cube members path serves it, locale captions included."""
+        from ..metadata import members_df
+
+        cube = self.resolve_cube(cube_name)
+        ln = self.level_map(cube).get(level)
+        if ln is None:
+            # fall through to a fully qualified Dim.Hier.Level string,
+            # which the cube members path parses directly
+            return members_df(self.builder, cube.name, level, locale)
+        return members_df(self.builder, cube.name, ln, locale)
+
     # ---------------- relations (L6) ----------------
 
     def relations(self, cube_name: str, level: str, member: str) -> list[dict]:

@@ -245,6 +245,49 @@ class EngineHandler(BaseHTTPRequestHandler):
             df = self.logic.data(params)
             return self._stream_df(df, fmt or "jsonrecords", cache_key=ck)
 
+        if parts and parts[0].startswith("members"):
+            # logic-layer members: cube aliases + unique level names
+            # (app.rs:166-169 route; handlers/logic_layer/metadata.rs)
+            _, _, fmt = parts[0].partition(".")
+            df = self.logic.members(
+                params["cube"], params["level"], params.get("locale")
+            )
+            return self._stream_df(df, fmt or "jsonrecords")
+
+        if parts and parts[0].startswith("diagnosis"):
+            # global diagnosis sweep (app.rs:125-128; diagnosis.rs:80-125):
+            # ?cube= restricts to one cube, otherwise every cube this auth
+            # level can see; one row per issue through the formatters
+            _, _, fmt = parts[0].partition(".")
+            want = params.get("cube")
+            rows = []
+            for c in self.builder.schema.cubes:
+                if want is not None and c.name != want:
+                    continue
+                if c.min_auth_level > level:
+                    continue
+                for check, ddf in diagnosis_dfs(self.builder, c.name).items():
+                    n = ddf.count()
+                    if n > 0:
+                        target, _, error_type = check.rpartition(".")
+                        rows.append(
+                            {
+                                "cube": c.name,
+                                "error_type": error_type,
+                                "error_message": f"{target}: {n} {error_type}",
+                            }
+                        )
+            if want is not None and all(
+                c.name != want for c in self.builder.schema.cubes
+            ):
+                return self._send_json({"error": f"no cube {want!r}"}, 404)
+            from ..formats.format import LocalRows
+
+            return self._stream_df(
+                LocalRows(["cube", "error_type", "error_message"], rows),
+                fmt or "jsonrecords",
+            )
+
         if parts and parts[0].startswith("relations"):
             rows = self.logic.relations(
                 params["cube"], params["level"], params["member"]

@@ -301,3 +301,39 @@ def test_drillthrough_route(server):
     assert len(rows) == 7
     assert set(rows[0]) == {"Return Flag", "Extended Price"}
     assert all(r["Return Flag"] == "R" for r in rows)
+
+
+def test_logic_layer_members_route_unique_names(server):
+    """Logic-layer `/members?cube=&level=` resolves the cube alias and the
+    UNIQUE level name (no Dim.Hier.Level qualification) and streams through
+    the formatters (app.rs:166-169)."""
+    body = json.loads(
+        _get(f"{server}/members.jsonrecords?cube=sales&level=Region")
+    )
+    labels = {r["Label"] for r in body["data"]}
+    assert "AMERICA" in labels and len(body["data"]) == 5
+    # csv through the same route
+    csv_head = (
+        _get(f"{server}/members.csv?cube=sales&level=Region")
+        .decode()
+        .splitlines()[0]
+    )
+    assert csv_head == "ID,Label"
+
+
+def test_global_diagnosis_route(server):
+    """Global `/diagnosis[.fmt]` sweeps every visible cube, one row per
+    issue (diagnosis.rs:80-125); the fixture schema is clean, so the sweep
+    returns an empty, well-formed table, and ?cube= filtering 404s on an
+    unknown cube."""
+    body = json.loads(_get(f"{server}/diagnosis"))
+    assert body["data"] == []
+    csv_bytes = _get(f"{server}/diagnosis.csv")
+    assert csv_bytes.decode().splitlines()[0] == "cube,error_type,error_message"
+    import urllib.error
+
+    try:
+        _get(f"{server}/diagnosis?cube=nope")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
