@@ -305,3 +305,83 @@ def cms_estimate_oracle_sql(
     SELECT key, true_n, cms_n, cms_n - true_n AS overestimate
     FROM est
     """
+
+
+def hll_grouped_registers(
+    df: DataFrame, group_cols: list[str], key_col: str, p: int = 10
+) -> DataFrame:
+    """Per-GROUP HLL registers ``(group_cols..., j, r)`` — the same
+    oracle-able rank construction as :func:`hll_registers`, grouped. The
+    load-bearing property for rollup serving: element-wise MAX is
+    associative, so registers merged from ANY partition of the data (a
+    materialized grain, an append-only increment, a coarser re-grouping)
+    are BIT-IDENTICAL to registers computed directly on the union — the
+    sketch-defined estimate is therefore exactly stable across serving
+    paths, unlike re-running an engine-private HLL++. NULL keys are
+    excluded (count_distinct semantics)."""
+    m = 1 << p
+    bits = 48 - p
+    key = F.col(key_col).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll|"), key)), 1, 12), 16, 10
+    ).cast("long")
+    rows = df.filter(key.isNotNull()).select(
+        *[F.col(c) for c in group_cols],
+        (h % m).alias("j"),
+        F.shiftright(h, p).alias("__v"),
+    )
+    rho = F.when(F.col("__v") == 0, F.lit(bits + 1)).otherwise(
+        F.instr(F.lpad(F.bin(F.col("__v")), bits, "0"), "1")
+    )
+    return (
+        rows.select(*[F.col(c) for c in group_cols], "j", rho.alias("rho"))
+        .groupBy(*[F.col(c) for c in group_cols], F.col("j"))
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge_grouped(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register rows to a coarser grouping: ``max(r)`` per (group, j).
+    Exact by max-associativity (see :func:`hll_grouped_registers`)."""
+    return regs.groupBy(*[F.col(c) for c in group_cols], F.col("j")).agg(
+        F.max("r").alias("r")
+    )
+
+
+def hll_estimate_grouped(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 10,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Per-group HLL estimate (Flajolet et al.: harmonic mean of register
+    ranks, linear-counting correction in the small range), rounded to a
+    BIGINT count. Absent registers contribute rank 0 (2^48 to the harmonic
+    sum); integer pieces stay exact, the final estimate is the one
+    deliberately-float step (it is an ESTIMATE — both serving paths run
+    this same expression on identical registers, so it cannot drift
+    between them)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    two48 = 1 << 48
+    agg = regs.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 48 - r)")).alias("__hp"),
+    )
+    harmonic = F.col("__hp") + (F.lit(m) - F.col("__np")) * F.lit(two48)
+    e_raw = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(two48))
+        / harmonic.cast("double")
+    )
+    v_zero = (F.lit(m) - F.col("__np")).cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
+    ).otherwise(e_raw)
+    return agg.select(
+        *[F.col(c) for c in group_cols],
+        F.round(est).cast("long").alias(out_col),
+    )

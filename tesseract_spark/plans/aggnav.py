@@ -45,13 +45,14 @@ contract.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..query.model import LevelName, Query
 from ..schema.aggregator import (
+    ApproxDistinctCount,
     Average,
     Count,
     Max,
@@ -104,6 +105,17 @@ class MaterializedGrain:
     implicit_sig: str  # default-member cut signature at materialize time
     parents: bool
     n_rows: int  # rollup cardinality — match() prefers the smallest cover
+    # approximate-distinct tier (opt-in via materialize(sketch_p=...)):
+    # ApproxDistinctCount measures materialized as per-group HLL register
+    # datasets ({path}/hll_<i>). Register MAX is associative, so rollup-
+    # served registers are bit-identical to direct registers at any coarser
+    # grain — the ESTIMATE is exactly stable across serving paths. It is
+    # NOT the engine-private HLL++ of approx_count_distinct, so a
+    # sketch-served value differs from the fact path's approx value within
+    # the same rsd-class error; materializing sketches is the explicit
+    # opt-in to that contract.
+    sketch_measures: list[str] = field(default_factory=list)
+    sketch_p: int = 0
 
 
 def _safe_names(columns: list[str]) -> list[str]:
@@ -234,6 +246,29 @@ class AggregateNavigator:
         """The grain pipeline shared by materialize (full fact) and refresh
         (an increment): projection + dim joins + pass-1 partial aggregation.
         Returns (query, grain group aliases, partials DataFrame)."""
+        q, group_cols, joined, mea_objs = self._grain_rows(
+            cube_name, drilldowns, measures, parents, fact
+        )
+        b = self.builder
+        bad = [m.name for m in mea_objs if not _decomposable(m, b.avg_grain)]
+        if bad:
+            raise ValueError(
+                f"measures not decomposable for aggregate navigation: {bad}"
+            )
+        p1 = [c for m in mea_objs for c in agg_mod.pass1_cols(m, b.avg_grain)]
+        pre = joined.groupBy(*[F.col(c) for c in group_cols]).agg(*p1)
+        return q, group_cols, pre
+
+    def _grain_rows(
+        self,
+        cube_name: str,
+        drilldowns: list[str],
+        measures: list[str],
+        parents: bool,
+        fact: DataFrame | None = None,
+    ):
+        """Pre-aggregation grain pipeline: projection + implicit cuts + dim
+        joins. Shared by the partial builder and the HLL sketch builder."""
         b = self.builder
         cube = b.schema.cube(cube_name)
         params: dict = {"drilldowns": drilldowns, "measures": measures}
@@ -243,12 +278,6 @@ class AggregateNavigator:
         b._validate(cube, q)
         specs = b._drill_specs(cube, q)
         mea_objs = [cube.measure(m) for m in q.measures]
-        bad = [m.name for m in mea_objs if not _decomposable(m, b.avg_grain)]
-        if bad:
-            raise ValueError(
-                f"measures not decomposable for aggregate navigation: {bad}"
-            )
-
         if fact is None:
             fact = b.registry.load(cube.table)
         fact = b._apply_cuts(cube, q, fact)  # implicit default-member cuts
@@ -256,9 +285,7 @@ class AggregateNavigator:
             fact = fact.withColumn(alias, col)
         joined = b._join_dims(specs, fact)
         group_cols = b._group_aliases(specs)
-        p1 = [c for m in mea_objs for c in agg_mod.pass1_cols(m, b.avg_grain)]
-        pre = joined.groupBy(*[F.col(c) for c in group_cols]).agg(*p1)
-        return q, group_cols, pre
+        return q, group_cols, joined, mea_objs
 
     def refresh(self, grain: MaterializedGrain, new_fact: DataFrame) -> list:
         """APPEND-ONLY incremental maintenance: fold new fact rows into the

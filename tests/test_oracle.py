@@ -98,6 +98,10 @@ _VERSION_RISKY_USES = {
         "q_best_in_cluster",  # round(quality,6) mirrors the Spark-side round
         "q_hard_negative_band",  # cosine rescore
         "q_minhash_vs_index",  # jaccard round, same as q_dedup_verified
+        # late r8 debut, bit-audited at sf0.01+sf0.1:
+        "q_hybrid_rrf",  # inherits the cosine leg's round(,6) INSIDE the
+        # rank subquery only — outputs are integer ranks and rrf_ppm, so
+        # the construct never reaches a hashed output column
     },
 }
 
