@@ -185,17 +185,46 @@ class AggregateNavigator:
         partition_by: str | None = None,
         parents: bool = True,
         mode: str = "overwrite",
+        sketch_p: int | None = None,
     ) -> MaterializedGrain:
         """Aggregate the cube at ``drilldowns`` grain storing pass-1 partials,
         written partitioned by ``partition_by`` (a drill unique-name whose KEY
         column becomes the partition directory; default: first drilldown).
         One fact-table scan, ever; every served query afterwards reads only
-        this rollup."""
+        this rollup.
+
+        ``sketch_p``: opt-in approximate-distinct tier — ApproxDistinctCount
+        measures in ``measures`` are materialized as per-group HLL register
+        datasets (``2^sketch_p`` registers; ``operators.sketch``) instead of
+        being rejected as non-decomposable. See the MaterializedGrain field
+        docs for the serving contract."""
         b = self.builder
         cube = b.schema.cube(cube_name)
-        q, group_cols, pre = self._build_partials(
-            cube_name, drilldowns, measures, parents
+        sketch_meas = (
+            [
+                m
+                for m in measures
+                if isinstance(cube.measure(m).aggregator, ApproxDistinctCount)
+            ]
+            if sketch_p
+            else []
         )
+        part_meas = [m for m in measures if m not in sketch_meas]
+        if not part_meas:
+            raise ValueError(
+                "aggregate navigation needs at least one decomposable "
+                "measure in the grain (the sketch tier rides alongside)"
+            )
+        q, group_cols, joined, mea_objs = self._grain_rows(
+            cube_name, drilldowns, part_meas, parents
+        )
+        bad = [m.name for m in mea_objs if not _decomposable(m, b.avg_grain)]
+        if bad:
+            raise ValueError(
+                f"measures not decomposable for aggregate navigation: {bad}"
+            )
+        p1 = [c for m in mea_objs for c in agg_mod.pass1_cols(m, b.avg_grain)]
+        pre = joined.groupBy(*[F.col(c) for c in group_cols]).agg(*p1)
 
         columns = pre.columns
         dtypes = [dict(pre.dtypes)[c] for c in columns]
@@ -218,10 +247,28 @@ class AggregateNavigator:
             *[safe[c] for c in part_cols]
         ).parquet(f"{path}/partials")
 
+        from ..operators.sketch import hll_grouped_registers
+
+        for i, mname in enumerate(sketch_meas):
+            # same `joined` grain rows as the partials — Spark re-executes
+            # the scan per action, but the PLAN is shared (and at 100 TB a
+            # build is a one-off; serving never touches the fact again)
+            regs = hll_grouped_registers(
+                joined, group_cols, cube.measure(mname).column, sketch_p
+            )
+            regs_out = regs.select(
+                *[F.col(c).alias(safe[c]) for c in group_cols], "j", "r"
+            )
+            regs_out.repartition(*[safe[c] for c in part_cols]).write.mode(
+                mode
+            ).partitionBy(*[safe[c] for c in part_cols]).parquet(
+                f"{path}/hll_{i}"
+            )
+
         grain = MaterializedGrain(
             cube=cube_name,
             drilldowns=list(drilldowns),
-            measures=list(measures),
+            measures=list(part_meas),
             path=path,
             columns=columns,
             dtypes=dtypes,
@@ -230,10 +277,13 @@ class AggregateNavigator:
             parents=parents,
             # parquet metadata count — no data scan; lets match() rank grains
             n_rows=b.spark.read.parquet(f"{path}/partials").count(),
+            sketch_measures=list(sketch_meas),
+            sketch_p=int(sketch_p or 0),
         )
         self._write_meta(b.spark, grain, mode)
         self.grains.append(grain)
         return grain
+
 
     def _build_partials(
         self,
@@ -343,9 +393,75 @@ class AggregateNavigator:
             ).parquet(f"{grain.path}/partials")
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # sketch tier: merge increment registers into the affected
+        # partitions by element-wise max — the merge is EXACT (registers of
+        # a union are the max of the parts), so a refreshed sketch serves
+        # identically to one built from the full fact
+        if grain.sketch_measures:
+            from ..operators.sketch import hll_grouped_registers
+
+            safe_map = dict(zip(grain.columns, _safe_names(grain.columns)))
+            _, gcols, joined_inc, _ = self._grain_rows(
+                grain.cube,
+                grain.drilldowns,
+                grain.measures,
+                grain.parents,
+                new_fact,
+            )
+            for i, mname in enumerate(grain.sketch_measures):
+                inc = hll_grouped_registers(
+                    joined_inc,
+                    group_cols,
+                    cube.measure(mname).column,
+                    grain.sketch_p,
+                )
+                existing_regs = self._read_sketch_raw(spark, grain, i).filter(
+                    F.col(part_col).isin(affected)
+                )
+                merged_regs = (
+                    existing_regs.unionByName(
+                        inc.select(*[F.col(c) for c in group_cols], "j", "r")
+                    )
+                    .groupBy(*[F.col(c) for c in group_cols], F.col("j"))
+                    .agg(F.max("r").alias("r"))
+                    .localCheckpoint(eager=True)
+                )
+                out_regs = merged_regs.select(
+                    *[F.col(c).alias(safe_map[c]) for c in group_cols],
+                    "j",
+                    "r",
+                )
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    out_regs.repartition(safe_map[part_col]).write.mode(
+                        "overwrite"
+                    ).partitionBy(safe_map[part_col]).parquet(
+                        f"{grain.path}/hll_{i}"
+                    )
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev
+                    )
+
         grain.n_rows = spark.read.parquet(f"{grain.path}/partials").count()
         self._write_meta(spark, grain, "overwrite")
         return affected
+
+    def _read_sketch_raw(
+        self, spark: SparkSession, g: MaterializedGrain, i: int
+    ) -> DataFrame:
+        """Register dataset with real group-column names/dtypes restored."""
+        raw = spark.read.parquet(f"{g.path}/hll_{i}")
+        sel = []
+        for real, tok, dt in zip(g.columns, _safe_names(g.columns), g.dtypes):
+            if tok in raw.columns:
+                c = F.col(tok)
+                if real in g.partition_by:
+                    c = c.cast(dt)
+                sel.append(c.alias(real))
+        return raw.select(*sel, "j", "r")
 
     @staticmethod
     def _write_meta(spark: SparkSession, g: MaterializedGrain, mode: str) -> None:
@@ -360,6 +476,8 @@ class AggregateNavigator:
                 g.implicit_sig,
                 g.parents,
                 g.n_rows,
+                g.sketch_measures,
+                g.sketch_p,
             )
         ]
         spark.createDataFrame(
@@ -367,12 +485,14 @@ class AggregateNavigator:
             "cube string, drilldowns array<string>, measures array<string>,"
             " columns array<string>, dtypes array<string>,"
             " partition_by array<string>, implicit_sig string,"
-            " parents boolean, n_rows long",
+            " parents boolean, n_rows long,"
+            " sketch_measures array<string>, sketch_p long",
         ).coalesce(1).write.mode(mode).parquet(f"{g.path}/meta")
 
     def load_grain(self, spark: SparkSession, path: str) -> MaterializedGrain:
         """Re-register a rollup materialized by another process."""
         r = spark.read.parquet(f"{path}/meta").collect()[0]
+        d = r.asDict()
         grain = MaterializedGrain(
             cube=r.cube,
             drilldowns=list(r.drilldowns),
@@ -384,6 +504,9 @@ class AggregateNavigator:
             implicit_sig=r.implicit_sig,
             parents=r.parents,
             n_rows=r.n_rows,
+            # metas written before the sketch tier lack these fields
+            sketch_measures=list(d.get("sketch_measures") or []),
+            sketch_p=int(d.get("sketch_p") or 0),
         )
         self.grains.append(grain)
         return grain
@@ -424,8 +547,20 @@ class AggregateNavigator:
         except Exception:
             return None
         mea_objs = [cube.measure(m) for m in query.measures]
-        if any(not _decomposable(m, b.avg_grain) for m in mea_objs):
+        # ApproxDistinctCount rides the sketch tier (coverage checked per
+        # grain below); every other non-decomposable aggregator falls back
+        if any(
+            not _decomposable(m, b.avg_grain)
+            and not isinstance(m.aggregator, ApproxDistinctCount)
+            for m in mea_objs
+        ):
             return None
+        approx_names = {
+            m.name
+            for m in mea_objs
+            if isinstance(m.aggregator, ApproxDistinctCount)
+        }
+        exact_names = [m for m in query.measures if m not in approx_names]
         need = set(b._group_aliases(specs))
         cut_keys = []
         for cut in query.cuts:
@@ -438,7 +573,9 @@ class AggregateNavigator:
             have = set(g.columns)
             if not need <= have:
                 continue
-            if not set(query.measures) <= set(g.measures):
+            if not set(exact_names) <= set(g.measures):
+                continue
+            if not approx_names <= set(g.sketch_measures):
                 continue
             if any(k not in have for k in cut_keys):
                 continue
@@ -461,19 +598,62 @@ class AggregateNavigator:
         specs = b._drill_specs(cube, query)
         mea_objs = [cube.measure(m) for m in query.measures]
 
-        df = self._read_partials(b.spark, g)
-        for cut in query.cuts:
-            ref = b.resolve_level(cube, cut.level_name)
-            key = level_key_alias(ref.level)
-            df = df.filter(b._cut_predicate(ref.level, cut, key))
+        sketch_objs = [
+            m for m in mea_objs if m.name in set(g.sketch_measures)
+        ]
+        exact_objs = [m for m in mea_objs if m.name not in set(g.sketch_measures)]
+
+        def cut_filter(frame: DataFrame) -> DataFrame:
+            for cut in query.cuts:
+                ref = b.resolve_level(cube, cut.level_name)
+                key = level_key_alias(ref.level)
+                frame = frame.filter(b._cut_predicate(ref.level, cut, key))
+            return frame
+
+        df = cut_filter(self._read_partials(b.spark, g))
 
         group_cols = b._group_aliases(specs)
-        p2 = [agg_mod.pass2_col(m, b.avg_grain) for m in mea_objs]
-        if group_cols:
+        p2 = [agg_mod.pass2_col(m, b.avg_grain) for m in exact_objs]
+        if not p2:
+            # all-sketch query: the base frame is the grain's group rows
+            df = df.select(*[F.col(c) for c in group_cols]).distinct()
+        elif group_cols:
             df = df.groupBy(*[F.col(c) for c in group_cols]).agg(*p2)
         else:
             df = df.agg(*p2)
+
+        for m in sketch_objs:
+            est = self._serve_sketch(g, m, group_cols, cut_filter)
+            if group_cols:
+                df = df.join(est, group_cols, "left").withColumn(
+                    m.name, F.coalesce(F.col(m.name), F.lit(0))
+                )
+            else:
+                df = df.crossJoin(F.broadcast(est))
+        # restore the query's measure column order after the sketch joins
+        df = df.select(
+            *[F.col(c) for c in group_cols],
+            *[F.col(m.name) for m in mea_objs],
+        )
         return b._apply_options(cube, query, specs, df)
+
+    def _serve_sketch(
+        self, g: MaterializedGrain, measure, group_cols: list[str], cut_filter
+    ) -> DataFrame:
+        """Estimate one ApproxDistinctCount measure at the requested grain
+        from the grain's register dataset: cut-filter, merge registers by
+        element-wise max (exact — see operators.sketch), then the HLL
+        estimate. Reads only {path}/hll_<i>; cuts on the partition drill
+        prune directories exactly like the partials."""
+        from ..operators.sketch import hll_estimate_grouped, hll_merge_grouped
+
+        b = self.builder
+        i = list(g.sketch_measures).index(measure.name)
+        regs = cut_filter(self._read_sketch_raw(b.spark, g, i))
+        merged = hll_merge_grouped(regs, group_cols)
+        return hll_estimate_grouped(
+            merged, group_cols, g.sketch_p, out_col=measure.name
+        )
 
     def dataframe(self, cube_name: str, query: Query) -> DataFrame:
         """Serve from a rollup when possible, else the fact-table plan."""

@@ -464,3 +464,166 @@ def test_property_served_equals_fact_path(nav, builder, params):
     assert (
         served.collect() == builder.dataframe("lineitem_sales", q).collect()
     ), params
+
+
+# ---------------- approximate-distinct sketch tier ----------------
+
+
+@pytest.fixture(scope="module")
+def sketch_nav(builder, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("aggnav_hll") / "grain_sketch")
+    n = AggregateNavigator(builder)
+    n.materialize(
+        "lineitem_sales",
+        ["Ship Date.Ship Date.Year", "Part.Brand"],
+        ["Quantity", "Approx Distinct Parts"],
+        path,
+        partition_by="Ship Date.Ship Date.Year",
+        sketch_p=10,
+    )
+    yield n, path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_sketch_served_equals_direct_sketch_estimate(sketch_nav, builder, sf_dir):
+    """The load-bearing invariant: rollup-served registers merged to a
+    coarser grain are BIT-IDENTICAL to registers computed directly on the
+    fact at that grain (max associativity), so the served estimate equals
+    the direct sketch estimate exactly — and lands within the rsd class of
+    the exact distinct count."""
+    from tesseract_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_grouped_registers,
+    )
+
+    nav, _ = sketch_nav
+    q = _q(
+        drilldowns=["Ship Date.Ship Date.Year"],
+        measures=["Quantity", "Approx Distinct Parts"],
+    )
+    served = nav.serve("lineitem_sales", q)
+    assert served is not None
+    got = {r["Year"]: r["Approx Distinct Parts"] for r in served.collect()}
+
+    # direct sketch on the fact at the served grain (independent path)
+    cube = builder.schema.cube("lineitem_sales")
+    fact = builder.registry.load(cube.table)
+    direct_regs = hll_grouped_registers(
+        fact.withColumn("Year", F.col("l_shipyear")), ["Year"], "l_partkey", 10
+    )
+    direct = {
+        r["Year"]: r["approx_distinct"]
+        for r in hll_estimate_grouped(direct_regs, ["Year"], 10).collect()
+    }
+    assert got == direct
+    exact = {
+        r["Year"]: r["n"]
+        for r in fact.groupBy(F.col("l_shipyear").alias("Year"))
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for y, est in got.items():
+        assert abs(est - exact[y]) <= max(10, 0.15 * exact[y]), (y, est, exact[y])
+
+
+def test_sketch_serving_reads_rollup_not_fact(sketch_nav):
+    nav, path = sketch_nav
+    q = _q(
+        drilldowns=["Part.Brand"], measures=["Approx Distinct Parts"]
+    )
+    served = nav.serve("lineitem_sales", q)
+    assert served is not None
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem.parquet" not in plan and "hll_0" in plan
+    assert len(served.collect()) == 25
+
+
+def test_sketch_refresh_matches_full_rebuild(builder, tmp_path, sf_dir):
+    """Appending an increment and refreshing merges registers by max —
+    serving after refresh equals a full-fact rebuild exactly."""
+    from pyspark.sql import functions as F
+
+    fact = builder.registry.load(builder.schema.cube("lineitem_sales").table)
+    base = fact.filter(F.col("l_shipyear") <= 1995)
+    inc = fact.filter(F.col("l_shipyear") > 1995)
+
+    fact_table = builder.schema.cube("lineitem_sales").table
+
+    class _Reg:
+        def __init__(self, inner, df):
+            self._inner, self._df = inner, df
+
+        def load(self, t):
+            # override only the FACT table; dims load normally
+            name = getattr(t, "name", t)
+            if name == getattr(fact_table, "name", fact_table):
+                return self._df
+            return self._inner.load(t)
+
+        def is_broadcastable(self, name):
+            return self._inner.is_broadcastable(name)
+
+        def __getattr__(self, a):
+            return getattr(self._inner, a)
+
+    import copy
+
+    b_base = copy.copy(builder)
+    b_base.registry = _Reg(builder.registry, base)
+
+    nav = AggregateNavigator(b_base)
+    g = nav.materialize(
+        "lineitem_sales",
+        ["Ship Date.Ship Date.Year", "Part.Brand"],
+        ["Quantity", "Approx Distinct Parts"],
+        str(tmp_path / "g_refresh"),
+        partition_by="Ship Date.Ship Date.Year",
+        sketch_p=10,
+    )
+    affected = nav.refresh(g, inc)
+    assert affected  # the increment's years were rewritten
+
+    nav_full = AggregateNavigator(builder)
+    nav_full.materialize(
+        "lineitem_sales",
+        ["Ship Date.Ship Date.Year", "Part.Brand"],
+        ["Quantity", "Approx Distinct Parts"],
+        str(tmp_path / "g_full"),
+        partition_by="Ship Date.Ship Date.Year",
+        sketch_p=10,
+    )
+    q = _q(
+        drilldowns=["Ship Date.Ship Date.Year"],
+        measures=["Quantity", "Approx Distinct Parts"],
+    )
+    # serve with the REAL builder on both (refresh used the full fact union)
+    nav.builder = builder
+    got = sorted(tuple(r) for r in nav.serve("lineitem_sales", q).collect())
+    want = sorted(tuple(r) for r in nav_full.serve("lineitem_sales", q).collect())
+    assert got == want and len(got) > 0
+
+
+def test_sketch_load_grain_cross_process(sketch_nav, builder):
+    """A sketch grain re-registers from disk with its sketch metadata."""
+    nav, path = sketch_nav
+    fresh = AggregateNavigator(builder)
+    g = fresh.load_grain(builder.spark, path)
+    assert g.sketch_measures == ["Approx Distinct Parts"] and g.sketch_p == 10
+    q = _q(
+        drilldowns=["Ship Date.Ship Date.Year"],
+        measures=["Approx Distinct Parts"],
+    )
+    got = {tuple(r) for r in fresh.serve("lineitem_sales", q).collect()}
+    want = {tuple(r) for r in nav.serve("lineitem_sales", q).collect()}
+    assert got == want
+
+
+def test_sketchless_grain_still_falls_back_for_approx(nav, builder):
+    """Without materialized sketches an approx-distinct query falls through
+    to the fact path exactly as before."""
+    q = _q(
+        drilldowns=["Ship Date.Ship Date.Year"],
+        measures=["Approx Distinct Parts"],
+    )
+    assert nav.serve("lineitem_sales", q) is None
+    assert nav.dataframe("lineitem_sales", q).count() > 0
