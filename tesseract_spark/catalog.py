@@ -3346,28 +3346,33 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    train/test), and q_hybrid_rrf (reciprocal-rank fusion of the BM25
 #    and exact-cosine legs — which also exercises brute_force_topk, the
 #    heart of the displaced q_ann_cosine_topk, inside its semantic leg);
-#  - 6 changed-entry re-proofs (standing policy: a changed code path or
+#  - 8 changed-entry re-proofs (standing policy: a changed code path or
 #    oracle must be re-proven the round it lands): q_pack_sequences
 #    (pack_sequences gained the optional n_tokens_col parameter for
 #    BPE-length packing — default path unchanged, re-proven anyway;
-#    q_filter_having, r5-green and untouched, yielded the slot to r9)
+#    q_filter_having, r5-green and untouched, yielded the slot to r9),
+#    q_stratified_sample + q_token_budget_plan (their Hamilton seat math
+#    went window-free — array-fold rank, closing the last
+#    "No Partition Defined" warning sources; q_cut_like and q_property,
+#    r5-green and untouched, yielded their slots to r9),
 #    plus q_ann_ivf_index
 #    (build now writes the id-bucketed (id,cid) side map and the query
 #    path prunes through it — ADVICE r7), q_key_skew_profile (literal
 #    window partition), q_quantiles_distributed + q_price_quartile_counts
 #    (shared memoized rank fold — VERDICT r7 #8), q_growth_div0_inf
 #    (its flag now matches the new default);
-#  - 18 of the 42-entry r5 cohort (oldest-evidence-first): the 4 whose
+#  - 16 of the 42-entry r5 cohort (oldest-evidence-first): the 4 whose
 #    code changed this round (q_dedup_minhash_lsh bucket bounding,
 #    q_sort_limit_offset sort=none pagination guard, q_vocab_coverage
 #    literal window, q_growth_month div0 default) lead; then the OLAP
-#    cut/filter core and the dedup/ANN/text spine. The remaining 24
+#    cut/filter core and the dedup/ANN/text spine. The remaining 26
 #    (q_agg_brand, q_cms_heavy_hitters, q_cms_join_size,
 #    q_decontaminate_bloom, q_embed_projection, q_event_funnel,
 #    q_events_json_props, q_events_window, q_hll_distinct,
 #    q_median_order, q_mixture_temperature, q_pack_sequences_text,
 #    q_pack_stats, q_pagerank_dups, q_source_orc_roundtrip,
-#    q_stratified_sample, q_top_brands_per_region, q_training_shards,
+#    q_top_brands_per_region, q_training_shards,
+#    q_cut_like + q_property + q_filter_having (slot-yielders above),
 #    q_quality_gate + q_text_analysis — which yielded their slots to
 #    the q_logic_exclude and q_aggnav_serve debuts — and
 #    q_dedup_ngram_jaccard + q_dedup_simhash + q_ann_cosine_topk — which
@@ -3406,6 +3411,8 @@ DRIVER_WINDOW: list[str] = [
     "q_hybrid_rrf",
     # changed-code/oracle re-proofs (round 8)
     "q_pack_sequences",
+    "q_stratified_sample",
+    "q_token_budget_plan",
     "q_ann_ivf_index",
     "q_key_skew_profile",
     "q_quantiles_distributed",
@@ -3419,10 +3426,8 @@ DRIVER_WINDOW: list[str] = [
     # r5 cohort — OLAP cut/filter core
     "q_cut_include",
     "q_cut_exclude",
-    "q_cut_like",
     "q_cut_semijoin",
     "q_parents",
-    "q_property",
     "q_top_where",
     "q_inline_status",
     "q_rca_region_flag",
