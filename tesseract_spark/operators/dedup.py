@@ -369,6 +369,10 @@ def _components_distributed(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # eager: every propagation round joins `edges` — checkpoint once so
+        # iterations never re-run the upstream pair pipeline, and the result
+        # carries no lineage back to it (lets the caller unpersist)
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
@@ -660,6 +664,15 @@ def resolve_duplicate_clusters(
     ``corpus_ids`` (one ``id`` column), when given, adds singleton docs mapped
     to themselves so the output covers the whole corpus.
     """
+    # the pair plan (usually a full LSH banding pipeline) feeds at least two
+    # actions here — the threshold probe and the collect (or every
+    # propagation round) — so persist it for the duration instead of
+    # re-running shingling+minhash per action (~2× on the LSH entries)
+    from pyspark.storagelevel import StorageLevel
+
+    we_persisted = pairs.storageLevel == StorageLevel.NONE
+    if we_persisted:
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     if distributed is None:
         distributed = pairs.limit(edge_threshold + 1).count() > edge_threshold
     if distributed:
@@ -693,6 +706,11 @@ def resolve_duplicate_clusters(
         )
         if not mapping:
             out = out.filter(F.col("doc_id").isNotNull())
+    # safe to release: the driver path materialized via collect and the
+    # distributed path eagerly checkpoints its edge set, so `out` no longer
+    # references the pair plan
+    if we_persisted:
+        pairs.unpersist(blocking=False)
     if corpus_ids is not None:
         singles = corpus_ids.select(F.col("id").alias("doc_id")).join(
             out.select("doc_id"), "doc_id", "left_anti"
