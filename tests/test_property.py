@@ -928,3 +928,41 @@ def test_random_parents_props_matches_oracle(builder, duck, qo):
     params, sql = qo
     df = builder.dataframe("lineitem_sales", Query.from_params(params))
     assert_df_matches_sql(df, duck, sql, rtol=1e-6)
+
+
+_bpe_words = st.lists(
+    st.text(alphabet="abcdxyz", min_size=1, max_size=6), min_size=1, max_size=25
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_words=st.lists(_bpe_words, min_size=1, max_size=8), n_merges=st.integers(1, 30))
+def test_bpe_spark_training_matches_python_on_random_corpora(
+    spark, docs_words, n_merges
+):
+    """Property fuzz: Spark's explode/groupBy training equals the pure-Python
+    reference on random corpora — exercising pair-count ties, repeated
+    words, single-char words, and merge exhaustion; encoding stays lossless
+    within words."""
+    from collections import Counter
+
+    from tesseract_spark.operators.bpe import (
+        bpe_tokenize,
+        train_bpe,
+        train_bpe_from_freqs,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    c: Counter = Counter()
+    for _, t in rows:
+        c.update(t.lower().split())
+    freqs = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = train_bpe_from_freqs(freqs, n_merges)
+    got = train_bpe(df, n_merges=n_merges)
+    assert got == want
+
+    toks = {r.doc_id: list(r.bpe_tokens) for r in bpe_tokenize(df, got).collect()}
+    for i, ws in enumerate(docs_words):
+        assert "".join(toks[i]) == "".join(w.lower() for w in ws)
