@@ -966,3 +966,37 @@ def test_bpe_spark_training_matches_python_on_random_corpora(
     toks = {r.doc_id: list(r.bpe_tokens) for r in bpe_tokenize(df, got).collect()}
     for i, ws in enumerate(docs_words):
         assert "".join(toks[i]) == "".join(w.lower() for w in ws)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(0, 300), min_size=1, max_size=120),
+    cut=st.integers(0, 300),
+)
+def test_hll_registers_merge_associativity(spark, keys, cut):
+    """The sketch-tier invariant under fuzz: per-group registers of a UNION
+    equal the element-wise max-merge of the parts' registers, for any split
+    of the data — the property that makes rollup-served estimates exactly
+    stable across serving paths."""
+    from tesseract_spark.operators.sketch import (
+        hll_grouped_registers,
+        hll_merge_grouped,
+    )
+
+    rows = [(k, k % 3) for k in keys]
+    df = spark.createDataFrame(rows, "k long, g int")
+    a, b = df.filter(f"k < {cut}"), df.filter(f"k >= {cut}")
+    direct = {
+        (r.g, r.j): r.r
+        for r in hll_grouped_registers(df, ["g"], "k", p=6).collect()
+    }
+    merged = {
+        (r.g, r.j): r.r
+        for r in hll_merge_grouped(
+            hll_grouped_registers(a, ["g"], "k", p=6).unionByName(
+                hll_grouped_registers(b, ["g"], "k", p=6)
+            ),
+            ["g"],
+        ).collect()
+    }
+    assert merged == direct
