@@ -31,10 +31,17 @@ Spark-first design:
   Nation rollup) are served too — the alias-subset check makes this
   automatic, no hierarchy walk at serve time.
 - **Conservative fallback.** Anything not provably equivalent — calculations
-  (growth/RCA/rate), non-decomposable aggregators (grouped median, distinct
-  counts, custom templates, fk-grain averages), cuts on levels absent from
-  the grain, differing default-member implicit cuts — falls through to the
-  fact-table ``PlanBuilder`` path untouched.
+  (growth/RCA/rate), non-decomposable aggregators (grouped median, exact
+  distinct counts, custom templates, fk-grain averages), cuts on levels
+  absent from the grain, differing default-member implicit cuts — falls
+  through to the fact-table ``PlanBuilder`` path untouched.
+- **Approximate-distinct tier (opt-in).** ``materialize(sketch_p=...)``
+  stores ApproxDistinctCount measures as per-group HLL register datasets;
+  element-wise register max is associative, so serving at any coarser
+  grain (and append-only refresh) reproduces the direct fact-side sketch
+  BIT-identically. The estimate is the package's oracle-able HLL
+  (``operators.sketch``), not approx_count_distinct's engine-private
+  HLL++ — see the MaterializedGrain field docs for the contract.
 
 Self-describing on disk: ``{path}/partials`` (parquet, parquet-safe column
 tokens) + ``{path}/meta`` (single-row parquet with the real column names,
