@@ -627,3 +627,36 @@ def test_sketchless_grain_still_falls_back_for_approx(nav, builder):
     )
     assert nav.serve("lineitem_sales", q) is None
     assert nav.dataframe("lineitem_sales", q).count() > 0
+
+
+def test_sketch_all_approx_no_drill_cut_only(sketch_nav, builder):
+    """Degenerate serve shape: an all-sketch query with no drilldowns (cut
+    only) produces the single-row estimate — equal to a direct fact-side
+    sketch over the cut slice."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_grouped_registers,
+    )
+
+    nav, _ = sketch_nav
+    q = _q(
+        measures=["Approx Distinct Parts"],
+        cuts=["Ship Date.Ship Date.Year.1995"],
+    )
+    served = nav.serve("lineitem_sales", q)
+    assert served is not None
+    rows = served.collect()
+    assert len(rows) == 1
+    fact = builder.registry.load(
+        builder.schema.cube("lineitem_sales").table
+    ).filter("l_shipyear = 1995")
+    direct = hll_estimate_grouped(
+        hll_grouped_registers(
+            fact.withColumn("g", F.lit(1)), ["g"], "l_partkey", 10
+        ),
+        ["g"],
+        10,
+    ).collect()[0]["approx_distinct"]
+    assert rows[0]["Approx Distinct Parts"] == direct
