@@ -385,3 +385,25 @@ def hll_estimate_grouped(
         *[F.col(c) for c in group_cols],
         F.round(est).cast("long").alias(out_col),
     )
+
+
+def hll_grouped_oracle_sql(
+    table: str, group_expr: str, key_expr: str, p: int = 10
+) -> str:
+    """Bit-equal DuckDB mirror of :func:`hll_grouped_registers`: identical
+    md5 hash, identical ``bin/lpad/strpos`` rank, identical NULL-key
+    exclusion. The register table is pure integers, so the mirror is exact
+    on every engine — ready to lift into a driver-gated catalog entry."""
+    m = 1 << p
+    bits = 48 - p
+    h = f"(('0x' || substr(md5('hll|' || CAST({key_expr} AS VARCHAR)), 1, 12))::BIGINT)"
+    return f"""
+    WITH rows_ AS (
+      SELECT {group_expr} AS g, {h} % {m} AS j, {h} // {m} AS v
+      FROM {table} WHERE CAST({key_expr} AS VARCHAR) IS NOT NULL)
+    SELECT g, CAST(j AS INT) AS j,
+           CAST(max(CASE WHEN v = 0 THEN {bits + 1}
+                         ELSE strpos(lpad(bin(v), {bits}, '0'), '1') END)
+                AS INT) AS r
+    FROM rows_ GROUP BY 1, 2
+    """

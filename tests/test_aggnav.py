@@ -660,3 +660,57 @@ def test_sketch_all_approx_no_drill_cut_only(sketch_nav, builder):
         10,
     ).collect()[0]["approx_distinct"]
     assert rows[0]["Approx Distinct Parts"] == direct
+
+
+def test_sketch_grain_streaming_refresh(builder, tmp_path):
+    """grain_refresh_stream over a SKETCH grain: streamed fact arrivals
+    merge registers through the exactly-once ledger path, and the served
+    estimate equals a full-fact rebuild (same register-swap pattern as the
+    exact-grain streaming test above)."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.streaming.ingest import grain_refresh_stream
+
+    fact = builder.registry.load("lineitem_enriched")
+    hist = fact.filter(F.year("l_shipdate") < 1997)
+    incr = fact.filter(F.year("l_shipdate") >= 1997)
+
+    nav = AggregateNavigator(builder)
+    builder.registry.register("lineitem_enriched", hist, broadcastable=False)
+    try:
+        g = nav.materialize(
+            "lineitem_sales",
+            ["Ship Date.Ship Date.Year", "Part.Brand"],
+            ["Quantity", "Approx Distinct Parts"],
+            str(tmp_path / "g_stream"),
+            partition_by="Ship Date.Ship Date.Year",
+            sketch_p=10,
+        )
+    finally:
+        builder.registry.register("lineitem_enriched", fact, broadcastable=False)
+
+    src = tmp_path / "fact_arrivals"
+    incr.coalesce(2).write.parquet(str(src))
+    grain_refresh_stream(
+        nav, g, str(src), str(tmp_path / "ckpt"), incr.schema,
+        query_name="t_sketch_gr",
+    )
+
+    nav_full = AggregateNavigator(builder)
+    nav_full.materialize(
+        "lineitem_sales",
+        ["Ship Date.Ship Date.Year", "Part.Brand"],
+        ["Quantity", "Approx Distinct Parts"],
+        str(tmp_path / "g_full2"),
+        partition_by="Ship Date.Ship Date.Year",
+        sketch_p=10,
+    )
+    q = _q(
+        drilldowns=["Ship Date.Ship Date.Year"],
+        measures=["Quantity", "Approx Distinct Parts"],
+    )
+    got = sorted(tuple(r) for r in nav.serve("lineitem_sales", q).collect())
+    want = sorted(
+        tuple(r) for r in nav_full.serve("lineitem_sales", q).collect()
+    )
+    assert got == want and len(got) > 0

@@ -3991,3 +3991,54 @@ def test_bpe_apply_streaming_matches_batch(spark, tmp_path):
         for r in bpe_tokenize(docs, merges).collect()
     }
     assert set(got) == batch and len(got) == 40
+
+
+def test_hll_grouped_registers_match_duckdb_mirror(spark, sf_dir, duck):
+    """The sketch tier's register construction is bit-equal cross-engine
+    per GROUP (the flat hll_sketch entry proved the ungrouped form) —
+    readying a driver-gated grouped entry."""
+    from tesseract_spark.operators.sketch import (
+        hll_grouped_oracle_sql,
+        hll_grouped_registers,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        (r.g, r.j): r.r
+        for r in hll_grouped_registers(
+            li.withColumnRenamed("l_returnflag", "g"), ["g"], "l_partkey", 8
+        ).collect()
+    }
+    want = {
+        (r[0], r[1]): r[2]
+        for r in duck.execute(
+            hll_grouped_oracle_sql("lineitem", "l_returnflag", "l_partkey", 8)
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_classifier_external_seed_holdout(spark, sf_dir):
+    """Holdout discipline: train on one slice, score a DISJOINT slice —
+    scores are well-formed, keep flags consistent with the threshold, and
+    the scoring slice never influences the model (scoring twice with the
+    same model is identical)."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.classifier import (
+        score_token_classifier,
+        train_token_classifier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeds = docs.filter("doc_id % 2 = 0").withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    holdout = docs.filter("doc_id % 2 = 1")
+    model = train_token_classifier(seeds)
+    s1 = {tuple(r) for r in score_token_classifier(holdout, model).collect()}
+    s2 = {tuple(r) for r in score_token_classifier(holdout, model).collect()}
+    assert s1 == s2 and len(s1) == holdout.count()
+    for r in s1:
+        doc_id, n_tokens, score, keep = r
+        assert (keep is True) == (score is not None and score >= 500_000)
