@@ -2681,6 +2681,32 @@ def _wire_pipeline_ops() -> None:
         leakage_safe_split_oracle_sql(dedup.cluster_oracle_sql()),
     )
 
+    # grouped HLL registers — the aggregate-navigation sketch tier's core
+    # under the driver gate directly: per-group register table is pure
+    # integers (md5 hash + bin/lpad/instr rank, both engines identical);
+    # element-wise max-mergeability is what makes rollup-served
+    # approx-distinct estimates bit-stable across serving paths
+    def _hll_grouped(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .operators.sketch import hll_grouped_registers
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return hll_grouped_registers(
+            li.select(F.col("l_returnflag").alias("g"), "l_partkey"),
+            ["g"],
+            "l_partkey",
+            p=8,
+        )
+
+    from .operators.sketch import hll_grouped_oracle_sql
+
+    _add(
+        "q_hll_grouped",
+        _hll_grouped,
+        hll_grouped_oracle_sql("lineitem", "l_returnflag", "l_partkey", 8),
+    )
+
     # token-budget mixture planner (the "data recipe": Hamilton-exact
     # per-source token allocation + sampling rate / epoch multipliers);
     # planning complement of temperature_mixture / epoch_shuffle
@@ -3333,7 +3359,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  - 2 permanent cross-round anchors (q_growth_year, q_agg_year);
 #    q_growth_year doubles as the re-proof of this round's growth div0
 #    default flip to ClickHouse +-inf parity (growth.rs:104);
-#  - 21 debuts (starvation tripwire: new entries MUST debut in a window):
+#  - 22 debuts (starvation tripwire: new entries MUST debut in a window):
 #    the 15 round-7 library operators wired as entries this round
 #    (VERDICT r7 "next round" #1) plus q_growth_div0_null (the NULL
 #    division mode the old default became) and q_logic_exclude (the
@@ -3345,7 +3371,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    q_leakage_safe_split (cluster-aware split — near-dups never straddle
 #    train/test), and q_hybrid_rrf (reciprocal-rank fusion of the BM25
 #    and exact-cosine legs — which also exercises brute_force_topk, the
-#    heart of the displaced q_ann_cosine_topk, inside its semantic leg);
+#    heart of the displaced q_ann_cosine_topk, inside its semantic leg)
+#    and q_hll_grouped (the aggnav sketch tier's per-group register
+#    construction under the driver gate; q_dedup_exact, r5-green and
+#    untouched, yielded its slot to r9);
 #  - 8 changed-entry re-proofs (standing policy: a changed code path or
 #    oracle must be re-proven the round it lands): q_pack_sequences
 #    (pack_sequences gained the optional n_tokens_col parameter for
@@ -3361,11 +3390,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    window partition), q_quantiles_distributed + q_price_quartile_counts
 #    (shared memoized rank fold — VERDICT r7 #8), q_growth_div0_inf
 #    (its flag now matches the new default);
-#  - 16 of the 42-entry r5 cohort (oldest-evidence-first): the 4 whose
+#  - 15 of the 42-entry r5 cohort (oldest-evidence-first): the 4 whose
 #    code changed this round (q_dedup_minhash_lsh bucket bounding,
 #    q_sort_limit_offset sort=none pagination guard, q_vocab_coverage
 #    literal window, q_growth_month div0 default) lead; then the OLAP
-#    cut/filter core and the dedup/ANN/text spine. The remaining 26
+#    cut/filter core and the dedup/ANN/text spine. The remaining 27
 #    (q_agg_brand, q_cms_heavy_hitters, q_cms_join_size,
 #    q_decontaminate_bloom, q_embed_projection, q_event_funnel,
 #    q_events_json_props, q_events_window, q_hll_distinct,
@@ -3409,6 +3438,7 @@ DRIVER_WINDOW: list[str] = [
     "q_classifier_gate",
     "q_leakage_safe_split",
     "q_hybrid_rrf",
+    "q_hll_grouped",
     # changed-code/oracle re-proofs (round 8)
     "q_pack_sequences",
     "q_stratified_sample",
@@ -3433,7 +3463,6 @@ DRIVER_WINDOW: list[str] = [
     "q_rca_region_flag",
     "q_two_phase_mixed",
     # r5 cohort — dedup/ANN/text spine
-    "q_dedup_exact",
     "q_ann_lsh_topk",
     "q_embed_dup_clusters",
     "q_semantic_dedup",
