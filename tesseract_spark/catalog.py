@@ -2707,6 +2707,50 @@ def _wire_pipeline_ops() -> None:
         hll_grouped_oracle_sql("lineitem", "l_returnflag", "l_partkey", 8),
     )
 
+    # doc-level snapshot diff (dataset versioning between crawls, the
+    # per-document complement of profile_drift): old = the corpus, new =
+    # a deterministic re-ingest with every 7th doc dropped, every 11th
+    # doc's text changed, and a shifted-id copy of every 13th doc added
+    def _snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .operators.profile import snapshot_docs_diff
+
+        old = _docs(spark, sf)
+        new = (
+            old.filter(F.col("doc_id") % 7 != 0)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 11 == 0,
+                    F.concat(F.col("text"), F.lit(" [rev2]")),
+                ).otherwise(F.col("text")),
+            )
+            .unionByName(
+                old.filter(F.col("doc_id") % 13 == 0).withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(10_000_000)
+                )
+            )
+        )
+        return snapshot_docs_diff(old, new)
+
+    from .operators.profile import snapshot_docs_diff_oracle_sql
+
+    _NEW_SNAP_SQL = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END
+                 AS text
+        FROM documents WHERE doc_id % 7 != 0
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text
+        FROM documents WHERE doc_id % 13 = 0
+    """
+    _add(
+        "q_snapshot_diff",
+        _snapshot_diff,
+        snapshot_docs_diff_oracle_sql("SELECT doc_id, text FROM documents", _NEW_SNAP_SQL),
+    )
+
     # token-budget mixture planner (the "data recipe": Hamilton-exact
     # per-source token allocation + sampling rate / epoch multipliers);
     # planning complement of temperature_mixture / epoch_shuffle
@@ -3359,7 +3403,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  - 2 permanent cross-round anchors (q_growth_year, q_agg_year);
 #    q_growth_year doubles as the re-proof of this round's growth div0
 #    default flip to ClickHouse +-inf parity (growth.rs:104);
-#  - 22 debuts (starvation tripwire: new entries MUST debut in a window):
+#  - 23 debuts (starvation tripwire: new entries MUST debut in a window):
 #    the 15 round-7 library operators wired as entries this round
 #    (VERDICT r7 "next round" #1) plus q_growth_div0_null (the NULL
 #    division mode the old default became) and q_logic_exclude (the
@@ -3374,7 +3418,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    heart of the displaced q_ann_cosine_topk, inside its semantic leg)
 #    and q_hll_grouped (the aggnav sketch tier's per-group register
 #    construction under the driver gate; q_dedup_exact, r5-green and
-#    untouched, yielded its slot to r9);
+#    untouched, yielded its slot to r9) and q_snapshot_diff (doc-level
+#    dataset-versioning diff; q_cut_exclude yielded its slot — its twin
+#    q_cut_include stays in-window, covering the cut-predicate path);
 #  - 8 changed-entry re-proofs (standing policy: a changed code path or
 #    oracle must be re-proven the round it lands): q_pack_sequences
 #    (pack_sequences gained the optional n_tokens_col parameter for
@@ -3390,11 +3436,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    window partition), q_quantiles_distributed + q_price_quartile_counts
 #    (shared memoized rank fold — VERDICT r7 #8), q_growth_div0_inf
 #    (its flag now matches the new default);
-#  - 15 of the 42-entry r5 cohort (oldest-evidence-first): the 4 whose
+#  - 14 of the 42-entry r5 cohort (oldest-evidence-first): the 4 whose
 #    code changed this round (q_dedup_minhash_lsh bucket bounding,
 #    q_sort_limit_offset sort=none pagination guard, q_vocab_coverage
 #    literal window, q_growth_month div0 default) lead; then the OLAP
-#    cut/filter core and the dedup/ANN/text spine. The remaining 27
+#    cut/filter core and the dedup/ANN/text spine. The remaining 28
 #    (q_agg_brand, q_cms_heavy_hitters, q_cms_join_size,
 #    q_decontaminate_bloom, q_embed_projection, q_event_funnel,
 #    q_events_json_props, q_events_window, q_hll_distinct,
@@ -3439,6 +3485,7 @@ DRIVER_WINDOW: list[str] = [
     "q_leakage_safe_split",
     "q_hybrid_rrf",
     "q_hll_grouped",
+    "q_snapshot_diff",
     # changed-code/oracle re-proofs (round 8)
     "q_pack_sequences",
     "q_stratified_sample",
@@ -3455,7 +3502,6 @@ DRIVER_WINDOW: list[str] = [
     "q_growth_month",
     # r5 cohort — OLAP cut/filter core
     "q_cut_include",
-    "q_cut_exclude",
     "q_cut_semijoin",
     "q_parents",
     "q_top_where",

@@ -294,3 +294,59 @@ def profile_columns_oracle_sql(table: str, cols: list[str]) -> str:
         for c in cols
     ]
     return " UNION ALL ".join(selects)
+
+
+def snapshot_docs_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc-LEVEL snapshot diff — the versioning manifest between two ingests
+    of "the same" corpus (the per-document complement of
+    :func:`profile_drift`'s distribution-level QA gate): every id that
+    appears in either snapshot, classified ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` by content fingerprint. This is what a
+    training-data platform diffs between crawls before deciding what to
+    re-process: changed+added docs re-enter the pipeline, removed ids
+    propagate deletions, unchanged docs keep their derived artifacts.
+
+    Returns ``(doc_id, status)`` covering the union of ids. Shape: two
+    linear fingerprint projections + ONE full-outer join on the id — no
+    content ever shuffles (only 32-hex fingerprints), so the diff costs a
+    join on ids regardless of document sizes. md5 content equality is the
+    package's standard portable fingerprint (exact-dedup precedent);
+    ``changed`` means byte-level text change, deliberately strict."""
+    o = old.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("__fp_o")
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("__fp_n")
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("__fp_o").isNull(), F.lit("added"))
+        .when(F.col("__fp_n").isNull(), F.lit("removed"))
+        .when(F.col("__fp_o") != F.col("__fp_n"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", status.alias("status"))
+
+
+def snapshot_docs_diff_oracle_sql(
+    old_sql: str, new_sql: str, id_expr: str = "doc_id", text_expr: str = "text"
+) -> str:
+    """Bit-equal DuckDB mirror of :func:`snapshot_docs_diff` over two
+    snapshot subqueries."""
+    return f"""
+    WITH o AS (SELECT {id_expr} AS doc_id, md5({text_expr}) AS fp_o
+               FROM ({old_sql})),
+    n AS (SELECT {id_expr} AS doc_id, md5({text_expr}) AS fp_n
+          FROM ({new_sql}))
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fp_o IS NULL THEN 'added'
+                WHEN n.fp_n IS NULL THEN 'removed'
+                WHEN o.fp_o != n.fp_n THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """

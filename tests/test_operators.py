@@ -4042,3 +4042,24 @@ def test_classifier_external_seed_holdout(spark, sf_dir):
     for r in s1:
         doc_id, n_tokens, score, keep = r
         assert (keep is True) == (score is not None and score >= 500_000)
+
+
+def test_snapshot_diff_classifies_every_transition(spark):
+    """added / removed / changed / unchanged all classified correctly, and
+    the output covers exactly the union of ids."""
+    from tesseract_spark.operators.profile import snapshot_docs_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, "d"), (5, "e")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_docs_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",
+        5: "added",
+    }
