@@ -187,3 +187,20 @@ def test_drillthrough_labels_joined_dimension_levels(builder, duck):
     assert len(rows) == 20
     assert set(df.columns) == {"Region ID", "Region", "Quantity"}
     assert all(r["Region ID"] == 1 and r["Region"] == "AMERICA" for r in rows)
+
+
+def test_drillthrough_pagination_is_prefix_stable(builder):
+    """Deterministic paging: limit=N returns exactly the first N rows of
+    limit=M (N<M) — the property a user paging through a cell relies on."""
+    from tesseract_spark.query.model import Query
+
+    q = Query.from_params(
+        {
+            "drilldowns": ["Return Flag.Return Flag"],
+            "measures": ["Extended Price"],
+            "cuts": ["Return Flag.Return Flag.A"],
+        }
+    )
+    small = [tuple(r) for r in builder.drillthrough("lineitem_sales", q, limit=25).collect()]
+    big = [tuple(r) for r in builder.drillthrough("lineitem_sales", q, limit=80).collect()]
+    assert big[:25] == small and len(big) == 80

@@ -1000,3 +1000,33 @@ def test_hll_registers_merge_associativity(spark, keys, cut):
         ).collect()
     }
     assert merged == direct
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    old=st.dictionaries(st.integers(0, 40), st.text(max_size=5), max_size=25),
+    new=st.dictionaries(st.integers(0, 40), st.text(max_size=5), max_size=25),
+)
+def test_snapshot_diff_matches_dict_diff(spark, old, new):
+    """Property fuzz vs a pure-Python dict diff: every id in either
+    snapshot, correct transition, nothing extra."""
+    from tesseract_spark.operators.profile import snapshot_docs_diff
+
+    o_df = spark.createDataFrame(
+        list(old.items()) or [(None, None)], "doc_id long, text string"
+    ).filter("doc_id is not null")
+    n_df = spark.createDataFrame(
+        list(new.items()) or [(None, None)], "doc_id long, text string"
+    ).filter("doc_id is not null")
+    got = {r.doc_id: r.status for r in snapshot_docs_diff(o_df, n_df).collect()}
+    want = {}
+    for i in set(old) | set(new):
+        if i not in old:
+            want[i] = "added"
+        elif i not in new:
+            want[i] = "removed"
+        elif old[i] != new[i]:
+            want[i] = "changed"
+        else:
+            want[i] = "unchanged"
+    assert got == want
