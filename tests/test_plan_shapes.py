@@ -109,3 +109,33 @@ def test_plan_shape(name, spark, sf_dir):
         f"{name}: {n_exchange} exchange nodes (ceiling {ceiling}) — plan "
         f"regressed; inspect df.explain('formatted')"
     )
+
+
+#: entries allowed to carry a single-partition Window node (bounded input
+#: by construction). Kept EMPTY on purpose: the package's bounded rankings
+#: all use the array-fold pattern now, so any entry appearing here again
+#: is a regression to the shape whose warning masks real scale bugs.
+UNPARTITIONED_WINDOW_WHITELIST: set[str] = set()
+
+
+@pytest.mark.parametrize("name", sorted(catalog.ENTRIES))
+def test_no_unpartitioned_windows(name, spark, sf_dir):
+    """No entry's physical plan may contain a WindowExec without partition
+    columns (or partitioned by a literal — Spark 4.1 warns identically and
+    executes identically: ALL rows to one partition). The load-bearing
+    claim: a 'No Partition Defined' warning in any log is a real bug."""
+    if name in UNPARTITIONED_WINDOW_WHITELIST:
+        pytest.skip("documented bounded exception")
+    df = catalog.ENTRIES[name].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = []
+    for m in re.finditer(r"windowspecdefinition\(([^,)]+)[,)]", plan):
+        first = m.group(1).strip()
+        # unpartitioned: the first argument is already an ORDERING expr;
+        # literal-partitioned: the first argument is a bare literal
+        if " ASC" in first or " DESC" in first or re.fullmatch(r"\d+", first):
+            bad.append(first)
+    assert not bad, (
+        f"{name}: single-partition window spec(s) {bad} — rank bounded "
+        "top-k rows via the array-fold pattern instead"
+    )
