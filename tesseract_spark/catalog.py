@@ -160,14 +160,18 @@ _add(
     "q_cut_like",
     {
         "drilldowns": ["Customer Geography.Geography.Nation"],
-        "cuts": ["*Customer Geography.Geography.Nation.IA"],
+        # token `_1` (SQL LIKE single-char wildcard + '1') matches NATION_1,
+        # NATION_10..19 and NATION_21 in the synthetic testdata at every sf —
+        # the old token `IA` (real TPC-H nation fragment) matched nothing, so
+        # the P3 evidence compared 0 rows to 0 rows (VERDICT r8 wrong #2)
+        "cuts": ["*Customer Geography.Geography.Nation._1"],
         "measures": ["Quantity"],
     },
     f"""
     SELECT g.n_nationkey AS "Nation ID", g.n_name AS "Nation",
            sum(l.l_quantity) AS "Quantity"
     FROM lineitem l JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
-    WHERE g.n_name LIKE '%IA%'
+    WHERE g.n_name LIKE '%_1%'
     GROUP BY 1, 2
     """,
 )
@@ -501,6 +505,35 @@ _add(
     SELECT "Year", sum(m) AS "Quantity",
            sum(m) FILTER (WHERE l_returnflag = 'R') / sum(m) AS "Rate"
     FROM base GROUP BY "Year"
+    """,
+)
+
+# ---------- C3 edge: rate with empty-kept drill groups (rate.rs:84-91) ----------
+_add(
+    # drilling at Order grain with a one-year cut leaves each group holding
+    # only that order's 1995 lineitems (~1-2 rows at every sf — order size
+    # does not grow with sf), so many groups have zero linestatus='O' rows.
+    # The reference filters `{rate}_group IN (members)` BEFORE the final
+    # GROUP BY (rate.rs:84-91), dropping those groups entirely rather than
+    # emitting NULL-Rate rows; the HAVING mirrors that. Pins the semantics
+    # the r8 fuzz falsifier exposed (VERDICT r8 wrong #1) under the driver
+    # gate with a structurally-guaranteed nonempty dropped set.
+    "q_rate_empty_group",
+    {
+        "drilldowns": ["Order.Order.Order"],
+        "measures": ["Quantity"],
+        "rate": "Line Status.Line Status.Status.O",
+        "cuts": ["Ship Date.Ship Date.Year.1995"],
+    },
+    """
+    WITH base AS (
+      SELECT l_orderkey AS "Order", l_linestatus AS rk, sum(l_quantity) AS m
+      FROM lineitem WHERE year(l_shipdate) = 1995
+      GROUP BY 1, 2)
+    SELECT "Order", sum(m) AS "Quantity",
+           sum(m) FILTER (WHERE rk IN ('O')) / sum(m) AS "Rate"
+    FROM base GROUP BY "Order"
+    HAVING count(*) FILTER (WHERE rk IN ('O')) > 0
     """,
 )
 
