@@ -766,24 +766,179 @@ def cosine_near_dup_pairs(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_block: int = 256,
+    max_bucket: int = 16384,
+    log_oversize: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold, candidate-pruned
-    by shared LSH bucket (exact within bucket)."""
-    with_bucket = df.select(
+    by shared LSH bucket (exact within bucket up to ``max_bucket``).
+
+    Scale shape (VERDICT r8 wrong #3 — the previous form was an in-bucket
+    all-pairs JOIN: every candidate pair materialized as a row carrying BOTH
+    vectors through Arrow, one task per bucket; empirically the 10×-gate's
+    worst entries at 6.8×/5.2×, quadratic in bucket size with no bound):
+
+    - **Blocked all-pairs** (buckets ≤ ``max_bucket``): members hash into
+      ``ceil(n/target_block)`` blocks; each of the nb(nb+1)/2 block-pairs is
+      one ``applyInPandas`` group, so a bucket's O(n²) work spreads over many
+      tasks and each vector crosses the wire nb+1 times — O(n·nb) transfer
+      instead of O(n²). An unordered pair meets in EXACTLY one (bi ≤ bj)
+      group (A-side emits its block's copies upward, B-side downward; strict
+      ``id_a < id_b`` dedupes the diagonal), so no ``distinct`` is needed.
+    - **Margin prefilter + exact rescore** (inside each group): one BLAS
+      matmul finds candidates with ``cos ≥ threshold − 1e-6``; survivors are
+      rescored with the strictly-sequential ``np.cumsum`` fold (norms use it
+      too), so emitted values are BIT-IDENTICAL to :func:`cosine_pairs_udf`
+      / DuckDB's ``list_dot_product``. The margin dominates both the BLAS
+      error (~1e-13) and the downstream HALF_UP ``round(·, 6) ≥ threshold``
+      boundary (5e-7), so no qualifying pair can be lost; sub-threshold
+      extras are dropped by the final Spark-side filter — the output is
+      unchanged from the all-pairs form. Rounding stays Spark-side:
+      ``np.round`` is banker's, ``F.round`` is HALF_UP.
+    - **Star expansion** (buckets > ``max_bucket``, the degenerate tier —
+      mirrors ``minhash_lsh_pairs``): every member is scored against the
+      bucket's min-id hub only (linear), bucket stats come from window
+      aggregates (constant state), and nothing buffers the member set.
+      Member–member pairs are not emitted for those buckets — connectivity
+      through the hub is preserved for cluster resolution; document the cap
+      when pairs feed pairwise verification.
+
+    NULL/null-bucket vectors are filtered upfront: the previous join's
+    null-rejecting ``a.bucket == b.bucket`` predicate never paired them, and
+    a NULL cosine fails the threshold in both engines."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket_col(F.col(vec_col), dim, planes).alias("bucket"),
+    ).filter(F.col("vec").isNotNull() & F.col("bucket").isNotNull())
+    w = Window.partitionBy("bucket")
+    annotated = base.select(
+        "id",
+        "vec",
+        "bucket",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.min("id").over(w).alias("__min_id"),
     )
-    a, b = with_bucket.alias("a"), with_bucket.alias("b")
-    cos = cosine_pairs_udf()
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    if log_oversize:
+        n_big = (
+            annotated.filter(F.col("__n") > max_bucket).select("bucket").distinct().count()
         )
-        .withColumn("cos_sim", F.round(cos(F.col("a.vec"), F.col("b.vec")), 6))
+        if n_big:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cosine_near_dup_pairs: %d buckets exceed max_bucket=%d — "
+                "star-expanded (hub-verified pairs only; member-member pairs "
+                "not emitted for those buckets)",
+                n_big,
+                max_bucket,
+            )
+    # ---- full branch: blocked all-pairs over buckets <= max_bucket ----
+    small = (
+        annotated.filter(F.col("__n") <= max_bucket)
+        .withColumn("__nb", F.ceil(F.col("__n") / F.lit(target_block)).cast("int"))
+        .withColumn("__blk", F.pmod(F.xxhash64(F.col("id")), F.col("__nb")).cast("int"))
+    )
+    a_side = small.select(
+        "id",
+        "vec",
+        "bucket",
+        F.col("__blk").alias("bi"),
+        F.explode(F.sequence(F.col("__blk"), F.col("__nb") - 1)).alias("bj"),
+        F.lit(0).alias("role"),
+    )
+    b_side = small.select(
+        "id",
+        "vec",
+        "bucket",
+        F.explode(F.sequence(F.lit(0), F.col("__blk"))).alias("bi"),
+        F.col("__blk").alias("bj"),
+        F.lit(1).alias("role"),
+    )
+    expanded = a_side.unionByName(b_side)
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    margin = float(threshold) - 1e-6
+
+    def _score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["role"] == 0]
+        b = pdf[pdf["role"] == 1]
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=pdf["id"].dtype),
+                "id_b": pd.Series([], dtype=pdf["id"].dtype),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if a.empty or b.empty:
+            return empty
+        A = np.array(a["vec"].tolist(), dtype=np.float64)
+        B = np.array(b["vec"].tolist(), dtype=np.float64)
+        # norms via the sequential cumsum fold — shared by prefilter + rescore
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb_ = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        approx = (A @ B.T) / np.outer(na, nb_)
+        ia, jb = np.nonzero(approx >= margin)
+        if not len(ia):
+            return empty
+        ids_a = a["id"].to_numpy()[ia]
+        ids_b = b["id"].to_numpy()[jb]
+        # diagonal groups (bi == bj) hold the SAME rows on both sides: each
+        # unordered pair appears in both orientations plus self-pairs, so the
+        # strict inequality dedupes. Off-diagonal groups hold each unordered
+        # pair exactly once but in whichever orientation the block hash chose
+        # — keep all and canonicalize to (min, max) instead (dropping the
+        # wrong-orientation rows here was the r9 rewrite's first bug: pairs
+        # whose smaller id hashed to the higher block vanished).
+        if a["bi"].iat[0] == a["bj"].iat[0]:
+            keep = ids_a < ids_b
+            if not keep.any():
+                return empty
+            ia, jb, ids_a, ids_b = ia[keep], jb[keep], ids_a[keep], ids_b[keep]
+        else:
+            swap = ids_a > ids_b
+            ids_a, ids_b = (
+                np.where(swap, ids_b, ids_a),
+                np.where(swap, ids_a, ids_b),
+            )
+        dot = np.cumsum(A[ia] * B[jb], axis=1)[:, -1]
+        cos = dot / (na[ia] * nb_[jb])
+        return pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cos_sim": cos})
+
+    full_pairs = expanded.groupBy("bucket", "bi", "bj").applyInPandas(
+        _score_block_pair, out_schema
+    )
+    # ---- star branch: hub-verified pairs over degenerate buckets ----
+    big = annotated.filter(F.col("__n") > max_bucket)
+    hubs = big.filter(F.col("id") == F.col("__min_id")).select(
+        F.col("bucket").alias("hbucket"),
+        F.col("id").alias("hub_id"),
+        F.col("vec").alias("hub_vec"),
+    )
+    cosf = cosine_pairs_udf()
+    star_pairs = (
+        big.filter(F.col("id") != F.col("__min_id"))
+        .join(F.broadcast(hubs), F.col("bucket") == F.col("hbucket"))
+        .select(
+            F.col("hub_id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            cosf(F.col("hub_vec"), F.col("vec")).alias("cos_sim"),
+        )
+    )
+    return (
+        full_pairs.unionByName(star_pairs)
+        .withColumn("cos_sim", F.round(F.col("cos_sim"), 6))
         .filter(F.col("cos_sim") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
+        .select("id_a", "id_b", "cos_sim")
     )
 
 
