@@ -78,6 +78,14 @@ HEADLINE = [
     "q_classifier_gate",
     "q_leakage_safe_split",
     "q_hybrid_rrf",
+    # round-9: the rewritten embedding near-dup pair path (blocked
+    # all-pairs + star expansion — VERDICT r8 wrong #3) made bench-visible,
+    # plus the round's debut surfaces
+    "q_ann_near_dup",
+    "q_embed_dup_clusters",
+    "q_drillthrough",
+    "q_bpe_word_freqs",
+    "q_rate_empty_group",
 ]
 
 

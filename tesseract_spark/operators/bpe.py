@@ -50,13 +50,17 @@ from .text import _TOKEN_SPLIT
 MAX_TRAIN_WORDS = 100_000
 
 
-def word_frequencies(
+def word_frequency_table(
     df: DataFrame, text_col: str = "text", max_words: int = MAX_TRAIN_WORDS
-) -> list[tuple[str, int]]:
-    """The bounded training input: top-``max_words`` (word, count) pairs by
-    (count desc, word asc) — one explode + one map-side-combined groupBy,
-    TakeOrdered semantics via orderBy+limit (never a full collect)."""
-    counts = (
+) -> DataFrame:
+    """The bounded training input as a DataFrame: top-``max_words``
+    ``(w, n)`` rows by (count desc, word asc) — one explode + one
+    map-side-combined groupBy, TakeOrdered semantics via orderBy+limit.
+    This is the DISTRIBUTED half of BPE training and, unlike the merge
+    loop, it IS SQL-expressible — the ``q_bpe_word_freqs`` catalog entry
+    oracle-gates it, so the driver-side loop (a pure function of this
+    table) trains on externally-verified input."""
+    return (
         df.select(
             F.explode(
                 F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_SPLIT)
@@ -68,7 +72,16 @@ def word_frequencies(
         .orderBy(F.col("n").desc(), F.col("w").asc())
         .limit(max_words)
     )
-    return [(r.w, r.n) for r in counts.collect()]
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", max_words: int = MAX_TRAIN_WORDS
+) -> list[tuple[str, int]]:
+    """Collected form of :func:`word_frequency_table` (bounded by
+    ``max_words`` — never a full-corpus collect)."""
+    return [
+        (r.w, r.n) for r in word_frequency_table(df, text_col, max_words).collect()
+    ]
 
 
 def _merge_word(
@@ -211,6 +224,17 @@ def bpe_tokenize(
         F.col(id_col).alias("doc_id"),
         encode_series(F.col(text_col)).alias(out_col),
     ).withColumn("n_bpe_tokens", F.size(F.col(out_col)))
+
+
+def merges_table(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """The trained merges as a tiny DataFrame artifact: one row per merge in
+    rank order — the driver-visible form of the training result (the
+    ``q_bpe_merges`` catalog entry). Deterministic: training is a pure
+    function of the oracle-gated frequency table (module doc)."""
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank INT, left STRING, right STRING, token STRING",
+    )
 
 
 def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:

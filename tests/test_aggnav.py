@@ -714,3 +714,23 @@ def test_sketch_grain_streaming_refresh(builder, tmp_path):
         tuple(r) for r in nav_full.serve("lineitem_sales", q).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_refresh_catalog_entry_restores_registry_binding(spark, sf_dir):
+    """q_aggnav_refresh swaps the shared memoized builder's fact binding to a
+    historical slice during its build. The swap MUST be invisible afterwards
+    — the builders are memoized per (session, sf), so a leaked slice would
+    silently corrupt every later entry in the same process (the driver runs
+    all 50 window entries through one session)."""
+    from tesseract_spark import catalog
+
+    b = catalog.get_builder(spark, sf_dir)
+    full_rows = b.registry.load("lineitem_enriched").count()
+    catalog.ENTRIES["q_aggnav_refresh"].spark_fn(spark, sf_dir).collect()
+    assert b.registry.load("lineitem_enriched").count() == full_rows
+    # and an aggregate entry run AFTER it still sees every ship year
+    years = {
+        r["Year"]
+        for r in catalog.ENTRIES["q_agg_year"].spark_fn(spark, sf_dir).collect()
+    }
+    assert {1997, 1998} <= years, "post-1997 fact rows missing after refresh entry"

@@ -4135,3 +4135,16 @@ def test_cosine_near_dup_mega_bucket_star(spark):
         df, threshold=0.95, dim=dim, planes=2, max_bucket=10_000, target_block=16
     )
     assert full.count() == n * (n - 1) // 2
+
+
+def test_bpe_merges_table_is_the_trained_list(spark, sf_dir):
+    """merges_table (the q_bpe_merges driver artifact) must be exactly the
+    trained merge list in rank order, with token = left||right."""
+    from tesseract_spark.operators.bpe import merges_table, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, n_merges=25)
+    rows = merges_table(spark, merges).orderBy("rank").collect()
+    assert [(r.left, r.right) for r in rows] == merges
+    assert all(r.token == r.left + r.right for r in rows)
+    assert [r.rank for r in rows] == list(range(len(merges)))

@@ -124,10 +124,16 @@ def test_version_risky_constructs_pinned():
 
 
 def test_all_queries_have_entry_or_weak_check():
-    # every catalog entry carries a full SQL oracle — the formerly-weak pair
-    # (q_ann_lsh_topk, q_approx_distinct_count) now has exact mirrors too
+    # every catalog entry carries a full SQL oracle, with ONE pinned
+    # exception: q_bpe_merges is the documented iterative non-SQL case
+    # (the BPE merge loop — each merge changes the next pair count; see
+    # operators/bpe.py module doc). Its evidence chain: the loop is a pure
+    # function of the word-frequency table, whose construction IS
+    # oracle-gated bit-exactly (q_bpe_word_freqs), and the loop itself has
+    # independent pure-Python-reference parity in tests/test_operators.py.
+    # Anything else appearing here is a regression.
     weak = {n for n, e in catalog.ENTRIES.items() if e.oracle is None}
-    assert weak == set(), f"unexpectedly oracle-less: {weak}"
+    assert weak == {"q_bpe_merges"}, f"unexpected oracle-less set: {weak}"
 
 
 def test_entry_contract(spark):
