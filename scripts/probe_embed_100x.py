@@ -59,9 +59,13 @@ def main() -> None:
 
         results: dict[str, dict] = {}
 
-        def leg(name: str, df) -> None:
+        def leg(name: str, thunk) -> None:
+            # time CONSTRUCTION + count: several operators do bounded eager
+            # work while building the plan (k-means training, the cluster
+            # resolver's edge-count threshold probe) — timing only count()
+            # would misattribute it
             t0 = time.time()
-            rows = df.count()
+            rows = thunk().count()
             results[name] = {"sec": round(time.time() - t0, 2), "rows": rows}
             print(f"{name:34s} {results[name]['sec']:8.2f}s rows={rows}",
                   file=sys.stderr)
@@ -69,12 +73,12 @@ def main() -> None:
         # catalog-entry parameters (threshold/planes from q_ann_near_dup)
         leg(
             "cosine_near_dup_pairs_blocked",
-            similarity.cosine_near_dup_pairs(big, threshold=0.35, planes=4),
+            lambda: similarity.cosine_near_dup_pairs(big, threshold=0.35, planes=4),
         )
         # force the degenerate tier: every bucket > max_bucket -> star
         leg(
             "cosine_near_dup_pairs_star",
-            similarity.cosine_near_dup_pairs(
+            lambda: similarity.cosine_near_dup_pairs(
                 big, threshold=0.35, planes=4, max_bucket=4096
             ),
         )
@@ -82,7 +86,7 @@ def main() -> None:
 
         leg(
             "embed_dup_clusters",
-            dedup.resolve_duplicate_clusters(
+            lambda: dedup.resolve_duplicate_clusters(
                 similarity.cosine_near_dup_pairs(big, threshold=0.35, planes=4),
                 corpus_ids=big.select(F.col("vec_id").alias("id")),
             ),
@@ -90,7 +94,7 @@ def main() -> None:
         k = max(8, int(n_vec ** 0.5))
         leg(
             f"semantic_dedup_k{k}",
-            similarity.semantic_dedup(big, threshold=0.35, n_centroids=k),
+            lambda: similarity.semantic_dedup(big, threshold=0.35, n_centroids=k),
         )
         print(json.dumps({"replication": N, "n_vectors": n_vec, "legs": results}))
     finally:

@@ -541,21 +541,75 @@ def sq_dist_pairs_udf():
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: corpus × centroids (broadcast — K rows),
-    row_number over (dist², cid). Map-side only; no shuffle before the
-    per-vector window (partitioned by vector id). NULL vectors are dropped
-    (a NULL distance would otherwise win the NULLS-FIRST rank and assign
-    them to an arbitrary centroid)."""
-    joined = vecs.where(F.col("vec").isNotNull()).crossJoin(F.broadcast(cents))
-    d2 = sq_dist_pairs_udf()
-    w = Window.partitionBy("id").orderBy(
-        d2(F.col("vec"), F.col("cvec")).asc(), F.col("cid").asc()
+    """Nearest-centroid assignment as a LINEAR map-side scan.
+
+    The K centroids are collected (bounded — the same K-rows bound the
+    previous form relied on for its broadcast) into a ``mapInPandas``
+    closure; per Arrow batch one BLAS matmul yields approximate distances
+    to every centroid, a margin that dominates the matmul-vs-fold float
+    difference keeps every possible exact argmin AND every exact tie, and
+    only those survivors (almost always one) are rescored with the
+    strictly-sequential ``np.cumsum`` fold. The final argmin breaks ties on
+    (exact dist², cid) — BIT-IDENTICAL to :func:`_sql_assign`'s oracle
+    window, proven unchanged by every k-means-family oracle entry.
+
+    r9 rewrite (the 100× probe's hot spot): the previous corpus × K
+    ``crossJoin`` + per-id ``row_number`` window materialized N·K rows,
+    pushed BOTH vectors of every pair through Arrow (at the 100× probe:
+    89M rows × 128 doubles), and shuffled the expanded set for the window.
+    This form expands nothing, shuffles nothing, and moves each vector
+    through Arrow exactly once — O(N·K) flops stay inside one BLAS call
+    per batch.
+
+    NULL vectors are dropped (as before: a NULL distance would otherwise
+    win the NULLS-FIRST rank and assign them to an arbitrary centroid)."""
+    import numpy as np
+    from pyspark.sql.types import StructType
+
+    crows = sorted(cents.select("cid", "cvec").collect(), key=lambda r: r.cid)
+    if not crows:
+        raise ValueError("_assign: empty centroid set")
+    cids = np.array([r.cid for r in crows], dtype=np.int64)
+    C = np.array([list(r.cvec) for r in crows], dtype=np.float64)
+    # exact per-centroid c·c via the sequential fold (shared by every batch)
+    css = np.cumsum(C * C, axis=1)[:, -1]
+
+    src = vecs.where(F.col("vec").isNotNull()).select("id", "vec")
+    out_schema = StructType(
+        [src.schema["id"], src.schema["vec"], cents.schema["cid"]]
     )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "vec", "cid")
-    )
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cid=pd.Series([], dtype="int64"))
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            daa = np.cumsum(V * V, axis=1)[:, -1]
+            approx = daa[:, None] - 2.0 * (V @ C.T) + css[None, :]
+            amin = approx.min(axis=1)
+            # margin: matmul uses pairwise summation, the fold is strictly
+            # sequential; their difference is ~dim·ulp·magnitude (≈1e-11
+            # at dim 64), so a 1e-6-relative band provably contains the
+            # exact argmin and every exact tie
+            margin = 1e-6 * (np.abs(daa)[:, None] + np.abs(css)[None, :] + 1.0)
+            ri, ci = np.nonzero(approx <= (amin[:, None] + margin))
+            dab = np.cumsum(V[ri] * C[ci], axis=1)[:, -1]
+            d2 = daa[ri] - 2.0 * dab + css[ci]
+            order = np.lexsort((cids[ci], d2, ri))  # by (row, exact d², cid)
+            first = np.unique(ri[order], return_index=True)[1]
+            best_cid = cids[ci[order[first]]]  # rows appear sorted 0..n-1
+            yield pd.DataFrame(
+                {
+                    # positional (to_numpy) — never let pandas re-align a
+                    # non-Range batch index against the positional cid array
+                    "id": pdf["id"].to_numpy(),
+                    "vec": pdf["vec"].to_numpy(),
+                    "cid": best_cid,
+                }
+            )
+
+    return src.mapInPandas(assign_batches, out_schema)
 
 
 def train_kmeans(
@@ -759,89 +813,27 @@ def ivf_topk_oracle_sql(
     """
 
 
-def cosine_near_dup_pairs(
-    df: DataFrame,
-    threshold: float = 0.95,
-    dim: int = 64,
-    planes: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    target_block: int = 256,
-    max_bucket: int = 16384,
-    log_oversize: bool = False,
+def _blocked_allpairs_cosine(
+    members: DataFrame,
+    threshold: float,
+    target_block: int,
+    id_type,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs above a cosine threshold, candidate-pruned
-    by shared LSH bucket (exact within bucket up to ``max_bucket``).
-
-    Scale shape (VERDICT r8 wrong #3 — the previous form was an in-bucket
-    all-pairs JOIN: every candidate pair materialized as a row carrying BOTH
-    vectors through Arrow, one task per bucket; empirically the 10×-gate's
-    worst entries at 6.8×/5.2×, quadratic in bucket size with no bound):
-
-    - **Blocked all-pairs** (buckets ≤ ``max_bucket``): members hash into
-      ``ceil(n/target_block)`` blocks; each of the nb(nb+1)/2 block-pairs is
-      one ``applyInPandas`` group, so a bucket's O(n²) work spreads over many
-      tasks and each vector crosses the wire nb+1 times — O(n·nb) transfer
-      instead of O(n²). An unordered pair meets in EXACTLY one (bi ≤ bj)
-      group (A-side emits its block's copies upward, B-side downward; strict
-      ``id_a < id_b`` dedupes the diagonal), so no ``distinct`` is needed.
-    - **Margin prefilter + exact rescore** (inside each group): one BLAS
-      matmul finds candidates with ``cos ≥ threshold − 1e-6``; survivors are
-      rescored with the strictly-sequential ``np.cumsum`` fold (norms use it
-      too), so emitted values are BIT-IDENTICAL to :func:`cosine_pairs_udf`
-      / DuckDB's ``list_dot_product``. The margin dominates both the BLAS
-      error (~1e-13) and the downstream HALF_UP ``round(·, 6) ≥ threshold``
-      boundary (5e-7), so no qualifying pair can be lost; sub-threshold
-      extras are dropped by the final Spark-side filter — the output is
-      unchanged from the all-pairs form. Rounding stays Spark-side:
-      ``np.round`` is banker's, ``F.round`` is HALF_UP.
-    - **Star expansion** (buckets > ``max_bucket``, the degenerate tier —
-      mirrors ``minhash_lsh_pairs``): every member is scored against the
-      bucket's min-id hub only (linear), bucket stats come from window
-      aggregates (constant state), and nothing buffers the member set.
-      Member–member pairs are not emitted for those buckets — connectivity
-      through the hub is preserved for cluster resolution; document the cap
-      when pairs feed pairwise verification.
-
-    NULL/null-bucket vectors are filtered upfront: the previous join's
-    null-rejecting ``a.bucket == b.bucket`` predicate never paired them, and
-    a NULL cosine fails the threshold in both engines."""
+    """ALL in-bucket unordered pairs (canonical ``id_a < id_b``) with raw
+    sequential-fold cosine ≥ ``threshold − 1e-6``, via block-pair
+    ``applyInPandas`` groups. ``members``: ``(id, vec, bucket, __n)`` rows,
+    vec/bucket non-null, ``__n`` = bucket size. Shared by
+    :func:`cosine_near_dup_pairs` (bucket = LSH) and :func:`semantic_dedup`
+    (bucket = k-means cid). Emits RAW cosines — the caller applies the
+    HALF_UP ``F.round(·, 6) ≥ threshold`` gate, which the 1e-6 margin
+    provably cannot lose a pair across (see the caller docstrings)."""
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    id_type = df.schema[id_col].dataType
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket_col(F.col(vec_col), dim, planes).alias("bucket"),
-    ).filter(F.col("vec").isNotNull() & F.col("bucket").isNotNull())
-    w = Window.partitionBy("bucket")
-    annotated = base.select(
-        "id",
-        "vec",
-        "bucket",
-        F.count(F.lit(1)).over(w).alias("__n"),
-        F.min("id").over(w).alias("__min_id"),
-    )
-    if log_oversize:
-        n_big = (
-            annotated.filter(F.col("__n") > max_bucket).select("bucket").distinct().count()
-        )
-        if n_big:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "cosine_near_dup_pairs: %d buckets exceed max_bucket=%d — "
-                "star-expanded (hub-verified pairs only; member-member pairs "
-                "not emitted for those buckets)",
-                n_big,
-                max_bucket,
-            )
-    # ---- full branch: blocked all-pairs over buckets <= max_bucket ----
-    small = (
-        annotated.filter(F.col("__n") <= max_bucket)
-        .withColumn("__nb", F.ceil(F.col("__n") / F.lit(target_block)).cast("int"))
-        .withColumn("__blk", F.pmod(F.xxhash64(F.col("id")), F.col("__nb")).cast("int"))
+    small = members.withColumn(
+        "__nb", F.ceil(F.col("__n") / F.lit(target_block)).cast("int")
+    ).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col("id")), F.col("__nb")).cast("int")
     )
     a_side = small.select(
         "id",
@@ -914,8 +906,92 @@ def cosine_near_dup_pairs(
         cos = dot / (na[ia] * nb_[jb])
         return pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cos_sim": cos})
 
-    full_pairs = expanded.groupBy("bucket", "bi", "bj").applyInPandas(
+    return expanded.groupBy("bucket", "bi", "bj").applyInPandas(
         _score_block_pair, out_schema
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_block: int = 256,
+    max_bucket: int = 16384,
+    log_oversize: bool = False,
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold, candidate-pruned
+    by shared LSH bucket (exact within bucket up to ``max_bucket``).
+
+    Scale shape (VERDICT r8 wrong #3 — the previous form was an in-bucket
+    all-pairs JOIN: every candidate pair materialized as a row carrying BOTH
+    vectors through Arrow, one task per bucket; empirically the 10×-gate's
+    worst entries at 6.8×/5.2×, quadratic in bucket size with no bound):
+
+    - **Blocked all-pairs** (buckets ≤ ``max_bucket``): members hash into
+      ``ceil(n/target_block)`` blocks; each of the nb(nb+1)/2 block-pairs is
+      one ``applyInPandas`` group, so a bucket's O(n²) work spreads over many
+      tasks and each vector crosses the wire nb+1 times — O(n·nb) transfer
+      instead of O(n²). An unordered pair meets in EXACTLY one (bi ≤ bj)
+      group (A-side emits its block's copies upward, B-side downward; strict
+      ``id_a < id_b`` dedupes the diagonal), so no ``distinct`` is needed.
+    - **Margin prefilter + exact rescore** (inside each group): one BLAS
+      matmul finds candidates with ``cos ≥ threshold − 1e-6``; survivors are
+      rescored with the strictly-sequential ``np.cumsum`` fold (norms use it
+      too), so emitted values are BIT-IDENTICAL to :func:`cosine_pairs_udf`
+      / DuckDB's ``list_dot_product``. The margin dominates both the BLAS
+      error (~1e-13) and the downstream HALF_UP ``round(·, 6) ≥ threshold``
+      boundary (5e-7), so no qualifying pair can be lost; sub-threshold
+      extras are dropped by the final Spark-side filter — the output is
+      unchanged from the all-pairs form. Rounding stays Spark-side:
+      ``np.round`` is banker's, ``F.round`` is HALF_UP.
+    - **Star expansion** (buckets > ``max_bucket``, the degenerate tier —
+      mirrors ``minhash_lsh_pairs``): every member is scored against the
+      bucket's min-id hub only (linear), bucket stats come from window
+      aggregates (constant state), and nothing buffers the member set.
+      Member–member pairs are not emitted for those buckets — connectivity
+      through the hub is preserved for cluster resolution; document the cap
+      when pairs feed pairwise verification.
+
+    NULL/null-bucket vectors are filtered upfront: the previous join's
+    null-rejecting ``a.bucket == b.bucket`` predicate never paired them, and
+    a NULL cosine fails the threshold in both engines."""
+    id_type = df.schema[id_col].dataType
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_col(F.col(vec_col), dim, planes).alias("bucket"),
+    ).filter(F.col("vec").isNotNull() & F.col("bucket").isNotNull())
+    w = Window.partitionBy("bucket")
+    annotated = base.select(
+        "id",
+        "vec",
+        "bucket",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.min("id").over(w).alias("__min_id"),
+    )
+    if log_oversize:
+        n_big = (
+            annotated.filter(F.col("__n") > max_bucket).select("bucket").distinct().count()
+        )
+        if n_big:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cosine_near_dup_pairs: %d buckets exceed max_bucket=%d — "
+                "star-expanded (hub-verified pairs only; member-member pairs "
+                "not emitted for those buckets)",
+                n_big,
+                max_bucket,
+            )
+    # ---- full branch: blocked all-pairs over buckets <= max_bucket ----
+    full_pairs = _blocked_allpairs_cosine(
+        annotated.filter(F.col("__n") <= max_bucket),
+        threshold,
+        target_block,
+        id_type,
     )
     # ---- star branch: hub-verified pairs over degenerate buckets ----
     big = annotated.filter(F.col("__n") > max_bucket)
@@ -1019,21 +1095,29 @@ def semantic_dedup(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
     cents = train_kmeans(vecs, n_centroids, iters, train_max_rows)
-    # the assignment feeds three consumers (both sides of the pair self-join
-    # + the output row set); the lazy checkpoint materializes the train+
-    # assign subtree once instead of three times (AQE's ReuseExchange does
+    # the assignment feeds three consumers (the pair scan, via members, +
+    # the output row set); the lazy checkpoint materializes the train+
+    # assign subtree once instead of per consumer (AQE's ReuseExchange does
     # not collapse the repeated subtrees)
     lists = _assign(vecs, cents).localCheckpoint(eager=False)
-    a, b = lists.alias("a"), lists.alias("b")
-    cos = cosine_pairs_udf()
+    # in-cluster pair scan through the shared blocked all-pairs scorer
+    # (bucket = cid): one BLAS matmul per block-pair group instead of the
+    # previous a.cid == b.cid self-join that materialized every candidate
+    # pair as a row carrying both vectors through Arrow (45M pair rows at
+    # the 100× probe). No star tier here — a dropped id must come from a
+    # REAL qualifying pair, and cluster sizes are bounded by the caller's
+    # K ≈ √N sizing (the SemDeDup regime, module doc), not by a cap.
+    w_c = Window.partitionBy("bucket")
+    members = lists.select(
+        "id", "vec", F.col("cid").alias("bucket")
+    ).withColumn("__n", F.count(F.lit(1)).over(w_c))
     dropped = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")),
+        _blocked_allpairs_cosine(
+            members, threshold, 256, vecs.schema["id"].dataType
         )
-        .withColumn("cos_sim", F.round(cos(F.col("a.vec"), F.col("b.vec")), 6))
+        .withColumn("cos_sim", F.round(F.col("cos_sim"), 6))
         .filter(F.col("cos_sim") >= threshold)
-        .select(F.col("b.id").alias("id"))
+        .select(F.col("id_b").alias("id"))
         .distinct()
     )
     return (
