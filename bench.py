@@ -86,6 +86,7 @@ HEADLINE = [
     "q_drillthrough",
     "q_bpe_word_freqs",
     "q_rate_empty_group",
+    "q_binned_quantiles",
 ]
 
 

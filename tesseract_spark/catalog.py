@@ -3423,6 +3423,8 @@ def _wire_round9_ops() -> None:
     pytest-only surfaces that were trivially oracle-able — OLAP
     drill-through, aggnav incremental refresh, and the BPE trainer's
     distributed half — each under the driver's bit-exact gate."""
+    from pyspark.sql import functions as F
+
     from .query.model import Query as Q
 
     # ---- OLAP drill-through (plans/builder.py drillthrough; the reference
@@ -3558,6 +3560,66 @@ def _wire_round9_ops() -> None:
 
     _add("q_bpe_merges", _bpe_merges, None)
 
+    # ---- binned quantile rollup (operators/sketch.py): the MERGEABLE
+    # fixed-size quantile summary — groups × bins rows (counts + per-bin
+    # value bounds) serving p50/p90 estimates WITHOUT re-scanning the fact.
+    # The quantile analog of the HLL register tier: exact_quantiles is the
+    # exact path that reads the fact each time; this is the rollup tier a
+    # 100 TB dashboard serves from (error ≤ bin width; bit-equal to
+    # quantile_cont when every distinct value gets its own bin — pinned by
+    # test). The whole pipeline is deterministic IEEE arithmetic, mirrored
+    # exactly in SQL.
+    from .operators import sketch as sk
+
+    _PRICE_BINS = [float(b) for b in range(10_000, 110_000, 10_000)]
+
+    def _binned_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+        b = get_builder(spark, sf)
+        rows = b.registry.load("lineitem_enriched").select(
+            F.col("l_returnflag").alias("Return Flag"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        roll = sk.binned_quantile_rollup(rows, ["Return Flag"], "v", _PRICE_BINS)
+        return sk.binned_quantiles(
+            roll, ["Return Flag"], [0.5, 0.9], ["P50 Est", "P90 Est"]
+        )
+
+    _BINNED_ORACLE = sk.binned_quantiles_oracle_sql(
+        "lineitem",
+        "l_returnflag",
+        "Return Flag",
+        "l_extendedprice",
+        _PRICE_BINS,
+        [0.5, 0.9],
+        ["P50 Est", "P90 Est"],
+    )
+    _add("q_binned_quantiles", _binned_quantiles, _BINNED_ORACLE)
+
+    # mergeability under the driver gate: build the rollup from two
+    # disjoint slices (cheap orders vs expensive orders — a worst-case
+    # split for bin bounds since each side sees only part of every
+    # boundary bin), merge, serve — the oracle is the SAME single-pass
+    # SQL, so a green row proves merged == direct bit-exactly
+    def _binned_quantiles_merge(spark: SparkSession, sf: str) -> DataFrame:
+        b = get_builder(spark, sf)
+        rows = b.registry.load("lineitem_enriched").select(
+            F.col("l_returnflag").alias("Return Flag"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        lo = rows.filter(F.col("v") < 50_000)
+        hi = rows.filter(F.col("v") >= 50_000)
+        parts = sk.binned_quantile_rollup(
+            lo, ["Return Flag"], "v", _PRICE_BINS
+        ).unionByName(
+            sk.binned_quantile_rollup(hi, ["Return Flag"], "v", _PRICE_BINS)
+        )
+        merged = sk.merge_binned_rollups(parts, ["Return Flag"])
+        return sk.binned_quantiles(
+            merged, ["Return Flag"], [0.5, 0.9], ["P50 Est", "P90 Est"]
+        )
+
+    _add("q_binned_quantiles_merge", _binned_quantiles_merge, _BINNED_ORACLE)
+
 
 _wire_round8_ops()
 _wire_aggnav()
@@ -3601,10 +3663,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    q_pack_stats, q_pagerank_dups, q_property, q_quality_gate,
 #    q_source_orc_roundtrip, q_text_analysis, q_top_brands_per_region,
 #    q_training_shards);
-#  - 11 oldest-first r6-cohort fills (q_percentiles also just gained the
+#  - 9 oldest-first r6-cohort fills (q_percentiles also just gained the
 #    exact-percentile plan fence — VERDICT r8 #7 — and q_rate_returnflag
 #    rides next to q_rate_empty_group so C3 re-proves both the kept and
-#    dropped group shapes). The remaining 26 r6 entries rotate in r10.
+#    dropped group shapes) + the 2 late binned-quantile-rollup debuts
+#    (q_sparse / q_distinct_count yielded). The remaining 28 r6 entries
+#    rotate in r10.
 DRIVER_WINDOW: list[str] = [
     # environment probes (single-construct canaries)
     "q_probe_sum_bigint",
@@ -3661,9 +3725,12 @@ DRIVER_WINDOW: list[str] = [
     "q_default_member",
     "q_members_nation",
     "q_multi_cut_union",
-    "q_sparse",
     "q_sort_by_growth",
-    "q_distinct_count",
+    # late round-9 debuts (binned quantile rollup tier; q_sparse and
+    # q_distinct_count — r6-green, untouched — yielded their fill slots
+    # to r10)
+    "q_binned_quantiles",
+    "q_binned_quantiles_merge",
 ]
 
 

@@ -407,3 +407,189 @@ def hll_grouped_oracle_sql(
                 AS INT) AS r
     FROM rows_ GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Binned quantile rollup: a MERGEABLE fixed-size summary serving per-group
+# quantile ESTIMATES without re-scanning the fact — the quantile analog of
+# the HLL register tier. `operators/quantiles.exact_quantiles` is exact but
+# needs the fact every time; at 100 TB a p50/p95 dashboard wants a
+# groups × bins table (counts + per-bin value bounds) that partitions,
+# streams, and increments merge into by plain sum/min/max. Error is bounded
+# by bin width; when every distinct value gets its own bin the estimate is
+# BIT-EQUAL to quantile_cont (pinned by test). Everything is deterministic
+# IEEE arithmetic on integer counts, so the whole pipeline — binning,
+# cumulative ranks, within-bin interpolation, quantile_cont-style rank
+# blending — has an exact DuckDB mirror.
+# ---------------------------------------------------------------------------
+
+
+def _bin_col(value: Column, boundaries: list[float]) -> Column:
+    """Bin index: number of boundaries <= value (bin 0 = below the first
+    boundary; bin len(boundaries) = at/above the last). Pure comparisons —
+    identical in the SQL mirror."""
+    b = F.lit(0)
+    for bound in boundaries:
+        b = b + F.when(value >= F.lit(float(bound)), 1).otherwise(0)
+    return b
+
+
+def binned_quantile_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    boundaries: list[float],
+) -> DataFrame:
+    """Per-(group, bin) summary rows ``(…group_cols, bin, c, bmin, bmax)``.
+
+    Fixed size: ≤ |groups| × (len(boundaries)+1) rows no matter the corpus.
+    MERGEABLE: rollups of any partition of the data combine exactly via
+    ``groupBy(group, bin).agg(sum(c), min(bmin), max(bmax))`` — see
+    :func:`merge_binned_rollups` — which is what makes this the rollup-tier
+    shape (daily increments fold in without touching history).
+    NULL values are excluded (quantile semantics)."""
+    v = F.col(value_col).cast("double")
+    return (
+        df.where(v.isNotNull())
+        .groupBy(
+            *[F.col(c) for c in group_cols],
+            _bin_col(v, boundaries).alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(v).alias("bmin"),
+            F.max(v).alias("bmax"),
+        )
+    )
+
+
+def merge_binned_rollups(parts: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Exact merge of unioned rollup parts (sum counts, widen bounds)."""
+    return parts.groupBy(*[F.col(c) for c in group_cols], F.col("bin")).agg(
+        F.sum("c").alias("c"),
+        F.min("bmin").alias("bmin"),
+        F.max("bmax").alias("bmax"),
+    )
+
+
+def binned_quantiles(
+    rollup: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+    out_names: list[str] | None = None,
+) -> DataFrame:
+    """Per-group quantile ESTIMATES from a rollup: ``group_cols + out_names``.
+
+    quantile_cont's rank blend over estimated order statistics: target rank
+    ``h = p·(n−1)``; the value at integer rank r comes from the bin whose
+    cumulative range contains r, linearly interpolated between the bin's
+    observed (bmin, bmax) by position — exact when the bin holds one
+    distinct value, ≤ bin width off otherwise. The per-group window runs
+    over ≤ n_bins rows (the rollup is fixed-size by construction — same
+    bounded-window argument as the hidden-drill median)."""
+    from pyspark.sql import Window
+
+    if out_names is None:
+        out_names = [f"q_{p}" for p in probs]
+    assert len(out_names) == len(probs)
+
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    wg = Window.partitionBy(*group_cols)
+    cum = (
+        rollup.withColumn("start", F.sum("c").over(w) - F.col("c"))
+        .withColumn("n", F.sum("c").over(wg))
+    )
+
+    def value_at(rank: Column) -> Column:
+        # the one bin with start <= rank < start + c supplies the estimate
+        hit = (F.col("start") <= rank) & (rank < F.col("start") + F.col("c"))
+        est = F.when(
+            F.col("c") > 1,
+            F.col("bmin")
+            + (F.col("bmax") - F.col("bmin"))
+            * ((rank - F.col("start")).cast("double") / (F.col("c") - 1)),
+        ).otherwise(F.col("bmin"))
+        return F.max(F.when(hit, est))
+
+    # the two straddling order statistics are aggregated separately (each
+    # hits exactly one bin row) and blended AFTER the groupBy — blending
+    # inside the aggregate would mix the two hit rows' partial terms
+    sel = [F.col(c) for c in group_cols]
+    agg_cols = []
+    for i, p in enumerate(probs):
+        h = F.lit(float(p)) * (F.col("n") - 1).cast("double")
+        k = F.floor(h).cast("long")
+        k1 = F.least(k + 1, F.col("n") - 1)
+        agg_cols.append(value_at(k).alias(f"__vk{i}"))
+        agg_cols.append(value_at(k1).alias(f"__vk1_{i}"))
+        agg_cols.append(F.max(h).alias(f"__h{i}"))
+    grouped = cum.groupBy(*[F.col(c) for c in group_cols]).agg(*agg_cols)
+    outs = []
+    for i, (p, name) in enumerate(zip(probs, out_names)):
+        h = F.col(f"__h{i}")
+        k = F.floor(h)
+        outs.append(
+            (
+                (k + 1 - h) * F.col(f"__vk{i}") + (h - k) * F.col(f"__vk1_{i}")
+            ).alias(name)
+        )
+    return grouped.select(*sel, *outs)
+
+
+def binned_quantiles_oracle_sql(
+    table: str,
+    group_expr: str,
+    group_alias: str,
+    value_expr: str,
+    boundaries: list[float],
+    probs: list[float],
+    out_names: list[str],
+) -> str:
+    """Bit-equal DuckDB mirror of :func:`binned_quantile_rollup` →
+    :func:`binned_quantiles`: identical CASE binning, identical cumulative
+    ranks, identical within-bin interpolation and quantile_cont-style rank
+    blend (same IEEE operation order; DuckDB's ``floor`` returns DOUBLE vs
+    Spark's BIGINT — numerically identical below 2^53)."""
+    bin_expr = " + ".join(
+        f"(CASE WHEN v >= {float(b)!r} THEN 1 ELSE 0 END)" for b in boundaries
+    )
+    per_prob = []
+    for i, p in enumerate(probs):
+        h = f"({p!r} * CAST(n - 1 AS DOUBLE))"
+        k = f"CAST(floor({h}) AS BIGINT)"
+        k1 = f"least({k} + 1, n - 1)"
+
+        def est(r: str) -> str:
+            return (
+                f"(CASE WHEN c > 1 THEN bmin + (bmax - bmin) * "
+                f"(CAST(({r}) - start AS DOUBLE) / (c - 1)) ELSE bmin END)"
+            )
+
+        per_prob.append(
+            f"max(CASE WHEN start <= {k} AND {k} < start + c "
+            f"THEN {est(k)} END) AS vk{i}"
+        )
+        per_prob.append(
+            f"max(CASE WHEN start <= {k1} AND {k1} < start + c "
+            f"THEN {est(k1)} END) AS vk1_{i}"
+        )
+        per_prob.append(f"max({h}) AS h{i}")
+    blends = ", ".join(
+        f'(floor(h{i}) + 1 - h{i}) * vk{i} + (h{i} - floor(h{i})) * vk1_{i}'
+        f' AS "{name}"'
+        for i, name in enumerate(out_names)
+    )
+    return f"""
+    WITH rows_ AS (
+      SELECT {group_expr} AS g, CAST({value_expr} AS DOUBLE) AS v
+      FROM {table} WHERE {value_expr} IS NOT NULL),
+    binned AS (SELECT g, v, ({bin_expr}) AS bin FROM rows_),
+    bins AS (SELECT g, bin, count(*) AS c, min(v) AS bmin, max(v) AS bmax
+             FROM binned GROUP BY 1, 2),
+    cum AS (SELECT g, bin, c, bmin, bmax,
+                   sum(c) OVER (PARTITION BY g ORDER BY bin) - c AS start,
+                   sum(c) OVER (PARTITION BY g) AS n
+            FROM bins),
+    grouped AS (SELECT g, {", ".join(per_prob)} FROM cum GROUP BY g)
+    SELECT g AS "{group_alias}", {blends} FROM grouped
+    """

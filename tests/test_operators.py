@@ -4148,3 +4148,77 @@ def test_bpe_merges_table_is_the_trained_list(spark, sf_dir):
     assert [(r.left, r.right) for r in rows] == merges
     assert all(r.token == r.left + r.right for r in rows)
     assert [r.rank for r in rows] == list(range(len(merges)))
+
+
+def test_binned_quantiles_exact_when_bins_are_values(spark):
+    """With every distinct value its own bin boundary, the rollup estimate
+    IS quantile_cont — bit-equal to the exact distributed fold (the
+    estimate's only error source is within-bin interpolation)."""
+    from tesseract_spark.operators.quantiles import exact_quantiles
+    from tesseract_spark.operators.sketch import (
+        binned_quantile_rollup,
+        binned_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(x)) for x in [1, 2, 2, 3, 5, 8, 13, 21]]
+        + [("h", float(x)) for x in [4, 4, 4, 10]],
+        "g string, v double",
+    )
+    bounds = [1.0, 2.0, 3.0, 4.0, 5.0, 8.0, 10.0, 13.0, 21.0]
+    probs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    names = ["p0", "p25", "p50", "p90", "p100"]
+    est = sorted(
+        tuple(r)
+        for r in binned_quantiles(
+            binned_quantile_rollup(df, ["g"], "v", bounds), ["g"], probs, names
+        ).collect()
+    )
+    exact = sorted(
+        tuple(r) for r in exact_quantiles(df, ["g"], "v", probs, names).collect()
+    )
+    assert est == exact
+
+
+def test_binned_quantiles_merge_is_exact_and_error_bounded(spark, sf_dir):
+    """Rollups of disjoint slices merge into EXACTLY the direct rollup
+    (sum/min/max mergeability), and estimates stay within one bin width of
+    the exact quantiles — the contract that makes this the incremental
+    dashboard tier."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.quantiles import exact_quantiles
+    from tesseract_spark.operators.sketch import (
+        binned_quantile_rollup,
+        binned_quantiles,
+        merge_binned_rollups,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v"))
+    )
+    bounds = [float(b) for b in range(10_000, 110_000, 10_000)]
+    full = binned_quantile_rollup(rows, ["g"], "v", bounds)
+    parts = binned_quantile_rollup(
+        rows.filter(F.col("v") < 50_000), ["g"], "v", bounds
+    ).unionByName(
+        binned_quantile_rollup(rows.filter(F.col("v") >= 50_000), ["g"], "v", bounds)
+    )
+    merged = merge_binned_rollups(parts, ["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    est = {
+        r.g: (r.p50, r.p90)
+        for r in binned_quantiles(full, ["g"], [0.5, 0.9], ["p50", "p90"]).collect()
+    }
+    exact = {
+        r.g: (r.p50, r.p90)
+        for r in exact_quantiles(rows, ["g"], "v", [0.5, 0.9], ["p50", "p90"]).collect()
+    }
+    bin_width = 10_000
+    for g, (p50, p90) in est.items():
+        assert abs(p50 - exact[g][0]) <= bin_width
+        assert abs(p90 - exact[g][1]) <= bin_width
