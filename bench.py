@@ -87,6 +87,7 @@ HEADLINE = [
     "q_bpe_word_freqs",
     "q_rate_empty_group",
     "q_binned_quantiles",
+    "q_binned_measure",
 ]
 
 

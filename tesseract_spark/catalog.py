@@ -3620,6 +3620,29 @@ def _wire_round9_ops() -> None:
 
     _add("q_binned_quantiles_merge", _binned_quantiles_merge, _BINNED_ORACLE)
 
+    # the same machinery as a first-class CUBE AGGREGATOR
+    # (schema/aggregator.BinnedQuantile → plans/aggregators._bq_*): the
+    # measure's fixed-size array partials make it decomposable, so aggnav
+    # rollups serve it bit-identically to the fact path (pinned in
+    # tests/test_aggnav.py); this entry proves the cube path itself against
+    # the same single-pass SQL mirror the standalone operator uses
+    _add(
+        "q_binned_measure",
+        {
+            "drilldowns": ["Return Flag.Return Flag"],
+            "measures": ["P90 Price Binned"],
+        },
+        sk.binned_quantiles_oracle_sql(
+            "lineitem",
+            "l_returnflag",
+            "Return Flag",
+            "l_extendedprice",
+            _PRICE_BINS,
+            [0.9],
+            ["P90 Price Binned"],
+        ),
+    )
+
 
 _wire_round8_ops()
 _wire_aggnav()
@@ -3663,12 +3686,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    q_pack_stats, q_pagerank_dups, q_property, q_quality_gate,
 #    q_source_orc_roundtrip, q_text_analysis, q_top_brands_per_region,
 #    q_training_shards);
-#  - 9 oldest-first r6-cohort fills (q_percentiles also just gained the
+#  - 8 oldest-first r6-cohort fills (q_percentiles also just gained the
 #    exact-percentile plan fence — VERDICT r8 #7 — and q_rate_returnflag
 #    rides next to q_rate_empty_group so C3 re-proves both the kept and
-#    dropped group shapes) + the 2 late binned-quantile-rollup debuts
-#    (q_sparse / q_distinct_count yielded). The remaining 28 r6 entries
-#    rotate in r10.
+#    dropped group shapes) + the 3 late binned-quantile debuts
+#    (q_sparse / q_distinct_count / q_sort_by_growth yielded). The
+#    remaining 29 r6 entries rotate in r10.
 DRIVER_WINDOW: list[str] = [
     # environment probes (single-construct canaries)
     "q_probe_sum_bigint",
@@ -3725,12 +3748,12 @@ DRIVER_WINDOW: list[str] = [
     "q_default_member",
     "q_members_nation",
     "q_multi_cut_union",
-    "q_sort_by_growth",
-    # late round-9 debuts (binned quantile rollup tier; q_sparse and
-    # q_distinct_count — r6-green, untouched — yielded their fill slots
-    # to r10)
+    # late round-9 debuts (binned quantile rollup tier + its cube-measure
+    # form; q_sparse, q_distinct_count, and q_sort_by_growth — r6-green,
+    # untouched — yielded their fill slots to r10)
     "q_binned_quantiles",
     "q_binned_quantiles_merge",
+    "q_binned_measure",
 ]
 
 

@@ -297,6 +297,21 @@ LINEITEM_SCHEMA_JSON = {
                     "column": "l_partkey",
                     "aggregator": "approx_distinct_count",
                 },
+                # rollup-tier quantile estimate: fixed-size array partials
+                # (per-bin count/min/max), decomposable — serves from
+                # aggnav rollups; error <= bin width (10k price bins)
+                {
+                    "name": "P90 Price Binned",
+                    "column": "l_extendedprice",
+                    "aggregator": {
+                        "binned_quantile": {
+                            "p": 0.9,
+                            "boundaries": [
+                                float(b) for b in range(10_000, 110_000, 10_000)
+                            ],
+                        }
+                    },
+                },
             ],
         },
         {

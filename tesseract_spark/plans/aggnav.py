@@ -61,6 +61,7 @@ from ..query.model import LevelName, Query
 from ..schema.aggregator import (
     ApproxDistinctCount,
     Average,
+    BinnedQuantile,
     Count,
     Max,
     Min,
@@ -96,6 +97,9 @@ def _decomposable(measure, avg_grain: str) -> bool:
             Moe,
             ReplicateWeightMoe,
             WeightedAverageMoe,
+            # fixed-size array partials (per-bin count/min/max) merge
+            # exactly at any coarser grain — see _merge_cols
+            BinnedQuantile,
         ),
     )
 
@@ -165,6 +169,21 @@ def _merge_cols(measure, avg_grain: str) -> list[Column]:
         names = [f"{n}__pnum", f"{n}__pden"]
         for i in range(len(agg.secondary_weight_columns)):
             names += [f"{n}__snum{i}", f"{n}__sden{i}"]
+    elif isinstance(agg, BinnedQuantile):
+        # elementwise array merge: counts add, bounds widen — rebuilt as
+        # arrays so merged rollup rows keep the exact pass-1 schema
+        nb = len(agg.boundaries) + 1
+        return [
+            F.array(
+                *[F.sum(F.element_at(F.col(f"{n}__bc"), j + 1)) for j in range(nb)]
+            ).alias(f"{n}__bc"),
+            F.array(
+                *[F.min(F.element_at(F.col(f"{n}__bmin"), j + 1)) for j in range(nb)]
+            ).alias(f"{n}__bmin"),
+            F.array(
+                *[F.max(F.element_at(F.col(f"{n}__bmax"), j + 1)) for j in range(nb)]
+            ).alias(f"{n}__bmax"),
+        ]
     elif isinstance(agg, (Sum, Count, WeightedSum)):
         names = [n]
     else:  # same gate as _decomposable — unreachable via materialize()

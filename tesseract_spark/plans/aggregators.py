@@ -25,6 +25,7 @@ from ..schema.aggregator import (
     ApproxDistinctCount,
     Average,
     BasicGroupedMedian,
+    BinnedQuantile,
     Count,
     Custom,
     DistinctCount,
@@ -110,6 +111,71 @@ def _sq_diff_sum(terms: list[Column]) -> Column:
     return total
 
 
+def _bq_bin(col: Column, agg: BinnedQuantile) -> Column:
+    """Bin index = number of boundaries <= value (mirrors
+    operators/sketch._bin_col — identical CASE comparisons in the SQL
+    oracle). NULL values yield a NULL index, which every conditional
+    aggregate below excludes."""
+    v = col.cast("double")
+    b = F.lit(0)
+    for bound in agg.boundaries:
+        b = b + F.when(v >= F.lit(float(bound)), 1).otherwise(0)
+    return b
+
+
+def _bq_cell_aggs(
+    col: Column, agg: BinnedQuantile
+) -> tuple[list[Column], list[Column], list[Column]]:
+    """Per-bin (count, min, max) AGGREGATE expressions — the fixed-size
+    partial state (nb = len(boundaries)+1 cells per group, corpus-size
+    independent)."""
+    v = col.cast("double")
+    b = _bq_bin(col, agg)
+    nb = len(agg.boundaries) + 1
+    cs = [
+        F.sum(F.when(b == j, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+        for j in range(nb)
+    ]
+    mins = [F.min(F.when(b == j, v)) for j in range(nb)]
+    maxs = [F.max(F.when(b == j, v)) for j in range(nb)]
+    return cs, mins, maxs
+
+
+def _bq_estimate(
+    cs: list[Column], mins: list[Column], maxs: list[Column], p: float
+) -> Column:
+    """quantile_cont's rank blend over within-bin interpolated order
+    statistics — post-aggregation expressions only, the SAME IEEE chain as
+    operators/sketch.binned_quantiles and its DuckDB mirror (floor/least/
+    CASE arithmetic is identical cross-engine). An all-NULL group has
+    n = 0 → no bin matches → NULL, like quantile_cont."""
+    starts: list[Column] = []
+    run: Column = F.lit(0).cast("long")
+    for c in cs:
+        starts.append(run)
+        run = run + c
+    n = run
+    h = F.lit(float(p)) * (n - 1).cast("double")
+    k = F.floor(h).cast("long")
+    k1 = F.least(k + F.lit(1), n - 1)
+
+    def value_at(r: Column) -> Column:
+        chain = None
+        for j in range(len(cs)):
+            cond = (starts[j] <= r) & (r < starts[j] + cs[j])
+            est = F.when(
+                cs[j] > 1,
+                mins[j]
+                + (maxs[j] - mins[j])
+                * ((r - starts[j]).cast("double") / (cs[j] - 1)),
+            ).otherwise(mins[j])
+            chain = F.when(cond, est) if chain is None else chain.when(cond, est)
+        return chain
+
+    vk, vk1 = value_at(k), value_at(k1)
+    return (k + 1 - h) * vk + (h - k) * vk1
+
+
 def single_pass_agg(measure: Measure) -> Column:
     """One flat aggregate expression, aliased to the measure name.
 
@@ -160,6 +226,8 @@ def single_pass_agg(measure: Measure) -> Column:
             ]
         )
         out = F.lit(agg.critical_value) * F.sqrt(F.lit(factor) * total)
+    elif isinstance(agg, BinnedQuantile):
+        out = _bq_estimate(*_bq_cell_aggs(col, agg), agg.p)
     elif isinstance(agg, Custom):
         # template with {} placeholder — schema/aggregator.rs:91-92; under
         # exact_scale the template is expected to yield a decimal (the user
@@ -202,6 +270,15 @@ def pass1_cols(measure: Measure, avg_grain: str = "flat") -> list[Column]:
     if isinstance(agg, BasicGroupedMedian):
         group_fn = getattr(F, agg.group_aggregator)
         return [group_fn(col).alias(n)]
+    if isinstance(agg, BinnedQuantile):
+        # fixed-size array partials: counts sum, bounds min/max — exactly
+        # decomposable at any coarser grain (the aggnav rollup contract)
+        cs, mins, maxs = _bq_cell_aggs(col, agg)
+        return [
+            F.array(*cs).alias(f"{n}__bc"),
+            F.array(*mins).alias(f"{n}__bmin"),
+            F.array(*maxs).alias(f"{n}__bmax"),
+        ]
     if isinstance(agg, WeightedSum):
         return [_exact_sum(col * F.col(agg.weight_column), es).alias(n)]
     if isinstance(agg, WeightedAverage):
@@ -251,6 +328,16 @@ def pass2_col(measure: Measure, avg_grain: str = "flat") -> Column:
         return (_d(F.sum(f"{n}__num"), es) / F.sum(f"{n}__cnt")).alias(n)
     if isinstance(agg, BasicGroupedMedian):
         return F.median(F.col(n)).alias(n)
+    if isinstance(agg, BinnedQuantile):
+        nb = len(agg.boundaries) + 1
+        cs = [F.sum(F.element_at(F.col(f"{n}__bc"), j + 1)) for j in range(nb)]
+        mins = [
+            F.min(F.element_at(F.col(f"{n}__bmin"), j + 1)) for j in range(nb)
+        ]
+        maxs = [
+            F.max(F.element_at(F.col(f"{n}__bmax"), j + 1)) for j in range(nb)
+        ]
+        return _bq_estimate(cs, mins, maxs, agg.p).alias(n)
     if isinstance(agg, WeightedAverage):
         return (_d(F.sum(f"{n}__num"), es) / _d(F.sum(f"{n}__den"), es)).alias(n)
     if isinstance(agg, Moe):

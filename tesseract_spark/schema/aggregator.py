@@ -147,6 +147,24 @@ class ApproxDistinctCount(Aggregator):
 
 
 @dataclass(frozen=True)
+class BinnedQuantile(Aggregator):
+    """Rollup-tier quantile estimate (engine extension; see
+    operators/sketch.py for the standalone form and the error contract):
+    per-bin counts and observed value bounds aggregate as FIXED-SIZE arrays
+    — decomposable (partials merge by elementwise sum/min/max), so
+    aggregate-navigation rollups serve it at any coarser grain — and the
+    final value applies quantile_cont's rank blend over within-bin
+    interpolated order statistics. Deterministic IEEE arithmetic
+    end-to-end, hence exactly SQL-mirrorable (unlike a t-digest). Error
+    ≤ bin width; BIT-equal to quantile_cont when every distinct value has
+    its own bin."""
+
+    kind = "binned_quantile"
+    p: float = 0.5
+    boundaries: tuple[float, ...] = ()
+
+
+@dataclass(frozen=True)
 class Custom(Aggregator):
     """SQL template with ``{}`` placeholder for the measure column
     (schema/aggregator.rs:91-92). Compiled via ``F.expr`` — only decomposable
@@ -182,6 +200,11 @@ def parse_aggregator(raw) -> Aggregator:
             )
         if kind == "approx_distinct_count":
             return ApproxDistinctCount(rsd=float(params.get("rsd", 0.05)))
+        if kind == "binned_quantile":
+            return BinnedQuantile(
+                p=float(params["p"]),
+                boundaries=tuple(float(b) for b in params["boundaries"]),
+            )
         if kind == "weighted_sum":
             return WeightedSum(weight_column=params["weight_column"])
         if kind == "weighted_avg":

@@ -734,3 +734,62 @@ def test_refresh_catalog_entry_restores_registry_binding(spark, sf_dir):
         for r in catalog.ENTRIES["q_agg_year"].spark_fn(spark, sf_dir).collect()
     }
     assert {1997, 1998} <= years, "post-1997 fact rows missing after refresh entry"
+
+
+def test_binned_quantile_measure_serves_from_rollup_bit_exactly(
+    builder, spark, tmp_path
+):
+    """The BinnedQuantile cube aggregator's array partials must serve from
+    an aggnav rollup — including after an incremental refresh — BIT-equal
+    to the direct fact path (the decomposability contract that makes it
+    the rollup-tier quantile)."""
+    from pyspark.sql import functions as F
+
+    q = _q(
+        drilldowns=["Return Flag.Return Flag"],
+        measures=["P90 Price Binned", "Quantity"],
+    )
+    direct = {
+        r["Return Flag"]: (r["P90 Price Binned"], r["Quantity"])
+        for r in builder.dataframe("lineitem_sales", q).collect()
+    }
+
+    nav = AggregateNavigator(builder)
+    nav.materialize(
+        "lineitem_sales",
+        ["Ship Date.Ship Date.Year", "Return Flag.Return Flag"],
+        ["Quantity", "P90 Price Binned"],
+        str(tmp_path / "bq_grain"),
+        partition_by="Ship Date.Ship Date.Year",
+    )
+    served = nav.serve("lineitem_sales", q)
+    assert served is not None
+    got = {
+        r["Return Flag"]: (r["P90 Price Binned"], r["Quantity"])
+        for r in served.collect()
+    }
+    assert got == direct
+
+    # refresh parity: build on a historical slice, fold in the remainder
+    fact = builder.registry.load("lineitem_enriched")
+    hist = fact.filter(F.year("l_shipdate") < 1997)
+    incr = fact.filter(F.year("l_shipdate") >= 1997)
+    nav2 = AggregateNavigator(builder)
+    builder.registry.register("lineitem_enriched", hist, broadcastable=False)
+    try:
+        g2 = nav2.materialize(
+            "lineitem_sales",
+            ["Ship Date.Ship Date.Year", "Return Flag.Return Flag"],
+            ["Quantity", "P90 Price Binned"],
+            str(tmp_path / "bq_grain2"),
+            partition_by="Ship Date.Ship Date.Year",
+        )
+    finally:
+        builder.registry.register("lineitem_enriched", fact, broadcastable=False)
+    nav2.refresh(g2, incr)
+    served2 = nav2.serve("lineitem_sales", q)
+    got2 = {
+        r["Return Flag"]: (r["P90 Price Binned"], r["Quantity"])
+        for r in served2.collect()
+    }
+    assert got2 == direct

@@ -204,3 +204,32 @@ def test_drillthrough_pagination_is_prefix_stable(builder):
     small = [tuple(r) for r in builder.drillthrough("lineitem_sales", q, limit=25).collect()]
     big = [tuple(r) for r in builder.drillthrough("lineitem_sales", q, limit=80).collect()]
     assert big[:25] == small and len(big) == 80
+
+
+def test_binned_quantile_measure_two_phase_equals_single_pass(builder):
+    """BinnedQuantile's array partials (two-phase path, forced by a median
+    measure in the mix) must reproduce the single-pass estimate bit-exactly
+    — counts add and bounds widen losslessly across the fk-grain pre-agg."""
+    from tesseract_spark.query.model import Query
+
+    q1 = Query.from_params(
+        {
+            "drilldowns": ["Return Flag.Return Flag"],
+            "measures": ["P90 Price Binned"],
+        }
+    )
+    single = {
+        r["Return Flag"]: r["P90 Price Binned"]
+        for r in builder.dataframe("lineitem_sales", q1).collect()
+    }
+    q2 = Query.from_params(
+        {
+            "drilldowns": ["Return Flag.Return Flag"],
+            "measures": ["P90 Price Binned", "Median Qty By Order"],
+        }
+    )
+    two = {
+        r["Return Flag"]: r["P90 Price Binned"]
+        for r in builder.dataframe("lineitem_sales", q2).collect()
+    }
+    assert two == single and len(single) == 3

@@ -209,6 +209,6 @@ def test_fixture_schema_loads():
     s = testdata_schema()
     cube = s.cube("lineitem_sales")
     assert len(cube.dimensions) == 7
-    assert len(cube.measures) == 22
+    assert len(cube.measures) == 23  # round 9: + P90 Price Binned
     inline = cube.dimension("Line Status").hierarchies[0].inline_table
     assert inline is not None and len(inline.rows) == 2
