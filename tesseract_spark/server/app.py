@@ -340,4 +340,15 @@ def make_server(
             "cache": _ResponseCache(),
         },
     )
-    return ThreadingHTTPServer((host, port), handler)
+
+    class _Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5: under the design
+        # target of ~100 SIMULTANEOUS connections (DESIGN.md), the
+        # overflow SYNs are dropped and retransmit after 1s/2s — observed
+        # as a cached-response p50 of ~1s that no amount of server-side
+        # speed fixes. A 128 backlog admits the whole burst; daemon
+        # threads keep shutdown from hanging on a stuck client.
+        request_queue_size = 128
+        daemon_threads = True
+
+    return _Server((host, port), handler)

@@ -337,3 +337,18 @@ def test_global_diagnosis_route(server):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_server_listen_backlog_admits_concurrent_burst(builder):
+    """socketserver's default backlog of 5 drops simultaneous SYNs under
+    the ~100-concurrent design target; the overflow retransmits after
+    1s/2s, showing up as a cached-response p50 of ~1 s (round-9 probe).
+    Pin the structural fix."""
+    from tesseract_spark.server.app import make_server
+
+    srv = make_server(builder, port=0)
+    try:
+        assert srv.request_queue_size >= 100
+        assert srv.daemon_threads
+    finally:
+        srv.server_close()
