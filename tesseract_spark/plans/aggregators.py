@@ -147,30 +147,62 @@ def _bq_estimate(
     """quantile_cont's rank blend over within-bin interpolated order
     statistics — post-aggregation expressions only, the SAME IEEE chain as
     operators/sketch.binned_quantiles and its DuckDB mirror (floor/least/
-    CASE arithmetic is identical cross-engine). An all-NULL group has
-    n = 0 → no bin matches → NULL, like quantile_cont."""
-    starts: list[Column] = []
-    run: Column = F.lit(0).cast("long")
-    for c in cs:
-        starts.append(run)
-        run = run + c
-    n = run
+    CASE/fold arithmetic is identical cross-engine). An all-NULL group has
+    n = 0 → no bin matches → NULL, like quantile_cont.
+
+    Shape note: the per-rank bin lookup is a single ``F.aggregate`` fold
+    carrying (running start, first match) over zipped (c, lo, hi) structs
+    — NOT an unrolled when-chain over per-bin aggregate expressions. The
+    unrolled form duplicated every aggregate subtree O(nb²) times; with
+    11 bins that cost ~3.5 s of PLAN CONSTRUCTION + ANALYSIS per query
+    (measured round 9), a fixed tax no data-side speed fixes. The fold
+    references each array-of-aggregates ONCE per lookup and evaluates
+    interpreted over nb elements per output row — trivially cheap at any
+    group count. Same values bit-for-bit: integer starts accumulate in
+    the same order, the interpolation chain is unchanged, and
+    first-match-wins coalesce equals the when-chain's ordering."""
+    bc = F.array(*cs)
+    blo = F.array(*mins)
+    bhi = F.array(*maxs)
+    n = F.aggregate(bc, F.lit(0).cast("long"), lambda a, x: a + x)
     h = F.lit(float(p)) * (n - 1).cast("double")
     k = F.floor(h).cast("long")
     k1 = F.least(k + F.lit(1), n - 1)
 
     def value_at(r: Column) -> Column:
-        chain = None
-        for j in range(len(cs)):
-            cond = (starts[j] <= r) & (r < starts[j] + cs[j])
-            est = F.when(
-                cs[j] > 1,
-                mins[j]
-                + (maxs[j] - mins[j])
-                * ((r - starts[j]).cast("double") / (cs[j] - 1)),
-            ).otherwise(mins[j])
-            chain = F.when(cond, est) if chain is None else chain.when(cond, est)
-        return chain
+        zipped = F.transform(
+            bc,
+            lambda c, i: F.struct(
+                c.alias("c"),
+                F.element_at(blo, i + 1).alias("lo"),
+                F.element_at(bhi, i + 1).alias("hi"),
+            ),
+        )
+        acc0 = F.struct(
+            F.lit(0).cast("long").alias("start"),
+            F.lit(None).cast("double").alias("val"),
+        )
+        est = lambda acc, s: F.when(  # noqa: E731 — local fold step
+            s["c"] > 1,
+            s["lo"]
+            + (s["hi"] - s["lo"])
+            * ((r - acc["start"]).cast("double") / (s["c"] - 1)),
+        ).otherwise(s["lo"])
+        folded = F.aggregate(
+            zipped,
+            acc0,
+            lambda acc, s: F.struct(
+                (acc["start"] + s["c"]).alias("start"),
+                F.coalesce(
+                    acc["val"],
+                    F.when(
+                        (acc["start"] <= r) & (r < acc["start"] + s["c"]),
+                        est(acc, s),
+                    ),
+                ).alias("val"),
+            ),
+        )
+        return folded["val"]
 
     vk, vk1 = value_at(k), value_at(k1)
     return (k + 1 - h) * vk + (h - k) * vk1

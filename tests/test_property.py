@@ -1059,3 +1059,64 @@ def test_snapshot_diff_matches_dict_diff(spark, old, new):
         else:
             want[i] = "unchanged"
     assert got == want
+
+
+# ---- binned quantile rollup fuzz: engine parity + error contract ----
+
+_bq_values = st.lists(
+    st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+    min_size=1,
+    max_size=60,
+)
+_bq_bounds = st.lists(
+    st.floats(min_value=-900, max_value=900, allow_nan=False, width=32),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=_bq_values, bounds=_bq_bounds, p_pct=st.integers(0, 100))
+def test_binned_quantile_fuzz_matches_duckdb_and_error_bound(
+    spark, values, bounds, p_pct
+):
+    """Random data × random boundaries × random probability: the Spark
+    estimate must be BIT-equal to the DuckDB mirror, and must sit within
+    the widest OBSERVED bin span of the exact quantile_cont (each
+    straddling order statistic is interpolated inside its bin's
+    [bmin, bmax])."""
+    import duckdb
+
+    from tesseract_spark.operators.quantiles import exact_quantiles
+    from tesseract_spark.operators.sketch import (
+        binned_quantile_rollup,
+        binned_quantiles,
+        binned_quantiles_oracle_sql,
+    )
+
+    p = p_pct / 100.0
+    bounds = sorted(float(b) for b in bounds)
+    vals = [float(v) for v in values]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    est = binned_quantiles(
+        binned_quantile_rollup(df, ["g"], "v", bounds), ["g"], [p], ["q"]
+    ).collect()[0]["q"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [("g", v) for v in vals])
+    osql = binned_quantiles_oracle_sql("t", "g", "g", "v", bounds, [p], ["q"])
+    oracle = con.execute(osql).fetchone()[1]
+    assert est == oracle, (est, oracle)
+
+    exact = exact_quantiles(df, ["g"], "v", [p], ["q"]).collect()[0]["q"]
+    # widest observed span of any bin (edge bins are unbounded by the
+    # boundary list, so the bound uses observed min/max per bin)
+    import collections
+
+    spans = collections.defaultdict(list)
+    for v in vals:
+        spans[sum(v >= b for b in bounds)].append(v)
+    max_span = max(max(xs) - min(xs) for xs in spans.values())
+    assert abs(est - exact) <= max_span + 1e-9, (est, exact, max_span)
