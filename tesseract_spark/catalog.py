@@ -3686,12 +3686,15 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    q_pack_stats, q_pagerank_dups, q_property, q_quality_gate,
 #    q_source_orc_roundtrip, q_text_analysis, q_top_brands_per_region,
 #    q_training_shards);
-#  - 8 oldest-first r6-cohort fills (q_percentiles also just gained the
+#  - 4 oldest-first r6-cohort fills (q_percentiles also just gained the
 #    exact-percentile plan fence — VERDICT r8 #7 — and q_rate_returnflag
 #    rides next to q_rate_empty_group so C3 re-proves both the kept and
-#    dropped group shapes) + the 3 late binned-quantile debuts
-#    (q_sparse / q_distinct_count / q_sort_by_growth yielded). The
-#    remaining 29 r6 entries rotate in r10.
+#    dropped group shapes) + the 3 late binned-quantile debuts + the 4
+#    k-means-family re-proofs forced by the late _assign rewrite
+#    (q_sparse / q_distinct_count / q_sort_by_growth / q_aggregators /
+#    q_avg_fk_grain / q_conditional_cut / q_default_member — all r6-green
+#    and untouched — yielded fill slots). The remaining 33 r6 entries
+#    rotate across r10-r11.
 DRIVER_WINDOW: list[str] = [
     # environment probes (single-construct canaries)
     "q_probe_sum_bigint",
@@ -3706,9 +3709,15 @@ DRIVER_WINDOW: list[str] = [
     "q_aggnav_refresh",
     "q_bpe_word_freqs",
     "q_bpe_merges",
-    # changed-code re-proofs (cosine_near_dup_pairs bucket bounding)
+    # changed-code re-proofs: cosine_near_dup_pairs bucket bounding, and
+    # the _assign linear-scan rewrite + blocked semantic pair scan (every
+    # k-means-family consumer re-proves the round the rewrite lands)
     "q_ann_near_dup",
     "q_embed_dup_clusters",
+    "q_semantic_dedup",
+    "q_ann_ivf_topk",
+    "q_ann_ivf_index",
+    "q_ann_ivf_query_vectors",
     # r5 cohort — OLAP core
     "q_agg_brand",
     "q_cut_exclude",
@@ -3742,10 +3751,6 @@ DRIVER_WINDOW: list[str] = [
     # r6 cohort fills (oldest-first; 26 more rotate in r10)
     "q_percentiles",
     "q_rate_returnflag",
-    "q_aggregators",
-    "q_avg_fk_grain",
-    "q_conditional_cut",
-    "q_default_member",
     "q_members_nation",
     "q_multi_cut_union",
     # late round-9 debuts (binned quantile rollup tier + its cube-measure
