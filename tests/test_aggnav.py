@@ -793,3 +793,45 @@ def test_binned_quantile_measure_serves_from_rollup_bit_exactly(
         for r in served2.collect()
     }
     assert got2 == direct
+
+
+def test_streaming_grain_refresh_carries_binned_quantile(builder, spark, tmp_path):
+    """The BinnedQuantile measure's array partials must survive the
+    STREAMING refresh path too: stream the post-1996 fact arrivals into a
+    historical grain, and the rollup-served P90 estimate must equal the
+    direct full-fact cube answer bit-for-bit (counts add, bounds widen —
+    the same merge the batch refresh test pins, now through
+    grain_refresh_stream's exactly-once file ledger)."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.streaming.ingest import grain_refresh_stream
+
+    path = str(tmp_path / "grain_stream_bq")
+    fact = builder.registry.load("lineitem_enriched")
+    hist = fact.filter(F.year("l_shipdate") < 1997)
+    incr = fact.filter(F.year("l_shipdate") >= 1997)
+
+    nav = AggregateNavigator(builder)
+    builder.registry.register("lineitem_enriched", hist, broadcastable=False)
+    try:
+        g = nav.materialize(
+            "lineitem_sales",
+            ["Ship Date.Ship Date.Year", "Return Flag.Return Flag"],
+            ["Quantity", "P90 Price Binned"],
+            path,
+            partition_by="Ship Date.Ship Date.Year",
+        )
+    finally:
+        builder.registry.register("lineitem_enriched", fact, broadcastable=False)
+
+    src = tmp_path / "bq_fact_arrivals"
+    incr.coalesce(2).write.parquet(str(src))
+    grain_refresh_stream(nav, g, str(src), str(tmp_path / "bq_ckpt"), incr.schema)
+
+    q = _q(
+        drilldowns=["Return Flag.Return Flag"],
+        measures=["Quantity", "P90 Price Binned"],
+    )
+    want = sorted(tuple(r) for r in builder.dataframe("lineitem_sales", q).collect())
+    got = sorted(tuple(r) for r in nav.serve("lineitem_sales", q).collect())
+    assert got == want and len(got) == 3
