@@ -3485,6 +3485,11 @@ def _wire_round9_ops() -> None:
         fact = b.registry.load("lineitem_enriched")
         hist = fact.filter(F.year("l_shipdate") < 1997)
         incr = fact.filter(F.year("l_shipdate") >= 1997)
+        # capture the pre-swap broadcastable state so the finally-restore
+        # leaves the SHARED memoized registry exactly as found (ADVICE r9:
+        # hardcoding False leaked the fact into _no_broadcast for the rest
+        # of the session)
+        was_broadcastable = b.registry.is_broadcastable("lineitem_enriched")
         b.registry.register("lineitem_enriched", hist, broadcastable=False)
         try:
             grain = nav.materialize(
@@ -3498,7 +3503,9 @@ def _wire_round9_ops() -> None:
                 partition_by="Ship Date.Ship Date.Year",
             )
         finally:
-            b.registry.register("lineitem_enriched", fact, broadcastable=False)
+            b.registry.register(
+                "lineitem_enriched", fact, broadcastable=was_broadcastable
+            )
         nav.refresh(grain, incr)
         q = Q.from_params(
             {
@@ -3558,7 +3565,11 @@ def _wire_round9_ops() -> None:
         merges = bpe.train_bpe(_docs(spark, sf), n_merges=60)
         return bpe.merges_table(spark, merges)
 
-    _add("q_bpe_merges", _bpe_merges, None)
+    # r10: the merges now carry a full oracle — fingerprint-keyed pinned
+    # VALUES (pure function of the oracle-gated frequency table on fixed
+    # testdata; scripts/gen_bpe_pins.py, VERDICT r9 #1). The last
+    # rows-only entry is gone: every catalog entry is oracle-gated.
+    _add("q_bpe_merges", _bpe_merges, bpe.merges_oracle_sql())
 
     # ---- binned quantile rollup (operators/sketch.py): the MERGEABLE
     # fixed-size quantile summary — groups × bins rows (counts + per-bin

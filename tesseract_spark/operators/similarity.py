@@ -567,14 +567,20 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     from pyspark.sql.types import StructType
 
     crows = sorted(cents.select("cid", "cvec").collect(), key=lambda r: r.cid)
+    src = vecs.where(F.col("vec").isNotNull()).select("id", "vec")
     if not crows:
-        raise ValueError("_assign: empty centroid set")
+        # empty or all-NULL-vector corpus trains zero centroids; preserve
+        # the pre-r9 lazy-crossJoin behavior (empty result, (id, vec, cid)
+        # schema) instead of raising — empty slices/increments are a
+        # legitimate pipeline state (ADVICE r9)
+        return src.withColumn(
+            "cid", F.lit(None).cast(cents.schema["cid"].dataType)
+        ).where(F.lit(False))
     cids = np.array([r.cid for r in crows], dtype=np.int64)
     C = np.array([list(r.cvec) for r in crows], dtype=np.float64)
     # exact per-centroid c·c via the sequential fold (shared by every batch)
     css = np.cumsum(C * C, axis=1)[:, -1]
 
-    src = vecs.where(F.col("vec").isNotNull()).select("id", "vec")
     out_schema = StructType(
         [src.schema["id"], src.schema["vec"], cents.schema["cid"]]
     )
@@ -640,8 +646,14 @@ def train_kmeans(
             train = vecs.where(
                 F.pmod(F.xxhash64(F.col("id")), F.lit(denom)) < F.lit(num)
             )
-    cents = vecs.orderBy("id").limit(n_centroids).select(
-        F.col("id").alias("cid"), F.col("vec").alias("cvec")
+    # NULL vectors can't seed a centroid (an undefined cvec would poison
+    # every distance); _assign drops them from assignment for the same
+    # reason, so filtering here keeps seeds ⊆ assignable rows
+    cents = (
+        vecs.where(F.col("vec").isNotNull())
+        .orderBy("id")
+        .limit(n_centroids)
+        .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
     )
     for _ in range(iters):
         assigned = _assign(train, cents)
@@ -920,7 +932,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     target_block: int = 256,
     max_bucket: int = 16384,
-    log_oversize: bool = False,
+    log_oversize: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold, candidate-pruned
     by shared LSH bucket (exact within bucket up to ``max_bucket``).
@@ -957,13 +969,22 @@ def cosine_near_dup_pairs(
 
     NULL/null-bucket vectors are filtered upfront: the previous join's
     null-rejecting ``a.bucket == b.bucket`` predicate never paired them, and
-    a NULL cosine fails the threshold in both engines."""
+    a NULL cosine fails the threshold in both engines. Zero-norm vectors
+    are filtered too (ADVICE r9): their cosine is NaN (0/0), which the
+    blocked tier's numpy prefilter drops (NaN comparisons are False) but
+    Spark's final ``round(NaN) >= threshold`` would KEEP (NaN sorts above
+    every value) — an explicit filter makes both tiers agree that an
+    undefined similarity is never a near-dup."""
     id_type = df.schema[id_col].dataType
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket_col(F.col(vec_col), dim, planes).alias("bucket"),
-    ).filter(F.col("vec").isNotNull() & F.col("bucket").isNotNull())
+    ).filter(
+        F.col("vec").isNotNull()
+        & F.col("bucket").isNotNull()
+        & F.exists("vec", lambda x: x != F.lit(0.0))
+    )
     w = Window.partitionBy("bucket")
     annotated = base.select(
         "id",

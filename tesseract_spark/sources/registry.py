@@ -63,6 +63,11 @@ class TableRegistry:
         self._views[name] = df
         if not broadcastable:
             self._no_broadcast.add(name)
+        else:
+            # re-registering must fully reset the flag (ADVICE r9: a
+            # sticky _no_broadcast entry survived a broadcastable=True
+            # re-register, leaking swap-and-restore state)
+            self._no_broadcast.discard(name)
         return self
 
     def is_broadcastable(self, name: str) -> bool:

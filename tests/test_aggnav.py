@@ -726,8 +726,12 @@ def test_refresh_catalog_entry_restores_registry_binding(spark, sf_dir):
 
     b = catalog.get_builder(spark, sf_dir)
     full_rows = b.registry.load("lineitem_enriched").count()
+    was_broadcastable = b.registry.is_broadcastable("lineitem_enriched")
     catalog.ENTRIES["q_aggnav_refresh"].spark_fn(spark, sf_dir).collect()
     assert b.registry.load("lineitem_enriched").count() == full_rows
+    # the broadcastable flag must round-trip too (ADVICE r9: the old
+    # hardcoded-False restore leaked the fact into _no_broadcast)
+    assert b.registry.is_broadcastable("lineitem_enriched") == was_broadcastable
     # and an aggregate entry run AFTER it still sees every ship year
     years = {
         r["Year"]

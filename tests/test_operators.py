@@ -4137,6 +4137,55 @@ def test_cosine_near_dup_mega_bucket_star(spark):
     assert full.count() == n * (n - 1) // 2
 
 
+def test_assign_empty_centroid_set_returns_empty_not_raises(spark):
+    """ADVICE r9: an empty or all-NULL-vector corpus trains zero centroids;
+    _assign (and its train_kmeans / semantic_dedup consumers) must produce
+    an EMPTY (id, vec, cid) result — the pre-r9 lazy-crossJoin behavior —
+    not raise, because empty slices/increments are a legitimate pipeline
+    state."""
+    from tesseract_spark.operators.similarity import _assign, train_kmeans
+
+    empty = spark.createDataFrame([], "id long, vec array<double>")
+    cents = train_kmeans(empty.withColumnRenamed("id", "id"), n_centroids=4)
+    assert cents.count() == 0
+    assigned = _assign(empty, cents)
+    assert assigned.columns == ["id", "vec", "cid"]
+    assert assigned.count() == 0
+    # all-NULL vectors behave the same as empty
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, vec array<double>"
+    )
+    assert _assign(nulls, train_kmeans(nulls, n_centroids=2)).count() == 0
+
+
+def test_cosine_near_dup_zero_norm_vectors_excluded_in_both_tiers(spark):
+    """ADVICE r9: zero-norm vectors have an undefined (NaN) cosine. The
+    blocked tier's numpy prefilter dropped them while the star tier's
+    Spark-side round(NaN) >= threshold KEPT them (NaN sorts above every
+    value) — the upfront zero-norm filter must make both tiers agree that
+    an undefined similarity is never a near-dup."""
+    from tesseract_spark.operators.similarity import cosine_near_dup_pairs
+
+    dim = 4
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(12)] + [
+        (100, [0.0] * dim),
+        (101, [0.0] * dim),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # blocked tier (everything under max_bucket)
+    blocked = cosine_near_dup_pairs(
+        df, threshold=0.95, dim=dim, planes=2, max_bucket=1000, target_block=4
+    ).collect()
+    # star tier (duplicate bucket over the cap)
+    star = cosine_near_dup_pairs(
+        df, threshold=0.95, dim=dim, planes=2, max_bucket=5, target_block=4
+    ).collect()
+    for got in (blocked, star):
+        ids = {r.id_a for r in got} | {r.id_b for r in got}
+        assert 100 not in ids and 101 not in ids, "zero-norm vector paired"
+        assert got, "the identical-vector group must still pair"
+
+
 def test_bpe_merges_table_is_the_trained_list(spark, sf_dir):
     """merges_table (the q_bpe_merges driver artifact) must be exactly the
     trained merge list in rank order, with token = left||right."""

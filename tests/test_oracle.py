@@ -124,16 +124,26 @@ def test_version_risky_constructs_pinned():
 
 
 def test_all_queries_have_entry_or_weak_check():
-    # every catalog entry carries a full SQL oracle, with ONE pinned
-    # exception: q_bpe_merges is the documented iterative non-SQL case
-    # (the BPE merge loop — each merge changes the next pair count; see
-    # operators/bpe.py module doc). Its evidence chain: the loop is a pure
-    # function of the word-frequency table, whose construction IS
-    # oracle-gated bit-exactly (q_bpe_word_freqs), and the loop itself has
-    # independent pure-Python-reference parity in tests/test_operators.py.
-    # Anything else appearing here is a regression.
+    # every catalog entry carries a full SQL oracle — since r10 with NO
+    # exceptions: q_bpe_merges (the iterative merge loop, formerly the one
+    # rows-only entry) is now pinned as fingerprint-keyed VALUES because
+    # the loop is a pure function of the bit-exactly-oracled
+    # word-frequency table on fixed testdata (operators/bpe.py
+    # merges_oracle_sql; scripts/gen_bpe_pins.py). Anything appearing
+    # here is a regression.
     weak = {n for n, e in catalog.ENTRIES.items() if e.oracle is None}
-    assert weak == {"q_bpe_merges"}, f"unexpected oracle-less set: {weak}"
+    assert weak == set(), f"unexpected oracle-less set: {weak}"
+
+
+def test_bpe_merges_oracle_rejects_unknown_corpus(duck):
+    # the fingerprint-keyed oracle must fail LOUDLY (zero rows) on a
+    # corpus it was not pinned for — never silently pass
+    sql = catalog.ENTRIES["q_bpe_merges"].oracle
+    patched = sql.replace(
+        "FROM documents",
+        "FROM (SELECT doc_id, text || 'x' AS text FROM documents)",
+    )
+    assert duck.execute(patched).fetchall() == []
 
 
 def test_entry_contract(spark):
