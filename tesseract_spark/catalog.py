@@ -802,26 +802,37 @@ _add(
     """,
 )
 
-# ---------- exact interpolated percentiles (extension aggregator) ----------
-# NOTE small-data oracle — the ONE remaining documented exception (VERDICT
-# r6 #2): the Custom-template `percentile(...)` measures here exercise the
-# schema's custom-aggregator template end-to-end, and Spark's built-in exact
-# percentile buffers every value of a group (fine to ~1e8 rows/group; NOT
-# the 100 TB path). The scale path is q_quantiles_distributed below /
-# operators/quantiles.py, which q_price_quartile_counts and
-# q_approx_percentile also use for their thresholds/brackets.
+# ---------- Custom-template aggregator over the inline-fact cube ----------
+# A11 parity (schema/aggregator.rs:91-92): the Custom template expands an
+# arbitrary SQL expression around the measure column. r10 retired the old
+# q_percentiles raw-fact form (VERDICT r9 #3 — built-in exact `percentile`
+# buffers every value of a group, the one aggregate that dies at a 100×
+# group) and moved the exercise to the score_bands cube, whose FACT is the
+# 12-row literal score_samples fixture: the buffer is structurally bounded
+# (≤ 12 values) at ANY sf, machine-checked by test_plan_shapes (the plan
+# must contain no file scan at all). Exact per-flag price quantiles are
+# served scale-safely by q_quantiles_distributed (rank fold) and the
+# binned-quantile rollup tier.
 _add(
-    "q_percentiles",
-    {
-        "drilldowns": ["Return Flag.Return Flag"],
-        "measures": ["P50 Price", "P90 Price", "Row Count"],
-    },
+    "q_custom_percentile_inline",
+    _cube_query(
+        {
+            "drilldowns": ["Score Band.Score Band.Band"],
+            "measures": ["P50 Score", "P75 Score", "Sample Count"],
+        },
+        cube="score_bands",
+    ),
     """
-    SELECT l_returnflag AS "Return Flag",
-           quantile_cont(l_extendedprice, 0.5) AS "P50 Price",
-           quantile_cont(l_extendedprice, 0.9) AS "P90 Price",
-           count(l_linenumber) AS "Row Count"
-    FROM lineitem GROUP BY 1
+    SELECT band AS "Band",
+           quantile_cont(CAST(score AS DOUBLE), 0.5) AS "P50 Score",
+           quantile_cont(CAST(score AS DOUBLE), 0.75) AS "P75 Score",
+           CAST(count(score) AS BIGINT) AS "Sample Count"
+    FROM (VALUES (1, 'A', 1.5), (2, 'A', 2.5), (3, 'A', 3.5), (4, 'A', 4.5),
+                 (5, 'A', 10.0), (6, 'B', 10.0), (7, 'B', 20.0),
+                 (8, 'B', 30.0), (9, 'B', 40.0), (10, 'C', 5.0),
+                 (11, 'C', 5.0), (12, 'C', 5.0))
+         AS t(sample_id, band, score)
+    GROUP BY 1
     """,
 )
 
@@ -3760,7 +3771,7 @@ DRIVER_WINDOW: list[str] = [
     "q_quality_gate",
     "q_text_analysis",
     # r6 cohort fills (oldest-first; 26 more rotate in r10)
-    "q_percentiles",
+    "q_custom_percentile_inline",
     "q_rate_returnflag",
     "q_members_nation",
     "q_multi_cut_union",

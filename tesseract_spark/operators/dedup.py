@@ -135,23 +135,36 @@ def ngram_jaccard_pairs(
             "the O(pairs) verification path — generate candidates with "
             "minhash_lsh_pairs first, or pass max_docs=None to force"
         )
-    sh = df.select(
+    # r10 (VERDICT r9 #4): the shingle set sizes RIDE the join legs (the
+    # arrays are already distinct, so n_sh = size(arr) — a per-row map)
+    # instead of a third explode+groupBy joined back twice; and because
+    # both legs are the IDENTICAL subplan shuffled on the same key,
+    # Spark's ReuseExchange materializes the shingle shuffle once. One
+    # scan + one (reused) shuffle + one pair groupBy — the two sizes
+    # shuffle-joins of the previous form are gone.
+    shx = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles_col(F.col(text_col), n)).alias("shingle"),
+        word_shingles_col(F.col(text_col), n).alias("__arr"),
+    ).select(
+        "id",
+        F.size("__arr").alias("n_sh"),
+        F.explode("__arr").alias("shingle"),
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = shx.alias("a"), shx.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            # n_sh is constant within a (doc, doc) group — first() under a
+            # deterministic constant is exact, but min() keeps the plan
+            # whole-stage-codegen friendly and engine-portable
+            F.min(F.col("a.n_sh")).alias("n_a"),
+            F.min(F.col("b.n_sh")).alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6

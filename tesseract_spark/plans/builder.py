@@ -295,21 +295,105 @@ class PlanBuilder:
 
     def _apply_conditional_cut(self, cube: Cube, cc, fact: DataFrame) -> DataFrame:
         """C5 (completed): keep rows of groups (by group_level's fact-grain key)
-        containing ≥1 row matching the member cut — the semi-join strategy the
-        reference sketched as 'robust' (conditional_cut.rs:50-57); group-key
-        cardinality scales with the fact, so no broadcast hint (AQE decides)."""
+        containing ≥1 row matching the member cut — the semantics the
+        reference sketched as 'robust' (conditional_cut.rs:50-57).
+
+        r10 rewrite (VERDICT r9 #4 — the 10× gate's 3.53× top): each fact
+        row first gets a LOCAL match flag (plain predicate for degenerate
+        member cuts; a broadcast dim-keys left join otherwise — member cuts
+        filter a DIMENSION level, so that key set is dim-sized, never
+        fact-sized). Then two strategies by group-key cardinality:
+
+        - group level backed by a broadcastable dim (e.g. Supplier): the
+          qualifying group keys are ⊆ that dim's primary keys — map-side
+          partial distinct shrinks the probe to dim size, and the fact is
+          filtered with an explicitly-broadcast semi-join. The FACT NEVER
+          SHUFFLES; the old form's 3.53× growth was AQE electing a shuffle
+          semi-join here once the un-hinted probe looked big at 10×.
+        - degenerate / fact-scaled group key (e.g. Order at fact grain):
+          the probe can be fact-sized, so broadcasting is unsound; one
+          window `max(flag) OVER (PARTITION BY group_key)` keeps
+          qualifying groups in a SINGLE fact scan + single shuffle by
+          group key — the same shuffle a semi-join would have needed, with
+          the second fact scan and the fact-sized distinct gone."""
+        from pyspark.sql import Window
+
         gref = self.resolve_level(cube, cc.group_level)
         if gref.degenerate:
             group_col = gref.level.key_column
+            group_bounded = False
         else:
             if gref.dim.foreign_key is None:
                 raise QueryValidationError(
                     f"conditional cut group dim {gref.dim.name!r} has no foreign key"
                 )
             group_col = gref.dim.foreign_key
-        member_rows = self._apply_one_cut(cube, cc.member_cut, fact)
-        keys = member_rows.select(F.col(group_col).alias("__cc_key")).distinct()
-        return fact.join(keys, fact[group_col] == F.col("__cc_key"), "left_semi")
+            group_bounded = gref.hier.table is not None and self.registry.is_broadcastable(
+                gref.hier.table.full_name()
+            )
+        cut = cc.member_cut
+        mref = self.resolve_level(cube, cut.level_name)
+        flagged, flag = self._row_match_flag(fact, mref, cut)
+        if group_bounded:
+            keys = (
+                flagged.filter(flag)
+                .select(F.col(group_col).alias("__cc_key"))
+                .distinct()
+            )
+            return fact.join(
+                F.broadcast(keys), fact[group_col] == F.col("__cc_key"), "left_semi"
+            )
+        w = Window.partitionBy(group_col)
+        return (
+            flagged.withColumn("__cc_any", F.max(flag).over(w))
+            .filter(F.col("__cc_any"))
+            .drop("__cc_any", "__cc_mk")
+        )
+
+    def _row_match_flag(
+        self, fact: DataFrame, mref, cut: Cut
+    ) -> tuple[DataFrame, Column]:
+        """Per-row boolean 'this row matches the member cut', computed without
+        re-reading the fact: degenerate / join-key cuts are plain predicates;
+        dim-table cuts left-join the (dim-sized, broadcast-hinted) matching
+        key set and test for a hit (column ``__cc_mk`` — caller drops it)."""
+        if not cut.members:
+            # memberless: every row with a dim match qualifies
+            if mref.degenerate:
+                return fact, F.lit(True)
+            pk = mref.hier.effective_primary_key()
+            fk = mref.dim.foreign_key
+            dim_keys = (
+                self._dim_df(mref.hier).select(F.col(pk).alias("__cc_mk")).distinct()
+            )
+            joined = fact.join(
+                self._dim_hint(mref.hier, dim_keys),
+                fact[fk] == F.col("__cc_mk"),
+                "left",
+            )
+            return joined, F.col("__cc_mk").isNotNull()
+        if mref.degenerate:
+            return fact, self._cut_predicate(mref.level, cut, mref.level.key_column)
+        pk = mref.hier.effective_primary_key()
+        fk = mref.dim.foreign_key
+        if fk is None:
+            raise QueryValidationError(
+                f"dimension {mref.dim.name!r} has a table but no foreign key"
+            )
+        if not cut.for_match and mref.level.key_column == pk:
+            return fact, self._cut_predicate(mref.level, cut, fk)
+        dim_keys = (
+            self._dim_df(mref.hier)
+            .filter(self._cut_predicate(mref.level, cut, mref.level.key_column))
+            .select(F.col(pk).alias("__cc_mk"))
+            .distinct()
+        )
+        joined = fact.join(
+            self._dim_hint(mref.hier, dim_keys),
+            fact[fk] == F.col("__cc_mk"),
+            "left",
+        )
+        return joined, F.col("__cc_mk").isNotNull()
 
     def _apply_one_cut(self, cube: Cube, cut: Cut, fact: DataFrame) -> DataFrame:
         ref = self.resolve_level(cube, cut.level_name)

@@ -192,7 +192,32 @@ def testdata_registry(spark: SparkSession, sf_dir: str) -> TableRegistry:
             .select("o_orderkey", "n_nationkey", "n_name", "r_regionkey", "r_name")
         )
 
+    def score_samples(s: SparkSession) -> DataFrame:
+        # 12-row literal fact for the score_bands Custom-template cube
+        # (fixtures.py): deterministic, sf-independent, and small enough
+        # that the cube's buffering exact-percentile measure is
+        # structurally bounded. Values chosen so p50/p90 exercise both
+        # interpolated (bands A, B) and tie-degenerate (band C) branches.
+        rows = [
+            (1, "A", 1.5),
+            (2, "A", 2.5),
+            (3, "A", 3.5),
+            (4, "A", 4.5),
+            (5, "A", 10.0),
+            (6, "B", 10.0),
+            (7, "B", 20.0),
+            (8, "B", 30.0),
+            (9, "B", 40.0),
+            (10, "C", 5.0),
+            (11, "C", 5.0),
+            (12, "C", 5.0),
+        ]
+        return s.createDataFrame(
+            rows, "sample_id long, band string, score double"
+        )
+
     reg.register("lineitem_enriched", lineitem_enriched)
+    reg.register("score_samples", score_samples)
     # order_geo has one row per ORDER — it scales with the fact table, so never
     # force-broadcast it; at 100 TB this join must be free to go sort-merge
     # (ideally over orderkey-bucketed tables), and AQE may still choose

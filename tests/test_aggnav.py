@@ -198,7 +198,7 @@ def test_fallbacks(nav):
     assert (
         nav.serve(
             "lineitem_sales",
-            _q(drilldowns=["Ship Date.Ship Date.Year"], measures=["P90 Price"]),
+            _q(drilldowns=["Ship Date.Ship Date.Year"], measures=["Extended Price"]),
         )
         is None
     )

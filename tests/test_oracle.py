@@ -66,7 +66,9 @@ _VERSION_RISKY_USES = {
         "q_approx_percentile",
         "q_curriculum_order",  # r8: tier thresholds, bit-audited vs the
         # operator's exact-quantile boundaries (integer length scores)
-        "q_percentiles",
+        "q_custom_percentile_inline",  # r10: q_percentiles' successor —
+        # quantile_cont over the 12 literal VALUES rows (construct proven
+        # driver-green since r4)
         "q_price_quartile_counts",
         "q_quality_gate",
         "q_quantiles_distributed",

@@ -82,20 +82,34 @@ EXCHANGE_CEILING = {
 DEFAULT_CEILING = 12
 
 #: entries allowed to carry built-in exact `percentile` (a buffering
-#: ObjectHashAggregate). Two justified shapes, nothing else:
-#: - q_percentiles: buffers RAW fact values per group — the documented
-#:   small-data Custom-template exercise (catalog.py), the only entry
-#:   whose buffer scales with the fact;
+#: ObjectHashAggregate). Since r10 (VERDICT r9 #3) NO entry buffers raw
+#: fact values — the whitelist holds only structurally-bounded shapes:
+#: - q_custom_percentile_inline: the Custom-template exercise over the
+#:   12-row literal score_samples inline fact — the buffer is bounded by
+#:   the fixture's row count at ANY sf (machine-checked below: its plan
+#:   must contain no file scan at all);
 #: - q_median_order / q_two_phase_mixed: BasicGroupedMedian's pass 2 is
 #:   `F.median` over PASS-1 PRE-AGGREGATED rows (one row per hidden-drill
 #:   group), so the buffer is bounded by grain cardinality, not data size
 #:   — the reference's two-phase median (aggregator.rs median-of-groups)
 #:   has the same shape. Scale-safe by construction.
 EXACT_PERCENTILE_WHITELIST = {
-    "q_percentiles",
+    "q_custom_percentile_inline",
     "q_median_order",
     "q_two_phase_mixed",
 }
+
+
+def test_custom_percentile_inline_reads_no_files(spark, sf_dir):
+    """The one entry whose plan may buffer a group's raw values must be
+    structurally bounded: its physical plan reads NO files — the fact is
+    the literal 12-row fixture, so the buffer cannot scale with sf."""
+    df = catalog.ENTRIES["q_custom_percentile_inline"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "parquet" not in plan.lower(), (
+        "q_custom_percentile_inline touches file data — its percentile "
+        "buffer is no longer structurally bounded"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(catalog.ENTRIES))
@@ -109,19 +123,20 @@ def test_plan_shape(name, spark, sf_dir):
             f"{name}: unexpected nested-loop join (non-equi or missing key?)"
         )
     if name not in EXACT_PERCENTILE_WHITELIST:
-        # VERDICT r6 #2 generalized in r9 (VERDICT r8 #7): built-in exact
-        # `percentile` is an ObjectHashAggregate whose buffer holds EVERY
-        # value of a group — the one aggregate shape in the package that
-        # does not survive a 100× group. It is allowed ONLY in
-        # q_percentiles (the documented Custom-template exercise); every
-        # other entry must source quantiles from the distributed
-        # exact_quantiles rank fold (operators/quantiles.py) or a bounded
-        # sketch (approx_percentile's GK buffer is fine and unmatched by
-        # this regex, as is DuckDB-side quantile_cont).
+        # VERDICT r6 #2 generalized in r9 (VERDICT r8 #7), tightened in r10
+        # (VERDICT r9 #3): built-in exact `percentile` is an
+        # ObjectHashAggregate whose buffer holds EVERY value of a group —
+        # the one aggregate shape in the package that does not survive a
+        # 100× group. It is allowed ONLY over structurally-bounded inputs
+        # (the whitelist above — never raw fact data); every other entry
+        # must source quantiles from the distributed exact_quantiles rank
+        # fold (operators/quantiles.py) or a bounded sketch
+        # (approx_percentile's GK buffer is fine and unmatched by this
+        # regex, as is DuckDB-side quantile_cont).
         exact_pct = re.findall(r"(?<!approx_)percentile\(", plan)
         assert not exact_pct, (
             f"{name}: exact `percentile` aggregate in the plan — per-group "
-            "value buffering outside the documented q_percentiles exception; "
+            "value buffering outside the structurally-bounded whitelist; "
             "use operators/quantiles.exact_quantiles or approx_percentile"
         )
     n_exchange = len(re.findall(r"\bExchange\b", plan))

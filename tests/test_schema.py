@@ -209,6 +209,8 @@ def test_fixture_schema_loads():
     s = testdata_schema()
     cube = s.cube("lineitem_sales")
     assert len(cube.dimensions) == 7
-    assert len(cube.measures) == 23  # round 9: + P90 Price Binned
+    assert len(cube.measures) == 21  # r9: + P90 Price Binned; r10: the
+    # P50/P90 Price buffering Custom-percentile measures moved to the
+    # score_bands inline-fact cube (VERDICT r9 #3)
     inline = cube.dimension("Line Status").hierarchies[0].inline_table
     assert inline is not None and len(inline.rows) == 2
