@@ -3642,6 +3642,43 @@ def _wire_round9_ops() -> None:
 
     _add("q_binned_quantiles_merge", _binned_quantiles_merge, _BINNED_ORACLE)
 
+    # auto-derived boundaries (VERDICT r9 #5): no human picks the edges —
+    # derive_bin_edges runs the deterministic exact rank fold at
+    # materialization time (n_bins−1 global equal-frequency edges, a
+    # bounded collect), and the oracle RE-DERIVES the same edges with
+    # quantile_cont inside a CTE (bit-equal to the fold by the
+    # q_quantiles_distributed-proven equivalence), so the same oracle
+    # string is correct at every sf. Error contract unchanged (≤ the
+    # straddling bin's observed span — property-fuzzed in
+    # tests/test_quantiles.py).
+    _AUTO_NBINS = 16
+
+    def _binned_auto_edges(spark: SparkSession, sf: str) -> DataFrame:
+        b = get_builder(spark, sf)
+        rows = b.registry.load("lineitem_enriched").select(
+            F.col("l_returnflag").alias("Return Flag"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        edges = sk.derive_bin_edges(rows, "v", n_bins=_AUTO_NBINS)
+        roll = sk.binned_quantile_rollup(rows, ["Return Flag"], "v", edges)
+        return sk.binned_quantiles(
+            roll, ["Return Flag"], [0.5, 0.9], ["P50 Est", "P90 Est"]
+        )
+
+    _add(
+        "q_binned_auto_edges",
+        _binned_auto_edges,
+        sk.binned_quantiles_auto_oracle_sql(
+            "lineitem",
+            "l_returnflag",
+            "Return Flag",
+            "l_extendedprice",
+            _AUTO_NBINS,
+            [0.5, 0.9],
+            ["P50 Est", "P90 Est"],
+        ),
+    )
+
     # the same machinery as a first-class CUBE AGGREGATOR
     # (schema/aggregator.BinnedQuantile → plans/aggregators._bq_*): the
     # measure's fixed-size array partials make it decomposable, so aggnav

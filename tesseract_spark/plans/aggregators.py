@@ -116,6 +116,12 @@ def _bq_bin(col: Column, agg: BinnedQuantile) -> Column:
     operators/sketch._bin_col — identical CASE comparisons in the SQL
     oracle). NULL values yield a NULL index, which every conditional
     aggregate below excludes."""
+    if not agg.boundaries:
+        raise ValueError(
+            "BinnedQuantile measure has no boundaries — an auto (n_bins) "
+            "measure must be resolved first via "
+            "PlanBuilder.resolve_binned_boundaries(cube_name)"
+        )
     v = col.cast("double")
     b = F.lit(0)
     for bound in agg.boundaries:

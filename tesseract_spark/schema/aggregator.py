@@ -157,11 +157,22 @@ class BinnedQuantile(Aggregator):
     interpolated order statistics. Deterministic IEEE arithmetic
     end-to-end, hence exactly SQL-mirrorable (unlike a t-digest). Error
     ≤ bin width; BIT-equal to quantile_cont when every distinct value has
-    its own bin."""
+    its own bin.
+
+    Boundaries come either literal (``boundaries``) or AUTO-DERIVED
+    (``n_bins`` with no boundaries — VERDICT r9 #5): the schema author
+    declares only a resolution and
+    ``PlanBuilder.resolve_binned_boundaries`` fills in equal-frequency
+    edges from the deterministic exact rank fold at materialization time
+    (operators/sketch.derive_bin_edges), so a 100 TB deployment never
+    needs a human to know the value distribution. An unresolved auto
+    measure fails loudly at plan build."""
 
     kind = "binned_quantile"
     p: float = 0.5
     boundaries: tuple[float, ...] = ()
+    #: auto-derivation resolution; 0 = boundaries are literal
+    n_bins: int = 0
 
 
 @dataclass(frozen=True)
@@ -201,9 +212,13 @@ def parse_aggregator(raw) -> Aggregator:
         if kind == "approx_distinct_count":
             return ApproxDistinctCount(rsd=float(params.get("rsd", 0.05)))
         if kind == "binned_quantile":
+            if "boundaries" in params:
+                return BinnedQuantile(
+                    p=float(params["p"]),
+                    boundaries=tuple(float(b) for b in params["boundaries"]),
+                )
             return BinnedQuantile(
-                p=float(params["p"]),
-                boundaries=tuple(float(b) for b in params["boundaries"]),
+                p=float(params["p"]), n_bins=int(params["n_bins"])
             )
         if kind == "weighted_sum":
             return WeightedSum(weight_column=params["weight_column"])

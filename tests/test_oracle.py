@@ -66,6 +66,8 @@ _VERSION_RISKY_USES = {
         "q_approx_percentile",
         "q_curriculum_order",  # r8: tier thresholds, bit-audited vs the
         # operator's exact-quantile boundaries (integer length scores)
+        "q_binned_auto_edges",  # r10: the edges CTE re-derives the rank
+        # fold's boundaries with quantile_cont (the proven-equivalent pair)
         "q_custom_percentile_inline",  # r10: q_percentiles' successor —
         # quantile_cont over the 12 literal VALUES rows (construct proven
         # driver-green since r4)

@@ -206,6 +206,84 @@ def test_drillthrough_pagination_is_prefix_stable(builder):
     assert big[:25] == small and len(big) == 80
 
 
+def test_binned_quantile_auto_boundaries_resolve(spark, sf_dir):
+    """VERDICT r9 #5, cube tier: a BinnedQuantile measure declared with only
+    n_bins (no boundaries) must (a) fail loudly if planned unresolved, and
+    (b) after resolve_binned_boundaries, produce exactly the estimate the
+    standalone operator gives with derive_bin_edges' boundaries."""
+    import pytest as _pt
+
+    from tesseract_spark import PlanBuilder, testdata_registry, testdata_schema
+    from tesseract_spark.operators.sketch import (
+        binned_quantile_rollup,
+        binned_quantiles,
+        derive_bin_edges,
+    )
+    from tesseract_spark.query.model import Query
+    from tesseract_spark.schema.aggregator import BinnedQuantile
+    from tesseract_spark.schema.parse import schema_from_json
+
+    from tesseract_spark.fixtures import LINEITEM_SCHEMA_JSON
+    import copy
+
+    from pyspark.sql import functions as F
+
+    raw = copy.deepcopy(LINEITEM_SCHEMA_JSON)
+    cube0 = next(c for c in raw["cubes"] if c["name"] == "lineitem_sales")
+    cube0["measures"].append(
+        {
+            "name": "P90 Price Auto",
+            "column": "l_extendedprice",
+            "aggregator": {"binned_quantile": {"p": 0.9, "n_bins": 8}},
+        }
+    )
+    schema = schema_from_json(raw)
+    b = PlanBuilder(spark, schema, testdata_registry(spark, sf_dir))
+    q = Query.from_params(
+        {
+            "drilldowns": ["Return Flag.Return Flag"],
+            "measures": ["P90 Price Auto"],
+        }
+    )
+    with _pt.raises(ValueError, match="resolve_binned_boundaries"):
+        b.dataframe("lineitem_sales", q).collect()
+
+    b.resolve_binned_boundaries("lineitem_sales")
+    agg = next(
+        m.aggregator
+        for m in b.schema.cube("lineitem_sales").measures
+        if m.name == "P90 Price Auto"
+    )
+    assert isinstance(agg, BinnedQuantile) and len(agg.boundaries) == 7
+    got = {
+        r["Return Flag"]: r["P90 Price Auto"]
+        for r in b.dataframe("lineitem_sales", q).collect()
+    }
+
+    fact = b.registry.load("lineitem_enriched").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    )
+    edges = derive_bin_edges(fact, "v", n_bins=8)
+    assert tuple(edges) == agg.boundaries
+    want = {
+        r["g"]: r["q"]
+        for r in binned_quantiles(
+            binned_quantile_rollup(fact, ["g"], "v", edges), ["g"], [0.9], ["q"]
+        ).collect()
+    }
+    assert got == want and len(got) == 3
+    # idempotent re-entry keeps the resolved boundaries
+    b.resolve_binned_boundaries("lineitem_sales")
+    assert (
+        next(
+            m.aggregator
+            for m in b.schema.cube("lineitem_sales").measures
+            if m.name == "P90 Price Auto"
+        ).boundaries
+        == agg.boundaries
+    )
+
+
 def test_binned_quantile_measure_two_phase_equals_single_pass(builder):
     """BinnedQuantile's array partials (two-phase path, forced by a median
     measure in the mix) must reproduce the single-pass estimate bit-exactly

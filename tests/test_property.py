@@ -1120,3 +1120,51 @@ def test_binned_quantile_fuzz_matches_duckdb_and_error_bound(
         spans[sum(v >= b for b in bounds)].append(v)
     max_span = max(max(xs) - min(xs) for xs in spans.values())
     assert abs(est - exact) <= max_span + 1e-9, (est, exact, max_span)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    values=_bq_values,
+    n_bins=st.integers(2, 12),
+    p_pct=st.integers(0, 100),
+)
+def test_binned_quantile_auto_edges_fuzz(spark, values, n_bins, p_pct):
+    """VERDICT r9 #5 property: auto-derived equal-frequency edges keep the
+    full contract — (a) the Spark pipeline (rank-fold-derived edges →
+    rollup → estimate) is BIT-equal to the DuckDB mirror whose CTE
+    re-derives the edges with quantile_cont, and (b) the estimate sits
+    within the widest observed bin span of the exact quantile."""
+    import collections
+
+    import duckdb
+
+    from tesseract_spark.operators.quantiles import exact_quantiles
+    from tesseract_spark.operators.sketch import (
+        binned_quantile_rollup,
+        binned_quantiles,
+        binned_quantiles_auto_oracle_sql,
+        derive_bin_edges,
+    )
+
+    p = p_pct / 100.0
+    vals = [float(v) for v in values]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    edges = derive_bin_edges(df, "v", n_bins=n_bins)
+    assert len(edges) == n_bins - 1 and edges == sorted(edges)
+    est = binned_quantiles(
+        binned_quantile_rollup(df, ["g"], "v", edges), ["g"], [p], ["q"]
+    ).collect()[0]["q"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [("g", v) for v in vals])
+    osql = binned_quantiles_auto_oracle_sql("t", "g", "g", "v", n_bins, [p], ["q"])
+    oracle = con.execute(osql).fetchone()[1]
+    assert est == oracle, (est, oracle)
+
+    exact = exact_quantiles(df, ["g"], "v", [p], ["q"]).collect()[0]["q"]
+    spans = collections.defaultdict(list)
+    for v in vals:
+        spans[sum(v >= b for b in edges)].append(v)
+    max_span = max(max(xs) - min(xs) for xs in spans.values())
+    assert abs(est - exact) <= max_span + 1e-9, (est, exact, max_span)
