@@ -2265,6 +2265,68 @@ def _wire_pipeline_ops() -> None:
         """,
     )
 
+    # L4 geoservice branch under the driver gate (VERDICT r9 #6): a real
+    # in-process HTTP geoservice (loopback, ephemeral port) serves the
+    # PINNED fixture response {"ids": [0, 2]} for /neighbors/1; the
+    # geo-typed Customer Geography dim routes the `1:neighbors` cut token
+    # through HttpGeoService (geoservice.rs:29-74 — resolved IDs are
+    # inlined into the cut), and the oracle pins the inlined IN-cut.
+    # Resolution is EAGER (driver-side, at data() time), so the server is
+    # torn down before the returned DataFrame ever executes.
+    def _geo_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+        import json as _json
+        import threading
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        from .logic.geoservice import HttpGeoService
+        from .logic.layer import LogicLayer
+
+        class _Fixture(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                ids = {"/neighbors/1": [0, 2]}.get(self.path)
+                if ids is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = _json.dumps({"ids": ids}).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = HTTPServer(("127.0.0.1", 0), _Fixture)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            geo = HttpGeoService(f"http://127.0.0.1:{srv.server_address[1]}")
+            gl = LogicLayer(get_builder(spark, sf), geoservice=geo)
+            return gl.data(
+                {
+                    "cube": "lineitem_sales",
+                    "drilldowns": "Region",
+                    "measures": "Quantity",
+                    "Region": "1:neighbors",
+                }
+            )
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
+    _add(
+        "q_geo_neighbors",
+        _geo_neighbors,
+        f"""
+        SELECT g.r_regionkey AS "Region ID", g.r_name AS "Region",
+               sum(l.l_quantity) AS "Quantity"
+        FROM lineitem l
+        JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
+        WHERE g.r_regionkey IN (0, 2)
+        GROUP BY 1, 2
+        """,
+    )
+
     # logic-layer exclude= (P8): the reference drops matching rows from the
     # RESULT post-union (logic_layer/aggregate.rs exclude handling); here the
     # drop is an in-plan filter on the drilled column — identical rows for a
