@@ -3776,46 +3776,31 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness harness checks only the FIRST 50 queries() entries
-# per round, so ordering is evidence policy, not cosmetics. Round-9 window.
-# Evidence ledger after r8: union of green rows over r1-r8 covers all 156
-# pre-r9 entries; latest-green histogram 50@r8 / 42@r7 / 37@r6 / 27@r5.
-# Budget (VERDICT r8 "next round" #4: the 27-entry r5 cohort is three
-# rounds stale — it rotates through in FULL this round):
+# per round, so ordering is evidence policy, not cosmetics. Round-10 window.
+# Evidence ledger after r9: union of green rows over r1-r9 covers 163/164
+# pre-r10 entries (everything except q_bpe_merges, whose oracle lands this
+# round); latest-green histogram 49@r9 / 41@r8 / 41@r7 / 32@r6. Budget
+# (VERDICT r9 "next round" #2: the FULL 32-entry r6 cohort rotates through
+# this round, so after r10 no entry's newest green row is older than r7):
 #  - 3 environment probes + 2 permanent anchors;
-#  - 5 round-9 debuts: q_rate_empty_group (C3 empty-kept-group drop
-#    semantics oracle-pinned — VERDICT r8 wrong #1), q_drillthrough (OLAP
-#    drill-through under the gate — VERDICT r8 #5), q_aggnav_refresh
-#    (materialize a historical slice, refresh() the remainder, serve a
-#    boundary-spanning cut vs a full-fact oracle — VERDICT r8 #6),
-#    q_bpe_word_freqs + q_bpe_merges (the BPE trainer's distributed half
-#    oracle-gated bit-exactly; the merge loop — a pure function of that
-#    table — emits its driver-visible artifact as the documented rows-only
-#    case — VERDICT r8 #10);
-#  - 2 changed-code re-proofs (standing policy): q_ann_near_dup +
-#    q_embed_dup_clusters — cosine_near_dup_pairs was rewritten from an
-#    unbounded in-bucket all-pairs join to blocked all-pairs + hub star
-#    expansion (VERDICT r8 wrong #3); both consumers must re-prove the
-#    round the rewrite lands;
-#  - the ENTIRE 27-entry r5 cohort (q_agg_brand, q_ann_cosine_topk,
-#    q_cms_heavy_hitters, q_cms_join_size, q_cut_exclude, q_cut_like —
-#    whose cut token also changed from the vacuous IA to _1, VERDICT r8
-#    wrong #2, so it doubles as a changed-oracle re-proof with nonzero
-#    rows — q_decontaminate_bloom, q_dedup_exact, q_dedup_ngram_jaccard,
-#    q_dedup_simhash, q_embed_projection, q_event_funnel,
-#    q_events_json_props, q_events_window, q_filter_having, q_hll_distinct,
-#    q_median_order, q_mixture_temperature, q_pack_sequences_text,
-#    q_pack_stats, q_pagerank_dups, q_property, q_quality_gate,
-#    q_source_orc_roundtrip, q_text_analysis, q_top_brands_per_region,
-#    q_training_shards);
-#  - 4 oldest-first r6-cohort fills (q_percentiles also just gained the
-#    exact-percentile plan fence — VERDICT r8 #7 — and q_rate_returnflag
-#    rides next to q_rate_empty_group so C3 re-proves both the kept and
-#    dropped group shapes) + the 3 late binned-quantile debuts + the 4
-#    k-means-family re-proofs forced by the late _assign rewrite
-#    (q_sparse / q_distinct_count / q_sort_by_growth / q_aggregators /
-#    q_avg_fk_grain / q_conditional_cut / q_default_member — all r6-green
-#    and untouched — yielded fill slots). The remaining 33 r6 entries
-#    rotate across r10-r11.
+#  - 4 oracle debuts/changes: q_bpe_merges (fingerprint-keyed pinned-merges
+#    VALUES oracle — VERDICT r9 #1, the last rows-only entry goes green),
+#    q_custom_percentile_inline (q_percentiles' structurally-bounded
+#    successor — VERDICT r9 #3), q_binned_auto_edges (rank-fold-derived
+#    boundaries, oracle re-derives them in a CTE — VERDICT r9 #5),
+#    q_geo_neighbors (L4 geoservice branch with an in-process HTTP fixture
+#    — VERDICT r9 #6);
+#  - 9 changed-code re-proofs (standing policy): q_dedup_ngram_jaccard
+#    (sizes ride the join legs — VERDICT r9 #4), q_ann_near_dup /
+#    q_embed_dup_clusters / q_semantic_dedup (zero-norm upfront filter +
+#    log_oversize default in cosine_near_dup_pairs — ADVICE r9), and the
+#    k-means family q_ann_ivf_topk / q_ann_ivf_index /
+#    q_ann_ivf_query_vectors / q_best_in_cluster / q_leakage_safe_split
+#    (train_kmeans seed NULL-vector filter + _assign empty-centroid guard
+#    — ADVICE r9);
+#  - the ENTIRE 32-entry r6 cohort, oldest-first (q_conditional_cut also
+#    just got the flag+broadcast-semi-join rewrite — VERDICT r9 #4 — so it
+#    doubles as a changed-code re-proof).
 DRIVER_WINDOW: list[str] = [
     # environment probes (single-construct canaries)
     "q_probe_sum_bigint",
@@ -3824,62 +3809,56 @@ DRIVER_WINDOW: list[str] = [
     # permanent anchors (q_growth_year also re-proves the div0=inf default)
     "q_growth_year",
     "q_agg_year",
-    # round-9 debuts
-    "q_rate_empty_group",
-    "q_drillthrough",
-    "q_aggnav_refresh",
-    "q_bpe_word_freqs",
+    # round-10 oracle debuts / oracle changes
     "q_bpe_merges",
-    # changed-code re-proofs: cosine_near_dup_pairs bucket bounding, and
-    # the _assign linear-scan rewrite + blocked semantic pair scan (every
-    # k-means-family consumer re-proves the round the rewrite lands)
+    "q_custom_percentile_inline",
+    "q_binned_auto_edges",
+    "q_geo_neighbors",
+    # changed-code re-proofs
+    "q_dedup_ngram_jaccard",
     "q_ann_near_dup",
     "q_embed_dup_clusters",
     "q_semantic_dedup",
     "q_ann_ivf_topk",
     "q_ann_ivf_index",
     "q_ann_ivf_query_vectors",
-    # r5 cohort — OLAP core
-    "q_agg_brand",
-    "q_cut_exclude",
-    "q_cut_like",
-    "q_filter_having",
-    "q_median_order",
-    "q_property",
-    "q_top_brands_per_region",
-    "q_events_window",
-    "q_events_json_props",
-    "q_event_funnel",
-    # r5 cohort — sketches/sampling/shards
-    "q_cms_heavy_hitters",
-    "q_cms_join_size",
-    "q_hll_distinct",
-    "q_mixture_temperature",
-    "q_training_shards",
-    "q_source_orc_roundtrip",
-    # r5 cohort — dedup/ANN/text spine
-    "q_ann_cosine_topk",
-    "q_decontaminate_bloom",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_embed_projection",
-    "q_pack_sequences_text",
-    "q_pack_stats",
-    "q_pagerank_dups",
-    "q_quality_gate",
-    "q_text_analysis",
-    # r6 cohort fills (oldest-first; 26 more rotate in r10)
-    "q_custom_percentile_inline",
-    "q_rate_returnflag",
-    "q_members_nation",
-    "q_multi_cut_union",
-    # late round-9 debuts (binned quantile rollup tier + its cube-measure
-    # form; q_sparse, q_distinct_count, and q_sort_by_growth — r6-green,
-    # untouched — yielded their fill slots to r10)
-    "q_binned_quantiles",
-    "q_binned_quantiles_merge",
-    "q_binned_measure",
+    "q_best_in_cluster",
+    "q_leakage_safe_split",
+    # r6 cohort — OLAP core
+    "q_aggregators",
+    "q_avg_fk_grain",
+    "q_conditional_cut",
+    "q_cut_and_drill_same_dim",
+    "q_default_member",
+    "q_default_member_excluded",
+    "q_diag_orphan_fk",
+    "q_distinct_count",
+    "q_sparse",
+    "q_sort_by_growth",
+    "q_moving_avg",
+    "q_share_of_region",
+    "q_dense_yearly",
+    "q_cumulative_quantity",
+    "q_outlier_orders",
+    "q_salted_agg",
+    "q_multi_hierarchy_segment",
+    # r6 cohort — grouping-set/pivot family
+    "q_grouping_sets",
+    "q_pivot_flags",
+    "q_cube_year_flag",
+    "q_rollup_year_flag",
+    "q_rca_debug",
+    "q_corr_price_qty",
+    # r6 cohort — pipeline spine
+    "q_ann_int8_topk",
+    "q_approx_distinct_count",
+    "q_asof_bucketed",
+    "q_asof_purchase_click",
+    "q_boilerplate_fraction",
+    "q_dedup_clusters",
+    "q_dedup_verified",
+    "q_dsir_importance",
+    "q_lm_bigram_score",
 ]
 
 
