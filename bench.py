@@ -88,6 +88,14 @@ HEADLINE = [
     "q_rate_empty_group",
     "q_binned_quantiles",
     "q_binned_measure",
+    # round-10 debuts: the auto-edge rollup (rank-fold pre-pass + binned
+    # estimate), the pinned BPE merge artifact, and the percentile
+    # successor + geoservice entries (both sub-second fixed-cost shapes,
+    # bench-visible so regressions in the inline/logic paths surface)
+    "q_binned_auto_edges",
+    "q_bpe_merges",
+    "q_custom_percentile_inline",
+    "q_geo_neighbors",
 ]
 
 
