@@ -96,6 +96,8 @@ HEADLINE = [
     "q_bpe_merges",
     "q_custom_percentile_inline",
     "q_geo_neighbors",
+    # PQ ANN (round 10): codes-table ADC serving — the smallest-scan tier
+    "q_ann_pq_topk",
 ]
 
 

@@ -1746,6 +1746,23 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: similarity.ann_int8_topk(_embs(spark, sf), [0, 1, 2, 3, 4]),
         similarity.ann_int8_topk_oracle_sql([0, 1, 2, 3, 4]),
     )
+    # product-quantization ANN (round 10): per-subspace k-means codebooks →
+    # one-pass encode (m longs per vector — the 16-64× smaller serving scan)
+    # → ADC scan of the CODES table with per-batch partial top-rerank →
+    # exact rescore of broadcast candidates. Codebooks/codes reuse the
+    # proven k-means mirror per subspace; ADC ranks RAW exact-fold distance
+    # sums (the _sql_assign precedent), so the full pipeline is bit-exact.
+    def _ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators import pq
+
+        return pq.pq_topk(_embs(spark, sf), [0, 1, 2, 3, 4])
+
+    def _pq_oracle() -> str:
+        from .operators import pq
+
+        return pq.pq_topk_oracle_sql([0, 1, 2, 3, 4])
+
+    _add("q_ann_pq_topk", _ann_pq_topk, _pq_oracle())
     # embedding-cosine near-dup pairs, LSH-bucket-pruned; the synthetic
     # embeddings' similarity regime tops out near cos≈0.4, so the threshold
     # pins operator mechanics rather than a production 0.95 dedup bar
@@ -3814,14 +3831,17 @@ DRIVER_WINDOW: list[str] = [
     "q_custom_percentile_inline",
     "q_binned_auto_edges",
     "q_geo_neighbors",
+    "q_ann_pq_topk",
     # changed-code re-proofs
     "q_dedup_ngram_jaccard",
     "q_ann_near_dup",
     "q_embed_dup_clusters",
     "q_semantic_dedup",
+    # (q_ann_ivf_query_vectors yields its re-proof slot to the PQ debut —
+    # its siblings below re-prove the same _assign/kmeans machinery, and it
+    # holds a green r9 row)
     "q_ann_ivf_topk",
     "q_ann_ivf_index",
-    "q_ann_ivf_query_vectors",
     "q_best_in_cluster",
     "q_leakage_safe_split",
     # r6 cohort — OLAP core

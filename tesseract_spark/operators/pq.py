@@ -1,0 +1,463 @@
+"""Product-quantization (PQ) ANN — the memory-bounded 100 TB serving tier.
+
+Jégou/Douze/Schmid's product quantization (TPAMI 2011, public method): split
+each dim-``d`` vector into ``m`` subspaces, train an independent k-means
+codebook per subspace, and store each vector as ``m`` code ids. The corpus
+then serves ANN queries from the CODES table alone — ``m`` small ints per
+vector instead of ``d`` floats (4 codes ≈ 32 B/row vs 64×8 B raw: a 16×
+smaller scan; with byte codes in production storage, 64×) — via asymmetric
+distance computation (ADC): per query, a tiny ``m × n_codes`` lookup table
+of exact subspace distances, summed per stored code tuple.
+
+Scale shape (every stage linear, corpus never shuffles):
+
+- **Codebooks**: ``m`` × :func:`~.similarity.train_kmeans` (deterministic
+  seeding, exact decimal means, hash-bucket-capped training sample), each
+  collected once — ``n_codes × d`` doubles total, a bounded driver table.
+- **Encode**: ONE ``mapInPandas`` pass over the corpus; per Arrow batch and
+  subspace, one BLAS matmul + the margin-banded exact-fold argmin (the
+  :func:`~.similarity._assign` method, bit-identical tie-breaks). No join,
+  no shuffle, no row expansion.
+- **ADC scan**: ONE linear pass over the CODES table (Arrow moves ``m``
+  longs per row, not ``d`` doubles); per batch each query keeps only its
+  top-``rerank`` partial by ``(adc, id)``, so the global rank window sees
+  ``batches × queries × rerank`` rows, never N.
+- **Exact rescore**: the ≤ ``queries × rerank`` winning candidates are
+  BROADCAST back against the corpus for true cosine — one scan, no corpus
+  shuffle — then the final top-k window.
+
+Determinism/oracle: codebooks and codes reuse the k-means machinery whose
+SQL mirror is proven by the IVF/SemDeDup oracle family; ADC distances are
+sums (in fixed subspace order) of exact sequential-fold subspace distances,
+so Spark's ``np.cumsum`` folds and DuckDB's ``list_dot_product`` agree
+bit-for-bit and both engines rank the SAME candidate set without any
+rounding (the :func:`~.similarity._sql_assign` precedent). Only the final
+cosine is rounded (HALF_UP, 6 dp) like every other ANN entry.
+
+No reference counterpart (tesseract-olap serves OLAP aggregates only) —
+this extends the engine's ANN tiers: brute-force (exact), LSH (bucketed),
+IVF (partition-pruned lists), int8 (4× scan), PQ (16-64× scan).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _sql_assign, _sql_kmeans_ctes, cosine_col
+
+
+def _mats_from_rows(rows, m: int, sd: int):
+    """Seed/centroid rows → per-subspace ``(cids, C, css)`` numpy tuples.
+    ``rows``: (cid, cvec) with cvec either the FULL vector (sliced here,
+    ``full=True`` layout) or per-subspace rows tagged ``j``."""
+    import numpy as np
+
+    mats = []
+    for j in range(m):
+        if rows and hasattr(rows[0], "j"):
+            sub = sorted((r for r in rows if r.j == j), key=lambda r: r.cid)
+            vecs_j = [list(r.cvec) for r in sub]
+        else:
+            sub = sorted(rows, key=lambda r: r.cid)
+            vecs_j = [list(r.cvec)[j * sd : (j + 1) * sd] for r in sub]
+        cids = np.array([r.cid for r in sub], dtype=np.int64)
+        C = np.array(vecs_j, dtype=np.float64)
+        css = np.cumsum(C * C, axis=1)[:, -1] if len(sub) else np.zeros(0)
+        mats.append((cids, C, css))
+    return mats
+
+
+def _train_pq_mats(
+    vecs: DataFrame,
+    m: int,
+    n_codes: int,
+    dim: int,
+    iters: int,
+    train_max_rows: int | None,
+):
+    """All ``m`` subspace codebooks trained in ONE fused pipeline — bit-equal
+    to ``m`` independent :func:`~.similarity.train_kmeans` runs (asserted by
+    test), because every subspace shares the same structure: the seeds are
+    the ``n_codes`` smallest-id non-null vectors (sliced per subspace — the
+    per-subspace seed sets are slices of the SAME rows), the sampling
+    probe/filter is id-hash-based (vector-independent, so one filter serves
+    all subspaces), assignment uses the same margin-banded exact argmin per
+    subspace, and the exact-decimal means are per-(subspace, cid, position)
+    groups — computing them in one ``groupBy(j, cid, i)`` shuffle sums the
+    identical value sets. Cost: 1 probe + 1 seed collect + per Lloyd
+    iteration (1 linear assign pass + 1 means shuffle + 1 bounded collect),
+    instead of m× each — the m separate trainings were the operator's 1×
+    wall-clock hot spot (8.6 s → see SCALE.md)."""
+    sd = dim // m
+    src = vecs.where(F.col("vec").isNotNull()).select("id", "vec")
+    train = vecs.select("id", "vec")
+    if train_max_rows is not None and iters > 0:
+        # limit-probe first, exactly as train_kmeans (counts INCLUDE null
+        # vectors — the per-subspace form counts its pre-filter input too)
+        if vecs.limit(train_max_rows + 1).count() > train_max_rows:
+            n_total = vecs.count()
+            denom = 1 << 20
+            num = max(1, (denom * train_max_rows) // n_total)
+            train = train.where(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(denom)) < F.lit(num)
+            )
+    seeds = (
+        src.orderBy("id")
+        .limit(n_codes)
+        .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
+        .collect()
+    )
+    mats = _mats_from_rows(seeds, m, sd)
+    if not seeds:
+        return mats
+    for _ in range(iters):
+        assigned = _encode_from_mats(train, mats, sd, keep_vec=True)
+        means = (
+            assigned.select("vec", F.posexplode("codes").alias("j", "cid"))
+            .select(
+                "j",
+                "cid",
+                F.posexplode(
+                    F.slice("vec", F.col("j") * F.lit(sd) + 1, F.lit(sd))
+                ).alias("pos", "x"),
+            )
+            .groupBy("j", "cid", (F.col("pos") + 1).alias("i"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
+                    / F.count("*")
+                ).alias("v")
+            )
+        )
+        rows = (
+            means.groupBy("j", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
+            .select("j", "cid", F.transform("s", lambda st: st["v"]).alias("cvec"))
+            .collect()
+        )
+        mats = _mats_from_rows(rows, m, sd)
+    return mats
+
+
+def pq_codebooks(
+    vecs: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    iters: int = 1,
+    train_max_rows: int | None = 1_000_000,
+) -> list[DataFrame]:
+    """One deterministic k-means codebook per subspace over ``(id, vec)``
+    rows: subspace ``j`` trains on ``vec[j*sd+1 : (j+1)*sd]`` (1-based
+    ``F.slice``; ``sd = dim // m``) and returns ``(cid, cvec)`` — exactly
+    :func:`~.similarity.train_kmeans` semantics per subspace (bit-equal,
+    asserted by test), so the unrolled-CTE SQL mirror applies per subspace.
+    Internally the m trainings are FUSED into one pipeline
+    (:func:`_train_pq_mats`); the returned frames are the materialized
+    codebooks (m × n_codes rows — driver-bounded like every centroid
+    table)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    mats = _train_pq_mats(vecs, m, n_codes, dim, iters, train_max_rows)
+    spark = vecs.sparkSession
+    return [
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in row]) for c, row in zip(cids, C)],
+            "cid bigint, cvec array<double>",
+        )
+        for cids, C, _ in mats
+    ]
+
+
+def _collect_books(books: list[DataFrame]):
+    """Collect each codebook ONCE (this runs the Lloyd job) into
+    ``(cids sorted int64[nc], C float64[nc,sd], css float64[nc])`` — css is
+    the exact-fold c·c shared by encode and the ADC lookup tables."""
+    import numpy as np
+
+    mats = []
+    for b in books:
+        rows = sorted(b.select("cid", "cvec").collect(), key=lambda r: r.cid)
+        cids = np.array([r.cid for r in rows], dtype=np.int64)
+        C = np.array([list(r.cvec) for r in rows], dtype=np.float64)
+        if len(rows):
+            css = np.cumsum(C * C, axis=1)[:, -1]
+        else:
+            css = np.zeros(0)
+        mats.append((cids, C, css))
+    return mats
+
+
+def _encode_from_mats(
+    vecs: DataFrame, mats, sd: int, keep_vec: bool = False
+) -> DataFrame:
+    """(id, codes array<bigint>) — one linear ``mapInPandas`` pass; per
+    subspace the margin-banded BLAS prefilter + exact-fold rescore argmin
+    with (exact d², cid) tie-break, bit-identical to per-subspace
+    :func:`~.similarity._sql_assign`. NULL vectors are dropped (as in
+    ``_assign``); an empty codebook (empty corpus) yields an empty result
+    with the output schema rather than raising (ADVICE r9 precedent).
+    ``keep_vec`` adds the vec column through (the fused Lloyd loop needs
+    (vec, codes) to compute means)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    src = vecs.where(F.col("vec").isNotNull()).select("id", "vec")
+    fields = [src.schema["id"]]
+    if keep_vec:
+        fields.append(src.schema["vec"])
+    fields.append(StructField("codes", ArrayType(LongType())))
+    out_schema = StructType(fields)
+    if any(len(cids) == 0 for cids, _, _ in mats):
+        out = src.withColumn("codes", F.lit(None).cast(ArrayType(LongType())))
+        cols = ["id", "vec", "codes"] if keep_vec else ["id", "codes"]
+        return out.where(F.lit(False)).select(*cols)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), len(mats)), dtype=np.int64)
+            for j, (cids, C, css) in enumerate(mats):
+                S = V[:, j * sd : (j + 1) * sd]
+                daa = np.cumsum(S * S, axis=1)[:, -1]
+                approx = daa[:, None] - 2.0 * (S @ C.T) + css[None, :]
+                amin = approx.min(axis=1)
+                # same margin argument as _assign: the band provably contains
+                # the exact argmin and every exact tie
+                margin = 1e-6 * (
+                    np.abs(daa)[:, None] + np.abs(css)[None, :] + 1.0
+                )
+                ri, ci = np.nonzero(approx <= (amin[:, None] + margin))
+                dab = np.cumsum(S[ri] * C[ci], axis=1)[:, -1]
+                d2 = daa[ri] - 2.0 * dab + css[ci]
+                order = np.lexsort((cids[ci], d2, ri))
+                first = np.unique(ri[order], return_index=True)[1]
+                codes[:, j] = cids[ci[order[first]]]
+            cols = {"id": pdf["id"].to_numpy()}
+            if keep_vec:
+                cols["vec"] = pdf["vec"].to_numpy()
+            cols["codes"] = codes.tolist()
+            yield pd.DataFrame(cols)
+
+    return src.mapInPandas(encode, out_schema)
+
+
+def pq_encode(vecs: DataFrame, books: list[DataFrame], dim: int) -> DataFrame:
+    """Public encode entry: ``(id, vec)`` + trained codebooks → ``(id,
+    codes)``. Collects the codebooks (bounded: ``n_codes × dim`` doubles)."""
+    mats = _collect_books(books)
+    return _encode_from_mats(vecs, mats, dim // len(books))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    iters: int = 1,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_max_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """PQ ANN: per-subspace codebooks → one-pass encode → ADC scan of the
+    codes table with per-batch partial top-``rerank`` → exact cosine rescore
+    of the broadcast candidates → top-k. Output matches the other ANN tiers:
+    ``(query_id, neighbor_id, cos_sim, rank)``."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    mats = _train_pq_mats(vecs, m, n_codes, dim, iters, train_max_rows)
+    codes = _encode_from_mats(vecs, mats, sd)
+
+    queries = vecs.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    qrows = sorted(queries.collect(), key=lambda r: r.query_id)
+    if not qrows or any(len(cids) == 0 for cids, _, _ in mats):
+        id_t = codes.schema["id"].dataType
+        empty = StructType(
+            [
+                StructField("query_id", id_t),
+                StructField("neighbor_id", id_t),
+                StructField("cos_sim", DoubleType()),
+                StructField("rank", IntegerType()),
+            ]
+        )
+        return vecs.sparkSession.createDataFrame([], empty)
+
+    Q = np.array([list(r.qvec) for r in qrows], dtype=np.float64)
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    # per-subspace ADC lookup tables: exact-fold d²(query-sub, codeword) in
+    # the same (qss - 2·dot) + css shape as the SQL expression
+    lut = []
+    for j, (cids, C, css) in enumerate(mats):
+        Sq = Q[:, j * sd : (j + 1) * sd]
+        qss = np.cumsum(Sq * Sq, axis=1)[:, -1]
+        dot = np.cumsum(Sq[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+        lut.append((cids, qss[:, None] - 2.0 * dot + css[None, :]))
+
+    id_field = codes.schema["id"]
+    scan_schema = StructType(
+        [
+            StructField("query_id", id_field.dataType),
+            StructField("id", id_field.dataType),
+            StructField("adc", DoubleType()),
+        ]
+    )
+    nq = len(qids)
+
+    def adc_scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf["id"].to_numpy()
+            adc = None
+            # fixed subspace order: left-assoc sum matches the SQL `+` chain
+            for j, (cids, d2) in enumerate(lut):
+                term = d2[:, np.searchsorted(cids, cm[:, j])]
+                adc = term.copy() if adc is None else adc + term
+            for qi in range(nq):
+                mask = ids != qids[qi]
+                cand_ids = ids[mask]
+                vals = adc[qi][mask]
+                if len(cand_ids) == 0:
+                    continue
+                order = np.lexsort((cand_ids, vals))[:rerank]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qids[qi], dtype=np.int64),
+                        "id": cand_ids[order],
+                        "adc": vals[order],
+                    }
+                )
+
+    partials = codes.mapInPandas(adc_scan, scan_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("id").asc()
+    )
+    cand = (
+        partials.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    scored = (
+        vecs.join(F.broadcast(cand), F.col("id") == F.col("neighbor_id"))
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def pq_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    iters: int = 1,
+    rerank: int = 20,
+    table: str = "embeddings",
+) -> str:
+    """Exact SQL mirror of :func:`pq_topk`: per-subspace k-means CTEs
+    (prefixed ``s{j}_``, vectors sliced ``[a:b]``), per-subspace assignment
+    (= codes), ADC as the left-assoc sum of per-subspace exact-fold
+    distances ranked RAW by ``(adc, id)`` (the ``_sql_assign`` precedent:
+    both engines' folds are bit-equal, so no rounding is needed to agree on
+    the candidate set), then the rounded exact-cosine top-k."""
+    sd = dim // m
+    ctes: list[str] = []
+    finals: list[str] = []
+    for j in range(m):
+        p = f"s{j}_"
+        sub, cur = _sql_kmeans_ctes(
+            n_codes,
+            iters,
+            sd,
+            table,
+            prefix=p,
+            vec_expr=f"(embedding::DOUBLE[])[{j * sd + 1}:{(j + 1) * sd}]",
+        )
+        ctes += sub
+        finals.append(cur)
+        ctes.append(f"{p}codes AS {_sql_assign(f'{p}v', cur, 'id, cid')}")
+    ctes.append(
+        f"vq AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM {table})"
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    ctes.append(
+        f"q AS (SELECT id AS query_id, vec AS qvec FROM vq WHERE id IN ({ids}))"
+    )
+    joins = ["q CROSS JOIN s0_codes c0"]
+    for j in range(1, m):
+        joins.append(f"JOIN s{j}_codes c{j} ON c{j}.id = c0.id")
+    for j in range(m):
+        joins.append(f"JOIN {finals[j]} b{j} ON b{j}.cid = c{j}.cid")
+    terms = []
+    for j in range(m):
+        qs = f"q.qvec[{j * sd + 1}:{(j + 1) * sd}]"
+        terms.append(
+            f"(list_dot_product({qs}, {qs}) - 2*list_dot_product({qs}, b{j}.cvec)"
+            f" + list_dot_product(b{j}.cvec, b{j}.cvec))"
+        )
+    adc_expr = " + ".join(terms)
+    ctes.append(
+        f"""adc AS (
+      SELECT q.query_id, c0.id, {adc_expr} AS adc
+      FROM {" ".join(joins)}
+      WHERE c0.id != q.query_id
+    )"""
+    )
+    ctes.append(
+        f"""cand AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, id ASC) AS rn
+        FROM adc) WHERE rn <= {rerank}
+    )"""
+    )
+    ctes.append(
+        """scored AS (
+      SELECT cand.query_id, cand.id AS neighbor_id,
+             round(list_dot_product(q.qvec, nv.vec)
+                   / (sqrt(list_dot_product(q.qvec, q.qvec))
+                    * sqrt(list_dot_product(nv.vec, nv.vec))), 6) AS cos_sim
+      FROM cand JOIN q ON q.query_id = cand.query_id
+      JOIN vq nv ON nv.id = cand.id
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """

@@ -740,29 +740,40 @@ def _sql_assign(src: str, cents: str, out_cols: str = "id, vec, cid") -> str:
 
 
 def _sql_kmeans_ctes(
-    n_centroids: int, iters: int, dim: int, table: str
+    n_centroids: int,
+    iters: int,
+    dim: int,
+    table: str,
+    prefix: str = "",
+    vec_expr: str = "embedding::DOUBLE[]",
 ) -> tuple[list[str], str]:
     """CTE list mirroring :func:`train_kmeans` (Lloyd iterations unrolled;
     deterministic seeding + exact decimal means), and the name of the final
-    centroid CTE. The vector CTE is named ``v``."""
+    centroid CTE. The vector CTE is named ``{prefix}v``. ``prefix`` namespaces
+    every CTE so several independent trainings can share one WITH clause
+    (the PQ oracle trains one codebook per subspace); ``vec_expr`` overrides
+    the vector source expression (PQ slices ``(embedding::DOUBLE[])[a:b]``).
+    At the defaults the generated text is byte-identical to the pre-prefix
+    form, so every existing k-means-family oracle is unchanged."""
+    p = prefix
     ctes = [
-        f"v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM {table})",
-        f"c0 AS (SELECT id AS cid, vec AS cvec FROM v ORDER BY id LIMIT {n_centroids})",
+        f"{p}v AS (SELECT vec_id AS id, {vec_expr} AS vec FROM {table})",
+        f"{p}c0 AS (SELECT id AS cid, vec AS cvec FROM {p}v ORDER BY id LIMIT {n_centroids})",
     ]
-    cur = "c0"
+    cur = f"{p}c0"
     for it in range(iters):
-        nxt = f"c{it + 1}"
-        ctes.append(f"a{it} AS {_sql_assign('v', cur)}")
+        nxt = f"{p}c{it + 1}"
+        ctes.append(f"{p}a{it} AS {_sql_assign(f'{p}v', cur)}")
         ctes.append(
-            f"""m{it + 1} AS (
+            f"""{p}m{it + 1} AS (
       SELECT a.cid, r.i,
              CAST(sum(CAST(a.vec[r.i] AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS val
-      FROM a{it} a, range(1, {dim + 1}) r(i)
+      FROM {p}a{it} a, range(1, {dim + 1}) r(i)
       GROUP BY a.cid, r.i
     )"""
         )
         ctes.append(
-            f"{nxt} AS (SELECT cid, list(val ORDER BY i) AS cvec FROM m{it + 1} GROUP BY cid)"
+            f"{nxt} AS (SELECT cid, list(val ORDER BY i) AS cvec FROM {p}m{it + 1} GROUP BY cid)"
         )
         cur = nxt
     return ctes, cur

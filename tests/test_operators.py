@@ -792,6 +792,98 @@ def test_ivf_sampled_training(spark, sf_dir):
         assert abs(exact[(q, nb)] - cs) < 1e-9
 
 
+def test_pq_topk_exact_scores_recall_and_limit(spark, sf_dir):
+    """PQ candidates are rescored exactly (scores match brute force for the
+    same pair); default rerank keeps reasonable recall; and rerank >= corpus
+    size degrades PQ to exact top-k (the candidate set is everything, so the
+    exact rescore fully recovers brute force — the PQ exactness limit)."""
+    from tesseract_spark.operators import pq, similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    res = pq.pq_topk(embs, qids, k=5).collect()
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.brute_force_topk(embs, qids, k=10**6).collect()
+    }
+    for r in res:
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+    true_top = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(embs, qids, k=5).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in res}
+    recall = len(true_top & got) / len(true_top)
+    assert recall >= 0.3, f"suspiciously low PQ recall: {recall}"
+    n = embs.count()
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.pq_topk(embs, qids, k=5, rerank=n).collect()
+    }
+    assert full == true_top
+
+
+def test_pq_encode_codes_are_codebook_members(spark, sf_dir):
+    """Every corpus row encodes to exactly m codes, each a cid of its
+    subspace's codebook — and the codes table is the ONLY thing the ADC scan
+    reads, so this is the compression contract (m longs per vector)."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import pq
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = embs.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    m, n_codes, dim = 4, 16, 64
+    books = pq.pq_codebooks(vecs, m, n_codes, dim)
+    codes = pq.pq_encode(vecs, books, dim)
+    rows = codes.collect()
+    assert len(rows) == embs.count()
+    allowed = [
+        {r.cid for r in b.select("cid").collect()} for b in books
+    ]
+    for r in rows[:50]:
+        assert len(r.codes) == m
+        for j, c in enumerate(r.codes):
+            assert c in allowed[j]
+
+
+def test_pq_partitioning_independent(spark, sf_dir):
+    """The per-batch partial top-rerank inside the ADC scan must not change
+    the global result: repartitioning the corpus gives identical output (a
+    batch's partial top-rerank is a superset-of-survivors selection)."""
+    from tesseract_spark.operators import pq
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2]
+    key = lambda rows: sorted(  # noqa: E731
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in rows
+    )
+    base = key(pq.pq_topk(embs, qids, k=5).collect())
+    resh = key(pq.pq_topk(embs.repartition(7), qids, k=5).collect())
+    assert resh == base and len(base) == 3 * 5
+
+
+def test_pq_empty_and_validation(spark, sf_dir):
+    """Empty corpus yields an empty typed result (no raise — the ADVICE r9
+    empty-slice contract); dim not divisible by m raises loudly."""
+    import pytest as _pytest
+
+    from tesseract_spark.operators import pq
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    empty = embs.where("vec_id < 0")
+    out = pq.pq_topk(empty, [0, 1])
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    with _pytest.raises(ValueError):
+        pq.pq_codebooks(
+            embs.selectExpr("vec_id AS id", "embedding AS vec"), m=5, dim=64
+        )
+
+
 def test_stateful_user_stats_stream_matches_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState per-user running stats: the final streaming state
     must equal the one-groupBy batch computation."""
