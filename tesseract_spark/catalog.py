@@ -3453,6 +3453,38 @@ def _wire_round8_ops() -> None:
         ),
     )
 
+    # IVF-PQ persistent index (round 10): the two serving tiers composed —
+    # coarse lists bound WHICH rows a query touches (static partition
+    # pruning), PQ codes bound HOW MUCH of each row the ADC scan reads
+    # (column-pruned (id, codes)); exact rescore reads the probed dirs' vec
+    # column for just the candidates. Same external-query shape as
+    # q_ann_ivf_query_vectors; the oracle composes the proven coarse-IVF
+    # and per-subspace-PQ CTE fragments.
+    def _ivfpq_index(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators import ann_index
+
+        embs = _embs(spark, sf)
+        path = _ivf_tmp_path(sf, "ivfpq")
+        ann_index.build_ivfpq_index(embs.filter(F.col("vec_id") % 2 == 0), path)
+        qvecs = [
+            (r.vec_id, [float(x) for x in r.embedding])
+            for r in embs.filter(F.col("vec_id").isin([1, 3, 5, 7, 9]))
+            .select("vec_id", "embedding")
+            .collect()  # bounded: 5 rows
+        ]
+        return ann_index.query_ivfpq_index(spark, path, qvecs)
+
+    def _ivfpq_oracle() -> str:
+        from .operators import pq
+
+        return pq.ivfpq_external_query_oracle_sql(
+            "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)",
+            "SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec "
+            "FROM embeddings WHERE vec_id IN (1, 3, 5, 7, 9)",
+        )
+
+    _add("q_ann_ivfpq_index", _ivfpq_index, _ivfpq_oracle())
+
 
 def _wire_aggnav() -> None:
     """Aggregate navigation (plans/aggnav.py): materialize a pass-1 rollup
@@ -3832,17 +3864,17 @@ DRIVER_WINDOW: list[str] = [
     "q_binned_auto_edges",
     "q_geo_neighbors",
     "q_ann_pq_topk",
+    "q_ann_ivfpq_index",
     # changed-code re-proofs
     "q_dedup_ngram_jaccard",
     "q_ann_near_dup",
     "q_embed_dup_clusters",
     "q_semantic_dedup",
-    # (q_ann_ivf_query_vectors yields its re-proof slot to the PQ debut —
-    # its siblings below re-prove the same _assign/kmeans machinery, and it
-    # holds a green r9 row)
+    # (q_ann_ivf_query_vectors and q_best_in_cluster yield their re-proof
+    # slots to the PQ / IVF-PQ debuts — the siblings below re-prove the
+    # same _assign/kmeans/cluster machinery, and both hold green r9 rows)
     "q_ann_ivf_topk",
     "q_ann_ivf_index",
-    "q_best_in_cluster",
     "q_leakage_safe_split",
     # r6 cohort — OLAP core
     "q_aggregators",

@@ -242,3 +242,193 @@ def query_ivf_index_with_vectors(
 def pruned_lists_scan(spark: SparkSession, path: str, cids: list[int]) -> DataFrame:
     """The pruned inverted-list scan on its own (for plan inspection)."""
     return spark.read.parquet(f"{path}/lists").filter(F.col("cid").isin(cids))
+
+
+# --------------------------- IVF-PQ index ---------------------------
+#
+# The two serving tiers composed (the FAISS-style architecture at scale):
+# coarse k-means partitions the corpus into inverted lists (partition
+# pruning bounds WHICH rows a query touches), product quantization bounds
+# HOW MUCH of each touched row the ADC scan reads — (id, codes) columns
+# only, m longs instead of dim doubles; parquet's columnar layout makes
+# that a physical property of the scan (asserted by plan test: the ADC
+# scan's ReadSchema has no vec column). Exact rescore then reads the vec
+# column of the SAME probed directories for just the candidate ids.
+#
+# PQ here encodes RAW vectors, not residuals (vec - coarse centroid): raw
+# encoding reuses the proven per-subspace codebook oracle unchanged, at
+# some recall cost vs the classic residual refinement — the rescore stage
+# absorbs the difference for the oracle contract (exactness limit: rerank
+# >= list size degrades to IVF-exact).
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_max_rows: int | None = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Train and materialize an IVF-PQ index at ``path``:
+
+    - ``{path}/lists``: ``(id, vec, codes)`` parquet partitioned by coarse
+      ``cid`` — ONE combined table; the ADC scan column-prunes to
+      ``(id, codes)``, the rescore reads ``(id, vec)`` of probed dirs only.
+    - ``{path}/centroids``: the coarse table; ``{path}/codebooks``:
+      ``(j, cid, cvec)`` — both bounded metadata.
+
+    ONE grouped fused training (the coarse quantizer rides
+    :func:`~.pq._train_grouped_mats` as one more group beside the m
+    subspaces — 1 probe + 1 seed collect + 1 assign pass + 1 means shuffle
+    for everything), then ONE encode pass emitting coarse cid + PQ codes
+    together, then one partitioned write. Bit-equal to training the pieces
+    independently (train_kmeans parity asserted by the rerank-limit test
+    against ``build_ivf_index``)."""
+    from .pq import _encode_grouped, _train_grouped_mats
+
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    spark = df.sparkSession
+
+    groups = [(1, dim, n_centroids)] + [
+        (j * sd + 1, sd, n_codes) for j in range(m)
+    ]
+    mats = _train_grouped_mats(vecs, groups, iters, train_max_rows)
+    coarse_mat, pq_mats = mats[0], mats[1:]
+
+    enc = _encode_grouped(vecs, mats, groups, keep_vec=True)
+    lists = enc.select(
+        "id",
+        "vec",
+        F.element_at("codes", 1).alias("cid"),
+        F.slice("codes", 2, m).alias("codes"),
+    )
+    lists.write.mode(mode).partitionBy("cid").parquet(f"{path}/lists")
+    # centroids/codebooks from the already-collected mats — writing them
+    # must NOT re-run training (the first form re-evaluated the lazy
+    # train_kmeans DAG once per action)
+    spark.createDataFrame(
+        [
+            (int(c), [float(x) for x in row])
+            for c, row in zip(coarse_mat[0], coarse_mat[1])
+        ],
+        "cid bigint, cvec array<double>",
+    ).write.mode(mode).parquet(f"{path}/centroids")
+    books = [
+        (int(j), int(c), [float(x) for x in row])
+        for j, (cids, C, _) in enumerate(pq_mats)
+        for c, row in zip(cids, C)
+    ]
+    spark.createDataFrame(
+        books, "j int, cid bigint, cvec array<double>"
+    ).write.mode(mode).parquet(f"{path}/codebooks")
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 20,
+) -> DataFrame:
+    """Serve top-k for external query vectors from an IVF-PQ index: probe
+    ``nprobe`` coarse lists per query (literal ``cid IN`` → static partition
+    pruning), ADC-scan the probed lists' ``(id, codes)`` columns (each query
+    restricted to ITS probed lists), exact-rescore the ≤ queries×rerank
+    candidates from the probed dirs' vec column (literal id filter — a
+    bounded-metadata collect, like the probed-cid set), final top-k. No
+    self-match exclusion (external queries have no index row)."""
+    import numpy as np
+
+    from .pq import _adc_candidates
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in query_vectors],
+        "query_id long, qvec array<double>",
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        _sq_dist(F.col("qvec"), F.col("cvec")).asc(), F.col("cid").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "cid")
+    )
+    probe_rows = probes.collect()  # ≤ queries×nprobe — bounded metadata
+    probed: dict[int, set] = {}
+    for r in probe_rows:
+        probed.setdefault(int(r.query_id), set()).add(int(r.cid))
+    probed_cids = sorted({int(r.cid) for r in probe_rows})
+
+    qrows = sorted(queries.collect(), key=lambda r: r.query_id)
+    Q = np.array([list(r.qvec) for r in qrows], dtype=np.float64)
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+
+    brows = sorted(
+        spark.read.parquet(f"{path}/codebooks").collect(),
+        key=lambda r: (r.j, r.cid),
+    )
+    m = 1 + max(r.j for r in brows)
+    mats = []
+    for j in range(m):
+        sub = [r for r in brows if r.j == j]
+        cids = np.array([r.cid for r in sub], dtype=np.int64)
+        C = np.array([list(r.cvec) for r in sub], dtype=np.float64)
+        mats.append((cids, C, np.cumsum(C * C, axis=1)[:, -1]))
+    dim = Q.shape[1]
+    sd = dim // m
+
+    codes = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("cid").isin(probed_cids))
+        .select("id", "codes", "cid")
+    )
+    cand = _adc_candidates(
+        codes,
+        mats,
+        qids,
+        Q,
+        sd,
+        rerank,
+        exclude_self=False,
+        probed={q: frozenset(s) for q, s in probed.items()},
+    )
+    cand_ids = sorted(
+        {int(r.neighbor_id) for r in cand.collect()}
+    )  # ≤ queries×rerank — bounded by the serving batch, not the corpus
+    rescore_src = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("cid").isin(probed_cids) & F.col("id").isin(cand_ids))
+        .select("id", "vec")
+    )
+    scored = (
+        rescore_src.join(F.broadcast(cand), F.col("id") == F.col("neighbor_id"))
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

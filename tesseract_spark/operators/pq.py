@@ -48,25 +48,172 @@ from pyspark.sql import functions as F
 from .similarity import _sql_assign, _sql_kmeans_ctes, cosine_col
 
 
-def _mats_from_rows(rows, m: int, sd: int):
-    """Seed/centroid rows → per-subspace ``(cids, C, css)`` numpy tuples.
-    ``rows``: (cid, cvec) with cvec either the FULL vector (sliced here,
-    ``full=True`` layout) or per-subspace rows tagged ``j``."""
+def _train_grouped_mats(
+    vecs: DataFrame,
+    groups: list[tuple[int, int, int]],
+    iters: int,
+    train_max_rows: int | None,
+):
+    """Deterministic Lloyd k-means over several VIEWS of the same vectors in
+    ONE fused pipeline. ``groups``: ``[(start, width, k), ...]`` — each
+    group trains a ``k``-codeword codebook on ``vec[start : start+width-1]``
+    (1-based, inclusive), bit-equal to an independent
+    :func:`~.similarity.train_kmeans` run on that slice (asserted by test),
+    because every group shares the same structure: seeds are the group's
+    ``k`` smallest-id non-null rows (slices of the SAME rows — one collect
+    of ``max(k)`` rows serves all groups), the sampling probe/filter is
+    id-hash-based (vector-independent), assignment is the margin-banded
+    exact argmin per group, and the exact-decimal means are
+    per-(group, cid, position) — one ``groupBy(g, cid, i)`` shuffle sums the
+    identical value sets. Cost: 1 probe + 1 seed collect + per Lloyd
+    iteration (1 linear assign pass + 1 means shuffle + 1 bounded collect)
+    for ALL groups — m separate trainings were the PQ operator's 1×
+    wall-clock hot spot (8.6 s → see SCALE.md), and IVF-PQ fuses its coarse
+    quantizer in as one more group."""
+    src = vecs.where(F.col("vec").isNotNull()).select("id", "vec")
+    train = vecs.select("id", "vec")
+    if train_max_rows is not None and iters > 0:
+        # limit-probe first, exactly as train_kmeans (counts INCLUDE null
+        # vectors — the per-group form counts its pre-filter input too)
+        if vecs.limit(train_max_rows + 1).count() > train_max_rows:
+            n_total = vecs.count()
+            denom = 1 << 20
+            num = max(1, (denom * train_max_rows) // n_total)
+            train = train.where(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(denom)) < F.lit(num)
+            )
+    max_k = max(k for _, _, k in groups)
+    seeds = (
+        src.orderBy("id")
+        .limit(max_k)
+        .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
+        .collect()
+    )
+    mats = _grouped_mats_from_seeds(seeds, groups)
+    if not seeds:
+        return mats
+    starts = F.array(*[F.lit(s) for s, _, _ in groups])
+    widths = F.array(*[F.lit(w) for _, w, _ in groups])
+    for _ in range(iters):
+        assigned = _encode_grouped(train, mats, groups, keep_vec=True)
+        means = (
+            assigned.select("vec", F.posexplode("codes").alias("g", "cid"))
+            .select(
+                "g",
+                "cid",
+                F.posexplode(
+                    F.slice(
+                        "vec",
+                        F.element_at(starts, F.col("g") + 1),
+                        F.element_at(widths, F.col("g") + 1),
+                    )
+                ).alias("pos", "x"),
+            )
+            .groupBy("g", "cid", (F.col("pos") + 1).alias("i"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
+                    / F.count("*")
+                ).alias("v")
+            )
+        )
+        rows = (
+            means.groupBy("g", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
+            .select("g", "cid", F.transform("s", lambda st: st["v"]).alias("cvec"))
+            .collect()
+        )
+        mats = _grouped_mats_from_rows(rows, len(groups))
+    return mats
+
+
+def _grouped_mats_from_seeds(seeds, groups):
+    """Seed rows (full vectors, ≥ max k of them) → per-group numpy mats:
+    group g seeds on its k smallest-cid rows' ``[start, start+width)``
+    slices."""
     import numpy as np
 
     mats = []
-    for j in range(m):
-        if rows and hasattr(rows[0], "j"):
-            sub = sorted((r for r in rows if r.j == j), key=lambda r: r.cid)
-            vecs_j = [list(r.cvec) for r in sub]
-        else:
-            sub = sorted(rows, key=lambda r: r.cid)
-            vecs_j = [list(r.cvec)[j * sd : (j + 1) * sd] for r in sub]
+    ordered = sorted(seeds, key=lambda r: r.cid)
+    for start, width, k in groups:
+        sub = ordered[:k]
         cids = np.array([r.cid for r in sub], dtype=np.int64)
-        C = np.array(vecs_j, dtype=np.float64)
-        css = np.cumsum(C * C, axis=1)[:, -1] if len(sub) else np.zeros(0)
+        C = np.array(
+            [list(r.cvec)[start - 1 : start - 1 + width] for r in sub],
+            dtype=np.float64,
+        )
+        css = np.cumsum(C * C, axis=1)[:, -1] if sub else np.zeros(0)
         mats.append((cids, C, css))
     return mats
+
+
+def _grouped_mats_from_rows(rows, n_groups: int):
+    import numpy as np
+
+    mats = []
+    for g in range(n_groups):
+        sub = sorted((r for r in rows if r.g == g), key=lambda r: r.cid)
+        cids = np.array([r.cid for r in sub], dtype=np.int64)
+        C = np.array([list(r.cvec) for r in sub], dtype=np.float64)
+        css = np.cumsum(C * C, axis=1)[:, -1] if sub else np.zeros(0)
+        mats.append((cids, C, css))
+    return mats
+
+
+def _encode_grouped(
+    vecs: DataFrame,
+    mats,
+    groups: list[tuple[int, int, int]],
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Grouped-view generalization of :func:`_encode_from_mats`: one linear
+    ``mapInPandas`` pass emitting per row one code per GROUP (each group's
+    margin-banded exact-fold argmin over its ``[start, start+width)``
+    slice)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    src = vecs.where(F.col("vec").isNotNull()).select("id", "vec")
+    fields = [src.schema["id"]]
+    if keep_vec:
+        fields.append(src.schema["vec"])
+    fields.append(StructField("codes", ArrayType(LongType())))
+    out_schema = StructType(fields)
+    if any(len(cids) == 0 for cids, _, _ in mats):
+        out = src.withColumn("codes", F.lit(None).cast(ArrayType(LongType())))
+        cols = ["id", "vec", "codes"] if keep_vec else ["id", "codes"]
+        return out.where(F.lit(False)).select(*cols)
+    bounds = [(s - 1, s - 1 + w) for s, w, _ in groups]
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), len(mats)), dtype=np.int64)
+            for g, ((lo, hi), (cids, C, css)) in enumerate(zip(bounds, mats)):
+                S = V[:, lo:hi]
+                daa = np.cumsum(S * S, axis=1)[:, -1]
+                approx = daa[:, None] - 2.0 * (S @ C.T) + css[None, :]
+                amin = approx.min(axis=1)
+                # same margin argument as _assign: the band provably contains
+                # the exact argmin and every exact tie
+                margin = 1e-6 * (
+                    np.abs(daa)[:, None] + np.abs(css)[None, :] + 1.0
+                )
+                ri, ci = np.nonzero(approx <= (amin[:, None] + margin))
+                dab = np.cumsum(S[ri] * C[ci], axis=1)[:, -1]
+                d2 = daa[ri] - 2.0 * dab + css[ci]
+                order = np.lexsort((cids[ci], d2, ri))
+                first = np.unique(ri[order], return_index=True)[1]
+                codes[:, g] = cids[ci[order[first]]]
+            cols = {"id": pdf["id"].to_numpy()}
+            if keep_vec:
+                cols["vec"] = pdf["vec"].to_numpy()
+            cols["codes"] = codes.tolist()
+            yield pd.DataFrame(cols)
+
+    return src.mapInPandas(encode, out_schema)
 
 
 def _train_pq_mats(
@@ -77,68 +224,15 @@ def _train_pq_mats(
     iters: int,
     train_max_rows: int | None,
 ):
-    """All ``m`` subspace codebooks trained in ONE fused pipeline — bit-equal
-    to ``m`` independent :func:`~.similarity.train_kmeans` runs (asserted by
-    test), because every subspace shares the same structure: the seeds are
-    the ``n_codes`` smallest-id non-null vectors (sliced per subspace — the
-    per-subspace seed sets are slices of the SAME rows), the sampling
-    probe/filter is id-hash-based (vector-independent, so one filter serves
-    all subspaces), assignment uses the same margin-banded exact argmin per
-    subspace, and the exact-decimal means are per-(subspace, cid, position)
-    groups — computing them in one ``groupBy(j, cid, i)`` shuffle sums the
-    identical value sets. Cost: 1 probe + 1 seed collect + per Lloyd
-    iteration (1 linear assign pass + 1 means shuffle + 1 bounded collect),
-    instead of m× each — the m separate trainings were the operator's 1×
-    wall-clock hot spot (8.6 s → see SCALE.md)."""
+    """The m subspace codebooks as a grouped fused training — see
+    :func:`_train_grouped_mats`."""
     sd = dim // m
-    src = vecs.where(F.col("vec").isNotNull()).select("id", "vec")
-    train = vecs.select("id", "vec")
-    if train_max_rows is not None and iters > 0:
-        # limit-probe first, exactly as train_kmeans (counts INCLUDE null
-        # vectors — the per-subspace form counts its pre-filter input too)
-        if vecs.limit(train_max_rows + 1).count() > train_max_rows:
-            n_total = vecs.count()
-            denom = 1 << 20
-            num = max(1, (denom * train_max_rows) // n_total)
-            train = train.where(
-                F.pmod(F.xxhash64(F.col("id")), F.lit(denom)) < F.lit(num)
-            )
-    seeds = (
-        src.orderBy("id")
-        .limit(n_codes)
-        .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
-        .collect()
+    return _train_grouped_mats(
+        vecs,
+        [(j * sd + 1, sd, n_codes) for j in range(m)],
+        iters,
+        train_max_rows,
     )
-    mats = _mats_from_rows(seeds, m, sd)
-    if not seeds:
-        return mats
-    for _ in range(iters):
-        assigned = _encode_from_mats(train, mats, sd, keep_vec=True)
-        means = (
-            assigned.select("vec", F.posexplode("codes").alias("j", "cid"))
-            .select(
-                "j",
-                "cid",
-                F.posexplode(
-                    F.slice("vec", F.col("j") * F.lit(sd) + 1, F.lit(sd))
-                ).alias("pos", "x"),
-            )
-            .groupBy("j", "cid", (F.col("pos") + 1).alias("i"))
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
-                    / F.count("*")
-                ).alias("v")
-            )
-        )
-        rows = (
-            means.groupBy("j", "cid")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
-            .select("j", "cid", F.transform("s", lambda st: st["v"]).alias("cvec"))
-            .collect()
-        )
-        mats = _mats_from_rows(rows, m, sd)
-    return mats
 
 
 def pq_codebooks(
@@ -201,50 +295,10 @@ def _encode_from_mats(
     ``_assign``); an empty codebook (empty corpus) yields an empty result
     with the output schema rather than raising (ADVICE r9 precedent).
     ``keep_vec`` adds the vec column through (the fused Lloyd loop needs
-    (vec, codes) to compute means)."""
-    import numpy as np
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-
-    src = vecs.where(F.col("vec").isNotNull()).select("id", "vec")
-    fields = [src.schema["id"]]
-    if keep_vec:
-        fields.append(src.schema["vec"])
-    fields.append(StructField("codes", ArrayType(LongType())))
-    out_schema = StructType(fields)
-    if any(len(cids) == 0 for cids, _, _ in mats):
-        out = src.withColumn("codes", F.lit(None).cast(ArrayType(LongType())))
-        cols = ["id", "vec", "codes"] if keep_vec else ["id", "codes"]
-        return out.where(F.lit(False)).select(*cols)
-
-    def encode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            codes = np.empty((len(pdf), len(mats)), dtype=np.int64)
-            for j, (cids, C, css) in enumerate(mats):
-                S = V[:, j * sd : (j + 1) * sd]
-                daa = np.cumsum(S * S, axis=1)[:, -1]
-                approx = daa[:, None] - 2.0 * (S @ C.T) + css[None, :]
-                amin = approx.min(axis=1)
-                # same margin argument as _assign: the band provably contains
-                # the exact argmin and every exact tie
-                margin = 1e-6 * (
-                    np.abs(daa)[:, None] + np.abs(css)[None, :] + 1.0
-                )
-                ri, ci = np.nonzero(approx <= (amin[:, None] + margin))
-                dab = np.cumsum(S[ri] * C[ci], axis=1)[:, -1]
-                d2 = daa[ri] - 2.0 * dab + css[ci]
-                order = np.lexsort((cids[ci], d2, ri))
-                first = np.unique(ri[order], return_index=True)[1]
-                codes[:, j] = cids[ci[order[first]]]
-            cols = {"id": pdf["id"].to_numpy()}
-            if keep_vec:
-                cols["vec"] = pdf["vec"].to_numpy()
-            cols["codes"] = codes.tolist()
-            yield pd.DataFrame(cols)
-
-    return src.mapInPandas(encode, out_schema)
+    (vec, codes) to compute means). Uniform-subspace special case of
+    :func:`_encode_grouped`."""
+    groups = [(j * sd + 1, sd, 0) for j in range(len(mats))]
+    return _encode_grouped(vecs, mats, groups, keep_vec)
 
 
 def pq_encode(vecs: DataFrame, books: list[DataFrame], dim: int) -> DataFrame:
@@ -252,6 +306,102 @@ def pq_encode(vecs: DataFrame, books: list[DataFrame], dim: int) -> DataFrame:
     codes)``. Collects the codebooks (bounded: ``n_codes × dim`` doubles)."""
     mats = _collect_books(books)
     return _encode_from_mats(vecs, mats, dim // len(books))
+
+
+def _adc_candidates(
+    codes: DataFrame,
+    mats,
+    qids,
+    Q,
+    sd: int,
+    rerank: int,
+    exclude_self: bool = True,
+    probed: dict[int, frozenset] | None = None,
+) -> DataFrame:
+    """ADC candidate selection over a ``(id, codes [, cid])`` table:
+    per-query lookup tables of exact-fold subspace distances (the same
+    ``(qss - 2·dot) + css`` shape as the SQL expression), ONE linear
+    ``mapInPandas`` scan summing them per stored code tuple in fixed
+    subspace order (left-assoc, matching the SQL ``+`` chain), per-batch
+    partial top-``rerank`` by raw ``(adc, id)`` (no rounding needed — both
+    engines' folds are bit-equal, the ``_sql_assign`` precedent), then the
+    global rank window over the bounded partials. Returns ``(query_id,
+    neighbor_id)``. ``probed`` (qid → allowed coarse-cid set) restricts each
+    query to its own probed inverted lists (IVF-PQ serving; requires a
+    ``cid`` column); ``exclude_self`` drops id == query_id (self-query
+    shape)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    lut = []
+    for j, (cids, C, css) in enumerate(mats):
+        Sq = Q[:, j * sd : (j + 1) * sd]
+        qss = np.cumsum(Sq * Sq, axis=1)[:, -1]
+        dot = np.cumsum(Sq[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+        lut.append((cids, qss[:, None] - 2.0 * dot + css[None, :]))
+
+    id_field = codes.schema["id"]
+    scan_schema = StructType(
+        [
+            StructField("query_id", id_field.dataType),
+            StructField("id", id_field.dataType),
+            StructField("adc", DoubleType()),
+        ]
+    )
+    nq = len(qids)
+    probed_arrays = (
+        [
+            np.array(sorted(probed.get(int(q), ())), dtype=np.int64)
+            for q in qids
+        ]
+        if probed is not None
+        else None
+    )
+
+    def adc_scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf["id"].to_numpy()
+            row_cids = (
+                pdf["cid"].to_numpy().astype(np.int64)
+                if probed_arrays is not None
+                else None
+            )
+            adc = None
+            # fixed subspace order: left-assoc sum matches the SQL `+` chain
+            for j, (cids, d2) in enumerate(lut):
+                term = d2[:, np.searchsorted(cids, cm[:, j])]
+                adc = term.copy() if adc is None else adc + term
+            for qi in range(nq):
+                mask = np.ones(len(ids), dtype=bool)
+                if exclude_self:
+                    mask &= ids != qids[qi]
+                if probed_arrays is not None:
+                    mask &= np.isin(row_cids, probed_arrays[qi])
+                cand_ids = ids[mask]
+                vals = adc[qi][mask]
+                if len(cand_ids) == 0:
+                    continue
+                order = np.lexsort((cand_ids, vals))[:rerank]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qids[qi], dtype=np.int64),
+                        "id": cand_ids[order],
+                        "adc": vals[order],
+                    }
+                )
+
+    partials = codes.mapInPandas(adc_scan, scan_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("id").asc()
+    )
+    return (
+        partials.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
 
 
 def pq_topk(
@@ -302,60 +452,7 @@ def pq_topk(
 
     Q = np.array([list(r.qvec) for r in qrows], dtype=np.float64)
     qids = np.array([r.query_id for r in qrows], dtype=np.int64)
-    # per-subspace ADC lookup tables: exact-fold d²(query-sub, codeword) in
-    # the same (qss - 2·dot) + css shape as the SQL expression
-    lut = []
-    for j, (cids, C, css) in enumerate(mats):
-        Sq = Q[:, j * sd : (j + 1) * sd]
-        qss = np.cumsum(Sq * Sq, axis=1)[:, -1]
-        dot = np.cumsum(Sq[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
-        lut.append((cids, qss[:, None] - 2.0 * dot + css[None, :]))
-
-    id_field = codes.schema["id"]
-    scan_schema = StructType(
-        [
-            StructField("query_id", id_field.dataType),
-            StructField("id", id_field.dataType),
-            StructField("adc", DoubleType()),
-        ]
-    )
-    nq = len(qids)
-
-    def adc_scan(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            cm = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            ids = pdf["id"].to_numpy()
-            adc = None
-            # fixed subspace order: left-assoc sum matches the SQL `+` chain
-            for j, (cids, d2) in enumerate(lut):
-                term = d2[:, np.searchsorted(cids, cm[:, j])]
-                adc = term.copy() if adc is None else adc + term
-            for qi in range(nq):
-                mask = ids != qids[qi]
-                cand_ids = ids[mask]
-                vals = adc[qi][mask]
-                if len(cand_ids) == 0:
-                    continue
-                order = np.lexsort((cand_ids, vals))[:rerank]
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(len(order), qids[qi], dtype=np.int64),
-                        "id": cand_ids[order],
-                        "adc": vals[order],
-                    }
-                )
-
-    partials = codes.mapInPandas(adc_scan, scan_schema)
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("id").asc()
-    )
-    cand = (
-        partials.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= rerank)
-        .select("query_id", F.col("id").alias("neighbor_id"))
-    )
+    cand = _adc_candidates(codes, mats, qids, Q, sd, rerank)
     scored = (
         vecs.join(F.broadcast(cand), F.col("id") == F.col("neighbor_id"))
         .join(F.broadcast(queries), "query_id")
@@ -450,6 +547,110 @@ def pq_topk_oracle_sql(
                     * sqrt(list_dot_product(nv.vec, nv.vec))), 6) AS cos_sim
       FROM cand JOIN q ON q.query_id = cand.query_id
       JOIN vq nv ON nv.id = cand.id
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+def ivfpq_external_query_oracle_sql(
+    corpus_sql: str,
+    queries_sql: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    iters: int = 1,
+    nprobe: int = 2,
+    rerank: int = 20,
+) -> str:
+    """Exact SQL mirror of ``ann_index.build_ivfpq_index`` +
+    ``query_ivfpq_index``: the coarse k-means/probe CTEs of
+    :func:`~.similarity.ivf_external_query_oracle_sql` composed with the
+    per-subspace codebook/codes/ADC CTEs of :func:`pq_topk_oracle_sql`.
+    Each query's ADC candidates are restricted to its OWN probed lists
+    (the ``probe ⋈ lists`` join), ranked RAW by ``(adc, id)``, then
+    exact-rescored. ``corpus_sql`` must expose ``vec_id``/``embedding``;
+    ``queries_sql`` must yield ``query_id, qvec DOUBLE[]``. No self-match
+    exclusion (external queries)."""
+    sd = dim // m
+    ctes, cur = _sql_kmeans_ctes(n_centroids, iters, dim, corpus_sql)
+    ctes.append(f"lists AS {_sql_assign('v', cur)}")
+    finals: list[str] = []
+    for j in range(m):
+        p = f"s{j}_"
+        sub, scur = _sql_kmeans_ctes(
+            n_codes,
+            iters,
+            sd,
+            corpus_sql,
+            prefix=p,
+            vec_expr=f"(embedding::DOUBLE[])[{j * sd + 1}:{(j + 1) * sd}]",
+        )
+        ctes += sub
+        finals.append(scur)
+        ctes.append(f"{p}codes AS {_sql_assign(f'{p}v', scur, 'id, cid')}")
+    ctes.append(f"q AS ({queries_sql})")
+    d2q = (
+        "(list_dot_product(q.qvec, q.qvec) - 2*list_dot_product(q.qvec, c.cvec)"
+        " + list_dot_product(c.cvec, c.cvec))"
+    )
+    ctes.append(
+        f"""probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY {d2q} ASC, c.cid ASC) AS pr
+        FROM q CROSS JOIN {cur} c) WHERE pr <= {nprobe}
+    )"""
+    )
+    joins = [
+        "q",
+        "JOIN probe p ON p.query_id = q.query_id",
+        "JOIN lists l ON l.cid = p.cid",
+        "JOIN s0_codes c0 ON c0.id = l.id",
+    ]
+    for j in range(1, m):
+        joins.append(f"JOIN s{j}_codes c{j} ON c{j}.id = l.id")
+    for j in range(m):
+        joins.append(f"JOIN {finals[j]} b{j} ON b{j}.cid = c{j}.cid")
+    terms = []
+    for j in range(m):
+        qs = f"q.qvec[{j * sd + 1}:{(j + 1) * sd}]"
+        terms.append(
+            f"(list_dot_product({qs}, {qs}) - 2*list_dot_product({qs}, b{j}.cvec)"
+            f" + list_dot_product(b{j}.cvec, b{j}.cvec))"
+        )
+    adc_expr = " + ".join(terms)
+    ctes.append(
+        f"""adc AS (
+      SELECT q.query_id, l.id, {adc_expr} AS adc
+      FROM {" ".join(joins)}
+    )"""
+    )
+    ctes.append(
+        f"""cand AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, id ASC) AS rn
+        FROM adc) WHERE rn <= {rerank}
+    )"""
+    )
+    ctes.append(
+        """scored AS (
+      SELECT cand.query_id, cand.id AS neighbor_id,
+             round(list_dot_product(q.qvec, nv.vec)
+                   / (sqrt(list_dot_product(q.qvec, q.qvec))
+                    * sqrt(list_dot_product(nv.vec, nv.vec))), 6) AS cos_sim
+      FROM cand JOIN q ON q.query_id = cand.query_id
+      JOIN v nv ON nv.id = cand.id
     )"""
     )
     body = ",\n    ".join(ctes)

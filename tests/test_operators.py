@@ -1149,6 +1149,84 @@ def test_ivf_index_bit_equal_to_in_memory_and_prunes(spark, sf_dir, tmp_path):
     assert "id_bucket" in idx_plan.split("PartitionFilters")[1][:200]
 
 
+def test_ivfpq_index_serves_prunes_and_column_prunes(spark, sf_dir, tmp_path):
+    """IVF-PQ serving: querying with an indexed row's own vector returns
+    that row at rank 1 / cos 1.0; the probed codes scan statically
+    partition-prunes on cid AND column-prunes to (id, codes) — the vec
+    column must NOT be in the ADC scan's ReadSchema (the PQ memory story is
+    a physical property of the plan, not a convention)."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import ann_index
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    ann_index.build_ivfpq_index(embs, path)
+
+    v0 = [float(x) for x in embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    res = ann_index.query_ivfpq_index(spark, path, [(100, v0)], k=3).collect()
+    by_rank = {r.rank: r for r in res}
+    assert by_rank[1].neighbor_id == 0 and by_rank[1].cos_sim == 1.0
+
+    codes_scan = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("cid").isin([0, 1]))
+        .select("id", "codes", "cid")
+    )
+    plan = codes_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters")[1][:160]
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "codes" in read_schema and "vec" not in read_schema
+
+
+def test_ivfpq_rerank_limit_degrades_to_ivf(spark, sf_dir, tmp_path):
+    """With rerank >= every probed list's size the ADC stage keeps ALL
+    probed candidates, so exact rescore makes IVF-PQ bit-equal to the plain
+    IVF tier at the same nprobe (the PQ exactness limit); default rerank
+    must retain reasonable recall against that."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import ann_index
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvecs = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in embs.filter(F.col("vec_id").isin([1, 3, 5]))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    corpus = embs.filter(F.col("vec_id") % 2 == 0)
+    pq_path = str(tmp_path / "ivfpq")
+    ivf_path = str(tmp_path / "ivf")
+    ann_index.build_ivfpq_index(corpus, pq_path)
+    ann_index.build_ivf_index(corpus, ivf_path)
+
+    want = sorted(
+        map(
+            tuple,
+            ann_index.query_ivf_index_with_vectors(spark, ivf_path, qvecs).collect(),
+        )
+    )
+    full = sorted(
+        map(
+            tuple,
+            ann_index.query_ivfpq_index(
+                spark, pq_path, qvecs, rerank=10**6
+            ).collect(),
+        )
+    )
+    assert full == want and len(want) == 3 * 5
+
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_index.query_ivfpq_index(spark, pq_path, qvecs).collect()
+    }
+    want_pairs = {(q, n) for q, n, _, _ in want}
+    recall = len(got & want_pairs) / len(want_pairs)
+    assert recall >= 0.3, f"suspiciously low IVF-PQ recall vs IVF: {recall}"
+
+
 def test_ivf_index_incremental_append_equals_frozen_rebuild(spark, sf_dir, tmp_path):
     """Appending a batch to an existing index (frozen centroids, no
     retrain) must serve exactly what an index whose LISTS were assigned

@@ -106,8 +106,9 @@ _VERSION_RISKY_USES = {
         "q_hybrid_rrf",  # inherits the cosine leg's round(,6) INSIDE the
         # rank subquery only — outputs are integer ranks and rrf_ppm, so
         # the construct never reaches a hashed output column
-        # r10 debut, bit-audited at sf0.001+sf0.01+sf0.1:
+        # r10 debuts, bit-audited at sf0.001+sf0.01+sf0.1:
         "q_ann_pq_topk",  # same round-6 cosine rescore as the ANN family
+        "q_ann_ivfpq_index",  # same round-6 cosine rescore
     },
 }
 
