@@ -335,6 +335,58 @@ def build_ivfpq_index(
     ).write.mode(mode).parquet(f"{path}/codebooks")
 
 
+def append_to_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to an existing IVF-PQ index WITHOUT
+    retraining (the :func:`append_to_ivf_index` contract): the new batch is
+    coarse-assigned AND PQ-encoded against the FROZEN stored centroids +
+    codebooks in one ``mapInPandas`` pass, then appended to the partitioned
+    lists — existing list files are never rewritten. Queries over the
+    appended index are exactly the frozen-quantizer answer: bit-equal to
+    rebuilding the lists over the union corpus with the same centroids and
+    codebooks (tested)."""
+    import numpy as np
+
+    from .pq import _encode_grouped
+
+    spark = df.sparkSession
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r.cid
+    )
+    brows = sorted(
+        spark.read.parquet(f"{path}/codebooks").collect(),
+        key=lambda r: (r.j, r.cid),
+    )
+    m = 1 + max(r.j for r in brows)
+    dim = len(crows[0].cvec)
+    sd = dim // m
+
+    def _mat(rows):
+        cids = np.array([r.cid for r in rows], dtype=np.int64)
+        C = np.array([list(r.cvec) for r in rows], dtype=np.float64)
+        return (cids, C, np.cumsum(C * C, axis=1)[:, -1])
+
+    mats = [_mat(crows)] + [
+        _mat([r for r in brows if r.j == j]) for j in range(m)
+    ]
+    groups = [(1, dim, 0)] + [(j * sd + 1, sd, 0) for j in range(m)]
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    enc = _encode_grouped(vecs, mats, groups, keep_vec=True)
+    enc.select(
+        "id",
+        "vec",
+        F.element_at("codes", 1).alias("cid"),
+        F.slice("codes", 2, m).alias("codes"),
+    ).write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
+
+
 def query_ivfpq_index(
     spark: SparkSession,
     path: str,

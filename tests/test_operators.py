@@ -1227,6 +1227,43 @@ def test_ivfpq_rerank_limit_degrades_to_ivf(spark, sf_dir, tmp_path):
     assert recall >= 0.3, f"suspiciously low IVF-PQ recall vs IVF: {recall}"
 
 
+def test_ivfpq_incremental_append_equals_frozen_rebuild(spark, sf_dir, tmp_path):
+    """Appending a batch to an IVF-PQ index (frozen centroids AND frozen
+    codebooks, no retrain) must serve exactly what an index built over the
+    union corpus with the SAME quantizers would serve."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import ann_index
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = embs.filter(F.col("vec_id") % 2 == 0)
+    new = embs.filter(F.col("vec_id") % 2 == 1)
+    qvecs = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in embs.filter(F.col("vec_id").isin([1, 4, 7]))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+    path = str(tmp_path / "ivfpq_inc")
+    ann_index.build_ivfpq_index(old, path)
+    ann_index.append_to_ivfpq_index(new, path)
+    got = sorted(
+        map(tuple, ann_index.query_ivfpq_index(spark, path, qvecs).collect())
+    )
+
+    # frozen-quantizer reference: union corpus re-encoded with the STORED
+    # centroids/codebooks (append over an empty-lists copy of the metadata)
+    ref_path = str(tmp_path / "ivfpq_ref")
+    spark.read.parquet(f"{path}/centroids").write.parquet(f"{ref_path}/centroids")
+    spark.read.parquet(f"{path}/codebooks").write.parquet(f"{ref_path}/codebooks")
+    ann_index.append_to_ivfpq_index(embs, ref_path)
+    want = sorted(
+        map(tuple, ann_index.query_ivfpq_index(spark, ref_path, qvecs).collect())
+    )
+    assert got == want and len(got) == 3 * 5
+
+
 def test_ivf_index_incremental_append_equals_frozen_rebuild(spark, sf_dir, tmp_path):
     """Appending a batch to an existing index (frozen centroids, no
     retrain) must serve exactly what an index whose LISTS were assigned
