@@ -247,3 +247,65 @@ def grain_refresh_stream(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def ivfpq_ingest_stream(
+    spark,
+    index_path: str,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_name: str = "ivfpq_ingest",
+):
+    """Continuously fold arriving embedding files into a built IVF-PQ index
+    (``ann_index.append_to_ivfpq_index``: frozen centroids + codebooks, one
+    encode pass per micro-batch, partitioned append — existing list files
+    never rewritten), so ANN serving stays current as vectors arrive.
+
+    Exactly-once by the same file-level ledger as
+    :func:`grain_refresh_stream` (the append is non-idempotent — replaying
+    a file would duplicate its list rows and surface phantom neighbors):
+    applied arrival files are recorded at ``{index_path}/ingest_ledger``
+    and excluded from every batch, so the fold survives checkpoint
+    regeneration and batch regrouping. Runs with ``availableNow`` and
+    blocks until drained."""
+    from ..operators.ann_index import append_to_ivfpq_index
+
+    ledger_dir = f"{index_path}/ingest_ledger"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            applied = {r.path for r in sess.read.parquet(ledger_dir).collect()}
+        except Exception:  # first batch: no ledger yet
+            applied = set()
+        named = batch_df.withColumn("__src_file", F.input_file_name())
+        files = {
+            r[0] for r in named.select("__src_file").distinct().collect()
+        }
+        fresh = sorted(files - applied)
+        if not fresh:
+            return
+        inc = named
+        if files - set(fresh):  # partial replay: keep only unapplied files
+            inc = named.filter(F.col("__src_file").isin(fresh))
+        inc = inc.drop("__src_file")
+        append_to_ivfpq_index(inc, index_path, id_col=id_col, vec_col=vec_col)
+        sess.createDataFrame([(f,) for f in fresh], "path string").write.mode(
+            "append"
+        ).parquet(ledger_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

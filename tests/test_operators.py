@@ -1227,6 +1227,64 @@ def test_ivfpq_rerank_limit_degrades_to_ivf(spark, sf_dir, tmp_path):
     assert recall >= 0.3, f"suspiciously low IVF-PQ recall vs IVF: {recall}"
 
 
+def test_ivfpq_streaming_ingest_matches_batch_and_survives_replay(
+    spark, sf_dir, tmp_path
+):
+    """Streaming embedding arrivals folded into a built IVF-PQ index must
+    serve exactly what a batch append of the same rows serves, and
+    re-running the stream with a FRESH checkpoint (full replay) must not
+    double-append — the file ledger, not the checkpoint, is the
+    exactly-once boundary."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import ann_index
+    from tesseract_spark.streaming.ingest import ivfpq_ingest_stream
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = embs.filter(F.col("vec_id") < 300)
+    arrivals = embs.filter(F.col("vec_id") >= 300)
+    qvecs = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in embs.filter(F.col("vec_id").isin([5, 350]))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    arrivals.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream_path = str(tmp_path / "ivfpq_stream")
+    ann_index.build_ivfpq_index(base, stream_path)
+    ivfpq_ingest_stream(
+        spark, stream_path, src, str(tmp_path / "ckpt1"), embs.schema
+    )
+    got = sorted(
+        map(tuple, ann_index.query_ivfpq_index(spark, stream_path, qvecs).collect())
+    )
+
+    batch_path = str(tmp_path / "ivfpq_batch")
+    ann_index.build_ivfpq_index(base, batch_path)
+    ann_index.append_to_ivfpq_index(spark.read.parquet(src), batch_path)
+    want = sorted(
+        map(tuple, ann_index.query_ivfpq_index(spark, batch_path, qvecs).collect())
+    )
+    assert got == want and len(got) == 2 * 5
+
+    # full replay with a regenerated checkpoint: ledger must no-op it
+    shutil.rmtree(str(tmp_path / "ckpt1"))
+    ivfpq_ingest_stream(
+        spark, stream_path, src, str(tmp_path / "ckpt2"), embs.schema
+    )
+    again = sorted(
+        map(tuple, ann_index.query_ivfpq_index(spark, stream_path, qvecs).collect())
+    )
+    assert again == want
+
+
 def test_ivfpq_incremental_append_equals_frozen_rebuild(spark, sf_dir, tmp_path):
     """Appending a batch to an IVF-PQ index (frozen centroids AND frozen
     codebooks, no retrain) must serve exactly what an index built over the
