@@ -3485,6 +3485,40 @@ def _wire_round8_ops() -> None:
 
     _add("q_ann_ivfpq_index", _ivfpq_index, _ivfpq_oracle())
 
+    # Residual (IVFADC) form of the same index — Jégou et al. TPAMI 2011
+    # §IV: the PQ codebooks train on and encode v − coarse_centroid(v), so
+    # the code budget reconstructs what the coarse tier did NOT explain
+    # (the accuracy form at production scale). Same external-query serving
+    # shape; the oracle composes coarse CTEs + a resid CTE
+    # (list_transform(list_zip(v, c), z -> z[1] - z[2])) + subspace
+    # trainings OVER the residuals + per-(query, probed-list) residual ADC.
+    def _ivfpq_residual(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators import ann_index
+
+        embs = _embs(spark, sf)
+        path = _ivf_tmp_path(sf, "ivfpq_res")
+        ann_index.build_ivfpq_index(
+            embs.filter(F.col("vec_id") % 2 == 0), path, residual=True
+        )
+        qvecs = [
+            (r.vec_id, [float(x) for x in r.embedding])
+            for r in embs.filter(F.col("vec_id").isin([1, 3, 5, 7, 9]))
+            .select("vec_id", "embedding")
+            .collect()  # bounded: 5 rows
+        ]
+        return ann_index.query_ivfpq_index(spark, path, qvecs)
+
+    def _ivfpq_residual_oracle() -> str:
+        from .operators import pq
+
+        return pq.ivfpq_residual_external_query_oracle_sql(
+            "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)",
+            "SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec "
+            "FROM embeddings WHERE vec_id IN (1, 3, 5, 7, 9)",
+        )
+
+    _add("q_ann_ivfpq_residual", _ivfpq_residual, _ivfpq_residual_oracle())
+
 
 def _wire_aggnav() -> None:
     """Aggregate navigation (plans/aggnav.py): materialize a pass-1 rollup
@@ -3865,15 +3899,16 @@ DRIVER_WINDOW: list[str] = [
     "q_geo_neighbors",
     "q_ann_pq_topk",
     "q_ann_ivfpq_index",
+    "q_ann_ivfpq_residual",
     # changed-code re-proofs
     "q_dedup_ngram_jaccard",
     "q_ann_near_dup",
     "q_embed_dup_clusters",
     "q_semantic_dedup",
-    # (q_ann_ivf_query_vectors and q_best_in_cluster yield their re-proof
-    # slots to the PQ / IVF-PQ debuts — the siblings below re-prove the
-    # same _assign/kmeans/cluster machinery, and both hold green r9 rows)
-    "q_ann_ivf_topk",
+    # (q_ann_ivf_query_vectors, q_best_in_cluster and q_ann_ivf_topk yield
+    # their re-proof slots to the PQ / IVF-PQ / residual-IVFADC debuts —
+    # the siblings below re-prove the same _assign/kmeans/cluster
+    # machinery, and all three hold green r9 rows)
     "q_ann_ivf_index",
     "q_leakage_safe_split",
     # r6 cohort — OLAP core

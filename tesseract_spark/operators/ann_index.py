@@ -262,6 +262,15 @@ def pruned_lists_scan(spark: SparkSession, path: str, cids: list[int]) -> DataFr
 # >= list size degrades to IVF-exact).
 
 
+def _read_ivfpq_meta(spark: SparkSession, path: str) -> bool:
+    """``residual`` flag of an IVF-PQ index; indexes built before the flag
+    existed have no meta table and are plain (vector-coded)."""
+    try:
+        return bool(spark.read.parquet(f"{path}/meta").collect()[0].residual)
+    except Exception:
+        return False
+
+
 def build_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -274,6 +283,7 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     train_max_rows: int | None = 1_000_000,
     mode: str = "overwrite",
+    residual: bool = False,
 ) -> None:
     """Train and materialize an IVF-PQ index at ``path``:
 
@@ -289,8 +299,25 @@ def build_ivfpq_index(
     for everything), then ONE encode pass emitting coarse cid + PQ codes
     together, then one partitioned write. Bit-equal to training the pieces
     independently (train_kmeans parity asserted by the rerank-limit test
-    against ``build_ivf_index``)."""
-    from .pq import _encode_grouped, _train_grouped_mats
+    against ``build_ivf_index``).
+
+    ``residual=True`` builds the IVFADC form (Jégou et al. TPAMI 2011 §IV):
+    the PQ codebooks train on and encode ``v − coarse_centroid(v)`` instead
+    of ``v`` — the same code budget reconstructs the part of each vector the
+    coarse quantizer did NOT explain, which is what makes IVF-PQ accurate at
+    production scale. Cost shape: the coarse training must finish before
+    residuals exist, so the build is TWO fused trainings (coarse alone, then
+    the m subspace groups over the residual frame — still one pipeline for
+    all m) plus the same single encode pass (coarse argmin + subtraction +
+    subspace argmins all ride one Arrow batch). Serving reads the
+    ``{path}/meta`` flag and switches the ADC lookup tables to
+    per-(query, probed list) residuals."""
+    from .pq import (
+        _encode_grouped,
+        _encode_residual,
+        _residual_frame,
+        _train_grouped_mats,
+    )
 
     vecs = df.select(
         F.col(id_col).alias("id"),
@@ -301,20 +328,30 @@ def build_ivfpq_index(
     sd = dim // m
     spark = df.sparkSession
 
-    groups = [(1, dim, n_centroids)] + [
-        (j * sd + 1, sd, n_codes) for j in range(m)
-    ]
-    mats = _train_grouped_mats(vecs, groups, iters, train_max_rows)
-    coarse_mat, pq_mats = mats[0], mats[1:]
-
-    enc = _encode_grouped(vecs, mats, groups, keep_vec=True)
-    lists = enc.select(
-        "id",
-        "vec",
-        F.element_at("codes", 1).alias("cid"),
-        F.slice("codes", 2, m).alias("codes"),
-    )
+    pq_groups = [(j * sd + 1, sd, n_codes) for j in range(m)]
+    if residual:
+        coarse_mat = _train_grouped_mats(
+            vecs, [(1, dim, n_centroids)], iters, train_max_rows
+        )[0]
+        pq_mats = _train_grouped_mats(
+            _residual_frame(vecs, coarse_mat), pq_groups, iters, train_max_rows
+        )
+        lists = _encode_residual(vecs, coarse_mat, pq_mats, sd, keep_vec=True)
+    else:
+        groups = [(1, dim, n_centroids)] + pq_groups
+        mats = _train_grouped_mats(vecs, groups, iters, train_max_rows)
+        coarse_mat, pq_mats = mats[0], mats[1:]
+        enc = _encode_grouped(vecs, mats, groups, keep_vec=True)
+        lists = enc.select(
+            "id",
+            "vec",
+            F.element_at("codes", 1).alias("cid"),
+            F.slice("codes", 2, m).alias("codes"),
+        )
     lists.write.mode(mode).partitionBy("cid").parquet(f"{path}/lists")
+    spark.createDataFrame(
+        [(bool(residual), int(m), int(dim))], "residual boolean, m int, dim int"
+    ).write.mode(mode).parquet(f"{path}/meta")
     # centroids/codebooks from the already-collected mats — writing them
     # must NOT re-run training (the first form re-evaluated the lazy
     # train_kmeans DAG once per action)
@@ -348,10 +385,12 @@ def append_to_ivfpq_index(
     lists — existing list files are never rewritten. Queries over the
     appended index are exactly the frozen-quantizer answer: bit-equal to
     rebuilding the lists over the union corpus with the same centroids and
-    codebooks (tested)."""
+    codebooks (tested). Residual (IVFADC) indexes encode the batch's
+    residuals against the frozen coarse centroids — the ``meta`` flag picks
+    the path."""
     import numpy as np
 
-    from .pq import _encode_grouped
+    from .pq import _encode_grouped, _encode_residual
 
     spark = df.sparkSession
     crows = sorted(
@@ -370,21 +409,26 @@ def append_to_ivfpq_index(
         C = np.array([list(r.cvec) for r in rows], dtype=np.float64)
         return (cids, C, np.cumsum(C * C, axis=1)[:, -1])
 
-    mats = [_mat(crows)] + [
-        _mat([r for r in brows if r.j == j]) for j in range(m)
-    ]
-    groups = [(1, dim, 0)] + [(j * sd + 1, sd, 0) for j in range(m)]
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    enc = _encode_grouped(vecs, mats, groups, keep_vec=True)
-    enc.select(
-        "id",
-        "vec",
-        F.element_at("codes", 1).alias("cid"),
-        F.slice("codes", 2, m).alias("codes"),
-    ).write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
+    if _read_ivfpq_meta(spark, path):
+        pq_mats = [_mat([r for r in brows if r.j == j]) for j in range(m)]
+        out = _encode_residual(vecs, _mat(crows), pq_mats, sd, keep_vec=True)
+    else:
+        mats = [_mat(crows)] + [
+            _mat([r for r in brows if r.j == j]) for j in range(m)
+        ]
+        groups = [(1, dim, 0)] + [(j * sd + 1, sd, 0) for j in range(m)]
+        enc = _encode_grouped(vecs, mats, groups, keep_vec=True)
+        out = enc.select(
+            "id",
+            "vec",
+            F.element_at("codes", 1).alias("cid"),
+            F.slice("codes", 2, m).alias("codes"),
+        )
+    out.write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
 
 
 def query_ivfpq_index(
@@ -401,10 +445,12 @@ def query_ivfpq_index(
     restricted to ITS probed lists), exact-rescore the ≤ queries×rerank
     candidates from the probed dirs' vec column (literal id filter — a
     bounded-metadata collect, like the probed-cid set), final top-k. No
-    self-match exclusion (external queries have no index row)."""
+    self-match exclusion (external queries have no index row). Residual
+    (IVFADC) indexes — ``meta.residual`` — swap in the per-(query, probed
+    list) residual lookup tables; the scan/rescore shapes are identical."""
     import numpy as np
 
-    from .pq import _adc_candidates
+    from .pq import _adc_candidates, _adc_candidates_residual
 
     cents = spark.read.parquet(f"{path}/centroids")
     queries = spark.createDataFrame(
@@ -449,16 +495,25 @@ def query_ivfpq_index(
         .filter(F.col("cid").isin(probed_cids))
         .select("id", "codes", "cid")
     )
-    cand = _adc_candidates(
-        codes,
-        mats,
-        qids,
-        Q,
-        sd,
-        rerank,
-        exclude_self=False,
-        probed={q: frozenset(s) for q, s in probed.items()},
-    )
+    probed_sets = {q: frozenset(s) for q, s in probed.items()}
+    if _read_ivfpq_meta(spark, path):
+        coarse_rows = {
+            int(r.cid): [float(x) for x in r.cvec] for r in cents.collect()
+        }
+        cand = _adc_candidates_residual(
+            codes, mats, coarse_rows, qids, Q, sd, rerank, probed=probed_sets
+        )
+    else:
+        cand = _adc_candidates(
+            codes,
+            mats,
+            qids,
+            Q,
+            sd,
+            rerank,
+            exclude_self=False,
+            probed=probed_sets,
+        )
     cand_ids = sorted(
         {int(r.neighbor_id) for r in cand.collect()}
     )  # ≤ queries×rerank — bounded by the serving batch, not the corpus

@@ -160,6 +160,31 @@ def _grouped_mats_from_rows(rows, n_groups: int):
     return mats
 
 
+def _slice_argmin(S, mat):
+    """Margin-banded BLAS prefilter + exact-fold rescore argmin of the rows
+    of ``S`` against codebook ``mat = (cids, C, css)`` with (exact d², cid)
+    tie-break — THE assignment kernel, bit-identical to
+    :func:`~.similarity._sql_assign` (same operation sequence the grouped
+    encoder always ran; extracted so the residual paths share it). Returns
+    ``(winning cids, winning codebook row indices)``."""
+    import numpy as np
+
+    cids, C, css = mat
+    daa = np.cumsum(S * S, axis=1)[:, -1]
+    approx = daa[:, None] - 2.0 * (S @ C.T) + css[None, :]
+    amin = approx.min(axis=1)
+    # same margin argument as _assign: the band provably contains the exact
+    # argmin and every exact tie
+    margin = 1e-6 * (np.abs(daa)[:, None] + np.abs(css)[None, :] + 1.0)
+    ri, ci = np.nonzero(approx <= (amin[:, None] + margin))
+    dab = np.cumsum(S[ri] * C[ci], axis=1)[:, -1]
+    d2 = daa[ri] - 2.0 * dab + css[ci]
+    order = np.lexsort((cids[ci], d2, ri))
+    first = np.unique(ri[order], return_index=True)[1]
+    win = ci[order[first]]
+    return cids[win], win
+
+
 def _encode_grouped(
     vecs: DataFrame,
     mats,
@@ -191,22 +216,8 @@ def _encode_grouped(
                 continue
             V = np.array(pdf["vec"].tolist(), dtype=np.float64)
             codes = np.empty((len(pdf), len(mats)), dtype=np.int64)
-            for g, ((lo, hi), (cids, C, css)) in enumerate(zip(bounds, mats)):
-                S = V[:, lo:hi]
-                daa = np.cumsum(S * S, axis=1)[:, -1]
-                approx = daa[:, None] - 2.0 * (S @ C.T) + css[None, :]
-                amin = approx.min(axis=1)
-                # same margin argument as _assign: the band provably contains
-                # the exact argmin and every exact tie
-                margin = 1e-6 * (
-                    np.abs(daa)[:, None] + np.abs(css)[None, :] + 1.0
-                )
-                ri, ci = np.nonzero(approx <= (amin[:, None] + margin))
-                dab = np.cumsum(S[ri] * C[ci], axis=1)[:, -1]
-                d2 = daa[ri] - 2.0 * dab + css[ci]
-                order = np.lexsort((cids[ci], d2, ri))
-                first = np.unique(ri[order], return_index=True)[1]
-                codes[:, g] = cids[ci[order[first]]]
+            for g, ((lo, hi), mat) in enumerate(zip(bounds, mats)):
+                codes[:, g] = _slice_argmin(V[:, lo:hi], mat)[0]
             cols = {"id": pdf["id"].to_numpy()}
             if keep_vec:
                 cols["vec"] = pdf["vec"].to_numpy()
@@ -214,6 +225,180 @@ def _encode_grouped(
             yield pd.DataFrame(cols)
 
     return src.mapInPandas(encode, out_schema)
+
+
+def _residual_frame(vecs: DataFrame, coarse_mat) -> DataFrame:
+    """``(id, vec = v − nearest coarse centroid)`` in ONE linear
+    ``mapInPandas`` pass: the shared assignment kernel picks each row's
+    coarse centroid, then a float64 elementwise subtraction (IEEE — the
+    DuckDB ``list_transform(list_zip(v, c), z -> z[1] - z[2])`` mirror is
+    bit-equal). This frame exists to TRAIN the residual subspace codebooks
+    (Jégou et al. TPAMI 2011 §IV's IVFADC form: quantize the residual, not
+    the vector — the residual's energy is what the coarse quantizer didn't
+    explain, so the same code budget buys a finer reconstruction); the
+    full-corpus encode recomputes residuals inside its own single pass
+    (:func:`_encode_residual`) rather than materializing this."""
+    import numpy as np
+
+    src = vecs.where(F.col("vec").isNotNull()).select("id", "vec")
+    if len(coarse_mat[0]) == 0:
+        return src.where(F.lit(False))
+    _, C, _ = coarse_mat
+
+    def resid(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            _, win = _slice_argmin(V, coarse_mat)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "vec": (V - C[win]).tolist()})
+
+    return src.mapInPandas(resid, src.schema)
+
+
+def _encode_residual(
+    vecs: DataFrame, coarse_mat, pq_mats, sd: int, keep_vec: bool = False
+) -> DataFrame:
+    """``(id [, vec], cid, codes)`` — the IVFADC encode: per Arrow batch one
+    coarse argmin (full vector), one float64 residual subtraction, and per
+    subspace the shared argmin kernel over the RESIDUAL slice. One linear
+    pass, no join, no shuffle, no row expansion — same scan shape as
+    :func:`_encode_grouped`, the residual arithmetic rides the batch."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = vecs.where(F.col("vec").isNotNull()).select("id", "vec")
+    fields = [src.schema["id"]]
+    if keep_vec:
+        fields.append(src.schema["vec"])
+    fields.append(StructField("cid", LongType()))
+    fields.append(StructField("codes", ArrayType(LongType())))
+    out_schema = StructType(fields)
+    if len(coarse_mat[0]) == 0 or any(len(m[0]) == 0 for m in pq_mats):
+        return (
+            src.withColumn("cid", F.lit(None).cast(LongType()))
+            .withColumn("codes", F.lit(None).cast(ArrayType(LongType())))
+            .where(F.lit(False))
+            .select(*[f.name for f in fields])
+        )
+    _, C, _ = coarse_mat
+    m = len(pq_mats)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            coarse_cids, win = _slice_argmin(V, coarse_mat)
+            R = V - C[win]
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j, mat in enumerate(pq_mats):
+                codes[:, j] = _slice_argmin(R[:, j * sd : (j + 1) * sd], mat)[0]
+            cols = {"id": pdf["id"].to_numpy()}
+            if keep_vec:
+                cols["vec"] = pdf["vec"].to_numpy()
+            cols["cid"] = coarse_cids
+            cols["codes"] = codes.tolist()
+            yield pd.DataFrame(cols)
+
+    return src.mapInPandas(encode, out_schema)
+
+
+def _adc_candidates_residual(
+    codes: DataFrame,
+    pq_mats,
+    coarse_rows: dict[int, "list[float]"],
+    qids,
+    Q,
+    sd: int,
+    rerank: int,
+    probed: dict[int, frozenset],
+) -> DataFrame:
+    """Residual-ADC candidate selection over a ``(id, codes, cid)`` table:
+    the lookup table is per (query, PROBED COARSE LIST) — the query's
+    residual against THAT list's centroid, sliced per subspace — because
+    under IVFADC two rows in different lists with the same PQ code tuple
+    reconstruct different points. Still ONE linear scan: per batch the rows
+    are grouped by their (few, probed-only) cid values and each group sums
+    its list's LUT terms in fixed subspace order; per-batch partial
+    top-``rerank`` by raw ``(adc, id)``, then the global rank window —
+    exactly the :func:`_adc_candidates` shape with a cid-indexed LUT."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    nq = len(qids)
+    luts: dict[int, list] = {}
+    all_probed = sorted({c for s in probed.values() for c in s})
+    for c in all_probed:
+        cent = np.array(coarse_rows[c], dtype=np.float64)
+        Rq = Q - cent[None, :]
+        per_j = []
+        for j, (cids, Cb, css) in enumerate(pq_mats):
+            Sq = Rq[:, j * sd : (j + 1) * sd]
+            qss = np.cumsum(Sq * Sq, axis=1)[:, -1]
+            dot = np.cumsum(Sq[:, None, :] * Cb[None, :, :], axis=2)[:, :, -1]
+            per_j.append((cids, qss[:, None] - 2.0 * dot + css[None, :]))
+        luts[c] = per_j
+
+    id_field = codes.schema["id"]
+    scan_schema = StructType(
+        [
+            StructField("query_id", id_field.dataType),
+            StructField("id", id_field.dataType),
+            StructField("adc", DoubleType()),
+        ]
+    )
+    probed_arrays = [
+        np.array(sorted(probed.get(int(q), ())), dtype=np.int64) for q in qids
+    ]
+
+    def adc_scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf["id"].to_numpy()
+            row_cids = pdf["cid"].to_numpy().astype(np.int64)
+            adc = np.full((nq, len(ids)), np.inf)
+            for c in np.unique(row_cids):
+                if int(c) not in luts:
+                    continue  # unprobed list: every query's mask drops it
+                rows = np.nonzero(row_cids == c)[0]
+                acc = None
+                # fixed subspace order: left-assoc sum matches the SQL chain
+                for j, (cids, d2) in enumerate(luts[int(c)]):
+                    term = d2[:, np.searchsorted(cids, cm[rows, j])]
+                    acc = term.copy() if acc is None else acc + term
+                adc[:, rows] = acc
+            for qi in range(nq):
+                mask = np.isin(row_cids, probed_arrays[qi])
+                cand_ids = ids[mask]
+                vals = adc[qi][mask]
+                if len(cand_ids) == 0:
+                    continue
+                order = np.lexsort((cand_ids, vals))[:rerank]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qids[qi], dtype=np.int64),
+                        "id": cand_ids[order],
+                        "adc": vals[order],
+                    }
+                )
+
+    partials = codes.mapInPandas(adc_scan, scan_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("id").asc()
+    )
+    return (
+        partials.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
 
 
 def _train_pq_mats(
@@ -547,6 +732,127 @@ def pq_topk_oracle_sql(
                     * sqrt(list_dot_product(nv.vec, nv.vec))), 6) AS cos_sim
       FROM cand JOIN q ON q.query_id = cand.query_id
       JOIN vq nv ON nv.id = cand.id
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+def ivfpq_residual_external_query_oracle_sql(
+    corpus_sql: str,
+    queries_sql: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    iters: int = 1,
+    nprobe: int = 2,
+    rerank: int = 20,
+) -> str:
+    """Exact SQL mirror of the RESIDUAL (IVFADC) index form —
+    ``ann_index.build_ivfpq_index(residual=True)`` + ``query_ivfpq_index``:
+
+    - coarse k-means + ``lists`` assignment exactly as the plain form;
+    - ``resid``: each row's vector minus ITS coarse centroid
+      (``list_transform(list_zip(v, c), z -> z[1] - z[2])`` — IEEE double
+      subtraction, bit-equal to the numpy batch form);
+    - the m subspace codebooks train on ``resid`` (passed to the k-means
+      CTE builder as a derived table), codes assign on residual slices;
+    - ``qres``: per (query, probed list) the query's residual against THAT
+      list's centroid — the ADC terms dot ``qres.rvec[a:b]`` against the
+      codebook rows, left-assoc sum in fixed subspace order, ranked RAW by
+      ``(adc, id)`` (the ``_sql_assign`` precedent);
+    - exact rescore on the ORIGINAL vectors, rounded cosine top-k.
+
+    No self-match exclusion (external queries)."""
+    sd = dim // m
+    ctes, cur = _sql_kmeans_ctes(n_centroids, iters, dim, corpus_sql)
+    ctes.append(f"lists AS {_sql_assign('v', cur)}")
+    ctes.append(
+        f"""resid AS (
+      SELECT l.id, list_transform(list_zip(l.vec, c.cvec), z -> z[1] - z[2]) AS vec
+      FROM lists l JOIN {cur} c ON c.cid = l.cid
+    )"""
+    )
+    resid_src = "(SELECT id AS vec_id, vec AS embedding FROM resid)"
+    finals: list[str] = []
+    for j in range(m):
+        p = f"s{j}_"
+        sub, scur = _sql_kmeans_ctes(
+            n_codes,
+            iters,
+            sd,
+            resid_src,
+            prefix=p,
+            vec_expr=f"(embedding::DOUBLE[])[{j * sd + 1}:{(j + 1) * sd}]",
+        )
+        ctes += sub
+        finals.append(scur)
+        ctes.append(f"{p}codes AS {_sql_assign(f'{p}v', scur, 'id, cid')}")
+    ctes.append(f"q AS ({queries_sql})")
+    d2q = (
+        "(list_dot_product(q.qvec, q.qvec) - 2*list_dot_product(q.qvec, c.cvec)"
+        " + list_dot_product(c.cvec, c.cvec))"
+    )
+    ctes.append(
+        f"""probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY {d2q} ASC, c.cid ASC) AS pr
+        FROM q CROSS JOIN {cur} c) WHERE pr <= {nprobe}
+    )"""
+    )
+    ctes.append(
+        f"""qres AS (
+      SELECT q.query_id, p.cid,
+             list_transform(list_zip(q.qvec, cc.cvec), z -> z[1] - z[2]) AS rvec
+      FROM q JOIN probe p ON p.query_id = q.query_id
+      JOIN {cur} cc ON cc.cid = p.cid
+    )"""
+    )
+    joins = ["qres", "JOIN lists l ON l.cid = qres.cid", "JOIN s0_codes c0 ON c0.id = l.id"]
+    for j in range(1, m):
+        joins.append(f"JOIN s{j}_codes c{j} ON c{j}.id = l.id")
+    for j in range(m):
+        joins.append(f"JOIN {finals[j]} b{j} ON b{j}.cid = c{j}.cid")
+    terms = []
+    for j in range(m):
+        rq = f"qres.rvec[{j * sd + 1}:{(j + 1) * sd}]"
+        terms.append(
+            f"(list_dot_product({rq}, {rq}) - 2*list_dot_product({rq}, b{j}.cvec)"
+            f" + list_dot_product(b{j}.cvec, b{j}.cvec))"
+        )
+    adc_expr = " + ".join(terms)
+    ctes.append(
+        f"""adc AS (
+      SELECT qres.query_id, l.id, {adc_expr} AS adc
+      FROM {" ".join(joins)}
+    )"""
+    )
+    ctes.append(
+        f"""cand AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, id ASC) AS rn
+        FROM adc) WHERE rn <= {rerank}
+    )"""
+    )
+    ctes.append(
+        """scored AS (
+      SELECT cand.query_id, cand.id AS neighbor_id,
+             round(list_dot_product(q.qvec, nv.vec)
+                   / (sqrt(list_dot_product(q.qvec, q.qvec))
+                    * sqrt(list_dot_product(nv.vec, nv.vec))), 6) AS cos_sim
+      FROM cand JOIN q ON q.query_id = cand.query_id
+      JOIN v nv ON nv.id = cand.id
     )"""
     )
     body = ",\n    ".join(ctes)

@@ -1322,6 +1322,104 @@ def test_ivfpq_incremental_append_equals_frozen_rebuild(spark, sf_dir, tmp_path)
     assert got == want and len(got) == 3 * 5
 
 
+def test_ivfpq_residual_append_equals_frozen_rebuild(spark, sf_dir, tmp_path):
+    """Residual (IVFADC) mirror of the frozen-rebuild contract: an appended
+    batch is coarse-assigned AND residual-encoded against the frozen
+    quantizers (the meta flag routes the append), so append ≡ re-encode of
+    the union corpus with the same centroids/codebooks."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import ann_index
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = embs.filter(F.col("vec_id") % 2 == 0)
+    new = embs.filter(F.col("vec_id") % 2 == 1)
+    qvecs = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in embs.filter(F.col("vec_id").isin([1, 4, 7]))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+    path = str(tmp_path / "ivfpq_res_inc")
+    ann_index.build_ivfpq_index(old, path, residual=True)
+    ann_index.append_to_ivfpq_index(new, path)
+    got = sorted(
+        map(tuple, ann_index.query_ivfpq_index(spark, path, qvecs).collect())
+    )
+
+    ref_path = str(tmp_path / "ivfpq_res_ref")
+    for part in ("centroids", "codebooks", "meta"):
+        spark.read.parquet(f"{path}/{part}").write.parquet(f"{ref_path}/{part}")
+    ann_index.append_to_ivfpq_index(embs, ref_path)
+    want = sorted(
+        map(tuple, ann_index.query_ivfpq_index(spark, ref_path, qvecs).collect())
+    )
+    assert got == want and len(got) == 3 * 5
+
+
+def test_ivfpq_residual_reconstructs_better_and_serves_self(
+    spark, sf_dir, tmp_path
+):
+    """The IVFADC accuracy claim, pinned: with the same code budget,
+    quantizing the residual reconstructs the corpus at LEAST as well as
+    quantizing the raw vector (the residual's energy is what the coarse
+    tier didn't explain — Jégou et al. TPAMI 2011 §IV), measured as mean
+    squared reconstruction error over the stored lists. Serving sanity:
+    a query with an indexed row's own vector returns that row at rank 1 /
+    cos 1.0; an index whose meta table is missing (pre-flag layout) is
+    treated as plain."""
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import ann_index
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plain_path = str(tmp_path / "plain")
+    res_path = str(tmp_path / "res")
+    ann_index.build_ivfpq_index(embs, plain_path)
+    ann_index.build_ivfpq_index(embs, res_path, residual=True)
+    assert not ann_index._read_ivfpq_meta(spark, plain_path)
+    assert ann_index._read_ivfpq_meta(spark, res_path)
+
+    def mse(path, residual):
+        cents = {
+            r.cid: np.array(r.cvec)
+            for r in spark.read.parquet(f"{path}/centroids").collect()
+        }
+        books: dict[int, dict] = {}
+        for r in spark.read.parquet(f"{path}/codebooks").collect():
+            books.setdefault(r.j, {})[r.cid] = np.array(r.cvec)
+        m = 1 + max(books)
+        errs = []
+        for r in spark.read.parquet(f"{path}/lists").collect():
+            rec = np.concatenate([books[j][r.codes[j]] for j in range(m)])
+            if residual:
+                rec = cents[r.cid] + rec
+            errs.append(((np.array(r.vec) - rec) ** 2).mean())
+        return float(np.mean(errs))
+
+    assert mse(res_path, True) <= mse(plain_path, False)
+
+    v0 = [
+        float(x)
+        for x in embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    by_rank = {
+        r.rank: r
+        for r in ann_index.query_ivfpq_index(spark, res_path, [(100, v0)], k=3).collect()
+    }
+    assert by_rank[1].neighbor_id == 0 and by_rank[1].cos_sim == 1.0
+
+    # pre-meta layout: missing meta table reads as plain, not an error
+    shutil.rmtree(f"{plain_path}/meta")
+    assert not ann_index._read_ivfpq_meta(spark, plain_path)
+    got = ann_index.query_ivfpq_index(spark, plain_path, [(100, v0)], k=3).collect()
+    assert {r.rank: r.neighbor_id for r in got}[1] == 0
+
+
 def test_ivf_index_incremental_append_equals_frozen_rebuild(spark, sf_dir, tmp_path):
     """Appending a batch to an existing index (frozen centroids, no
     retrain) must serve exactly what an index whose LISTS were assigned

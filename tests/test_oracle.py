@@ -109,6 +109,7 @@ _VERSION_RISKY_USES = {
         # r10 debuts, bit-audited at sf0.001+sf0.01+sf0.1:
         "q_ann_pq_topk",  # same round-6 cosine rescore as the ANN family
         "q_ann_ivfpq_index",  # same round-6 cosine rescore
+        "q_ann_ivfpq_residual",  # same round-6 cosine rescore (IVFADC form)
     },
 }
 
