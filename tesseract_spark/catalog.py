@@ -2830,6 +2830,42 @@ def _wire_pipeline_ops() -> None:
         hll_grouped_oracle_sql("lineitem", "l_returnflag", "l_partkey", 8),
     )
 
+    # frequent-members rollup tier (the third sketch beside HLL distinct
+    # counts and binned quantiles): per-(lang, source) fixed-capacity word
+    # summaries — exact counts truncated at capacity with the grain's
+    # truncation floor — merged to per-lang top-10 with bracketed counts
+    # (est_cnt = lower bound, max_cnt = upper). The summary is a
+    # deterministic function of the data (never of partition layout), so
+    # the whole serve is bit-mirrorable; a 100 TB dashboard answers
+    # "top members" from |grains| × capacity rows, never the fact.
+    def _heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .operators.sketch import heavy_hitters_rollup, merge_heavy_hitters
+
+        toks = _docs(spark, sf).select(
+            "lang",
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("member"),
+        )
+        roll = heavy_hitters_rollup(toks, ["lang", "source"], "member", capacity=50)
+        return merge_heavy_hitters(roll, ["lang"], ["lang", "source"], k=10)
+
+    from .operators.sketch import heavy_hitters_oracle_sql
+
+    _add(
+        "q_heavy_hitters_words",
+        _heavy_hitters,
+        heavy_hitters_oracle_sql(
+            "SELECT lang, source, unnest(regexp_split_to_array("
+            "lower(trim(text)), '\\s+')) AS member FROM documents",
+            ["lang"],
+            ["lang", "source"],
+            capacity=50,
+            k=10,
+        ),
+    )
+
     # doc-level snapshot diff (dataset versioning between crawls, the
     # per-document complement of profile_drift): old = the corpus, new =
     # a deterministic re-ingest with every 7th doc dropped, every 11th
@@ -3900,6 +3936,7 @@ DRIVER_WINDOW: list[str] = [
     "q_ann_pq_topk",
     "q_ann_ivfpq_index",
     "q_ann_ivfpq_residual",
+    "q_heavy_hitters_words",
     # changed-code re-proofs
     "q_dedup_ngram_jaccard",
     "q_ann_near_dup",
@@ -3910,7 +3947,9 @@ DRIVER_WINDOW: list[str] = [
     # the siblings below re-prove the same _assign/kmeans/cluster
     # machinery, and all three hold green r9 rows)
     "q_ann_ivf_index",
-    "q_leakage_safe_split",
+    # (q_leakage_safe_split yields its slot to the heavy-hitters debut: it
+    # holds a green r9 row and none of its code — minhash banding + the
+    # distributed components — changed this round)
     # r6 cohort — OLAP core
     "q_aggregators",
     "q_avg_fk_grain",

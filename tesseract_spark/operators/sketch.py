@@ -22,7 +22,7 @@ keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -689,4 +689,168 @@ def binned_quantiles_oracle_sql(
             FROM bins),
     grouped AS (SELECT g, {", ".join(per_prob)} FROM cum GROUP BY g)
     SELECT g AS "{group_alias}", {blends} FROM grouped
+    """
+
+
+def heavy_hitters_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    member_col: str,
+    capacity: int = 64,
+) -> DataFrame:
+    """Per-group fixed-capacity frequent-member summary ``(…group_cols,
+    member, cnt, floor)`` — the top-``capacity`` members of each grain by
+    EXACT count, ordered ``(cnt DESC, member ASC)``, plus the grain's
+    truncation ``floor``: the smallest kept count when members were dropped
+    (every dropped member's true count is ≤ it — it failed to out-rank the
+    last kept row), else 0.
+
+    This is the frequent-members rollup tier beside the HLL registers
+    (distinct counts) and the binned-quantile summaries (quantiles): a
+    bounded summary (≤ |groups| × capacity rows at ANY corpus size) a
+    100 TB dashboard serves top-k from without re-scanning the fact. The
+    bound is the mergeable-summaries guarantee for truncated exact counts
+    (Agarwal et al., PODS 2012 §3 / Metwally et al.'s SpaceSaving
+    invariant, public methods): merging grain summaries via
+    :func:`merge_heavy_hitters` brackets every member's true coarse count
+    between the sum of its kept counts and that sum plus the floors of the
+    grains that dropped it — EXACT (floor 0 everywhere) whenever no grain
+    exceeds capacity. Unlike a streaming SpaceSaving counter the per-grain
+    summary is a deterministic function of the DATA (exact counts, total
+    tie-break order), never of partition layout — which is what makes the
+    merge SQL-mirrorable bit-for-bit.
+
+    Scale shape: one ``groupBy(grain, member)`` count (map-side partial),
+    one rank window over each grain's member counts (sorts within the
+    already-shuffled grain partition), bounded output."""
+    counts = df.groupBy(
+        *[F.col(c) for c in group_cols], F.col(member_col).alias("member")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("cnt").desc(), F.col("member").asc()
+    )
+    wg = Window.partitionBy(*group_cols)
+    ranked = counts.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nm", F.count(F.lit(1)).over(wg)
+    )
+    kept = ranked.filter(F.col("rn") <= capacity)
+    wk = Window.partitionBy(*group_cols)
+    return (
+        kept.withColumn(
+            "floor",
+            F.when(
+                F.col("nm") > capacity,
+                F.max(
+                    F.when(F.col("rn") == capacity, F.col("cnt"))
+                ).over(wk),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .select(*group_cols, "member", "cnt", "floor")
+    )
+
+
+def merge_heavy_hitters(
+    rollup: DataFrame,
+    coarse_cols: list[str],
+    fine_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` members per COARSE grain served from fine-grain summaries:
+    ``(…coarse_cols, member, est_cnt, max_cnt, rank)``.
+
+    - ``est_cnt`` = sum of the member's kept counts over the coarse grain's
+      fine summaries — a LOWER bound on its true count (kept counts are
+      exact; grains that dropped the member contribute 0);
+    - ``max_cnt`` = est_cnt + the floors of the fine grains whose summary
+      does NOT carry the member — the upper bound (a dropped member's
+      per-grain count is ≤ that grain's floor). Computed as
+      ``est_cnt + total_floor(coarse) − Σ floor(grains carrying it)`` so no
+      anti-join is needed;
+    - ranking is by ``(est_cnt DESC, member ASC)`` — deterministic, and
+      exact whenever no summary truncated (floors all 0 ⇒
+      est_cnt = max_cnt = true count).
+
+    Every aggregate here runs over the BOUNDED rollup, never the fact."""
+    floors = (
+        rollup.select(*fine_cols, "floor")
+        .groupBy(*[F.col(c) for c in fine_cols])
+        .agg(F.max("floor").alias("floor"))
+    )
+    coarse = [c for c in coarse_cols]
+    total_floor = floors.groupBy(*[F.col(c) for c in coarse]).agg(
+        F.sum("floor").cast("long").alias("total_floor")
+    )
+    agg = rollup.groupBy(*[F.col(c) for c in coarse], F.col("member")).agg(
+        F.sum("cnt").cast("long").alias("est_cnt"),
+        F.sum("floor").cast("long").alias("floors_present"),
+    )
+    w = Window.partitionBy(*coarse).orderBy(
+        F.col("est_cnt").desc(), F.col("member").asc()
+    )
+    return (
+        agg.join(F.broadcast(total_floor), coarse)
+        .withColumn(
+            "max_cnt",
+            (F.col("est_cnt") + F.col("total_floor") - F.col("floors_present"))
+            .cast("long"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*coarse, "member", "est_cnt", "max_cnt", "rank")
+    )
+
+
+def heavy_hitters_oracle_sql(
+    src_sql: str,
+    coarse_exprs: list[str],
+    fine_exprs: list[str],
+    capacity: int,
+    k: int,
+) -> str:
+    """DuckDB mirror of :func:`heavy_hitters_rollup` →
+    :func:`merge_heavy_hitters`: replay the per-grain exact counts, the
+    ``(cnt DESC, member ASC)`` truncation with its floor, and the
+    bracketed merge. ``src_sql`` must yield the fine grain columns plus a
+    ``member`` column. Everything is counts + total-order ranks — the merge
+    is a deterministic function of the data, so the mirror is bit-exact."""
+    fine = ", ".join(fine_exprs)
+    coarse = ", ".join(coarse_exprs)
+    return f"""
+    WITH hh_src AS ({src_sql}),
+    counts AS (
+      SELECT {fine}, member, CAST(count(*) AS BIGINT) AS cnt
+      FROM hh_src GROUP BY {fine}, member),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY {fine}
+                                ORDER BY cnt DESC, member ASC) AS rn,
+             count(*) OVER (PARTITION BY {fine}) AS nm
+      FROM counts),
+    kept AS (SELECT * FROM ranked WHERE rn <= {capacity}),
+    summ AS (
+      SELECT *,
+             CASE WHEN nm > {capacity}
+                  THEN max(CASE WHEN rn = {capacity} THEN cnt END)
+                       OVER (PARTITION BY {fine})
+                  ELSE 0 END AS floor_
+      FROM kept),
+    floors AS (
+      SELECT {fine}, max(floor_) AS floor_ FROM summ GROUP BY {fine}),
+    total_floor AS (
+      SELECT {coarse}, CAST(sum(floor_) AS BIGINT) AS total_floor
+      FROM floors GROUP BY {coarse}),
+    agg AS (
+      SELECT {coarse}, member,
+             CAST(sum(cnt) AS BIGINT) AS est_cnt,
+             CAST(sum(floor_) AS BIGINT) AS floors_present
+      FROM summ GROUP BY {coarse}, member)
+    SELECT {coarse}, member, est_cnt, max_cnt, rank FROM (
+      SELECT agg.*,
+             CAST(est_cnt + total_floor - floors_present AS BIGINT) AS max_cnt,
+             CAST(row_number() OVER (PARTITION BY {coarse}
+                                ORDER BY est_cnt DESC, member ASC) AS INTEGER) AS rank
+      FROM agg JOIN total_floor USING ({coarse}))
+    WHERE rank <= {k}
     """

@@ -4381,6 +4381,76 @@ def test_hll_grouped_registers_match_duckdb_mirror(spark, sf_dir, duck):
     assert got == want and len(got) > 0
 
 
+def test_heavy_hitters_truncation_brackets_and_exact_case(spark):
+    """The frequent-members summary contract on a hand-built corpus:
+    (a) a truncated grain keeps its top-capacity members by (cnt DESC,
+    member ASC) and records the smallest kept count as its floor;
+    (b) the merged serve brackets every member's true coarse count —
+    est_cnt ≤ true ≤ max_cnt — with est_cnt exact for members no grain
+    dropped; (c) with capacity ≥ every grain's distinct members the serve
+    IS the exact top-k (floors all zero); (d) increments that arrive as
+    new fine grains (day 2 beside day 1) fold in without touching day 1's
+    summary rows — the aggnav-style refresh shape."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.sketch import (
+        heavy_hitters_rollup,
+        merge_heavy_hitters,
+    )
+
+    # g=x day=1: a×5 b×3 c×2 d×1 ; g=x day=2: c×4 e×1 ; g=y day=1: a×2
+    rows = (
+        [("x", 1, "a")] * 5 + [("x", 1, "b")] * 3 + [("x", 1, "c")] * 2
+        + [("x", 1, "d")] + [("x", 2, "c")] * 4 + [("x", 2, "e")]
+        + [("y", 1, "a")] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, day int, member string")
+    roll = heavy_hitters_rollup(df, ["g", "day"], "member", capacity=2)
+    summ = {(r.g, r.day, r.member): (r.cnt, r.floor) for r in roll.collect()}
+    # (x,1) truncates to a:5, b:3 with floor 3; (x,2) keeps both, floor 0
+    assert summ == {
+        ("x", 1, "a"): (5, 3),
+        ("x", 1, "b"): (3, 3),
+        ("x", 2, "c"): (4, 0),
+        ("x", 2, "e"): (1, 0),
+        ("y", 1, "a"): (2, 0),
+    }
+    served = {
+        (r.g, r.member): (r.est_cnt, r.max_cnt)
+        for r in merge_heavy_hitters(roll, ["g"], ["g", "day"], k=10).collect()
+    }
+    true = {
+        (r.g, r.member): r.c
+        for r in df.groupBy("g", "member").agg(F.count("*").alias("c")).collect()
+    }
+    for key, (lo, hi) in served.items():
+        assert lo <= true[key] <= hi, (key, lo, true[key], hi)
+    # c was dropped by (x,1) whose floor is 3: bracket [4, 7], true 6
+    assert served[("x", "c")] == (4, 7)
+    # a is absent only from (x,2), whose floor is 0 (no truncation there) —
+    # so its absence is PROOF of count 0 and the bracket collapses: exact
+    assert served[("x", "a")] == (5, 5) and true[("x", "a")] == 5
+
+    # exact case: capacity ≥ per-grain distincts ⇒ floors 0, serve == truth
+    roll_big = heavy_hitters_rollup(df, ["g", "day"], "member", capacity=100)
+    exact = {
+        (r.g, r.member): (r.est_cnt, r.max_cnt)
+        for r in merge_heavy_hitters(
+            roll_big, ["g"], ["g", "day"], k=10
+        ).collect()
+    }
+    assert exact == {k: (v, v) for k, v in true.items()}
+
+    # increment = new fine grain: day-2 summary computed alone equals the
+    # day-2 rows of the full rollup (day 1 rows untouched by construction)
+    inc = heavy_hitters_rollup(
+        df.filter("day = 2"), ["g", "day"], "member", capacity=2
+    )
+    assert {
+        (r.g, r.day, r.member): (r.cnt, r.floor) for r in inc.collect()
+    } == {k: v for k, v in summ.items() if k[1] == 2}
+
+
 def test_classifier_external_seed_holdout(spark, sf_dir):
     """Holdout discipline: train on one slice, score a DISJOINT slice —
     scores are well-formed, keep flags consistent with the threshold, and

@@ -1168,3 +1168,68 @@ def test_binned_quantile_auto_edges_fuzz(spark, values, n_bins, p_pct):
         spans[sum(v >= b for b in edges)].append(v)
     max_span = max(max(xs) - min(xs) for xs in spans.values())
     assert abs(est - exact) <= max_span + 1e-9, (est, exact, max_span)
+
+
+# ---- heavy-hitters rollup fuzz: engine parity + bracket contract ----
+
+_hh_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["p", "q"]),          # fine grain beside the group
+        st.integers(1, 2),
+        st.sampled_from(list("abcdefgh")),    # member universe of 8
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_hh_rows, capacity=st.integers(1, 6), k=st.integers(1, 8))
+def test_heavy_hitters_fuzz_matches_duckdb_and_bracket(spark, rows, capacity, k):
+    """Random member streams × random capacity × random k: the merged
+    top-k serve must be BIT-equal to the DuckDB replay of the
+    truncation+merge, and every served member's true count must sit in
+    [est_cnt, max_cnt] (the mergeable-summaries bracket)."""
+    import collections
+
+    import duckdb
+
+    from tesseract_spark.operators.sketch import (
+        heavy_hitters_oracle_sql,
+        heavy_hitters_rollup,
+        merge_heavy_hitters,
+    )
+
+    df = spark.createDataFrame(rows, "g string, shard int, member string")
+    served = sorted(
+        map(
+            tuple,
+            merge_heavy_hitters(
+                heavy_hitters_rollup(df, ["g", "shard"], "member", capacity),
+                ["g"],
+                ["g", "shard"],
+                k,
+            ).collect(),
+        )
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src (g VARCHAR, shard INTEGER, member VARCHAR)")
+    con.executemany("INSERT INTO src VALUES (?, ?, ?)", rows)
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            heavy_hitters_oracle_sql(
+                "SELECT g, shard, member FROM src",
+                ["g"],
+                ["g", "shard"],
+                capacity,
+                k,
+            )
+        ).fetchall()
+    )
+    assert served == oracle, (served[:3], oracle[:3])
+
+    true = collections.Counter((g, m) for g, _, m in rows)
+    for g, m, lo, hi, _rank in served:
+        assert lo <= true[(g, m)] <= hi, (g, m, lo, true[(g, m)], hi)
