@@ -98,6 +98,8 @@ HEADLINE = [
     "q_geo_neighbors",
     # PQ ANN (round 10): codes-table ADC serving — the smallest-scan tier
     "q_ann_pq_topk",
+    # frequent-members rollup serve (round 10): top-k from bounded summaries
+    "q_heavy_hitters_words",
 ]
 
 

@@ -110,6 +110,18 @@ def exact_quantiles(
 
     if n_distinct <= small_threshold:
         ranked = _rank_direct(counts, group_cols)
+        if n_distinct > 100_000:
+            # the direct window partitions by GROUP, so a few-group input
+            # (worst case: derive_bin_edges' single global group) collapses
+            # the whole distinct table into one or two tasks and the fold's
+            # filter runs single-threaded (measured 5.1 s at 583k distinct
+            # values). Spread it: the repartition shuffles only the skinny
+            # ranked table, and the checkpoint is the barrier that stops
+            # Catalyst pushing the fold's filter back below the exchange
+            # (it materializes on the fold's own first job — no extra
+            # action). The bucketed path never needs this: its partitioning
+            # is (group, bucket), already ≥ n_buckets-wide per group.
+            ranked = ranked.repartition(n_buckets).localCheckpoint(eager=False)
     else:
         ranked = _rank_bucketed(counts, group_cols, n_buckets)
     return _fold_straddlers(ranked, group_cols, probs, out_names)
@@ -190,44 +202,16 @@ def _fold_straddlers(
     probs: list[float],
     out_names: list[str],
 ) -> DataFrame:
-    """Shared tail of both rank paths: conditional aggregation picks the two
-    straddling ranks per prob and interpolates exactly as Spark's
-    ``Percentile.getPercentile`` / DuckDB ``quantile_cont``. Requires columns
-    ``__v __c __hi __n`` (value, multiplicity, cumulative count, group
-    total)."""
-    aggs = []
-    relevant = F.lit(False)
-    for i, p in enumerate(probs):
-        # h = p * (n - 1) in double — identical to Spark percentile / DuckDB
-        # quantile_cont; k = floor(h); upper rank clamped at n - 1
-        h = F.lit(float(p)) * (F.col("__n") - F.lit(1)).cast("double")
-        k = F.floor(h).cast("long")
-        hi_rank = F.least(k + F.lit(1), F.col("__n") - F.lit(1))
-        covers = lambda r: (r >= F.col("__hi") - F.col("__c")) & (r < F.col("__hi"))  # noqa: E731
-        aggs.append(F.max(F.when(covers(k), F.col("__v"))).alias(f"__lo_{i}"))
-        aggs.append(F.max(F.when(covers(hi_rank), F.col("__v"))).alias(f"__up_{i}"))
-        relevant = relevant | covers(k) | covers(hi_rank)
-    aggs.append(F.first("__n").alias("__n"))
+    """Shared tail of both rank paths: pick the two straddling ranks per
+    prob and interpolate exactly as Spark's ``Percentile.getPercentile`` /
+    DuckDB ``quantile_cont``. Requires columns ``__v __c __hi __n`` (value,
+    multiplicity, cumulative count, group total). Implemented in
+    :mod:`.quantiles_fold` — the long-format form whose plan size is
+    CONSTANT in ``len(probs)`` (the original one-filter-term +
+    two-conditional-aggregates-per-prob unrolling paid a superlinear
+    analysis/codegen tax past ~8 probs: 7.2 s vs 1.0 s at 15 probs over
+    583k distinct values, exactly where derive_bin_edges' 16-bin call
+    lands)."""
+    from .quantiles_fold import fold_straddlers
 
-    # only straddling rows contribute non-NULL to the conditional aggs (and
-    # every group retains ≥ 1 row: k always lands in SOME value's interval),
-    # so filter before the final shuffle — ~|groups|·|probs|·2 rows move
-    # instead of every distinct value
-    folded = ranked.where(relevant).groupBy(*group_cols).agg(*aggs)
-    outs = []
-    for i, (p, name) in enumerate(zip(probs, out_names)):
-        h = F.lit(float(p)) * (F.col("__n") - F.lit(1)).cast("double")
-        lo_rank = F.floor(h)
-        lo = F.col(f"__lo_{i}").cast("double")
-        up = F.col(f"__up_{i}").cast("double")
-        # Spark's Percentile.getPercentile symmetric weighting — bit-equal to
-        # the builtin (and, transitively, DuckDB quantile_cont):
-        #   (higher - pos) * lower + (pos - lower) * higher
-        interp = (lo_rank + F.lit(1) - h) * lo + (h - lo_rank) * up
-        # exact-rank hit (frac == 0) or equal straddling values (tie): both
-        # engines return the value itself rather than interpolating — Spark's
-        # counts-map puts both ranks in one bucket, DuckDB shortcuts lo == hi
-        outs.append(
-            F.when((h == lo_rank) | (lo == up), lo).otherwise(interp).alias(name)
-        )
-    return folded.select(*group_cols, *outs)
+    return fold_straddlers(ranked, group_cols, probs, out_names)
