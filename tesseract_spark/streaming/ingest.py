@@ -309,3 +309,71 @@ def ivfpq_ingest_stream(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def heavy_hitters_refresh_stream(
+    spark,
+    summary_path: str,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema,
+    fine_cols: list[str],
+    member_col: str,
+    capacity: int = 64,
+    query_name: str = "hh_refresh",
+):
+    """Keep a frequent-members summary store
+    (:func:`~tesseract_spark.operators.sketch.heavy_hitters_rollup` rows,
+    parquet partitioned by the fine grain) current as raw rows arrive in
+    ``source_dir``.
+
+    A grain's summary is a TRUNCATED exact count table — not mergeable
+    within the grain — so per-batch summaries of the same grain must never
+    be unioned. Each micro-batch therefore RECOUNTS every grain the batch
+    touched from the FULL raw store and dynamic-partition-overwrites just
+    those grain directories (the aggnav refresh shape: untouched grains'
+    files are never rewritten). Because a recount is a pure function of the
+    raw store, the fold is IDEMPOTENT — replaying a batch or regenerating
+    the checkpoint re-derives the same summaries, so this stream needs no
+    applied-files ledger (contrast :func:`grain_refresh_stream` /
+    :func:`ivfpq_ingest_stream`, whose merges/appends are not idempotent).
+    Serving stays :func:`~tesseract_spark.operators.sketch.merge_heavy_hitters`
+    over ``spark.read.parquet(summary_path)``.
+
+    Runs with ``availableNow`` and blocks until drained."""
+    from ..operators.sketch import heavy_hitters_rollup
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        touched = batch_df.select(*fine_cols).distinct().collect()
+        if not touched:
+            return
+        cond = None
+        for row in touched:  # bounded: distinct grains in one batch
+            one = None
+            for c in fine_cols:
+                term = F.col(c) == F.lit(row[c])
+                one = term if one is None else (one & term)
+            cond = one if cond is None else (cond | one)
+        full = sess.read.schema(schema).parquet(source_dir).where(cond)
+        roll = heavy_hitters_rollup(full, fine_cols, member_col, capacity)
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            roll.repartition(*[F.col(c) for c in fine_cols]).write.mode(
+                "overwrite"
+            ).partitionBy(*fine_cols).parquet(summary_path)
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

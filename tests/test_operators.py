@@ -4704,3 +4704,82 @@ def test_binned_quantiles_merge_is_exact_and_error_bounded(spark, sf_dir):
     for g, (p50, p90) in est.items():
         assert abs(p50 - exact[g][0]) <= bin_width
         assert abs(p90 - exact[g][1]) <= bin_width
+
+
+def test_heavy_hitters_streaming_refresh_recounts_and_replays(spark, tmp_path):
+    """Streaming arrivals folded into the heavy-hitters summary store must
+    equal the batch rollup over all data EVEN WHEN A GRAIN'S ROWS SPAN
+    MICRO-BATCHES (per-grain summaries are truncated counts — not mergeable
+    within a grain — so the stream recounts touched grains from the full
+    raw store instead of unioning per-batch summaries), and a full replay
+    with a fresh checkpoint must change nothing (the recount is idempotent
+    — this stream is the ledger-free member of the ingest family)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.sketch import (
+        heavy_hitters_rollup,
+        merge_heavy_hitters,
+    )
+    from tesseract_spark.streaming.ingest import heavy_hitters_refresh_stream
+
+    src = str(tmp_path / "raw")
+    summ = str(tmp_path / "summ")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "g string, day int, member string"
+    batch1 = [("x", 1, m) for m in ["a"] * 3 + ["b"] * 2 + ["c"]]
+    batch2 = [("x", 1, m) for m in ["c"] * 4 + ["d"]] + [("y", 1, "a")]
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    heavy_hitters_refresh_stream(
+        spark, summ, src, ckpt, schema, ["g", "day"], "member", capacity=2
+    )
+    # second arrival SPLITS grain (x, 1) across batches and adds (y, 1)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    heavy_hitters_refresh_stream(
+        spark, summ, src, ckpt, schema, ["g", "day"], "member", capacity=2
+    )
+
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    want_roll = {
+        (r.g, r.day, r.member): (r.cnt, r.floor)
+        for r in heavy_hitters_rollup(full, ["g", "day"], "member", 2).collect()
+    }
+    got_roll = {
+        (r.g, r.day, r.member): (r.cnt, r.floor)
+        for r in spark.read.parquet(summ).collect()
+    }
+    assert got_roll == want_roll and ("x", 1, "c") in got_roll  # c won after recount
+
+    want_serve = sorted(
+        map(
+            tuple,
+            merge_heavy_hitters(
+                heavy_hitters_rollup(full, ["g", "day"], "member", 2),
+                ["g"],
+                ["g", "day"],
+                k=3,
+            ).collect(),
+        )
+    )
+    got_serve = sorted(
+        map(
+            tuple,
+            merge_heavy_hitters(
+                spark.read.parquet(summ), ["g"], ["g", "day"], k=3
+            ).collect(),
+        )
+    )
+    assert got_serve == want_serve
+
+    # fresh checkpoint → full replay: recount is idempotent, nothing changes
+    shutil.rmtree(ckpt)
+    heavy_hitters_refresh_stream(
+        spark, summ, src, str(tmp_path / "ckpt2"), schema, ["g", "day"], "member", capacity=2
+    )
+    again = {
+        (r.g, r.day, r.member): (r.cnt, r.floor)
+        for r in spark.read.parquet(summ).collect()
+    }
+    assert again == want_roll
