@@ -264,11 +264,19 @@ def pruned_lists_scan(spark: SparkSession, path: str, cids: list[int]) -> DataFr
 
 def _read_ivfpq_meta(spark: SparkSession, path: str) -> bool:
     """``residual`` flag of an IVF-PQ index; indexes built before the flag
-    existed have no meta table and are plain (vector-coded)."""
+    existed have no meta table and are plain (vector-coded). ONLY the
+    missing-table case may demote to plain — a transient read failure on a
+    residual index must raise, because appending through the plain encode
+    path would permanently mix raw-vector codes into residual lists (wrong
+    ADC distances forever, no error at serve time)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
         return bool(spark.read.parquet(f"{path}/meta").collect()[0].residual)
-    except Exception:
-        return False
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return False
+        raise
 
 
 def build_ivfpq_index(
@@ -308,10 +316,12 @@ def build_ivfpq_index(
     production scale. Cost shape: the coarse training must finish before
     residuals exist, so the build is TWO fused trainings (coarse alone, then
     the m subspace groups over the residual frame — still one pipeline for
-    all m) plus the same single encode pass (coarse argmin + subtraction +
-    subspace argmins all ride one Arrow batch). Serving reads the
-    ``{path}/meta`` flag and switches the ADC lookup tables to
-    per-(query, probed list) residuals."""
+    all m; the trainer materializes its bounded sample so Lloyd iterations
+    never re-run the residual computation, leaving one full argmin pass for
+    the seeds and a partial one for the sampling probe) plus the same
+    single encode pass (coarse argmin + subtraction + subspace argmins all
+    ride one Arrow batch). Serving reads the ``{path}/meta`` flag and
+    switches the ADC lookup tables to per-(query, probed list) residuals."""
     from .pq import (
         _encode_grouped,
         _encode_residual,

@@ -82,6 +82,15 @@ def _train_grouped_mats(
             train = train.where(
                 F.pmod(F.xxhash64(F.col("id")), F.lit(denom)) < F.lit(num)
             )
+    if train_max_rows is not None and iters > 0:
+        # the Lloyd loop re-evaluates `train` once per iteration (assign +
+        # means). For a raw scan that is cheap I/O, but for a DERIVED view
+        # (the residual frame: a full coarse-argmin mapInPandas per
+        # evaluation) each re-evaluation re-runs the computation. The train
+        # frame is bounded (≤ ~train_max_rows rows — either the hash sample
+        # fired or the corpus was already under the cap), so materialize it
+        # lazily once; values are unchanged.
+        train = train.localCheckpoint(eager=False)
     max_k = max(k for _, _, k in groups)
     seeds = (
         src.orderBy("id")

@@ -110,8 +110,11 @@ def exact_quantiles(
 
     if n_distinct <= small_threshold:
         ranked = _rank_direct(counts, group_cols)
-        if n_distinct > 100_000:
-            # the direct window partitions by GROUP, so a few-group input
+        if n_distinct > 100_000 and (
+            counts.select(*group_cols).distinct().limit(n_buckets).count()
+            < n_buckets
+        ):
+            # the direct window partitions by GROUP, so a FEW-group input
             # (worst case: derive_bin_edges' single global group) collapses
             # the whole distinct table into one or two tasks and the fold's
             # filter runs single-threaded (measured 5.1 s at 583k distinct
@@ -119,8 +122,12 @@ def exact_quantiles(
             # ranked table, and the checkpoint is the barrier that stops
             # Catalyst pushing the fold's filter back below the exchange
             # (it materializes on the fold's own first job — no extra
-            # action). The bucketed path never needs this: its partitioning
-            # is (group, bucket), already ≥ n_buckets-wide per group.
+            # action). Gated on an actual group-count probe (limit-bounded
+            # against the checkpointed counts table — it never scans past
+            # n_buckets groups): a many-group input is already parallel and
+            # must not pay a full extra shuffle of the ranked table. The
+            # bucketed path never needs this: its partitioning is
+            # (group, bucket), already ≥ n_buckets-wide per group.
             ranked = ranked.repartition(n_buckets).localCheckpoint(eager=False)
     else:
         ranked = _rank_bucketed(counts, group_cols, n_buckets)

@@ -726,15 +726,17 @@ def heavy_hitters_rollup(
     counts = df.groupBy(
         *[F.col(c) for c in group_cols], F.col(member_col).alias("member")
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # asc_nulls_last: Spark's bare ASC is NULLS FIRST but DuckDB's is NULLS
+    # LAST — a NULL member at a truncation boundary would survive in one
+    # engine and be dropped in the other without the explicit null order
     w = Window.partitionBy(*group_cols).orderBy(
-        F.col("cnt").desc(), F.col("member").asc()
+        F.col("cnt").desc(), F.col("member").asc_nulls_last()
     )
     wg = Window.partitionBy(*group_cols)
     ranked = counts.withColumn("rn", F.row_number().over(w)).withColumn(
         "nm", F.count(F.lit(1)).over(wg)
     )
     kept = ranked.filter(F.col("rn") <= capacity)
-    wk = Window.partitionBy(*group_cols)
     return (
         kept.withColumn(
             "floor",
@@ -742,7 +744,7 @@ def heavy_hitters_rollup(
                 F.col("nm") > capacity,
                 F.max(
                     F.when(F.col("rn") == capacity, F.col("cnt"))
-                ).over(wk),
+                ).over(wg),
             )
             .otherwise(F.lit(0))
             .cast("long"),
@@ -778,7 +780,7 @@ def merge_heavy_hitters(
         .groupBy(*[F.col(c) for c in fine_cols])
         .agg(F.max("floor").alias("floor"))
     )
-    coarse = [c for c in coarse_cols]
+    coarse = list(coarse_cols)
     total_floor = floors.groupBy(*[F.col(c) for c in coarse]).agg(
         F.sum("floor").cast("long").alias("total_floor")
     )
@@ -787,10 +789,21 @@ def merge_heavy_hitters(
         F.sum("floor").cast("long").alias("floors_present"),
     )
     w = Window.partitionBy(*coarse).orderBy(
-        F.col("est_cnt").desc(), F.col("member").asc()
+        F.col("est_cnt").desc(), F.col("member").asc_nulls_last()
     )
+    # null-SAFE join: groupBy keeps NULL grain keys on both sides, so the
+    # join must too — a bare equi-join would silently drop the NULL grain's
+    # entire top-k (the oracle mirrors with IS NOT DISTINCT FROM)
+    tf = total_floor.select(
+        *[F.col(c).alias(f"__tf_{i}") for i, c in enumerate(coarse)],
+        "total_floor",
+    )
+    cond = None
+    for i, c in enumerate(coarse):
+        term = F.col(c).eqNullSafe(F.col(f"__tf_{i}"))
+        cond = term if cond is None else (cond & term)
     return (
-        agg.join(F.broadcast(total_floor), coarse)
+        agg.join(F.broadcast(tf), cond)
         .withColumn(
             "max_cnt",
             (F.col("est_cnt") + F.col("total_floor") - F.col("floors_present"))
@@ -814,9 +827,16 @@ def heavy_hitters_oracle_sql(
     ``(cnt DESC, member ASC)`` truncation with its floor, and the
     bracketed merge. ``src_sql`` must yield the fine grain columns plus a
     ``member`` column. Everything is counts + total-order ranks — the merge
-    is a deterministic function of the data, so the mirror is bit-exact."""
+    is a deterministic function of the data, so the mirror is bit-exact.
+    NULL handling mirrors the operator exactly: members order NULLS LAST
+    (DuckDB's ASC default; the Spark side says asc_nulls_last explicitly)
+    and NULL coarse keys survive the merge join (IS NOT DISTINCT FROM,
+    matching the Spark side's eqNullSafe)."""
     fine = ", ".join(fine_exprs)
     coarse = ", ".join(coarse_exprs)
+    nsj = " AND ".join(
+        f"agg.{c} IS NOT DISTINCT FROM total_floor.{c}" for c in coarse_exprs
+    )
     return f"""
     WITH hh_src AS ({src_sql}),
     counts AS (
@@ -849,8 +869,8 @@ def heavy_hitters_oracle_sql(
     SELECT {coarse}, member, est_cnt, max_cnt, rank FROM (
       SELECT agg.*,
              CAST(est_cnt + total_floor - floors_present AS BIGINT) AS max_cnt,
-             CAST(row_number() OVER (PARTITION BY {coarse}
+             CAST(row_number() OVER (PARTITION BY {", ".join(f"agg.{c}" for c in coarse_exprs)}
                                 ORDER BY est_cnt DESC, member ASC) AS INTEGER) AS rank
-      FROM agg JOIN total_floor USING ({coarse}))
+      FROM agg JOIN total_floor ON {nsj})
     WHERE rank <= {k}
     """

@@ -345,17 +345,28 @@ def heavy_hitters_refresh_stream(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        touched = batch_df.select(*fine_cols).distinct().collect()
-        if not touched:
+        # touched grains as a left-semi PROBE, not an unrolled OR chain: a
+        # backlog batch can touch thousands of grains (the availableNow
+        # first drain over an existing store), and a per-grain predicate
+        # would pay the superlinear driver plan tax the quantile fold
+        # rewrite documents; the semi-join is constant plan size. eqNullSafe
+        # so NULL grain keys are recounted like any other (a bare == drops
+        # them from the raw read while the rollup groups them — silent
+        # stream≠batch divergence).
+        touched = batch_df.select(
+            *[F.col(c).alias(f"__t_{i}") for i, c in enumerate(fine_cols)]
+        ).distinct()
+        if not touched.limit(1).count():
             return
         cond = None
-        for row in touched:  # bounded: distinct grains in one batch
-            one = None
-            for c in fine_cols:
-                term = F.col(c) == F.lit(row[c])
-                one = term if one is None else (one & term)
-            cond = one if cond is None else (cond | one)
-        full = sess.read.schema(schema).parquet(source_dir).where(cond)
+        for i, c in enumerate(fine_cols):
+            term = F.col(c).eqNullSafe(F.col(f"__t_{i}"))
+            cond = term if cond is None else (cond & term)
+        full = (
+            sess.read.schema(schema)
+            .parquet(source_dir)
+            .join(F.broadcast(touched), cond, "leftsemi")
+        )
         roll = heavy_hitters_rollup(full, fine_cols, member_col, capacity)
         prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -1175,8 +1175,8 @@ def test_binned_quantile_auto_edges_fuzz(spark, values, n_bins, p_pct):
 _hh_rows = st.lists(
     st.tuples(
         st.sampled_from(["p", "q"]),          # fine grain beside the group
-        st.integers(1, 2),
-        st.sampled_from(list("abcdefgh")),    # member universe of 8
+        st.sampled_from([1, 2, None]),        # incl. NULL grain keys
+        st.sampled_from(list("abcdefgh") + [None]),  # incl. NULL members
     ),
     min_size=1,
     max_size=80,
@@ -1201,6 +1201,7 @@ def test_heavy_hitters_fuzz_matches_duckdb_and_bracket(spark, rows, capacity, k)
     )
 
     df = spark.createDataFrame(rows, "g string, shard int, member string")
+    nkey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
     served = sorted(
         map(
             tuple,
@@ -1210,14 +1211,15 @@ def test_heavy_hitters_fuzz_matches_duckdb_and_bracket(spark, rows, capacity, k)
                 ["g", "shard"],
                 k,
             ).collect(),
-        )
+        ),
+        key=nkey,
     )
 
     con = duckdb.connect()
     con.execute("CREATE TABLE src (g VARCHAR, shard INTEGER, member VARCHAR)")
     con.executemany("INSERT INTO src VALUES (?, ?, ?)", rows)
     oracle = sorted(
-        tuple(r)
+        (tuple(r)
         for r in con.execute(
             heavy_hitters_oracle_sql(
                 "SELECT g, shard, member FROM src",
@@ -1226,7 +1228,8 @@ def test_heavy_hitters_fuzz_matches_duckdb_and_bracket(spark, rows, capacity, k)
                 capacity,
                 k,
             )
-        ).fetchall()
+        ).fetchall()),
+        key=nkey,
     )
     assert served == oracle, (served[:3], oracle[:3])
 
