@@ -3555,6 +3555,42 @@ def _wire_round8_ops() -> None:
 
     _add("q_ann_ivfpq_residual", _ivfpq_residual, _ivfpq_residual_oracle())
 
+    # FILTERED ANN (the production serving shape: nearest neighbors
+    # *matching a predicate*): the probed codes scan left-semi joins the
+    # filter frame BEFORE the ADC ranking — top-rerank/top-k compete only
+    # among matching rows (post-filtering the final k would under-fill on
+    # selective filters); the oracle applies the same semi-join on the scan
+    # feeding its ADC CTE. Filter here: vec_id divisible by 3 (selective
+    # but non-degenerate on the even-id index).
+    def _ivfpq_filtered(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators import ann_index
+
+        embs = _embs(spark, sf)
+        path = _ivf_tmp_path(sf, "ivfpq_filt")
+        ann_index.build_ivfpq_index(embs.filter(F.col("vec_id") % 2 == 0), path)
+        qvecs = [
+            (r.vec_id, [float(x) for x in r.embedding])
+            for r in embs.filter(F.col("vec_id").isin([1, 3, 5, 7, 9]))
+            .select("vec_id", "embedding")
+            .collect()  # bounded: 5 rows
+        ]
+        allowed = embs.filter(F.col("vec_id") % 3 == 0).select(
+            F.col("vec_id").alias("id")
+        )
+        return ann_index.query_ivfpq_index(spark, path, qvecs, allowed=allowed)
+
+    def _ivfpq_filtered_oracle() -> str:
+        from .operators import pq
+
+        return pq.ivfpq_external_query_oracle_sql(
+            "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)",
+            "SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec "
+            "FROM embeddings WHERE vec_id IN (1, 3, 5, 7, 9)",
+            allowed_sql="SELECT vec_id AS id FROM embeddings WHERE vec_id % 3 = 0",
+        )
+
+    _add("q_ann_ivfpq_filtered", _ivfpq_filtered, _ivfpq_filtered_oracle())
+
 
 def _wire_aggnav() -> None:
     """Aggregate navigation (plans/aggnav.py): materialize a pass-1 rollup
@@ -3936,6 +3972,7 @@ DRIVER_WINDOW: list[str] = [
     "q_ann_pq_topk",
     "q_ann_ivfpq_index",
     "q_ann_ivfpq_residual",
+    "q_ann_ivfpq_filtered",
     "q_heavy_hitters_words",
     # changed-code re-proofs
     "q_dedup_ngram_jaccard",
@@ -3946,10 +3983,12 @@ DRIVER_WINDOW: list[str] = [
     # their re-proof slots to the PQ / IVF-PQ / residual-IVFADC debuts —
     # the siblings below re-prove the same _assign/kmeans/cluster
     # machinery, and all three hold green r9 rows)
-    "q_ann_ivf_index",
-    # (q_leakage_safe_split yields its slot to the heavy-hitters debut: it
-    # holds a green r9 row and none of its code — minhash banding + the
-    # distributed components — changed this round)
+    # (q_leakage_safe_split and q_ann_ivf_index yield their slots to the
+    # heavy-hitters and filtered-ANN debuts: both hold green r9 rows;
+    # leakage's code — minhash banding + distributed components — did not
+    # change this round, and build/query_ivf_index is untouched r10 code
+    # whose changed shared pieces (similarity._assign guards) are re-proved
+    # by the three cosine-family re-proofs above)
     # r6 cohort — OLAP core
     "q_aggregators",
     "q_avg_fk_grain",

@@ -448,6 +448,7 @@ def query_ivfpq_index(
     k: int = 5,
     nprobe: int = 2,
     rerank: int = 20,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k for external query vectors from an IVF-PQ index: probe
     ``nprobe`` coarse lists per query (literal ``cid IN`` → static partition
@@ -457,7 +458,17 @@ def query_ivfpq_index(
     bounded-metadata collect, like the probed-cid set), final top-k. No
     self-match exclusion (external queries have no index row). Residual
     (IVFADC) indexes — ``meta.residual`` — swap in the per-(query, probed
-    list) residual lookup tables; the scan/rescore shapes are identical."""
+    list) residual lookup tables; the scan/rescore shapes are identical.
+
+    ``allowed``: FILTERED ANN (the production serving shape: "nearest
+    documents *matching a predicate*") — a one-column ``id`` frame, usually
+    a metadata-table predicate; the probed codes scan left-semi joins it
+    BEFORE the ADC ranking, so the top-``rerank``/top-k compete only among
+    matching rows (post-filtering the final k would under-fill when the
+    filter is selective) and the per-batch partial bound is unchanged. The
+    semi-join shuffles only the PROBED lists' ``(id, codes, cid)`` columns
+    against the filter frame — AQE broadcasts selective filters; the raw
+    vec columns and unprobed lists never move."""
     import numpy as np
 
     from .pq import _adc_candidates, _adc_candidates_residual
@@ -505,6 +516,8 @@ def query_ivfpq_index(
         .filter(F.col("cid").isin(probed_cids))
         .select("id", "codes", "cid")
     )
+    if allowed is not None:
+        codes = codes.join(allowed.select("id").distinct(), "id", "leftsemi")
     probed_sets = {q: frozenset(s) for q, s in probed.items()}
     if _read_ivfpq_meta(spark, path):
         coarse_rows = {

@@ -765,6 +765,7 @@ def ivfpq_residual_external_query_oracle_sql(
     iters: int = 1,
     nprobe: int = 2,
     rerank: int = 20,
+    allowed_sql: str | None = None,
 ) -> str:
     """Exact SQL mirror of the RESIDUAL (IVFADC) index form —
     ``ann_index.build_ivfpq_index(residual=True)`` + ``query_ivfpq_index``:
@@ -785,6 +786,10 @@ def ivfpq_residual_external_query_oracle_sql(
     sd = dim // m
     ctes, cur = _sql_kmeans_ctes(n_centroids, iters, dim, corpus_sql)
     ctes.append(f"lists AS {_sql_assign('v', cur)}")
+    allow_join = ""
+    if allowed_sql is not None:
+        ctes.append(f"allowed AS ({allowed_sql})")
+        allow_join = " JOIN (SELECT DISTINCT id FROM allowed) aw ON aw.id = l.id"
     ctes.append(
         f"""resid AS (
       SELECT l.id, list_transform(list_zip(l.vec, c.cvec), z -> z[1] - z[2]) AS vec
@@ -827,7 +832,11 @@ def ivfpq_residual_external_query_oracle_sql(
       JOIN {cur} cc ON cc.cid = p.cid
     )"""
     )
-    joins = ["qres", "JOIN lists l ON l.cid = qres.cid", "JOIN s0_codes c0 ON c0.id = l.id"]
+    joins = [
+        "qres",
+        "JOIN lists l ON l.cid = qres.cid" + allow_join,
+        "JOIN s0_codes c0 ON c0.id = l.id",
+    ]
     for j in range(1, m):
         joins.append(f"JOIN s{j}_codes c{j} ON c{j}.id = l.id")
     for j in range(m):
@@ -886,6 +895,7 @@ def ivfpq_external_query_oracle_sql(
     iters: int = 1,
     nprobe: int = 2,
     rerank: int = 20,
+    allowed_sql: str | None = None,
 ) -> str:
     """Exact SQL mirror of ``ann_index.build_ivfpq_index`` +
     ``query_ivfpq_index``: the coarse k-means/probe CTEs of
@@ -895,10 +905,17 @@ def ivfpq_external_query_oracle_sql(
     (the ``probe ⋈ lists`` join), ranked RAW by ``(adc, id)``, then
     exact-rescored. ``corpus_sql`` must expose ``vec_id``/``embedding``;
     ``queries_sql`` must yield ``query_id, qvec DOUBLE[]``. No self-match
-    exclusion (external queries)."""
+    exclusion (external queries). ``allowed_sql`` (one ``id`` column)
+    mirrors the FILTERED serving path: a semi-join on the scan feeding the
+    ADC ranking, exactly where ``query_ivfpq_index(allowed=...)`` applies
+    it."""
     sd = dim // m
     ctes, cur = _sql_kmeans_ctes(n_centroids, iters, dim, corpus_sql)
     ctes.append(f"lists AS {_sql_assign('v', cur)}")
+    allow_join = ""
+    if allowed_sql is not None:
+        ctes.append(f"allowed AS ({allowed_sql})")
+        allow_join = " JOIN (SELECT DISTINCT id FROM allowed) aw ON aw.id = l.id"
     finals: list[str] = []
     for j in range(m):
         p = f"s{j}_"
@@ -929,7 +946,7 @@ def ivfpq_external_query_oracle_sql(
     joins = [
         "q",
         "JOIN probe p ON p.query_id = q.query_id",
-        "JOIN lists l ON l.cid = p.cid",
+        "JOIN lists l ON l.cid = p.cid" + allow_join,
         "JOIN s0_codes c0 ON c0.id = l.id",
     ]
     for j in range(1, m):

@@ -4783,3 +4783,57 @@ def test_heavy_hitters_streaming_refresh_recounts_and_replays(spark, tmp_path):
         for r in spark.read.parquet(summ).collect()
     }
     assert again == want_roll
+
+
+def test_ivfpq_filtered_serving_competes_only_among_matches(spark, sf_dir, tmp_path):
+    """Filtered ANN: the `allowed` semi-join applies BEFORE the ADC
+    ranking, so (a) every served neighbor satisfies the filter, (b) with a
+    filter admitting everything the serve is bit-equal to the unfiltered
+    path, and (c) a selective filter still fills k from deeper candidates
+    rather than post-filtering the unfiltered top-k (the under-fill bug the
+    scan-side join exists to prevent)."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import ann_index
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_filt")
+    ann_index.build_ivfpq_index(embs, path)
+    qvecs = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in embs.filter(F.col("vec_id").isin([1, 2, 3]))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+    allowed = embs.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    got = ann_index.query_ivfpq_index(
+        spark, path, qvecs, k=3, rerank=10**6, allowed=allowed
+    ).collect()
+    assert all(r.neighbor_id % 3 == 0 for r in got)
+    assert len(got) == 3 * 3  # k filled for every query
+
+    everything = embs.select(F.col("vec_id").alias("id"))
+    all_rows = sorted(
+        map(
+            tuple,
+            ann_index.query_ivfpq_index(
+                spark, path, qvecs, k=3, allowed=everything
+            ).collect(),
+        )
+    )
+    plain = sorted(
+        map(tuple, ann_index.query_ivfpq_index(spark, path, qvecs, k=3).collect())
+    )
+    assert all_rows == plain
+
+    # scan-side filtering beats post-filtering: with rerank = ∞ the filtered
+    # top-k per query is exactly the best k ALLOWED rows of the probed
+    # lists, which post-filtering plain top-k (mostly % 3 != 0 rows) cannot
+    # reproduce when fewer than k of the plain winners match
+    plain_pairs = {(r.query_id, r.neighbor_id) for r in ann_index.query_ivfpq_index(
+        spark, path, qvecs, k=3, rerank=10**6).collect()}
+    got_pairs = {(r.query_id, r.neighbor_id) for r in got}
+    assert got_pairs - plain_pairs, "filter admitted only plain winners — test data degenerate"

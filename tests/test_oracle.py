@@ -110,6 +110,7 @@ _VERSION_RISKY_USES = {
         "q_ann_pq_topk",  # same round-6 cosine rescore as the ANN family
         "q_ann_ivfpq_index",  # same round-6 cosine rescore
         "q_ann_ivfpq_residual",  # same round-6 cosine rescore (IVFADC form)
+        "q_ann_ivfpq_filtered",  # same round-6 cosine rescore, filtered scan
     },
 }
 
