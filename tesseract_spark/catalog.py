@@ -3956,6 +3956,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  - the ENTIRE 32-entry r6 cohort, oldest-first (q_conditional_cut also
 #    just got the flag+broadcast-semi-join rewrite — VERDICT r9 #4 — so it
 #    doubles as a changed-code re-proof).
+# Late-r10 amendments: three more debuts (q_ann_ivfpq_residual,
+# q_ann_ivfpq_filtered, q_heavy_hitters_words) took the slots of
+# q_ann_ivf_topk, q_ann_ivf_index and q_leakage_safe_split (all green r9;
+# displacement rationale inline below). R11 rotation plan: those three
+# displaced entries lead the r11 window (their newest green will be r9,
+# the oldest cohort after this round), followed by the remaining r8-green
+# tail and any r11 changed-code re-proofs — the post-r10 latest-green
+# histogram has NO entry older than r7 if this window lands green.
 DRIVER_WINDOW: list[str] = [
     # environment probes (single-construct canaries)
     "q_probe_sum_bigint",
