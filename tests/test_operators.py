@@ -4837,3 +4837,85 @@ def test_ivfpq_filtered_serving_competes_only_among_matches(spark, sf_dir, tmp_p
         spark, path, qvecs, k=3, rerank=10**6).collect()}
     got_pairs = {(r.query_id, r.neighbor_id) for r in got}
     assert got_pairs - plain_pairs, "filter admitted only plain winners — test data degenerate"
+
+
+def test_zorder_layout_prunes_both_columns_and_preserves_content(
+    spark, sf_dir, tmp_path
+):
+    """Z-order clustering: (a) the written dataset is content-identical to
+    the input; (b) a selective range cut on the SECOND clustering column
+    prunes row groups that a lexicographic (first-column) sort cannot (the
+    whole point of multi-dimensional clustering); (c) the first column
+    still prunes under Z-order. Asserted on parquet footer min/max stats —
+    the thing predicate pushdown actually reads — not on timings."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.sources.layout import (
+        rowgroup_pruning_stats,
+        zorder_write,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nat = str(tmp_path / "nat")
+    zo = str(tmp_path / "zo")
+    li.repartitionByRange(8, "l_partkey").sortWithinPartitions(
+        "l_partkey"
+    ).write.parquet(nat)
+    zorder_write(li, ["l_partkey", "l_suppkey"], zo, n_files=8)
+
+    a = li.selectExpr("hash(*) h").agg(F.sum("h"), F.count("*")).collect()[0]
+    b = (
+        spark.read.parquet(zo)
+        .selectExpr("hash(*) h")
+        .agg(F.sum("h"), F.count("*"))
+        .collect()[0]
+    )
+    assert tuple(a) == tuple(b)
+
+    mx = li.agg(F.max("l_suppkey")).collect()[0][0]
+    lo, hi = 1, max(1, mx // 20)  # ~5% selective range on the 2nd column
+    n_hit, n_tot = rowgroup_pruning_stats(nat, "l_suppkey", lo, hi)
+    z_hit, z_tot = rowgroup_pruning_stats(zo, "l_suppkey", lo, hi)
+    assert z_hit / z_tot < n_hit / n_tot, (
+        f"zorder read {z_hit}/{z_tot} row groups on the 2nd column, "
+        f"first-column sort read {n_hit}/{n_tot} — no pruning win"
+    )
+    mxp = li.agg(F.max("l_partkey")).collect()[0][0]
+    p_hit, p_tot = rowgroup_pruning_stats(zo, "l_partkey", 1, max(1, mxp // 20))
+    assert p_hit < p_tot, "zorder lost first-column pruning entirely"
+
+
+def test_compact_partitions_preserves_values_and_reduces_files(spark, tmp_path):
+    """Micro-batch-shaped appends (many small files per partition dir)
+    compact to ~target-row files with identical content; partition columns
+    survive the dynamic overwrite round-trip."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.sources.layout import compact_partitions
+
+    src = str(tmp_path / "parts")
+    base = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 2).alias("pk")
+    )
+    for _ in range(4):  # 4 "micro-batches" × 8 tasks = 64 shards
+        base.repartition(8).write.mode("append").partitionBy("pk").parquet(src)
+
+    before_files = len(glob.glob(f"{src}/pk=*/*.parquet"))
+    before = (
+        spark.read.parquet(src)
+        .selectExpr("hash(id, pk) h")
+        .agg(F.sum("h"), F.count("*"))
+        .collect()[0]
+    )
+    compact_partitions(spark, src, ["pk"], target_rows=1_000_000)
+    after_files = len(glob.glob(f"{src}/pk=*/*.parquet"))
+    after = (
+        spark.read.parquet(src)
+        .selectExpr("hash(id, pk) h")
+        .agg(F.sum("h"), F.count("*"))
+        .collect()[0]
+    )
+    assert tuple(before) == tuple(after)
+    assert after_files < before_files
