@@ -410,6 +410,14 @@ def append_to_ivfpq_index(
         spark.read.parquet(f"{path}/codebooks").collect(),
         key=lambda r: (r.j, r.cid),
     )
+    if not crows or not brows:
+        # an index built over an empty / all-NULL-vector corpus has no
+        # trained quantizers — encoding a batch against it would be
+        # meaningless, and SILENTLY skipping it would lose data. Loud.
+        raise ValueError(
+            f"IVF-PQ index at {path!r} has no trained quantizers "
+            "(built from an empty corpus?) — rebuild before appending"
+        )
     m = 1 + max(r.j for r in brows)
     dim = len(crows[0].cvec)
     sd = dim // m
@@ -501,6 +509,29 @@ def query_ivfpq_index(
         spark.read.parquet(f"{path}/codebooks").collect(),
         key=lambda r: (r.j, r.cid),
     )
+    if not brows or not probe_rows or not qrows:
+        # quantizer-less index (empty-corpus build) or no queries: empty
+        # result with the serving schema, not a crash — the pq-module
+        # contract (ADVICE r9)
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", LongType()),
+                    StructField("neighbor_id", LongType()),
+                    StructField("cos_sim", DoubleType()),
+                    StructField("rank", IntegerType()),
+                ]
+            ),
+        )
     m = 1 + max(r.j for r in brows)
     mats = []
     for j in range(m):

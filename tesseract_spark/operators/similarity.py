@@ -752,12 +752,15 @@ def _sql_kmeans_ctes(
     centroid CTE. The vector CTE is named ``{prefix}v``. ``prefix`` namespaces
     every CTE so several independent trainings can share one WITH clause
     (the PQ oracle trains one codebook per subspace); ``vec_expr`` overrides
-    the vector source expression (PQ slices ``(embedding::DOUBLE[])[a:b]``).
-    At the defaults the generated text is byte-identical to the pre-prefix
-    form, so every existing k-means-family oracle is unchanged."""
+    the vector source expression (PQ slices ``(embedding::DOUBLE[])[a:b]``)."""
     p = prefix
+    # vec IS NOT NULL mirrors the Spark side exactly: train_kmeans seeds
+    # from non-NULL vectors (ADVICE r9) and _assign drops NULL vectors, so
+    # a NULL-embedding row with a small id must not become a seed (or an
+    # assignment source) in one engine only
     ctes = [
-        f"{p}v AS (SELECT vec_id AS id, {vec_expr} AS vec FROM {table})",
+        f"{p}v AS (SELECT vec_id AS id, {vec_expr} AS vec FROM {table} "
+        f"WHERE {vec_expr} IS NOT NULL)",
         f"{p}c0 AS (SELECT id AS cid, vec AS cvec FROM {p}v ORDER BY id LIMIT {n_centroids})",
     ]
     cur = f"{p}c0"

@@ -566,7 +566,14 @@ def derive_bin_edges(
         [i / n_bins for i in range(1, n_bins)],
         [f"e{i}" for i in range(1, n_bins)],
     )
-    row = qdf.collect()[0]
+    rows = qdf.collect()
+    if not rows:
+        # empty / all-NULL value column: no data means no edges — the
+        # single-bin rollup over it is empty too, matching the SQL mirror's
+        # empty result (a fresh deployment resolving boundaries before data
+        # lands must not crash)
+        return []
+    row = rows[0]
     return [float(row[f"e{i}"]) for i in range(1, n_bins)]
 
 

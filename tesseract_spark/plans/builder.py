@@ -346,7 +346,12 @@ class PlanBuilder:
         w = Window.partitionBy(group_col)
         return (
             flagged.withColumn("__cc_any", F.max(flag).over(w))
-            .filter(F.col("__cc_any"))
+            # the IS NOT NULL term pins both strategies to the same NULL
+            # semantics: the semi-join branch is null-rejecting (a NULL
+            # group key matches no `IN` set — the reference's robust-cut
+            # sketch and the oracle both say IN), so the window branch must
+            # drop NULL-key rows too, not pool them into one kept "group"
+            .filter(F.col("__cc_any") & F.col(group_col).isNotNull())
             .drop("__cc_any", "__cc_mk")
         )
 

@@ -28,35 +28,45 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: bits per clustering column in the interleaved key. 16 bits → 65,536
-#: rank buckets per column; with the practical 2-4 clustering columns the
-#: interleaved key stays ≤ 64 bits (a long).
+#: rank buckets per column; 2-3 clustering columns keep the interleaved
+#: key within a long's 63 value bits (4 columns would touch the sign bit —
+#: zorder_write rejects it; drop ``bits`` to 15 to cluster on 4).
 ZORDER_BITS = 16
 
 
-def _rank_encode(df: DataFrame, col: str, bits: int) -> Column:
-    """Map a column into ``[0, 2^bits)`` preserving order — the per-column
-    coordinate of the Morton key.
+def _rank_encodes(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
+    """Map each column into ``[0, 2^bits)`` preserving order — the
+    per-column coordinates of the Morton key.
 
-    Numeric/date columns: min-max linear scaling (one bounded aggregate,
-    broadcast as literals). Exactly the equi-width bucket form the
-    quantile rank path uses: placement affects clustering QUALITY only,
-    never correctness, so a skewed column degrades pruning, not results.
-    NULLs map to bucket 0 (they carry no range information)."""
-    row = df.agg(
-        F.min(F.col(col).cast("double")).alias("lo"),
-        F.max(F.col(col).cast("double")).alias("hi"),
-    ).collect()[0]
-    lo = row.lo if row.lo is not None else 0.0
-    hi = row.hi if row.hi is not None else 0.0
+    Numeric/date columns: min-max linear scaling. ONE fused aggregate
+    collects every column's extremes (k separate aggregates would scan the
+    input k times — at the 100 TB regime this module targets, that is the
+    build cost). Exactly the equi-width bucket form the quantile rank path
+    uses: placement affects clustering QUALITY only, never correctness, so
+    a skewed column degrades pruning, not results. NULLs map to bucket 0
+    (they carry no range information)."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))
+    row = df.agg(*aggs).collect()[0]
     n = (1 << bits) - 1
-    if hi <= lo:
-        return F.lit(0).cast("long")
-    scaled = F.floor(
-        (F.col(col).cast("double") - F.lit(lo)) / F.lit(hi - lo) * n
-    )
-    return F.coalesce(
-        F.least(F.lit(n), F.greatest(F.lit(0), scaled)), F.lit(0)
-    ).cast("long")
+    out = []
+    for c in cols:
+        lo = row[f"__lo_{c}"] if row[f"__lo_{c}"] is not None else 0.0
+        hi = row[f"__hi_{c}"] if row[f"__hi_{c}"] is not None else 0.0
+        if hi <= lo:
+            out.append(F.lit(0).cast("long"))
+            continue
+        scaled = F.floor(
+            (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo) * n
+        )
+        out.append(
+            F.coalesce(
+                F.least(F.lit(n), F.greatest(F.lit(0), scaled)), F.lit(0)
+            ).cast("long")
+        )
+    return out
 
 
 def _interleave(coords: list[Column], bits: int) -> Column:
@@ -91,7 +101,7 @@ def zorder_write(
     to the input (tested)."""
     if not cols or bits * len(cols) > 63:
         raise ValueError(f"need 1..{63 // bits} clustering columns at {bits} bits")
-    coords = [_rank_encode(df, c, bits) for c in cols]
+    coords = _rank_encodes(df, cols, bits)
     z = _interleave(coords, bits)
     (
         df.withColumn("__z", z)
@@ -147,25 +157,34 @@ def compact_partitions(
     Content-preserving; only touched partitions rewrite — same hygiene as
     the aggnav refresh."""
     df = spark.read.parquet(path)
-    sizes = df.groupBy(*partition_cols).count().collect()
-    n_for = {
-        tuple(r[c] for c in partition_cols): -(-r["count"] // target_rows)
-        for r in sizes
-    }
+    # the bucket-count map MUST be keyed by the same engine's rendering of
+    # the partition values that later probes it: sizing with Python
+    # str(value) and probing with CAST(col AS STRING) diverges on NULLs,
+    # booleans ('True' vs 'true') and wide doubles ('1.0E7') — every lookup
+    # would miss, pmod(NULL) would bucket nothing, and a huge partition
+    # would silently collapse to one file. So the key is ONE Spark
+    # expression (null-sentinelled per column so NULL never aliases a real
+    # value), used for both the size aggregation and the probe.
+    pkey = F.concat_ws(
+        _SEP,
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in partition_cols],
+    )
+    sizes = df.groupBy(pkey.alias("__k")).count().collect()
+    n_for = {r["__k"]: -(-r["count"] // target_rows) for r in sizes}
     if not n_for:
         return
-    max_n = max(n_for.values())
+    total = sum(n_for.values())
     mapping = F.create_map(
         *[
             x
-            for key, n in sorted(n_for.items(), key=lambda kv: str(kv[0]))
-            for x in (
-                F.concat_ws(_SEP, *[F.lit(str(v)) for v in key]),
-                F.lit(n),
-            )
+            for key, n in sorted(n_for.items())
+            for x in (F.lit(key), F.lit(n))
         ]
     )
-    pkey = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in partition_cols])
+    # the bucket column is a PARALLELISM lever only (≈ one task per
+    # target-sized slice of each partition); the file-count contract is
+    # enforced by the writer's maxRecordsPerFile, so hash collisions that
+    # merge two buckets into one task still emit correctly-sized files
     bucket = F.pmod(
         F.monotonically_increasing_id(), mapping.getItem(pkey)
     ).alias("__b")
@@ -174,9 +193,10 @@ def compact_partitions(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            out.repartition(int(max_n), *partition_cols, F.col("__b"))
+            out.repartition(int(total), *partition_cols, F.col("__b"))
             .drop("__b")
             .write.mode("overwrite")
+            .option("maxRecordsPerFile", int(target_rows))
             .partitionBy(*partition_cols)
             .parquet(path)
         )

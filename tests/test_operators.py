@@ -4919,3 +4919,121 @@ def test_compact_partitions_preserves_values_and_reduces_files(spark, tmp_path):
     )
     assert tuple(before) == tuple(after)
     assert after_files < before_files
+
+
+def test_ivfpq_empty_corpus_index_is_loud_on_append_graceful_on_query(
+    spark, tmp_path
+):
+    """An index built over an empty corpus has no trained quantizers:
+    appending through it must raise a CLEAR error (silently dropping the
+    batch loses data; crashing in max() over an empty sequence is
+    diagnosable by nobody), while querying returns an empty result with
+    the serving schema (the pq-module empty-tolerance contract)."""
+    import pytest as _pytest
+
+    from tesseract_spark.operators import ann_index
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "empty_ix")
+    ann_index.build_ivfpq_index(empty, path)
+
+    got = ann_index.query_ivfpq_index(spark, path, [(1, [0.0] * 64)], k=3)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        "rank",
+    ]
+
+    batch = spark.createDataFrame(
+        [(1, [0.5] * 64)], "vec_id bigint, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="no trained quantizers"):
+        ann_index.append_to_ivfpq_index(batch, path)
+
+
+def test_compact_partitions_boolean_and_null_partition_values(spark, tmp_path):
+    """The bucket-count map must key by the ENGINE's rendering of the
+    partition values: boolean partitions ('true' vs Python 'True') and
+    NULL partitions previously missed every lookup, bucketing NOTHING and
+    silently collapsing a partition to one file regardless of target."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.sources.layout import compact_partitions
+
+    src = str(tmp_path / "boolparts")
+    base = spark.range(3000).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, True)
+        .when(F.col("id") % 3 == 1, False)
+        .otherwise(F.lit(None))
+        .alias("flag"),
+    )
+    for _ in range(3):
+        base.repartition(6).write.mode("append").partitionBy("flag").parquet(src)
+
+    before = (
+        spark.read.parquet(src)
+        .selectExpr("hash(id, flag) h")
+        .agg(F.sum("h"), F.count("*"))
+        .collect()[0]
+    )
+    # target small enough that each 3,000-row partition needs 2 files —
+    # the old str(value) keying yielded pmod(NULL) → every partition ONE file
+    compact_partitions(spark, src, ["flag"], target_rows=2000)
+    after = (
+        spark.read.parquet(src)
+        .selectExpr("hash(id, flag) h")
+        .agg(F.sum("h"), F.count("*"))
+        .collect()[0]
+    )
+    assert tuple(before) == tuple(after)
+    for d in glob.glob(f"{src}/flag=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 2, (d, len(files))
+
+
+def test_kmeans_oracle_null_seed_parity(spark):
+    """A NULL-embedding row with the SMALLEST id must not become a k-means
+    seed in either engine: train_kmeans filters NULL vectors (ADVICE r9)
+    and the SQL mirror's ``v`` CTE now carries the same ``IS NOT NULL``
+    filter. Regression: the mirror seeded the NULL row and every
+    k-means-family oracle diverged on corpora with NULL embeddings."""
+    import duckdb
+
+    from tesseract_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_oracle_sql,
+    )
+
+    rows = [(0, None)] + [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+        for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = sorted(
+        map(
+            tuple,
+            ivf_topk(df, [1, 2], k=3, n_centroids=4, nprobe=2).collect(),
+        )
+    )
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, {'NULL' if v is None else '[' + ', '.join(map(str, v)) + ']'})"
+        for i, v in rows
+    )
+    con.execute(
+        f"CREATE TABLE embeddings AS SELECT * FROM (VALUES {vals}) "
+        "t(vec_id, embedding)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            ivf_topk_oracle_sql([1, 2], k=3, n_centroids=4, nprobe=2, dim=8)
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0

@@ -311,3 +311,49 @@ def test_binned_quantile_measure_two_phase_equals_single_pass(builder):
         for r in builder.dataframe("lineitem_sales", q2).collect()
     }
     assert two == single and len(single) == 3
+
+
+def test_conditional_cut_null_group_keys_agree_across_strategies(spark, sf_dir):
+    """Both conditional-cut strategies must share the IN-subquery's NULL
+    semantics: a fact row whose GROUP key is NULL belongs to no qualifying
+    group (NULL ∉ any IN set) even when the row itself matches the member
+    cut. Regression: the window branch pooled all NULL keys into one
+    pseudo-group and kept them whenever any NULL-key row matched, so the
+    two strategies (and the oracle) disagreed on NULL-key facts."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark import PlanBuilder, Query, testdata_registry, testdata_schema
+
+    reg = testdata_registry(spark, sf_dir)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    b13 = [
+        r.p_partkey
+        for r in part.filter("p_brand = 'Brand#13'").limit(5).collect()
+    ]
+    base = reg.load("lineitem_enriched")
+    poison = (
+        base.filter(F.col("l_partkey").isin(b13))
+        .limit(2)
+        .withColumn("l_suppkey", F.lit(None).cast("bigint"))
+    )
+    spiked = base.unionByName(poison)
+    reg.register("lineitem_enriched", lambda s: spiked)
+    b = PlanBuilder(spark, testdata_schema(), reg)
+    q = Query.from_params(
+        {
+            "drilldowns": ["Return Flag.Return Flag"],
+            "measures": ["Quantity"],
+            "conditional_cuts": [
+                "Part.Part.Brand.Brand#13@Supplier.Supplier.Supplier"
+            ],
+        }
+    )
+    bounded = sorted(map(tuple, b.dataframe("lineitem_sales", q).collect()))
+    # flip the group dim non-broadcastable → the window strategy fires
+    reg.register(
+        "supplier",
+        lambda s: s.read.parquet(f"{sf_dir}/supplier.parquet"),
+        broadcastable=False,
+    )
+    window = sorted(map(tuple, b.dataframe("lineitem_sales", q).collect()))
+    assert bounded == window and len(bounded) > 0
