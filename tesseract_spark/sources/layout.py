@@ -45,10 +45,19 @@ def _rank_encodes(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
     uses: placement affects clustering QUALITY only, never correctness, so
     a skewed column degrades pruning, not results. NULLs map to bucket 0
     (they carry no range information)."""
+    def src(c: str) -> Column:
+        # temporal types don't cast to DOUBLE directly — order-preserving
+        # microsecond epochs do (TIMESTAMP_NTZ reads in the session zone,
+        # fine: only the ORDER matters for clustering)
+        dt = df.schema[c].dataType.typeName()
+        if dt in ("timestamp", "timestamp_ntz", "date"):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        return F.col(c).cast("double")
+
     aggs = []
     for c in cols:
-        aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo_{c}"))
-        aggs.append(F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))
+        aggs.append(F.min(src(c)).alias(f"__lo_{c}"))
+        aggs.append(F.max(src(c)).alias(f"__hi_{c}"))
     row = df.agg(*aggs).collect()[0]
     n = (1 << bits) - 1
     out = []
@@ -58,9 +67,7 @@ def _rank_encodes(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
         if hi <= lo:
             out.append(F.lit(0).cast("long"))
             continue
-        scaled = F.floor(
-            (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo) * n
-        )
+        scaled = F.floor((src(c) - F.lit(lo)) / F.lit(hi - lo) * n)
         out.append(
             F.coalesce(
                 F.least(F.lit(n), F.greatest(F.lit(0), scaled)), F.lit(0)

@@ -5037,3 +5037,100 @@ def test_kmeans_oracle_null_seed_parity(spark):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_zorder_timestamp_column_clusters_and_preserves(spark, sf_dir, tmp_path):
+    """The docstring's 'numeric/date columns' claim, exercised on a real
+    TIMESTAMP clustering column (events.ts × user_id): content preserved,
+    and a one-day time-slice cut prunes row groups while user_id retains
+    pruning too — the time+entity cut is THE events-table access path."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.sources.layout import (
+        rowgroup_pruning_stats,
+        zorder_write,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    zo = str(tmp_path / "ev_zo")
+    zorder_write(ev, ["ts", "user_id"], zo, n_files=8)
+
+    a = ev.selectExpr("hash(*) h").agg(F.sum("h"), F.count("*")).collect()[0]
+    b = (
+        spark.read.parquet(zo)
+        .selectExpr("hash(*) h")
+        .agg(F.sum("h"), F.count("*"))
+        .collect()[0]
+    )
+    assert tuple(a) == tuple(b)
+
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 20  # ~5% time slice
+    t_hit, t_tot = rowgroup_pruning_stats(zo, "ts", lo, mid)
+    assert t_hit < t_tot, f"no timestamp pruning: {t_hit}/{t_tot}"
+    mxu = ev.agg(F.max("user_id")).collect()[0][0]
+    u_hit, u_tot = rowgroup_pruning_stats(zo, "user_id", 1, max(1, mxu // 20))
+    assert u_hit < u_tot, f"no user_id pruning: {u_hit}/{u_tot}"
+
+
+def test_ivfpq_filtered_parity_across_filters_and_probes(spark, sf_dir, tmp_path):
+    """Filtered serving across several (filter, nprobe) combinations: every
+    neighbor matches the filter, ranks are dense from 1, and the filtered
+    result at rerank=∞ equals brute-force cosine over the allowed rows of
+    the probed lists (recomputed independently from the index files)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators import ann_index
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ixf")
+    ann_index.build_ivfpq_index(embs, path)
+    qvecs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in embs.filter(F.col("vec_id").isin([2, 5]))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    lists = spark.read.parquet(f"{path}/lists").collect()
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r.cid
+    )
+
+    for mod, nprobe in [(2, 1), (3, 2), (5, 3)]:
+        allowed = embs.filter(F.col("vec_id") % mod == 0).select(
+            F.col("vec_id").alias("id")
+        )
+        got = ann_index.query_ivfpq_index(
+            spark, path, qvecs, k=4, nprobe=nprobe, rerank=10**6, allowed=allowed
+        ).collect()
+        by_q: dict = {}
+        for r in got:
+            assert r.neighbor_id % mod == 0
+            by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
+        for qid, qv in qvecs:
+            q = np.array(qv)
+            # independent probe: nprobe nearest coarse centroids by (d2, cid)
+            d2 = [
+                (float(q @ q - 2 * (q @ np.array(c.cvec)) + np.array(c.cvec) @ np.array(c.cvec)), c.cid)
+                for c in cents
+            ]
+            probed = {cid for _, cid in sorted(d2)[:nprobe]}
+            cand = [
+                r for r in lists if r.cid in probed and r.id % mod == 0
+            ]
+            cos = sorted(
+                (
+                    (
+                        -round(
+                            float(q @ np.array(r.vec))
+                            / (np.linalg.norm(q) * np.linalg.norm(np.array(r.vec))),
+                            6,
+                        ),
+                        r.id,
+                    )
+                    for r in cand
+                ),
+            )[:4]
+            want = [(i + 1, nid, -neg) for i, (neg, nid) in enumerate(cos)]
+            assert sorted(by_q.get(qid, [])) == want, (qid, mod, nprobe)
