@@ -358,10 +358,17 @@ def build_ivfpq_index(
             F.element_at("codes", 1).alias("cid"),
             F.slice("codes", 2, m).alias("codes"),
         )
-    lists.write.mode(mode).partitionBy("cid").parquet(f"{path}/lists")
+    # meta BEFORE lists: _read_ivfpq_meta demotes a missing meta table to
+    # plain, so a residual=True build interrupted after lists-but-before-
+    # meta would leave residual-encoded lists that read back as plain —
+    # appends would mix raw-vector codes into residual lists and ADC would
+    # serve wrong distances with no error. Written this way, an
+    # interruption leaves meta-without-lists, which every reader hits as a
+    # loud missing-path error on {path}/lists.
     spark.createDataFrame(
         [(bool(residual), int(m), int(dim))], "residual boolean, m int, dim int"
     ).write.mode(mode).parquet(f"{path}/meta")
+    lists.write.mode(mode).partitionBy("cid").parquet(f"{path}/lists")
     # centroids/codebooks from the already-collected mats — writing them
     # must NOT re-run training (the first form re-evaluated the lazy
     # train_kmeans DAG once per action)
@@ -568,16 +575,25 @@ def query_ivfpq_index(
             exclude_self=False,
             probed=probed_sets,
         )
-    cand_ids = sorted(
-        {int(r.neighbor_id) for r in cand.collect()}
-    )  # ≤ queries×rerank — bounded by the serving batch, not the corpus
+    cand_rows = cand.collect()  # ≤ queries×rerank — bounded by the serving
+    # batch, not the corpus. Collected ONCE: the rescore join below reuses
+    # these rows as a local relation instead of referencing the lazy `cand`
+    # plan, which would re-execute the whole mapInPandas ADC scan over the
+    # probed lists a second time just to broadcast the candidate pairs.
+    cand_ids = sorted({int(r.neighbor_id) for r in cand_rows})
+    cand_local = spark.createDataFrame(
+        [(int(r.query_id), int(r.neighbor_id)) for r in cand_rows],
+        "query_id long, neighbor_id long",
+    )
     rescore_src = (
         spark.read.parquet(f"{path}/lists")
         .filter(F.col("cid").isin(probed_cids) & F.col("id").isin(cand_ids))
         .select("id", "vec")
     )
     scored = (
-        rescore_src.join(F.broadcast(cand), F.col("id") == F.col("neighbor_id"))
+        rescore_src.join(
+            F.broadcast(cand_local), F.col("id") == F.col("neighbor_id")
+        )
         .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",

@@ -149,6 +149,64 @@ def rowgroup_pruning_stats(path: str, col: str, lo, hi) -> tuple[int, int]:
 _SEP = chr(31)
 
 
+def _bucketed(
+    df, partition_cols: list[str], target_rows: int
+) -> "tuple | None":
+    """(bucketed frame with a ``__b`` column, total bucket count) for
+    :func:`compact_partitions`, or None on an empty dataset.
+
+    The bucket-count table MUST be keyed by the same engine's rendering of
+    the partition values that later probes it: sizing with Python
+    str(value) and probing with CAST(col AS STRING) diverges on NULLs,
+    booleans ('True' vs 'true') and wide doubles ('1.0E7') — every lookup
+    would miss and a huge partition would silently collapse to one file.
+    So the key is ONE Spark expression (null-sentinelled per column so NULL
+    never aliases a real value), used for both the size aggregation and
+    the probe.
+
+    The (pkey -> bucket count) table rides a BROADCAST JOIN of a local
+    relation, not a ``create_map`` literal: a map literal carries
+    2x|partitions| expression nodes into every plan that references it —
+    superlinear driver analysis/codegen at 'a year of micro-batches'
+    partition counts — while the join side stays one bounded relation
+    regardless of cardinality. Built from the already-collected sizes so
+    the groupBy/count never re-runs inside the write job.
+
+    The bucket column is a PARALLELISM lever only (≈ one task per
+    target-sized slice of each partition); the file-count contract is
+    enforced by the writer's maxRecordsPerFile, so hash collisions that
+    merge two buckets into one task still emit correctly-sized files.
+    It MUST be deterministic: the compaction job overwrites its own input,
+    and a nondeterministic key (monotonically_increasing_id) re-routes
+    rows on task retry / fetch-failure recomputation — rows duplicated or
+    dropped by the shuffle, permanently, in the dataset being compacted.
+    A full-row content hash reproduces identical routing on any
+    recomputation."""
+    pkey = F.concat_ws(
+        _SEP,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in partition_cols
+        ],
+    )
+    sizes = df.groupBy(pkey.alias("__k")).count().collect()
+    n_for = {r["__k"]: -(-r["count"] // target_rows) for r in sizes}
+    if not n_for:
+        return None
+    total = sum(n_for.values())
+    sizes_df = df.sparkSession.createDataFrame(
+        [(k, int(n)) for k, n in sorted(n_for.items())], "__k string, __n int"
+    )
+    data_cols = [F.col(c) for c in df.columns]
+    out = (
+        df.withColumn("__k", pkey)
+        .join(F.broadcast(sizes_df), "__k")
+        .withColumn("__b", F.pmod(F.xxhash64(*data_cols), F.col("__n")))
+        .drop("__k", "__n")
+    )
+    return out, total
+
+
 def compact_partitions(
     spark,
     path: str,
@@ -158,44 +216,17 @@ def compact_partitions(
     """Rewrite a partitioned parquet dataset so each partition directory
     holds ~``target_rows``-row files instead of per-micro-batch shards:
     read, re-bucket each partition's rows into ``ceil(rows/target)``
-    files via a round-robin WITHIN the partition
+    slices via a deterministic content-hash bucket WITHIN the partition
     (``repartition`` on the partition columns alone would make one file
-    per partition regardless of size), dynamic-partition-overwrite back.
+    per partition regardless of size; see :func:`_bucketed` for why the
+    bucket key must be deterministic), dynamic-partition-overwrite back.
     Content-preserving; only touched partitions rewrite — same hygiene as
     the aggnav refresh."""
     df = spark.read.parquet(path)
-    # the bucket-count map MUST be keyed by the same engine's rendering of
-    # the partition values that later probes it: sizing with Python
-    # str(value) and probing with CAST(col AS STRING) diverges on NULLs,
-    # booleans ('True' vs 'true') and wide doubles ('1.0E7') — every lookup
-    # would miss, pmod(NULL) would bucket nothing, and a huge partition
-    # would silently collapse to one file. So the key is ONE Spark
-    # expression (null-sentinelled per column so NULL never aliases a real
-    # value), used for both the size aggregation and the probe.
-    pkey = F.concat_ws(
-        _SEP,
-        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in partition_cols],
-    )
-    sizes = df.groupBy(pkey.alias("__k")).count().collect()
-    n_for = {r["__k"]: -(-r["count"] // target_rows) for r in sizes}
-    if not n_for:
+    bucketed = _bucketed(df, partition_cols, target_rows)
+    if bucketed is None:
         return
-    total = sum(n_for.values())
-    mapping = F.create_map(
-        *[
-            x
-            for key, n in sorted(n_for.items())
-            for x in (F.lit(key), F.lit(n))
-        ]
-    )
-    # the bucket column is a PARALLELISM lever only (≈ one task per
-    # target-sized slice of each partition); the file-count contract is
-    # enforced by the writer's maxRecordsPerFile, so hash collisions that
-    # merge two buckets into one task still emit correctly-sized files
-    bucket = F.pmod(
-        F.monotonically_increasing_id(), mapping.getItem(pkey)
-    ).alias("__b")
-    out = df.withColumn("__b", bucket)
+    out, total = bucketed
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -21,6 +21,24 @@ from ..schema.parse import schema_from_json
 from .events import EVENTS_SCHEMA, _normalize_ts
 
 
+def _read_applied_ledger(sess: SparkSession, ledger_dir: str) -> set:
+    """Applied-file set of an exactly-once ingest ledger. ONLY the
+    missing-table case (first batch: ledger not written yet) may return
+    empty — a transient read failure (FS hiccup, corrupt footer,
+    permissions) must raise, because treating it as 'first batch' would
+    re-apply every already-applied file in the batch: duplicate list rows
+    / double-counted sums with no error, the same silent-corruption mode
+    ``ann_index._read_ivfpq_meta`` refuses for meta reads."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return {r.path for r in sess.read.parquet(ledger_dir).collect()}
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return set()
+        raise
+
+
 def _derive(events: DataFrame) -> DataFrame:
     return events.withColumns(
         {
@@ -213,10 +231,7 @@ def grain_refresh_stream(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        try:
-            applied = {r.path for r in sess.read.parquet(ledger_dir).collect()}
-        except Exception:  # first batch: no ledger yet
-            applied = set()
+        applied = _read_applied_ledger(sess, ledger_dir)
         # inputFiles() is empty on a micro-batch plan; derive the file set
         # from input_file_name() (bounded collect: files per batch)
         named = batch_df.withColumn("__src_file", F.input_file_name())
@@ -277,10 +292,7 @@ def ivfpq_ingest_stream(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        try:
-            applied = {r.path for r in sess.read.parquet(ledger_dir).collect()}
-        except Exception:  # first batch: no ledger yet
-            applied = set()
+        applied = _read_applied_ledger(sess, ledger_dir)
         named = batch_df.withColumn("__src_file", F.input_file_name())
         files = {
             r[0] for r in named.select("__src_file").distinct().collect()

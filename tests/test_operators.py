@@ -5134,3 +5134,101 @@ def test_ivfpq_filtered_parity_across_filters_and_probes(spark, sf_dir, tmp_path
             )[:4]
             want = [(i + 1, nid, -neg) for i, (neg, nid) in enumerate(cos)]
             assert sorted(by_q.get(qid, [])) == want, (qid, mod, nprobe)
+
+
+def test_compact_bucket_routing_deterministic_and_broadcast_joined(
+    spark, tmp_path
+):
+    """ADVICE r10 items 3+4: the compaction bucket key must be a
+    deterministic content hash (the job overwrites its own input, so a
+    nondeterministic key duplicates/drops rows on task retry), and the
+    per-partition size table must ride a broadcast join, not a create_map
+    literal whose expression count grows with partition cardinality."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.sources.layout import _bucketed
+
+    src = str(tmp_path / "parts")
+    (
+        spark.range(3000)
+        .select(F.col("id"), (F.col("id") % 7).alias("pk"))
+        .write.mode("overwrite")
+        .partitionBy("pk")
+        .parquet(src)
+    )
+    df = spark.read.parquet(src)
+    out1, total1 = _bucketed(df, ["pk"], target_rows=500)
+    out2, total2 = _bucketed(df, ["pk"], target_rows=500)
+    assert total1 == total2
+    # identical routing across independent evaluations == retry-safe
+    r1 = {(r.id, r.pk): r["__b"] for r in out1.collect()}
+    r2 = {(r.id, r.pk): r["__b"] for r in out2.collect()}
+    assert r1 == r2 and len(r1) == 3000
+    plan = out1._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "xxhash64" in plan.lower()
+
+
+def test_ingest_ledger_missing_is_empty_but_read_failure_raises(
+    spark, tmp_path
+):
+    """ADVICE r10 item 1: only PATH_NOT_FOUND may mean 'first batch';
+    any other ledger-read failure must raise, because demoting it to an
+    empty applied-set re-applies every file in the batch (double-counted
+    sums / phantom ANN neighbors) with no error."""
+    import pytest as _pytest
+
+    from tesseract_spark.streaming.ingest import _read_applied_ledger
+
+    missing = str(tmp_path / "no_such_ledger")
+    assert _read_applied_ledger(spark, missing) == set()
+
+    corrupt = tmp_path / "ledger"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with _pytest.raises(Exception) as ei:
+        _read_applied_ledger(spark, str(corrupt))
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
+def test_ivfpq_residual_build_interrupted_before_lists_is_loud(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r10 item 2: meta is written BEFORE lists, so a residual
+    build interrupted between the two leaves meta-without-lists — every
+    subsequent append/query dies on a missing {path}/lists (loud), instead
+    of the old order's residual-lists-without-meta, which _read_ivfpq_meta
+    silently demotes to plain and appends then corrupt with raw-vector
+    codes."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from tesseract_spark.operators import ann_index
+    from tesseract_spark.operators.ann_index import _read_ivfpq_meta
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+    path = str(tmp_path / "ivfpq_partial")
+
+    orig = DataFrameWriter.parquet
+
+    def boom(self, p, *a, **k):
+        if p.endswith("/lists"):
+            raise RuntimeError("injected crash before lists write")
+        return orig(self, p, *a, **k)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        ann_index.build_ivfpq_index(embs, path, residual=True)
+    monkeypatch.setattr(DataFrameWriter, "parquet", orig)
+
+    # the partial state still knows it is residual — NOT demoted to plain
+    assert _read_ivfpq_meta(spark, path) is True
+    # and both append and query fail loudly on the missing lists/codebooks
+    more = embs.withColumn("vec_id", F.col("vec_id") + 10_000)
+    with _pytest.raises(Exception):
+        ann_index.append_to_ivfpq_index(more, path)
+    v = [0.0] * 64
+    with _pytest.raises(Exception):
+        ann_index.query_ivfpq_index(spark, path, [(1, v)], k=1).collect()
