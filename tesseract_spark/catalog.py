@@ -446,6 +446,45 @@ _add(
     """,
 )
 
+# same-period-last-year growth (growth_offset=12 at month grain): the C1
+# Spark-first extension the reference's strictly-adjacent-period lag cannot
+# express (growth.rs:98-130 lags exactly one row). Time-only drill, so this
+# exercises the DISTRIBUTED global lag-N path: range partitions + within-
+# partition lag(mea, 12) + an array-valued carry of each partition's
+# trailing-12 values (calculations.apply_growth n>1 branch) — at 83 months
+# over 32 range partitions nearly every row reads the carry, the hardest
+# routing for the patch logic.
+_add(
+    "q_growth_yoy",
+    {
+        "drilldowns": ["Ship Date.Month"],
+        "measures": ["Quantity"],
+        "parents": "true",
+        "growth": "Ship Date.Ship Date.Month,Quantity",
+        "growth_offset": "12",
+    },
+    """
+    WITH agg AS (
+      SELECT year(l_shipdate)::INT AS "Year", month(l_shipdate)::INT AS "Month",
+             sum(l_quantity) AS "Quantity"
+      FROM lineitem GROUP BY 1, 2
+    ), g AS (
+      SELECT "Year", "Month", "Quantity",
+             "Quantity" - lag("Quantity", 12) OVER (ORDER BY "Year", "Month") AS d,
+             lag("Quantity", 12) OVER (ORDER BY "Year", "Month") AS prev
+      FROM agg
+    )
+    SELECT "Year", "Month", "Quantity",
+           d AS "Quantity Growth Value",
+           CASE WHEN prev > 0 THEN d / prev
+                WHEN d IS NULL THEN NULL
+                WHEN d > 0 THEN 'infinity'::DOUBLE
+                WHEN d < 0 THEN '-infinity'::DOUBLE
+                ELSE 'nan'::DOUBLE END AS "Quantity Growth"
+    FROM g
+    """,
+)
+
 # ---------- C2: RCA (with debug a/b/c/d exposed) ----------
 _RCA_BASE = f"""
     WITH base AS (

@@ -70,12 +70,81 @@ def apply_growth(
     part_aliases = [a for a in all_aliases if a not in time_aliases]
 
     mea = F.col(growth.mea)
+    n = growth.offset
     time_cols = [F.col(a) for a in time_aliases]
     if part_aliases:
         w = Window.partitionBy(*[F.col(a) for a in part_aliases]).orderBy(
             *[c.asc() for c in time_cols]
         )
-        prev = F.lag(mea).over(w)
+        prev = F.lag(mea, n).over(w)
+    elif n > 1:
+        # Global lag N (time-only drill, growth_offset > 1 — the same-
+        # period-last-year extension): the lag-1 carry below patches each
+        # range partition's FIRST row with the previous partition's LAST
+        # value; at offset N the first N rows each need a different one of
+        # the previous partitions' trailing N values. Same distributed
+        # shape, array-valued carry: per-partition trailing-N (time, mea)
+        # structs (bounded: #partitions × N rows), each partition's carry =
+        # last N of the time-sorted flatten of ALL earlier partitions'
+        # tails (the pid<pid' join sidesteps empty range partitions), and
+        # row #rn (rn ≤ N) reads carry[rn − N − 1] — its lag-N element
+        # counted from the end. try_element_at: fewer than N−rn+1
+        # predecessors exist globally → NULL, the correct first-periods
+        # answer.
+        df = df.repartitionByRange(*time_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        w_in = Window.partitionBy("__pid").orderBy(*[c.asc() for c in time_cols])
+        df = df.withColumn("__prev_in", F.lag(mea, n).over(w_in)).withColumn(
+            "__rn", F.row_number().over(w_in)
+        )
+        tails = (
+            df.groupBy("__pid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(*time_cols, mea.alias("__m")))
+                ).alias("__all")
+            )
+            .select(
+                "__pid",
+                F.slice(
+                    F.col("__all"),
+                    F.greatest(F.lit(1), F.size("__all") - F.lit(n - 1)),
+                    F.lit(n),
+                ).alias("__tail"),
+            )
+        )
+        carry = (
+            tails.alias("cur")
+            .join(
+                F.broadcast(tails.alias("lo")),
+                F.col("lo.__pid") < F.col("cur.__pid"),
+            )
+            .groupBy(F.col("cur.__pid").alias("__pid"))
+            .agg(
+                F.array_sort(F.flatten(F.collect_list(F.col("lo.__tail")))).alias(
+                    "__prevs"
+                )
+            )
+            .select(
+                "__pid",
+                F.slice(
+                    F.col("__prevs"),
+                    F.greatest(
+                        F.lit(1), F.size("__prevs") - F.lit(n - 1)
+                    ),
+                    F.lit(n),
+                ).alias("__carry_arr"),
+            )
+        )
+        df = df.join(F.broadcast(carry), "__pid", "left")
+        prev = F.when(
+            F.col("__rn") > n, F.col("__prev_in")
+        ).otherwise(
+            F.try_element_at(
+                F.col("__carry_arr"), F.col("__rn") - F.lit(n + 1)
+            ).getField("__m")
+        )
     else:
         # Global lag (time is the only drill): a plain window would funnel
         # every row through ONE task. Distributed form instead: range-partition
@@ -119,7 +188,7 @@ def apply_growth(
         f"{growth.mea} Growth", growth_col
     )
     if not part_aliases:
-        out = out.drop("__pid", "__prev_in", "__carry")
+        out = out.drop("__pid", "__prev_in", "__carry", "__rn", "__carry_arr")
     return out
 
 

@@ -261,15 +261,33 @@ class GrowthQuery:
     #: ``growth_div0`` URL param. Flipped to parity-by-default in round 8
     #: (VERDICT r7 "what's wrong" #1).
     div0: str = "inf"
+    #: period lag at the time grain (``growth_offset`` URL param). 1 =
+    #: adjacent period, the reference's only mode (growth.rs:98-130 lags
+    #: exactly one row). >1 is a Spark-first extension: same-period-last-
+    #: year comparisons are offset=12 at month grain / 4 at quarter grain —
+    #: the classic time calculation adjacent-period growth can't express.
+    offset: int = 1
 
     @classmethod
-    def parse(cls, s: str, div0: str = "inf") -> "GrowthQuery":
+    def parse(
+        cls, s: str, div0: str = "inf", offset: "int | str" = 1
+    ) -> "GrowthQuery":
         parts = s.split(",")
         if len(parts) != 2:
             raise QueryParseError(f"could not parse growth query {s!r}")
         if div0 not in ("null", "inf"):
             raise QueryParseError(f"growth_div0 must be 'null' or 'inf', got {div0!r}")
-        return cls(LevelName.parse(parts[0]), parts[1], div0)
+        try:
+            off = int(offset)
+        except (TypeError, ValueError):
+            raise QueryParseError(
+                f"growth_offset must be a positive integer, got {offset!r}"
+            )
+        if off < 1:
+            raise QueryParseError(
+                f"growth_offset must be a positive integer, got {offset!r}"
+            )
+        return cls(LevelName.parse(parts[0]), parts[1], div0, off)
 
 
 @dataclass(frozen=True)
@@ -376,7 +394,9 @@ class Query:
             q.rca = RcaQuery.parse(params["rca"])
         if params.get("growth"):
             q.growth = GrowthQuery.parse(
-                params["growth"], params.get("growth_div0", "inf")
+                params["growth"],
+                params.get("growth_div0", "inf"),
+                params.get("growth_offset", 1),
             )
         if params.get("rate"):
             q.rate = RateQuery.parse(params["rate"])

@@ -25,6 +25,7 @@ BNLJ_WHITELIST = {
     "q_growth_year",
     "q_growth_div0_inf",  # same global-lag pid<pid' carry shape as q_growth_year
     "q_growth_div0_null",  # same carry shape, opt-in NULL div0 mode
+    "q_growth_yoy",  # same pid<pid' carry shape, array-valued at offset 12
     "q_rca_debug",
     "q_rca_region_flag",
     "q_sort_by_growth",

@@ -373,6 +373,10 @@ def growth_query_and_oracle(draw):
     extra_flag = draw(st.booleans())
     mea = draw(st.sampled_from(sorted(_GROWTH_MEASURES)))
     div0 = draw(st.sampled_from(["null", "inf"]))
+    # offset > 1 = the same-period-last-year extension (r11): exercises
+    # lag(mea, N) in the partitioned branch and the array-valued carry in
+    # the distributed global branch (time-only drill)
+    offset = draw(st.sampled_from([1, 2, 3, 12]))
 
     drills = ["Ship Date.Year"] + (["Ship Date.Ship Date.Month"] if monthly else [])
     time_level = "Month" if monthly else "Year"
@@ -383,6 +387,7 @@ def growth_query_and_oracle(draw):
         "measures": [mea],
         "growth": f"Ship Date.Ship Date.{time_level},{mea}",
         "growth_div0": div0,
+        "growth_offset": str(offset),
         "cuts": [],
     }
     where = []
@@ -430,8 +435,8 @@ def growth_query_and_oracle(draw):
       {"WHERE " + " AND ".join(where) if where else ""}
       GROUP BY {", ".join(groups)}),
     g AS (
-      SELECT *, "{mea}" - lag("{mea}") OVER ({w}) AS d,
-             lag("{mea}") OVER ({w}) AS prev
+      SELECT *, "{mea}" - lag("{mea}", {offset}) OVER ({w}) AS d,
+             lag("{mea}", {offset}) OVER ({w}) AS prev
       FROM agg)
     SELECT {", ".join(groups)}, "{mea}",
            d AS "{mea} Growth Value",

@@ -94,6 +94,13 @@ def test_calcs():
     assert GrowthQuery.parse("Time.Year,Quantity", "inf").div0 == "inf"
     with pytest.raises(QueryParseError):
         GrowthQuery.parse("Time.Year,Quantity", "zero")
+    # growth_offset: same-period-last-year extension (1 = reference parity)
+    assert GrowthQuery.parse("Time.Year,Quantity").offset == 1
+    assert GrowthQuery.parse("Time.Month,Quantity", "inf", "12").offset == 12
+    with pytest.raises(QueryParseError):
+        GrowthQuery.parse("Time.Year,Quantity", "inf", "0")
+    with pytest.raises(QueryParseError):
+        GrowthQuery.parse("Time.Year,Quantity", "inf", "twelve")
 
     r = RcaQuery.parse("Geo.Nation,Part.Brand,Extended Price")
     assert r.drill_1 == LevelName("Geo", "Geo", "Nation")
