@@ -1226,6 +1226,59 @@ _add(
 )
 
 
+# ---------- bucketed fact-fact join (zero-shuffle SortMergeJoin) ----------
+def _bucketed_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈lineitem where NEITHER side is broadcast-sized at production
+    scale — the fact-fact join class. Both sides are persisted bucketed (and
+    bucket-sorted) on the join key via sources/bucketing.write_bucketed, so
+    the merge-hinted join plans a SortMergeJoin with ZERO Exchange: each
+    bucket pair joins locally, and the only shuffle left in the whole entry
+    is the final 5-group aggregate. At 100 TB the bucketed write is the
+    one-time ETL step; the shuffle it removes is the per-query dominant
+    cost (SURVEY §4's 'pre-bucketed fact tables to kill shuffles').
+    test_plan_shapes.test_bucketed_join_entry_is_shuffle_free pins the
+    plan property (SortMergeJoin, bucketed scans, exactly one exchange)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from .sources.bucketing import drop_bucketed, write_bucketed
+
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    lt, ot = f"b11_li_{tag}", f"b11_ord_{tag}"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    drop_bucketed(spark, lt)
+    drop_bucketed(spark, ot)
+    write_bucketed(li, lt, ["l_orderkey"], 8)
+    write_bucketed(orders, ot, ["o_orderkey"], 8)
+    a, b = spark.table(lt), spark.table(ot)
+    joined = a.join(b.hint("merge"), a["l_orderkey"] == b["o_orderkey"])
+    return joined.groupBy(
+        F.col("o_orderpriority").alias("Order Priority")
+    ).agg(
+        F.sum("l_quantity").alias("Join Quantity"),
+        F.count(F.lit(1)).alias("Join Rows"),
+    )
+
+
+_add(
+    "q_bucketed_join_priority",
+    _bucketed_join_priority,
+    """
+    SELECT o.o_orderpriority AS "Order Priority",
+           sum(l.l_quantity) AS "Join Quantity",
+           count(*) AS "Join Rows"
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+
+
 # ---------- quantile binning via broadcast thresholds ----------
 def _price_quartile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scalable discretization shape: exact per-group quartile thresholds

@@ -33,3 +33,21 @@ def write_bucketed(
 def bucketed_join_ready(spark: SparkSession, left: str, right: str) -> bool:
     """True when both catalog tables exist (use with a pre-bucketing ETL step)."""
     return spark.catalog.tableExists(left) and spark.catalog.tableExists(right)
+
+
+def drop_bucketed(spark: SparkSession, table: str) -> None:
+    """DROP the catalog table AND its managed warehouse location if a stale
+    directory survived a previous session (a fresh in-memory metastore does
+    not know the table, so ``saveAsTable`` refuses the existing location
+    with LOCATION_ALREADY_EXISTS instead of overwriting). Local-filesystem
+    warehouses only — on a shared metastore the DROP alone is correct."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("", "file"):
+        loc = os.path.join(wh.path, table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)

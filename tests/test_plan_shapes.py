@@ -176,3 +176,21 @@ def test_no_unpartitioned_windows(name, spark, sf_dir):
         f"{name}: single-partition window spec(s) {bad} — rank bounded "
         "top-k rows via the array-fold pattern instead"
     )
+
+
+def test_bucketed_join_entry_is_shuffle_free(spark, sf_dir):
+    """q_bucketed_join_priority's fact-fact join must be a SortMergeJoin
+    over bucketed scans with ZERO join-side Exchange — the only shuffle in
+    the whole plan is the final 5-group aggregate. This is the one Catalyst
+    behavior class (bucketed co-located joins) the reference surface never
+    exercises and the 100 TB fact-fact story depends on."""
+    import re
+
+    df = catalog.ENTRIES["q_bucketed_join_priority"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, "merge-hinted bucketed join lost SMJ"
+    exchanges = re.findall(r"Exchange \w+partitioning\([^\n]*", plan)
+    assert len(exchanges) == 1 and "o_orderpriority" in exchanges[0], (
+        f"expected the final aggregate's exchange only, saw: {exchanges}"
+    )
+    assert "SelectedBucketsCount" in plan and "Bucketed: true" in plan

@@ -82,3 +82,86 @@ def test_salted_rejects_non_decomposable(spark, sf_dir):
         salted_aggregate(
             li, ["l_returnflag"], [("median", "l_quantity", "m")], salt_from="l_orderkey"
         )
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """SURVEY §4 row 1 claims Catalyst DPP covers the reference's semi-join
+    pushdown (primary_agg.rs:123-160) at partitioned scale — prove it: a
+    year-partitioned fact store joined to a dim with a selective predicate
+    must carry `dynamicpruningexpression` in the fact scan's
+    PartitionFilters, i.e. fact partitions prune from the DIM FILTER at
+    runtime, before any fact rows are read. (Predicate-shape gotcha, pinned
+    here: a bare boolean dim column is not 'likely selective' to the
+    PartitionPruning rule and silently yields NO pruning — comparisons and
+    IN-lists qualify.)"""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_shipyear", F.year("l_shipdate")
+    )
+    fact_path = str(tmp_path / "fact_by_year")
+    li.write.partitionBy("l_shipyear").parquet(fact_path)
+    dim_path = str(tmp_path / "years_dim")
+    spark.createDataFrame(
+        [(y,) for y in range(1995, 2002)], "year int"
+    ).write.parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter("year >= 1999")
+    q = fact.join(dim, fact.l_shipyear == dim.year).agg(
+        F.sum("l_quantity").alias("q")
+    )
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression" in plan.lower(), (
+        "dim-filtered star query did not plan dynamic partition pruning "
+        "on the partitioned fact scan"
+    )
+    want = li.filter("l_shipyear >= 1999").agg(F.sum("l_quantity")).collect()[0][0]
+    assert q.collect()[0]["q"] == want
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Planted key skew (90% of rows on one join key) under a forced
+    SortMergeJoin: AQE's OptimizeSkewedJoin must split the hot partition —
+    `SortMergeJoin(skew=true)` / `AQEShuffleRead ... skewed` in the FINAL
+    adaptive plan — with results identical to the unskewed computation.
+    This is the runtime half of the skew story (operators/skew.py's salted
+    aggregate is the compile-time half)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") < 450_000, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.col("id") * 7919 % 1000003).alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()  # materialize so the ADAPTIVE plan is final
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "hot partition was not skew-split"
+        assert "skewed" in plan, "no AQEShuffleRead marked skewed"
+        assert len(rows) == 500_000
+        assert sum(r.w for r in rows) == 450_000 * 14 + sum(
+            2 * (i % 1000) for i in range(450_000, 500_000)
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
