@@ -4022,6 +4022,96 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ENTRIES["q_top_brands_per_region"].spark_fn(spark, sf_dir)
 
 
+def aggnav_build_serve_split(spark: SparkSession, sf_dir: str) -> dict:
+    """Build-vs-serve timing split for the aggnav rollup tier (VERDICT r10
+    'what's wrong' #1): the q_aggnav_serve / q_aggnav_refresh CORRECTNESS
+    entries deliberately fuse materialization into the timed call (their
+    oracles prove build+serve exact end-to-end), which makes the fused
+    bench figure misread rollup-SERVED latency — the number a 100 TB
+    dashboard actually pays, since the rollup is built once and served
+    thousands of times. bench.py calls this and records the phases beside
+    the fused entries, mirroring scripts/probe_ann_index_100x.py's
+    build/serve split for the ANN indexes. Returns ``{"build_sec",
+    "serve_sec", "refresh_sec", "refresh_serve_sec"}``."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from .plans.aggnav import AggregateNavigator
+    from .query.model import Query as Q
+
+    b = get_builder(spark, sf_dir)
+    nav = AggregateNavigator(b)
+    out: dict[str, float] = {}
+
+    # phase 1: one-time rollup materialization (the q_aggnav_serve grain)
+    t0 = _t.perf_counter()
+    nav.materialize(
+        "lineitem_sales",
+        [
+            "Ship Date.Ship Date.Year",
+            "Part.Brand",
+            "Customer Geography.Geography.Nation",
+        ],
+        ["Quantity", "Extended Price Exact", "Row Count"],
+        _ivf_tmp_path(sf_dir, "aggnav_split"),
+        partition_by="Ship Date.Ship Date.Year",
+    )
+    out["build_sec"] = round(_t.perf_counter() - t0, 4)
+
+    # phase 2: rollup-served query latency (never touches the fact table)
+    q = Q.from_params(
+        {
+            "drilldowns": ["Customer Geography.Geography.Region"],
+            "measures": ["Quantity", "Extended Price Exact", "Row Count"],
+            "cuts": ["Ship Date.Ship Date.Year.1996,1997"],
+        }
+    )
+    t0 = _t.perf_counter()
+    served = nav.serve("lineitem_sales", q)
+    assert served is not None
+    served.write.format("noop").mode("overwrite").save()
+    out["serve_sec"] = round(_t.perf_counter() - t0, 4)
+
+    # phases 3/4: incremental refresh cost and post-refresh serve latency
+    # (the q_aggnav_refresh grain: history build, 1997+ increment folded in)
+    nav2 = AggregateNavigator(b)
+    fact = b.registry.load("lineitem_enriched")
+    hist = fact.filter(F.year("l_shipdate") < 1997)
+    incr = fact.filter(F.year("l_shipdate") >= 1997)
+    was_broadcastable = b.registry.is_broadcastable("lineitem_enriched")
+    b.registry.register("lineitem_enriched", hist, broadcastable=False)
+    try:
+        grain = nav2.materialize(
+            "lineitem_sales",
+            ["Ship Date.Ship Date.Year", "Customer Geography.Geography.Nation"],
+            ["Quantity", "Extended Price Exact", "Row Count"],
+            _ivf_tmp_path(sf_dir, "aggnav_split_refresh"),
+            partition_by="Ship Date.Ship Date.Year",
+        )
+    finally:
+        b.registry.register(
+            "lineitem_enriched", fact, broadcastable=was_broadcastable
+        )
+    t0 = _t.perf_counter()
+    nav2.refresh(grain, incr)
+    out["refresh_sec"] = round(_t.perf_counter() - t0, 4)
+
+    q2 = Q.from_params(
+        {
+            "drilldowns": ["Customer Geography.Geography.Nation"],
+            "measures": ["Quantity", "Extended Price Exact", "Row Count"],
+            "cuts": ["Ship Date.Ship Date.Year.1996,1997"],
+        }
+    )
+    t0 = _t.perf_counter()
+    served2 = nav2.serve("lineitem_sales", q2)
+    assert served2 is not None
+    served2.write.format("noop").mode("overwrite").save()
+    out["refresh_serve_sec"] = round(_t.perf_counter() - t0, 4)
+    return out
+
+
 # The driver's correctness harness checks only the FIRST 50 queries() entries
 # per round, so ordering is evidence policy, not cosmetics. Round-10 window.
 # Evidence ledger after r9: union of green rows over r1-r9 covers 163/164

@@ -839,3 +839,20 @@ def test_streaming_grain_refresh_carries_binned_quantile(builder, spark, tmp_pat
     want = sorted(tuple(r) for r in builder.dataframe("lineitem_sales", q).collect())
     got = sorted(tuple(r) for r in nav.serve("lineitem_sales", q).collect())
     assert got == want and len(got) == 3
+
+
+def test_aggnav_build_serve_split_reports_all_phases(spark, sf_dir):
+    """bench.py's aggnav split (VERDICT r10 #1): the helper must time all
+    four phases and serving must be the cheap one — a serve that costs as
+    much as the build means the rollup store was not actually reused."""
+    from tesseract_spark.catalog import aggnav_build_serve_split
+
+    split = aggnav_build_serve_split(spark, sf_dir)
+    assert set(split) == {
+        "build_sec",
+        "serve_sec",
+        "refresh_sec",
+        "refresh_serve_sec",
+    }
+    assert all(v > 0 for v in split.values())
+    assert split["serve_sec"] < split["build_sec"]
