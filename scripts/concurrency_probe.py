@@ -55,10 +55,10 @@ def main() -> int:
     ]
     years = [1995, 1996, 1997, 1998, 1999, 2000, 2001]
 
-    def fetch(i: int, bust: bool) -> tuple[float, str | None]:
+    def fetch(i: int, bust: bool, tag: str = "") -> tuple[float, str | None]:
         url = base + shapes[i % len(shapes)].format(y=years[i % len(years)])
         if bust:
-            url += f"&nocache={i}"
+            url += f"&nocache={tag}{i}"
         start = time.perf_counter()
         try:
             with urllib.request.urlopen(url, timeout=600) as r:
@@ -72,10 +72,12 @@ def main() -> int:
     for i in range(len(shapes)):
         fetch(i, bust=False)
 
-    def run_pass(label: str, bust: bool) -> dict:
+    def run_pass(label: str, bust: bool, tag: str = "") -> dict:
         wall0 = time.perf_counter()
         with concurrent.futures.ThreadPoolExecutor(max_workers=n_clients) as ex:
-            results = list(ex.map(lambda i: fetch(i, bust), range(n_clients)))
+            results = list(
+                ex.map(lambda i: fetch(i, bust, tag), range(n_clients))
+            )
         wall = time.perf_counter() - wall0
         lat = sorted(t for t, _ in results)
         errors = [e for _, e in results if e]
@@ -93,12 +95,25 @@ def main() -> int:
             out["first_error"] = errors[0]
         return out
 
-    cold = run_pass("uncached", bust=True)
+    # cold = worst case: 100 never-seen query shapes at once, so every
+    # request pays the driver-side plan build (GIL-serialized) AND the scan.
+    # steady = the honest production number (r11): plans warm in the
+    # builder's plan cache, response cache still BUSTED — every request
+    # re-executes its full scan+aggregate. The reference's "low latency at
+    # 100 concurrent" target is about steady state, not 100 simultaneous
+    # cold compiles.
+    cold = run_pass("uncached_cold_plans", bust=True, tag="a")
+    steady = run_pass("uncached_steady", bust=True, tag="b")
     warm_seed = run_pass("cache_seed", bust=False)  # populates the LRU
     warm = run_pass("cached", bust=False)
-    print(json.dumps({"sf_dir": sf_dir, "passes": [cold, warm_seed, warm]}, indent=1))
+    print(
+        json.dumps(
+            {"sf_dir": sf_dir, "passes": [cold, steady, warm_seed, warm]},
+            indent=1,
+        )
+    )
     srv.shutdown()
-    return 1 if cold["errors"] or warm["errors"] else 0
+    return 1 if cold["errors"] or steady["errors"] or warm["errors"] else 0
 
 
 if __name__ == "__main__":

@@ -124,6 +124,18 @@ class PlanBuilder:
         self.schema = schema
         self.registry = registry
         self.avg_grain = avg_grain
+        # plan cache (prepared-statement analog): building a query's
+        # DataFrame costs ~0.1s of DRIVER-side py4j analysis, which under
+        # 100 concurrent HTTP requests serializes on the GIL — repeated
+        # dashboard shapes should not re-pay it. Caches the immutable plan
+        # OBJECT only: every collect re-executes the scan, so data is
+        # always fresh (unlike the server's response cache). Keyed on the
+        # registry generation so a swapped table (aggnav hist/fact swap,
+        # /flush reload) invalidates plans built on the old frame.
+        from collections import OrderedDict
+
+        self._plan_cache: OrderedDict[tuple, DataFrame] = OrderedDict()
+        self._plan_cache_max = 256
 
     # ---------------- name resolution ----------------
 
@@ -484,6 +496,21 @@ class PlanBuilder:
     # ---------------- main entry ----------------
 
     def dataframe(self, cube_name: str, query: Query) -> DataFrame:
+        # dataclass repr is deterministic and covers every field; a missed
+        # hit (hand-built Query with unusual field order) costs a rebuild,
+        # never a wrong plan
+        key = (self.registry.generation, cube_name, repr(query))
+        hit = self._plan_cache.get(key)
+        if hit is not None:
+            self._plan_cache.move_to_end(key)
+            return hit
+        df = self._build_dataframe(cube_name, query)
+        self._plan_cache[key] = df
+        if len(self._plan_cache) > self._plan_cache_max:
+            self._plan_cache.popitem(last=False)
+        return df
+
+    def _build_dataframe(self, cube_name: str, query: Query) -> DataFrame:
         cube = self.schema.cube(cube_name)
         self._validate(cube, query)
 

@@ -27,6 +27,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # FAIR scheduling BETWEEN dynamically-created pools: the HTTP server
+        # assigns each request thread its own pool (server/app.py), so 100
+        # concurrent aggregate jobs round-robin the 32 cores instead of
+        # FIFO-queueing short dashboards behind long scans — the reference's
+        # 100-concurrent design target (DESIGN.md:1-5, actix + ClickHouse
+        # pool). Single-job batch work is unaffected (one pool, all cores).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Spark 4 defaults to ANSI mode where x/0 raises; the reference backend

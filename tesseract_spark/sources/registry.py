@@ -50,6 +50,11 @@ class TableRegistry:
         self.base_dir = base_dir
         self._views: dict[str, DataFrame | Callable[[SparkSession], DataFrame]] = {}
         self._no_broadcast: set[str] = set()
+        #: bumped on every (re-)registration; consumers that cache plans
+        #: derived from registry tables (PlanBuilder's query-plan cache) key
+        #: on it so a swapped frame invalidates everything built on the old
+        #: one (the aggnav hist/fact swap would otherwise serve stale plans)
+        self.generation = 0
 
     def register(
         self,
@@ -61,6 +66,7 @@ class TableRegistry:
         (e.g. an order-grain denormalized dim): the plan builder then omits the
         broadcast hint and lets AQE pick broadcast vs shuffle at runtime."""
         self._views[name] = df
+        self.generation += 1
         if not broadcastable:
             self._no_broadcast.add(name)
         else:
@@ -122,9 +128,19 @@ class TableRegistry:
             return view
         if self.base_dir is not None:
             try:
-                return self.spark.read.parquet(f"{self.base_dir}/{name}.parquet")
+                df = self.spark.read.parquet(f"{self.base_dir}/{name}.parquet")
             except Exception:
                 pass
+            else:
+                # memoize the PLAN (not data): spark.read.parquet pays a
+                # driver-side schema-inference round trip per call, which
+                # under 100 concurrent HTTP requests serializes on the
+                # GIL/py4j. The DataFrame object is an immutable logical
+                # plan — reusing it re-executes the scan per job, so
+                # results stay fresh. generation is NOT bumped: the memo
+                # resolves to identical content.
+                self._views[name] = df
+                return df
         return self.spark.table(name)
 
     def inline_table(self, inline: InlineTable) -> DataFrame:

@@ -491,3 +491,43 @@ def test_growth_div0_inf_mode(spark):
     )
     out = {r["Year"]: r["M Growth"] for r in b2.dataframe("c", q).collect()}
     assert math.isnan(out[2001])
+
+
+def test_plan_cache_identity_and_invalidation(spark, builder):
+    """r11 plan cache (prepared-statement analog): the same query returns
+    the SAME DataFrame object (no rebuilt driver-side analysis), a
+    different query a different plan, and a registry re-registration
+    (table swap — the aggnav hist/fact pattern, /flush reload) invalidates
+    so the next build sees the swapped frame's data."""
+    from tesseract_spark.query.model import Query
+
+    params = {"drilldowns": ["Ship Date.Year"], "measures": ["Quantity"]}
+    df1 = builder.dataframe("lineitem_sales", Query.from_params(params))
+    df2 = builder.dataframe("lineitem_sales", Query.from_params(params))
+    assert df1 is df2, "identical queries must hit the plan cache"
+    other = builder.dataframe(
+        "lineitem_sales",
+        Query.from_params({**params, "measures": ["Extended Price"]}),
+    )
+    assert other is not df1
+
+    # swap the fact for a 1-year slice: cached plans must NOT survive
+    fact = builder.registry.load("lineitem_enriched")
+    was = builder.registry.is_broadcastable("lineitem_enriched")
+    n_before = {r["Year"]: r["Quantity"] for r in df1.collect()}
+    builder.registry.register(
+        "lineitem_enriched",
+        fact.filter("l_shipyear = 1996"),
+        broadcastable=False,
+    )
+    try:
+        df3 = builder.dataframe("lineitem_sales", Query.from_params(params))
+        assert df3 is not df1, "registry swap must invalidate the plan cache"
+        rows = {r["Year"]: r["Quantity"] for r in df3.collect()}
+        assert set(rows) == {1996} and rows[1996] == n_before[1996]
+    finally:
+        builder.registry.register(
+            "lineitem_enriched", fact, broadcastable=was
+        )
+    df4 = builder.dataframe("lineitem_sales", Query.from_params(params))
+    assert {r["Year"]: r["Quantity"] for r in df4.collect()} == n_before
