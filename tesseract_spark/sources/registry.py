@@ -44,6 +44,58 @@ _CAST_TYPES = {
 }
 
 
+#: scheme -> (jdbc scheme, driver class). The reference dispatches backends
+#: on the same URL schemes (tesseract-server/src/db_config.rs:29-74;
+#: supported set per main.rs:20: clickhouse, postgres, mysql) — here every
+#: dialect rides Spark's JDBC source, so "supporting a backend" is a URL
+#: rewrite + driver class, with Spark's JDBCDialects handling quoting and
+#: type mapping per dialect. ClickHouse note: the reference speaks native
+#: TCP :9000 (tesseract-clickhouse/src/lib.rs:23-38); JDBC uses the HTTP
+#: port (:8123) — the URL is passed through as given.
+_DIALECTS: dict[str, tuple[str, str]] = {
+    "clickhouse": ("jdbc:clickhouse", "com.clickhouse.jdbc.ClickHouseDriver"),
+    "mysql": ("jdbc:mysql", "com.mysql.cj.jdbc.Driver"),
+    "postgres": ("jdbc:postgresql", "org.postgresql.Driver"),
+    "postgresql": ("jdbc:postgresql", "org.postgresql.Driver"),
+}
+
+
+def parse_database_url(url: str) -> tuple[str, dict[str, str], str]:
+    """``(jdbc_url, properties, display_url)`` from a reference-style
+    database URL — the Spark analog of ``db_config.rs:get_db``:
+
+    - scheme picks the dialect; a scheme-less URL defaults to ClickHouse
+      (db_config.rs:41-42: 'Clickhouse is the default if no prefix');
+    - ``user:password@host`` credentials move into JDBC properties (Spark's
+      JDBC source does not accept them inline for every driver);
+    - ``display_url`` redacts the password (db_config.rs:60-71 — 'for
+      display purposes only'), so server logs/metadata never leak it.
+    """
+    scheme, sep, rest = url.partition("://")
+    if not sep:
+        scheme, rest = "clickhouse", url
+    scheme = scheme.lower()
+    if scheme not in _DIALECTS:
+        raise ValueError(
+            f"unsupported database scheme {scheme!r} "
+            f"(supported: {sorted(set(_DIALECTS))})"
+        )
+    jdbc_scheme, driver = _DIALECTS[scheme]
+    props = {"driver": driver}
+    display_host = rest
+    if "@" in rest:
+        creds, _, host = rest.rpartition("@")
+        user, sep2, password = creds.partition(":")
+        props["user"] = user
+        if sep2:
+            props["password"] = password
+            display_host = f"{user}:*@{host}"
+        else:
+            display_host = rest
+        rest = host
+    return f"{jdbc_scheme}://{rest}", props, f"{scheme}://{display_host}"
+
+
 class TableRegistry:
     def __init__(self, spark: SparkSession, base_dir: str | None = None):
         self.spark = spark
@@ -117,6 +169,26 @@ class TableRegistry:
             return reader.load()
 
         return self.register(name, load_jdbc, broadcastable=broadcastable)
+
+    def register_database(
+        self,
+        name: str,
+        url: str,
+        dbtable: str,
+        properties: dict[str, str] | None = None,
+        **jdbc_kwargs,
+    ):
+        """Bind a table from a reference-style database URL
+        (``clickhouse://`` / ``mysql://`` / ``postgres://``, credentials
+        inline) — what a user of the reference writes in its server config
+        (db_config.rs) works here verbatim. Routes through
+        :meth:`register_jdbc`; extra ``properties`` override the parsed
+        ones, ``jdbc_kwargs`` pass through (partition_column & bounds for
+        parallel fact reads). Returns the redacted display URL."""
+        jdbc_url, props, display = parse_database_url(url)
+        props.update(properties or {})
+        self.register_jdbc(name, jdbc_url, dbtable, properties=props, **jdbc_kwargs)
+        return display
 
     def load(self, table: Table | str) -> DataFrame:
         name = table.full_name() if isinstance(table, Table) else table
