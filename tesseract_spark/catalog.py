@@ -1855,6 +1855,40 @@ def _wire_pipeline_ops() -> None:
         return pq.pq_topk_oracle_sql([0, 1, 2, 3, 4])
 
     _add("q_ann_pq_topk", _ann_pq_topk, _pq_oracle())
+
+    # recall@k of the PQ tier against brute force (r11): the serving-quality
+    # number a production ANN deployment monitors continuously. Both tiers
+    # are bit-exact, so the intersection — and therefore the recall — is
+    # deterministic and fully oracle-able (exact + ADC CTEs composed).
+    def _ann_recall_pq(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators import pq
+
+        embs = _embs(spark, sf)
+        exact = similarity.brute_force_topk(embs, [0, 1, 2, 3, 4])
+        approx = pq.pq_topk(embs, [0, 1, 2, 3, 4])
+        return similarity.ann_recall(exact, approx, k=5)
+
+    def _ann_recall_oracle() -> str:
+        from .operators import pq
+
+        exact_sql = similarity.brute_force_topk_oracle_sql([0, 1, 2, 3, 4])
+        approx_sql = pq.pq_topk_oracle_sql([0, 1, 2, 3, 4])
+        return f"""
+        WITH exact AS (SELECT * FROM ({exact_sql})),
+        approx AS (SELECT * FROM ({approx_sql})),
+        hits AS (
+          SELECT e.query_id, count(*) AS n
+          FROM exact e
+          JOIN approx a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+          GROUP BY 1)
+        SELECT q.query_id,
+               CAST(COALESCE(h.n, 0) AS DOUBLE) / 5 AS recall_at_k
+        FROM (SELECT DISTINCT query_id FROM exact) q
+        LEFT JOIN hits h USING (query_id)
+        """
+
+    _add("q_ann_recall_pq", _ann_recall_pq, _ann_recall_oracle())
     # embedding-cosine near-dup pairs, LSH-bucket-pruned; the synthetic
     # embeddings' similarity regime tops out near cos≈0.4, so the threshold
     # pins operator mechanics rather than a production 0.95 dedup bar
@@ -4140,7 +4174,10 @@ def aggnav_build_serve_split(spark: SparkSession, sf_dir: str) -> dict:
 #    rewrite; their sibling q_ann_ivfpq_index held green in r10 on the same
 #    shared machinery.
 # Displaced to the post-window tail: the r8-green cohort (becomes the r12
-# rotation head) and the remaining r9/r10-green entries.
+# rotation head) and the remaining r9/r10-green entries. The late-r11 debut
+# q_ann_recall_pq (PQ-vs-brute-force recall@k) also waits for r12: the
+# 41-entry stale cohort takes priority over a debut whose two component
+# tiers (q_ann_cosine_topk, q_ann_pq_topk) both hold green driver rows.
 DRIVER_WINDOW: list[str] = [
     # environment probes (single-construct canaries)
     "q_probe_sum_bigint",

@@ -1430,3 +1430,34 @@ def ann_int8_topk_oracle_sql(
       FROM rescored)
     WHERE rank <= {k}
     """
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Serving-quality instrumentation: per-query recall@k of an ANN tier
+    against the exact ranking — ``|approx ∩ exact| / k`` over the two
+    ``(query_id, neighbor_id, …)`` top-k frames every tier in this package
+    emits. The measurement a production ANN deployment runs continuously
+    (is the PQ/IVF ladder still serving what brute force would?); at scale
+    both inputs are queries×k rows — bounded by the serving batch, never
+    the corpus — so the join/group here is metadata-sized regardless of sf.
+    Deterministic because every tier's ranking is bit-exact (rounded cosine,
+    id tie-break), so the intersection is too."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        e.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall_at_k"),
+        )
+    )

@@ -19,6 +19,7 @@ from tesseract_spark import catalog
 # total) crossed against the data — bounded work per row, scale-safe
 BNLJ_WHITELIST = {
     "q_ann_cosine_topk",
+    "q_ann_recall_pq",  # composes the brute-force leg's broadcast-query cross
     "q_ann_ivf_topk",
     "q_ann_ivf_index",  # same broadcast-centroid probe shape, index-served
     "q_ann_lsh_topk",
@@ -79,6 +80,9 @@ EXCHANGE_CEILING = {
     # two audited retrieval legs composed (BM25's tf/df/dl aggs + cosine
     # top-k) + the rank-fusion outer join; measured 14 at sf0.001
     "q_hybrid_rrf": 28,
+    # r11: two full ANN tiers composed (brute-force + PQ train/encode/ADC)
+    # + the intersection join/group; measured 14 at sf0.001
+    "q_ann_recall_pq": 28,
 }
 DEFAULT_CEILING = 12
 
