@@ -4174,10 +4174,7 @@ def aggnav_build_serve_split(spark: SparkSession, sf_dir: str) -> dict:
 #    rewrite; their sibling q_ann_ivfpq_index held green in r10 on the same
 #    shared machinery.
 # Displaced to the post-window tail: the r8-green cohort (becomes the r12
-# rotation head) and the remaining r9/r10-green entries. The late-r11 debut
-# q_ann_recall_pq (PQ-vs-brute-force recall@k) also waits for r12: the
-# 41-entry stale cohort takes priority over a debut whose two component
-# tiers (q_ann_cosine_topk, q_ann_pq_topk) both hold green driver rows.
+# rotation head) and the remaining r9/r10-green entries.
 DRIVER_WINDOW: list[str] = [
     # environment probes (single-construct canaries)
     "q_probe_sum_bigint",
@@ -4190,9 +4187,15 @@ DRIVER_WINDOW: list[str] = [
     # round-11 oracle debuts
     "q_growth_yoy",
     "q_bucketed_join_priority",
-    # changed-code re-proofs (ADVICE r10: ann_index meta order + cand_local)
+    "q_ann_recall_pq",
+    # changed-code re-proof (ADVICE r10: ann_index meta-before-lists +
+    # cand_local rescore — the residual entry exercises both, plus the
+    # residual ADC path; q_ann_ivfpq_filtered yields its re-proof slot to
+    # the recall debut: its unique code (the allowed semi-join) did not
+    # change this round, it holds a green r10 row, and the shared
+    # query-path changes are covered by the residual re-proof + the recall
+    # entry's PQ serving leg)
     "q_ann_ivfpq_residual",
-    "q_ann_ivfpq_filtered",
     # r7 cohort — logic layer + OLAP tail
     "q_logic_time_latest",
     "q_logic_named_set",
