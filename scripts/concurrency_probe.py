@@ -68,9 +68,19 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — probe must report, not die
             return time.perf_counter() - start, f"{type(e).__name__}: {e}"[:120]
 
-    # JVM/codegen warm-up (uncounted): one call per shape
-    for i in range(len(shapes)):
-        fetch(i, bust=False)
+    # JVM/codegen warm-up (uncounted): one call per shape, pinned to a year
+    # OUTSIDE the measured combos (1994 is empty but compiles the same plan
+    # shape) so the cold pass's (shape, year) plans are genuinely never-seen
+    # — warming with the measured combos would pre-seed the builder's plan
+    # cache for the first len(shapes) cold requests (r11 review)
+    warm_shapes = [s.format(y=1994) for s in shapes]
+    for i, s in enumerate(warm_shapes):
+        url = base + s + f"&nocache=warm{i}"
+        try:
+            with urllib.request.urlopen(url, timeout=600) as r:
+                r.read()
+        except Exception:
+            pass
 
     def run_pass(label: str, bust: bool, tag: str = "") -> dict:
         wall0 = time.perf_counter()

@@ -3718,6 +3718,28 @@ def _wire_round8_ops() -> None:
     _add("q_ann_ivfpq_filtered", _ivfpq_filtered, _ivfpq_filtered_oracle())
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _swapped_fact(b: PlanBuilder, frame: DataFrame):
+    """Temporarily register ``frame`` as the cube fact (broadcastable=False)
+    and restore the original frame + broadcastable flag on exit — the
+    delicate sequence the aggnav history-build needs, in ONE place (r11
+    review: the q_aggnav_refresh entry and aggnav_build_serve_split carried
+    diverging copies; a stale restore path here corrupts the SHARED memoized
+    builder for every later entry in the process)."""
+    fact = b.registry.load("lineitem_enriched")
+    was_broadcastable = b.registry.is_broadcastable("lineitem_enriched")
+    b.registry.register("lineitem_enriched", frame, broadcastable=False)
+    try:
+        yield fact
+    finally:
+        b.registry.register(
+            "lineitem_enriched", fact, broadcastable=was_broadcastable
+        )
+
+
 def _wire_aggnav() -> None:
     """Aggregate navigation (plans/aggnav.py): materialize a pass-1 rollup
     at (Year, Brand, Nation+parents) grain partitioned by Year, then SERVE a
@@ -3839,13 +3861,10 @@ def _wire_round9_ops() -> None:
         fact = b.registry.load("lineitem_enriched")
         hist = fact.filter(F.year("l_shipdate") < 1997)
         incr = fact.filter(F.year("l_shipdate") >= 1997)
-        # capture the pre-swap broadcastable state so the finally-restore
-        # leaves the SHARED memoized registry exactly as found (ADVICE r9:
-        # hardcoding False leaked the fact into _no_broadcast for the rest
-        # of the session)
-        was_broadcastable = b.registry.is_broadcastable("lineitem_enriched")
-        b.registry.register("lineitem_enriched", hist, broadcastable=False)
-        try:
+        # _swapped_fact restores the frame AND the broadcastable flag
+        # (ADVICE r9: hardcoding False leaked the fact into _no_broadcast
+        # for the rest of the session)
+        with _swapped_fact(b, hist):
             grain = nav.materialize(
                 "lineitem_sales",
                 [
@@ -3855,10 +3874,6 @@ def _wire_round9_ops() -> None:
                 ["Quantity", "Extended Price Exact", "Row Count"],
                 _ivf_tmp_path(sf, "aggnav_refresh"),
                 partition_by="Ship Date.Ship Date.Year",
-            )
-        finally:
-            b.registry.register(
-                "lineitem_enriched", fact, broadcastable=was_broadcastable
             )
         nav.refresh(grain, incr)
         q = Q.from_params(
@@ -4113,19 +4128,13 @@ def aggnav_build_serve_split(spark: SparkSession, sf_dir: str) -> dict:
     fact = b.registry.load("lineitem_enriched")
     hist = fact.filter(F.year("l_shipdate") < 1997)
     incr = fact.filter(F.year("l_shipdate") >= 1997)
-    was_broadcastable = b.registry.is_broadcastable("lineitem_enriched")
-    b.registry.register("lineitem_enriched", hist, broadcastable=False)
-    try:
+    with _swapped_fact(b, hist):
         grain = nav2.materialize(
             "lineitem_sales",
             ["Ship Date.Ship Date.Year", "Customer Geography.Geography.Nation"],
             ["Quantity", "Extended Price Exact", "Row Count"],
             _ivf_tmp_path(sf_dir, "aggnav_split_refresh"),
             partition_by="Ship Date.Ship Date.Year",
-        )
-    finally:
-        b.registry.register(
-            "lineitem_enriched", fact, broadcastable=was_broadcastable
         )
     t0 = _t.perf_counter()
     nav2.refresh(grain, incr)

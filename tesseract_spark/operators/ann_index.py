@@ -358,17 +358,34 @@ def build_ivfpq_index(
             F.element_at("codes", 1).alias("cid"),
             F.slice("codes", 2, m).alias("codes"),
         )
-    # meta BEFORE lists: _read_ivfpq_meta demotes a missing meta table to
-    # plain, so a residual=True build interrupted after lists-but-before-
-    # meta would leave residual-encoded lists that read back as plain —
-    # appends would mix raw-vector codes into residual lists and ADC would
-    # serve wrong distances with no error. Written this way, an
-    # interruption leaves meta-without-lists, which every reader hits as a
-    # loud missing-path error on {path}/lists.
+    # Crash-safe write protocol (r11, hardened twice):
+    # 1. meta BEFORE lists: _read_ivfpq_meta demotes a missing meta table
+    #    to plain, so a residual=True build interrupted after lists-but-
+    #    before-meta would leave residual-encoded lists that read back as
+    #    plain — appends would mix raw-vector codes into residual lists and
+    #    ADC would serve wrong distances with no error. Meta-first leaves
+    #    meta-without-lists: loud missing-path on {path}/lists.
+    # 2. overwrite REBUILDS of an existing index go through a staging dir +
+    #    rename (local paths): writing in place, a crash between the meta
+    #    overwrite and the lists overwrite would pair NEW meta with OLD
+    #    lists — the same silent-corruption class in-place ordering cannot
+    #    fix. Staged, a crash mid-build leaves the OLD index fully intact;
+    #    a crash between rmtree and rename leaves NO index (loud). Object
+    #    stores without atomic rename fall back to in-place meta-first
+    #    (production answer there: a manifest/table format).
+    staged = mode == "overwrite" and "://" not in path
+    if staged:
+        import os as _os
+        import shutil as _sh
+
+        target = f"{path}.staging.{_os.getpid()}"
+        _sh.rmtree(target, ignore_errors=True)
+    else:
+        target = path
     spark.createDataFrame(
         [(bool(residual), int(m), int(dim))], "residual boolean, m int, dim int"
-    ).write.mode(mode).parquet(f"{path}/meta")
-    lists.write.mode(mode).partitionBy("cid").parquet(f"{path}/lists")
+    ).write.mode(mode).parquet(f"{target}/meta")
+    lists.write.mode(mode).partitionBy("cid").parquet(f"{target}/lists")
     # centroids/codebooks from the already-collected mats — writing them
     # must NOT re-run training (the first form re-evaluated the lazy
     # train_kmeans DAG once per action)
@@ -378,7 +395,7 @@ def build_ivfpq_index(
             for c, row in zip(coarse_mat[0], coarse_mat[1])
         ],
         "cid bigint, cvec array<double>",
-    ).write.mode(mode).parquet(f"{path}/centroids")
+    ).write.mode(mode).parquet(f"{target}/centroids")
     books = [
         (int(j), int(c), [float(x) for x in row])
         for j, (cids, C, _) in enumerate(pq_mats)
@@ -386,7 +403,10 @@ def build_ivfpq_index(
     ]
     spark.createDataFrame(
         books, "j int, cid bigint, cvec array<double>"
-    ).write.mode(mode).parquet(f"{path}/codebooks")
+    ).write.mode(mode).parquet(f"{target}/codebooks")
+    if staged:
+        _sh.rmtree(path, ignore_errors=True)
+        _os.rename(target, path)
 
 
 def append_to_ivfpq_index(

@@ -132,10 +132,16 @@ class PlanBuilder:
         # always fresh (unlike the server's response cache). Keyed on the
         # registry generation so a swapped table (aggnav hist/fact swap,
         # /flush reload) invalidates plans built on the old frame.
+        import threading
         from collections import OrderedDict
 
         self._plan_cache: OrderedDict[tuple, DataFrame] = OrderedDict()
         self._plan_cache_max = 256
+        # serializes get→move_to_end and insert→evict: the individual dict
+        # ops are GIL-atomic but the SEQUENCES are not — a hit racing a
+        # concurrent eviction of the same (LRU-oldest) key would raise
+        # KeyError out of dataframe() under server load (r11 review pass)
+        self._plan_cache_lock = threading.Lock()
 
     # ---------------- name resolution ----------------
 
@@ -500,14 +506,16 @@ class PlanBuilder:
         # hit (hand-built Query with unusual field order) costs a rebuild,
         # never a wrong plan
         key = (self.registry.generation, cube_name, repr(query))
-        hit = self._plan_cache.get(key)
-        if hit is not None:
-            self._plan_cache.move_to_end(key)
-            return hit
+        with self._plan_cache_lock:
+            hit = self._plan_cache.get(key)
+            if hit is not None:
+                self._plan_cache.move_to_end(key)
+                return hit
         df = self._build_dataframe(cube_name, query)
-        self._plan_cache[key] = df
-        if len(self._plan_cache) > self._plan_cache_max:
-            self._plan_cache.popitem(last=False)
+        with self._plan_cache_lock:
+            self._plan_cache[key] = df
+            if len(self._plan_cache) > self._plan_cache_max:
+                self._plan_cache.popitem(last=False)
         return df
 
     def _build_dataframe(self, cube_name: str, query: Query) -> DataFrame:

@@ -78,6 +78,25 @@ class _ResponseCache:
         self._store.clear()
 
 
+import itertools as _itertools
+import threading as _threading
+
+_pool_counter = _itertools.count()
+_pool_tls = _threading.local()
+
+
+def _request_pool_name() -> str:
+    """Distinct FAIR-pool name per request thread, assigned from a global
+    counter the first time a thread asks (thread idents are NOT distinct
+    mod small N on Linux — see do_GET). Sticky per thread so a keep-alive
+    connection's requests stay in one pool."""
+    pid = getattr(_pool_tls, "pool_id", None)
+    if pid is None:
+        pid = next(_pool_counter) % 64
+        _pool_tls.pool_id = pid
+    return f"http-{pid}"
+
+
 class EngineHandler(BaseHTTPRequestHandler):
     # injected by make_server:
     builder: PlanBuilder = None
@@ -130,25 +149,26 @@ class EngineHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
-        # one FAIR pool per request thread (session.py sets
-        # spark.scheduler.mode=FAIR; pools materialize on first use with
-        # weight 1): concurrent requests round-robin executor cores instead
-        # of FIFO-queueing behind whichever scan got in first — the p50
-        # lever for the 100-concurrent uncached pass (VERDICT r10 #6).
-        # Thread-safe because PySpark's pinned-thread mode (default since
-        # 3.2) maps each Python request thread to its own JVM thread, and
-        # local properties are JVM-thread-scoped. Bounded pool count: ident
-        # is bucketed so a long-lived server can't accumulate unbounded
-        # pool objects in the scheduler.
-        import threading
-
+        # One FAIR pool per request thread, ONLY when the session opted
+        # into FAIR scheduling (SPARK_GRAFT_SCHEDULER=FAIR; session.py has
+        # the measurements — FIFO wins for uniform dashboard traffic, FAIR
+        # pools exist so a long analytical scan cannot starve dashboards
+        # in mixed workloads). Thread-safe because PySpark's pinned-thread
+        # mode maps each Python request thread to its own JVM thread, and
+        # local properties are JVM-thread-scoped. Pool names come from a
+        # COUNTER, not thread idents: on Linux/glibc get_ident() is the
+        # pthread descriptor address whose low bits are identical across
+        # threads (ident % 64 == 0 for every thread — one pool, feature
+        # silently off; caught by the r11 review pass). The counter is
+        # bucketed so a long-lived server holds at most 64 pools.
         sc = self.builder.spark.sparkContext
-        try:
-            sc.setLocalProperty(
-                "spark.scheduler.pool", f"http-{threading.get_ident() % 64}"
-            )
-        except Exception:  # noqa: BLE001 — scheduling is best-effort
-            pass
+        if getattr(type(self), "fair_pools", False):
+            try:
+                sc.setLocalProperty(
+                    "spark.scheduler.pool", _request_pool_name()
+                )
+            except Exception:  # noqa: BLE001 — scheduling is best-effort
+                pass
         try:
             self._route()
         except PermissionError as e:
@@ -334,6 +354,11 @@ class EngineHandler(BaseHTTPRequestHandler):
                 self.builder, self.logic.config, navigator=self.navigator
             )
             self.cache.clear()
+            # drop parquet-memoized file listings + bump the registry
+            # generation (invalidates the builder's plan cache): flush is
+            # the reference's "schema/data changed, reload" hook, and a
+            # dataset rewritten on disk must be re-listed (r11 review)
+            self.builder.registry.refresh_files()
             return self._send_json({"flushed": True})
 
         self._send_json({"error": f"no route for {url.path}"}, 404)
@@ -360,6 +385,12 @@ def make_server(
             "navigator": navigator,
             "logic": LogicLayer(builder, logic_config, navigator=navigator),
             "flush_secret": flush_secret,
+            "fair_pools": (
+                builder.spark.sparkContext.getConf()
+                .get("spark.scheduler.mode", "FIFO")
+                .upper()
+                == "FAIR"
+            ),
             "jwt_secret": jwt_secret,
             "cache": _ResponseCache(),
         },

@@ -107,6 +107,10 @@ class TableRegistry:
         #: on it so a swapped frame invalidates everything built on the old
         #: one (the aggnav hist/fact swap would otherwise serve stale plans)
         self.generation = 0
+        #: names whose _views entry came from the parquet fallback (load()
+        #: memoization) rather than an explicit register() — the set
+        #: refresh_files() may safely drop
+        self._parquet_memo: set[str] = set()
 
     def register(
         self,
@@ -118,6 +122,7 @@ class TableRegistry:
         (e.g. an order-grain denormalized dim): the plan builder then omits the
         broadcast hint and lets AQE pick broadcast vs shuffle at runtime."""
         self._views[name] = df
+        self._parquet_memo.discard(name)  # explicit registration takes over
         self.generation += 1
         if not broadcastable:
             self._no_broadcast.add(name)
@@ -208,12 +213,30 @@ class TableRegistry:
                 # driver-side schema-inference round trip per call, which
                 # under 100 concurrent HTTP requests serializes on the
                 # GIL/py4j. The DataFrame object is an immutable logical
-                # plan — reusing it re-executes the scan per job, so
-                # results stay fresh. generation is NOT bumped: the memo
-                # resolves to identical content.
+                # plan — reusing it re-executes the scan per job, so row
+                # VALUES stay fresh. generation is NOT bumped: the memo
+                # resolves to identical content. Caveat (r11 review): the
+                # plan pins the FILE LISTING — if the dataset directory is
+                # rewritten underneath a long-lived process
+                # (compact_partitions, fixture regeneration), call
+                # refresh_files(); the server's /flush does.
                 self._views[name] = df
+                self._parquet_memo.add(name)
                 return df
         return self.spark.table(name)
+
+    def refresh_files(self) -> None:
+        """Drop every parquet-memoized plan and bump the generation so
+        downstream plan caches rebuild: the memoized DataFrames pin their
+        file listing at first read, so a dataset rewritten on disk
+        (compaction, reload) would otherwise raise FileNotFoundException —
+        or silently miss appended files — until process restart. Explicitly
+        ``register()``-ed frames are NOT touched (their owner controls
+        their lifecycle). Wired into the server's ``GET /flush``."""
+        for name in self._parquet_memo:
+            self._views.pop(name, None)
+        self._parquet_memo.clear()
+        self.generation += 1
 
     def inline_table(self, inline: InlineTable) -> DataFrame:
         """InlineTable rows → typed DataFrame (reference codegen: schema.rs:450-485)."""

@@ -5279,12 +5279,15 @@ def test_ingest_ledger_missing_is_empty_but_read_failure_raises(
 def test_ivfpq_residual_build_interrupted_before_lists_is_loud(
     spark, sf_dir, tmp_path, monkeypatch
 ):
-    """ADVICE r10 item 2: meta is written BEFORE lists, so a residual
-    build interrupted between the two leaves meta-without-lists — every
-    subsequent append/query dies on a missing {path}/lists (loud), instead
-    of the old order's residual-lists-without-meta, which _read_ivfpq_meta
-    silently demotes to plain and appends then corrupt with raw-vector
-    codes."""
+    """ADVICE r10 item 2, hardened by the r11 review pass: overwrite
+    builds stage into {path}.staging.<pid> and rename at the end, so an
+    interrupted build can never leave a half-written index at path — a
+    crashed FRESH build leaves nothing (loud missing path), and a crashed
+    residual REBUILD over an existing plain index leaves the old index
+    fully intact and still serving (in-place write ordering alone could
+    pair new meta with old lists: silent wrong-distance corruption)."""
+    import os
+
     import pytest as _pytest
     from pyspark.sql import functions as F
     from pyspark.sql.readwriter import DataFrameWriter
@@ -5302,17 +5305,31 @@ def test_ivfpq_residual_build_interrupted_before_lists_is_loud(
             raise RuntimeError("injected crash before lists write")
         return orig(self, p, *a, **k)
 
+    # 1) crashed FRESH build: nothing may exist at path afterwards
     monkeypatch.setattr(DataFrameWriter, "parquet", boom)
     with _pytest.raises(RuntimeError, match="injected crash"):
         ann_index.build_ivfpq_index(embs, path, residual=True)
     monkeypatch.setattr(DataFrameWriter, "parquet", orig)
-
-    # the partial state still knows it is residual — NOT demoted to plain
-    assert _read_ivfpq_meta(spark, path) is True
-    # and both append and query fail loudly on the missing lists/codebooks
-    more = embs.withColumn("vec_id", F.col("vec_id") + 10_000)
-    with _pytest.raises(Exception):
-        ann_index.append_to_ivfpq_index(more, path)
+    assert not os.path.exists(path), "crashed fresh build left a partial index"
     v = [0.0] * 64
     with _pytest.raises(Exception):
         ann_index.query_ivfpq_index(spark, path, [(1, v)], k=1).collect()
+
+    # 2) crashed residual REBUILD over an existing plain index: the old
+    # index must survive untouched and still serve as plain
+    ann_index.build_ivfpq_index(embs, path)
+    v0 = [float(x) for x in embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    before = ann_index.query_ivfpq_index(spark, path, [(9, v0)], k=3).collect()
+    assert before and before[0].neighbor_id == 0  # self at rank 1
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        ann_index.build_ivfpq_index(embs, path, residual=True)
+    monkeypatch.setattr(DataFrameWriter, "parquet", orig)
+    assert _read_ivfpq_meta(spark, path) is False, "old plain meta must survive"
+    after = ann_index.query_ivfpq_index(spark, path, [(9, v0)], k=3).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+    # 3) a clean residual rebuild then succeeds and flips the meta flag
+    ann_index.build_ivfpq_index(embs, path, residual=True)
+    assert _read_ivfpq_meta(spark, path) is True
+    assert ann_index.query_ivfpq_index(spark, path, [(9, v0)], k=1).collect()[0].neighbor_id == 0
