@@ -100,6 +100,13 @@ HEADLINE = [
     "q_ann_pq_topk",
     # frequent-members rollup serve (round 10): top-k from bounded summaries
     "q_heavy_hitters_words",
+    # round-11 debuts: same-period-last-year growth (array-carry global
+    # lag-N path), the bucketed fact-fact SMJ (includes the bucketed table
+    # writes — the one-time ETL cost is the honest figure for this entry),
+    # and PQ-vs-exact recall instrumentation (two ANN tiers composed)
+    "q_growth_yoy",
+    "q_bucketed_join_priority",
+    "q_ann_recall_pq",
 ]
 
 
