@@ -111,6 +111,11 @@ _VERSION_RISKY_USES = {
         "q_ann_ivfpq_index",  # same round-6 cosine rescore
         "q_ann_ivfpq_residual",  # same round-6 cosine rescore (IVFADC form)
         "q_ann_ivfpq_filtered",  # same round-6 cosine rescore, filtered scan
+        # r11 debut:
+        "q_ann_recall_pq",  # composes the brute-force + PQ CTEs; round(,6)
+        # stays INSIDE the two top-k subqueries — the hashed output columns
+        # are query_id and recall_at_k (a count ratio), never the rounded
+        # cosine itself
     },
 }
 
