@@ -375,37 +375,47 @@ def build_ivfpq_index(
     #    (production answer there: a manifest/table format).
     staged = mode == "overwrite" and "://" not in path
     if staged:
-        import os as _os
         import shutil as _sh
+        import uuid as _uuid
 
-        target = f"{path}.staging.{_os.getpid()}"
-        _sh.rmtree(target, ignore_errors=True)
+        # uuid-keyed (ADVICE r11): a PID-only suffix orphans the staging
+        # dir if the build crashes and never retries in-process, and two
+        # concurrent builds to the same path in one process would share
+        # (and rmtree) each other's staging dir
+        target = f"{path}.staging.{_uuid.uuid4().hex}"
     else:
         target = path
-    spark.createDataFrame(
-        [(bool(residual), int(m), int(dim))], "residual boolean, m int, dim int"
-    ).write.mode(mode).parquet(f"{target}/meta")
-    lists.write.mode(mode).partitionBy("cid").parquet(f"{target}/lists")
-    # centroids/codebooks from the already-collected mats — writing them
-    # must NOT re-run training (the first form re-evaluated the lazy
-    # train_kmeans DAG once per action)
-    spark.createDataFrame(
-        [
-            (int(c), [float(x) for x in row])
-            for c, row in zip(coarse_mat[0], coarse_mat[1])
-        ],
-        "cid bigint, cvec array<double>",
-    ).write.mode(mode).parquet(f"{target}/centroids")
-    books = [
-        (int(j), int(c), [float(x) for x in row])
-        for j, (cids, C, _) in enumerate(pq_mats)
-        for c, row in zip(cids, C)
-    ]
-    spark.createDataFrame(
-        books, "j int, cid bigint, cvec array<double>"
-    ).write.mode(mode).parquet(f"{target}/codebooks")
+    try:
+        spark.createDataFrame(
+            [(bool(residual), int(m), int(dim))], "residual boolean, m int, dim int"
+        ).write.mode(mode).parquet(f"{target}/meta")
+        lists.write.mode(mode).partitionBy("cid").parquet(f"{target}/lists")
+        # centroids/codebooks from the already-collected mats — writing them
+        # must NOT re-run training (the first form re-evaluated the lazy
+        # train_kmeans DAG once per action)
+        spark.createDataFrame(
+            [
+                (int(c), [float(x) for x in row])
+                for c, row in zip(coarse_mat[0], coarse_mat[1])
+            ],
+            "cid bigint, cvec array<double>",
+        ).write.mode(mode).parquet(f"{target}/centroids")
+        books = [
+            (int(j), int(c), [float(x) for x in row])
+            for j, (cids, C, _) in enumerate(pq_mats)
+            for c, row in zip(cids, C)
+        ]
+        spark.createDataFrame(
+            books, "j int, cid bigint, cvec array<double>"
+        ).write.mode(mode).parquet(f"{target}/codebooks")
+    except BaseException:
+        if staged:
+            _sh.rmtree(target, ignore_errors=True)
+        raise
     if staged:
         _sh.rmtree(path, ignore_errors=True)
+        import os as _os
+
         _os.rename(target, path)
 
 

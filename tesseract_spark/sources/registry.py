@@ -20,7 +20,9 @@ Catalyst can still pick sort-merge if a "dimension" turns out huge.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,9 +88,13 @@ def parse_database_url(url: str) -> tuple[str, dict[str, str], str]:
     if "@" in rest:
         creds, _, host = rest.rpartition("@")
         user, sep2, password = creds.partition(":")
-        props["user"] = user
+        # percent-decode credentials (ADVICE r11): a password containing
+        # @ / : / % must be URL-encoded in the config URL, but the JDBC
+        # driver expects the raw value in properties — the reference's
+        # mysql/postgres crates decode the same way via their URL parsers
+        props["user"] = unquote(user)
         if sep2:
-            props["password"] = password
+            props["password"] = unquote(password)
             display_host = f"{user}:*@{host}"
         else:
             display_host = rest
@@ -111,6 +117,14 @@ class TableRegistry:
         #: memoization) rather than an explicit register() — the set
         #: refresh_files() may safely drop
         self._parquet_memo: set[str] = set()
+        #: guards _views/_parquet_memo/_no_broadcast/generation: the server
+        #: handles /flush (refresh_files) concurrently with GETs whose
+        #: load() calls mutate _parquet_memo — unsynchronized, iteration in
+        #: refresh_files() can see "set changed size during iteration"
+        #: (ADVICE r11). Same race class PlanBuilder._plan_cache already
+        #: locks against. Never held across a Spark action — only around
+        #: dict/set bookkeeping — so there is no deadlock surface.
+        self._lock = threading.Lock()
 
     def register(
         self,
@@ -121,16 +135,17 @@ class TableRegistry:
         """``broadcastable=False`` marks a table that scales with the fact
         (e.g. an order-grain denormalized dim): the plan builder then omits the
         broadcast hint and lets AQE pick broadcast vs shuffle at runtime."""
-        self._views[name] = df
-        self._parquet_memo.discard(name)  # explicit registration takes over
-        self.generation += 1
-        if not broadcastable:
-            self._no_broadcast.add(name)
-        else:
-            # re-registering must fully reset the flag (ADVICE r9: a
-            # sticky _no_broadcast entry survived a broadcastable=True
-            # re-register, leaking swap-and-restore state)
-            self._no_broadcast.discard(name)
+        with self._lock:
+            self._views[name] = df
+            self._parquet_memo.discard(name)  # explicit registration takes over
+            self.generation += 1
+            if not broadcastable:
+                self._no_broadcast.add(name)
+            else:
+                # re-registering must fully reset the flag (ADVICE r9: a
+                # sticky _no_broadcast entry survived a broadcastable=True
+                # re-register, leaking swap-and-restore state)
+                self._no_broadcast.discard(name)
         return self
 
     def is_broadcastable(self, name: str) -> bool:
@@ -197,11 +212,17 @@ class TableRegistry:
 
     def load(self, table: Table | str) -> DataFrame:
         name = table.full_name() if isinstance(table, Table) else table
-        view = self._views.get(name)
+        with self._lock:
+            view = self._views.get(name)
         if view is not None:
             if callable(view):
-                view = view(self.spark)
-                self._views[name] = view  # memoize plan (not data)
+                built = view(self.spark)  # plan build only — outside the lock
+                with self._lock:
+                    # memoize plan (not data); skip if a concurrent
+                    # register() swapped the entry while we were building
+                    if self._views.get(name) is view:
+                        self._views[name] = built
+                return built
             return view
         if self.base_dir is not None:
             try:
@@ -220,9 +241,14 @@ class TableRegistry:
                 # rewritten underneath a long-lived process
                 # (compact_partitions, fixture regeneration), call
                 # refresh_files(); the server's /flush does.
-                self._views[name] = df
-                self._parquet_memo.add(name)
-                return df
+                with self._lock:
+                    # an explicit register() may have raced in — keep it
+                    if name not in self._views:
+                        self._views[name] = df
+                        self._parquet_memo.add(name)
+                        return df
+                    memo = self._views[name]
+                return memo if isinstance(memo, DataFrame) else self.load(name)
         return self.spark.table(name)
 
     def refresh_files(self) -> None:
@@ -233,10 +259,11 @@ class TableRegistry:
         or silently miss appended files — until process restart. Explicitly
         ``register()``-ed frames are NOT touched (their owner controls
         their lifecycle). Wired into the server's ``GET /flush``."""
-        for name in self._parquet_memo:
-            self._views.pop(name, None)
-        self._parquet_memo.clear()
-        self.generation += 1
+        with self._lock:
+            for name in tuple(self._parquet_memo):
+                self._views.pop(name, None)
+            self._parquet_memo.clear()
+            self.generation += 1
 
     def inline_table(self, inline: InlineTable) -> DataFrame:
         """InlineTable rows → typed DataFrame (reference codegen: schema.rs:450-485)."""

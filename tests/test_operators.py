@@ -5279,13 +5279,15 @@ def test_ingest_ledger_missing_is_empty_but_read_failure_raises(
 def test_ivfpq_residual_build_interrupted_before_lists_is_loud(
     spark, sf_dir, tmp_path, monkeypatch
 ):
-    """ADVICE r10 item 2, hardened by the r11 review pass: overwrite
-    builds stage into {path}.staging.<pid> and rename at the end, so an
-    interrupted build can never leave a half-written index at path — a
-    crashed FRESH build leaves nothing (loud missing path), and a crashed
-    residual REBUILD over an existing plain index leaves the old index
-    fully intact and still serving (in-place write ordering alone could
-    pair new meta with old lists: silent wrong-distance corruption)."""
+    """ADVICE r10 item 2, hardened twice (r11 review, ADVICE r11):
+    overwrite builds stage into {path}.staging.<uuid> and rename at the
+    end, so an interrupted build can never leave a half-written index at
+    path — a crashed FRESH build leaves nothing (loud missing path), a
+    crashed residual REBUILD over an existing plain index leaves the old
+    index fully intact and still serving (in-place write ordering alone
+    could pair new meta with old lists: silent wrong-distance corruption),
+    and a crashed build removes its own staging dir (uuid-keyed, so
+    concurrent same-path builds can't rmtree each other's staging)."""
     import os
 
     import pytest as _pytest
@@ -5311,6 +5313,10 @@ def test_ivfpq_residual_build_interrupted_before_lists_is_loud(
         ann_index.build_ivfpq_index(embs, path, residual=True)
     monkeypatch.setattr(DataFrameWriter, "parquet", orig)
     assert not os.path.exists(path), "crashed fresh build left a partial index"
+    leftovers = [
+        n for n in os.listdir(tmp_path) if ".staging." in n
+    ]
+    assert not leftovers, f"crashed build orphaned staging dirs: {leftovers}"
     v = [0.0] * 64
     with _pytest.raises(Exception):
         ann_index.query_ivfpq_index(spark, path, [(1, v)], k=1).collect()

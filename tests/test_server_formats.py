@@ -176,6 +176,36 @@ def test_concurrent_requests(server):
         assert len(rows) == 1 and rows[0]["Year"] == year, (year, rows)
 
 
+def test_flush_concurrent_with_queries(server):
+    """ADVICE r11 (medium): refresh_files() iterated _parquet_memo while
+    request threads mutate it via load()'s memoization — /flush racing GETs
+    intermittently raised 'Set changed size during iteration'. The registry
+    now locks the memo/generation bookkeeping; hammer /flush from one
+    thread while 40 query threads keep re-populating the memo, and every
+    response (both kinds) must be a 200 with correct content."""
+    import concurrent.futures
+
+    def query(i):
+        year = 1995 + (i % 6)
+        body = json.loads(
+            _get(
+                f"{server}/data.jsonrecords?cube=sales&drilldowns=Year"
+                f"&measures=Quantity&Year={year}&nocache=f{i}"
+            )
+        )
+        assert body["data"][0]["Year"] == year
+        return "q"
+
+    def flush(i):
+        assert json.loads(_get(f"{server}/flush")) == {"flushed": True}
+        return "f"
+
+    jobs = [(flush if i % 5 == 0 else query) for i in range(40)]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=40) as ex:
+        results = list(ex.map(lambda t: t[0](t[1]), zip(jobs, range(40))))
+    assert results.count("f") == 8 and results.count("q") == 32
+
+
 def test_auth_levels(spark, sf_dir):
     """min_auth_level gating (auth.rs contract): unauthenticated sees only
     public cubes; a signed token with sufficient level unlocks the rest."""
