@@ -485,6 +485,43 @@ _add(
     """,
 )
 
+# calendar-lag YoY growth over a GAPPED series (growth_calendar=true,
+# VERDICT r11 #4): the month-6 exclusion cut punches an 11-of-12 hole in
+# every year, so row-lag(12) would compare against the wrong calendar month
+# (the 12th observed prior row) while the calendar JOIN on
+# year*12+month − 12 stays aligned and yields the true same-month-last-year
+# figure. The oracle performs the identical arithmetic join — on this gapped
+# grid a row-lag implementation hash-fails, which is the point.
+_add(
+    "q_growth_yoy_calendar",
+    {
+        "drilldowns": ["Ship Date.Month"],
+        "measures": ["Quantity"],
+        "parents": "true",
+        "cuts": ["Ship Date.Ship Date.Month.1,2,3,4,5,7,8,9,10,11,12"],
+        "growth": "Ship Date.Ship Date.Month,Quantity",
+        "growth_offset": "12",
+        "growth_calendar": "true",
+    },
+    """
+    WITH agg AS (
+      SELECT year(l_shipdate)::INT AS "Year", month(l_shipdate)::INT AS "Month",
+             sum(l_quantity) AS "Quantity"
+      FROM lineitem WHERE month(l_shipdate) <> 6 GROUP BY 1, 2
+    )
+    SELECT c."Year", c."Month", c."Quantity",
+           c."Quantity" - p."Quantity" AS "Quantity Growth Value",
+           CASE WHEN p."Quantity" > 0
+                  THEN (c."Quantity" - p."Quantity") / p."Quantity"
+                WHEN p."Quantity" IS NULL THEN NULL
+                WHEN c."Quantity" - p."Quantity" > 0 THEN 'infinity'::DOUBLE
+                WHEN c."Quantity" - p."Quantity" < 0 THEN '-infinity'::DOUBLE
+                ELSE 'nan'::DOUBLE END AS "Quantity Growth"
+    FROM agg c LEFT JOIN agg p
+      ON p."Year" * 12 + p."Month" = c."Year" * 12 + c."Month" - 12
+    """,
+)
+
 # ---------- C2: RCA (with debug a/b/c/d exposed) ----------
 _RCA_BASE = f"""
     WITH base AS (

@@ -57,6 +57,48 @@ def _spec_aliases(builder: "PlanBuilder", specs: list["DrillSpec"], ln: LevelNam
     raise ValueError(f"drill for {ln} not found in plan specs")
 
 
+#: finest-time-level name → periods per parent-year cycle. Only grains whose
+#: period count is calendar-constant are joinable arithmetically; weeks
+#: (52/53 per year) are not, and day-of-year shifts across leap years.
+_CALENDAR_CYCLES = {"month": 12, "quarter": 4}
+
+
+def _calendar_period_index(
+    builder: "PlanBuilder", specs: list["DrillSpec"], ln: LevelName
+):
+    """Calendar period index expression from the time drill's KEY columns:
+    a single key level is its own index (year grain); a (year, sub) chain
+    maps to ``year*cycle + sub`` for calendar-constant cycles. Arithmetic —
+    not data-dependent — so a period missing from the data still has the
+    right index distance to every other period."""
+    from .builder import QueryValidationError, level_key_alias
+
+    for spec in specs:
+        if spec.ref.dim.name == ln.dimension and spec.ref.level.name == ln.level:
+            keys = [(level_key_alias(lv), lv.name) for lv in spec.levels]
+            if len(keys) == 1:
+                return F.col(keys[0][0]).cast("long")
+            if len(keys) == 2:
+                fine = keys[1][1].lower()
+                cycle = _CALENDAR_CYCLES.get(fine)
+                if cycle is None:
+                    raise QueryValidationError(
+                        f"growth_calendar: no calendar-constant cycle for "
+                        f"time grain {keys[1][1]!r} (supported: "
+                        f"{sorted(_CALENDAR_CYCLES)}, or a single-level "
+                        f"year grain)"
+                    )
+                return (
+                    F.col(keys[0][0]).cast("long") * cycle
+                    + F.col(keys[1][0]).cast("long")
+                )
+            raise QueryValidationError(
+                "growth_calendar supports 1- or 2-level time drill chains "
+                f"(got {len(keys)} levels)"
+            )
+    raise ValueError(f"drill for {ln} not found in plan specs")
+
+
 def apply_growth(
     builder: "PlanBuilder",
     cube: Cube,
@@ -72,7 +114,32 @@ def apply_growth(
     mea = F.col(growth.mea)
     n = growth.offset
     time_cols = [F.col(a) for a in time_aliases]
-    if part_aliases:
+    if growth.calendar:
+        # Calendar-lag (growth_calendar=true): the comparison row is the one
+        # at period index − N, found by an equi-JOIN on (group keys, index)
+        # — never a row-lag, so gapped series align to the true calendar
+        # period (missing prior period → NULL). Both join sides are the
+        # aggregate output: the shuffle is on the small post-agg relation
+        # (AQE broadcasts it below threshold), and there is no window at
+        # all, partitioned or otherwise.
+        idx = _calendar_period_index(builder, specs, growth.time_drill)
+        pv_parts = [
+            F.col(a).alias(f"__pv_{i}") for i, a in enumerate(part_aliases)
+        ]
+        pv = df.select(
+            *pv_parts, (idx + F.lit(n)).alias("__pv_idx"), mea.alias("__prev_cal")
+        )
+        cond = [
+            F.col(a).eqNullSafe(F.col(f"__pv_{i}"))
+            for i, a in enumerate(part_aliases)
+        ] + [F.col("__cidx") == F.col("__pv_idx")]
+        df = (
+            df.withColumn("__cidx", idx)
+            .join(pv, cond, "left")
+            .drop("__cidx", "__pv_idx", *[f"__pv_{i}" for i in range(len(part_aliases))])
+        )
+        prev = F.col("__prev_cal")
+    elif part_aliases:
         w = Window.partitionBy(*[F.col(a) for a in part_aliases]).orderBy(
             *[c.asc() for c in time_cols]
         )
@@ -187,7 +254,9 @@ def apply_growth(
     out = df.withColumn(f"{growth.mea} Growth Value", growth_value).withColumn(
         f"{growth.mea} Growth", growth_col
     )
-    if not part_aliases:
+    if growth.calendar:
+        out = out.drop("__prev_cal")
+    elif not part_aliases:
         out = out.drop("__pid", "__prev_in", "__carry", "__rn", "__carry_arr")
     return out
 

@@ -377,6 +377,10 @@ def growth_query_and_oracle(draw):
     # lag(mea, N) in the partitioned branch and the array-valued carry in
     # the distributed global branch (time-only drill)
     offset = draw(st.sampled_from([1, 2, 3, 12]))
+    # calendar mode (r12): prev is found by a JOIN on time-index − offset,
+    # so gapped series (year cuts!) align to the true calendar period and
+    # diverge from row-lag — the oracle switches to the same join
+    calendar = draw(st.booleans())
 
     drills = ["Ship Date.Year"] + (["Ship Date.Ship Date.Month"] if monthly else [])
     time_level = "Month" if monthly else "Year"
@@ -388,6 +392,7 @@ def growth_query_and_oracle(draw):
         "growth": f"Ship Date.Ship Date.{time_level},{mea}",
         "growth_div0": div0,
         "growth_offset": str(offset),
+        "growth_calendar": "true" if calendar else "false",
         "cuts": [],
     }
     where = []
@@ -428,16 +433,30 @@ def growth_query_and_oracle(draw):
             " WHEN d < 0 THEN '-infinity'::DOUBLE"
             " ELSE 'nan'::DOUBLE END"
         )
+    if calendar:
+        # calendar join: prev = the row at time-index − offset within the
+        # same partition keys; the engine computes the index from the time
+        # drill's key chain (here a single level: Month or Year)
+        tcol = time_aliases[0]
+        on = [f"p.{tcol} = c.{tcol} - {offset}"] + [
+            f"p.{a} = c.{a}" for a in part_aliases
+        ]
+        g_cte = (
+            f'SELECT c.*, c."{mea}" - p."{mea}" AS d, p."{mea}" AS prev '
+            f"FROM agg c LEFT JOIN agg p ON {' AND '.join(on)}"
+        )
+    else:
+        g_cte = (
+            f'SELECT *, "{mea}" - lag("{mea}", {offset}) OVER ({w}) AS d, '
+            f'lag("{mea}", {offset}) OVER ({w}) AS prev FROM agg'
+        )
     sql = f"""
     WITH agg AS (
       SELECT {", ".join(sels)}, {_GROWTH_MEASURES[mea]} AS "{mea}"
       FROM lineitem
       {"WHERE " + " AND ".join(where) if where else ""}
       GROUP BY {", ".join(groups)}),
-    g AS (
-      SELECT *, "{mea}" - lag("{mea}", {offset}) OVER ({w}) AS d,
-             lag("{mea}", {offset}) OVER ({w}) AS prev
-      FROM agg)
+    g AS ({g_cte})
     SELECT {", ".join(groups)}, "{mea}",
            d AS "{mea} Growth Value",
            {growth_case} AS "{mea} Growth"
@@ -460,6 +479,62 @@ def test_random_growth_matches_oracle(builder, duck, qo):
     params, sql = qo
     df = builder.dataframe("lineitem_sales", Query.from_params(params))
     assert_df_matches_sql(df, duck, sql, rtol=1e-6)
+
+
+def test_growth_offset_gap_semantics_row_lag_vs_calendar(builder):
+    """VERDICT r11 #4 pin: on a GAPPED series (month 6 cut away),
+    growth_offset=12 is ROW-lag — each row compares against the 12th
+    observed prior row (for (1997,7) that is (1996,8), not the same
+    calendar month) — while growth_calendar=true joins on
+    year*12+month − 12 and compares (1997,7) against (1996,7). Both are
+    checked against expectations computed from the raw series, and the two
+    modes must genuinely diverge on this grid."""
+    base = {
+        "drilldowns": ["Ship Date.Month"],
+        "measures": ["Quantity"],
+        "parents": "true",
+        "cuts": ["Ship Date.Ship Date.Month.1,2,3,4,5,7,8,9,10,11,12"],
+        "growth": "Ship Date.Ship Date.Month,Quantity",
+        "growth_offset": "12",
+    }
+    row_df = (
+        builder.dataframe("lineitem_sales", Query.from_params(base))
+        .toPandas()
+        .sort_values(["Year", "Month"])
+        .reset_index(drop=True)
+    )
+    cal_df = (
+        builder.dataframe(
+            "lineitem_sales",
+            Query.from_params({**base, "growth_calendar": "true"}),
+        )
+        .toPandas()
+        .sort_values(["Year", "Month"])
+        .reset_index(drop=True)
+    )
+    series = list(
+        zip(row_df["Year"], row_df["Month"], row_df["Quantity"], strict=True)
+    )
+    by_period = {(y, m): q for y, m, q in series}
+    for i, (y, m, q) in enumerate(series):
+        # row-lag: 12th observed prior row
+        expect_row = q - series[i - 12][2] if i >= 12 else None
+        got_row = row_df["Quantity Growth Value"][i]
+        assert (got_row != got_row) if expect_row is None else got_row == expect_row, (
+            y, m, got_row, expect_row,
+        )
+        # calendar: same month, previous year (or NULL if absent)
+        prev_cal = by_period.get((y - 1, m))
+        expect_cal = None if prev_cal is None else q - prev_cal
+        got_cal = cal_df["Quantity Growth Value"][i]
+        assert (got_cal != got_cal) if expect_cal is None else got_cal == expect_cal, (
+            y, m, got_cal, expect_cal,
+        )
+    diverge = (
+        row_df["Quantity Growth Value"].fillna(-1)
+        != cal_df["Quantity Growth Value"].fillna(-1)
+    )
+    assert diverge.any(), "gapped grid should separate row-lag from calendar-lag"
 
 
 # ---------- round 6: top-k / sort / limit-offset fuzz ----------
