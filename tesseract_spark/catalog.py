@@ -1493,6 +1493,51 @@ def _multi_cut_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# L5 single-plan multi-cut (SURVEY §2.10, VERDICT r11 #7): when the multi-cut
+# dimension's cut levels are all DRILLED, every fan branch shares one grain —
+# the logic layer then compiles ONE plan (per-dim OR-of-cuts pre-aggregation +
+# post-agg multiplicity explode) instead of N queries + union. One fact scan
+# and one shuffle; the oracle is the reference's N-branch UNION ALL, so the
+# hash gate proves the single plan reproduces the union's exact multiset —
+# including the doubled rows where a group matches BOTH cut levels (nation 6
+# lies in region 1 here, so its groups appear twice).
+
+
+def _multi_cut_single_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .logic.layer import LogicLayer
+
+    b = get_builder(spark, sf_dir)
+    return LogicLayer(b).data(
+        {
+            "cube": "lineitem_sales",
+            "drilldowns": "Return Flag,Region,Nation",
+            "measures": ["Quantity"],
+            "Region": "1",
+            "Nation": "5,6",
+        }
+    )
+
+
+_add(
+    "q_multi_cut_single_plan",
+    _multi_cut_single_plan,
+    f"""
+    SELECT l.l_returnflag AS "Return Flag",
+           g.r_regionkey AS "Region ID", g.r_name AS "Region",
+           g.n_nationkey AS "Nation ID", g.n_name AS "Nation",
+           sum(l.l_quantity) AS "Quantity"
+    FROM lineitem l JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
+    WHERE g.r_regionkey = 1
+    GROUP BY 1, 2, 3, 4, 5
+    UNION ALL
+    SELECT l.l_returnflag, g.r_regionkey, g.r_name, g.n_nationkey, g.n_name,
+           sum(l.l_quantity)
+    FROM lineitem l JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey
+    WHERE g.n_nationkey IN (5, 6)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+
 _add(
     "q_multi_cut_union",
     _multi_cut_union,

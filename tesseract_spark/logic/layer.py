@@ -294,6 +294,79 @@ class LogicLayer:
                 )
         return reduce(lambda a, b: a.union(b.toDF(*first.columns)), dfs[1:], first)
 
+    def _try_single_plan(
+        self,
+        cube: Cube,
+        q: Query,
+        dim_cuts: dict[str, dict[LevelName, Cut]],
+        multi_dims: set[str],
+    ) -> "DataFrame | None":
+        """Single-plan multi-cut (SURVEY §2.10 L5, VERDICT r11 #7): when
+        every multi-cut dimension's cut levels are ALREADY drilled, all fan
+        branches share one grain — so instead of N aggregations + union,
+        compile ONE plan whose pre-aggregation filter is the AND across
+        dimensions of (OR over that dimension's cut levels) — the fan's
+        OR-of-ANDs factorized — then reproduce the union's row MULTIPLICITY
+        post-aggregation: a group matching ``m_d`` of dimension d's cuts
+        appears in ``Π m_d`` branches (cuts on drilled levels are constant
+        within a group, so each matching branch aggregates the identical row
+        set). One fact scan and one shuffle instead of N.
+
+        Returns None (caller falls back to the reference fan-out) when a
+        branch would differ: an undrilled cut level (different grains), a
+        non-plain cut (LIKE / exclude / memberless), or a per-branch
+        calculation whose result is not union-distributive (growth / rca /
+        rate / top / top_where / limit)."""
+        import copy
+
+        from pyspark.sql import functions as F
+
+        from ..plans.builder import level_key_alias
+        from ..query.model import Mask
+
+        if (
+            q.growth is not None
+            or q.rca is not None
+            or q.rate is not None
+            or q.top is not None
+            or q.top_where is not None
+            or q.limit is not None
+        ):
+            return None
+        drilled = set(q.drilldowns)
+        for d in multi_dims:
+            for ln, cut in dim_cuts[d].items():
+                if ln not in drilled:
+                    return None
+                if cut.mask is not Mask.INCLUDE or cut.for_match or not cut.members:
+                    return None
+
+        qc = copy.copy(q)
+        qc.cuts = list(q.cuts)
+        qc.cut_groups = []
+        for d, per in dim_cuts.items():
+            if d in multi_dims:
+                qc.cut_groups.append(tuple(per.values()))
+            else:
+                qc.cuts.extend(per.values())
+        df = self._engine_dataframe(cube.name, qc)
+
+        # post-agg multiplicity: per multi-cut dim, m_d = #cuts the group's
+        # (drilled) keys match; emit the group Π m_d times. The filter above
+        # guarantees Π m_d ≥ 1 on every surviving group.
+        mult = None
+        for d in multi_dims:
+            m_d = None
+            for ln, cut in dim_cuts[d].items():
+                ref = self.builder.resolve_level(cube, ln)
+                lits = self.builder._member_literals(ref.level, cut.members)
+                hit = F.col(level_key_alias(ref.level)).isin(lits).cast("int")
+                m_d = hit if m_d is None else m_d + hit
+            mult = m_d if mult is None else mult * m_d
+        return df.withColumn(
+            "__mc", F.explode(F.sequence(F.lit(1), mult))
+        ).drop("__mc")
+
     # ---------------- entry point ----------------
 
     def data(self, params: dict) -> DataFrame:
@@ -389,7 +462,9 @@ class LogicLayer:
                 q.cuts.extend(per.values())
             df = self._engine_dataframe(cube.name, q)
         else:
-            df = self._fanout_union(cube, q, dim_cuts, multi_dims)
+            df = self._try_single_plan(cube, q, dim_cuts, multi_dims)
+            if df is None:
+                df = self._fanout_union(cube, q, dim_cuts, multi_dims)
 
         # exclude=Level:id1,id2;Level2:... → in-plan row drops (P8)
         if exclude:

@@ -274,7 +274,9 @@ class PlanBuilder:
           additionally negates the default member on dims that ARE drilled
         """
         drilled = {ln.dimension for ln in query.drilldowns}
-        cut_dims = {c.level_name.dimension for c in query.cuts}
+        cut_dims = {c.level_name.dimension for c in query.cuts} | {
+            c.level_name.dimension for g in query.cut_groups for c in g
+        }
         implicit: list[Cut] = []
         for dim in cube.dimensions:
             absent = dim.name not in drilled and dim.name not in cut_dims
@@ -307,6 +309,8 @@ class PlanBuilder:
     def _apply_cuts(self, cube: Cube, query: Query, fact: DataFrame) -> DataFrame:
         for cut in list(query.cuts) + self._implicit_cuts(cube, query):
             fact = self._apply_one_cut(cube, cut, fact)
+        for group in query.cut_groups:
+            fact = self._apply_cut_group(cube, group, fact)
         for cc in query.conditional_cuts:
             fact = self._apply_conditional_cut(cube, cc, fact)
         return fact
@@ -417,6 +421,38 @@ class PlanBuilder:
             "left",
         )
         return joined, F.col("__cc_mk").isNotNull()
+
+    def _apply_cut_group(
+        self, cube: Cube, cuts: tuple[Cut, ...], fact: DataFrame
+    ) -> DataFrame:
+        """Disjunctive cut group: a fact row passes if ANY member cut
+        matches (single-plan L5 — SURVEY §2.10). Each cut's row-level match
+        reuses the conditional-cut flag machinery: degenerate / join-key
+        cuts stay pure scan predicates (an all-degenerate group is ONE
+        OR-filter Catalyst pushes to the parquet scan); dim-table cuts add
+        a broadcast left join per cut — the same per-cut cost as the
+        conjunctive semi-join, just preserved as a flag so the disjunction
+        can be evaluated across tables."""
+        from functools import reduce as _reduce
+
+        flag_cols: list[str] = []
+        pure: list[Column] = []
+        for i, cut in enumerate(cuts):
+            ref = self.resolve_level(cube, cut.level_name)
+            fact, flag = self._row_match_flag(fact, ref, cut)
+            if "__cc_mk" in fact.columns:
+                # joined flag: materialize under a per-cut name so the next
+                # cut's join can reuse the shared __cc_mk scratch column
+                name = f"__cg_{i}"
+                fact = fact.withColumn(name, flag).drop("__cc_mk")
+                flag_cols.append(name)
+            else:
+                pure.append(flag)
+        preds = pure + [F.col(c) for c in flag_cols]
+        fact = fact.filter(
+            _reduce(lambda a, b: a | b, preds)
+        )
+        return fact.drop(*flag_cols) if flag_cols else fact
 
     def _apply_one_cut(self, cube: Cube, cut: Cut, fact: DataFrame) -> DataFrame:
         ref = self.resolve_level(cube, cut.level_name)

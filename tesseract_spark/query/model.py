@@ -383,6 +383,13 @@ class Query:
     rca: RcaQuery | None = None
     growth: GrowthQuery | None = None
     rate: RateQuery | None = None
+    #: disjunctive cut groups (single-plan L5): each tuple is a set of cuts
+    #: OR-ed together — a fact row passes the group if ANY cut matches.
+    #: Plain ``cuts`` stay conjunctive; groups are AND-ed with them and with
+    #: each other. Built by the logic layer's single-plan multi-cut path
+    #: (SURVEY §2.10 L5: one plan with OR-of-cuts instead of N queries +
+    #: union); no URL-param surface.
+    cut_groups: list[tuple[Cut, ...]] = field(default_factory=list)
     conditional_cuts: list[ConditionalCut] = field(default_factory=list)
     debug: bool = False
     sparse: bool = False

@@ -283,3 +283,75 @@ def test_multi_cut_fanout_union(layer, builder):
     # both grains present: region id 1 rows AND nation id 5/6 rows
     ids = {r["Region ID"] for r in out.collect()}
     assert 1 in ids and ({5, 6} & ids)
+
+
+def test_multi_cut_single_plan_parity_and_plan_count(layer):
+    """L5 single-plan path (SURVEY §2.10): with both cut levels drilled, the
+    logic layer compiles ONE plan (OR-of-cuts + multiplicity explode). Must
+    (a) reproduce the fan-out union's exact multiset — including doubled
+    groups matching both cuts (nation 6 lies in region 1), (b) aggregate the
+    fact ONCE: exactly one fact-side partial/final aggregate pair and an
+    explode Generate, where the fan-out plan carries one pair per branch."""
+    params = {
+        "cube": "sales",
+        "drilldowns": "Return Flag,Region,Nation",
+        "measures": "Quantity",
+        "Region": "1",
+        "Nation": "5,6",
+    }
+    single = layer.data(dict(params))
+    splan = single._jdf.queryExecution().executedPlan().toString()
+    assert "explode(sequence" in splan, "single-plan path not taken"
+    assert "Union" not in splan
+
+    orig = LogicLayer._try_single_plan
+    LogicLayer._try_single_plan = lambda *a, **k: None
+    try:
+        fan = layer.data(dict(params))
+    finally:
+        LogicLayer._try_single_plan = orig
+    fplan = fan._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in fplan and "explode(sequence" not in fplan
+    # one l_quantity aggregation in the single plan, two in the fan-out
+    assert splan.count("partial_sum(l_quantity") == 1
+    assert fplan.count("partial_sum(l_quantity") == 2
+
+    from collections import Counter
+
+    got = Counter(tuple(r) for r in single.collect())
+    want = Counter(tuple(r) for r in fan.collect())
+    assert got == want and len(got) > 0
+    # the doubled rows exist (multiplicity 2: groups in region 1 AND nation 6)
+    assert max(got.values()) == 2
+
+
+def test_multi_cut_single_plan_fallbacks(layer):
+    """The single-plan path must decline (fan-out preserved) when a cut
+    level is NOT drilled (branch grains differ) or a per-branch calculation
+    is present (top), and the fan-out output is unchanged either way."""
+    # undrilled cut levels -> fan-out (q_multi_cut_union's exact shape)
+    out = layer.data(
+        {
+            "cube": "sales",
+            "drilldowns": "Return Flag",
+            "measures": "Quantity",
+            "Region": "1",
+            "Nation": "5,6",
+        }
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan and "explode(sequence" not in plan
+
+    # drilled, but top= present -> fan-out (top applies per branch)
+    out2 = layer.data(
+        {
+            "cube": "sales",
+            "drilldowns": "Return Flag,Region,Nation",
+            "measures": "Quantity",
+            "Region": "1",
+            "Nation": "5,6",
+            "top": "1,Return Flag.Return Flag.Return Flag,Quantity,desc",
+        }
+    )
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan2 and "explode(sequence" not in plan2
