@@ -106,12 +106,17 @@ def main() -> int:
         return out
 
     # cold = worst case: 100 never-seen query shapes at once, so every
-    # request pays the driver-side plan build (GIL-serialized) AND the scan.
-    # steady = the honest production number (r11): plans warm in the
-    # builder's plan cache, response cache still BUSTED — every request
-    # re-executes its full scan+aggregate. The reference's "low latency at
-    # 100 concurrent" target is about steady state, not 100 simultaneous
-    # cold compiles.
+    # request pays the driver-side plan build, Catalyst optimize+planning,
+    # per-literal codegen, and a FULL scan+aggregate execution (duplicates
+    # of an in-flight plan wait on the single-flight future and then on
+    # AQE's final-plan monitor). steady = plan-warm repeat-query latency
+    # (r12 honesty fix: a repeat collect on a cached plan reuses its
+    # materialized AQE shuffle stages, so it re-runs only the final stage —
+    # NOT a full re-scan; data changes require /flush, which invalidates
+    # these plans, so no staleness is introduced beyond the registry's
+    # documented file-listing pin). The reference's "low latency at 100
+    # concurrent" target is about steady state, not 100 simultaneous cold
+    # compiles.
     cold = run_pass("uncached_cold_plans", bust=True, tag="a")
     steady = run_pass("uncached_steady", bust=True, tag="b")
     warm_seed = run_pass("cache_seed", bust=False)  # populates the LRU

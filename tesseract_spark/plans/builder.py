@@ -127,11 +127,17 @@ class PlanBuilder:
         # plan cache (prepared-statement analog): building a query's
         # DataFrame costs ~0.1s of DRIVER-side py4j analysis, which under
         # 100 concurrent HTTP requests serializes on the GIL — repeated
-        # dashboard shapes should not re-pay it. Caches the immutable plan
-        # OBJECT only: every collect re-executes the scan, so data is
-        # always fresh (unlike the server's response cache). Keyed on the
-        # registry generation so a swapped table (aggnav hist/fact swap,
-        # /flush reload) invalidates plans built on the old frame.
+        # dashboard shapes should not re-pay it. Freshness contract
+        # (corrected r12 — measured, not assumed): repeat collects on a
+        # cached plan REUSE its materialized AQE shuffle stages, so repeat
+        # queries skip the scan+partial-aggregate (the steady-state serving
+        # win) and would NOT see data rewritten on disk mid-generation.
+        # That adds no staleness class beyond the registry's file-listing
+        # memo, which already pins the scan until refresh_files()/flush:
+        # any data change requires the generation bump, and the bump
+        # invalidates every cached plan here. Keyed on the registry
+        # generation so a swapped table (aggnav hist/fact swap, /flush
+        # reload) invalidates plans built on the old frame.
         import threading
         from collections import OrderedDict
 
@@ -142,6 +148,22 @@ class PlanBuilder:
         # concurrent eviction of the same (LRU-oldest) key would raise
         # KeyError out of dataframe() under server load (r11 review pass)
         self._plan_cache_lock = threading.Lock()
+        # single-flight (r12, VERDICT r11 #3 cold-plan cliff): under a cold
+        # 100-client burst several threads miss the plan cache on the SAME
+        # key simultaneously and each pays the full ~190-py4j-roundtrip
+        # build; one future per key makes duplicates wait instead of
+        # rebuild (the probe's 100 requests span ~28 distinct plans — 3-4
+        # redundant builds per plan otherwise)
+        self._in_flight: dict[tuple, object] = {}
+        # parameterized plan templates (r12, same verdict item): the
+        # cut-INDEPENDENT subtree (fact scan + degenerate projection + dim
+        # joins) is cached per drill shape, so 100 distinct cut literals on
+        # one dashboard shape pay the join construction py4j cost once —
+        # cuts are applied ABOVE the template and Catalyst pushes them back
+        # below the inner joins to the scan (plan-shape tests pin that the
+        # executed plans are unchanged)
+        self._template_cache: OrderedDict[tuple, DataFrame] = OrderedDict()
+        self._template_cache_max = 64
 
     # ---------------- name resolution ----------------
 
@@ -541,17 +563,39 @@ class PlanBuilder:
         # dataclass repr is deterministic and covers every field; a missed
         # hit (hand-built Query with unusual field order) costs a rebuild,
         # never a wrong plan
+        from concurrent.futures import Future
+
         key = (self.registry.generation, cube_name, repr(query))
         with self._plan_cache_lock:
             hit = self._plan_cache.get(key)
             if hit is not None:
                 self._plan_cache.move_to_end(key)
                 return hit
-        df = self._build_dataframe(cube_name, query)
+            fut = self._in_flight.get(key)
+            if fut is None:
+                fut = Future()
+                self._in_flight[key] = fut
+                owner = True
+            else:
+                owner = False
+        if not owner:
+            # duplicate concurrent request: wait for the owner's build (or
+            # its exception — same query, same error) instead of re-paying
+            # the py4j construction
+            return fut.result()
+        try:
+            df = self._build_dataframe(cube_name, query)
+        except BaseException as e:
+            with self._plan_cache_lock:
+                self._in_flight.pop(key, None)
+            fut.set_exception(e)
+            raise
         with self._plan_cache_lock:
             self._plan_cache[key] = df
             if len(self._plan_cache) > self._plan_cache_max:
                 self._plan_cache.popitem(last=False)
+            self._in_flight.pop(key, None)
+        fut.set_result(df)
         return df
 
     def _build_dataframe(self, cube_name: str, query: Query) -> DataFrame:
@@ -561,8 +605,6 @@ class PlanBuilder:
         query = self._with_calc_drills(cube, query)
         specs = self._drill_specs(cube, query)
         measures = [cube.measure(m) for m in query.measures]
-
-        fact = self.registry.load(cube.table)
 
         # RCA routes cuts asymmetrically (rca.rs:103-123): only external cuts
         # reach the primary aggregation; d1 cuts are applied inside apply_rca
@@ -576,16 +618,41 @@ class PlanBuilder:
 
             agg_query = copy.copy(query)
             agg_query.cuts = ext_cuts
-        fact = self._apply_cuts(cube, agg_query, fact)
 
         two_phase = any(
             agg_mod.needs_two_phase(m.aggregator, self.avg_grain) for m in measures
         )
 
-        if two_phase:
-            df = self._two_phase_plan(cube, specs, measures, fact)
+        if two_phase or agg_query.conditional_cuts:
+            # cuts must precede the fact-grain pre-aggregation (raw cut
+            # columns don't survive it), so the two-phase path keeps the
+            # cuts-first order and no template applies. Conditional cuts
+            # are GROUP-based (a window flag over the cut group) and do not
+            # commute with a row-dropping inner dim join when orphan fks
+            # exist, so they also take the cuts-first path.
+            fact = self.registry.load(cube.table)
+            fact = self._apply_cuts(cube, agg_query, fact)
+            if two_phase:
+                df = self._two_phase_plan(cube, specs, measures, fact)
+            else:
+                df = self._single_pass_plan(specs, measures, fact)
         else:
-            df = self._single_pass_plan(specs, measures, fact)
+            # parameterized plan template (VERDICT r11 #3): the
+            # cut-independent subtree (scan + degenerate projection + dim
+            # joins) is shared across every query that differs only in cut
+            # literals; cuts are applied ON TOP — filters and semi-joins on
+            # fact columns commute with the inner dim joins, and Catalyst
+            # pushes them back below the joins to the scan, so the executed
+            # plan is the same as the cuts-first construction
+            # (test_plan_shapes pins pushdown + join shapes per entry)
+            joined = self._joined_template(cube, specs)
+            joined = self._apply_cuts(cube, agg_query, joined)
+            group_cols = self._group_aliases(specs)
+            aggs = [agg_mod.single_pass_agg(m) for m in measures]
+            if group_cols:
+                df = joined.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+            else:
+                df = joined.agg(*aggs)
 
         # calculations wrap the primary aggregation (sql.rs:35-61 dispatch)
         out_specs = specs
@@ -740,6 +807,30 @@ class PlanBuilder:
                 self._dim_hint(hier, dim_sel), df[fk] == dim_sel["__jk"], "inner"
             ).drop("__jk")
         return df
+
+    def _joined_template(self, cube: Cube, specs: list[DrillSpec]) -> DataFrame:
+        """The cut-independent pre-aggregation subtree for a drill shape:
+        fact scan + degenerate level projection + broadcast dim joins.
+        LRU-cached per (registry generation, cube, drill-spec signature) so
+        cold queries that share a dashboard shape but differ in cut
+        literals re-pay only the cut filter + aggregate construction
+        (~half the py4j roundtrips of a full build). The cached object is
+        an immutable logical plan — execution always re-scans."""
+        key = (self.registry.generation, cube.name, repr(specs))
+        with self._plan_cache_lock:
+            hit = self._template_cache.get(key)
+            if hit is not None:
+                self._template_cache.move_to_end(key)
+                return hit
+        fact = self.registry.load(cube.table)
+        for alias, col in self._degenerate_projection(specs).items():
+            fact = fact.withColumn(alias, col)
+        joined = self._join_dims(specs, fact)
+        with self._plan_cache_lock:
+            self._template_cache[key] = joined
+            if len(self._template_cache) > self._template_cache_max:
+                self._template_cache.popitem(last=False)
+        return joined
 
     def _single_pass_plan(
         self, specs: list[DrillSpec], measures: list[Measure], fact: DataFrame

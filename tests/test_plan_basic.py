@@ -531,3 +531,156 @@ def test_plan_cache_identity_and_invalidation(spark, builder):
         )
     df4 = builder.dataframe("lineitem_sales", Query.from_params(params))
     assert {r["Year"]: r["Quantity"] for r in df4.collect()} == n_before
+
+
+def test_plan_build_single_flight(spark, builder):
+    """r12 cold-plan work: concurrent dataframe() calls for the SAME query
+    must run _build_dataframe once — duplicates wait on the owner's future
+    and receive the identical object. A build exception propagates to every
+    waiter but is NOT cached (next call rebuilds)."""
+    import concurrent.futures
+    import threading
+
+    from tesseract_spark.query.model import Query
+
+    params = {
+        "drilldowns": ["Part.Brand"],
+        "measures": ["Quantity"],
+        "cuts": ["Ship Date.Ship Date.Year.1997"],
+    }
+    builds = []
+    gate = threading.Event()
+    orig = type(builder)._build_dataframe
+
+    def slow_build(self, cube_name, query):
+        builds.append(1)
+        gate.wait(10)  # hold the build so all duplicates pile up
+        return orig(self, cube_name, query)
+
+    type(builder)._build_dataframe = slow_build
+    try:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            futs = [
+                ex.submit(
+                    builder.dataframe, "lineitem_sales", Query.from_params(params)
+                )
+                for _ in range(8)
+            ]
+            import time as _t
+
+            _t.sleep(0.3)  # let every thread reach the miss path
+            gate.set()
+            dfs = [f.result(timeout=60) for f in futs]
+    finally:
+        type(builder)._build_dataframe = orig
+    assert len(builds) == 1, f"expected one build, got {len(builds)}"
+    assert all(d is dfs[0] for d in dfs)
+
+    # exception path: every waiter sees the error, nothing is cached
+    boom_params = {**params, "cuts": ["Ship Date.Ship Date.Year.1998"]}
+    calls = []
+
+    def bad_build(self, cube_name, query):
+        calls.append(1)
+        raise RuntimeError("injected build failure")
+
+    type(builder)._build_dataframe = bad_build
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected build failure"):
+            builder.dataframe("lineitem_sales", Query.from_params(boom_params))
+    finally:
+        type(builder)._build_dataframe = orig
+    # not cached as a plan, and the in-flight future is cleared: rebuilds fine
+    df = builder.dataframe("lineitem_sales", Query.from_params(boom_params))
+    assert df.count() > 0
+
+
+def test_joined_template_shared_across_cut_literals(spark, builder):
+    """r12 parameterized templates: queries differing only in cut literals
+    share the cached cut-independent join subtree (one _join_dims per drill
+    shape), and a registry generation bump invalidates templates too."""
+    from tesseract_spark.query.model import Query
+
+    def q(y):
+        return Query.from_params(
+            {
+                "drilldowns": ["Part.Brand"],
+                "measures": ["Quantity"],
+                "cuts": [f"Ship Date.Ship Date.Year.{y}"],
+            }
+        )
+
+    joins = []
+    orig = type(builder)._join_dims
+
+    def counting_join(self, specs, df):
+        joins.append(1)
+        return orig(self, specs, df)
+
+    builder._template_cache.clear()
+    builder._plan_cache.clear()
+    type(builder)._join_dims = counting_join
+    try:
+        for y in (1995, 1996, 1997, 1998):
+            builder.dataframe("lineitem_sales", q(y))
+        assert len(joins) == 1, (
+            f"expected one join construction across 4 literals, got {len(joins)}"
+        )
+        # generation bump → template rebuilt
+        fact = builder.registry.load("lineitem_enriched")
+        was = builder.registry.is_broadcastable("lineitem_enriched")
+        builder.registry.register("lineitem_enriched", fact, broadcastable=was)
+        builder.dataframe("lineitem_sales", q(1999))
+        assert len(joins) == 2, "generation bump must invalidate templates"
+    finally:
+        type(builder)._join_dims = orig
+
+
+def test_cuts_above_template_join_push_back_to_scan(spark, builder):
+    """The template path applies cuts ABOVE the dim joins; Catalyst must
+    push a degenerate member cut back below the joins into the parquet scan
+    (the 100 TB pushdown story is unchanged). A stored-column cut shows in
+    PushedFilters; the join stays broadcast."""
+    from tesseract_spark.query.model import Query
+
+    q = Query.from_params(
+        {
+            "drilldowns": ["Part.Brand"],
+            "measures": ["Quantity"],
+            "cuts": ["Return Flag.Return Flag.R"],
+        }
+    )
+    df = builder.dataframe("lineitem_sales", q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_returnflag" in plan.split(
+        "PushedFilters: ["
+    )[1].split("]")[0], "member cut not pushed to the parquet scan"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repeat_collect_reuses_stages_until_refresh(spark, tmp_path):
+    """Pins the Spark behavior the plan-cache freshness contract documents
+    (r12): a repeat collect on the SAME DataFrame reuses its materialized
+    AQE shuffle stages — it does NOT re-scan, so data rewritten on disk
+    mid-generation is invisible to cached plans. Freshness is restored by
+    re-reading (what the registry's refresh_files()/generation bump does
+    for every cached plan). If a Spark upgrade changes this, the docstring
+    and the steady-state serving story must be revisited together."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "fresh_t")
+    spark.range(0, 1000).withColumn("v", F.lit(1)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    df = spark.read.parquet(path).groupBy().agg(F.sum("v").alias("s"))
+    assert df.collect()[0]["s"] == 1000
+    spark.range(0, 1000).withColumn("v", F.lit(2)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    # same object: stage reuse serves the OLD aggregate (pinned, documented)
+    assert df.collect()[0]["s"] == 1000
+    # a fresh read (post-refresh plan rebuild) sees the new data
+    fresh = spark.read.parquet(path).groupBy().agg(F.sum("v").alias("s"))
+    assert fresh.collect()[0]["s"] == 2000
