@@ -107,6 +107,11 @@ HEADLINE = [
     "q_growth_yoy",
     "q_bucketed_join_priority",
     "q_ann_recall_pq",
+    # round-12 debuts: calendar-lag growth over a gapped grid (post-agg
+    # index join — no window at all) and the L5 single-plan multi-cut
+    # (one fact scan + multiplicity explode vs the fan-out's N scans)
+    "q_growth_yoy_calendar",
+    "q_multi_cut_single_plan",
 ]
 
 

@@ -4284,100 +4284,93 @@ def aggnav_build_serve_split(spark: SparkSession, sf_dir: str) -> dict:
 
 
 # The driver's correctness harness checks only the FIRST 50 queries() entries
-# per round, so ordering is evidence policy, not cosmetics. Round-11 window.
-# Evidence ledger after r10: ALL 171 pre-r11 entries hold a green driver row
+# per round, so ordering is evidence policy, not cosmetics. Round-12 window.
+# Evidence ledger after r11: ALL 174 pre-r12 entries hold a green driver row
 # and every entry's LATEST row is green; latest-green histogram
-# 50@r10 / 40@r9 / 41@r8 / 41@r7 (judge re-audited 12 of the r7 cohort
-# bit-exact this round). Budget for r11, per the plan pinned here last round
-# and VERDICT r10 "next round" #1 (rotate oldest-first; after r11 no entry's
-# newest green row may be older than r8):
-#  - 3 environment probes + 2 permanent anchors (q_growth_year doubles as a
-#    changed-code re-proof this round: apply_growth gained the offset
-#    parameter and the n==1 global-carry path must prove it still lags one
-#    row bit-exactly);
-#  - the ENTIRE 41-entry r7 cohort, oldest-first — q_logic_* trio, the
-#    multimodal family, sessionize, decontaminate, and the r7 pipeline
-#    tail. After these land green, the oldest latest-green row anywhere in
-#    the catalog is r8;
-#  - 2 oracle debuts: q_growth_yoy (same-period-last-year growth_offset —
-#    VERDICT r10 "next round" #7) and q_bucketed_join_priority (bucketed
-#    fact-fact SortMergeJoin with zero join-side exchange — VERDICT r10
-#    "next round" #4);
-#  - 2 changed-code re-proofs (standing policy, ADVICE r10 fixes to
-#    operators/ann_index.py): q_ann_ivfpq_residual (meta-before-lists write
-#    order + residual ADC path) and q_ann_ivfpq_filtered (plain ADC path +
-#    allowed semi-join + the collected-candidates local relation in the
-#    rescore join). Both also re-prove query_ivfpq_index's cand_local
-#    rewrite; their sibling q_ann_ivfpq_index held green in r10 on the same
-#    shared machinery.
-# Displaced to the post-window tail: the r8-green cohort (becomes the r12
-# rotation head) and the remaining r9/r10-green entries.
+# 50@r11 / 44@r10 / 40@r9 / 41@r8 (judge re-audited 14 of the r8-r10
+# cohorts bit-exact last session). Budget for r12, per VERDICT r11 "next
+# round" #1 (rotate oldest-first through the 41-entry r8 cohort; after r12
+# no entry's newest green row may be older than r9):
+#  - 3 environment probes + 2 permanent anchors (both anchors double as
+#    changed-code re-proofs this round: the single-pass plan path moved to
+#    the cut-commuted joined-template construction, and q_growth_year
+#    additionally re-proves the n==1 global scalar-carry lag);
+#  - 2 oracle debuts: q_growth_yoy_calendar (calendar-lag growth over a
+#    gapped grid — VERDICT r11 #5) and q_multi_cut_single_plan (L5
+#    single-plan OR-of-cuts + multiplicity explode vs the UNION ALL
+#    oracle — VERDICT r11 #7);
+#  - 2 changed-code re-proofs: q_ann_ivfpq_index (ADVICE r11: uuid-keyed
+#    staging dir + crash cleanup in the staged overwrite build it times)
+#    and q_multi_cut_union (the logic-layer fan-out now shares data() with
+#    the single-plan dispatch — prove the fallback path unchanged);
+#  - the ENTIRE 41-entry r8 cohort, oldest-first — OLAP tail (inline
+#    table, cuts, parents, top_where, sort/limit, growth div0 modes, RCA,
+#    HLL, snapshot diff, aggnav serve) and the r8 pipeline families
+#    (minhash-LSH dedup, leakage split, classifier gate, packing, token
+#    budgets, winnowing, quartiles).
+# Displaced to the post-window tail: the r9 cohort (becomes the r13
+# rotation head), then r10/r11 greens.
 DRIVER_WINDOW: list[str] = [
     # environment probes (single-construct canaries)
     "q_probe_sum_bigint",
     "q_probe_events_ts",
     "q_probe_duck_version",
-    # permanent anchors (q_growth_year re-proves the offset-parameterized
-    # lag-1 path this round)
+    # permanent anchors (single-pass template-path re-proof; q_growth_year
+    # also re-proves the scalar global carry under the offset parameter)
     "q_growth_year",
     "q_agg_year",
-    # round-11 oracle debuts
-    "q_growth_yoy",
-    "q_bucketed_join_priority",
-    "q_ann_recall_pq",
-    # changed-code re-proof (ADVICE r10: ann_index meta-before-lists +
-    # cand_local rescore — the residual entry exercises both, plus the
-    # residual ADC path; q_ann_ivfpq_filtered yields its re-proof slot to
-    # the recall debut: its unique code (the allowed semi-join) did not
-    # change this round, it holds a green r10 row, and the shared
-    # query-path changes are covered by the residual re-proof + the recall
-    # entry's PQ serving leg)
-    "q_ann_ivfpq_residual",
-    # r7 cohort — logic layer + OLAP tail
-    "q_logic_time_latest",
-    "q_logic_named_set",
-    "q_logic_cut_children",
-    "q_approx_percentile",
-    "q_cohort_retention",
-    "q_histogram_quantity",
-    "q_fuzzy_name_match",
-    "q_range_join_activity",
-    "q_events_sessionize",
-    "q_events_sliding",
-    "q_events_top_types",
-    # r7 cohort — multimodal family
-    "q_multimodal_decode",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    "q_multimodal_resize",
-    "q_image_png_decode",
-    "q_image_ahash_dedup",
-    "q_audio_fingerprint",
-    # r7 cohort — text / dedup / decontamination
-    "q_decontaminate",
-    "q_decontaminate_ngram",
-    "q_dedup_incremental",
-    "q_dedup_spans",
-    "q_text_repetition",
-    "q_text_rolling_fp",
-    "q_tfidf_topk_terms",
-    "q_top_terms",
-    "q_bm25_topk",
-    "q_chunk_documents",
-    "q_profile_documents",
-    "q_corpus_curation",
-    "q_redact_pii",
-    # r7 cohort — sampling / splits / sources
-    "q_sample_per_group",
-    "q_weighted_sample",
-    "q_mixture_subsample",
-    "q_epoch_shuffle",
-    "q_split_leakage",
-    "q_split_train_val_test",
-    "q_source_csv_roundtrip",
-    "q_source_jsonl_roundtrip",
-    "q_source_overlap",
-    "q_embedding_dim_stats",
+    # round-12 oracle debuts
+    "q_growth_yoy_calendar",
+    "q_multi_cut_single_plan",
+    # changed-code re-proofs (ADVICE r11 staging-dir rework; logic-layer
+    # data() dispatch now routes fan-out through the single-plan gate)
+    "q_ann_ivfpq_index",
+    "q_multi_cut_union",
+    # r8 cohort — OLAP tail
+    "q_inline_status",
+    "q_cut_include",
+    "q_cut_semijoin",
+    "q_parents",
+    "q_top_where",
+    "q_logic_exclude",
+    "q_sort_limit_offset",
+    "q_growth_month",
+    "q_growth_div0_inf",
+    "q_growth_div0_null",
+    "q_rca_region_flag",
+    "q_hll_grouped",
+    "q_snapshot_diff",
+    "q_aggnav_serve",
+    "q_price_quartile_counts",
+    "q_quantiles_distributed",
+    "q_key_skew_profile",
+    "q_two_phase_mixed",
+    # r8 cohort — dedup / similarity / retrieval
+    "q_dedup_minhash_lsh",
+    "q_best_in_cluster",
+    "q_dedup_lines_across",
+    "q_minhash_vs_index",
+    "q_image_ahash_near_dup",
+    "q_audio_fp_near_dup",
+    "q_ann_lsh_topk",
+    "q_hybrid_rrf",
+    "q_hard_negative_band",
+    "q_feature_hash_embed",
+    # r8 cohort — text quality / fingerprints
+    "q_gopher_quality",
+    "q_c4_line_filter",
+    "q_classifier_gate",
+    "q_winnowing_fp",
+    "q_winnowing_passages",
+    "q_excise_lines",
+    "q_vocab_coverage",
+    # r8 cohort — sampling / packing / budgets / curriculum
+    "q_leakage_safe_split",
+    "q_stratified_sample",
+    "q_pack_sequences",
+    "q_token_budget_apply",
+    "q_token_budget_plan",
+    "q_curriculum_order",
 ]
 
 
