@@ -109,8 +109,13 @@ def main() -> None:
         t_serve = time.perf_counter() - t0
         assert sorted(map(tuple, rows_buck)) == sorted(map(tuple, rows_shuf))
         plan = bucketed._jdf.queryExecution().executedPlan().toString()
-        join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else ""
-        n_join_exchange = join_part.count("Exchange")
+        # a join-side exchange would hash-partition on a JOIN key; the only
+        # legal exchange in this plan is the final group-by's (on
+        # o_orderpriority) — splitting the plan text at the SMJ over-counts
+        # because AQE's toString repeats the initial plan
+        n_join_exchange = plan.count("Exchange hashpartitioning(l_orderkey") + plan.count(
+            "Exchange hashpartitioning(o_orderkey"
+        )
         results["bucketed_smj"] = {
             "rows": n_li,
             "buckets": 64,
@@ -120,6 +125,7 @@ def main() -> None:
             "join_side_exchanges": n_join_exchange,
             "smj": "SortMergeJoin" in plan,
         }
+        assert n_join_exchange == 0, "bucketed join must have no join-side exchange"
         drop_bucketed(spark, lt)
         drop_bucketed(spark, ot)
 

@@ -427,6 +427,8 @@ class LogicLayer:
             q.growth = GrowthQuery.parse(
                 str(params.pop("growth")),
                 str(params.pop("growth_div0", "inf")),
+                params.pop("growth_offset", 1),
+                str(params.pop("growth_calendar", "")).lower() in ("true", "1"),
             )
         for f in params.pop("filters", []) if isinstance(
             params.get("filters"), list

@@ -355,3 +355,25 @@ def test_multi_cut_single_plan_fallbacks(layer):
     )
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan2 and "explode(sequence" not in plan2
+
+
+def test_data_growth_offset_calendar_passthrough(layer):
+    """/data must pass growth_offset + growth_calendar through to the
+    engine query exactly like the aggregate endpoint's from_params does."""
+    out = layer.data(
+        {
+            "cube": "sales",
+            "drilldowns": "Year",
+            "measures": "Quantity",
+            "growth": "Ship Date.Ship Date.Year,Quantity",
+            "growth_offset": "2",
+            "growth_calendar": "true",
+        }
+    )
+    rows = {r["Year"]: r["Quantity Growth Value"] for r in out.collect()}
+    qty = {r["Year"]: r["Quantity"] for r in out.collect()}
+    years = sorted(rows)
+    for y in years:
+        expect = qty[y] - qty[y - 2] if (y - 2) in qty else None
+        got = rows[y]
+        assert (got is None and expect is None) or got == expect, (y, got, expect)
