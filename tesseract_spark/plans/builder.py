@@ -448,19 +448,25 @@ class PlanBuilder:
         self, cube: Cube, cuts: tuple[Cut, ...], fact: DataFrame
     ) -> DataFrame:
         """Disjunctive cut group: a fact row passes if ANY member cut
-        matches (single-plan L5 — SURVEY §2.10). Each cut's row-level match
-        reuses the conditional-cut flag machinery: degenerate / join-key
-        cuts stay pure scan predicates (an all-degenerate group is ONE
-        OR-filter Catalyst pushes to the parquet scan); dim-table cuts add
-        a broadcast left join per cut — the same per-cut cost as the
-        conjunctive semi-join, just preserved as a flag so the disjunction
-        can be evaluated across tables."""
+        matches (single-plan L5 — SURVEY §2.10). When a cut's level is
+        DRILLED its key alias column is already on every row (the
+        single-plan path applies groups above the joined template), so the
+        disjunction is ONE plain filter — no extra joins, and an
+        all-degenerate group pushes to the parquet scan. A cut whose alias
+        is absent (cuts-first path: two-phase aggregators, conditional
+        cuts) falls back to the conditional-cut flag machinery — a
+        broadcast left join per cut, the same per-cut cost as the
+        conjunctive semi-join."""
         from functools import reduce as _reduce
 
         flag_cols: list[str] = []
         pure: list[Column] = []
         for i, cut in enumerate(cuts):
             ref = self.resolve_level(cube, cut.level_name)
+            alias = level_key_alias(ref.level)
+            if alias in fact.columns and cut.members:
+                pure.append(self._cut_predicate(ref.level, cut, alias))
+                continue
             fact, flag = self._row_match_flag(fact, ref, cut)
             if "__cc_mk" in fact.columns:
                 # joined flag: materialize under a per-cut name so the next
