@@ -9,13 +9,18 @@ only sane shape at 100 TB — per-row Python UDFs are ~100× slower).
 standard library can parse without codecs: uncompressed BMP (24/32-bit BI_RGB,
 bottom-up and top-down), non-interlaced 8-bit gray/RGB PNG (zlib IDAT +
 full None/Sub/Up/Average/Paeth scanline defiltering — the first COMPRESSED
-codec, round 7), binary PPM/PGM (P6/P5), and PCM WAV (via ``wave``).
-Other compressed formats (JPEG/MP4/...) still raise ``NotImplementedError`` —
-those genuinely need codec libraries absent from this container. The
+codec, round 7), binary PPM/PGM (P6/P5), and PCM WAV (via ``wave``) — plus,
+since round 12, baseline JPEG through the from-scratch entropy codec in
+``operators/jpeg.py`` (segment walk, canonical Huffman decode with byte
+unstuffing and restart markers, dequantize/dezigzag/IDCT, YCbCr 4:4:4 /
+4:2:2 / 4:2:0). Progressive/arithmetic JPEG, MP4, and other formats still
+raise ``NotImplementedError`` — honest boundaries. The
 ``q_multimodal_decode`` catalog entry drives the BMP path end-to-end through
 Spark with an md5-pinned DuckDB oracle: payloads are wrapped into real BMP
 files, parsed back by the real header/stride/flip/BGR logic, and the decoded
-pixel stream must hash to what the oracle predicts from the source bytes.
+pixel stream must hash to what the oracle predicts from the source bytes;
+``q_image_jpeg_decode`` does the same for JPEG over the mathematically
+exact constant-block subclass (see ``decoded_jpeg_features``).
 """
 
 from __future__ import annotations
@@ -298,9 +303,13 @@ def decode_media(payload: bytes, modality: str):
         return decode_ppm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"modality {modality!r}: payload is not a BMP/PNG/PPM/WAV — other "
-        "compressed formats (JPEG/MP4/...) need codec libraries not present "
+        f"modality {modality!r}: payload is not a BMP/PNG/PPM/WAV/JPEG — "
+        "other compressed formats (MP4/...) need codec libraries not present "
         "in this container; plug a decoder in here, the mapInPandas plumbing is "
         "already batch-shaped"
     )
@@ -718,6 +727,107 @@ def decoded_png_features(documents: DataFrame, width: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def decoded_jpeg_features(documents: DataFrame, width_blocks: int = 4) -> DataFrame:
+    """End-to-end REAL entropy-coded JPEG decode through Spark, oracle-gated
+    via the mathematically exact constant-block subclass (jpeg.py module
+    doc): each document's bytes tile an image where 8×8 block ``k`` is the
+    constant ``byte[k]`` (``width_blocks`` blocks per row, trailing partial
+    row dropped), encoded as a REAL baseline JFIF (standard Annex K Huffman
+    tables, all-8s quant so the DC round-trip is the identity, restart
+    markers every 2 MCUs so DRI/RSTn and the predictor reset sit under the
+    hash gate) and decoded by the full decoder — segment walk, canonical
+    Huffman decode with byte unstuffing, dequantize, dezigzag, float IDCT.
+    A constant block is DC-only, so the decoded stream equals the source
+    grid byte-for-byte and the DuckDB oracle predicts its md5 from the
+    source bytes alone. The lossy AC / color / subsampling paths are pinned
+    by the pytest round-trip tier (PSNR floors, naive-DCT cross-check) —
+    the BPE-style split between the oracle-able half and the rest.
+
+    The closure references ``operators.jpeg`` registered with cloudpickle's
+    pickle-by-value, so executors need no repo PYTHONPATH (the module
+    contract shared by every multimodal closure here)."""
+    from pyspark import cloudpickle as _cp
+
+    from . import jpeg as _jpeg
+
+    try:
+        _cp.register_pickle_by_value(_jpeg)
+    except Exception:
+        pass  # already registered / older cloudpickle: reference pickling
+    docs = documents.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    wb = width_blocks
+    encode_gray, decode = _jpeg.encode_jpeg_gray, _jpeg.decode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        q8 = _np.full((8, 8), 8, dtype=_np.int32)
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [], "channels": [],
+                "pixels_md5": [], "mean_pixel": [],
+            }  # fmt: skip
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                hb = len(payload) // wb
+                if hb == 0:
+                    continue
+                used = _np.frombuffer(
+                    bytes(payload[: hb * wb]), dtype=_np.uint8
+                ).reshape(hb, wb)
+                img = _np.repeat(_np.repeat(used, 8, axis=0), 8, axis=1)
+                dec = decode(encode_gray(img, quant=q8, restart_interval=2))
+                px = dec["pixels"]
+                out["doc_id"].append(did)
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["channels"].append(3)
+                out["pixels_md5"].append(
+                    _hashlib.md5(px.hex().encode()).hexdigest()
+                )
+                out["mean_pixel"].append(sum(px) / len(px))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def decoded_jpeg_features_oracle_sql(
+    table: str = "documents", width_blocks: int = 4
+) -> str:
+    """Independent prediction of the JPEG-decoded RGB stream: block ``k``
+    of the constant-block grid is source byte ``k``, so pixel row ``y``
+    repeats each of its row's ``width_blocks`` bytes 8 times (×3 channels),
+    and each block-row contributes 8 identical pixel rows. Hashed as
+    lowercase hex like every decode oracle here."""
+    wb = width_blocks
+    hb = f"(octet_length(encode(text)) // {wb})"
+    # hex of one pixel row of block-row i: for each of the wb blocks,
+    # its hex pair repeated 8 px × 3 channels = 24 times
+    row_hex = (
+        f"list_aggregate(list_transform(range(0, {wb}), j -> "
+        f"repeat(substr(hex, 2 * (i * {wb} + j) + 1, 2), 24)), 'string_agg', '')"
+    )
+    img_hex = (
+        f"lower(list_aggregate(list_transform(range(0, {hb}), i -> "
+        f"repeat({row_hex}, 8)), 'string_agg', ''))"
+    )
+    bytesum = (
+        f"list_aggregate(list_transform(range(0, {hb} * {wb}), k -> "
+        f"('0x' || substr(hex, 2 * k + 1, 2))::INT), 'sum')"
+    )
+    return f"""
+    SELECT doc_id,
+           {wb * 8} AS width,
+           ({hb} * 8)::INT AS height,
+           3 AS channels,
+           md5({img_hex}) AS pixels_md5,
+           {bytesum}::DOUBLE / ({hb} * {wb}) AS mean_pixel
+    FROM (SELECT doc_id, text, to_hex(encode(text)) AS hex FROM {table})
+    WHERE {hb} >= 1
+    """
 
 
 def decoded_png_features_oracle_sql(table: str = "documents", width: int = 16) -> str:

@@ -1,0 +1,207 @@
+"""Baseline JPEG codec (operators/jpeg.py) — the non-oracle-able tier.
+
+The q_image_jpeg_decode catalog entry hash-gates the exact constant-block
+subclass end-to-end through Spark; these tests cover everything the oracle
+cannot see: the float DCT against a naive spec-literal reference, lossy
+round-trip quality floors across the quality ladder, chroma subsampling,
+restart markers, byte stuffing, and the honest NotImplementedError
+boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tesseract_spark.operators import jpeg
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def _gray(dec: dict) -> np.ndarray:
+    return np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(
+        dec["height"], dec["width"], 3
+    )[:, :, 0]
+
+
+def _smooth(h: int, w: int) -> np.ndarray:
+    x = np.linspace(0, 4 * np.pi, w)
+    y = np.linspace(0, 3 * np.pi, h)
+    return (127 + 100 * np.outer(np.sin(y), np.cos(x))).astype(np.uint8)
+
+
+def test_dct_matches_naive_spec_formula():
+    """The matrix-form 2D DCT must equal T.81's A.3.3 double sum, and
+    idct2 must invert it to float precision."""
+    rng = np.random.default_rng(11)
+    blk = rng.integers(0, 256, (8, 8)).astype(float)
+
+    naive = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        blk[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            naive[u, v] = 0.25 * cu * cv * s
+    assert np.allclose(jpeg.dct2(blk), naive, atol=1e-9)
+    assert np.allclose(jpeg.idct2(jpeg.dct2(blk)), blk, atol=1e-9)
+    # DC of a constant-c block is exactly 8c (the exactness the oracle
+    # entry's all-8s quant table relies on)
+    const = np.full((8, 8), 77.0)
+    f = jpeg.dct2(const)
+    assert abs(f[0, 0] - 8 * 77.0) < 1e-9
+    assert np.max(np.abs(f.ravel()[1:])) < 1e-9
+
+
+def test_constant_block_roundtrip_is_exact():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, 24, dtype=np.uint8)
+    img = np.repeat(np.repeat(vals.reshape(6, 4), 8, axis=0), 8, axis=1)
+    q8 = np.full((8, 8), 8, dtype=np.int32)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(img, quant=q8))
+    assert dec["width"] == 32 and dec["height"] == 48 and dec["channels"] == 3
+    assert np.array_equal(_gray(dec), img)
+
+
+def test_gray_roundtrip_quality_ladder():
+    """Lossy round trip: PSNR must climb with quality and clear per-tier
+    floors on a smooth image (the signal class DCT codecs are built for)."""
+    img = _smooth(40, 56)
+    prev = 0.0
+    for quality, floor in ((50, 35.0), (75, 40.0), (90, 45.0), (95, 47.0)):
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(img, quality=quality))
+        p = _psnr(_gray(dec), img)
+        assert p >= floor, (quality, p)
+        assert p >= prev - 0.5  # monotone up to noise
+        prev = p
+
+
+def test_color_roundtrip_444_and_420():
+    h, w = 40, 56
+    x = np.linspace(0, 4 * np.pi, w)
+    y = np.linspace(0, 3 * np.pi, h)
+    rgb = np.stack(
+        [
+            127 + 100 * np.outer(np.sin(y), np.cos(x)),
+            127 + 100 * np.outer(np.cos(y), np.sin(x)),
+            np.full((h, w), 80.0),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    d444 = jpeg.decode_jpeg(jpeg.encode_jpeg_color(rgb, quality=90, subsample="4:4:4"))
+    arr444 = np.frombuffer(d444["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    assert _psnr(arr444, rgb) >= 38.0
+    d420 = jpeg.decode_jpeg(jpeg.encode_jpeg_color(rgb, quality=90, subsample="4:2:0"))
+    arr420 = np.frombuffer(d420["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    assert d420["width"] == w and d420["height"] == h
+    # chroma is halved, luma is not: Y-plane PSNR stays high even at 4:2:0
+    def lum(a):
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+    assert _psnr(lum(arr420), lum(rgb)) >= 38.0
+    assert _psnr(arr420, rgb) >= 28.0
+
+
+def test_restart_markers_do_not_change_pixels():
+    img = _smooth(32, 48)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(img, quality=90))
+    for ri in (1, 3, 7):
+        d = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_gray(img, quality=90, restart_interval=ri)
+        )
+        assert d["pixels"] == base["pixels"], ri
+
+
+def test_odd_dimensions_pad_and_crop():
+    """Non-multiple-of-8 dimensions: encoder edge-pads, decoder crops back
+    to the SOF dimensions."""
+    img = _smooth(19, 21)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(img, quality=95))
+    assert dec["width"] == 21 and dec["height"] == 19
+    assert _psnr(_gray(dec), img) >= 40.0
+
+
+def test_byte_stuffing_survives_ff_heavy_streams():
+    """An all-extreme image produces entropy bytes hitting 0xFF; the
+    stuffed stream must decode (a missed 0xFF00 unstuff dies loudly)."""
+    rng = np.random.default_rng(5)
+    img = (rng.integers(0, 2, (24, 24)) * 255).astype(np.uint8)
+    enc = jpeg.encode_jpeg_gray(img, quality=95)
+    assert b"\xff\x00" in enc.split(b"\xff\xda")[1], "no stuffing exercised"
+    dec = jpeg.decode_jpeg(enc)
+    assert dec["width"] == 24 and dec["height"] == 24
+
+
+def test_honest_boundaries():
+    with pytest.raises(ValueError, match="missing SOI"):
+        jpeg.decode_jpeg(b"BM\x00")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x08")
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xc9\x00\x05\x08\x00\x08")
+
+
+def test_decode_media_dispatches_jpeg():
+    from tesseract_spark.operators.multimodal import decode_media
+
+    img = np.repeat(np.repeat(np.arange(4, dtype=np.uint8).reshape(2, 2) * 60, 8, 0), 8, 1)
+    q8 = np.full((8, 8), 8, dtype=np.int32)
+    out = decode_media(jpeg.encode_jpeg_gray(img, quant=q8), "image")
+    assert out["width"] == 16 and out["height"] == 16
+    assert np.array_equal(
+        np.frombuffer(out["pixels"], dtype=np.uint8).reshape(16, 16, 3)[:, :, 0], img
+    )
+
+
+def test_jpeg_closure_ships_by_value():
+    """decoded_jpeg_features registers operators.jpeg with cloudpickle's
+    pickle-by-value so executors need no repo PYTHONPATH (the multimodal
+    module contract): prove it by unpickling and running decode_jpeg in a
+    subprocess whose sys.path cannot see the repo."""
+    import pickle
+    import subprocess
+    import sys
+    import tempfile
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(jpeg)
+    try:
+        img = np.full((8, 8), 99, dtype=np.uint8)
+        q8 = np.full((8, 8), 8, dtype=np.int32)
+        payload = jpeg.encode_jpeg_gray(img, quant=q8)
+        blob = cloudpickle.dumps(jpeg.decode_jpeg)
+        with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
+            pickle.dump({"fn": blob, "payload": payload}, f)
+            path = f.name
+        prog = (
+            "import pickle, sys\n"
+            "sys.path = [p for p in sys.path if 'repo' not in p and p not in ('', '.')]\n"
+            "d = pickle.load(open(sys.argv[1], 'rb'))\n"
+            "import pyspark.cloudpickle as cp\n"
+            "fn = cp.loads(d['fn'])\n"
+            "out = fn(d['payload'])\n"
+            "px = out['pixels']\n"
+            "assert out['width'] == 8 and set(px) == {99}, (out['width'], set(px))\n"
+            "print('BYVALUE_OK')\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", prog, path],
+            capture_output=True,
+            text=True,
+            cwd="/tmp",
+            timeout=120,
+        )
+        assert "BYVALUE_OK" in r.stdout, (r.stdout, r.stderr)
+    finally:
+        cloudpickle.unregister_pickle_by_value(jpeg)
