@@ -2073,6 +2073,16 @@ def _wire_pipeline_ops() -> None:
         lambda spark, sf: multimodal.decoded_jpeg_features(_docs(spark, sf)),
         multimodal.decoded_jpeg_features_oracle_sql(),
     )
+    # REAL ISO BMFF container round-trip (r12 — the codec-free half of the
+    # MP4 boundary): box walk + stsc/stco/stsz sample-table resolution;
+    # every emitted value is parsed BACK out of the muxed container, and
+    # lossless extraction means the oracle predicts the sample stream from
+    # source bytes. Frame-level H.264 decode stays NotImplementedError.
+    _add(
+        "q_video_mp4_samples",
+        lambda spark, sf: multimodal.video_mp4_samples(_docs(spark, sf)),
+        multimodal.video_mp4_samples_oracle_sql(),
+    )
     # perceptual image dedup: real BMP decode → 8×8 average-hash (exact
     # integer block comparison) → hash-keyed duplicate groups; oracle
     # predicts every hash independently from the source bytes
@@ -4314,11 +4324,13 @@ def aggnav_build_serve_split(spark: SparkSession, sf_dir: str) -> dict:
 #    oracle — VERDICT r11 #7), and q_image_jpeg_decode (from-scratch
 #    baseline JPEG entropy codec on the mathematically exact
 #    constant-block subclass — closes the JPEG half of VERDICT r11
-#    'missing' #2). The third debut displaces ONE r8-cohort entry
-#    (q_curriculum_order, the youngest-evidence member: its operator
-#    shares the deterministic-ordering machinery re-proven by
-#    q_epoch_shuffle in r11) to the r13 rotation head — a debut with no
-#    driver row outranks aging one r8 row a single extra round;
+#    'missing' #2) and q_video_mp4_samples (real ISO BMFF box walk +
+#    stsc/stco/stsz sample resolution — the codec-free half of the MP4
+#    boundary). The extra debuts displace TWO r8-cohort entries
+#    (q_curriculum_order and q_token_budget_plan — each shares machinery
+#    with an in-window sibling: q_epoch_shuffle's deterministic ordering,
+#    q_token_budget_apply's budget planner) to the r13 rotation head — a
+#    debut with no driver row outranks aging one r8 row a single round;
 #  - 2 changed-code re-proofs: q_ann_ivfpq_index (ADVICE r11: uuid-keyed
 #    staging dir + crash cleanup in the staged overwrite build it times)
 #    and q_multi_cut_union (the logic-layer fan-out now shares data() with
@@ -4343,6 +4355,7 @@ DRIVER_WINDOW: list[str] = [
     "q_growth_yoy_calendar",
     "q_multi_cut_single_plan",
     "q_image_jpeg_decode",
+    "q_video_mp4_samples",
     # changed-code re-proofs (ADVICE r11 staging-dir rework; logic-layer
     # data() dispatch now routes fan-out through the single-plan gate)
     "q_ann_ivfpq_index",
@@ -4390,7 +4403,6 @@ DRIVER_WINDOW: list[str] = [
     "q_stratified_sample",
     "q_pack_sequences",
     "q_token_budget_apply",
-    "q_token_budget_plan",
 ]
 
 
