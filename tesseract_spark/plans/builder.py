@@ -572,37 +572,46 @@ class PlanBuilder:
         from concurrent.futures import Future
 
         key = (self.registry.generation, cube_name, repr(query))
-        with self._plan_cache_lock:
-            hit = self._plan_cache.get(key)
-            if hit is not None:
-                self._plan_cache.move_to_end(key)
-                return hit
-            fut = self._in_flight.get(key)
-            if fut is None:
-                fut = Future()
-                self._in_flight[key] = fut
-                owner = True
-            else:
-                owner = False
-        if not owner:
-            # duplicate concurrent request: wait for the owner's build (or
-            # its exception — same query, same error) instead of re-paying
-            # the py4j construction
-            return fut.result()
+        my_fut = Future()
+        registered = False
         try:
-            df = self._build_dataframe(cube_name, query)
-        except BaseException as e:
             with self._plan_cache_lock:
+                hit = self._plan_cache.get(key)
+                if hit is not None:
+                    self._plan_cache.move_to_end(key)
+                    return hit
+                theirs = self._in_flight.get(key)
+                if theirs is None:
+                    self._in_flight[key] = my_fut
+                    registered = True
+            if not registered:
+                # duplicate concurrent request: wait for the owner's build
+                # (or its exception — same query, same error) instead of
+                # re-paying the py4j construction
+                return theirs.result()
+            df = self._build_dataframe(cube_name, query)
+            with self._plan_cache_lock:
+                self._plan_cache[key] = df
+                if len(self._plan_cache) > self._plan_cache_max:
+                    self._plan_cache.popitem(last=False)
                 self._in_flight.pop(key, None)
-            fut.set_exception(e)
-            raise
-        with self._plan_cache_lock:
-            self._plan_cache[key] = df
-            if len(self._plan_cache) > self._plan_cache_max:
-                self._plan_cache.popitem(last=False)
-            self._in_flight.pop(key, None)
-        fut.set_result(df)
-        return df
+            my_fut.set_result(df)
+            return df
+        finally:
+            # ANY exit (build exception, KeyboardInterrupt between any two
+            # statements above) must resolve a registered future, or every
+            # later request for this key would wait on it forever
+            if registered and not my_fut.done():
+                with self._plan_cache_lock:
+                    self._in_flight.pop(key, None)
+                import sys as _sys
+
+                exc = _sys.exc_info()[1]
+                my_fut.set_exception(
+                    exc
+                    if exc is not None
+                    else RuntimeError("plan build interrupted")
+                )
 
     def _build_dataframe(self, cube_name: str, query: Query) -> DataFrame:
         cube = self.schema.cube(cube_name)
