@@ -1316,3 +1316,77 @@ def test_heavy_hitters_fuzz_matches_duckdb_and_bracket(spark, rows, capacity, k)
     true = collections.Counter((g, m) for g, _, m in rows)
     for g, m, lo, hi, _rank in served:
         assert lo <= true[(g, m)] <= hi, (g, m, lo, true[(g, m)], hi)
+
+
+# ---------- round 12: single-plan multi-cut fuzz (L5 OR-of-cuts) ----------
+
+
+@st.composite
+def multi_cut_params_and_oracle(draw):
+    """Random drilled multi-cuts on Customer Geography (Region + Nation
+    member subsets), optional extra drill and conjunctive Year cut — the
+    single-plan path's whole input space. The oracle is the REFERENCE
+    semantics generated mechanically: one branch per cut level, UNION ALL
+    (so groups matching both cuts appear twice), which the single plan must
+    reproduce via its OR-of-cuts filter + multiplicity explode."""
+    regions = draw(st.lists(st.integers(0, 4), min_size=1, max_size=3, unique=True))
+    nations = draw(st.lists(st.integers(0, 24), min_size=1, max_size=4, unique=True))
+    flag_drill = draw(st.booleans())
+    years = draw(st.sampled_from([None, [1996], [1996, 1997]]))
+
+    params = {
+        "cube": "lineitem_sales",
+        "drilldowns": ("Return Flag," if flag_drill else "") + "Region,Nation",
+        "measures": ["Quantity"],
+        "Region": ",".join(map(str, regions)),
+        "Nation": ",".join(map(str, nations)),
+    }
+    if years:
+        params["Year"] = ",".join(map(str, years))
+
+    from tesseract_spark.catalog import _ORDER_GEO
+
+    sels = []
+    if flag_drill:
+        sels.append('l.l_returnflag AS "Return Flag"')
+    sels += [
+        'g.r_regionkey AS "Region ID"', 'g.r_name AS "Region"',
+        'g.n_nationkey AS "Nation ID"', 'g.n_name AS "Nation"',
+    ]  # fmt: skip
+    year_and = (
+        f" AND year(l.l_shipdate) IN ({', '.join(map(str, years))})" if years else ""
+    )
+    groups = ", ".join(str(i + 1) for i in range(len(sels)))
+
+    def branch(pred):
+        return (
+            f'SELECT {", ".join(sels)}, sum(l.l_quantity) AS "Quantity" '
+            f"FROM lineitem l JOIN {_ORDER_GEO} ON l.l_orderkey = g.o_orderkey "
+            f"WHERE {pred}{year_and} GROUP BY {groups}"
+        )
+
+    sql = (
+        branch(f"g.r_regionkey IN ({', '.join(map(str, regions))})")
+        + " UNION ALL "
+        + branch(f"g.n_nationkey IN ({', '.join(map(str, nations))})")
+    )
+    return params, sql
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(multi_cut_params_and_oracle())
+def test_random_single_plan_multi_cut_matches_union_oracle(builder, duck, po):
+    """Random single-plan multi-cuts vs the mechanically generated N-branch
+    UNION ALL — fuzzes the OR-of-cuts factorization, the multiplicity
+    explode (duplicate groups), and the conjunctive-cut mixing."""
+    from tesseract_spark.logic.layer import LogicLayer
+
+    params, sql = po
+    df = LogicLayer(builder).data(dict(params))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "explode(sequence" in plan, "fuzz must exercise the single-plan path"
+    assert_df_matches_sql(df, duck, sql)
