@@ -543,7 +543,14 @@ def decode_jpeg(payload: bytes) -> dict:
             comps = []
             for i in range(nc):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, samp >> 4, samp & 0xF, qid))
+                hs, vs = samp >> 4, samp & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(
+                        f"invalid sampling factors {hs}x{vs} for component {cid}"
+                    )
+                comps.append((cid, hs, vs, qid))
+            if h == 0 or w_ == 0:
+                raise ValueError("zero-dimension frame")
             frame = (h, w_, comps)
         elif marker == 0xFFDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)

@@ -153,12 +153,14 @@ def walk_boxes(payload: bytes, start: int = 0, end: int | None = None):
             (size,) = struct.unpack_from(">I", payload, pos)
             btype = payload[pos + 4 : pos + 8]
             body = pos + 8
+            min_size = 8
             if size == 1:
                 (size,) = struct.unpack_from(">Q", payload, pos + 8)
                 body = pos + 16
+                min_size = 16  # largesize header is 16 bytes itself
             elif size == 0:
                 size = stop - pos
-            if size < 8 or pos + size > stop:
+            if size < min_size or pos + size > stop:
                 raise ValueError(f"malformed box {btype!r} at {pos} (size {size})")
             yield btype, body, pos + size, depth
             if btype in _CONTAINERS:
@@ -262,8 +264,15 @@ def _resolve_sample_offsets(
 ) -> list[int]:
     """stsc runs (first_chunk, samples_per_chunk, desc_idx) + chunk offsets
     + sample sizes → absolute per-sample offsets (ISO 14496-12 §8.7.4/8.7.5)."""
-    if not sizes or not chunk_offsets or not stsc:
+    if not sizes:
         return []
+    if not chunk_offsets or not stsc:
+        # sized samples with no chunk map is a corrupt table — refusing
+        # beats silently reporting n_samples with zero resolvable offsets
+        raise ValueError(
+            f"sample table incomplete: {len(sizes)} sizes but "
+            f"{len(chunk_offsets)} chunk offsets / {len(stsc)} stsc runs"
+        )
     per_chunk: list[int] = []
     for i, (first, spc, _) in enumerate(stsc):
         last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunk_offsets)

@@ -1,0 +1,113 @@
+"""Adversarial byte-fuzz for the r12 codec surfaces (jpeg.py, mp4.py).
+
+A decoder that shards 100 TB of crawled bytes meets truncations, bit
+flips, and hostile headers constantly. The contract fuzzed here: for ANY
+mutation of a valid input, the parser either returns a well-formed result
+or raises a bounded, ordinary exception — it never hangs, never loops
+unbounded, and never dies with an interpreter-level error. (Silently
+different PIXELS under a bit flip are fine — that's what checksums in the
+pipeline are for; this is about control-flow robustness.)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tesseract_spark.operators import jpeg, mp4
+
+#: the exception classes a hostile input may legitimately raise — anything
+#: else (SystemError, RecursionError, MemoryError, hangs) is a decoder bug
+ALLOWED = (ValueError, NotImplementedError, struct.error, IndexError, KeyError)
+
+
+def _valid_jpeg() -> bytes:
+    x = np.linspace(0, 4 * np.pi, 24)
+    img = (127 + 100 * np.outer(np.sin(x[:16]), np.cos(x))).astype(np.uint8)
+    return jpeg.encode_jpeg_gray(img, quality=85, restart_interval=2)
+
+
+def _valid_mp4() -> bytes:
+    return mp4.encode_mp4([b"alpha-frame", b"beta", b"gamma-frame-3"])
+
+
+_JPEG = _valid_jpeg()
+_MP4 = _valid_mp4()
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pos=st.integers(0, len(_JPEG) - 1),
+    val=st.integers(0, 255),
+    cut=st.integers(0, len(_JPEG)),
+)
+def test_jpeg_decoder_bounded_on_mutations(pos, val, cut):
+    mutated = bytearray(_JPEG)
+    mutated[pos] = val
+    for payload in (bytes(mutated), _JPEG[:cut]):
+        try:
+            out = jpeg.decode_jpeg(payload)
+        except ALLOWED:
+            continue
+        assert set(out) >= {"width", "height", "channels", "pixels"}
+        assert len(out["pixels"]) == out["width"] * out["height"] * 3
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pos=st.integers(0, len(_MP4) - 1),
+    val=st.integers(0, 255),
+    cut=st.integers(0, len(_MP4)),
+)
+def test_mp4_parser_bounded_on_mutations(pos, val, cut):
+    mutated = bytearray(_MP4)
+    mutated[pos] = val
+    for payload in (bytes(mutated), _MP4[:cut]):
+        try:
+            meta = mp4.parse_mp4(payload)
+            for t in meta["tracks"]:
+                # offsets may point anywhere after a mutation; slicing bytes
+                # is safe — resolution itself must not crash oddly
+                assert len(t["sample_offsets"]) == t["n_samples"]
+        except ALLOWED:
+            continue
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=200))
+def test_parsers_bounded_on_garbage(data):
+    with pytest.raises(ALLOWED):
+        jpeg.decode_jpeg(data)
+    with pytest.raises(ALLOWED):
+        mp4.parse_mp4(data)
+
+
+def test_pathological_box_sizes_terminate():
+    """Adversarial ISO BMFF shapes that historically loop or blow memory in
+    naive parsers: size-0 run-to-end boxes, a largesize smaller than its
+    header, nested containers claiming more than their parent."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    # size-0 box at top level (spec: extends to EOF) — must terminate
+    payload = ftyp + struct.pack(">I", 0) + b"free" + b"x" * 50
+    mp4.parse_mp4(payload)
+    # largesize < 16 is malformed, not an infinite loop
+    bad_large = ftyp + struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 8)
+    with pytest.raises(ALLOWED):
+        mp4.parse_mp4(bad_large)
+    # child claiming to extend past its container
+    moov_body = struct.pack(">I", 10_000) + b"trak" + b"\x00" * 8
+    payload = ftyp + struct.pack(">I", 8 + len(moov_body)) + b"moov" + moov_body
+    with pytest.raises(ALLOWED):
+        mp4.parse_mp4(payload)
