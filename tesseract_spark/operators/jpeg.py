@@ -659,6 +659,10 @@ def _decode_scan(
 
 def _decode_block(br, dc_tab, ac_tab, quant, preds, ci) -> np.ndarray:
     t = _huff_decode(br, dc_tab)
+    if t > 15:
+        # a corrupt DHT can map a code to any byte; a huge "category" would
+        # read hundreds of magnitude bits and overflow downstream
+        raise ValueError(f"invalid DC category {t} (baseline max 15)")
     diff = _extend(br.receive(t), t)
     preds[ci] += diff
     zz = np.zeros(64, dtype=np.int64)

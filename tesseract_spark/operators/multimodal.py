@@ -89,7 +89,14 @@ def decode_bmp(payload: bytes) -> dict:
         raise NotImplementedError(f"{bpp}-bit BMP unsupported (24/32 only)")
     height, bottom_up = abs(height_raw), height_raw > 0
     n_ch = bpp // 8
+    if width < 0:
+        raise ValueError(f"negative BMP width {width}")
     stride = (width * n_ch + 3) & ~3
+    if len(payload) < pixel_off + stride * height:
+        raise ValueError(
+            f"truncated BMP: {len(payload)} bytes < "
+            f"{pixel_off + stride * height} required by header dims"
+        )
     out = bytearray()
     for y in range(height):
         src_y = (height - 1 - y) if bottom_up else y
@@ -122,8 +129,15 @@ def decode_ppm(payload: bytes) -> dict:
     width, height, maxval = fields
     if maxval > 255:
         raise NotImplementedError("16-bit PPM unsupported")
+    if width < 0 or height < 0:
+        raise ValueError(f"negative PPM dimensions {width}x{height}")
     n_ch = 3 if magic == b"P6" else 1
     raw = payload[pos : pos + width * height * n_ch]
+    if len(raw) < width * height * n_ch:
+        raise ValueError(
+            f"truncated PPM: {len(raw)} data bytes < {width * height * n_ch} "
+            "required by header dims"
+        )
     pixels = raw if n_ch == 3 else b"".join(bytes((b, b, b)) for b in raw)
     return {"width": width, "height": height, "channels": 3, "pixels": pixels}
 
@@ -278,18 +292,24 @@ def decode_png(payload: bytes) -> dict:
 
 
 def decode_wav(payload: bytes) -> dict:
-    """Parse PCM WAV via the stdlib ``wave`` module."""
+    """Parse PCM WAV via the stdlib ``wave`` module. Hostile chunk
+    structures make ``wave``/``chunk`` raise bare RuntimeError/OSError
+    (chunk.py seek guards); normalize those to ValueError so callers see
+    one bounded corrupt-input exception family (codec fuzz contract)."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(payload)) as w:
-        return {
-            "sample_rate": w.getframerate(),
-            "n_channels": w.getnchannels(),
-            "sample_width": w.getsampwidth(),
-            "n_frames": w.getnframes(),
-            "pcm": w.readframes(w.getnframes()),
-        }
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            return {
+                "sample_rate": w.getframerate(),
+                "n_channels": w.getnchannels(),
+                "sample_width": w.getsampwidth(),
+                "n_frames": w.getnframes(),
+                "pcm": w.readframes(w.getnframes()),
+            }
+    except (RuntimeError, OSError) as e:
+        raise ValueError(f"corrupt WAV chunk structure: {e!r}") from e
 
 
 def decode_media(payload: bytes, modality: str):

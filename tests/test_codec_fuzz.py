@@ -111,3 +111,58 @@ def test_pathological_box_sizes_terminate():
     payload = ftyp + struct.pack(">I", 8 + len(moov_body)) + b"moov" + moov_body
     with pytest.raises(ALLOWED):
         mp4.parse_mp4(payload)
+
+
+# ---------- same contract for the round-6/7 decoders (BMP/PNG/PPM/WAV) ----------
+
+from tesseract_spark.operators import multimodal as mm
+
+#: wave/zlib surface additional stdlib exceptions on hostile input
+import wave as _wave
+import zlib as _zlib
+
+LEGACY_ALLOWED = ALLOWED + (_wave.Error, _zlib.error, EOFError, AssertionError)
+
+
+def _legacy_fixtures():
+    px = bytes(range(64)) * 4  # 256 bytes
+    out = [
+        mm.encode_bmp_gray(px, 16, 16),
+        mm.encode_png_gray(px, 16, 16),
+        b"P6\n16 16\n255\n" + bytes(768),
+    ]
+    import io
+    import wave as w
+
+    buf = io.BytesIO()
+    with w.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(1)
+        f.setframerate(8000)
+        f.writeframes(bytes(range(200)))
+    out.append(buf.getvalue())
+    return out
+
+
+_LEGACY = _legacy_fixtures()
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    which=st.integers(0, len(_LEGACY) - 1),
+    pos=st.integers(0, 200),
+    val=st.integers(0, 255),
+    cut=st.integers(0, 300),
+)
+def test_legacy_decoders_bounded_on_mutations(which, pos, val, cut):
+    base = _LEGACY[which]
+    mutated = bytearray(base)
+    mutated[pos % len(base)] = val
+    for payload in (bytes(mutated), base[: cut % (len(base) + 1)]):
+        try:
+            out = mm.decode_media(payload, "any")
+        except LEGACY_ALLOWED:
+            continue
+        assert isinstance(out, dict)
+        if "pixels" in out:
+            assert len(out["pixels"]) == out["width"] * out["height"] * 3
