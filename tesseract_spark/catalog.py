@@ -4318,7 +4318,7 @@ def aggnav_build_serve_split(spark: SparkSession, sf_dir: str) -> dict:
 #    changed-code re-proofs this round: the single-pass plan path moved to
 #    the cut-commuted joined-template construction, and q_growth_year
 #    additionally re-proves the n==1 global scalar-carry lag);
-#  - 3 oracle debuts: q_growth_yoy_calendar (calendar-lag growth over a
+#  - 4 oracle debuts: q_growth_yoy_calendar (calendar-lag growth over a
 #    gapped grid — VERDICT r11 #5), q_multi_cut_single_plan (L5
 #    single-plan OR-of-cuts + multiplicity explode vs the UNION ALL
 #    oracle — VERDICT r11 #7), and q_image_jpeg_decode (from-scratch

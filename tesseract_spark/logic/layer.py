@@ -363,8 +363,13 @@ class LogicLayer:
                 hit = F.col(level_key_alias(ref.level)).isin(lits).cast("int")
                 m_d = hit if m_d is None else m_d + hit
             mult = m_d if mult is None else mult * m_d
+        # array_repeat, NOT sequence(1, mult): sequence defaults to step -1
+        # when stop < start, so sequence(1, 0) is [1, 0] — a group that
+        # somehow matched no cut would be DUPLICATED instead of dropped.
+        # array_repeat(·, 0) is empty → explode drops the row: fail closed
+        # if any path ever skips the OR-of-cuts pre-filter (review r12 #2).
         return df.withColumn(
-            "__mc", F.explode(F.sequence(F.lit(1), mult))
+            "__mc", F.explode(F.array_repeat(F.lit(1), mult))
         ).drop("__mc")
 
     # ---------------- entry point ----------------

@@ -490,7 +490,19 @@ def decode_jpeg(payload: bytes) -> dict:
     :func:`multimodal.decode_bmp` / ``decode_png``. Supports grayscale and
     3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers,
     and byte stuffing. Progressive (SOF2), arithmetic coding, 12-bit
-    precision, and 4-component images raise ``NotImplementedError``."""
+    precision, and 4-component images raise ``NotImplementedError``.
+
+    Corrupt-input contract (shared by every decoder in multimodal.py):
+    hostile bytes raise ValueError or NotImplementedError — truncation
+    IndexErrors, corrupt-table KeyErrors, and short-header struct.errors
+    are normalized so pipeline code can catch one bounded family."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {e!r}") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> dict:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2

@@ -178,7 +178,18 @@ def parse_mp4(payload: bytes) -> dict:
     resolved through stsc (sample→chunk runs) + stco/co64 (chunk offsets)
     + stsz — the container math that makes codec-free sharding and
     frame-range extraction possible. Fragmented files (moof) raise
-    ``NotImplementedError``."""
+    ``NotImplementedError``.
+
+    Corrupt-input contract (codec fuzz tier): hostile bytes raise
+    ValueError or NotImplementedError — truncation IndexErrors and
+    short-table struct.errors are normalized to ValueError."""
+    try:
+        return _parse_mp4_impl(payload)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt ISO BMFF structure: {e!r}") from e
+
+
+def _parse_mp4_impl(payload: bytes) -> dict:
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF payload (missing leading ftyp)")
     brand = payload[8:12].decode("latin1")

@@ -563,6 +563,12 @@ class AggregateNavigator:
             or query.growth is not None
             or query.rate is not None
             or query.conditional_cuts
+            # disjunctive cut groups (single-plan L5, r12): serve()'s
+            # cut_filter applies only the conjunctive query.cuts — serving
+            # a cut_groups query from a rollup would silently DROP the
+            # OR-of-cuts filter (code-review r12 finding #1); the fact
+            # path applies them correctly
+            or query.cut_groups
         ):
             return None
         if any(not c.members for c in query.cuts):

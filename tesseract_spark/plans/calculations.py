@@ -64,19 +64,32 @@ _CALENDAR_CYCLES = {"month": 12, "quarter": 4}
 
 
 def _calendar_period_index(
-    builder: "PlanBuilder", specs: list["DrillSpec"], ln: LevelName
+    builder: "PlanBuilder", specs: list["DrillSpec"], ln: LevelName, offset: int
 ):
     """Calendar period index expression from the time drill's KEY columns:
-    a single key level is its own index (year grain); a (year, sub) chain
-    maps to ``year*cycle + sub`` for calendar-constant cycles. Arithmetic —
-    not data-dependent — so a period missing from the data still has the
-    right index distance to every other period."""
+    a single key level is its own index (year grain, or a sub-year index
+    joined within its partition keys — the lone-Month-drill shape where
+    Year is a separate drill); a (year, sub) chain maps to
+    ``year*cycle + sub`` for calendar-constant cycles. Arithmetic — not
+    data-dependent — so a period missing from the data still has the right
+    index distance to every other period. A lone sub-year key whose cycle
+    the offset reaches (Month with offset ≥ 12) can NEVER find a partner —
+    that query would be silently all-NULL, so it raises instead (review
+    r12 #4): YoY needs the year parent in the chain (parents=true)."""
     from .builder import QueryValidationError, level_key_alias
 
     for spec in specs:
         if spec.ref.dim.name == ln.dimension and spec.ref.level.name == ln.level:
             keys = [(level_key_alias(lv), lv.name) for lv in spec.levels]
             if len(keys) == 1:
+                cycle = _CALENDAR_CYCLES.get(keys[0][1].lower())
+                if cycle is not None and offset >= cycle:
+                    raise QueryValidationError(
+                        f"growth_calendar offset {offset} at lone "
+                        f"{keys[0][1]!r} grain (cycle {cycle}) can never "
+                        "find a calendar partner — drill the year parent "
+                        "(parents=true) for same-period-last-year"
+                    )
                 return F.col(keys[0][0]).cast("long")
             if len(keys) == 2:
                 fine = keys[1][1].lower()
@@ -122,7 +135,7 @@ def apply_growth(
         # aggregate output: the shuffle is on the small post-agg relation
         # (AQE broadcasts it below threshold), and there is no window at
         # all, partitioned or otherwise.
-        idx = _calendar_period_index(builder, specs, growth.time_drill)
+        idx = _calendar_period_index(builder, specs, growth.time_drill, n)
         pv_parts = [
             F.col(a).alias(f"__pv_{i}") for i, a in enumerate(part_aliases)
         ]

@@ -225,6 +225,11 @@ class TableRegistry:
                 return built
             return view
         if self.base_dir is not None:
+            # snapshot the generation BEFORE the read: the file listing is
+            # captured outside the lock, and a refresh_files() landing
+            # between the read and the memoization below would otherwise be
+            # undone by re-memoizing the PRE-flush listing (review r12 #3)
+            gen_before = self.generation
             try:
                 df = self.spark.read.parquet(f"{self.base_dir}/{name}.parquet")
             except Exception:
@@ -242,10 +247,14 @@ class TableRegistry:
                 # (compact_partitions, fixture regeneration), call
                 # refresh_files(); the server's /flush does.
                 with self._lock:
-                    # an explicit register() may have raced in — keep it
+                    # an explicit register() may have raced in — keep it;
+                    # a refresh_files() (generation bump) may have raced in
+                    # — serve this result but do NOT memoize the stale
+                    # pre-flush file listing
                     if name not in self._views:
-                        self._views[name] = df
-                        self._parquet_memo.add(name)
+                        if self.generation == gen_before:
+                            self._views[name] = df
+                            self._parquet_memo.add(name)
                         return df
                     memo = self._views[name]
                 return memo if isinstance(memo, DataFrame) else self.load(name)

@@ -20,9 +20,11 @@ from hypothesis import strategies as st
 
 from tesseract_spark.operators import jpeg, mp4
 
-#: the exception classes a hostile input may legitimately raise — anything
-#: else (SystemError, RecursionError, MemoryError, hangs) is a decoder bug
-ALLOWED = (ValueError, NotImplementedError, struct.error, IndexError, KeyError)
+#: the r12 codecs normalize every corrupt-input failure (truncation
+#: IndexError, corrupt-table KeyError, short-header struct.error) into this
+#: bounded family — anything else (SystemError, RecursionError, hangs) is a
+#: decoder bug, and so is a LEAKED IndexError/KeyError now
+ALLOWED = (ValueError, NotImplementedError)
 
 
 def _valid_jpeg() -> bytes:
@@ -121,7 +123,12 @@ from tesseract_spark.operators import multimodal as mm
 import wave as _wave
 import zlib as _zlib
 
-LEGACY_ALLOWED = ALLOWED + (_wave.Error, _zlib.error, EOFError, AssertionError)
+#: legacy decoders predate the normalization: stdlib wave/zlib surface
+#: their own classes and struct/Index errors still pass through
+LEGACY_ALLOWED = ALLOWED + (
+    _wave.Error, _zlib.error, EOFError, AssertionError,
+    struct.error, IndexError, KeyError,
+)
 
 
 def _legacy_fixtures():

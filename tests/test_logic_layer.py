@@ -301,7 +301,7 @@ def test_multi_cut_single_plan_parity_and_plan_count(layer):
     }
     single = layer.data(dict(params))
     splan = single._jdf.queryExecution().executedPlan().toString()
-    assert "explode(sequence" in splan, "single-plan path not taken"
+    assert "explode(array_repeat" in splan, "single-plan path not taken"
     assert "Union" not in splan
 
     orig = LogicLayer._try_single_plan
@@ -311,7 +311,7 @@ def test_multi_cut_single_plan_parity_and_plan_count(layer):
     finally:
         LogicLayer._try_single_plan = orig
     fplan = fan._jdf.queryExecution().executedPlan().toString()
-    assert "Union" in fplan and "explode(sequence" not in fplan
+    assert "Union" in fplan and "explode(array_repeat" not in fplan
     # one l_quantity aggregation in the single plan, two in the fan-out
     assert splan.count("partial_sum(l_quantity") == 1
     assert fplan.count("partial_sum(l_quantity") == 2
@@ -340,7 +340,7 @@ def test_multi_cut_single_plan_fallbacks(layer):
         }
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Union" in plan and "explode(sequence" not in plan
+    assert "Union" in plan and "explode(array_repeat" not in plan
 
     # drilled, but top= present -> fan-out (top applies per branch)
     out2 = layer.data(
@@ -354,7 +354,7 @@ def test_multi_cut_single_plan_fallbacks(layer):
         }
     )
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
-    assert "Union" in plan2 and "explode(sequence" not in plan2
+    assert "Union" in plan2 and "explode(array_repeat" not in plan2
 
 
 def test_data_growth_offset_calendar_passthrough(layer):

@@ -379,8 +379,13 @@ def growth_query_and_oracle(draw):
     offset = draw(st.sampled_from([1, 2, 3, 12]))
     # calendar mode (r12): prev is found by a JOIN on time-index − offset,
     # so gapped series (year cuts!) align to the true calendar period and
-    # diverge from row-lag — the oracle switches to the same join
+    # diverge from row-lag — the oracle switches to the same join.
+    # calendar + lone-Month drill caps offset below the 12-month cycle:
+    # offset ≥ cycle without the year parent can never find a partner and
+    # the engine rejects it (pinned separately)
     calendar = draw(st.booleans())
+    if calendar and monthly and offset >= 12:
+        offset = draw(st.sampled_from([1, 2, 3]))
 
     drills = ["Ship Date.Year"] + (["Ship Date.Ship Date.Month"] if monthly else [])
     time_level = "Month" if monthly else "Year"
@@ -479,6 +484,39 @@ def test_random_growth_matches_oracle(builder, duck, qo):
     params, sql = qo
     df = builder.dataframe("lineitem_sales", Query.from_params(params))
     assert_df_matches_sql(df, duck, sql, rtol=1e-6)
+
+
+def test_growth_calendar_unreachable_offset_is_loud(builder):
+    """Review r12 #4: growth_calendar with a LONE sub-year time key and an
+    offset ≥ its cycle (Month drill without parents, offset 12) can never
+    find a calendar partner — it must raise with the parents=true hint, not
+    return silently all-NULL growth."""
+    import pytest as _pytest
+
+    from tesseract_spark.plans.builder import QueryValidationError
+
+    q = Query.from_params(
+        {
+            "drilldowns": ["Ship Date.Year", "Ship Date.Ship Date.Month"],
+            "measures": ["Quantity"],
+            "growth": "Ship Date.Ship Date.Month,Quantity",
+            "growth_offset": "12",
+            "growth_calendar": "true",
+        }
+    )
+    with _pytest.raises(QueryValidationError, match="parents=true"):
+        builder.dataframe("lineitem_sales", q)
+    # offset < cycle at the same shape is meaningful (within-year months)
+    q2 = Query.from_params(
+        {
+            "drilldowns": ["Ship Date.Year", "Ship Date.Ship Date.Month"],
+            "measures": ["Quantity"],
+            "growth": "Ship Date.Ship Date.Month,Quantity",
+            "growth_offset": "2",
+            "growth_calendar": "true",
+        }
+    )
+    assert builder.dataframe("lineitem_sales", q2).count() > 0
 
 
 def test_growth_offset_gap_semantics_row_lag_vs_calendar(builder):
@@ -1388,5 +1426,5 @@ def test_random_single_plan_multi_cut_matches_union_oracle(builder, duck, po):
     params, sql = po
     df = LogicLayer(builder).data(dict(params))
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "explode(sequence" in plan, "fuzz must exercise the single-plan path"
+    assert "explode(array_repeat" in plan, "fuzz must exercise the single-plan path"
     assert_df_matches_sql(df, duck, sql)
