@@ -604,6 +604,19 @@ def _decode_scan(
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mbx = (w_ + mcu_w - 1) // mcu_w
     mby = (h + mcu_h - 1) // mcu_h
+    # Reject hostile geometry BEFORE allocating: every 8x8 block costs at
+    # least one bit in the entropy stream (a DC Huffman code is never
+    # empty), so a 65535x65535x3 SOF header with a few hundred payload
+    # bytes is provably corrupt — without this check the plane allocation
+    # below demands tens of GB and dies with MemoryError, outside the
+    # decoder's normalized ValueError contract (ADVICE r12).
+    total_blocks = mbx * mby * sum(c[1] * c[2] for c in comps)
+    remaining = len(data) - pos
+    if total_blocks > max(remaining, 0) * 8:
+        raise ValueError(
+            f"frame geometry implausible: {total_blocks} blocks declared "
+            f"but only {remaining} entropy bytes remain"
+        )
     # per-component plane buffers at component resolution
     planes = []
     for cid, hs, vs, qid in comps:

@@ -230,6 +230,15 @@ def _parse_mp4_impl(payload: bytes) -> dict:
         elif btype == b"stsz":
             uniform, count = struct.unpack_from(">II", body, 4)
             if uniform:
+                # the non-uniform path is implicitly bounded (unpack_from
+                # fails on a short buffer); bound the uniform path too — a
+                # hostile 0xFFFFFFFF count must not materialize a ~34 GB
+                # list. A real file cannot hold more samples than bytes.
+                if count > len(payload):
+                    raise ValueError(
+                        f"stsz uniform sample count {count} exceeds "
+                        f"file size {len(payload)}"
+                    )
                 cur["sample_sizes"] = [uniform] * count
             else:
                 cur["sample_sizes"] = list(
@@ -285,8 +294,26 @@ def _resolve_sample_offsets(
             f"{len(chunk_offsets)} chunk offsets / {len(stsc)} stsc runs"
         )
     per_chunk: list[int] = []
+    n_chunks = len(chunk_offsets)
+    prev_first = 0
     for i, (first, spc, _) in enumerate(stsc):
-        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunk_offsets)
+        if first <= prev_first:
+            # §8.7.4 requires strictly increasing first_chunk; a corrupt
+            # run here would also make `last - first + 1` unbounded below
+            raise ValueError(
+                f"stsc first_chunk not strictly increasing at run {i}: "
+                f"{first} after {prev_first}"
+            )
+        prev_first = first
+        if first > n_chunks:
+            # run starts past the real chunk table — its entries are never
+            # read, and a hostile 32-bit first_chunk in the NEXT run must
+            # not size this run's expansion (a single corrupted byte can
+            # otherwise demand a ~4.3e9-element list before any bounds
+            # check fires)
+            continue
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
+        last = min(last, n_chunks)
         per_chunk.extend([spc] * (last - first + 1))
     offsets: list[int] = []
     si = 0

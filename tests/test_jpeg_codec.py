@@ -10,6 +10,8 @@ boundaries.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -205,3 +207,15 @@ def test_jpeg_closure_ships_by_value():
         assert "BYVALUE_OK" in r.stdout, (r.stdout, r.stderr)
     finally:
         cloudpickle.unregister_pickle_by_value(jpeg)
+
+
+def test_hostile_sof_dimensions_cannot_oom():
+    """ADVICE r12: a 65535x65535 SOF header over a tiny entropy payload
+    must raise ValueError before allocating multi-GB planes (each 8x8
+    block costs >=1 entropy bit, so the geometry is provably corrupt)."""
+    enc = bytearray(jpeg.encode_jpeg_gray(_smooth(16, 16)))
+    i = bytes(enc).index(b"\xff\xc0")
+    # SOF0: marker(2) len(2) precision(1) height(2) width(2)
+    struct.pack_into(">HH", enc, i + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="implausible"):
+        jpeg.decode_jpeg(bytes(enc))

@@ -118,3 +118,48 @@ def test_sample_table_inconsistency_is_loud():
     struct.pack_into(">I", enc, i + 8 + 4 + 4, 6)
     with pytest.raises((ValueError, struct.error)):
         mp4.extract_samples(bytes(enc))
+
+def test_hostile_stsc_first_chunk_cannot_oom():
+    """ADVICE r12: a single corrupted byte in a later stsc run's
+    first_chunk (e.g. 0x00000002 -> 0xFF000002) must not size a multi-GB
+    run expansion — runs are clamped to the real chunk count."""
+    enc = bytearray(mp4.encode_mp4([b"a" * 4, b"b" * 4, b"c" * 4]))  # odd -> 2 stsc runs
+    i = bytes(enc).index(b"stsc") - 4
+    # stsc layout: size(4) type(4) verflags(4) entry_count(4) then
+    # 12-byte (first_chunk, spc, desc) runs; corrupt run #2's first_chunk
+    run2_first = i + 8 + 4 + 4 + 12
+    good = mp4.parse_mp4(mp4.encode_mp4([b"a" * 4, b"b" * 4, b"c" * 4]))
+    struct.pack_into(">I", enc, run2_first, 0xFF000002)
+    # bounded: either rejected, or resolved to the SAME offsets the intact
+    # table gives (the clamped run covers the real chunk table) — never a
+    # ~4.3e9-element expansion. The call returning at all inside the test
+    # timeout IS the regression check.
+    try:
+        parsed = mp4.parse_mp4(bytes(enc))
+    except ValueError:
+        pass
+    else:
+        assert (
+            parsed["tracks"][0]["sample_offsets"]
+            == good["tracks"][0]["sample_offsets"]
+        )
+
+
+def test_hostile_stsc_nonincreasing_first_chunk_raises():
+    enc = bytearray(mp4.encode_mp4([b"a" * 4, b"b" * 4, b"c" * 4]))
+    i = bytes(enc).index(b"stsc") - 4
+    run2_first = i + 8 + 4 + 4 + 12
+    struct.pack_into(">I", enc, run2_first, 1)  # equal to run #1's first
+    with pytest.raises(ValueError, match="strictly increasing"):
+        mp4.parse_mp4(bytes(enc))
+
+
+def test_hostile_uniform_stsz_count_cannot_oom():
+    """ADVICE r12: uniform-size stsz with count=0xFFFFFFFF must raise, not
+    materialize a ~34 GB list (non-uniform path is buffer-bounded already)."""
+    enc = bytearray(mp4.encode_mp4([b"a" * 4, b"b" * 4]))
+    i = bytes(enc).index(b"stsz") - 4
+    struct.pack_into(">I", enc, i + 8 + 4, 7)  # uniform sample size
+    struct.pack_into(">I", enc, i + 8 + 4 + 4, 0xFFFFFFFF)  # hostile count
+    with pytest.raises(ValueError, match="exceeds"):
+        mp4.parse_mp4(bytes(enc))
