@@ -6,9 +6,21 @@ segment walk, DQT/DHT/SOF0/SOS parsing, canonical Huffman entropy decode
 with byte unstuffing and restart markers, DC prediction, dequantize,
 dezigzag, IDCT, level shift — plus the matching encoder (used by fixtures
 and tests; the reference for both is the public T.81 spec and its Annex K
-example tables). Grayscale and YCbCr 4:4:4 / 4:2:0 are supported; anything
-else (progressive SOF2, arithmetic coding, 12-bit) raises
-``NotImplementedError`` — honest boundaries, not silently wrong pixels.
+example tables). Grayscale and YCbCr 4:4:4 / 4:2:0 are supported.
+
+Progressive JPEG (SOF2, T.81 Annex G) is decoded too — spectral selection
+AND successive approximation: DC first/refinement scans (point transform,
+per-scan predictors), AC first scans with EOB-run accumulation, and the
+G.1.2.3 AC refinement correction-bit algorithm, over interleaved DC and
+single-component AC scan orderings. Coefficients accumulate across scans
+in a per-component int64 state and reconstruct once at EOI through the
+same dequant/IDCT/upsample/color-convert tail as the sequential path.
+The matching progressive encoders (``encode_jpeg_progressive_gray`` /
+``_color``) emit real multi-scan successive-approximation scripts so the
+refinement paths are exercised end-to-end without any image library.
+Remaining honest boundaries: arithmetic coding, hierarchical/differential
+frames, 12-bit precision — those raise ``NotImplementedError``, never
+silently wrong pixels.
 
 Exactness note for the oracle-gated entry (q_image_jpeg_decode): JPEG is
 lossy in general, but an image whose every 8×8 block is CONSTANT has only
@@ -392,11 +404,10 @@ def encode_jpeg_gray(
     return bytes(out)
 
 
-def encode_jpeg_color(
-    img: np.ndarray, quality: int = 75, subsample: str = "4:2:0"
-) -> bytes:
-    """Encode a (h, w, 3) uint8 RGB array as baseline JFIF YCbCr with
-    4:2:0 or 4:4:4 chroma. Used by tests and fixtures."""
+def _ycbcr_planes(img: np.ndarray, subsample: str):
+    """RGB (h, w, 3) -> (y, cb, cr) float planes, chroma box-averaged 2x2
+    when subsample is 4:2:0. Shared by the sequential and progressive
+    color encoders."""
     if subsample not in ("4:2:0", "4:4:4"):
         raise ValueError("subsample must be 4:2:0 or 4:4:4")
     h, w_, _ = img.shape
@@ -407,6 +418,27 @@ def encode_jpeg_color(
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
     y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
+    if subsample == "4:2:0":
+        # pad to even, box-average 2x2
+        he, we = (h + 1) & ~1, (w_ + 1) & ~1
+        cbp = np.pad(cb, ((0, he - h), (0, we - w_)), mode="edge")
+        crp = np.pad(cr, ((0, he - h), (0, we - w_)), mode="edge")
+        cb = np.round(
+            (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4
+        )
+        cr = np.round(
+            (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4
+        )
+    return y, cb, cr
+
+
+def encode_jpeg_color(
+    img: np.ndarray, quality: int = 75, subsample: str = "4:2:0"
+) -> bytes:
+    """Encode a (h, w, 3) uint8 RGB array as baseline JFIF YCbCr with
+    4:2:0 or 4:4:4 chroma. Used by tests and fixtures."""
+    h, w_, _ = img.shape
+    y, cb_s, cr_s = _ycbcr_planes(img, subsample)
     ql = scale_quant(QUANT_LUMA, quality)
     qc = scale_quant(QUANT_CHROMA, quality)
     dcl = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
@@ -414,21 +446,7 @@ def encode_jpeg_color(
     dcc = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     acc = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
     sub = subsample == "4:2:0"
-    if sub:
-        # pad to even, box-average 2x2
-        he, we = (h + 1) & ~1, (w_ + 1) & ~1
-        cbp = np.pad(cb, ((0, he - h), (0, we - w_)), mode="edge")
-        crp = np.pad(cr, ((0, he - h), (0, we - w_)), mode="edge")
-        cb_s = np.round(
-            (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4
-        )
-        cr_s = np.round(
-            (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4
-        )
-        mcu_h, mcu_w = 16, 16
-    else:
-        cb_s, cr_s = cb, cr
-        mcu_h, mcu_w = 8, 8
+    mcu_h, mcu_w = (16, 16) if sub else (8, 8)
     mby, mbx = (h + mcu_h - 1) // mcu_h, (w_ + mcu_w - 1) // mcu_w
 
     def padto(p, hh, ww):
@@ -489,8 +507,10 @@ def decode_jpeg(payload: bytes) -> dict:
     row-major RGB stream (grayscale tripled) — the same output contract as
     :func:`multimodal.decode_bmp` / ``decode_png``. Supports grayscale and
     3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers,
-    and byte stuffing. Progressive (SOF2), arithmetic coding, 12-bit
-    precision, and 4-component images raise ``NotImplementedError``.
+    byte stuffing, and progressive (SOF2) frames with both spectral
+    selection and successive approximation. Arithmetic coding, 12-bit
+    precision, differential frames, and 4-component images raise
+    ``NotImplementedError``.
 
     Corrupt-input contract (shared by every decoder in multimodal.py):
     hostile bytes raise ValueError or NotImplementedError — truncation
@@ -510,6 +530,8 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None  # (h, w, [(cid, hsamp, vsamp, qid), ...])
+    progressive = False
+    coefs = None  # progressive per-component coefficient state
     restart_interval = 0
     n = len(payload)
     while pos + 4 <= n:
@@ -519,9 +541,9 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
         pos += 2
         if marker == 0xFFD9:  # EOI
             break
-        if marker in (0xFFC2, 0xFFC6, 0xFFCA, 0xFFCE):
-            raise NotImplementedError("progressive JPEG unsupported (baseline only)")
-        if marker in (0xFFC9, 0xFFCB, 0xFFCD):
+        if marker in (0xFFC5, 0xFFC6, 0xFFC7, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError("differential/hierarchical JPEG unsupported")
+        if marker in (0xFFC9, 0xFFCA, 0xFFCB):
             raise NotImplementedError("arithmetic-coded JPEG unsupported")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         body = payload[pos + 2 : pos + seglen]
@@ -546,7 +568,8 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
                 tab = _build_decode(bits, vals)
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
                 off += 17 + cnt
-        elif marker in (0xFFC0, 0xFFC1):  # SOF0/1 (baseline/extended seq)
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):  # SOF0/1 seq, SOF2 progressive
+            progressive = marker == 0xFFC2
             prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit precision unsupported")
@@ -574,17 +597,39 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
             for i in range(ns):
                 cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cs, tabs >> 4, tabs & 0xF))
-            return _decode_scan(
+            if not progressive:
+                return _decode_scan(
+                    payload,
+                    pos + seglen,
+                    frame,
+                    scan,
+                    quants,
+                    dc_tabs,
+                    ac_tabs,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            if coefs is None:
+                coefs = _alloc_progressive_state(frame, n - pos)
+            pos = _decode_progressive_scan(
                 payload,
                 pos + seglen,
                 frame,
                 scan,
-                quants,
+                ss,
+                se,
+                a >> 4,
+                a & 0xF,
                 dc_tabs,
                 ac_tabs,
+                coefs,
                 restart_interval,
             )
+            continue
         pos += seglen
+    if progressive and coefs is not None:
+        return _reconstruct_progressive(frame, coefs, quants)
     raise ValueError("no SOS segment found")
 
 
@@ -653,7 +698,13 @@ def _decode_scan(
                     f"entropy stream ended early at marker {mh.marker:#x}"
                 ) from None
             mcu_count += 1
-    # upsample to full resolution and color-convert
+    return _planes_to_rgb(h, w_, comps, planes, hmax, vmax)
+
+
+def _planes_to_rgb(h, w_, comps, planes, hmax, vmax) -> dict:
+    """Upsample per-component spatial planes to full resolution, color
+    convert, and assemble the decode_media output dict. Shared by the
+    sequential and progressive reconstruction paths."""
     full = []
     for ci, (cid, hs, vs, qid) in enumerate(comps):
         p = planes[ci]
@@ -709,3 +760,586 @@ def _decode_block(br, dc_tab, ac_tab, quant, preds, ci) -> np.ndarray:
     coef = np.zeros((8, 8), dtype=np.float64)
     coef[ZZ_ROWS, ZZ_COLS] = zz
     return idct2(coef * quant)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoding (T.81 Annex G)
+# ---------------------------------------------------------------------------
+
+
+def _alloc_progressive_state(frame, remaining: int) -> list[np.ndarray]:
+    """Per-component zigzag coefficient buffers at the MCU-padded block
+    grid, accumulated across scans. Same allocation-bomb guard as the
+    sequential path: every block appears in at least the DC scan at >=1
+    entropy bit, so geometry demanding more blocks than the remaining
+    file has bits is provably corrupt. int64 so hostile DC-diff chains
+    can never overflow a numpy assignment (which would raise outside the
+    normalized ValueError family)."""
+    h, w_, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mbx = (w_ + 8 * hmax - 1) // (8 * hmax)
+    mby = (h + 8 * vmax - 1) // (8 * vmax)
+    total_blocks = mby * mbx * sum(c[1] * c[2] for c in comps)
+    if total_blocks > max(remaining, 0) * 8:
+        raise ValueError(
+            f"frame geometry implausible: {total_blocks} blocks declared "
+            f"but only {remaining} payload bytes remain"
+        )
+    return [
+        np.zeros((mby * vs, mbx * hs, 64), dtype=np.int64)
+        for cid, hs, vs, qid in comps
+    ]
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    scan,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_tabs,
+    ac_tabs,
+    coefs: list[np.ndarray],
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan into the persistent coefficient state;
+    returns the payload offset of the next marker segment. Implements the
+    four scan kinds of T.81 G.2: DC first (Ah=0, diff-coded, point
+    transform << Al), DC refinement (one raw bit per block), AC first
+    (run-length + EOB-run accumulation), and AC refinement (G.1.2.3
+    correction-bit traversal)."""
+    h, w_, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mbx = (w_ + 8 * hmax - 1) // (8 * hmax)
+    mby = (h + 8 * vmax - 1) // (8 * vmax)
+    idx = {cid: i for i, (cid, hs, vs, qid) in enumerate(comps)}
+    if ss == 0 and se != 0:
+        raise ValueError("invalid spectral band: Ss=0 scans must be DC-only (Se=0)")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("AC progressive scans are single-component")
+    if se > 63 or ss > se:
+        raise ValueError(f"invalid spectral band {ss}..{se}")
+    if ah > 13 or al > 13:
+        raise ValueError(f"invalid successive approximation {ah}->{al}")
+    for cs, _, _ in scan:
+        if cs not in idx:
+            raise ValueError(f"scan component {cs} not declared in frame")
+
+    br = _BitReader(data, pos)
+    preds = [0] * len(scan)
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    def dc_first(zz, si: int) -> None:
+        t = _huff_decode(br, dc_tabs[scan[si][1]])
+        if t > 15:
+            raise ValueError(f"invalid DC category {t}")
+        preds[si] += _extend(br.receive(t), t)
+        zz[0] = preds[si] << al
+
+    def dc_refine(zz) -> None:
+        if br.read_bit():
+            zz[0] = int(zz[0]) | p1
+
+    def ac_first(zz, act: int) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, ac_tabs[act])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral band")
+            zz[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+    def _refine_nonzero(zz, k: int) -> None:
+        # G.1.2.3: a 1-bit correction for an already-nonzero coefficient;
+        # appended toward zero's opposite direction only if bit Al not set
+        if br.read_bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] > 0 else m1
+
+    def ac_refine(zz, act: int) -> None:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(br, ac_tabs[act])
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r < 15:  # EOBn — rest of this block is corrections
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    # r == 15 -> ZRL: skip 16 zero-history coefficients
+                elif s == 1:
+                    newval = p1 if br.read_bit() else m1
+                else:
+                    raise ValueError("refinement scan magnitude must be 1 bit")
+                while k <= se:
+                    if zz[k] != 0:
+                        _refine_nonzero(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    _refine_nonzero(zz, k)
+                k += 1
+            eobrun -= 1
+
+    def do_block(zz, si: int, act: int) -> None:
+        if ss == 0:
+            if ah == 0:
+                dc_first(zz, si)
+            else:
+                dc_refine(zz)
+        else:
+            if ah == 0:
+                ac_first(zz, act)
+            else:
+                ac_refine(zz, act)
+
+    unit = 0
+
+    def restart_check() -> None:
+        nonlocal eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            m = br.next_marker()
+            if not (0xFFD0 <= m <= 0xFFD7):
+                raise ValueError(f"expected RST marker, got {m:#x}")
+            preds[:] = [0] * len(scan)
+            eobrun = 0
+
+    try:
+        if len(scan) > 1:
+            # interleaved DC scan: MCU order over the full padded grid
+            for my in range(mby):
+                for mx in range(mbx):
+                    restart_check()
+                    for si, (cs, _, _) in enumerate(scan):
+                        ci = idx[cs]
+                        _, hs, vs, _ = comps[ci]
+                        for dy in range(vs):
+                            for dx in range(hs):
+                                do_block(
+                                    coefs[ci][my * vs + dy, mx * hs + dx], si, 0
+                                )
+                    unit += 1
+        else:
+            # non-interleaved: the component's own block grid (T.81 A.2.2)
+            cs, _, act_id = scan[0]
+            ci = idx[cs]
+            _, hs, vs, _ = comps[ci]
+            nbx = (-(-(w_ * hs) // hmax) + 7) // 8
+            nby = (-(-(h * vs) // vmax) + 7) // 8
+            for by in range(nby):
+                for bx in range(nbx):
+                    restart_check()
+                    do_block(coefs[ci][by, bx], 0, act_id)
+                    unit += 1
+    except _MarkerHit as mh:
+        raise ValueError(
+            f"entropy stream ended early at marker {mh.marker:#x}"
+        ) from None
+
+    # entropy data ends at the next non-RST marker; pad bits live in the
+    # already-consumed byte, so scan forward from the reader's position
+    p = br.pos
+    nn = len(data)
+    while p + 1 < nn and (
+        data[p] != 0xFF or data[p + 1] == 0x00 or 0xD0 <= data[p + 1] <= 0xD7
+    ):
+        p += 1
+    return p
+
+
+def _reconstruct_progressive(frame, coefs: list[np.ndarray], quants) -> dict:
+    """Dequantize + IDCT the accumulated coefficient state (vectorized
+    over all blocks per component) and reuse the shared upsample/color
+    tail. Runs exactly once, at EOI."""
+    h, w_, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for ci, (cid, hs, vs, qid) in enumerate(comps):
+        q_zz = quants[qid][ZZ_ROWS, ZZ_COLS].astype(np.float64)
+        cf = coefs[ci].astype(np.float64) * q_zz
+        gby, gbx, _ = cf.shape
+        blk = np.zeros((gby, gbx, 8, 8))
+        blk[:, :, ZZ_ROWS, ZZ_COLS] = cf
+        spatial = _D.T @ blk @ _D  # batched 2D IDCT
+        planes.append(spatial.transpose(0, 2, 1, 3).reshape(gby * 8, gbx * 8))
+    return _planes_to_rgb(h, w_, comps, planes, hmax, vmax)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoding (fixtures/tests — multi-scan successive approximation)
+# ---------------------------------------------------------------------------
+
+#: default gray scan script: DC first at Al=1, coarse AC bands at Al=2,
+#: two AC refinement passes, DC refinement — exercises all four scan kinds
+PROGRESSIVE_SCANS_GRAY = [
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (1, 63, 1, 0),
+    (0, 0, 1, 0),
+]
+
+
+def _quantize_plane(plane: np.ndarray, quant: np.ndarray, gby: int, gbx: int) -> np.ndarray:
+    """(H, W) pixel plane -> (gby, gbx, 64) zigzag-ordered quantized
+    coefficients (edge-padded to the block grid); batched 2D DCT."""
+    padded = np.pad(
+        plane.astype(np.float64) - 128.0,
+        ((0, gby * 8 - plane.shape[0]), (0, gbx * 8 - plane.shape[1])),
+        mode="edge",
+    )
+    blocks = padded.reshape(gby, 8, gbx, 8).transpose(0, 2, 1, 3)
+    coef = _D @ blocks @ _D.T
+    qz = np.round(coef / quant).astype(np.int64)
+    return qz[:, :, ZZ_ROWS, ZZ_COLS]
+
+
+def _sos_header(scan_comps: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    payload = bytes([len(scan_comps)])
+    for cs, dct_id, act_id in scan_comps:
+        payload += bytes([cs, (dct_id << 4) | act_id])
+    payload += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xFFDA, payload)
+
+
+def _emit_dc_first_block(bw: _BitWriter, zz, pred: int, al: int, dc_codes) -> int:
+    v = int(zz[0]) >> al  # DC point transform is an arithmetic shift (G.1.2.1)
+    t, mag = _magnitude(v - pred)
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(mag, t)
+    return v
+
+
+#: AC Huffman table for progressive scans: the K.3 symbol set PLUS the
+#: EOBn run symbols 0x10..0xE0 the Annex K tables lack (sequential JPEG
+#: never uses them; progressive EOB-run accumulation needs them). Flat
+#: 9-bit canonical codes — compression quality is irrelevant for
+#: fixtures, exercising the decoder's cross-block EOB-run paths is not.
+PROG_AC_VALS = sorted(set(AC_LUMA_VALS) | {r << 4 for r in range(1, 15)})
+PROG_AC_BITS = [0] * 8 + [len(PROG_AC_VALS)] + [0] * 7
+
+#: largest EOB run one EOBn symbol can carry (r=14: 2^14 + 14 extra bits)
+_MAX_EOBRUN = 32767
+
+
+class _ACFirstEmitter:
+    """AC first-scan (Ah=0) entropy emitter with cross-block EOB-run
+    accumulation: trailing-zero block tails and fully-zero blocks join one
+    EOBn symbol, flushed before the next data-bearing block. AC point
+    transform truncates |v| toward zero (G.1.2.2)."""
+
+    def __init__(self, bw: _BitWriter, ss: int, se: int, al: int, ac_codes):
+        self.bw, self.ss, self.se, self.al, self.ac = bw, ss, se, al, ac_codes
+        self.eobrun = 0
+
+    def _sym(self, rs: int) -> None:
+        code, ln = self.ac[rs]
+        self.bw.write(code, ln)
+
+    def flush(self) -> None:
+        if not self.eobrun:
+            return
+        n = self.eobrun
+        r = n.bit_length() - 1
+        self._sym(r << 4)
+        if r:
+            self.bw.write(n - (1 << r), r)
+        self.eobrun = 0
+
+    def block(self, zz) -> None:
+        vals = []
+        last = -1
+        for k in range(self.ss, self.se + 1):
+            c = int(zz[k])
+            a = abs(c) >> self.al
+            vals.append(a if c >= 0 else -a)
+            if a:
+                last = k
+        if last < 0:
+            self.eobrun += 1
+            if self.eobrun == _MAX_EOBRUN:
+                self.flush()
+            return
+        self.flush()
+        r = 0
+        for k in range(self.ss, last + 1):
+            v = vals[k - self.ss]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                self._sym(0xF0)
+                r -= 16
+            t, mag = _magnitude(v)
+            self._sym((r << 4) | t)
+            self.bw.write(mag, t)
+            r = 0
+        if last < self.se:
+            self.eobrun = 1
+
+
+class _ACRefineEmitter:
+    """G.1.2.3 encoder side. Correction bits for already-nonzero
+    coefficients buffer until the next emitted symbol (ZRLs flush at EVERY
+    nonzero coefficient once r > 15, guarded by the last-newly-significant
+    position — flushing only at newly-significant ones desyncs the
+    decoder's traversal), and EOB runs accumulate across blocks carrying
+    the covered blocks' correction bits in order."""
+
+    def __init__(self, bw: _BitWriter, ss: int, se: int, al: int, ac_codes):
+        self.bw, self.ss, self.se, self.al, self.ac = bw, ss, se, al, ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def _drain(self) -> None:
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+    def flush(self) -> None:
+        if self.eobrun:
+            n = self.eobrun
+            r = n.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(n - (1 << r), r)
+            self.eobrun = 0
+            self._drain()
+
+    def block(self, zz) -> None:
+        ss, se, al = self.ss, self.se, self.al
+        absv = [0] * (se + 1)
+        eobpos = ss - 1
+        for k in range(ss, se + 1):
+            absv[k] = abs(int(zz[k])) >> al
+            if absv[k] == 1:
+                eobpos = k
+        if eobpos < ss:
+            # no newly-significant coefficient: whole block joins the EOB
+            # run; its history-coefficient correction bits ride along
+            for k in range(ss, se + 1):
+                if absv[k] > 1:
+                    self.pending.append(absv[k] & 1)
+            self.eobrun += 1
+            if self.eobrun == _MAX_EOBRUN:
+                self.flush()
+            return
+        self.flush()
+        r = 0
+        for k in range(ss, eobpos + 1):
+            a = absv[k]
+            if a == 0:
+                r += 1
+                continue
+            while r > 15:  # k <= eobpos holds: a newly-significant follows
+                code, ln = self.ac[0xF0]
+                self.bw.write(code, ln)
+                self._drain()
+                r -= 16
+            if a > 1:
+                self.pending.append(a & 1)
+                continue
+            code, ln = self.ac[(r << 4) | 1]
+            self.bw.write(code, ln)
+            self.bw.write(1 if int(zz[k]) > 0 else 0, 1)
+            self._drain()
+            r = 0
+        if eobpos < se:
+            for k in range(eobpos + 1, se + 1):
+                if absv[k] > 1:
+                    self.pending.append(absv[k] & 1)
+            self.eobrun = 1
+
+
+def encode_jpeg_progressive_gray(
+    img: np.ndarray,
+    quality: int = 75,
+    quant: np.ndarray | None = None,
+    scans: list[tuple[int, int, int, int]] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a (h, w) uint8 grayscale array as progressive (SOF2) JFIF
+    with the given (Ss, Se, Ah, Al) scan script. The default script uses
+    real successive approximation so decode exercises DC first/refine and
+    AC first/refine. ``quant`` overrides the quality-scaled K.1 table (the
+    oracle fixture passes an all-8s table: constant blocks are DC-only and
+    the progressive round-trip is exact for the same reason the baseline
+    one is). ``restart_interval`` > 0 emits DRI + RSTn every N blocks in
+    every scan (per-scan emitters carry no cross-block state, so only the
+    DC predictor resets)."""
+    h, w_ = img.shape
+    q = quant if quant is not None else scale_quant(QUANT_LUMA, quality)
+    script = PROGRESSIVE_SCANS_GRAY if scans is None else scans
+    gby, gbx = (h + 7) // 8, (w_ + 7) // 8
+    zz = _quantize_plane(img, q, gby, gbx)
+    dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, _dqt_payload(0, q))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w_, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xFFC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += _seg(0xFFC4, _dht_payload(1, 0, PROG_AC_BITS, PROG_AC_VALS))
+    for ss, se, ah, al in script:
+        out += _sos_header([(1, 0, 0)], ss, se, ah, al)
+        bw = _BitWriter()
+        pred = 0
+        unit = 0
+        rst_i = 0
+        emitter = (
+            _ACFirstEmitter(bw, ss, se, al, ac_codes)
+            if ah == 0
+            else _ACRefineEmitter(bw, ss, se, al, ac_codes)
+        )
+        for by in range(gby):
+            for bx in range(gbx):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    emitter.flush()  # EOB runs cannot span a restart
+                    bw.flush()
+                    bw.buf += bytes([0xFF, 0xD0 + (rst_i % 8)])
+                    rst_i += 1
+                    pred = 0
+                blk = zz[by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        pred = _emit_dc_first_block(bw, blk, pred, al, dc_codes)
+                    else:
+                        bw.write((int(blk[0]) >> al) & 1, 1)
+                else:
+                    emitter.block(blk)
+                unit += 1
+        emitter.flush()
+        bw.flush()
+        out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_color(
+    img: np.ndarray, quality: int = 75, subsample: str = "4:2:0"
+) -> bytes:
+    """Encode a (h, w, 3) uint8 RGB array as progressive SOF2 YCbCr:
+    one interleaved DC-first scan (Al=1), per-component AC first scans,
+    per-component AC refinements, one interleaved DC refinement — the
+    libjpeg-shaped script, covering the interleaved-DC decode ordering."""
+    h, w_, _ = img.shape
+    y, cb_s, cr_s = _ycbcr_planes(img, subsample)
+    sub = subsample == "4:2:0"
+    ql = scale_quant(QUANT_LUMA, quality)
+    qc = scale_quant(QUANT_CHROMA, quality)
+    hmax = vmax = 2 if sub else 1
+    mbx = (w_ + 8 * hmax - 1) // (8 * hmax)
+    mby = (h + 8 * vmax - 1) // (8 * vmax)
+    # padded-MCU-grid quantized blocks per component
+    comps = [
+        (1, hmax, vmax, ql, _quantize_plane(y, ql, mby * vmax, mbx * hmax)),
+        (2, 1, 1, qc, _quantize_plane(cb_s, qc, mby, mbx)),
+        (3, 1, 1, qc, _quantize_plane(cr_s, qc, mby, mbx)),
+    ]
+    dcl = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    dcc = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    # one EOBn-capable AC table (id 0) shared by all three components
+    acp = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+    dc_for = {1: dcl, 2: dcc, 3: dcc}
+    ac_for = {1: acp, 2: acp, 3: acp}
+    sf = 0x22 if sub else 0x11
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, _dqt_payload(0, ql))
+    out += _seg(0xFFDB, _dqt_payload(1, qc))
+    sof = struct.pack(">BHHB", 8, h, w_, 3)
+    sof += bytes([1, sf, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += _seg(0xFFC2, sof)
+    out += _seg(0xFFC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += _seg(0xFFC4, _dht_payload(1, 0, PROG_AC_BITS, PROG_AC_VALS))
+    out += _seg(0xFFC4, _dht_payload(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    out += _seg(0xFFC4, _dht_payload(1, 1, PROG_AC_BITS, PROG_AC_VALS))
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+        for my in range(mby):
+            for mx in range(mbx):
+                for si, (cid, hs, vs, _q, blocks) in enumerate(comps):
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            blk = blocks[my * vs + dy, mx * hs + dx]
+                            if ah == 0:
+                                preds[si] = _emit_dc_first_block(
+                                    bw, blk, preds[si], al, dc_for[cid]
+                                )
+                            else:
+                                bw.write((int(blk[0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        cid, hs, vs, _q, blocks = comps[ci]
+        # non-interleaved scans cover the component's OWN block grid,
+        # which can be smaller than the padded MCU grid (T.81 A.2.2)
+        nbx = (-(-(w_ * hs) // hmax) + 7) // 8
+        nby = (-(-(h * vs) // vmax) + 7) // 8
+        bw = _BitWriter()
+        emitter = (
+            _ACFirstEmitter(bw, ss, se, al, ac_for[cid])
+            if ah == 0
+            else _ACRefineEmitter(bw, ss, se, al, ac_for[cid])
+        )
+        for by in range(nby):
+            for bx in range(nbx):
+                emitter.block(blocks[by, bx])
+        emitter.flush()
+        bw.flush()
+        return bytes(bw.buf)
+
+    scan_comps_dc = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
+    out += _sos_header(scan_comps_dc, 0, 0, 0, 1) + dc_scan(0, 1)
+    out += _sos_header([(1, 0, 0)], 1, 5, 0, 2) + ac_scan(0, 1, 5, 0, 2)
+    out += _sos_header([(2, 0, 1)], 1, 63, 0, 1) + ac_scan(1, 1, 63, 0, 1)
+    out += _sos_header([(3, 0, 1)], 1, 63, 0, 1) + ac_scan(2, 1, 63, 0, 1)
+    out += _sos_header([(1, 0, 0)], 6, 63, 0, 2) + ac_scan(0, 6, 63, 0, 2)
+    out += _sos_header([(1, 0, 0)], 1, 63, 2, 1) + ac_scan(0, 1, 63, 2, 1)
+    out += _sos_header([(2, 0, 1)], 1, 63, 1, 0) + ac_scan(1, 1, 63, 1, 0)
+    out += _sos_header([(3, 0, 1)], 1, 63, 1, 0) + ac_scan(2, 1, 63, 1, 0)
+    out += _sos_header([(1, 0, 0)], 1, 63, 1, 0) + ac_scan(0, 1, 63, 1, 0)
+    out += _sos_header(scan_comps_dc, 0, 0, 1, 0) + dc_scan(1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

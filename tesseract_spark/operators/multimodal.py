@@ -749,7 +749,9 @@ def decoded_png_features(documents: DataFrame, width: int = 16) -> DataFrame:
     return docs.mapInPandas(batches, schema=DECODE_SCHEMA)
 
 
-def decoded_jpeg_features(documents: DataFrame, width_blocks: int = 4) -> DataFrame:
+def decoded_jpeg_features(
+    documents: DataFrame, width_blocks: int = 4, progressive: bool = False
+) -> DataFrame:
     """End-to-end REAL entropy-coded JPEG decode through Spark, oracle-gated
     via the mathematically exact constant-block subclass (jpeg.py module
     doc): each document's bytes tile an image where 8×8 block ``k`` is the
@@ -765,6 +767,15 @@ def decoded_jpeg_features(documents: DataFrame, width_blocks: int = 4) -> DataFr
     by the pytest round-trip tier (PSNR floors, naive-DCT cross-check) —
     the BPE-style split between the oracle-able half and the rest.
 
+    With ``progressive=True`` (r13) the fixture encodes as multi-scan
+    SOF2 with the default successive-approximation script instead, so the
+    progressive decoder — DC first at Al=1 + DC refinement, AC band scans
+    (pure EOB runs here), restart handling per scan — sits under the SAME
+    hash gate: the constant-block subclass stays exact because the DC
+    point transform loses only the bit the refinement scan restores and
+    every AC pass is a no-op on zero coefficients. The oracle SQL is
+    therefore identical for both variants.
+
     The closure references ``operators.jpeg`` registered with cloudpickle's
     pickle-by-value, so executors need no repo PYTHONPATH (the module
     contract shared by every multimodal closure here)."""
@@ -778,7 +789,10 @@ def decoded_jpeg_features(documents: DataFrame, width_blocks: int = 4) -> DataFr
         pass  # already registered / older cloudpickle: reference pickling
     docs = documents.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     wb = width_blocks
-    encode_gray, decode = _jpeg.encode_jpeg_gray, _jpeg.decode_jpeg
+    encode_gray = (
+        _jpeg.encode_jpeg_progressive_gray if progressive else _jpeg.encode_jpeg_gray
+    )
+    decode = _jpeg.decode_jpeg
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib

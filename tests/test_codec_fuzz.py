@@ -33,11 +33,18 @@ def _valid_jpeg() -> bytes:
     return jpeg.encode_jpeg_gray(img, quality=85, restart_interval=2)
 
 
+def _valid_progressive_jpeg() -> bytes:
+    x = np.linspace(0, 4 * np.pi, 24)
+    img = (127 + 100 * np.outer(np.sin(x[:16]), np.cos(x))).astype(np.uint8)
+    return jpeg.encode_jpeg_progressive_gray(img, quality=85, restart_interval=2)
+
+
 def _valid_mp4() -> bytes:
     return mp4.encode_mp4([b"alpha-frame", b"beta", b"gamma-frame-3"])
 
 
 _JPEG = _valid_jpeg()
+_PJPEG = _valid_progressive_jpeg()
 _MP4 = _valid_mp4()
 
 
@@ -55,6 +62,28 @@ def test_jpeg_decoder_bounded_on_mutations(pos, val, cut):
     mutated = bytearray(_JPEG)
     mutated[pos] = val
     for payload in (bytes(mutated), _JPEG[:cut]):
+        try:
+            out = jpeg.decode_jpeg(payload)
+        except ALLOWED:
+            continue
+        assert set(out) >= {"width", "height", "channels", "pixels"}
+        assert len(out["pixels"]) == out["width"] * out["height"] * 3
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pos=st.integers(0, len(_PJPEG) - 1),
+    val=st.integers(0, 255),
+    cut=st.integers(0, len(_PJPEG)),
+)
+def test_progressive_jpeg_decoder_bounded_on_mutations(pos, val, cut):
+    mutated = bytearray(_PJPEG)
+    mutated[pos] = val
+    for payload in (bytes(mutated), _PJPEG[:cut]):
         try:
             out = jpeg.decode_jpeg(payload)
         except ALLOWED:

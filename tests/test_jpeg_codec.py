@@ -147,10 +147,16 @@ def test_byte_stuffing_survives_ff_heavy_streams():
 def test_honest_boundaries():
     with pytest.raises(ValueError, match="missing SOI"):
         jpeg.decode_jpeg(b"BM\x00")
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jpeg.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x08")
+    with pytest.raises(NotImplementedError, match="differential"):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xc6\x00\x05\x08\x00\x08")
     with pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg.decode_jpeg(b"\xff\xd8\xff\xc9\x00\x05\x08\x00\x08")
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xca\x00\x05\x08\x00\x08")
+    # SOF2 is no longer a boundary — a truncated progressive stub is now
+    # just a corrupt file
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x08")
 
 
 def test_decode_media_dispatches_jpeg():
