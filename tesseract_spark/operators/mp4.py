@@ -85,6 +85,13 @@ def encode_mp4(
         0,
         struct.pack(">I", len(offsets)) + b"".join(struct.pack(">I", o) for o in offsets),
     )
+    stbl = _stbl_boxes(fourcc, width, height, stts + stsc + stsz + stco)
+    moov = _moov_box(width, height, timescale, duration, handler, stbl)
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def _stbl_boxes(fourcc: bytes, width: int, height: int, tables: bytes) -> bytes:
+    """stsd (one visual sample entry) + the given sample tables."""
     sample_entry = _box(
         fourcc,
         b"\x00" * 6
@@ -98,7 +105,20 @@ def encode_mp4(
         + struct.pack(">Hh", 24, -1),
     )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    return _box(b"stbl", stsd + tables)
+
+
+def _moov_box(
+    width: int,
+    height: int,
+    timescale: int,
+    duration: int,
+    handler: bytes,
+    stbl: bytes,
+    mvex: bytes = b"",
+) -> bytes:
+    """moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(vmhd, dinf, stbl)))
+    [, mvex]) — shared by the progressive and fragmented muxers."""
     url = _full(b"url ", 0, 1, b"")
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
     dinf = _box(b"dinf", dref)
@@ -113,7 +133,7 @@ def encode_mp4(
         b"tkhd",
         0,
         7,
-        struct.pack(">IIII", 0, 0, 1, 0)
+        struct.pack(">IIII", 0, 0, 1, 0)  # track_ID = 1
         + struct.pack(">I", duration)
         + b"\x00" * 8
         + struct.pack(">HHHH", 0, 0, 0, 0)
@@ -132,8 +152,74 @@ def encode_mp4(
         + b"\x00" * 24
         + struct.pack(">I", 2),
     )
-    moov = _box(b"moov", mvhd + trak)
-    return ftyp + _box(b"mdat", mdat_payload) + moov
+    return _box(b"moov", mvhd + trak + mvex)
+
+
+def encode_mp4_fragmented(
+    samples: list[bytes],
+    samples_per_fragment: int = 2,
+    width: int = 64,
+    height: int = 48,
+    timescale: int = 1000,
+    sample_duration: int = 40,
+    handler: bytes = b"vide",
+    fourcc: bytes = b"mp4v",
+) -> bytes:
+    """Minimal fragmented (fMP4 / CMAF-shaped) muxer: ftyp + moov with an
+    EMPTY sample table and an mvex/trex carrying the track defaults, then
+    per fragment a moof(mfhd, traf(tfhd[default-base-is-moof], trun with
+    data_offset + per-sample sizes)) followed by its mdat — the DASH-era
+    layout where sample ranges live in the fragments, not the moov
+    (ISO/IEC 14496-12 §8.8). Used by tests and the q_video_mp4_fragmented
+    fixture."""
+    if not samples:
+        raise ValueError("at least one sample required")
+    if samples_per_fragment < 1:
+        raise ValueError("samples_per_fragment must be >= 1")
+    ftyp = _box(b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso6mp41")
+    empty_tables = (
+        _full(b"stts", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, struct.pack(">I", 0))
+    )
+    stbl = _stbl_boxes(fourcc, width, height, empty_tables)
+    trex = _full(
+        b"trex",
+        0,
+        0,
+        struct.pack(">IIIII", 1, 1, sample_duration, 0, 0),
+    )
+    duration = len(samples) * sample_duration
+    moov = _moov_box(
+        width, height, timescale, duration, handler, stbl, mvex=_box(b"mvex", trex)
+    )
+    out = bytearray(ftyp + moov)
+    seq = 1
+    for f0 in range(0, len(samples), samples_per_fragment):
+        chunk = samples[f0 : f0 + samples_per_fragment]
+        n = len(chunk)
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        # default-base-is-moof (0x020000): offsets are relative to the
+        # first byte of this moof
+        tfhd = _full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+        # trun flags: 0x1 data_offset present, 0x200 per-sample sizes
+        trun_tail = b"".join(struct.pack(">I", len(s)) for s in chunk)
+        trun = _full(
+            b"trun", 0, 0x000201, struct.pack(">Ii", n, 0) + trun_tail
+        )
+        traf = _box(b"traf", tfhd + trun)
+        moof = _box(b"moof", mfhd + traf)
+        # sample data starts right after this moof's mdat header
+        data_offset = len(moof) + 8
+        trun = _full(
+            b"trun", 0, 0x000201, struct.pack(">Ii", n, data_offset) + trun_tail
+        )
+        traf = _box(b"traf", tfhd + trun)
+        moof = _box(b"moof", mfhd + traf)
+        out += moof + _box(b"mdat", b"".join(chunk))
+        seq += 1
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -177,8 +263,15 @@ def parse_mp4(payload: bytes) -> dict:
     ``sample_offsets`` is the absolute byte offset of every sample,
     resolved through stsc (sample→chunk runs) + stco/co64 (chunk offsets)
     + stsz — the container math that makes codec-free sharding and
-    frame-range extraction possible. Fragmented files (moof) raise
-    ``NotImplementedError``.
+    frame-range extraction possible.
+
+    Fragmented files (r13, §8.8) resolve too: mvex/trex track defaults,
+    then per moof/traf the tfhd base (explicit base-data-offset or
+    default-base-is-moof — absent both, the moof start, the spec default
+    for the first traf) and trun sample runs (data_offset, per-sample or
+    default sizes, run-to-run continuation) append each fragment's
+    byte ranges to its track, so progressive-download and DASH/CMAF-era
+    layouts go through one code path.
 
     Corrupt-input contract (codec fuzz tier): hostile bytes raise
     ValueError or NotImplementedError — truncation IndexErrors and
@@ -196,11 +289,91 @@ def _parse_mp4_impl(payload: bytes) -> dict:
     timescale = duration = None
     tracks: list[dict] = []
     cur: dict | None = None
+    trex: dict[int, int | None] = {}  # track_id -> default_sample_size
+    frag: dict[int, dict] = {}  # track_id -> {"sizes": [], "offsets": []}
+    moof_start: int | None = None
+    traf: dict | None = None
 
     for btype, b0, b1, depth in walk_boxes(payload):
         body = payload[b0:b1]
         if btype == b"moof":
-            raise NotImplementedError("fragmented MP4 (moof) unsupported")
+            # the box's own start offset (default-base-is-moof needs it):
+            # type sits 4 bytes before the body for 8-byte headers, 12
+            # before for 16-byte largesize headers
+            if payload[b0 - 4 : b0] == b"moof":
+                moof_start = b0 - 8
+            elif payload[b0 - 12 : b0 - 8] == b"moof":
+                moof_start = b0 - 16
+            else:
+                raise ValueError("cannot locate moof header start")
+            traf = None
+            continue
+        if btype == b"trex":
+            tid, _desc, _dur, def_size, _fl = struct.unpack_from(">IIIII", body, 4)
+            trex[tid] = def_size or None
+            continue
+        if btype == b"traf":
+            traf = {"track_id": None, "base": moof_start, "default_size": None, "cursor": 0}
+            continue
+        if btype == b"tfhd":
+            if traf is None:
+                raise ValueError("tfhd outside traf")
+            flags = int.from_bytes(body[1:4], "big")
+            (tid,) = struct.unpack_from(">I", body, 4)
+            off = 8
+            if flags & 0x1:  # base-data-offset present
+                (traf["base"],) = struct.unpack_from(">Q", body, off)
+                off += 8
+            # else: default-base-is-moof (0x020000) or the first-traf
+            # spec default — both resolve to the moof start kept above
+            if flags & 0x2:  # sample_description_index
+                off += 4
+            if flags & 0x8:  # default_sample_duration
+                off += 4
+            if flags & 0x10:  # default_sample_size
+                (traf["default_size"],) = struct.unpack_from(">I", body, off)
+                off += 4
+            traf["track_id"] = tid
+            if traf["default_size"] is None:
+                traf["default_size"] = trex.get(tid)
+            if traf["base"] is None:
+                raise ValueError("traf without enclosing moof")
+            continue
+        if btype == b"trun":
+            if traf is None or traf["track_id"] is None:
+                raise ValueError("trun without preceding tfhd")
+            flags = int.from_bytes(body[1:4], "big")
+            (count,) = struct.unpack_from(">I", body, 4)
+            if count > len(payload):
+                # same allocation-bomb guard as stsz: a file cannot hold
+                # more samples than bytes
+                raise ValueError(
+                    f"trun sample count {count} exceeds file size {len(payload)}"
+                )
+            off = 8
+            if flags & 0x1:  # data_offset (signed, base-relative)
+                (traf["cursor"],) = struct.unpack_from(">i", body, off)
+                off += 4
+            if flags & 0x4:  # first_sample_flags
+                off += 4
+            per = sum(4 for bit in (0x100, 0x200, 0x400, 0x800) if flags & bit)
+            size_off = 4 if flags & 0x100 else 0  # duration precedes size
+            ft = frag.setdefault(traf["track_id"], {"sizes": [], "offsets": []})
+            pos_c = traf["base"] + traf["cursor"]
+            for i in range(count):
+                if flags & 0x200:
+                    (sz,) = struct.unpack_from(">I", body, off + i * per + size_off)
+                else:
+                    sz = traf["default_size"]
+                    if sz is None:
+                        raise ValueError(
+                            "trun without sizes needs a tfhd/trex default"
+                        )
+                ft["offsets"].append(pos_c)
+                ft["sizes"].append(sz)
+                pos_c += sz
+            traf["cursor"] = pos_c - traf["base"]  # next run continues here
+            continue
         if btype == b"mvhd":
             ver = body[0]
             if ver == 0:
@@ -210,6 +383,7 @@ def _parse_mp4_impl(payload: bytes) -> dict:
                 (duration,) = struct.unpack_from(">Q", body, 24)
         elif btype == b"trak":
             cur = {
+                "track_id": None,
                 "handler": None, "fourcc": None, "width": None, "height": None,
                 "sample_sizes": [], "chunk_offsets": [], "stsc": [],
             }  # fmt: skip
@@ -218,6 +392,7 @@ def _parse_mp4_impl(payload: bytes) -> dict:
             continue
         elif btype == b"tkhd":
             ver = body[0]
+            (cur["track_id"],) = struct.unpack_from(">I", body, 12 if ver == 0 else 20)
             off = 76 if ver == 0 else 88
             w, h = struct.unpack_from(">II", body, off)
             cur["width"], cur["height"] = w >> 16, h >> 16
@@ -260,6 +435,12 @@ def _parse_mp4_impl(payload: bytes) -> dict:
     for t in tracks:
         sizes = t["sample_sizes"]
         offsets = _resolve_sample_offsets(sizes, t["chunk_offsets"], t["stsc"])
+        ft = frag.get(t["track_id"])
+        if ft:
+            # fragment runs append after any moov-resident samples (a
+            # pure-fMP4 track has an empty stbl and contributes nothing)
+            sizes = sizes + ft["sizes"]
+            offsets = offsets + ft["offsets"]
         out_tracks.append(
             {
                 "handler": t["handler"],

@@ -870,7 +870,9 @@ MP4_SCHEMA = (
 )
 
 
-def video_mp4_samples(documents: DataFrame, sample_bytes: int = 16) -> DataFrame:
+def video_mp4_samples(
+    documents: DataFrame, sample_bytes: int = 16, fragmented: bool = False
+) -> DataFrame:
     """End-to-end REAL MP4 container round-trip through Spark (the codec-
     free half of the video boundary): each document's bytes become
     ``sample_bytes``-sized "frames" muxed into a genuine ISO BMFF file
@@ -881,7 +883,15 @@ def video_mp4_samples(documents: DataFrame, sample_bytes: int = 16) -> DataFrame
     re-extracted sample stream is predicted by the DuckDB oracle from the
     source bytes alone — any box-size, chunk-offset, or stsc-run mistake in
     either direction changes the hash. Frame-level VIDEO decode stays
-    ``NotImplementedError`` (operators/mp4.decode_video_frames)."""
+    ``NotImplementedError`` (operators/mp4.decode_video_frames).
+
+    With ``fragmented=True`` (r13) the mux side emits the DASH/CMAF-era
+    layout instead — empty moov sample table + mvex/trex, then per-
+    fragment moof(mfhd, traf(tfhd, trun)) + mdat, two samples per
+    fragment — and extraction resolves through the moof/tfhd/trun path.
+    Losslessness is layout-independent, so the oracle SQL is identical;
+    any base-data-offset, trun data_offset, or run-continuation mistake
+    breaks the md5."""
     from pyspark import cloudpickle as _cp
 
     from . import mp4 as _mp4
@@ -892,7 +902,8 @@ def video_mp4_samples(documents: DataFrame, sample_bytes: int = 16) -> DataFrame
         pass
     docs = documents.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     sb = sample_bytes
-    mux, parse = _mp4.encode_mp4, _mp4.parse_mp4
+    mux = _mp4.encode_mp4_fragmented if fragmented else _mp4.encode_mp4
+    parse = _mp4.parse_mp4
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib

@@ -43,9 +43,16 @@ def _valid_mp4() -> bytes:
     return mp4.encode_mp4([b"alpha-frame", b"beta", b"gamma-frame-3"])
 
 
+def _valid_fmp4() -> bytes:
+    return mp4.encode_mp4_fragmented(
+        [b"alpha-frame", b"beta", b"gamma-frame-3"], samples_per_fragment=2
+    )
+
+
 _JPEG = _valid_jpeg()
 _PJPEG = _valid_progressive_jpeg()
 _MP4 = _valid_mp4()
+_FMP4 = _valid_fmp4()
 
 
 @settings(
@@ -111,6 +118,28 @@ def test_mp4_parser_bounded_on_mutations(pos, val, cut):
             for t in meta["tracks"]:
                 # offsets may point anywhere after a mutation; slicing bytes
                 # is safe — resolution itself must not crash oddly
+                assert len(t["sample_offsets"]) == t["n_samples"]
+        except ALLOWED:
+            continue
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pos=st.integers(0, len(_FMP4) - 1),
+    val=st.integers(0, 255),
+    cut=st.integers(0, len(_FMP4)),
+)
+def test_fragmented_mp4_parser_bounded_on_mutations(pos, val, cut):
+    mutated = bytearray(_FMP4)
+    mutated[pos] = val
+    for payload in (bytes(mutated), _FMP4[:cut]):
+        try:
+            meta = mp4.parse_mp4(payload)
+            for t in meta["tracks"]:
                 assert len(t["sample_offsets"]) == t["n_samples"]
         except ALLOWED:
             continue

@@ -100,9 +100,10 @@ def test_honest_boundaries():
     with pytest.raises(ValueError, match="missing leading ftyp"):
         mp4.parse_mp4(b"\x00\x00\x00\x08free")
     enc = mp4.encode_mp4([b"x"])
-    frag = enc + struct.pack(">I", 8) + b"moof"
-    with pytest.raises(NotImplementedError, match="fragmented"):
-        mp4.parse_mp4(frag)
+    # moof is no longer a boundary (r13) — an empty trailing fragment is
+    # simply inert; bitstream decode remains the honest one
+    meta = mp4.parse_mp4(enc + struct.pack(">I", 8) + b"moof")
+    assert meta["tracks"][0]["n_samples"] == 1
     with pytest.raises(NotImplementedError, match="H.264/H.265"):
         mp4.decode_video_frames(enc)
     with pytest.raises(ValueError, match="malformed box"):
@@ -162,4 +163,136 @@ def test_hostile_uniform_stsz_count_cannot_oom():
     struct.pack_into(">I", enc, i + 8 + 4, 7)  # uniform sample size
     struct.pack_into(">I", enc, i + 8 + 4 + 4, 0xFFFFFFFF)  # hostile count
     with pytest.raises(ValueError, match="exceeds"):
+        mp4.parse_mp4(bytes(enc))
+
+# ---------------------------------------------------------------------------
+# Fragmented (moof/tfhd/trun) — r13
+# ---------------------------------------------------------------------------
+
+
+def test_fragmented_roundtrip_across_fragment_sizes():
+    samples = [b"frame-one", b"frame-two", b"f3", b"frame-four-longer", b"x"]
+    for spf in (1, 2, 3, 5, 9):
+        enc = mp4.encode_mp4_fragmented(samples, samples_per_fragment=spf)
+        assert mp4.extract_samples(enc) == samples, spf
+        t = mp4.parse_mp4(enc)["tracks"][0]
+        assert t["n_samples"] == len(samples)
+        assert t["width"] == 64 and t["handler"] == "vide"
+
+
+def test_fragmented_metadata_and_trex_default_size():
+    """A trun without per-sample sizes falls back to the trex default —
+    rebuild a fragment by hand with uniform samples and no size field."""
+    import struct as s
+
+    samples = [b"aaaa", b"bbbb", b"cccc"]
+    enc = bytearray(mp4.encode_mp4_fragmented(samples, samples_per_fragment=3))
+    # patch trex default_sample_size to 4
+    i = bytes(enc).index(b"trex") - 4
+    s.pack_into(">I", enc, i + 8 + 4 + 4 + 4 + 4, 4)
+    # rewrite the trun WITHOUT the size-present flag (0x200): keep
+    # data_offset only; shrink the box by 12 bytes of sizes
+    j = bytes(enc).index(b"trun") - 4
+    (old_size,) = s.unpack_from(">I", enc, j)
+    (data_off,) = s.unpack_from(">i", enc, j + 16)
+    new_trun = (
+        s.pack(">I", 8 + 4 + 8) + b"trun"
+        + b"\x00" + (0x000001).to_bytes(3, "big")
+        + s.pack(">Ii", 3, data_off - 12)  # moof shrinks by 12
+    )
+    new = bytes(enc[:j]) + new_trun + bytes(enc[j + old_size :])
+    # fix enclosing traf/moof sizes (each shrinks by 12)
+    new = bytearray(new)
+    for btype in (b"traf", b"moof"):
+        k = bytes(new).index(btype) - 4
+        (sz,) = s.unpack_from(">I", new, k)
+        s.pack_into(">I", new, k, sz - 12)
+    assert mp4.extract_samples(bytes(new)) == samples
+
+
+def test_fragmented_multiple_truns_continue_run():
+    """Two truns in one traf: the second without data_offset must continue
+    immediately after the first run's data (§8.8.8 default)."""
+    import struct as s
+
+    samples = [b"one-", b"two-", b"three"]
+    enc = bytearray(mp4.encode_mp4_fragmented(samples, samples_per_fragment=3))
+    j = bytes(enc).index(b"trun") - 4
+    (old_size,) = s.unpack_from(">I", enc, j)
+    (data_off,) = s.unpack_from(">i", enc, j + 16)
+    # split into trun#1 (2 samples, data_offset) + trun#2 (1 sample, none)
+    t2 = (
+        s.pack(">I", 8 + 4 + 4 + 4) + b"trun"
+        + b"\x00" + (0x000200).to_bytes(3, "big")
+        + s.pack(">I", 1)
+        + s.pack(">I", 5)
+    )
+    t1_len = 8 + 4 + 8 + 8
+    delta = t1_len + len(t2) - old_size  # moof grows; data_offset shifts
+    t1 = (
+        s.pack(">I", t1_len) + b"trun"
+        + b"\x00" + (0x000201).to_bytes(3, "big")
+        + s.pack(">Ii", 2, data_off + delta)
+        + s.pack(">II", 4, 4)
+    )
+    new = bytearray(bytes(enc[:j]) + t1 + t2 + bytes(enc[j + old_size :]))
+    for btype in (b"traf", b"moof"):
+        k = bytes(new).index(btype) - 4
+        (sz,) = s.unpack_from(">I", new, k)
+        s.pack_into(">I", new, k, sz + delta)
+    assert mp4.extract_samples(bytes(new)) == samples
+
+
+def test_fragmented_explicit_base_data_offset():
+    """tfhd with an explicit base-data-offset overrides default-base-is-
+    moof; re-point the base at the mdat payload directly."""
+    import struct as s
+
+    samples = [b"qqqq", b"rrrr"]
+    enc = bytearray(mp4.encode_mp4_fragmented(samples, samples_per_fragment=2))
+    i = bytes(enc).index(b"tfhd") - 4
+    moof_pos = bytes(enc).index(b"moof") - 4
+    (moof_size,) = s.unpack_from(">I", enc, moof_pos)
+    (old_size,) = s.unpack_from(">I", enc, i)
+    new_tfhd_len = 8 + 4 + 4 + 8
+    delta = new_tfhd_len - old_size  # moof grows; mdat shifts by delta
+    # base = 8 past the (shifted) mdat payload start; trun offset -8 below
+    mdat_payload_abs = moof_pos + moof_size + delta + 8 + 8
+    # new tfhd: flags 0x1 (base-data-offset present)
+    new_tfhd = (
+        s.pack(">I", new_tfhd_len) + b"tfhd"
+        + b"\x00" + (0x000001).to_bytes(3, "big")
+        + s.pack(">I", 1) + s.pack(">Q", mdat_payload_abs)
+    )
+    # and the trun data_offset becomes -8 relative to that base
+    new = bytearray(bytes(enc[:i]) + new_tfhd + bytes(enc[i + old_size :]))
+    j = bytes(new).index(b"trun") - 4
+    s.pack_into(">i", new, j + 16, -8)
+    for btype in (b"traf", b"moof"):
+        k = bytes(new).index(btype) - 4
+        (sz,) = s.unpack_from(">I", new, k)
+        s.pack_into(">I", new, k, sz + delta)
+    assert mp4.extract_samples(bytes(new)) == samples
+
+
+def test_fragmented_hostile_trun_count_cannot_oom():
+    import struct as s
+
+    enc = bytearray(mp4.encode_mp4_fragmented([b"aaaa", b"bbbb"]))
+    j = bytes(enc).index(b"trun") - 4
+    s.pack_into(">I", enc, j + 12, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="exceeds"):
+        mp4.parse_mp4(bytes(enc))
+
+
+def test_fragmented_trun_without_sizes_or_defaults_raises():
+    import struct as s
+
+    enc = bytearray(mp4.encode_mp4_fragmented([b"aaaa", b"bbbb"]))
+    # zero out trex default AND strip the per-sample-size flag
+    i = bytes(enc).index(b"trex") - 4
+    s.pack_into(">I", enc, i + 8 + 4 + 4 + 4 + 4, 0)
+    j = bytes(enc).index(b"trun") - 4
+    enc[j + 8 : j + 12] = b"\x00\x00\x00\x01"  # flags: data_offset only
+    with pytest.raises(ValueError, match="default|exceeds|corrupt"):
         mp4.parse_mp4(bytes(enc))
