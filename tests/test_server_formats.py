@@ -382,3 +382,57 @@ def test_server_listen_backlog_admits_concurrent_burst(builder):
         assert srv.daemon_threads
     finally:
         srv.server_close()
+
+
+def test_single_flight_coalesces_identical_inflight_requests(builder):
+    """VERDICT r12 #3: N identical cold requests must share ONE engine
+    execution — followers are served the leader's captured body before the
+    response cache has ever seen the key. Distinct queries still execute."""
+    import time
+
+    from tesseract_spark.server.app import make_server
+
+    class CountingEngine:
+        def __init__(self, inner):
+            self.inner = inner
+            self.calls = 0
+            self._lock = threading.Lock()
+
+        def dataframe(self, cube, q):
+            with self._lock:
+                self.calls += 1
+            time.sleep(1.0)  # hold the flight open so followers overlap
+            return self.inner.dataframe(cube, q)
+
+    eng = CountingEngine(builder)
+    srv = make_server(builder, port=0, navigator=eng)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        url = (
+            base + "/cubes/lineitem_sales/aggregate.jsonrecords"
+            "?drilldowns=Return+Flag.Return+Flag&measures=Quantity"
+        )
+        bodies: list[bytes | None] = [None] * 3
+        tags: list[str | None] = [None] * 3
+
+        def fetch(i: int) -> None:
+            with urllib.request.urlopen(url, timeout=120) as r:
+                bodies[i] = r.read()
+                tags[i] = r.headers.get("X-Cache")
+
+        threads = [threading.Thread(target=fetch, args=(i,)) for i in range(3)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join()
+        assert eng.calls == 1, f"expected one shared execution, got {eng.calls}"
+        assert bodies[0] == bodies[1] == bodies[2] and bodies[0]
+        assert [tag for tag in tags if tag == "coalesced"] == ["coalesced"] * 2
+        # a different query is a different flight
+        with urllib.request.urlopen(url + "&limit=2", timeout=120) as r:
+            r.read()
+        assert eng.calls == 2
+    finally:
+        srv.shutdown()
