@@ -225,3 +225,49 @@ def test_hostile_sof_dimensions_cannot_oom():
     struct.pack_into(">HH", enc, i + 5, 65535, 65535)
     with pytest.raises(ValueError, match="implausible"):
         jpeg.decode_jpeg(bytes(enc))
+
+
+def test_native_decoder_seam():
+    """register_native_decoder routes 0xFFD8 through a verified plugin,
+    with the from-scratch codec as the equivalence oracle: a compliant
+    candidate (here: the codec itself behind a marker) registers and
+    serves dispatch; a divergent one is rejected and never installed."""
+    from tesseract_spark.operators import multimodal as mm
+
+    img = _smooth(16, 24)
+    enc = jpeg.encode_jpeg_gray(img, quality=85)
+    baseline = mm.decode_media(enc, "img.jpg")
+
+    calls = []
+
+    def good(payload):
+        calls.append(1)
+        return jpeg.decode_jpeg(payload)
+
+    mm.register_native_decoder("jpeg", good)
+    try:
+        out = mm.decode_media(enc, "img.jpg")
+        assert calls, "plugin was not dispatched"
+        assert out["pixels"] == baseline["pixels"]
+    finally:
+        mm.unregister_native_decoder("jpeg")
+    # after unregister the default path serves again
+    calls.clear()
+    assert mm.decode_media(enc, "img.jpg")["pixels"] == baseline["pixels"]
+    assert not calls
+
+    # a decoder that disagrees on the EXACT subclass is rejected
+    def bad(payload):
+        d = jpeg.decode_jpeg(payload)
+        px = bytearray(d["pixels"])
+        px[0] ^= 0xFF
+        d["pixels"] = bytes(px)
+        return d
+
+    with pytest.raises(ValueError, match="equivalence|diverges"):
+        mm.register_native_decoder("jpeg", bad)
+    assert mm._NATIVE_DECODERS.get("jpeg") is None
+
+    # unknown formats cannot register silently unverified
+    with pytest.raises(ValueError, match="no verification fixture"):
+        mm.register_native_decoder("webp", lambda p: None)
