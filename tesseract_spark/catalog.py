@@ -2118,6 +2118,27 @@ def _wire_pipeline_ops() -> None:
         ),
         multimodal.video_mp4_samples_oracle_sql(),
     )
+    # CODEC-FREE KEYFRAME EXTRACTION (r13): real sync-sample markers —
+    # stss in the progressive layout, trun/tfhd sample flags in the
+    # fragmented one — name the I-frames, and only those byte ranges are
+    # extracted: the 100 TB frame-sampling primitive (sample a
+    # representative frame subset without touching delta frames or any
+    # codec). Both layouts mark the SAME frames (every 3rd), and the two
+    # entries share one oracle predicting the keyframe stream from
+    # source bytes, so a wrong stss number / sample-flag bit / offset in
+    # either layout breaks its md5.
+    _add(
+        "q_video_keyframes",
+        lambda spark, sf: multimodal.video_keyframes(_docs(spark, sf)),
+        multimodal.video_keyframes_oracle_sql(),
+    )
+    _add(
+        "q_video_keyframes_fragmented",
+        lambda spark, sf: multimodal.video_keyframes(
+            _docs(spark, sf), fragmented=True
+        ),
+        multimodal.video_keyframes_oracle_sql(),
+    )
     # perceptual image dedup: real BMP decode → 8×8 average-hash (exact
     # integer block comparison) → hash-keyed duplicate groups; oracle
     # predicts every hash independently from the source bytes

@@ -39,13 +39,16 @@ def encode_mp4(
     sample_duration: int = 40,
     handler: bytes = b"vide",
     fourcc: bytes = b"mp4v",
+    sync_every: int = 0,
 ) -> bytes:
     """Minimal single-track ISO BMFF muxer: ftyp + mdat (samples
     concatenated) + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(stbl)))).
     One chunk per TWO samples (so ``stsc`` resolution is non-trivial),
     32-bit ``stco`` offsets. Spec-shaped enough that a real demuxer's box
     walk applies; deliberately NOT a playable file (the sample data is
-    arbitrary bytes, the point is container math)."""
+    arbitrary bytes, the point is container math). ``sync_every`` > 0
+    emits an ``stss`` sync-sample table marking samples 1, 1+k, 1+2k, …
+    as keyframes — codec-free keyframe identification (§8.6.2)."""
     if not samples:
         raise ValueError("at least one sample required")
     n = len(samples)
@@ -85,7 +88,17 @@ def encode_mp4(
         0,
         struct.pack(">I", len(offsets)) + b"".join(struct.pack(">I", o) for o in offsets),
     )
-    stbl = _stbl_boxes(fourcc, width, height, stts + stsc + stsz + stco)
+    tables = stts + stsc + stsz + stco
+    if sync_every > 0:
+        syncs = list(range(1, n + 1, sync_every))  # 1-based sample numbers
+        tables += _full(
+            b"stss",
+            0,
+            0,
+            struct.pack(">I", len(syncs))
+            + b"".join(struct.pack(">I", s) for s in syncs),
+        )
+    stbl = _stbl_boxes(fourcc, width, height, tables)
     moov = _moov_box(width, height, timescale, duration, handler, stbl)
     return ftyp + _box(b"mdat", mdat_payload) + moov
 
@@ -164,6 +177,7 @@ def encode_mp4_fragmented(
     sample_duration: int = 40,
     handler: bytes = b"vide",
     fourcc: bytes = b"mp4v",
+    sync_first_of_fragment: bool = False,
 ) -> bytes:
     """Minimal fragmented (fMP4 / CMAF-shaped) muxer: ftyp + moov with an
     EMPTY sample table and an mvex/trex carrying the track defaults, then
@@ -171,7 +185,9 @@ def encode_mp4_fragmented(
     data_offset + per-sample sizes)) followed by its mdat — the DASH-era
     layout where sample ranges live in the fragments, not the moov
     (ISO/IEC 14496-12 §8.8). Used by tests and the q_video_mp4_fragmented
-    fixture."""
+    fixture. ``sync_first_of_fragment`` marks each fragment's first sample
+    as the sync sample via first_sample_flags + a non-sync tfhd default —
+    the CMAF keyframe-per-fragment pattern."""
     if not samples:
         raise ValueError("at least one sample required")
     if samples_per_fragment < 1:
@@ -202,18 +218,30 @@ def encode_mp4_fragmented(
         mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
         # default-base-is-moof (0x020000): offsets are relative to the
         # first byte of this moof
-        tfhd = _full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+        tfhd_flags, tfhd_body = 0x020000, struct.pack(">I", 1)
+        trun_flags, trun_head = 0x000201, b""
+        if sync_first_of_fragment:
+            # default flags: non-sync (0x10000); first sample overridden
+            # to sync + depends-on-others-not (0x02000000)
+            tfhd_flags |= 0x20
+            tfhd_body += struct.pack(">I", 0x00010000)
+            trun_flags |= 0x4
+            trun_head = struct.pack(">I", 0x02000000)
+        tfhd = _full(b"tfhd", 0, tfhd_flags, tfhd_body)
         # trun flags: 0x1 data_offset present, 0x200 per-sample sizes
         trun_tail = b"".join(struct.pack(">I", len(s)) for s in chunk)
         trun = _full(
-            b"trun", 0, 0x000201, struct.pack(">Ii", n, 0) + trun_tail
+            b"trun", 0, trun_flags, struct.pack(">Ii", n, 0) + trun_head + trun_tail
         )
         traf = _box(b"traf", tfhd + trun)
         moof = _box(b"moof", mfhd + traf)
         # sample data starts right after this moof's mdat header
         data_offset = len(moof) + 8
         trun = _full(
-            b"trun", 0, 0x000201, struct.pack(">Ii", n, data_offset) + trun_tail
+            b"trun",
+            0,
+            trun_flags,
+            struct.pack(">Ii", n, data_offset) + trun_head + trun_tail,
         )
         traf = _box(b"traf", tfhd + trun)
         moof = _box(b"moof", mfhd + traf)
@@ -309,11 +337,17 @@ def _parse_mp4_impl(payload: bytes) -> dict:
             traf = None
             continue
         if btype == b"trex":
-            tid, _desc, _dur, def_size, _fl = struct.unpack_from(">IIIII", body, 4)
-            trex[tid] = def_size or None
+            tid, _desc, _dur, def_size, def_fl = struct.unpack_from(">IIIII", body, 4)
+            trex[tid] = {"size": def_size or None, "flags": def_fl}
             continue
         if btype == b"traf":
-            traf = {"track_id": None, "base": moof_start, "default_size": None, "cursor": 0}
+            traf = {
+                "track_id": None,
+                "base": moof_start,
+                "default_size": None,
+                "default_flags": None,
+                "cursor": 0,
+            }
             continue
         if btype == b"tfhd":
             if traf is None:
@@ -333,9 +367,15 @@ def _parse_mp4_impl(payload: bytes) -> dict:
             if flags & 0x10:  # default_sample_size
                 (traf["default_size"],) = struct.unpack_from(">I", body, off)
                 off += 4
+            if flags & 0x20:  # default_sample_flags
+                (traf["default_flags"],) = struct.unpack_from(">I", body, off)
+                off += 4
             traf["track_id"] = tid
+            tx = trex.get(tid, {})
             if traf["default_size"] is None:
-                traf["default_size"] = trex.get(tid)
+                traf["default_size"] = tx.get("size")
+            if traf["default_flags"] is None:
+                traf["default_flags"] = tx.get("flags")
             if traf["base"] is None:
                 raise ValueError("traf without enclosing moof")
             continue
@@ -354,11 +394,19 @@ def _parse_mp4_impl(payload: bytes) -> dict:
             if flags & 0x1:  # data_offset (signed, base-relative)
                 (traf["cursor"],) = struct.unpack_from(">i", body, off)
                 off += 4
+            first_flags = None
             if flags & 0x4:  # first_sample_flags
+                (first_flags,) = struct.unpack_from(">I", body, off)
                 off += 4
             per = sum(4 for bit in (0x100, 0x200, 0x400, 0x800) if flags & bit)
             size_off = 4 if flags & 0x100 else 0  # duration precedes size
-            ft = frag.setdefault(traf["track_id"], {"sizes": [], "offsets": []})
+            flags_off = size_off + (4 if flags & 0x200 else 0)
+            ft = frag.setdefault(
+                traf["track_id"],
+                {"sizes": [], "offsets": [], "sync": [], "flag_info": False},
+            )
+            if first_flags is not None or flags & 0x400 or traf["default_flags"]:
+                ft["flag_info"] = True
             pos_c = traf["base"] + traf["cursor"]
             for i in range(count):
                 if flags & 0x200:
@@ -369,6 +417,14 @@ def _parse_mp4_impl(payload: bytes) -> dict:
                         raise ValueError(
                             "trun without sizes needs a tfhd/trex default"
                         )
+                if flags & 0x400:  # per-sample flags
+                    (sf,) = struct.unpack_from(">I", body, off + i * per + flags_off)
+                elif i == 0 and first_flags is not None:
+                    sf = first_flags
+                else:
+                    sf = traf["default_flags"] or 0
+                # §8.8.3: bit 0x10000 = sample_is_non_sync_sample
+                ft["sync"].append((sf & 0x10000) == 0)
                 ft["offsets"].append(pos_c)
                 ft["sizes"].append(sz)
                 pos_c += sz
@@ -383,7 +439,7 @@ def _parse_mp4_impl(payload: bytes) -> dict:
                 (duration,) = struct.unpack_from(">Q", body, 24)
         elif btype == b"trak":
             cur = {
-                "track_id": None,
+                "track_id": None, "sync_samples": None,
                 "handler": None, "fourcc": None, "width": None, "height": None,
                 "sample_sizes": [], "chunk_offsets": [], "stsc": [],
             }  # fmt: skip
@@ -419,6 +475,9 @@ def _parse_mp4_impl(payload: bytes) -> dict:
                 cur["sample_sizes"] = list(
                     struct.unpack_from(f">{count}I", body, 12)
                 )
+        elif btype == b"stss":  # sync (keyframe) sample numbers, 1-based
+            (count,) = struct.unpack_from(">I", body, 4)
+            cur["sync_samples"] = list(struct.unpack_from(f">{count}I", body, 8))
         elif btype == b"stco":
             (count,) = struct.unpack_from(">I", body, 4)
             cur["chunk_offsets"] = list(struct.unpack_from(f">{count}I", body, 8))
@@ -435,10 +494,20 @@ def _parse_mp4_impl(payload: bytes) -> dict:
     for t in tracks:
         sizes = t["sample_sizes"]
         offsets = _resolve_sample_offsets(sizes, t["chunk_offsets"], t["stsc"])
+        sync = t["sync_samples"]  # None = every sample is sync (§8.6.2)
         ft = frag.get(t["track_id"])
         if ft:
             # fragment runs append after any moov-resident samples (a
             # pure-fMP4 track has an empty stbl and contributes nothing)
+            base_n = len(sizes)
+            if ft["flag_info"] or sync is not None:
+                moov_sync = sync if sync is not None else list(range(1, base_n + 1))
+                frag_bools = (
+                    ft["sync"] if ft["flag_info"] else [True] * len(ft["sizes"])
+                )
+                sync = moov_sync + [
+                    base_n + i + 1 for i, s in enumerate(frag_bools) if s
+                ]
             sizes = sizes + ft["sizes"]
             offsets = offsets + ft["offsets"]
         out_tracks.append(
@@ -450,6 +519,7 @@ def _parse_mp4_impl(payload: bytes) -> dict:
                 "n_samples": len(sizes),
                 "sample_sizes": sizes,
                 "sample_offsets": offsets,
+                "sync_samples": sync,
             }
         )
     return {
@@ -522,6 +592,25 @@ def extract_samples(payload: bytes, track: int = 0) -> list[bytes]:
     return [
         payload[o : o + s]
         for o, s in zip(t["sample_offsets"], t["sample_sizes"])
+    ]
+
+
+def extract_sync_samples(payload: bytes, track: int = 0) -> list[bytes]:
+    """Keyframe extraction WITHOUT a codec: the byte slices of the track's
+    sync samples — stss numbers in progressive files, trun/tfhd sample
+    flags (``sample_is_non_sync_sample``) in fragmented ones; absent both,
+    every sample is sync per §8.6.2. This is how a 100 TB video pipeline
+    frame-samples: the container names the I-frames, so a representative
+    frame subset ships to the (pluggable) decoder without touching the
+    delta frames."""
+    meta = parse_mp4(payload)
+    t = meta["tracks"][track]
+    sync = t["sync_samples"]
+    nums = range(1, t["n_samples"] + 1) if sync is None else sync
+    return [
+        payload[t["sample_offsets"][s - 1] : t["sample_offsets"][s - 1] + t["sample_sizes"][s - 1]]
+        for s in nums
+        if 1 <= s <= t["n_samples"]
     ]
 
 

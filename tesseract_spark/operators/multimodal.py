@@ -1045,6 +1045,96 @@ def video_mp4_samples_oracle_sql(
     """
 
 
+KEYFRAME_SCHEMA = "doc_id long, n_samples int, n_sync int, keyframes_md5 string"
+
+
+def video_keyframes(
+    documents: DataFrame,
+    sample_bytes: int = 16,
+    sync_every: int = 3,
+    fragmented: bool = False,
+) -> DataFrame:
+    """Codec-free keyframe extraction through Spark (r13): each document's
+    bytes become ``sample_bytes`` frames muxed with REAL sync-sample
+    markers — an ``stss`` table marking every ``sync_every``-th frame in
+    the progressive layout, or first-sample-of-fragment trun/tfhd sample
+    flags in the fragmented one (the CMAF keyframe-per-fragment pattern,
+    with ``samples_per_fragment = sync_every`` so both layouts mark the
+    SAME frames) — then ``extract_sync_samples`` pulls only the keyframe
+    byte ranges back out. This is the 100 TB frame-sampling primitive: the
+    container names the I-frames, so a representative subset ships to the
+    (pluggable) decoder without touching delta frames. Extraction is
+    lossless, so the oracle predicts the keyframe stream from source
+    bytes alone; a wrong stss number, sample-flag bit, or offset breaks
+    the md5."""
+    from pyspark import cloudpickle as _cp
+
+    from . import mp4 as _mp4
+
+    try:
+        _cp.register_pickle_by_value(_mp4)
+    except Exception:
+        pass
+    docs = documents.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    sb, ke = sample_bytes, sync_every
+    frag = fragmented
+    mux_p, mux_f = _mp4.encode_mp4, _mp4.encode_mp4_fragmented
+    extract = _mp4.extract_sync_samples
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in it:
+            out = {"doc_id": [], "n_samples": [], "n_sync": [], "keyframes_md5": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload) // sb
+                if n == 0:
+                    continue
+                b = bytes(payload[: n * sb])
+                frames = [b[i * sb : (i + 1) * sb] for i in range(n)]
+                if frag:
+                    container = mux_f(
+                        frames,
+                        samples_per_fragment=ke,
+                        sync_first_of_fragment=True,
+                    )
+                else:
+                    container = mux_p(frames, sync_every=ke)
+                keys = extract(container)
+                joined = b"".join(keys)
+                out["doc_id"].append(did)
+                out["n_samples"].append(n)
+                out["n_sync"].append(len(keys))
+                out["keyframes_md5"].append(
+                    _hashlib.md5(joined.hex().encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema=KEYFRAME_SCHEMA)
+
+
+def video_keyframes_oracle_sql(
+    table: str = "documents", sample_bytes: int = 16, sync_every: int = 3
+) -> str:
+    """Keyframes are frames 0, k, 2k, … of the clipped source, so the
+    extracted stream is those ``sample_bytes`` slices concatenated."""
+    sb, ke = sample_bytes, sync_every
+    n = f"(octet_length(encode(text)) // {sb})"
+    key_hex = (
+        f"lower(list_aggregate(list_transform(range(0, {n}, {ke}), i -> "
+        f"substr(to_hex(encode(text)), i * {sb} * 2 + 1, {sb} * 2)), "
+        f"'string_agg', ''))"
+    )
+    return f"""
+    SELECT doc_id,
+           {n}::INT AS n_samples,
+           (({n} + {ke} - 1) // {ke})::INT AS n_sync,
+           md5({key_hex}) AS keyframes_md5
+    FROM {table}
+    WHERE {n} >= 1
+    """
+
+
 def decoded_png_features_oracle_sql(table: str = "documents", width: int = 16) -> str:
     """Identical prediction to the BMP oracle: a correct PNG round-trip is
     the identity on the clipped byte grid, so the decoded RGB stream is the

@@ -296,3 +296,32 @@ def test_fragmented_trun_without_sizes_or_defaults_raises():
     enc[j + 8 : j + 12] = b"\x00\x00\x00\x01"  # flags: data_offset only
     with pytest.raises(ValueError, match="default|exceeds|corrupt"):
         mp4.parse_mp4(bytes(enc))
+
+
+def test_stss_sync_samples_and_extraction():
+    samples = [bytes([65 + i]) * (4 + i) for i in range(7)]
+    enc = mp4.encode_mp4(samples, sync_every=3)
+    t = mp4.parse_mp4(enc)["tracks"][0]
+    assert t["sync_samples"] == [1, 4, 7]
+    assert mp4.extract_sync_samples(enc) == [samples[0], samples[3], samples[6]]
+    # no stss: every sample is sync (§8.6.2 default)
+    enc2 = mp4.encode_mp4(samples)
+    assert mp4.parse_mp4(enc2)["tracks"][0]["sync_samples"] is None
+    assert mp4.extract_sync_samples(enc2) == samples
+
+
+def test_fragmented_sync_flags_keyframe_per_fragment():
+    """first_sample_flags (sync) + non-sync tfhd default — the CMAF
+    keyframe-per-fragment pattern — must resolve to fragment-first
+    sample numbers."""
+    samples = [bytes([65 + i]) * (4 + i) for i in range(7)]
+    enc = mp4.encode_mp4_fragmented(
+        samples, samples_per_fragment=2, sync_first_of_fragment=True
+    )
+    t = mp4.parse_mp4(enc)["tracks"][0]
+    assert t["sync_samples"] == [1, 3, 5, 7]
+    assert mp4.extract_sync_samples(enc) == [samples[i] for i in (0, 2, 4, 6)]
+    assert mp4.extract_samples(enc) == samples  # full extraction unchanged
+    # without flag info, fragmented tracks default to all-sync too
+    enc2 = mp4.encode_mp4_fragmented(samples, samples_per_fragment=3)
+    assert mp4.parse_mp4(enc2)["tracks"][0]["sync_samples"] is None
