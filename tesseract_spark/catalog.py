@@ -2139,6 +2139,16 @@ def _wire_pipeline_ops() -> None:
         ),
         multimodal.video_keyframes_oracle_sql(),
     )
+    # CODEC-FREE TIME-RANGE CLIPPING (r13): stts decoding-time runs give
+    # per-sample timestamps; extract_time_range picks overlap with
+    # [t0, t1) and align_sync extends back to the preceding stss keyframe
+    # (delta frames are useless without their I-frame) — timestamps AND
+    # sync alignment under one byte-prediction oracle.
+    _add(
+        "q_video_time_clip",
+        lambda spark, sf: multimodal.video_time_clip(_docs(spark, sf)),
+        multimodal.video_time_clip_oracle_sql(),
+    )
     # perceptual image dedup: real BMP decode → 8×8 average-hash (exact
     # integer block comparison) → hash-keyed duplicate groups; oracle
     # predicts every hash independently from the source bytes

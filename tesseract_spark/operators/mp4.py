@@ -337,14 +337,17 @@ def _parse_mp4_impl(payload: bytes) -> dict:
             traf = None
             continue
         if btype == b"trex":
-            tid, _desc, _dur, def_size, def_fl = struct.unpack_from(">IIIII", body, 4)
-            trex[tid] = {"size": def_size or None, "flags": def_fl}
+            tid, _desc, def_dur, def_size, def_fl = struct.unpack_from(
+                ">IIIII", body, 4
+            )
+            trex[tid] = {"size": def_size or None, "dur": def_dur, "flags": def_fl}
             continue
         if btype == b"traf":
             traf = {
                 "track_id": None,
                 "base": moof_start,
                 "default_size": None,
+                "default_dur": None,
                 "default_flags": None,
                 "cursor": 0,
             }
@@ -363,6 +366,7 @@ def _parse_mp4_impl(payload: bytes) -> dict:
             if flags & 0x2:  # sample_description_index
                 off += 4
             if flags & 0x8:  # default_sample_duration
+                (traf["default_dur"],) = struct.unpack_from(">I", body, off)
                 off += 4
             if flags & 0x10:  # default_sample_size
                 (traf["default_size"],) = struct.unpack_from(">I", body, off)
@@ -374,6 +378,8 @@ def _parse_mp4_impl(payload: bytes) -> dict:
             tx = trex.get(tid, {})
             if traf["default_size"] is None:
                 traf["default_size"] = tx.get("size")
+            if traf["default_dur"] is None:
+                traf["default_dur"] = tx.get("dur")
             if traf["default_flags"] is None:
                 traf["default_flags"] = tx.get("flags")
             if traf["base"] is None:
@@ -403,7 +409,13 @@ def _parse_mp4_impl(payload: bytes) -> dict:
             flags_off = size_off + (4 if flags & 0x200 else 0)
             ft = frag.setdefault(
                 traf["track_id"],
-                {"sizes": [], "offsets": [], "sync": [], "flag_info": False},
+                {
+                    "sizes": [],
+                    "offsets": [],
+                    "durs": [],
+                    "sync": [],
+                    "flag_info": False,
+                },
             )
             if first_flags is not None or flags & 0x400 or traf["default_flags"]:
                 ft["flag_info"] = True
@@ -423,8 +435,13 @@ def _parse_mp4_impl(payload: bytes) -> dict:
                     sf = first_flags
                 else:
                     sf = traf["default_flags"] or 0
+                if flags & 0x100:  # per-sample duration (first field)
+                    (dur,) = struct.unpack_from(">I", body, off + i * per)
+                else:
+                    dur = traf["default_dur"] or 0
                 # §8.8.3: bit 0x10000 = sample_is_non_sync_sample
                 ft["sync"].append((sf & 0x10000) == 0)
+                ft["durs"].append(dur)
                 ft["offsets"].append(pos_c)
                 ft["sizes"].append(sz)
                 pos_c += sz
@@ -440,6 +457,7 @@ def _parse_mp4_impl(payload: bytes) -> dict:
         elif btype == b"trak":
             cur = {
                 "track_id": None, "sync_samples": None,
+                "timescale": None, "stts": [],
                 "handler": None, "fourcc": None, "width": None, "height": None,
                 "sample_sizes": [], "chunk_offsets": [], "stsc": [],
             }  # fmt: skip
@@ -452,6 +470,19 @@ def _parse_mp4_impl(payload: bytes) -> dict:
             off = 76 if ver == 0 else 88
             w, h = struct.unpack_from(">II", body, off)
             cur["width"], cur["height"] = w >> 16, h >> 16
+        elif btype == b"mdhd":
+            ver = body[0]
+            (cur["timescale"],) = struct.unpack_from(
+                ">I", body, 12 if ver == 0 else 20
+            )
+        elif btype == b"stts":  # decoding-time runs: (count, delta)*
+            (count,) = struct.unpack_from(">I", body, 4)
+            runs = [struct.unpack_from(">II", body, 8 + 8 * i) for i in range(count)]
+            if sum(c for c, _ in runs) > len(payload):
+                raise ValueError(
+                    "stts sample total exceeds file size"
+                )  # same allocation-bomb bound as stsz/trun
+            cur["stts"] = runs
         elif btype == b"hdlr":
             cur["handler"] = body[8:12].decode("latin1")
         elif btype == b"stsd":
@@ -495,6 +526,17 @@ def _parse_mp4_impl(payload: bytes) -> dict:
         sizes = t["sample_sizes"]
         offsets = _resolve_sample_offsets(sizes, t["chunk_offsets"], t["stsc"])
         sync = t["sync_samples"]  # None = every sample is sync (§8.6.2)
+        # per-sample durations: stts runs expanded (clamped to the real
+        # sample count — timing is advisory, corrupt totals must not kill
+        # range extraction the way a broken chunk map must)
+        durs: list[int] = []
+        for cnt, delta in t["stts"]:
+            take = min(cnt, len(sizes) - len(durs))
+            if take <= 0:
+                break
+            durs.extend([delta] * take)
+        if len(durs) < len(sizes):
+            durs.extend([durs[-1] if durs else 0] * (len(sizes) - len(durs)))
         ft = frag.get(t["track_id"])
         if ft:
             # fragment runs append after any moov-resident samples (a
@@ -510,15 +552,24 @@ def _parse_mp4_impl(payload: bytes) -> dict:
                 ]
             sizes = sizes + ft["sizes"]
             offsets = offsets + ft["offsets"]
+            durs = durs + ft["durs"]
+        times: list[int] = []
+        tick = 0
+        for d in durs:
+            times.append(tick)
+            tick += d
         out_tracks.append(
             {
                 "handler": t["handler"],
                 "fourcc": t["fourcc"],
                 "width": t["width"],
                 "height": t["height"],
+                "timescale": t["timescale"],
                 "n_samples": len(sizes),
                 "sample_sizes": sizes,
                 "sample_offsets": offsets,
+                "sample_durations": durs,
+                "sample_times": times,
                 "sync_samples": sync,
             }
         )
@@ -611,6 +662,42 @@ def extract_sync_samples(payload: bytes, track: int = 0) -> list[bytes]:
         payload[t["sample_offsets"][s - 1] : t["sample_offsets"][s - 1] + t["sample_sizes"][s - 1]]
         for s in nums
         if 1 <= s <= t["n_samples"]
+    ]
+
+
+def extract_time_range(
+    payload: bytes,
+    t0: float,
+    t1: float,
+    track: int = 0,
+    align_sync: bool = False,
+) -> list[bytes]:
+    """Codec-free CLIP extraction: the byte slices of the samples whose
+    presentation span ``[start, start+duration)`` overlaps ``[t0, t1)``
+    seconds (per-sample times from stts runs in progressive files,
+    trun/tfhd/trex durations in fragmented ones, over the track's mdhd
+    timescale). ``align_sync=True`` extends the clip start back to the
+    nearest preceding sync sample — the decodable-clip rule: delta frames
+    are useless without their keyframe, so a real pipeline ships the clip
+    from the I-frame even when t0 lands mid-GOP."""
+    if t1 <= t0:
+        raise ValueError("empty time range")
+    meta = parse_mp4(payload)
+    t = meta["tracks"][track]
+    ts = t["timescale"] or 1
+    lo_tick, hi_tick = t0 * ts, t1 * ts
+    picked = [
+        i
+        for i, (start, dur) in enumerate(zip(t["sample_times"], t["sample_durations"]))
+        if start < hi_tick and start + dur > lo_tick
+    ]
+    if picked and align_sync and t["sync_samples"] is not None:
+        first = picked[0] + 1  # 1-based
+        prev_sync = max((s for s in t["sync_samples"] if s <= first), default=first)
+        picked = list(range(prev_sync - 1, picked[0])) + picked
+    return [
+        payload[t["sample_offsets"][i] : t["sample_offsets"][i] + t["sample_sizes"][i]]
+        for i in picked
     ]
 
 

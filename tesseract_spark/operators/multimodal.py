@@ -1045,6 +1045,85 @@ def video_mp4_samples_oracle_sql(
     """
 
 
+CLIP_SCHEMA = "doc_id long, n_samples int, n_clip int, clip_md5 string"
+
+
+def video_time_clip(
+    documents: DataFrame,
+    t0: float = 0.08,
+    t1: float = 0.2,
+    sample_bytes: int = 16,
+    sync_every: int = 3,
+) -> DataFrame:
+    """Codec-free CLIP extraction through Spark (r13): per-sample
+    timestamps from REAL stts runs (40 ms frames at timescale 1000) plus
+    sync alignment — ``extract_time_range(..., align_sync=True)`` pulls
+    the samples overlapping [t0, t1) and extends the start back to the
+    preceding stss keyframe, the decodable-clip rule (delta frames are
+    useless without their I-frame). The oracle predicts the clipped byte
+    stream from source bytes alone: with 40 ms frames, [0.08, 0.2) picks
+    frames 2..4 and sync-every-3 alignment extends to frame 0, so the
+    clip is frames 0..min(4, n-1) whenever any frame overlaps (n >= 3)."""
+    from pyspark import cloudpickle as _cp
+
+    from . import mp4 as _mp4
+
+    try:
+        _cp.register_pickle_by_value(_mp4)
+    except Exception:
+        pass
+    docs = documents.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    sb, ke = sample_bytes, sync_every
+    lo, hi = t0, t1
+    mux, clip_fn = _mp4.encode_mp4, _mp4.extract_time_range
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in it:
+            out = {"doc_id": [], "n_samples": [], "n_clip": [], "clip_md5": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload) // sb
+                if n == 0:
+                    continue
+                b = bytes(payload[: n * sb])
+                frames = [b[i * sb : (i + 1) * sb] for i in range(n)]
+                container = mux(frames, sync_every=ke)
+                clip = clip_fn(container, lo, hi, align_sync=True)
+                joined = b"".join(clip)
+                out["doc_id"].append(did)
+                out["n_samples"].append(n)
+                out["n_clip"].append(len(clip))
+                out["clip_md5"].append(
+                    _hashlib.md5(joined.hex().encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema=CLIP_SCHEMA)
+
+
+def video_time_clip_oracle_sql(table: str = "documents", sample_bytes: int = 16) -> str:
+    """[0.08, 0.2) over 40 ms frames = frames 2..4; stss-every-3 alignment
+    pulls the start back to frame 0 — so the clip is frames
+    0..min(4, n-1) when n >= 3, empty otherwise."""
+    sb = sample_bytes
+    n = f"(octet_length(encode(text)) // {sb})"
+    clip_n = f"(CASE WHEN {n} >= 3 THEN least(5, {n}) ELSE 0 END)"
+    clip_hex = (
+        f"lower(coalesce(list_aggregate(list_transform(range(0, {clip_n}), "
+        f"i -> substr(to_hex(encode(text)), i * {sb} * 2 + 1, {sb} * 2)), "
+        f"'string_agg', ''), ''))"
+    )
+    return f"""
+    SELECT doc_id,
+           {n}::INT AS n_samples,
+           {clip_n}::INT AS n_clip,
+           md5({clip_hex}) AS clip_md5
+    FROM {table}
+    WHERE {n} >= 1
+    """
+
+
 KEYFRAME_SCHEMA = "doc_id long, n_samples int, n_sync int, keyframes_md5 string"
 
 

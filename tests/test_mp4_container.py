@@ -325,3 +325,34 @@ def test_fragmented_sync_flags_keyframe_per_fragment():
     # without flag info, fragmented tracks default to all-sync too
     enc2 = mp4.encode_mp4_fragmented(samples, samples_per_fragment=3)
     assert mp4.parse_mp4(enc2)["tracks"][0]["sync_samples"] is None
+
+
+def test_sample_timestamps_and_time_range_extraction():
+    samples = [bytes([65 + i]) * 4 for i in range(10)]  # 40ms @ timescale 1000
+    for enc in (
+        mp4.encode_mp4(samples, sync_every=3),
+        mp4.encode_mp4_fragmented(
+            samples, samples_per_fragment=3, sync_first_of_fragment=True
+        ),
+    ):
+        t = mp4.parse_mp4(enc)["tracks"][0]
+        assert t["timescale"] == 1000
+        assert t["sample_times"] == [i * 40 for i in range(10)]
+        assert t["sample_durations"] == [40] * 10
+        # [0.08, 0.2) overlaps frames 2..4 in both layouts
+        assert mp4.extract_time_range(enc, 0.08, 0.2) == samples[2:5]
+        # sync alignment (keyframes at samples 1,4,7,10) extends to frame 0
+        assert mp4.extract_time_range(enc, 0.08, 0.2, align_sync=True) == samples[0:5]
+    enc = mp4.encode_mp4(samples, sync_every=3)
+    assert mp4.extract_time_range(enc, 5.0, 6.0) == []
+    with pytest.raises(ValueError, match="empty time range"):
+        mp4.extract_time_range(enc, 0.2, 0.1)
+
+
+def test_hostile_stts_total_cannot_oom():
+    enc = bytearray(mp4.encode_mp4([b"aaaa", b"bbbb"]))
+    i = bytes(enc).index(b"stts") - 4
+    # one run claiming 0xFFFFFFFF samples must raise, not expand
+    struct.pack_into(">I", enc, i + 8 + 4 + 4, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="exceeds"):
+        mp4.parse_mp4(bytes(enc))
