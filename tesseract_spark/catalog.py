@@ -2118,36 +2118,21 @@ def _wire_pipeline_ops() -> None:
         ),
         multimodal.video_mp4_samples_oracle_sql(),
     )
-    # CODEC-FREE KEYFRAME EXTRACTION (r13): real sync-sample markers —
-    # stss in the progressive layout, trun/tfhd sample flags in the
-    # fragmented one — name the I-frames, and only those byte ranges are
-    # extracted: the 100 TB frame-sampling primitive (sample a
-    # representative frame subset without touching delta frames or any
-    # codec). Both layouts mark the SAME frames (every 3rd), and the two
-    # entries share one oracle predicting the keyframe stream from
-    # source bytes, so a wrong stss number / sample-flag bit / offset in
-    # either layout breaks its md5.
+    # CODEC-FREE VIDEO SAMPLING (r13): one entry, one doc pass, all three
+    # container-math sampling primitives under one byte-prediction
+    # oracle — keyframe extraction from the PROGRESSIVE layout (stss sync
+    # table) and from the FRAGMENTED layout (trun/tfhd sample flags,
+    # keyframe-per-fragment marking the SAME frames — the oracle predicts
+    # both md5 columns with one expression, so a wrong stss number or
+    # flag bit in either layout breaks its hash), plus sync-aligned
+    # time-range clipping (stts timestamps; align_sync extends the clip
+    # back to the preceding keyframe — delta frames are useless without
+    # their I-frame). This is how a 100 TB pipeline frame-samples and
+    # clips video without touching delta frames or any codec.
     _add(
-        "q_video_keyframes",
-        lambda spark, sf: multimodal.video_keyframes(_docs(spark, sf)),
-        multimodal.video_keyframes_oracle_sql(),
-    )
-    _add(
-        "q_video_keyframes_fragmented",
-        lambda spark, sf: multimodal.video_keyframes(
-            _docs(spark, sf), fragmented=True
-        ),
-        multimodal.video_keyframes_oracle_sql(),
-    )
-    # CODEC-FREE TIME-RANGE CLIPPING (r13): stts decoding-time runs give
-    # per-sample timestamps; extract_time_range picks overlap with
-    # [t0, t1) and align_sync extends back to the preceding stss keyframe
-    # (delta frames are useless without their I-frame) — timestamps AND
-    # sync alignment under one byte-prediction oracle.
-    _add(
-        "q_video_time_clip",
-        lambda spark, sf: multimodal.video_time_clip(_docs(spark, sf)),
-        multimodal.video_time_clip_oracle_sql(),
+        "q_video_sampling",
+        lambda spark, sf: multimodal.video_sampling(_docs(spark, sf)),
+        multimodal.video_sampling_oracle_sql(),
     )
     # perceptual image dedup: real BMP decode → 8×8 average-hash (exact
     # integer block comparison) → hash-keyed duplicate groups; oracle
@@ -4385,11 +4370,14 @@ def aggnav_build_serve_split(spark: SparkSession, sf_dir: str) -> dict:
 #  - the TWO entries whose newest driver green is still r8 — displaced
 #    from the r12 window by the codec debuts and explicitly owed the
 #    head slots: q_curriculum_order, q_token_budget_plan;
-#  - 2 oracle debuts: q_image_jpeg_progressive (SOF2 spectral selection +
+#  - 3 oracle debuts: q_image_jpeg_progressive (SOF2 spectral selection +
 #    successive approximation decode on the exact constant-block
-#    subclass — VERDICT r12 'missing' #1) and q_video_mp4_fragmented
+#    subclass — VERDICT r12 'missing' #1), q_video_mp4_fragmented
 #    (moof/tfhd/trun sample resolution through the lossless container
-#    round trip — VERDICT r12 'missing' #2);
+#    round trip — VERDICT r12 'missing' #2), and q_video_sampling (the
+#    merged codec-free keyframe/clip primitives — stss, fragment sample
+#    flags, stts timestamps — in the slot freed by q_percentiles'
+#    removal, so no owed r9 entry is displaced);
 #  - 2 changed-code re-proofs: q_image_jpeg_decode (the sequential
 #    decoder's marker walk and reconstruction tail were restructured for
 #    the progressive path, plus the ADVICE r12 geometry guard) and
@@ -4402,8 +4390,7 @@ def aggnav_build_serve_split(spark: SparkSession, sf_dir: str) -> dict:
 #    refresh) and the r9 pipeline families (text analysis, exact/simhash
 #    dedup, ANN brute/IVF, CMS/HLL, event funnels, packing, shards,
 #    mixture, quality gate, bloom decontam, ORC round trip, BPE word
-#    freqs, binned quantiles) — plus q_rca_debug in the freed slot,
-#    pre-starting the r14 rotation head.
+#    freqs, binned quantiles).
 # Displaced to the post-window tail: the rest of the r10 cohort (the r14
 # rotation head), then r11/r12 greens.
 DRIVER_WINDOW: list[str] = [
@@ -4437,8 +4424,9 @@ DRIVER_WINDOW: list[str] = [
     "q_median_order",
     "q_members_nation",
     # (q_percentiles was superseded by q_custom_percentile_inline in r10
-    # and removed; its freed slot pre-starts the r14 rotation head)
-    "q_rca_debug",
+    # and removed; its freed slot takes the third r13 debut — the merged
+    # codec-free video-sampling entry — so NO owed r9 entry is displaced)
+    "q_video_sampling",
     "q_drillthrough",
     "q_aggnav_refresh",
     "q_binned_quantiles",

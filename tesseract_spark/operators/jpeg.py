@@ -633,6 +633,19 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
     raise ValueError("no SOS segment found")
 
 
+def _mcu_grid(frame) -> tuple[int, int, int, int]:
+    """(hmax, vmax, mbx, mby): max sampling factors and the MCU-padded
+    block grid — the ONE derivation that coefficient allocation, scan
+    traversal, and reconstruction must share (a divergent copy would
+    desynchronize the allocation grid from the traversal grid)."""
+    h, w_, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mbx = (w_ + 8 * hmax - 1) // (8 * hmax)
+    mby = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mbx, mby
+
+
 def _decode_scan(
     data: bytes,
     pos: int,
@@ -644,11 +657,7 @@ def _decode_scan(
     restart_interval: int,
 ) -> dict:
     h, w_, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mbx = (w_ + mcu_w - 1) // mcu_w
-    mby = (h + mcu_h - 1) // mcu_h
+    hmax, vmax, mbx, mby = _mcu_grid(frame)
     # Reject hostile geometry BEFORE allocating: every 8x8 block costs at
     # least one bit in the entropy stream (a DC Huffman code is never
     # empty), so a 65535x65535x3 SOF header with a few hundred payload
@@ -776,10 +785,7 @@ def _alloc_progressive_state(frame, remaining: int) -> list[np.ndarray]:
     can never overflow a numpy assignment (which would raise outside the
     normalized ValueError family)."""
     h, w_, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mbx = (w_ + 8 * hmax - 1) // (8 * hmax)
-    mby = (h + 8 * vmax - 1) // (8 * vmax)
+    hmax, vmax, mbx, mby = _mcu_grid(frame)
     total_blocks = mby * mbx * sum(c[1] * c[2] for c in comps)
     if total_blocks > max(remaining, 0) * 8:
         raise ValueError(
@@ -813,10 +819,7 @@ def _decode_progressive_scan(
     (run-length + EOB-run accumulation), and AC refinement (G.1.2.3
     correction-bit traversal)."""
     h, w_, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mbx = (w_ + 8 * hmax - 1) // (8 * hmax)
-    mby = (h + 8 * vmax - 1) // (8 * vmax)
+    hmax, vmax, mbx, mby = _mcu_grid(frame)
     idx = {cid: i for i, (cid, hs, vs, qid) in enumerate(comps)}
     if ss == 0 and se != 0:
         raise ValueError("invalid spectral band: Ss=0 scans must be DC-only (Se=0)")
@@ -983,8 +986,7 @@ def _reconstruct_progressive(frame, coefs: list[np.ndarray], quants) -> dict:
     over all blocks per component) and reuse the shared upsample/color
     tail. Runs exactly once, at EOI."""
     h, w_, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
+    hmax, vmax, _, _ = _mcu_grid(frame)
     planes = []
     for ci, (cid, hs, vs, qid) in enumerate(comps):
         q_zz = quants[qid][ZZ_ROWS, ZZ_COLS].astype(np.float64)

@@ -317,8 +317,8 @@ def _parse_mp4_impl(payload: bytes) -> dict:
     timescale = duration = None
     tracks: list[dict] = []
     cur: dict | None = None
-    trex: dict[int, int | None] = {}  # track_id -> default_sample_size
-    frag: dict[int, dict] = {}  # track_id -> {"sizes": [], "offsets": []}
+    trex: dict[int, dict] = {}  # track_id -> {"size", "dur", "flags"} defaults
+    frag: dict[int, dict] = {}  # track_id -> {"sizes", "offsets", "durs", "sync", "flag_info"}
     moof_start: int | None = None
     traf: dict | None = None
 
@@ -634,12 +634,22 @@ def _resolve_sample_offsets(
     return offsets
 
 
+def _track(meta: dict, track: int) -> dict:
+    """Bounds-checked track lookup: a corrupt file can parse to ZERO
+    tracks (e.g. a flipped trak box type), and a raw IndexError here
+    would leak outside the module's normalized ValueError contract."""
+    if not (0 <= track < len(meta["tracks"])):
+        raise ValueError(
+            f"track {track} not present ({len(meta['tracks'])} tracks parsed)"
+        )
+    return meta["tracks"][track]
+
+
 def extract_samples(payload: bytes, track: int = 0) -> list[bytes]:
     """The per-sample byte slices out of ``mdat`` — frame-range extraction
     without any codec. Decoding those slices as VIDEO needs H.264/H.265 —
     that stays ``NotImplementedError`` territory by design."""
-    meta = parse_mp4(payload)
-    t = meta["tracks"][track]
+    t = _track(parse_mp4(payload), track)
     return [
         payload[o : o + s]
         for o, s in zip(t["sample_offsets"], t["sample_sizes"])
@@ -654,8 +664,7 @@ def extract_sync_samples(payload: bytes, track: int = 0) -> list[bytes]:
     frame-samples: the container names the I-frames, so a representative
     frame subset ships to the (pluggable) decoder without touching the
     delta frames."""
-    meta = parse_mp4(payload)
-    t = meta["tracks"][track]
+    t = _track(parse_mp4(payload), track)
     sync = t["sync_samples"]
     nums = range(1, t["n_samples"] + 1) if sync is None else sync
     return [
@@ -682,8 +691,7 @@ def extract_time_range(
     from the I-frame even when t0 lands mid-GOP."""
     if t1 <= t0:
         raise ValueError("empty time range")
-    meta = parse_mp4(payload)
-    t = meta["tracks"][track]
+    t = _track(parse_mp4(payload), track)
     ts = t["timescale"] or 1
     lo_tick, hi_tick = t0 * ts, t1 * ts
     picked = [
@@ -693,7 +701,12 @@ def extract_time_range(
     ]
     if picked and align_sync and t["sync_samples"] is not None:
         first = picked[0] + 1  # 1-based
-        prev_sync = max((s for s in t["sync_samples"] if s <= first), default=first)
+        # ignore out-of-range stss numbers (a corrupt entry of 0 would
+        # otherwise make range() start at -1 and Python's negative
+        # indexing silently prepend the LAST sample's bytes)
+        prev_sync = max(
+            (s for s in t["sync_samples"] if 1 <= s <= first), default=first
+        )
         picked = list(range(prev_sync - 1, picked[0])) + picked
     return [
         payload[t["sample_offsets"][i] : t["sample_offsets"][i] + t["sample_sizes"][i]]

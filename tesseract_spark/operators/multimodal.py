@@ -1045,25 +1045,38 @@ def video_mp4_samples_oracle_sql(
     """
 
 
-CLIP_SCHEMA = "doc_id long, n_samples int, n_clip int, clip_md5 string"
+SAMPLING_SCHEMA = (
+    "doc_id long, n_samples int, n_sync int, keyframes_md5 string, "
+    "keyframes_frag_md5 string, n_clip int, clip_md5 string"
+)
 
 
-def video_time_clip(
+def video_sampling(
     documents: DataFrame,
-    t0: float = 0.08,
-    t1: float = 0.2,
     sample_bytes: int = 16,
     sync_every: int = 3,
+    t0: float = 0.08,
+    t1: float = 0.2,
 ) -> DataFrame:
-    """Codec-free CLIP extraction through Spark (r13): per-sample
-    timestamps from REAL stts runs (40 ms frames at timescale 1000) plus
-    sync alignment — ``extract_time_range(..., align_sync=True)`` pulls
-    the samples overlapping [t0, t1) and extends the start back to the
-    preceding stss keyframe, the decodable-clip rule (delta frames are
-    useless without their I-frame). The oracle predicts the clipped byte
-    stream from source bytes alone: with 40 ms frames, [0.08, 0.2) picks
-    frames 2..4 and sync-every-3 alignment extends to frame 0, so the
-    clip is frames 0..min(4, n-1) whenever any frame overlaps (n >= 3)."""
+    """Codec-free video SAMPLING through Spark (r13), one pass per doc
+    covering all three container-math primitives under one oracle:
+
+    - keyframe extraction from the PROGRESSIVE layout (stss sync table,
+      every ``sync_every``-th frame) → ``keyframes_md5``;
+    - keyframe extraction from the FRAGMENTED layout (trun/tfhd sample
+      flags, keyframe-per-fragment with ``samples_per_fragment =
+      sync_every`` so both layouts mark the SAME frames) →
+      ``keyframes_frag_md5`` — the oracle predicts BOTH columns with one
+      expression, so a wrong stss number or sample-flag bit in either
+      layout breaks its hash;
+    - sync-aligned time-range clipping (stts timestamps, 40 ms frames at
+      timescale 1000; ``extract_time_range(..., align_sync=True)`` over
+      [t0, t1) extends back to the preceding keyframe — the
+      decodable-clip rule) → ``n_clip``/``clip_md5``.
+
+    Pair with ``video_sampling_oracle_sql`` built from the SAME
+    parameters — the frame-window arithmetic is computed in Python at
+    oracle-build time, so non-default (t0, t1, sync_every) stay paired."""
     from pyspark import cloudpickle as _cp
 
     from . import mp4 as _mp4
@@ -1075,140 +1088,86 @@ def video_time_clip(
     docs = documents.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     sb, ke = sample_bytes, sync_every
     lo, hi = t0, t1
-    mux, clip_fn = _mp4.encode_mp4, _mp4.extract_time_range
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hashlib
-
-        for pdf in it:
-            out = {"doc_id": [], "n_samples": [], "n_clip": [], "clip_md5": []}
-            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload) // sb
-                if n == 0:
-                    continue
-                b = bytes(payload[: n * sb])
-                frames = [b[i * sb : (i + 1) * sb] for i in range(n)]
-                container = mux(frames, sync_every=ke)
-                clip = clip_fn(container, lo, hi, align_sync=True)
-                joined = b"".join(clip)
-                out["doc_id"].append(did)
-                out["n_samples"].append(n)
-                out["n_clip"].append(len(clip))
-                out["clip_md5"].append(
-                    _hashlib.md5(joined.hex().encode()).hexdigest()
-                )
-            yield pd.DataFrame(out)
-
-    return docs.mapInPandas(batches, schema=CLIP_SCHEMA)
-
-
-def video_time_clip_oracle_sql(table: str = "documents", sample_bytes: int = 16) -> str:
-    """[0.08, 0.2) over 40 ms frames = frames 2..4; stss-every-3 alignment
-    pulls the start back to frame 0 — so the clip is frames
-    0..min(4, n-1) when n >= 3, empty otherwise."""
-    sb = sample_bytes
-    n = f"(octet_length(encode(text)) // {sb})"
-    clip_n = f"(CASE WHEN {n} >= 3 THEN least(5, {n}) ELSE 0 END)"
-    clip_hex = (
-        f"lower(coalesce(list_aggregate(list_transform(range(0, {clip_n}), "
-        f"i -> substr(to_hex(encode(text)), i * {sb} * 2 + 1, {sb} * 2)), "
-        f"'string_agg', ''), ''))"
-    )
-    return f"""
-    SELECT doc_id,
-           {n}::INT AS n_samples,
-           {clip_n}::INT AS n_clip,
-           md5({clip_hex}) AS clip_md5
-    FROM {table}
-    WHERE {n} >= 1
-    """
-
-
-KEYFRAME_SCHEMA = "doc_id long, n_samples int, n_sync int, keyframes_md5 string"
-
-
-def video_keyframes(
-    documents: DataFrame,
-    sample_bytes: int = 16,
-    sync_every: int = 3,
-    fragmented: bool = False,
-) -> DataFrame:
-    """Codec-free keyframe extraction through Spark (r13): each document's
-    bytes become ``sample_bytes`` frames muxed with REAL sync-sample
-    markers — an ``stss`` table marking every ``sync_every``-th frame in
-    the progressive layout, or first-sample-of-fragment trun/tfhd sample
-    flags in the fragmented one (the CMAF keyframe-per-fragment pattern,
-    with ``samples_per_fragment = sync_every`` so both layouts mark the
-    SAME frames) — then ``extract_sync_samples`` pulls only the keyframe
-    byte ranges back out. This is the 100 TB frame-sampling primitive: the
-    container names the I-frames, so a representative subset ships to the
-    (pluggable) decoder without touching delta frames. Extraction is
-    lossless, so the oracle predicts the keyframe stream from source
-    bytes alone; a wrong stss number, sample-flag bit, or offset breaks
-    the md5."""
-    from pyspark import cloudpickle as _cp
-
-    from . import mp4 as _mp4
-
-    try:
-        _cp.register_pickle_by_value(_mp4)
-    except Exception:
-        pass
-    docs = documents.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    sb, ke = sample_bytes, sync_every
-    frag = fragmented
     mux_p, mux_f = _mp4.encode_mp4, _mp4.encode_mp4_fragmented
-    extract = _mp4.extract_sync_samples
+    extract_sync, clip_fn = _mp4.extract_sync_samples, _mp4.extract_time_range
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
+        def h(parts: list[bytes]) -> str:
+            return _hashlib.md5(b"".join(parts).hex().encode()).hexdigest()
+
         for pdf in it:
-            out = {"doc_id": [], "n_samples": [], "n_sync": [], "keyframes_md5": []}
+            out = {
+                "doc_id": [], "n_samples": [], "n_sync": [], "keyframes_md5": [],
+                "keyframes_frag_md5": [], "n_clip": [], "clip_md5": [],
+            }  # fmt: skip
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 n = len(payload) // sb
                 if n == 0:
                     continue
                 b = bytes(payload[: n * sb])
                 frames = [b[i * sb : (i + 1) * sb] for i in range(n)]
-                if frag:
-                    container = mux_f(
-                        frames,
-                        samples_per_fragment=ke,
-                        sync_first_of_fragment=True,
-                    )
-                else:
-                    container = mux_p(frames, sync_every=ke)
-                keys = extract(container)
-                joined = b"".join(keys)
+                prog = mux_p(frames, sync_every=ke)
+                frag = mux_f(
+                    frames, samples_per_fragment=ke, sync_first_of_fragment=True
+                )
+                keys = extract_sync(prog)
+                clip = clip_fn(prog, lo, hi, align_sync=True)
                 out["doc_id"].append(did)
                 out["n_samples"].append(n)
                 out["n_sync"].append(len(keys))
-                out["keyframes_md5"].append(
-                    _hashlib.md5(joined.hex().encode()).hexdigest()
-                )
+                out["keyframes_md5"].append(h(keys))
+                out["keyframes_frag_md5"].append(h(extract_sync(frag)))
+                out["n_clip"].append(len(clip))
+                out["clip_md5"].append(h(clip))
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(batches, schema=KEYFRAME_SCHEMA)
+    return docs.mapInPandas(batches, schema=SAMPLING_SCHEMA)
 
 
-def video_keyframes_oracle_sql(
-    table: str = "documents", sample_bytes: int = 16, sync_every: int = 3
+def video_sampling_oracle_sql(
+    table: str = "documents",
+    sample_bytes: int = 16,
+    sync_every: int = 3,
+    t0: float = 0.08,
+    t1: float = 0.2,
+    sample_duration_ms: int = 40,
 ) -> str:
-    """Keyframes are frames 0, k, 2k, … of the clipped source, so the
-    extracted stream is those ``sample_bytes`` slices concatenated."""
-    sb, ke = sample_bytes, sync_every
+    """Independent prediction of all three sampling primitives. Keyframes
+    (both layouts) are frames 0, k, 2k, …. The clip window arithmetic is
+    done HERE in Python from the same parameters the Spark side takes:
+    frames overlap [t0, t1) iff k*d < t1_ms and (k+1)*d > t0_ms, i.e.
+    k ∈ [floor(t0_ms/d), ceil(t1_ms/d)); sync alignment pulls the start
+    down to the nearest multiple of ``sync_every``."""
+    sb, ke, d = sample_bytes, sync_every, sample_duration_ms
     n = f"(octet_length(encode(text)) // {sb})"
-    key_hex = (
-        f"lower(list_aggregate(list_transform(range(0, {n}, {ke}), i -> "
-        f"substr(to_hex(encode(text)), i * {sb} * 2 + 1, {sb} * 2)), "
-        f"'string_agg', ''))"
+    lo_k = int(t0 * 1000) // d
+    hi_k = -(-int(t1 * 1000) // d)  # ceil
+    aligned_lo = (lo_k // ke) * ke
+    hexpr = "to_hex(encode(text))"
+
+    def agg(range_expr: str) -> str:
+        return (
+            f"md5(lower(coalesce(list_aggregate(list_transform({range_expr}, "
+            f"i -> substr({hexpr}, i * {sb} * 2 + 1, {sb} * 2)), "
+            f"'string_agg', ''), '')))"
+        )
+
+    key_md5 = agg(f"range(0, {n}, {ke})")
+    clip_n = f"(CASE WHEN {n} > {lo_k} THEN least({hi_k}, {n}) - {aligned_lo} ELSE 0 END)"
+    clip_md5 = agg(
+        f"(CASE WHEN {n} > {lo_k} THEN range({aligned_lo}, least({hi_k}, {n})) "
+        f"ELSE [] END)"
     )
     return f"""
     SELECT doc_id,
            {n}::INT AS n_samples,
            (({n} + {ke} - 1) // {ke})::INT AS n_sync,
-           md5({key_hex}) AS keyframes_md5
+           {key_md5} AS keyframes_md5,
+           {key_md5} AS keyframes_frag_md5,
+           {clip_n}::INT AS n_clip,
+           {clip_md5} AS clip_md5
     FROM {table}
     WHERE {n} >= 1
     """

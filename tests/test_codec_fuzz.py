@@ -231,3 +231,42 @@ def test_legacy_decoders_bounded_on_mutations(which, pos, val, cut):
         assert isinstance(out, dict)
         if "pixels" in out:
             assert len(out["pixels"]) == out["width"] * out["height"] * 3
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pos=st.integers(0, len(_FMP4) - 1),
+    val=st.integers(0, 255),
+)
+def test_extraction_apis_bounded_on_mutations(pos, val):
+    """The EXTRACTION layer shares parse_mp4's normalized contract: a
+    mutation that parses to zero tracks (flipped trak type) or corrupts
+    an stss entry to 0 must raise ValueError, never leak IndexError or
+    silently wrap to the LAST sample via Python negative indexing."""
+    mutated = bytearray(_FMP4)
+    mutated[pos] = val
+    payload = bytes(mutated)
+    for fn in (
+        mp4.extract_samples,
+        mp4.extract_sync_samples,
+        lambda p: mp4.extract_time_range(p, 0.0, 0.1, align_sync=True),
+    ):
+        try:
+            out = fn(payload)
+        except ALLOWED:
+            continue
+        assert isinstance(out, list)
+
+
+def test_corrupt_stss_zero_entry_does_not_wrap_negative():
+    samples = [bytes([65 + i]) * 4 for i in range(6)]
+    enc = bytearray(mp4.encode_mp4(samples, sync_every=3))
+    i = bytes(enc).index(b"stss") - 4
+    struct.pack_into(">I", enc, i + 8 + 4 + 4, 0)  # first sync number -> 0
+    clip = mp4.extract_time_range(bytes(enc), 0.08, 0.2, align_sync=True)
+    # the clip must not be prepended with the LAST sample's bytes
+    assert samples[-1] not in clip[: max(len(clip) - 1, 0)]
