@@ -112,6 +112,14 @@ HEADLINE = [
     # (one fact scan + multiplicity explode vs the fan-out's N scans)
     "q_growth_yoy_calendar",
     "q_multi_cut_single_plan",
+    # round-13 debuts: progressive JPEG decode (the Python-rate-bound
+    # Arrow-batched path — bench-visible so its linear cost stays
+    # honest), fragmented-MP4 sample resolution, and the merged
+    # codec-free video-sampling primitives (keyframes both layouts +
+    # sync-aligned time clip in one pass)
+    "q_image_jpeg_progressive",
+    "q_video_mp4_fragmented",
+    "q_video_sampling",
 ]
 
 
