@@ -184,3 +184,42 @@ def test_progressive_geometry_bomb_rejected():
     struct.pack_into(">HH", enc, i + 5, 65535, 65535)
     with pytest.raises(ValueError, match="implausible"):
         jpeg.decode_jpeg(bytes(enc))
+
+
+def test_random_scan_scripts_match_baseline():
+    """Property fuzz over the scan-script space: random spectral band
+    splits (including single-coefficient bands) and random
+    successive-approximation depth per region, always ending at Al=0 —
+    every valid script must decode bit-identically to the baseline
+    decode of the same image (shared quantize path, lossless entropy)."""
+    rng = np.random.default_rng(23)
+    for trial in range(12):
+        h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+        img = (
+            rng.integers(0, 256, (h, w)).astype(np.uint8)
+            if trial % 2
+            else _smooth(h, w)
+        )
+        # random AC band split of 1..63
+        cuts = sorted(
+            set(rng.integers(2, 63, size=int(rng.integers(0, 4))).tolist())
+        )
+        bounds = [1] + cuts + [64]
+        bands = [(bounds[i], bounds[i + 1] - 1) for i in range(len(bounds) - 1)]
+        dc_al = int(rng.integers(0, 3))
+        scans = [(0, 0, 0, dc_al)]
+        for ss, se in bands:
+            al = int(rng.integers(0, 3))
+            scans.append((ss, se, 0, al))
+            for a in range(al, 0, -1):  # refinement chain down to 0
+                scans.append((ss, se, a, a - 1))
+        for a in range(dc_al, 0, -1):
+            scans.append((0, 0, a, a - 1))
+        quality = int(rng.integers(40, 96))
+        prog = _decode(
+            jpeg.encode_jpeg_progressive_gray(img, quality=quality, scans=scans),
+            h,
+            w,
+        )
+        base = _decode(jpeg.encode_jpeg_gray(img, quality=quality), h, w)
+        assert np.array_equal(prog, base), (trial, h, w, quality, scans)
