@@ -4380,9 +4380,13 @@ def aggnav_build_serve_split(spark: SparkSession, sf_dir: str) -> dict:
 #    removal, so no owed r9 entry is displaced);
 #  - 2 changed-code re-proofs: q_image_jpeg_decode (the sequential
 #    decoder's marker walk and reconstruction tail were restructured for
-#    the progressive path, plus the ADVICE r12 geometry guard) and
-#    q_video_mp4_samples (the parser grew trex/tfhd/trun handling,
-#    track_id plumbing, and the ADVICE r12 stsc/stsz clamps);
+#    the progressive path, plus the ADVICE r12 geometry guard; late r13
+#    it ALSO gained the pixels12_md5 column driving the 12-bit SOF1 path
+#    — the widened schema makes both jpeg entries effectively fresh
+#    debuts under the hash gate, re-proven bit-exact at both SFs and
+#    under the bare session before commit) and q_video_mp4_samples (the
+#    parser grew trex/tfhd/trun handling, track_id plumbing, and the
+#    ADVICE r12 stsc/stsz clamps);
 #  - the ENTIRE surviving r9 cohort (38 entries; q_percentiles was
 #    superseded by q_custom_percentile_inline in r10 and removed),
 #    oldest-first — OLAP (dim-subquery drill, LIKE/exclude cuts, HAVING,

@@ -18,9 +18,15 @@ same dequant/IDCT/upsample/color-convert tail as the sequential path.
 The matching progressive encoders (``encode_jpeg_progressive_gray`` /
 ``_color``) emit real multi-scan successive-approximation scripts so the
 refinement paths are exercised end-to-end without any image library.
-Remaining honest boundaries: arithmetic coding, hierarchical/differential
-frames, 12-bit precision — those raise ``NotImplementedError``, never
-silently wrong pixels.
+12-bit precision decodes too (r13): SOF1 extended sequential with
+16-bit DQT tables and extended Huffman categories, level shift 2048,
+output down-shifted to the module's 8-bit RGB contract (the top 8 of 12
+bits — the standard preview mapping). Remaining honest boundaries:
+arithmetic coding (T.81 Table D.3's 113 Qe constants are not reliably
+reproducible offline — a guessed table would be a silently NON-compliant
+codec, so the boundary stays explicit) and hierarchical/differential
+frames — those raise ``NotImplementedError``, never silently wrong
+pixels.
 
 Exactness note for the oracle-gated entry (q_image_jpeg_decode): JPEG is
 lossy in general, but an image whose every 8×8 block is CONSTANT has only
@@ -119,6 +125,15 @@ AC_CHROMA_VALS = [
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+# 12-bit precision needs DC categories up to 15 and AC magnitude sizes up
+# to 14 — beyond the Annex K example tables (built for 8-bit). Flat
+# canonical tables (5-bit DC codes, 9-bit AC codes) cover the full symbol
+# space; compression quality is irrelevant for fixtures.
+EXT12_DC_VALS = list(range(16))
+EXT12_DC_BITS = [0, 0, 0, 0, 16] + [0] * 11
+EXT12_AC_VALS = sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 15)})
+EXT12_AC_BITS = [0] * 8 + [len(EXT12_AC_VALS)] + [0] * 7
 
 #: zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient
 _zz = sorted(
@@ -306,8 +321,9 @@ def _encode_block(
     dc_pred: int,
     dc_codes: dict,
     ac_codes: dict,
+    level: float = 128.0,
 ) -> int:
-    coef = dct2(block.astype(np.float64) - 128.0)
+    coef = dct2(block.astype(np.float64) - level)
     q = np.round(coef / quant).astype(np.int64)
     zz = q[ZZ_ROWS, ZZ_COLS]
     dc = int(zz[0])
@@ -347,8 +363,10 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def _dqt_payload(tid: int, table: np.ndarray) -> bytes:
-    zz = table[ZZ_ROWS, ZZ_COLS].astype(np.uint8)
-    return bytes([tid]) + zz.tobytes()
+    zz = table[ZZ_ROWS, ZZ_COLS]
+    if int(zz.max()) > 255:  # pq=1: 16-bit entries
+        return bytes([0x10 | tid]) + zz.astype(">u2").tobytes()
+    return bytes([tid]) + zz.astype(np.uint8).tobytes()
 
 
 def _dht_payload(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
@@ -360,17 +378,31 @@ def encode_jpeg_gray(
     quality: int = 75,
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Encode a (h, w) uint8 grayscale array as baseline JFIF. ``quant``
     overrides the quality-scaled K.1 table (the oracle fixture passes an
     all-8s table so constant blocks round-trip exactly).
     ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs (byte-
     aligned, DC predictor reset) — the decoder's restart path is tested
-    through this."""
+    through this. ``precision=12`` encodes SOF1 extended sequential with
+    12-bit samples (uint16 input in [0, 4095], level shift 2048, flat
+    extended Huffman tables since Annex K's stop at 8-bit categories,
+    16-bit DQT when the table needs it) — the byte layout for 8-bit
+    input is unchanged."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     h, w_ = img.shape
+    level = float(1 << (precision - 1))
+    if precision == 12 and int(np.max(img)) > 4095:
+        raise ValueError("12-bit input must be in [0, 4095]")
     q = quant if quant is not None else scale_quant(QUANT_LUMA, quality)
-    dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_codes = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    if precision == 8:
+        dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+        ac_codes = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    else:
+        dc_codes = _build_codes(EXT12_DC_BITS, EXT12_DC_VALS)
+        ac_codes = _build_codes(EXT12_AC_BITS, EXT12_AC_VALS)
     bw = _BitWriter()
     dc_pred = 0
     bh, bw_ = (h + 7) // 8, (w_ + 7) // 8
@@ -386,7 +418,9 @@ def encode_jpeg_gray(
                 rst_i += 1
                 dc_pred = 0
             blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            dc_pred = _encode_block(bw, blk, q, dc_pred, dc_codes, ac_codes)
+            dc_pred = _encode_block(
+                bw, blk, q, dc_pred, dc_codes, ac_codes, level
+            )
             mcu_i += 1
     assert mcu_i == n_mcu
     bw.flush()
@@ -395,9 +429,17 @@ def encode_jpeg_gray(
     out += _seg(0xFFDB, _dqt_payload(0, q))
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))
-    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w_, 1) + bytes([1, 0x11, 0]))
-    out += _seg(0xFFC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
-    out += _seg(0xFFC4, _dht_payload(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    # 12-bit uses SOF1 (extended sequential) — SOF0 is defined 8-bit-only
+    sof_marker = 0xFFC0 if precision == 8 else 0xFFC1
+    out += _seg(
+        sof_marker, struct.pack(">BHHB", precision, h, w_, 1) + bytes([1, 0x11, 0])
+    )
+    if precision == 8:
+        out += _seg(0xFFC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+        out += _seg(0xFFC4, _dht_payload(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    else:
+        out += _seg(0xFFC4, _dht_payload(0, 0, EXT12_DC_BITS, EXT12_DC_VALS))
+        out += _seg(0xFFC4, _dht_payload(1, 0, EXT12_AC_BITS, EXT12_AC_VALS))
     out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -507,10 +549,10 @@ def decode_jpeg(payload: bytes) -> dict:
     row-major RGB stream (grayscale tripled) — the same output contract as
     :func:`multimodal.decode_bmp` / ``decode_png``. Supports grayscale and
     3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers,
-    byte stuffing, and progressive (SOF2) frames with both spectral
-    selection and successive approximation. Arithmetic coding, 12-bit
-    precision, differential frames, and 4-component images raise
-    ``NotImplementedError``.
+    byte stuffing, progressive (SOF2) frames with both spectral
+    selection and successive approximation, and 12-bit precision
+    (top-8-bits output mapping). Arithmetic coding, differential frames,
+    and 4-component images raise ``NotImplementedError``.
 
     Corrupt-input contract (shared by every decoder in multimodal.py):
     hostile bytes raise ValueError or NotImplementedError — truncation
@@ -526,6 +568,7 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
+    precision = 8
     quants: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
@@ -551,13 +594,21 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
-                zz = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8)
+                if pq == 0:
+                    zz = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8)
+                    off += 65
+                elif pq == 1:  # 16-bit entries (12-bit precision streams)
+                    zz = np.frombuffer(
+                        body[off + 1 : off + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    off += 129
+                else:
+                    raise ValueError(f"invalid DQT element precision {pq}")
+                if zz.size != 64:
+                    raise ValueError("truncated DQT table")
                 t = np.zeros((8, 8), dtype=np.int32)
                 t[ZZ_ROWS, ZZ_COLS] = zz
                 quants[tq] = t
-                off += 65
         elif marker == 0xFFC4:  # DHT
             off = 0
             while off < len(body):
@@ -571,8 +622,9 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
         elif marker in (0xFFC0, 0xFFC1, 0xFFC2):  # SOF0/1 seq, SOF2 progressive
             progressive = marker == 0xFFC2
             prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError("12-bit precision unsupported")
+            if prec not in (8, 12):
+                raise NotImplementedError(f"{prec}-bit precision unsupported")
+            precision = prec
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG unsupported")
             comps = []
@@ -607,6 +659,7 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
                     dc_tabs,
                     ac_tabs,
                     restart_interval,
+                    precision,
                 )
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             a = body[3 + 2 * ns]
@@ -629,7 +682,7 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
             continue
         pos += seglen
     if progressive and coefs is not None:
-        return _reconstruct_progressive(frame, coefs, quants)
+        return _reconstruct_progressive(frame, coefs, quants, precision)
     raise ValueError("no SOS segment found")
 
 
@@ -655,6 +708,7 @@ def _decode_scan(
     dc_tabs,
     ac_tabs,
     restart_interval: int,
+    prec: int = 8,
 ) -> dict:
     h, w_, comps = frame
     hmax, vmax, mbx, mby = _mcu_grid(frame)
@@ -707,13 +761,24 @@ def _decode_scan(
                     f"entropy stream ended early at marker {mh.marker:#x}"
                 ) from None
             mcu_count += 1
-    return _planes_to_rgb(h, w_, comps, planes, hmax, vmax)
+    return _planes_to_rgb(h, w_, comps, planes, hmax, vmax, prec)
 
 
-def _planes_to_rgb(h, w_, comps, planes, hmax, vmax) -> dict:
+def _planes_to_rgb(h, w_, comps, planes, hmax, vmax, prec: int = 8) -> dict:
     """Upsample per-component spatial planes to full resolution, color
     convert, and assemble the decode_media output dict. Shared by the
-    sequential and progressive reconstruction paths."""
+    sequential and progressive reconstruction paths. The level shift is
+    2^(P-1) per T.81; 12-bit samples are clamped to [0, 4095] and
+    down-shifted to the module's 8-bit RGB output contract (the standard
+    preview mapping — the top 8 of 12 bits)."""
+    level = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    shift = prec - 8
+
+    def to_u8(p):
+        v = np.clip(np.round(p), 0, maxv).astype(np.int32)
+        return (v >> shift).astype(np.uint8) if shift else v.astype(np.uint8)
+
     full = []
     for ci, (cid, hs, vs, qid) in enumerate(comps):
         p = planes[ci]
@@ -721,19 +786,16 @@ def _planes_to_rgb(h, w_, comps, planes, hmax, vmax) -> dict:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:h, :w_])
     if len(comps) == 1:
-        g = np.clip(np.round(full[0] + 128.0), 0, 255).astype(np.uint8)
+        g = to_u8(full[0] + level)
         rgb = np.repeat(g[:, :, None], 3, axis=2)
     else:
-        y = full[0] + 128.0
+        y = full[0] + level
         cb = full[1]
         cr = full[2]
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         b = y + 1.772 * cb
-        rgb = np.stack(
-            [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (r, g, b)],
-            axis=2,
-        )
+        rgb = np.stack([to_u8(p) for p in (r, g, b)], axis=2)
     return {
         "width": w_,
         "height": h,
@@ -981,7 +1043,9 @@ def _decode_progressive_scan(
     return p
 
 
-def _reconstruct_progressive(frame, coefs: list[np.ndarray], quants) -> dict:
+def _reconstruct_progressive(
+    frame, coefs: list[np.ndarray], quants, prec: int = 8
+) -> dict:
     """Dequantize + IDCT the accumulated coefficient state (vectorized
     over all blocks per component) and reuse the shared upsample/color
     tail. Runs exactly once, at EOI."""
@@ -996,7 +1060,7 @@ def _reconstruct_progressive(frame, coefs: list[np.ndarray], quants) -> dict:
         blk[:, :, ZZ_ROWS, ZZ_COLS] = cf
         spatial = _D.T @ blk @ _D  # batched 2D IDCT
         planes.append(spatial.transpose(0, 2, 1, 3).reshape(gby * 8, gbx * 8))
-    return _planes_to_rgb(h, w_, comps, planes, hmax, vmax)
+    return _planes_to_rgb(h, w_, comps, planes, hmax, vmax, prec)
 
 
 # ---------------------------------------------------------------------------

@@ -863,6 +863,13 @@ def decoded_jpeg_features(
     every AC pass is a no-op on zero coefficients. The oracle SQL is
     therefore identical for both variants.
 
+    ``pixels12_md5`` (r13) additionally drives the 12-BIT SEQUENTIAL path
+    (SOF1, 16-bit-capable DQT, extended Huffman categories, level shift
+    2048) in BOTH variants: source byte b becomes the 12-bit constant
+    b<<4, which decodes exactly and down-shifts back to b under the
+    top-8-bits output mapping — so the 12-bit column's md5 equals the
+    8-bit one, and the oracle predicts both with one expression.
+
     The closure references ``operators.jpeg`` registered with cloudpickle's
     pickle-by-value, so executors need no repo PYTHONPATH (the module
     contract shared by every multimodal closure here)."""
@@ -881,6 +888,8 @@ def decoded_jpeg_features(
     )
     decode = _jpeg.decode_jpeg
 
+    encode12 = _jpeg.encode_jpeg_gray
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
@@ -890,7 +899,7 @@ def decoded_jpeg_features(
         for pdf in it:
             out = {
                 "doc_id": [], "width": [], "height": [], "channels": [],
-                "pixels_md5": [], "mean_pixel": [],
+                "pixels_md5": [], "mean_pixel": [], "pixels12_md5": [],
             }  # fmt: skip
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 hb = len(payload) // wb
@@ -902,6 +911,9 @@ def decoded_jpeg_features(
                 img = _np.repeat(_np.repeat(used, 8, axis=0), 8, axis=1)
                 dec = decode(encode_gray(img, quant=q8, restart_interval=2))
                 px = dec["pixels"]
+                img12 = img.astype(_np.uint16) << 4
+                dec12 = decode(encode12(img12, quant=q8, precision=12))
+                px12 = dec12["pixels"]
                 out["doc_id"].append(did)
                 out["width"].append(dec["width"])
                 out["height"].append(dec["height"])
@@ -910,9 +922,12 @@ def decoded_jpeg_features(
                     _hashlib.md5(px.hex().encode()).hexdigest()
                 )
                 out["mean_pixel"].append(sum(px) / len(px))
+                out["pixels12_md5"].append(
+                    _hashlib.md5(px12.hex().encode()).hexdigest()
+                )
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(batches, schema=DECODE_SCHEMA)
+    return docs.mapInPandas(batches, schema=DECODE_SCHEMA + ", pixels12_md5 string")
 
 
 def decoded_jpeg_features_oracle_sql(
@@ -945,7 +960,8 @@ def decoded_jpeg_features_oracle_sql(
            ({hb} * 8)::INT AS height,
            3 AS channels,
            md5({img_hex}) AS pixels_md5,
-           {bytesum}::DOUBLE / ({hb} * {wb}) AS mean_pixel
+           {bytesum}::DOUBLE / ({hb} * {wb}) AS mean_pixel,
+           md5({img_hex}) AS pixels12_md5
     FROM (SELECT doc_id, text, to_hex(encode(text)) AS hex FROM {table})
     WHERE {hb} >= 1
     """

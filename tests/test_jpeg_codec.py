@@ -271,3 +271,34 @@ def test_native_decoder_seam():
     # unknown formats cannot register silently unverified
     with pytest.raises(ValueError, match="no verification fixture"):
         mm.register_native_decoder("webp", lambda p: None)
+
+
+def test_12bit_precision_roundtrip_and_exact_subclass():
+    """12-bit extended sequential (SOF1): uint16 input in [0, 4095],
+    16-bit-capable DQT, extended Huffman categories, level shift 2048,
+    output mapped to the top 8 bits. Constant blocks c = b<<4 decode
+    exactly back to byte b — the same subclass the oracle column pins."""
+    img8 = _smooth(40, 56)
+    # 8-bit byte layout is unchanged by the precision parameter
+    assert jpeg.encode_jpeg_gray(img8, quality=85) == jpeg.encode_jpeg_gray(
+        img8, quality=85, precision=8
+    )
+    img12 = (img8.astype(np.uint16) << 4) | 7  # low bits exercise rounding
+    enc = jpeg.encode_jpeg_gray(img12, quality=90, precision=12)
+    dec = jpeg.decode_jpeg(enc)
+    g = _gray(dec)
+    assert _psnr(g, (img12 >> 4).astype(np.uint8)) >= 45.0
+    # exact constant-block subclass
+    vals = np.arange(12, dtype=np.uint16).reshape(3, 4) * 20 + 8
+    cimg = np.repeat(np.repeat(vals << 4, 8, 0), 8, 1)
+    q8 = np.full((8, 8), 8, np.int32)
+    dc = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(cimg, quant=q8, precision=12))
+    assert np.array_equal(_gray(dc), np.repeat(np.repeat(vals, 8, 0), 8, 1))
+    # 16-bit DQT (pq=1) round-trips
+    q300 = np.full((8, 8), 300, np.int32)
+    d300 = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(img12, quant=q300, precision=12))
+    assert d300["width"] == 56 and d300["height"] == 40
+    with pytest.raises(ValueError, match="4095"):
+        jpeg.encode_jpeg_gray(np.full((8, 8), 5000, np.uint16), precision=12)
+    with pytest.raises(ValueError, match="precision"):
+        jpeg.encode_jpeg_gray(img8, precision=10)
