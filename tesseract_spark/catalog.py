@@ -2068,10 +2068,16 @@ def _wire_pipeline_ops() -> None:
     # oracle from source bytes alone; the lossy AC/color/subsampling
     # paths are pinned by the pytest round-trip tier (PSNR floors +
     # naive-DCT cross-check)
+    # r13 widening: pixels12_md5 drives the 12-BIT SOF1 path (16-bit DQT,
+    # extended Huffman categories, level shift 2048) on this entry only —
+    # b<<4 decodes exactly and the top-8 mapping restores b, so the
+    # oracle predicts the 12-bit column with the same expression.
     _add(
         "q_image_jpeg_decode",
-        lambda spark, sf: multimodal.decoded_jpeg_features(_docs(spark, sf)),
-        multimodal.decoded_jpeg_features_oracle_sql(),
+        lambda spark, sf: multimodal.decoded_jpeg_features(
+            _docs(spark, sf), twelve_bit=True
+        ),
+        multimodal.decoded_jpeg_features_oracle_sql(twelve_bit=True),
     )
     # PROGRESSIVE JPEG (r13 — closes VERDICT r12 'missing' #1): the same
     # constant-block fixture encoded as multi-scan SOF2 with the default
@@ -4382,8 +4388,8 @@ def aggnav_build_serve_split(spark: SparkSession, sf_dir: str) -> dict:
 #    decoder's marker walk and reconstruction tail were restructured for
 #    the progressive path, plus the ADVICE r12 geometry guard; late r13
 #    it ALSO gained the pixels12_md5 column driving the 12-bit SOF1 path
-#    — the widened schema makes both jpeg entries effectively fresh
-#    debuts under the hash gate, re-proven bit-exact at both SFs and
+#    — the widened schema makes it effectively a fresh debut under the
+#    hash gate; both jpeg entries re-proven bit-exact at both SFs and
 #    under the bare session before commit) and q_video_mp4_samples (the
 #    parser grew trex/tfhd/trun handling, track_id plumbing, and the
 #    ADVICE r12 stsc/stsz clamps);

@@ -837,7 +837,10 @@ def decoded_png_features(documents: DataFrame, width: int = 16) -> DataFrame:
 
 
 def decoded_jpeg_features(
-    documents: DataFrame, width_blocks: int = 4, progressive: bool = False
+    documents: DataFrame,
+    width_blocks: int = 4,
+    progressive: bool = False,
+    twelve_bit: bool = False,
 ) -> DataFrame:
     """End-to-end REAL entropy-coded JPEG decode through Spark, oracle-gated
     via the mathematically exact constant-block subclass (jpeg.py module
@@ -863,12 +866,14 @@ def decoded_jpeg_features(
     every AC pass is a no-op on zero coefficients. The oracle SQL is
     therefore identical for both variants.
 
-    ``pixels12_md5`` (r13) additionally drives the 12-BIT SEQUENTIAL path
-    (SOF1, 16-bit-capable DQT, extended Huffman categories, level shift
-    2048) in BOTH variants: source byte b becomes the 12-bit constant
-    b<<4, which decodes exactly and down-shifts back to b under the
-    top-8-bits output mapping — so the 12-bit column's md5 equals the
-    8-bit one, and the oracle predicts both with one expression.
+    With ``twelve_bit=True`` (r13, the sequential entry only — 12-bit is
+    a SOF1 sequential-path feature) a ``pixels12_md5`` column additionally
+    drives the 12-BIT path (SOF1, 16-bit-capable DQT, extended Huffman
+    categories, level shift 2048): source byte b becomes the 12-bit
+    constant b<<4, which decodes exactly and down-shifts back to b under
+    the top-8-bits output mapping — so the 12-bit column's md5 equals the
+    8-bit one and the oracle predicts both with one expression (pair with
+    ``decoded_jpeg_features_oracle_sql(twelve_bit=True)``).
 
     The closure references ``operators.jpeg`` registered with cloudpickle's
     pickle-by-value, so executors need no repo PYTHONPATH (the module
@@ -889,6 +894,7 @@ def decoded_jpeg_features(
     decode = _jpeg.decode_jpeg
 
     encode12 = _jpeg.encode_jpeg_gray
+    tb = twelve_bit
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -899,8 +905,10 @@ def decoded_jpeg_features(
         for pdf in it:
             out = {
                 "doc_id": [], "width": [], "height": [], "channels": [],
-                "pixels_md5": [], "mean_pixel": [], "pixels12_md5": [],
+                "pixels_md5": [], "mean_pixel": [],
             }  # fmt: skip
+            if tb:
+                out["pixels12_md5"] = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 hb = len(payload) // wb
                 if hb == 0:
@@ -911,9 +919,6 @@ def decoded_jpeg_features(
                 img = _np.repeat(_np.repeat(used, 8, axis=0), 8, axis=1)
                 dec = decode(encode_gray(img, quant=q8, restart_interval=2))
                 px = dec["pixels"]
-                img12 = img.astype(_np.uint16) << 4
-                dec12 = decode(encode12(img12, quant=q8, precision=12))
-                px12 = dec12["pixels"]
                 out["doc_id"].append(did)
                 out["width"].append(dec["width"])
                 out["height"].append(dec["height"])
@@ -922,16 +927,20 @@ def decoded_jpeg_features(
                     _hashlib.md5(px.hex().encode()).hexdigest()
                 )
                 out["mean_pixel"].append(sum(px) / len(px))
-                out["pixels12_md5"].append(
-                    _hashlib.md5(px12.hex().encode()).hexdigest()
-                )
+                if tb:
+                    img12 = img.astype(_np.uint16) << 4
+                    dec12 = decode(encode12(img12, quant=q8, precision=12))
+                    out["pixels12_md5"].append(
+                        _hashlib.md5(dec12["pixels"].hex().encode()).hexdigest()
+                    )
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(batches, schema=DECODE_SCHEMA + ", pixels12_md5 string")
+    schema = DECODE_SCHEMA + (", pixels12_md5 string" if twelve_bit else "")
+    return docs.mapInPandas(batches, schema=schema)
 
 
 def decoded_jpeg_features_oracle_sql(
-    table: str = "documents", width_blocks: int = 4
+    table: str = "documents", width_blocks: int = 4, twelve_bit: bool = False
 ) -> str:
     """Independent prediction of the JPEG-decoded RGB stream: block ``k``
     of the constant-block grid is source byte ``k``, so pixel row ``y``
@@ -954,14 +963,15 @@ def decoded_jpeg_features_oracle_sql(
         f"list_aggregate(list_transform(range(0, {hb} * {wb}), k -> "
         f"('0x' || substr(hex, 2 * k + 1, 2))::INT), 'sum')"
     )
+    # the exact 12-bit constant-block subclass decodes to the SAME bytes
+    extra = f",\n           md5({img_hex}) AS pixels12_md5" if twelve_bit else ""
     return f"""
     SELECT doc_id,
            {wb * 8} AS width,
            ({hb} * 8)::INT AS height,
            3 AS channels,
            md5({img_hex}) AS pixels_md5,
-           {bytesum}::DOUBLE / ({hb} * {wb}) AS mean_pixel,
-           md5({img_hex}) AS pixels12_md5
+           {bytesum}::DOUBLE / ({hb} * {wb}) AS mean_pixel{extra}
     FROM (SELECT doc_id, text, to_hex(encode(text)) AS hex FROM {table})
     WHERE {hb} >= 1
     """
