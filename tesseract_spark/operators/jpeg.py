@@ -577,17 +577,24 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
     coefs = None  # progressive per-component coefficient state
     restart_interval = 0
     n = len(payload)
-    while pos + 4 <= n:
+    saw_eoi = False
+    # pos+2: a bare EOI marker may legitimately be the stream's final two
+    # bytes, and the progressive contract below requires SEEING it — the
+    # old pos+4 bound could never read a terminal EOI.
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = (payload[pos] << 8) | payload[pos + 1]
         pos += 2
         if marker == 0xFFD9:  # EOI
+            saw_eoi = True
             break
         if marker in (0xFFC5, 0xFFC6, 0xFFC7, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError("differential/hierarchical JPEG unsupported")
         if marker in (0xFFC9, 0xFFCA, 0xFFCB):
             raise NotImplementedError("arithmetic-coded JPEG unsupported")
+        if pos + 2 > n:
+            raise ValueError(f"truncated segment header at {pos}")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         body = payload[pos + 2 : pos + seglen]
         if marker == 0xFFDB:  # DQT
@@ -682,6 +689,12 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
             continue
         pos += seglen
     if progressive and coefs is not None:
+        # Corrupt-input contract (ADVICE r13): a stream truncated exactly
+        # at a scan/marker boundary has valid scans decoded but no EOI —
+        # returning the partial reconstruction would hand a pipeline
+        # plausible-but-incomplete pixels with no error.
+        if not saw_eoi:
+            raise ValueError("progressive stream truncated before EOI")
         return _reconstruct_progressive(frame, coefs, quants, precision)
     raise ValueError("no SOS segment found")
 
@@ -967,7 +980,11 @@ def _decode_progressive_scan(
                             break
                         r -= 1
                     k += 1
-                if newval and k <= se:
+                if newval:
+                    # same corruption class ac_first rejects: the declared
+                    # zero-run carried the landing position past Se
+                    if k > se:
+                        raise ValueError("AC run past spectral band")
                     zz[k] = newval
                 k += 1
         if eobrun > 0:

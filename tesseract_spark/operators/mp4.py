@@ -178,6 +178,8 @@ def encode_mp4_fragmented(
     handler: bytes = b"vide",
     fourcc: bytes = b"mp4v",
     sync_first_of_fragment: bool = False,
+    emit_tfdt: bool = False,
+    decode_time_base: int = 0,
 ) -> bytes:
     """Minimal fragmented (fMP4 / CMAF-shaped) muxer: ftyp + moov with an
     EMPTY sample table and an mvex/trex carrying the track defaults, then
@@ -187,7 +189,11 @@ def encode_mp4_fragmented(
     (ISO/IEC 14496-12 §8.8). Used by tests and the q_video_mp4_fragmented
     fixture. ``sync_first_of_fragment`` marks each fragment's first sample
     as the sync sample via first_sample_flags + a non-sync tfhd default —
-    the CMAF keyframe-per-fragment pattern."""
+    the CMAF keyframe-per-fragment pattern. ``emit_tfdt`` writes each
+    traf's §8.8.12 baseMediaDecodeTime (starting at ``decode_time_base``
+    media ticks — nonzero models a seek-started/live-join stream whose
+    first fragment is NOT at decode time zero); the default stays off so
+    pre-r14 fixtures are byte-identical."""
     if not samples:
         raise ValueError("at least one sample required")
     if samples_per_fragment < 1:
@@ -228,12 +234,20 @@ def encode_mp4_fragmented(
             trun_flags |= 0x4
             trun_head = struct.pack(">I", 0x02000000)
         tfhd = _full(b"tfhd", 0, tfhd_flags, tfhd_body)
+        tfdt = b""
+        if emit_tfdt:
+            tfdt = _full(
+                b"tfdt",
+                1,
+                0,
+                struct.pack(">Q", decode_time_base + f0 * sample_duration),
+            )
         # trun flags: 0x1 data_offset present, 0x200 per-sample sizes
         trun_tail = b"".join(struct.pack(">I", len(s)) for s in chunk)
         trun = _full(
             b"trun", 0, trun_flags, struct.pack(">Ii", n, 0) + trun_head + trun_tail
         )
-        traf = _box(b"traf", tfhd + trun)
+        traf = _box(b"traf", tfhd + tfdt + trun)
         moof = _box(b"moof", mfhd + traf)
         # sample data starts right after this moof's mdat header
         data_offset = len(moof) + 8
@@ -243,7 +257,7 @@ def encode_mp4_fragmented(
             trun_flags,
             struct.pack(">Ii", n, data_offset) + trun_head + trun_tail,
         )
-        traf = _box(b"traf", tfhd + trun)
+        traf = _box(b"traf", tfhd + tfdt + trun)
         moof = _box(b"moof", mfhd + traf)
         out += moof + _box(b"mdat", b"".join(chunk))
         seq += 1
@@ -350,7 +364,21 @@ def _parse_mp4_impl(payload: bytes) -> dict:
                 "default_dur": None,
                 "default_flags": None,
                 "cursor": 0,
+                "tick": None,  # tfdt baseMediaDecodeTime, if present
             }
+            continue
+        if btype == b"tfdt":
+            # §8.8.12: absolute decode time of the traf's first sample on
+            # the track timeline. Without honoring it, seek-started or
+            # sparse fMP4 (fragments with non-contiguous decode times) got
+            # times accumulated from zero and extract_time_range picked
+            # the wrong samples (ADVICE r13).
+            if traf is None:
+                raise ValueError("tfdt outside traf")
+            if body[0] == 1:
+                (traf["tick"],) = struct.unpack_from(">Q", body, 4)
+            else:
+                (traf["tick"],) = struct.unpack_from(">I", body, 4)
             continue
         if btype == b"tfhd":
             if traf is None:
@@ -414,9 +442,14 @@ def _parse_mp4_impl(payload: bytes) -> dict:
                     "offsets": [],
                     "durs": [],
                     "sync": [],
+                    "times": [],  # explicit tfdt anchor per sample, or None
                     "flag_info": False,
                 },
             )
+            # the tfdt anchor binds to the traf's FIRST sample; later truns
+            # in the same traf continue by duration accumulation
+            anchor = traf["tick"]
+            traf["tick"] = None
             if first_flags is not None or flags & 0x400 or traf["default_flags"]:
                 ft["flag_info"] = True
             pos_c = traf["base"] + traf["cursor"]
@@ -444,6 +477,7 @@ def _parse_mp4_impl(payload: bytes) -> dict:
                 ft["durs"].append(dur)
                 ft["offsets"].append(pos_c)
                 ft["sizes"].append(sz)
+                ft["times"].append(anchor if i == 0 else None)
                 pos_c += sz
             traf["cursor"] = pos_c - traf["base"]  # next run continues here
             continue
@@ -553,9 +587,14 @@ def _parse_mp4_impl(payload: bytes) -> dict:
             sizes = sizes + ft["sizes"]
             offsets = offsets + ft["offsets"]
             durs = durs + ft["durs"]
+            anchors = [None] * base_n + ft["times"]
+        else:
+            anchors = None
         times: list[int] = []
         tick = 0
-        for d in durs:
+        for i, d in enumerate(durs):
+            if anchors is not None and anchors[i] is not None:
+                tick = anchors[i]  # tfdt: reset to baseMediaDecodeTime
             times.append(tick)
             tick += d
         out_tracks.append(

@@ -80,6 +80,7 @@ class _ResponseCache:
 
 import itertools as _itertools
 import threading as _threading
+import time as _time
 
 
 class _SingleFlight:
@@ -96,11 +97,12 @@ class _SingleFlight:
     already-started executions complete against the pre-flush plan."""
 
     class _Flight:
-        __slots__ = ("event", "result")
+        __slots__ = ("event", "result", "started")
 
         def __init__(self):
             self.event = _threading.Event()
             self.result = None
+            self.started = _time.monotonic()
 
     def __init__(self, wait_timeout: float = 300.0):
         self._lock = _threading.Lock()
@@ -111,10 +113,19 @@ class _SingleFlight:
         """(True, None) — caller is the leader and MUST call done(); or
         (False, result) after the leader finishes — result is the
         (content_type, body) to serve, or None if the caller must execute
-        independently (leader failed / body too large / wait timed out)."""
+        independently (leader failed / body too large / wait timed out).
+
+        A flight older than ``wait_timeout`` is presumed dead (leader
+        thread killed between begin() and its try/finally, or wedged) and
+        its leadership is reclaimed by the caller — without this, one lost
+        leader would make every future identical request block the full
+        timeout forever, since only done() evicts the key (ADVICE r13).
+        The old flight's event stays owned by its blocked followers: the
+        usurped leader's eventual done() pops the NEW flight, and the old
+        followers time out and fall back to independent execution."""
         with self._lock:
             fl = self._inflight.get(key)
-            if fl is None:
+            if fl is None or (_time.monotonic() - fl.started) > self.wait_timeout:
                 self._inflight[key] = self._Flight()
                 return True, None
         if not fl.event.wait(self.wait_timeout):

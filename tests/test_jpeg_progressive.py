@@ -223,3 +223,63 @@ def test_random_scan_scripts_match_baseline():
         )
         base = _decode(jpeg.encode_jpeg_gray(img, quality=quality), h, w)
         assert np.array_equal(prog, base), (trial, h, w, quality, scans)
+
+
+def test_truncated_before_eoi_raises():
+    """ADVICE r13: a progressive stream cut exactly at a marker boundary
+    (valid scans decoded, EOI missing) must raise, not return a
+    plausible-but-incomplete reconstruction."""
+    img = _smooth(16, 16)
+    enc = jpeg.encode_jpeg_progressive_gray(img)
+    assert enc[-2:] == b"\xff\xd9"
+    _decode(enc, 16, 16)  # sanity: intact stream decodes
+    with pytest.raises(ValueError, match="truncated before EOI"):
+        jpeg.decode_jpeg(enc[:-2])
+
+
+def test_truncated_at_scan_boundary_raises():
+    """Cut the stream at the LAST SOS marker: every earlier scan decoded
+    cleanly, so pre-fix the decoder happily reconstructed a partial image."""
+    img = _smooth(16, 16)
+    enc = jpeg.encode_jpeg_progressive_gray(img)
+    idx = enc.rfind(b"\xff\xda")
+    assert idx > 0
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(enc[:idx])
+
+
+def test_ac_refine_run_past_band_raises():
+    """ADVICE r13: in an AC-refinement scan, a newly-significant
+    coefficient whose zero-history run lands past Se is the same
+    corruption class ac_first rejects — hand-build the hostile scan."""
+    import struct as s
+
+    q = np.full((8, 8), 8, dtype=np.int32)
+    out = bytearray(b"\xff\xd8")
+    out += jpeg._seg(0xFFDB, jpeg._dqt_payload(0, q))
+    # SOF2: 8-bit, 8x8, 1 component (id 1, 1x1 sampling, quant 0)
+    out += jpeg._seg(0xFFC2, s.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DC table: single symbol = category 0 (code '0')
+    dc_bits, dc_vals = [1] + [0] * 15, [0]
+    out += jpeg._seg(0xFFC4, jpeg._dht_payload(0, 0, dc_bits, dc_vals))
+    # AC table: single symbol 0x51 = run 5, size 1 (code '0')
+    ac_bits, ac_vals = [1] + [0] * 15, [0x51]
+    out += jpeg._seg(0xFFC4, jpeg._dht_payload(1, 0, ac_bits, ac_vals))
+    # scan 1: DC first (Ss=0, Se=0, Ah=0, Al=1) — one block, diff=0
+    out += jpeg._sos_header([(1, 0, 0)], 0, 0, 0, 1)
+    bw = jpeg._BitWriter()
+    bw.write(0, 1)  # DC category 0
+    bw.flush()
+    out += bw.buf
+    # scan 2: AC refinement (Ss=1, Se=5, Ah=1, Al=0) — symbol 0x51 says
+    # "skip 5 zero-history coefficients then place a +/-1", but positions
+    # 1..5 are ALL zero-history, so the landing position is 6 > Se
+    out += jpeg._sos_header([(1, 0, 0)], 1, 5, 1, 0)
+    bw = jpeg._BitWriter()
+    bw.write(0, 1)  # huffman code for 0x51
+    bw.write(1, 1)  # sign bit -> newval = +1
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+    with pytest.raises(ValueError, match="AC run past spectral band"):
+        jpeg.decode_jpeg(bytes(out))

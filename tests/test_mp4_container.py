@@ -356,3 +356,48 @@ def test_hostile_stts_total_cannot_oom():
     struct.pack_into(">I", enc, i + 8 + 4 + 4, 0xFFFFFFFF)
     with pytest.raises(ValueError, match="exceeds"):
         mp4.parse_mp4(bytes(enc))
+
+
+def test_tfdt_seek_started_stream_times():
+    """ADVICE r13: fragmented tracks must honor tfdt baseMediaDecodeTime —
+    a seek-started/live-join stream's first fragment is NOT at decode time
+    zero, and extract_time_range must select samples on the tfdt timeline."""
+    samples = [bytes([65 + i]) * 4 for i in range(6)]  # 40ms @ 1000
+    enc = mp4.encode_mp4_fragmented(
+        samples, samples_per_fragment=3, emit_tfdt=True, decode_time_base=10_000
+    )
+    t = mp4.parse_mp4(enc)["tracks"][0]
+    assert t["sample_times"] == [10_000 + i * 40 for i in range(6)]
+    # samples live at 10.0s..10.24s now; a 0-.24s window picks nothing
+    assert mp4.extract_time_range(enc, 0.0, 0.24) == []
+    assert mp4.extract_time_range(enc, 10.08, 10.2) == samples[2:5]
+
+
+def test_tfdt_non_contiguous_fragments():
+    """Sparse fMP4: patch the second fragment's tfdt to introduce a decode
+    gap; per-sample times must jump with it (no zero-based accumulation)."""
+    import struct as s
+
+    samples = [bytes([65 + i]) * 4 for i in range(6)]
+    enc = bytearray(
+        mp4.encode_mp4_fragmented(samples, samples_per_fragment=3, emit_tfdt=True)
+    )
+    # second tfdt (version 1 -> u64 at body+4)
+    first = bytes(enc).index(b"tfdt")
+    second = bytes(enc).index(b"tfdt", first + 4)
+    s.pack_into(">Q", enc, second + 4 + 4, 5_000)  # gap: 120 -> 5000
+    t = mp4.parse_mp4(bytes(enc))["tracks"][0]
+    assert t["sample_times"] == [0, 40, 80, 5_000, 5_040, 5_080]
+    assert mp4.extract_time_range(bytes(enc), 4.99, 5.07) == samples[3:5]
+    # the gap itself holds no samples
+    assert mp4.extract_time_range(bytes(enc), 0.2, 4.9) == []
+
+
+def test_tfdt_default_muxer_output_unchanged():
+    """emit_tfdt defaults off: pre-r14 fixtures stay byte-identical and the
+    no-tfdt path still accumulates from zero."""
+    samples = [b"aaaa", b"bbbb", b"cccc"]
+    enc = mp4.encode_mp4_fragmented(samples, samples_per_fragment=2)
+    assert b"tfdt" not in enc
+    t = mp4.parse_mp4(enc)["tracks"][0]
+    assert t["sample_times"] == [0, 40, 80]

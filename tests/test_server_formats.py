@@ -436,3 +436,51 @@ def test_single_flight_coalesces_identical_inflight_requests(builder):
         assert eng.calls == 2
     finally:
         srv.shutdown()
+
+
+def test_single_flight_stale_leader_reclaimed():
+    """ADVICE r13: a leader that dies between begin() and its try/finally
+    must not poison the key forever — begin() reclaims leadership once the
+    existing flight is older than wait_timeout, instead of every future
+    identical request blocking the full timeout."""
+    import time
+
+    from tesseract_spark.server.app import _SingleFlight
+
+    sf = _SingleFlight(wait_timeout=0.05)
+    leader, _ = sf.begin("k")
+    assert leader
+    # leader dies silently (no done()); a fresh caller after the timeout
+    # must become the NEW leader immediately, not block
+    time.sleep(0.06)
+    t0 = time.monotonic()
+    leader2, _ = sf.begin("k")
+    assert leader2 and time.monotonic() - t0 < 0.05
+    sf.done("k", ("text/csv", b"body"))
+    # the key is clean again: next caller leads a fresh flight
+    leader3, _ = sf.begin("k")
+    assert leader3
+    sf.done("k", None)
+
+
+def test_single_flight_live_leader_still_coalesces():
+    """Reclaim must not break the normal path: a live leader within the
+    timeout window still hands followers its published result."""
+    import time
+
+    from tesseract_spark.server.app import _SingleFlight
+
+    sf = _SingleFlight(wait_timeout=5.0)
+    leader, _ = sf.begin("k")
+    assert leader
+    got = []
+
+    def follow():
+        got.append(sf.begin("k"))
+
+    th = threading.Thread(target=follow)
+    th.start()
+    time.sleep(0.05)
+    sf.done("k", ("text/csv", b"shared"))
+    th.join(timeout=5)
+    assert got == [(False, ("text/csv", b"shared"))]
