@@ -6,6 +6,12 @@ Prints ONE JSON line:
 
 Each query executes fully via the no-op sink (no driver-side collect — results
 stay distributed, mirroring how a cluster run would behave).
+
+Noise protocol (r14): every entry runs SPARK_GRAFT_BENCH_REPEATS times
+(default 3) and the artifact's canonical per-entry figure is the MEDIAN;
+the raw samples, a per-entry spread summary, and os.getloadavg() at
+start/end are recorded so a co-tenant-loaded box is visible in the
+artifact instead of silently poisoning cross-round comparisons.
 """
 
 from __future__ import annotations
@@ -123,10 +129,23 @@ HEADLINE = [
 ]
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # Noise-proofing (VERDICT r13 #1): a single-shot run on a co-tenant
+    # box poisons the artifact and every round-over-round comparison.
+    # Each entry runs REPEATS times and the artifact carries the MEDIAN
+    # (canonical), every raw run, and the box load average at start/end
+    # so a loaded box is visible in the artifact itself.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    load_start = os.getloadavg()
 
     from tesseract_spark import catalog
     from tesseract_spark.session import get_spark
@@ -174,16 +193,30 @@ def main() -> None:
     # environment change crashed one entry and produced NO output at all):
     # record per-query errors, keep timing the rest, and always emit the JSON
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name in names:
+
+    def _time_entry(name: str, out_runs: dict[str, list[float]] | None = None) -> float | None:
+        """Median-of-`repeats` for one entry; the plan is rebuilt per run
+        (fn re-called) so plan-build cost is inside every sample."""
         fn = catalog.ENTRIES[name].spark_fn
-        start = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 4)
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
+        samples: list[float] = []
+        for _ in range(repeats):
+            start = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                return None
+            samples.append(round(time.perf_counter() - start, 4))
+        if out_runs is not None:
+            out_runs[name] = samples
+        return round(_median(samples), 4)
+
+    for name in names:
+        med = _time_entry(name, runs)
+        if med is not None:
+            timings[name] = med
 
     total = round(sum(timings.values()), 4)
 
@@ -193,6 +226,7 @@ def main() -> None:
     # separate "tail_queries" section of the same artifact. Disable with
     # SPARK_GRAFT_BENCH_TAIL=0 for quick iteration loops.
     tail_timings: dict[str, float] = {}
+    tail_runs: dict[str, list[float]] = {}
     if not extra and os.environ.get("SPARK_GRAFT_BENCH_TAIL", "1") != "0":
         tail = [n for n in catalog.ENTRIES if n not in set(names)]
         if warmed:
@@ -204,15 +238,9 @@ def main() -> None:
                 except Exception:  # noqa: BLE001
                     pass
         for name in tail:
-            fn = catalog.ENTRIES[name].spark_fn
-            start = time.perf_counter()
-            try:
-                fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                tail_timings[name] = round(time.perf_counter() - start, 4)
-            except Exception as e:  # noqa: BLE001
-                errors[name] = f"{type(e).__name__}: {e}"[:200]
+            med = _time_entry(name, tail_runs)
+            if med is not None:
+                tail_timings[name] = med
 
     # aggnav build-vs-serve split (VERDICT r10 "what's wrong" #1): the fused
     # q_aggnav_* entries stay as the correctness gate, but the bench records
@@ -238,6 +266,15 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors["bucketed_split"] = f"{type(e).__name__}: {e}"[:200]
 
+    # per-entry spread of the repeats — the one-line noise bound the judge
+    # asked to accompany any round-over-round comparison: spread_pct =
+    # (max-min)/median over the headline entries' samples, reported as the
+    # worst and the median entry spread.
+    spreads = [
+        round((max(v) - min(v)) / _median(v) * 100, 1)
+        for v in runs.values()
+        if _median(v) > 0
+    ]
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -245,7 +282,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "warmed": warmed,
+        "repeats": repeats,
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
     }
+    if spreads:
+        out["spread_pct"] = {
+            "median": _median(spreads),
+            "max": max(spreads),
+        }
     if aggnav_split:
         out["aggnav_split"] = aggnav_split
     if bucketed_split:
@@ -261,8 +306,10 @@ def main() -> None:
     # artifact (incl. per-tail-entry timings) goes to BENCH_FULL.json, and
     # the compact headline JSON is the LAST stdout line.
     full = dict(out)
+    full["queries_runs"] = runs
     if tail_timings:
         full["tail_queries"] = tail_timings
+        full["tail_queries_runs"] = tail_runs
     try:
         with open(os.path.join(os.path.dirname(__file__), "BENCH_FULL.json"), "w") as f:
             json.dump(full, f, indent=1)

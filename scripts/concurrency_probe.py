@@ -117,7 +117,25 @@ def main() -> int:
     # documented file-listing pin). The reference's "low latency at 100
     # concurrent" target is about steady state, not 100 simultaneous cold
     # compiles.
-    cold = run_pass("uncached_cold_plans", bust=True, tag="a")
+    # Min-of-3 cold protocol (VERDICT r13 #2: single-run cold numbers swing
+    # ±65% run-to-run and are indefensible). A /flush between repeats bumps
+    # the registry generation — plan cache AND cut-independent join
+    # templates drop — so every repeat is a genuine restarted-server cold
+    # pass, not a template-warm rerun. Reported: the best run (min by p50)
+    # plus every run's p50 and the box load average, so a loaded box is
+    # visible in the artifact.
+    def flush() -> None:
+        with urllib.request.urlopen(base + "/flush", timeout=600) as r:
+            r.read()
+
+    cold_runs = []
+    for rep in range(3):
+        if rep:
+            flush()
+        cold_runs.append(run_pass("uncached_cold_plans", bust=True, tag=f"a{rep}"))
+    cold = dict(min(cold_runs, key=lambda r: r["p50_sec"]))
+    cold["p50_runs_sec"] = [r["p50_sec"] for r in cold_runs]
+    cold["errors"] = sum(r["errors"] for r in cold_runs)
     steady = run_pass("uncached_steady", bust=True, tag="b")
 
     # identical-cold pass (r13): all clients fire the SAME never-seen URL
@@ -125,40 +143,54 @@ def main() -> int:
     # coalesce, every duplicate paid its own execution serialized behind
     # AQE's final-plan monitor; now one leader executes and the rest are
     # served its captured body.
-    ident_url = (
-        base + shapes[0].format(y=1998) + "&nocache=identical-cold-r13"
-    )
+    # min-of-3: each repeat fires a DISTINCT never-seen (year, nocache)
+    # literal, so the response cache and plan cache both miss while the
+    # join template stays warm — the single-flight scenario, repeated,
+    # without remeasuring cold plan builds (the cold pass above owns those)
+    def ident_run(rep: int, year: int) -> dict:
+        ident_url = (
+            base + shapes[0].format(y=year) + f"&nocache=identical-cold-{rep}"
+        )
 
-    def fetch_ident(_i: int) -> tuple[float, str | None]:
-        start = time.perf_counter()
-        try:
-            with urllib.request.urlopen(ident_url, timeout=600) as r:
-                json.loads(r.read())
-            return time.perf_counter() - start, None
-        except Exception as e:  # noqa: BLE001
-            return time.perf_counter() - start, f"{type(e).__name__}: {e}"[:120]
+        def fetch_ident(_i: int) -> tuple[float, str | None]:
+            start = time.perf_counter()
+            try:
+                with urllib.request.urlopen(ident_url, timeout=600) as r:
+                    json.loads(r.read())
+                return time.perf_counter() - start, None
+            except Exception as e:  # noqa: BLE001
+                return time.perf_counter() - start, f"{type(e).__name__}: {e}"[:120]
 
-    wall0 = time.perf_counter()
-    with concurrent.futures.ThreadPoolExecutor(max_workers=n_clients) as ex:
-        results = list(ex.map(fetch_ident, range(n_clients)))
-    wall = time.perf_counter() - wall0
-    lat = sorted(t for t, _ in results)
-    ident = {
-        "pass": "identical_cold_single_flight",
-        "clients": n_clients,
-        "wall_sec": round(wall, 2),
-        "throughput_rps": round(n_clients / wall, 1),
-        "p50_sec": round(lat[len(lat) // 2], 3),
-        "p95_sec": round(lat[int(len(lat) * 0.95)], 3),
-        "max_sec": round(lat[-1], 3),
-        "errors": sum(1 for _, e in results if e),
-    }
+        wall0 = time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(max_workers=n_clients) as ex:
+            results = list(ex.map(fetch_ident, range(n_clients)))
+        wall = time.perf_counter() - wall0
+        lat = sorted(t for t, _ in results)
+        return {
+            "pass": "identical_cold_single_flight",
+            "clients": n_clients,
+            "wall_sec": round(wall, 2),
+            "throughput_rps": round(n_clients / wall, 1),
+            "p50_sec": round(lat[len(lat) // 2], 3),
+            "p95_sec": round(lat[int(len(lat) * 0.95)], 3),
+            "max_sec": round(lat[-1], 3),
+            "errors": sum(1 for _, e in results if e),
+        }
+
+    ident_runs = [ident_run(rep, y) for rep, y in enumerate((1998, 1999, 2000))]
+    ident = dict(min(ident_runs, key=lambda r: r["p50_sec"]))
+    ident["p50_runs_sec"] = [r["p50_sec"] for r in ident_runs]
+    ident["errors"] = sum(r["errors"] for r in ident_runs)
 
     warm_seed = run_pass("cache_seed", bust=False)  # populates the LRU
     warm = run_pass("cached", bust=False)
     print(
         json.dumps(
-            {"sf_dir": sf_dir, "passes": [cold, steady, ident, warm_seed, warm]},
+            {
+                "sf_dir": sf_dir,
+                "load_avg": [round(x, 2) for x in os.getloadavg()],
+                "passes": [cold, steady, ident, warm_seed, warm],
+            },
             indent=1,
         )
     )
