@@ -126,6 +126,10 @@ HEADLINE = [
     "q_image_jpeg_progressive",
     "q_video_mp4_fragmented",
     "q_video_sampling",
+    # round-14 debut: indexed-color + alpha PNG decode (palette 8/4-bit,
+    # tRNS, RGBA plane split) — Python-rate Arrow-batched class like the
+    # other decode entries, bench-visible to keep its linear cost honest
+    "q_image_png_palette",
 ]
 
 

@@ -191,9 +191,15 @@ LEGACY_ALLOWED = ALLOWED + (
 
 def _legacy_fixtures():
     px = bytes(range(64)) * 4  # 256 bytes
+    pal = [((i * 7 + 13) % 256, (i * 5 + 3) % 256, i) for i in range(256)]
     out = [
         mm.encode_bmp_gray(px, 16, 16),
         mm.encode_png_gray(px, 16, 16),
+        # r14 PNG layouts: palette+tRNS, 4-bit palette, RGBA, gray+alpha
+        mm.encode_png_palette(px, 16, 16, pal, trans=bytes(range(128))),
+        mm.encode_png_palette(bytes(b & 0xF for b in px), 16, 16, pal[:16], depth=4),
+        mm.encode_png_rgba(px, 8, 8),
+        mm.encode_png_gray_alpha(px, 8, 16),
         b"P6\n16 16\n255\n" + bytes(768),
     ]
     import io
