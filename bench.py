@@ -126,10 +126,12 @@ HEADLINE = [
     "q_image_jpeg_progressive",
     "q_video_mp4_fragmented",
     "q_video_sampling",
-    # round-14 debut: indexed-color + alpha PNG decode (palette 8/4-bit,
-    # tRNS, RGBA plane split) — Python-rate Arrow-batched class like the
-    # other decode entries, bench-visible to keep its linear cost honest
+    # round-14 debuts: indexed-color + alpha PNG decode (palette 8/4-bit,
+    # tRNS, RGBA plane split) and 4-component CMYK JPEG (APP14 / plain) —
+    # Python-rate Arrow-batched class like the other decode entries,
+    # bench-visible to keep their linear cost honest
     "q_image_png_palette",
+    "q_image_jpeg_cmyk",
 ]
 
 

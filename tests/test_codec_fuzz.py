@@ -49,8 +49,15 @@ def _valid_fmp4() -> bytes:
     )
 
 
+def _valid_cmyk_jpeg() -> bytes:
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 24, 4), dtype=np.uint8)
+    return jpeg.encode_jpeg_cmyk(img, quality=85, transform=2, restart_interval=2)
+
+
 _JPEG = _valid_jpeg()
 _PJPEG = _valid_progressive_jpeg()
+_CMYK = _valid_cmyk_jpeg()
 _MP4 = _valid_mp4()
 _FMP4 = _valid_fmp4()
 
@@ -69,6 +76,28 @@ def test_jpeg_decoder_bounded_on_mutations(pos, val, cut):
     mutated = bytearray(_JPEG)
     mutated[pos] = val
     for payload in (bytes(mutated), _JPEG[:cut]):
+        try:
+            out = jpeg.decode_jpeg(payload)
+        except ALLOWED:
+            continue
+        assert set(out) >= {"width", "height", "channels", "pixels"}
+        assert len(out["pixels"]) == out["width"] * out["height"] * 3
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pos=st.integers(0, len(_CMYK) - 1),
+    val=st.integers(0, 255),
+    cut=st.integers(0, len(_CMYK)),
+)
+def test_cmyk_jpeg_decoder_bounded_on_mutations(pos, val, cut):
+    mutated = bytearray(_CMYK)
+    mutated[pos] = val
+    for payload in (bytes(mutated), _CMYK[:cut]):
         try:
             out = jpeg.decode_jpeg(payload)
         except ALLOWED:
