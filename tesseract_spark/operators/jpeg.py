@@ -538,6 +538,51 @@ def encode_jpeg_color(
     return bytes(out)
 
 
+def verify_decoder_equivalence(fn) -> None:
+    """Gate an external (native) JPEG decoder against THIS codec before it
+    may serve decodes (the native-decoder seam's equivalence oracle):
+
+    (a) byte equality on the mathematically exact constant-block subclass
+        — every compliant decoder agrees there, and it is the same
+        subclass the q_image_jpeg_* catalog entries hash-gate, so a
+        verified plugin cannot drift those oracles;
+    (b) PSNR >= 40 against this codec on a lossy smooth fixture (IDCT
+        implementations legitimately differ by ±1/255 per sample, so byte
+        equality would be wrong to demand there).
+
+    Raises ValueError on divergence. Lives in THIS stdlib+numpy module
+    (not multimodal) so executor-side installers can ship it by value and
+    run the gate inside each Python worker process."""
+    vals = np.arange(6, dtype=np.uint8).reshape(2, 3) * 37 + 11
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    q8 = np.full((8, 8), 8, dtype=np.int32)
+    enc = encode_jpeg_gray(img, quant=q8)
+    ours = decode_jpeg(enc)
+    got = fn(enc)
+    if (
+        (got["width"], got["height"]) != (ours["width"], ours["height"])
+        or bytes(got["pixels"]) != ours["pixels"]
+    ):
+        raise ValueError(
+            "native JPEG decoder failed the exact constant-block "
+            "equivalence check against the reference codec"
+        )
+    x = np.linspace(0, 3 * np.pi, 40)
+    smooth = (127 + 100 * np.outer(np.sin(x[:24]), np.cos(x))).astype(np.uint8)
+    enc2 = encode_jpeg_gray(smooth, quality=90)
+    a = np.frombuffer(decode_jpeg(enc2)["pixels"], np.uint8).astype(float)
+    got2 = fn(enc2)
+    b = np.frombuffer(bytes(got2["pixels"]), np.uint8).astype(float)
+    if len(a) != len(b):
+        raise ValueError("native JPEG decoder returned a differently-sized stream")
+    mse = float(((a - b) ** 2).mean())
+    if mse > 0 and 10 * np.log10(255**2 / mse) < 40.0:
+        raise ValueError(
+            "native JPEG decoder diverges from the reference codec "
+            "(PSNR < 40 on the lossy fixture)"
+        )
+
+
 def _app14_adobe(transform: int) -> bytes:
     """APP14 'Adobe' marker (the de-facto CMYK/YCCK convention flag):
     5-byte tag, version 100, two zero flag words, 1-byte color transform

@@ -165,3 +165,56 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "params, branches",
+    [
+        # 2 x 2 = 4 fan branches (the probe's shape)
+        (
+            {
+                "cube": "lineitem_sales",
+                "drilldowns": "Return Flag,Region,Nation,Year,Month",
+                "measures": ["Quantity"],
+                "Region": "1",
+                "Nation": "5,6",
+                "Year": "1995,1996",
+                "Month": "3,6,9",
+            },
+            4,
+        ),
+        # 3 x 2 x 2 = 12 branches — wider fan, same one-scan contract
+        (
+            {
+                "cube": "lineitem_sales",
+                "drilldowns": "Return Flag,Region,Nation,Year",
+                "measures": ["Quantity"],
+                "Region": "0,1,2",
+                "Nation": "5,6",
+                "Year": "1995,1996",
+            },
+            12,
+        ),
+    ],
+)
+def test_multicut_single_plan_one_fact_scan(spark, sf_dir, params, branches):
+    """Standing gate for the 100x probe's plan-shape claim (VERDICT r13
+    next-round #7): the L5 single-plan multi-cut dispatch must read the
+    fact table ONCE and contain NO Union at ANY fan width — the one-scan/
+    one-shuffle term is exactly what separates it from the reference-
+    shaped fan-out at 100 TB (measured 2.54x at 100x in SCALE.md r13;
+    scripts/probe_multicut_100x.py stays the wall-clock evidence)."""
+    from tesseract_spark import PlanBuilder, testdata_registry, testdata_schema
+    from tesseract_spark.logic.layer import LogicLayer
+
+    builder = PlanBuilder(spark, testdata_schema(), testdata_registry(spark, sf_dir))
+    df = LogicLayer(builder).data(dict(params))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, (
+        f"single-plan dispatch must scan the fact once, got "
+        f"{plan.count('lineitem.parquet')} (fan {branches})"
+    )
+    assert "Union" not in plan, "single-plan dispatch must not union branches"
+    assert "explode(array_repeat" in plan.lower() or "explode" in plan.lower(), (
+        "multiplicity explode missing — fan-out fallback was dispatched"
+    )
