@@ -34,14 +34,18 @@ def main() -> int:
     from tesseract_spark.logic.layer import LogicLayerConfig
     from tesseract_spark.server.app import make_server
 
+    import tempfile
+
     spark = get_spark("concurrency_probe")
     builder = PlanBuilder(spark, testdata_schema(), testdata_registry(spark, sf_dir))
     cfg = LogicLayerConfig.from_json(
         {"cubes": [{"name": "lineitem_sales", "alternatives": ["sales"]}]}
     )
-    srv = make_server(builder, port=0, logic_config=cfg)
+    manifest_path = tempfile.mktemp(prefix="warmup_", suffix=".json")
+    srv = make_server(builder, port=0, logic_config=cfg, warmup_manifest=manifest_path)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
-    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    state = {"base": f"http://127.0.0.1:{srv.server_address[1]}"}
+    base = state["base"]
 
     # mixed shapes: degenerate drill + cut, joined-dim drill, measure filter
     shapes = [
@@ -56,7 +60,7 @@ def main() -> int:
     years = [1995, 1996, 1997, 1998, 1999, 2000, 2001]
 
     def fetch(i: int, bust: bool, tag: str = "") -> tuple[float, str | None]:
-        url = base + shapes[i % len(shapes)].format(y=years[i % len(years)])
+        url = state["base"] + shapes[i % len(shapes)].format(y=years[i % len(years)])
         if bust:
             url += f"&nocache={tag}{i}"
         start = time.perf_counter()
@@ -184,17 +188,47 @@ def main() -> int:
 
     warm_seed = run_pass("cache_seed", bust=False)  # populates the LRU
     warm = run_pass("cached", bust=False)
+
+    # restart-with-manifest pass (VERDICT r13 next-round #6): tear the
+    # server down (flushing the recurring-shape manifest), boot a FRESH
+    # PlanBuilder + server — empty plan cache and join templates, the
+    # restarted-dashboard state — with warmup_manifest pointing at the
+    # recorded file, wait for the async replay, then fire the same shape
+    # mix cache-busted. With warmup the distinct-shape "cold" p50 on
+    # manifest shapes should sit at steady-state, not at the cold pass's.
+    srv.shutdown()
+    srv.server_close()  # flushes the manifest
+    builder2 = PlanBuilder(
+        spark, testdata_schema(), testdata_registry(spark, sf_dir)
+    )
+    srv2 = make_server(
+        builder2, port=0, logic_config=cfg, warmup_manifest=manifest_path
+    )
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    state["base"] = f"http://127.0.0.1:{srv2.server_address[1]}"
+    t_warm0 = time.perf_counter()
+    warmed_ok = srv2.warmup_done.wait(600)
+    restart = run_pass("restart_manifest_warm", bust=True, tag="w")
+    restart["warmup_ok"] = bool(warmed_ok)
+    restart["warmup_wall_sec"] = round(time.perf_counter() - t_warm0, 2)
+    restart["cold_p50_ref"] = cold["p50_sec"]
+    restart["steady_p50_ref"] = steady["p50_sec"]
+    srv2.shutdown()
+    try:
+        os.unlink(manifest_path)
+    except OSError:
+        pass
+
     print(
         json.dumps(
             {
                 "sf_dir": sf_dir,
                 "load_avg": [round(x, 2) for x in os.getloadavg()],
-                "passes": [cold, steady, ident, warm_seed, warm],
+                "passes": [cold, steady, ident, warm_seed, warm, restart],
             },
             indent=1,
         )
     )
-    srv.shutdown()
     return 1 if cold["errors"] or steady["errors"] or warm["errors"] else 0
 
 

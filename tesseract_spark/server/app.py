@@ -140,6 +140,82 @@ class _SingleFlight:
             fl.event.set()
 
 
+class _WarmupManifest:
+    """Plan-warmup manifest (r14 — VERDICT r13 next-round #6, the residual
+    cold-start term single-flight cannot touch): every served /aggregate
+    and /data request URI is counted here, and the top-N recurring shapes
+    are persisted to a small JSON file (atomic tmp+rename, throttled to
+    one write/second). ``make_server(warmup_manifest=path)`` replays them
+    through the real HTTP path on startup — asynchronously, marked with
+    an ``X-Warmup`` header so replays are never re-recorded — so a
+    restarted dashboard server has its plan cache, join templates, and
+    AQE stages warm before the first real request instead of paying the
+    ~2 s distinct-shape cold pass. Bounded: at most ``top_n`` URIs are
+    kept on disk and replayed; counts are process-local (restart resets
+    popularity, the file carries it forward)."""
+
+    def __init__(self, path: str, top_n: int = 32):
+        self.path = path
+        self.top_n = top_n
+        self._lock = _threading.Lock()
+        self._counts: dict[str, int] = {}
+        self._last_write = 0.0
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            self._counts = {
+                str(k): int(v) for k, v in data.get("uris", {}).items()
+            }
+        except (OSError, ValueError):
+            pass
+
+    def record(self, uri: str) -> None:
+        with self._lock:
+            self._counts[uri] = self._counts.get(uri, 0) + 1
+            now = _time.monotonic()
+            if now - self._last_write < 1.0:
+                return
+            self._last_write = now
+            top = dict(
+                sorted(self._counts.items(), key=lambda kv: -kv[1])[: self.top_n]
+            )
+        tmp = f"{self.path}.tmp"
+        try:
+            with open(tmp, "w") as f:
+                json.dump({"uris": top}, f)
+            import os as _os
+
+            _os.replace(tmp, self.path)
+        except OSError:
+            pass  # manifest persistence is best-effort
+
+    def top(self) -> list[str]:
+        with self._lock:
+            return [
+                uri
+                for uri, _ in sorted(
+                    self._counts.items(), key=lambda kv: -kv[1]
+                )[: self.top_n]
+            ]
+
+    def flush(self) -> None:
+        """Persist the current top-N unconditionally (called on server
+        close so a clean restart sees everything the throttle deferred)."""
+        with self._lock:
+            top = dict(
+                sorted(self._counts.items(), key=lambda kv: -kv[1])[: self.top_n]
+            )
+        tmp = f"{self.path}.tmp"
+        try:
+            with open(tmp, "w") as f:
+                json.dump({"uris": top}, f)
+            import os as _os
+
+            _os.replace(tmp, self.path)
+        except OSError:
+            pass
+
+
 _pool_counter = _itertools.count()
 _pool_tls = _threading.local()
 
@@ -165,6 +241,7 @@ class EngineHandler(BaseHTTPRequestHandler):
     jwt_secret: str | None = None
     cache: _ResponseCache = None
     flight: _SingleFlight = None
+    manifest: _WarmupManifest | None = None
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -310,6 +387,8 @@ class EngineHandler(BaseHTTPRequestHandler):
             fmt = fmt or "jsonrecords"
             if endpoint == "aggregate":
                 ck = _ResponseCache.key(url.path, qs)
+                if self.manifest is not None and not self.headers.get("X-Warmup"):
+                    self.manifest.record(self.path)
                 hit = self.cache.get(ck)
                 if hit is not None:
                     return self._send_cached(*hit)
@@ -369,6 +448,8 @@ class EngineHandler(BaseHTTPRequestHandler):
         if parts and parts[0].startswith("data"):
             _, _, fmt = parts[0].partition(".")
             ck = _ResponseCache.key(url.path, qs)
+            if self.manifest is not None and not self.headers.get("X-Warmup"):
+                self.manifest.record(self.path)
             hit = self.cache.get(ck)
             if hit is not None:
                 return self._send_cached(*hit)
@@ -459,11 +540,24 @@ def make_server(
     flush_secret: str | None = None,
     jwt_secret: str | None = None,
     navigator=None,
+    warmup_manifest: str | None = None,
+    warmup_top_n: int = 32,
 ) -> ThreadingHTTPServer:
     """``navigator``: optional ``plans.aggnav.AggregateNavigator`` — when its
     registered grains cover a request (measures/drills/cuts inside a
     materialized rollup), /aggregate and /data serve from the rollup instead
-    of the fact table; everything else routes to ``builder`` unchanged."""
+    of the fact table; everything else routes to ``builder`` unchanged.
+
+    ``warmup_manifest``: path to the recurring-shape manifest (see
+    :class:`_WarmupManifest`). When the file already holds shapes from a
+    previous run, a daemon thread replays them through the loopback HTTP
+    path as soon as ``serve_forever`` accepts connections — pre-building
+    plans/templates and first-executing each shape so a restarted
+    dashboard server answers its first real distinct-shape request at
+    steady-state latency. ``srv.warmup_done`` (threading.Event) is set
+    when the replay finishes (immediately when there is nothing to warm);
+    probes and tests wait on it."""
+    manifest = _WarmupManifest(warmup_manifest, warmup_top_n) if warmup_manifest else None
     handler = type(
         "BoundEngineHandler",
         (EngineHandler,),
@@ -481,6 +575,7 @@ def make_server(
             "jwt_secret": jwt_secret,
             "cache": _ResponseCache(),
             "flight": _SingleFlight(),
+            "manifest": manifest,
         },
     )
 
@@ -494,4 +589,33 @@ def make_server(
         request_queue_size = 128
         daemon_threads = True
 
-    return _Server((host, port), handler)
+        def server_close(self):
+            if manifest is not None:
+                manifest.flush()
+            super().server_close()
+
+    srv = _Server((host, port), handler)
+    srv.warmup_done = _threading.Event()
+    shapes = manifest.top() if manifest is not None else []
+    if not shapes:
+        srv.warmup_done.set()
+    else:
+
+        def _warm(port=srv.server_address[1], shapes=tuple(shapes)):
+            import urllib.request as _rq
+
+            for uri in shapes:
+                try:
+                    req = _rq.Request(
+                        f"http://127.0.0.1:{port}{uri}",
+                        headers={"X-Warmup": "1"},
+                    )
+                    with _rq.urlopen(req, timeout=600) as r:
+                        r.read()
+                except Exception:  # noqa: BLE001 — warmup is best-effort
+                    continue
+            srv.warmup_done.set()
+
+        _threading.Thread(target=_warm, daemon=True).start()
+
+    return srv

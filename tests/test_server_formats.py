@@ -484,3 +484,66 @@ def test_single_flight_live_leader_still_coalesces():
     sf.done("k", ("text/csv", b"shared"))
     th.join(timeout=5)
     assert got == [(False, ("text/csv", b"shared"))]
+
+
+def test_warmup_manifest_replays_recurring_shapes(builder, tmp_path):
+    """r14 (VERDICT r13 next-round #6): served /aggregate URIs are counted
+    into a bounded manifest; a RESTARTED server replays the recorded
+    shapes through the real HTTP path before the first real request —
+    pre-executing each one (engine-call proof) and never re-recording the
+    replays themselves."""
+    import json as _json
+    import time
+    import urllib.request
+
+    from tesseract_spark.server.app import make_server
+
+    manifest = str(tmp_path / "warmup.json")
+    srv1 = make_server(builder, port=0, warmup_manifest=manifest)
+    threading.Thread(target=srv1.serve_forever, daemon=True).start()
+    assert srv1.warmup_done.wait(5)  # empty manifest -> set immediately
+    base = f"http://127.0.0.1:{srv1.server_address[1]}"
+    shape_a = "/cubes/lineitem_sales/aggregate.jsonrecords?drilldowns=Return+Flag.Return+Flag&measures=Quantity"
+    shape_b = "/cubes/lineitem_sales/aggregate.jsonrecords?drilldowns=Ship+Date.Year&measures=Quantity"
+    for url in (shape_a, shape_a, shape_b):
+        with urllib.request.urlopen(base + url, timeout=120) as r:
+            r.read()
+    srv1.shutdown()
+    srv1.server_close()  # flush deferred manifest writes
+    data = _json.load(open(manifest))
+    assert data["uris"].get(shape_a) == 2 and data["uris"].get(shape_b) == 1
+
+    # "restarted" server: same session, fresh engine-call counter in front
+    class CountingEngine:
+        def __init__(self, inner):
+            self.inner = inner
+            self.calls = []
+
+        def dataframe(self, cube, q):
+            self.calls.append(cube)
+            return self.inner.dataframe(cube, q)
+
+    eng = CountingEngine(builder)
+    srv2 = make_server(builder, port=0, navigator=eng, warmup_manifest=manifest)
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        assert srv2.warmup_done.wait(120), "warmup never completed"
+        assert len(eng.calls) == 2, eng.calls  # both shapes pre-executed
+        # warmup replays must NOT be re-recorded (X-Warmup header)
+        assert srv2.RequestHandlerClass.manifest._counts == {
+            shape_a: 2,
+            shape_b: 1,
+        }
+        # a real request for a warmed shape is served from the seeded
+        # response cache — no further engine execution
+        base2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+        with urllib.request.urlopen(base2 + shape_a, timeout=120) as r:
+            r.read()
+            assert r.headers.get("X-Cache") == "hit"
+        assert len(eng.calls) == 2
+        # ...and IS recorded as regular traffic
+        time.sleep(0)
+        assert srv2.RequestHandlerClass.manifest._counts[shape_a] == 3
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
