@@ -229,7 +229,10 @@ def main() -> int:
             indent=1,
         )
     )
-    return 1 if cold["errors"] or steady["errors"] or warm["errors"] else 0
+    failed = any(
+        p["errors"] for p in (cold, steady, ident, warm_seed, warm, restart)
+    ) or not restart["warmup_ok"]
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -692,9 +692,10 @@ def decode_jpeg(payload: bytes) -> dict:
     :func:`multimodal.decode_bmp` / ``decode_png``. Supports grayscale and
     3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers,
     byte stuffing, progressive (SOF2) frames with both spectral
-    selection and successive approximation, and 12-bit precision
-    (top-8-bits output mapping). Arithmetic coding, differential frames,
-    and 4-component images raise ``NotImplementedError``.
+    selection and successive approximation, 12-bit precision
+    (top-8-bits output mapping), and 4-component CMYK/YCCK frames with
+    the Adobe APP14 conventions (r14 — 8-bit only). Arithmetic coding
+    and differential/hierarchical frames raise ``NotImplementedError``.
 
     Corrupt-input contract (shared by every decoder in multimodal.py):
     hostile bytes raise ValueError or NotImplementedError — truncation

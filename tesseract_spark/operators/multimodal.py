@@ -773,7 +773,15 @@ def decoded_png_palette_features(
 
     Same plumbing contract as every decode fixture here: Arrow-batched
     ``mapInPandas``, zero shuffle, ``operators.png`` registered with
-    cloudpickle's pickle-by-value so executors need no repo PYTHONPATH."""
+    cloudpickle's pickle-by-value so executors need no repo PYTHONPATH.
+
+    ``width`` must be a positive multiple of 4: the RGBA sub-image
+    consumes the same ``width`` bytes per row as 4-byte pixels, and the
+    oracle's pixel count (``n // 4`` over the usable stream) only matches
+    the Spark side's ``(width // 4) * height`` under that alignment
+    (r14 review)."""
+    if width < 4 or width % 4:
+        raise ValueError(f"width must be a positive multiple of 4, got {width}")
     from pyspark import cloudpickle as _cp
 
     from . import png as _png
@@ -978,7 +986,12 @@ def decoded_jpeg_features(
                 out["mean_pixel"].append(sum(px) / len(px))
                 if tb:
                     img12 = img.astype(_np.uint16) << 4
-                    dec12 = decode_fn(encode12(img12, quant=q8, precision=12))
+                    # 12-bit stays on the reference codec even when a
+                    # native plugin is installed: verify_decoder_equivalence
+                    # gates 8-bit fixtures only, so routing SOF1 12-bit
+                    # through an 8-bit-verified binding could silently
+                    # drift pixels12_md5 (r14 review)
+                    dec12 = decode(encode12(img12, quant=q8, precision=12))
                     out["pixels12_md5"].append(
                         _hashlib.md5(dec12["pixels"].hex().encode()).hexdigest()
                     )

@@ -135,6 +135,14 @@ def encode_png_palette(
     if not 1 <= len(palette) <= 256:
         raise ValueError("palette must have 1..256 entries")
     assert len(indices) >= width * height
+    used = indices[: width * height]
+    # validate at ENCODE time: an out-of-palette index would otherwise
+    # produce a structurally valid PNG this module's own decoder rejects,
+    # breaking the documented round-trip-is-the-identity contract
+    if used and max(used) >= len(palette):
+        raise ValueError(
+            f"index {max(used)} exceeds the {len(palette)}-entry palette"
+        )
     rows: list[bytes] = []
     for y in range(height):
         row = indices[y * width : (y + 1) * width]
@@ -266,7 +274,21 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError("PNG IDAT length mismatch")
     out = bytearray()
     alpha = bytearray()
-    has_alpha = ctype_n in (4, 6) or (ctype_n == 3 and trns is not None)
+    has_alpha = ctype_n in (4, 6) or trns is not None
+    # §11.3.2: on gray/RGB frames tRNS is a COLOR KEY — one 2-byte sample
+    # per channel; matching pixels are fully transparent. Dropping it
+    # silently would lose transparency (r14 review), so decode it.
+    key_gray = key_rgb = None
+    if trns is not None and ctype_n == 0:
+        if len(trns) != 2:
+            raise ValueError("tRNS on a grayscale PNG must be 2 bytes")
+        key_gray = struct.unpack(">H", trns)[0]
+    elif trns is not None and ctype_n == 2:
+        if len(trns) != 6:
+            raise ValueError("tRNS on an RGB PNG must be 6 bytes")
+        key_rgb = struct.unpack(">HHH", trns)
+    elif trns is not None and ctype_n in (4, 6):
+        raise ValueError(f"tRNS is invalid on color type {ctype_n}")
     npal = len(plte) // 3 if plte else 0
     prior = bytes(stride)
     for y in range(height):
@@ -293,8 +315,17 @@ def decode_png(payload: bytes) -> dict:
         prior = bytes(recon)
         if ctype_n == 0:
             out += b"".join(bytes((g, g, g)) for g in recon)
+            if key_gray is not None:
+                alpha += bytes(0 if g == key_gray else 255 for g in recon)
         elif ctype_n == 2:
             out += recon
+            if key_rgb is not None:
+                alpha += bytes(
+                    0
+                    if (recon[x], recon[x + 1], recon[x + 2]) == key_rgb
+                    else 255
+                    for x in range(0, stride, 3)
+                )
         elif ctype_n == 3:
             if depth == 8:
                 idxs = recon

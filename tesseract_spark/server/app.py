@@ -151,8 +151,18 @@ class _WarmupManifest:
     restarted dashboard server has its plan cache, join templates, and
     AQE stages warm before the first real request instead of paying the
     ~2 s distinct-shape cold pass. Bounded: at most ``top_n`` URIs are
-    kept on disk and replayed; counts are process-local (restart resets
-    popularity, the file carries it forward)."""
+    kept on disk and replayed, and the in-memory counter evicts its
+    lowest-count entries whenever it exceeds ``16 * top_n`` (a server fed
+    cache-busted or high-cardinality query strings must not grow a dict
+    per distinct URI forever); counts are process-local (restart resets
+    popularity, the file carries it forward).
+
+    Credentials never land on disk: the ``token`` query parameter (the
+    server's own JWT carrier — auth.py reads exactly this name) is
+    stripped before recording. Consequence: warmup replays run
+    UNauthenticated, so shapes on auth-gated cubes 401 during replay and
+    simply stay cold — correct, since persisting bearer tokens to a
+    plaintext file (and replaying them after expiry) would be worse."""
 
     def __init__(self, path: str, top_n: int = 32):
         self.path = path
@@ -169,9 +179,27 @@ class _WarmupManifest:
         except (OSError, ValueError):
             pass
 
+    @staticmethod
+    def sanitize(uri: str) -> str:
+        """Drop the ``token`` query parameter (credential — must never be
+        persisted or replayed) while preserving everything else verbatim."""
+        path, sep, query = uri.partition("?")
+        if not sep:
+            return uri
+        kept = [
+            p for p in query.split("&") if p.split("=", 1)[0] != "token"
+        ]
+        return path + ("?" + "&".join(kept) if kept else "")
+
     def record(self, uri: str) -> None:
+        uri = self.sanitize(uri)
         with self._lock:
             self._counts[uri] = self._counts.get(uri, 0) + 1
+            if len(self._counts) > 16 * self.top_n:
+                keep = sorted(self._counts.items(), key=lambda kv: -kv[1])[
+                    : 4 * self.top_n
+                ]
+                self._counts = dict(keep)
             now = _time.monotonic()
             if now - self._last_write < 1.0:
                 return

@@ -5380,10 +5380,25 @@ def test_png_palette_hostile_inputs():
     from tesseract_spark.operators import multimodal as mm
 
     pal = [(i, i, i) for i in range(4)]
-    # index past the palette must raise, not read out of bounds
-    enc = mm.encode_png_palette(bytes([3]) * 4, 2, 2, pal[:3])
+    # encoder rejects out-of-palette indices at ENCODE time (r14 review:
+    # it must not emit a PNG its own decoder rejects)
+    with pytest.raises(ValueError, match="exceeds the 3-entry palette"):
+        mm.encode_png_palette(bytes([3]) * 4, 2, 2, pal[:3])
+    # ...and the DECODER still rejects a hostile file whose PLTE was
+    # shrunk after encoding (index past the palette must raise, not read
+    # out of bounds)
+    enc = bytearray(mm.encode_png_palette(bytes([3]) * 4, 2, 2, pal))
+    i = bytes(enc).index(b"PLTE") - 4
+    (ln,) = s.unpack_from(">I", enc, i)
+    assert ln == 12
+    plte_data = bytes(enc[i + 8 : i + 8 + 9])  # keep 3 of 4 entries
+    shrunk = (
+        bytes(enc[:i])
+        + mm._png_chunk(b"PLTE", plte_data)
+        + bytes(enc[i + 8 + 12 + 4 :])
+    )
     with pytest.raises(ValueError, match="palette index"):
-        mm.decode_png(enc)
+        mm.decode_png(shrunk)
     # palette PNG without PLTE
     sig = b"\x89PNG\r\n\x1a\n"
     ihdr = mm._png_chunk(b"IHDR", s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
@@ -5401,3 +5416,45 @@ def test_png_palette_hostile_inputs():
     bomb = sig + bomb_ihdr + mm._png_chunk(b"IDAT", zlib.compress(bytes(100))) + iend
     with pytest.raises(ValueError, match="implausible"):
         mm.decode_png(bomb)
+
+
+def test_png_color_key_transparency():
+    """§11.3.2: tRNS on gray/RGB frames is a COLOR KEY (r14 review — was
+    silently dropped); matching pixels get alpha 0, all others 255."""
+    import struct as s
+    import zlib
+
+    from tesseract_spark.operators import multimodal as mm
+    from tesseract_spark.operators import png as p
+
+    # grayscale with key 7
+    px = bytes([7, 8, 9, 7])
+    raw = p._png_filter_stream([px[:2], px[2:]], 1, False)
+    enc = p._png_assemble(2, 2, 8, 0, raw, [(b"tRNS", s.pack(">H", 7))])
+    d = mm.decode_png(enc)
+    assert d["alpha"] == bytes([0, 255, 255, 0])
+    assert d["pixels"] == b"".join(bytes((g,) * 3) for g in px)
+    # RGB with key (1, 2, 3)
+    rgb = bytes([1, 2, 3, 9, 9, 9])
+    raw = p._png_filter_stream([rgb], 3, False)
+    enc = p._png_assemble(2, 1, 8, 2, raw, [(b"tRNS", s.pack(">HHH", 1, 2, 3))])
+    d = mm.decode_png(enc)
+    assert d["alpha"] == bytes([0, 255]) and d["pixels"] == rgb
+    # malformed key lengths and tRNS on alpha-bearing types raise
+    raw = p._png_filter_stream([bytes(2)], 1, False)
+    with pytest.raises(ValueError, match="2 bytes"):
+        mm.decode_png(p._png_assemble(2, 1, 8, 0, raw, [(b"tRNS", b"\x00")]))
+    raw4 = p._png_filter_stream([bytes(4)], 2, False)
+    with pytest.raises(ValueError, match="invalid on color type"):
+        mm.decode_png(p._png_assemble(2, 1, 8, 4, raw4, [(b"tRNS", s.pack(">H", 0))]))
+
+
+def test_png_palette_fixture_width_validation():
+    """The RGBA sub-image of the palette fixture requires width % 4 == 0
+    (oracle alignment — r14 review)."""
+    from tesseract_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError, match="multiple of 4"):
+        mm.decoded_png_palette_features(None, width=10)
+    with pytest.raises(ValueError, match="multiple of 4"):
+        mm.decoded_png_palette_features(None, width=2)

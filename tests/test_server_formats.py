@@ -547,3 +547,29 @@ def test_warmup_manifest_replays_recurring_shapes(builder, tmp_path):
     finally:
         srv2.shutdown()
         srv2.server_close()
+
+
+def test_warmup_manifest_sanitizes_tokens_and_bounds_memory():
+    """r14 review: bearer tokens must never reach the manifest file, and
+    the in-memory counter must not grow one entry per distinct URI."""
+    from tesseract_spark.server.app import _WarmupManifest
+
+    s = _WarmupManifest.sanitize
+    assert s("/data.csv?cube=s&token=SECRET&Year=1997") == "/data.csv?cube=s&Year=1997"
+    assert s("/data.csv?token=SECRET") == "/data.csv"
+    assert s("/data.csv?cube=s") == "/data.csv?cube=s"
+    assert s("/cubes") == "/cubes"
+
+    import tempfile
+
+    m = _WarmupManifest(tempfile.mktemp(), top_n=4)
+    m.record("/data.csv?cube=s&token=tok-abc")
+    assert list(m._counts) == ["/data.csv?cube=s"]
+    # popular shape + a flood of one-off cache-busted URIs
+    for _ in range(5):
+        m.record("/agg?shape=hot")
+    for i in range(500):
+        m.record(f"/agg?shape=cold&nocache={i}")
+    assert len(m._counts) <= 16 * m.top_n
+    assert m._counts["/agg?shape=hot"] == 5  # eviction keeps the popular one
+    assert m.top()[0] == "/agg?shape=hot"
