@@ -4427,6 +4427,15 @@ def aggnav_build_serve_split(spark: SparkSession, sf_dir: str) -> dict:
 #    freqs, binned quantiles).
 # Displaced to the post-window tail: the rest of the r10 cohort (the r14
 # rotation head), then r11/r12 greens.
+# Rotation plan for r15 (pre-announced, same contract as r13→r14): the
+# window rotates through the r11 cohort — the 45 entries whose newest
+# driver green is r11 after this round's run (q_logic_time_latest,
+# q_events_sessionize, q_bucketed_join_priority, q_logic_named_set,
+# q_logic_cut_children, the streaming family, ... — compute the exact
+# list from the CORRECTNESS files at r15 start, oldest-first). Probes +
+# anchors keep their 5 slots; 45 + 5 = 50, so r15 debuts must either
+# merge into ONE entry replacing a changed-code re-proof, or wait —
+# owed cohort entries are never displaced.
 DRIVER_WINDOW: list[str] = [
     # environment probes (single-construct canaries)
     "q_probe_sum_bigint",
