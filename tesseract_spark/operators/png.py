@@ -1,12 +1,18 @@
 """PNG codec from scratch (stdlib only): encode + decode.
 
-Covers the ISO/W3C PNG spec's non-interlaced storage layouts: 8-bit
-grayscale (color type 0), RGB (2), indexed-color at 1/2/4/8-bit depth with
-PLTE + optional tRNS per-index alpha (3), gray+alpha (4), and RGBA (6) —
-chunk walk with CRC32 verification, bounded zlib IDAT inflate, the five
-scanline filters (§9.2 reconstruction functions), sub-byte index unpacking
-(§7.2 MSB-first), palette mapping. 16-bit samples and Adam7 interlace are
-deliberate ``NotImplementedError`` boundaries.
+Covers the ISO/W3C PNG spec's storage layouts: grayscale at 8/16-bit
+(color type 0), RGB at 8/16-bit (2), indexed-color at 1/2/4/8-bit depth
+with PLTE + optional tRNS per-index alpha (3), gray+alpha (4) and RGBA
+(6) at 8/16-bit, tRNS color keys on gray/RGB (§11.3.2), and BOTH
+interlace methods — none and Adam7 (§8.2: seven per-pass-filtered
+sub-images, deinterlaced here into the equivalent filter-0 stream so one
+output pipeline serves both). Chunk walk with CRC32 verification,
+bounded zlib IDAT inflate with a deflate-ratio allocation-bomb guard,
+the five scanline filters (§9.2 reconstruction functions), sub-byte
+index unpacking (§7.2 MSB-first), palette mapping. 16-bit samples map to
+the module's uint8 RGB contract via the top byte (the same preview
+mapping as 12-bit JPEG); the one remaining deliberate boundary is
+sub-8-bit GRAYSCALE (legal, rare, needs 255/(2^d-1) sample scaling).
 
 Split out of ``operators/multimodal.py`` (which re-exports the public
 names) so Spark closures can register THIS stdlib-only module with
@@ -87,12 +93,14 @@ def _png_assemble(
     color_type: int,
     raw: bytes,
     extra_chunks: list[tuple[bytes, bytes]] | None = None,
+    interlace: int = 0,
 ) -> bytes:
     import zlib
 
     out = bytearray(b"\x89PNG\r\n\x1a\n")
     out += _png_chunk(
-        b"IHDR", struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+        b"IHDR",
+        struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, interlace),
     )
     for ctype, data in extra_chunks or []:
         out += _png_chunk(ctype, data)
@@ -101,17 +109,134 @@ def _png_assemble(
     return bytes(out)
 
 
-def encode_png_gray(
-    pixels: bytes, width: int, height: int, filter_cycle: bool = True
+#: Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass — pass p covers
+#: samples at x = x0 + i*dx, y = y0 + j*dy; each pass is filtered as an
+#: independent sub-image and passes with zero width or height are EMPTY
+#: (they contribute no scanlines at all)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _pack_indices(row: bytes, width: int, depth: int) -> bytes:
+    """Pack one row of per-pixel palette indices at ``depth`` bits, MSB
+    first, zero-padded to the byte boundary (§7.2)."""
+    if depth == 8:
+        return bytes(row[:width])
+    per = 8 // depth
+    packed = bytearray()
+    for x0 in range(0, width, per):
+        b = 0
+        for k in range(per):
+            v = row[x0 + k] if x0 + k < width else 0
+            if v >= (1 << depth):
+                raise ValueError(f"index {v} exceeds {depth}-bit depth")
+            b = (b << depth) | v
+        packed.append(b)
+    return bytes(packed)
+
+
+def _defilter(
+    raw: bytes, offset: int, stride: int, height: int, bpp: int
+) -> list[bytes]:
+    """Reconstruct ``height`` scanlines of ``stride`` bytes from the
+    filtered stream at ``offset`` (§9.2 reconstruction functions) — the
+    per-pass worker for the Adam7 branch; the non-interlaced path keeps
+    its fused defilter+convert loop."""
+    rows: list[bytes] = []
+    prior = bytes(stride)
+    for y in range(height):
+        base = offset + y * (stride + 1)
+        ft = raw[base]
+        line = raw[base + 1 : base + 1 + stride]
+        recon = bytearray(stride)
+        for x in range(stride):
+            left = recon[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                v = line[x]
+            elif ft == 1:
+                v = line[x] + left
+            elif ft == 2:
+                v = line[x] + up
+            elif ft == 3:
+                v = line[x] + ((left + up) >> 1)
+            elif ft == 4:
+                v = line[x] + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"PNG scanline filter {ft} invalid")
+            recon[x] = v & 0xFF
+        prior = bytes(recon)
+        rows.append(bytes(recon))
+    return rows
+
+
+def _adam7_raw(
+    rows: list[bytes],
+    width: int,
+    upp: int,
+    filter_bpp: int,
+    filter_cycle: bool,
+    pack=None,
+    pack_depth: int = 8,
 ) -> bytes:
-    """Build a REAL non-interlaced 8-bit grayscale PNG (color type 0) from a
-    row-major byte grid: signature, IHDR, one zlib-compressed IDAT, IEND —
-    each chunk CRC32-stamped; the round-trip is the identity.
-    Inverse of :func:`decode_png`."""
-    assert len(pixels) >= width * height
-    rows = [pixels[y * width : (y + 1) * width] for y in range(height)]
-    raw = _png_filter_stream(rows, 1, filter_cycle)
-    return _png_assemble(width, height, 8, 0, raw)
+    """Serialize unpacked pixel rows (``upp`` bytes per pixel; for
+    palette images pass the INDEX rows with ``pack``/``pack_depth``) as
+    the Adam7 interlaced filtered stream: per pass, extract the pass's
+    sample grid, pack if sub-byte, and filter it as an independent
+    sub-image."""
+    height = len(rows)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        prows: list[bytes] = []
+        for j in range(hp):
+            row = rows[y0 + j * dy]
+            pr = bytearray()
+            for i in range(wp):
+                x = x0 + i * dx
+                pr += row[x * upp : (x + 1) * upp]
+            prows.append(pack(bytes(pr), wp, pack_depth) if pack else bytes(pr))
+        raw += _png_filter_stream(prows, filter_bpp, filter_cycle)
+    return bytes(raw)
+
+
+def encode_png_gray(
+    pixels: bytes,
+    width: int,
+    height: int,
+    filter_cycle: bool = True,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Build a REAL grayscale PNG (color type 0) from a row-major byte
+    grid: signature, IHDR, one zlib-compressed IDAT, IEND — each chunk
+    CRC32-stamped; the round-trip is the identity. ``depth=16`` takes
+    big-endian 2-byte samples (``pixels`` is ``width*height*2`` bytes);
+    ``interlace`` stores the Adam7 pass layout. Inverse of
+    :func:`decode_png`."""
+    if depth not in (8, 16):
+        raise ValueError(f"grayscale depth must be 8 or 16, got {depth}")
+    upp = depth // 8
+    assert len(pixels) >= width * height * upp
+    rows = [
+        pixels[y * width * upp : (y + 1) * width * upp] for y in range(height)
+    ]
+    if interlace:
+        raw = _adam7_raw(rows, width, upp, upp, filter_cycle)
+    else:
+        raw = _png_filter_stream(rows, upp, filter_cycle)
+    return _png_assemble(width, height, depth, 0, raw, interlace=int(interlace))
 
 
 def encode_png_palette(
@@ -122,6 +247,7 @@ def encode_png_palette(
     trans: bytes | None = None,
     depth: int = 8,
     filter_cycle: bool = True,
+    interlace: bool = False,
 ) -> bytes:
     """Build a REAL indexed-color PNG (color type 3, §4.1.2/§11.2.3): PLTE
     carries the RGB palette, optional tRNS carries per-index alpha (may be
@@ -143,42 +269,43 @@ def encode_png_palette(
         raise ValueError(
             f"index {max(used)} exceeds the {len(palette)}-entry palette"
         )
-    rows: list[bytes] = []
-    for y in range(height):
-        row = indices[y * width : (y + 1) * width]
-        if depth == 8:
-            rows.append(row)
-            continue
-        per = 8 // depth
-        packed = bytearray()
-        for x0 in range(0, width, per):
-            b = 0
-            for k in range(per):
-                v = row[x0 + k] if x0 + k < width else 0
-                if v >= (1 << depth):
-                    raise ValueError(f"index {v} exceeds {depth}-bit depth")
-                b = (b << depth) | v
-            packed.append(b)
-        rows.append(bytes(packed))
-    raw = _png_filter_stream(rows, 1, filter_cycle)
+    idx_rows = [indices[y * width : (y + 1) * width] for y in range(height)]
+    if interlace:
+        raw = _adam7_raw(
+            idx_rows, width, 1, 1, filter_cycle, pack=_pack_indices,
+            pack_depth=depth,
+        )
+    else:
+        raw = _png_filter_stream(
+            [_pack_indices(r, width, depth) for r in idx_rows], 1, filter_cycle
+        )
     extra: list[tuple[bytes, bytes]] = [
         (b"PLTE", b"".join(bytes(rgb) for rgb in palette))
     ]
     if trans is not None:
         extra.append((b"tRNS", bytes(trans)))
-    return _png_assemble(width, height, depth, 3, raw, extra)
+    return _png_assemble(
+        width, height, depth, 3, raw, extra, interlace=int(interlace)
+    )
 
 
 def encode_png_rgba(
-    pixels: bytes, width: int, height: int, filter_cycle: bool = True
+    pixels: bytes,
+    width: int,
+    height: int,
+    filter_cycle: bool = True,
+    interlace: bool = False,
 ) -> bytes:
     """Build a REAL 8-bit RGBA PNG (color type 6) from a row-major RGBA
     byte stream (4 bytes per pixel). Inverse of :func:`decode_png` (which
     returns the RGB plane plus the alpha plane)."""
     assert len(pixels) >= width * height * 4
     rows = [pixels[y * width * 4 : (y + 1) * width * 4] for y in range(height)]
-    raw = _png_filter_stream(rows, 4, filter_cycle)
-    return _png_assemble(width, height, 8, 6, raw)
+    if interlace:
+        raw = _adam7_raw(rows, width, 4, 4, filter_cycle)
+    else:
+        raw = _png_filter_stream(rows, 4, filter_cycle)
+    return _png_assemble(width, height, 8, 6, raw, interlace=int(interlace))
 
 
 def encode_png_gray_alpha(
@@ -246,20 +373,42 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError("palette PNG missing PLTE")
         if trns is not None and len(trns) > len(plte) // 3:
             raise ValueError("tRNS longer than palette")
-    elif depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG unsupported (8 only)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    elif ctype_n == 0 and depth in (1, 2, 4):
+        # spec-legal but rare in crawl corpora; honest boundary (the
+        # sub-byte machinery exists for palette — extend if ever needed,
+        # remembering the 255/(2^d - 1) sample scaling)
+        raise NotImplementedError("sub-8-bit grayscale PNG unsupported")
+    elif depth not in (8, 16):
+        raise ValueError(f"{depth}-bit PNG invalid for color type {ctype_n}")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_n]
     if ctype_n == 3:
         stride = (width * depth + 7) // 8
         bpp = 1  # §9.2: filter distance rounds sub-byte pixels up to 1
+        upp = 1  # unpacked bytes per pixel (index)
     else:
-        stride = width * channels
-        bpp = channels
-    expected = height * (stride + 1)
+        stride = width * channels * (depth // 8)
+        bpp = channels * (depth // 8)
+        upp = bpp
+
+    def _pass_geom(x0: int, y0: int, dx: int, dy: int) -> tuple[int, int, int]:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        sp = (wp * depth + 7) // 8 if ctype_n == 3 else wp * bpp
+        return wp, hp, sp
+
+    if interlace:
+        expected = sum(
+            hp * (sp + 1)
+            for x0, y0, dx, dy in _ADAM7
+            for wp, hp, sp in [_pass_geom(x0, y0, dx, dy)]
+            if wp and hp
+        )
+    else:
+        expected = height * (stride + 1)
     # allocation-bomb guard: deflate's maximum expansion is ~1032:1, so a
     # small IDAT claiming a huge IHDR geometry is provably corrupt — check
     # BEFORE inflating rather than letting a crafted stream demand GBs
@@ -272,6 +421,46 @@ def decode_png(payload: bytes) -> dict:
     raw = d.decompress(bytes(idat), expected + 1)
     if len(raw) != expected or (d.unconsumed_tail or d.decompress(b"", 1)):
         raise ValueError("PNG IDAT length mismatch")
+    if interlace:
+        # Adam7 (§8.2): defilter each pass as an independent sub-image,
+        # scatter its samples into a full-resolution UNPACKED grid, then
+        # re-serialize as the equivalent filter-0 non-interlaced stream so
+        # the shared per-row pipeline below handles output conversion
+        grid = [bytearray(width * upp) for _ in range(height)]
+        off = 0
+        per = 8 // depth if ctype_n == 3 and depth != 8 else 1
+        mask = (1 << depth) - 1
+        for x0, y0, dx, dy in _ADAM7:
+            wp, hp, sp = _pass_geom(x0, y0, dx, dy)
+            if not wp or not hp:
+                continue
+            for j, prow in enumerate(
+                _defilter(raw, off, sp, hp, bpp)
+            ):
+                if ctype_n == 3 and depth != 8:
+                    samples = bytearray()
+                    for b in prow:
+                        for k in range(per - 1, -1, -1):
+                            samples.append((b >> (k * depth)) & mask)
+                    samples = samples[:wp]
+                else:
+                    samples = prow
+                y = y0 + j * dy
+                row = grid[y]
+                for i in range(wp):
+                    x = x0 + i * dx
+                    row[x * upp : (x + 1) * upp] = samples[
+                        i * upp : (i + 1) * upp
+                    ]
+            off += hp * (sp + 1)
+        deint = bytearray()
+        for y in range(height):
+            deint.append(0)  # filter type None
+            if ctype_n == 3 and depth != 8:
+                deint += _pack_indices(bytes(grid[y]), width, depth)
+            else:
+                deint += grid[y]
+        raw = bytes(deint)
     out = bytearray()
     alpha = bytearray()
     has_alpha = ctype_n in (4, 6) or trns is not None
@@ -313,19 +502,47 @@ def decode_png(payload: bytes) -> dict:
                 raise ValueError(f"PNG scanline filter {ft} invalid")
             recon[x] = v & 0xFF
         prior = bytes(recon)
+        if depth == 16 and ctype_n != 3:
+            # widened samples map to the module's uint8 RGB contract via
+            # the top byte (the same preview mapping as 12-bit JPEG);
+            # color-key comparison below uses the FULL 16-bit samples
+            sam16 = recon
+            recon = bytearray(recon[0::2])
+        else:
+            sam16 = None
         if ctype_n == 0:
             out += b"".join(bytes((g, g, g)) for g in recon)
             if key_gray is not None:
-                alpha += bytes(0 if g == key_gray else 255 for g in recon)
+                if sam16 is not None:
+                    alpha += bytes(
+                        0
+                        if ((sam16[2 * i] << 8) | sam16[2 * i + 1]) == key_gray
+                        else 255
+                        for i in range(width)
+                    )
+                else:
+                    alpha += bytes(0 if g == key_gray else 255 for g in recon)
         elif ctype_n == 2:
             out += recon
             if key_rgb is not None:
-                alpha += bytes(
-                    0
-                    if (recon[x], recon[x + 1], recon[x + 2]) == key_rgb
-                    else 255
-                    for x in range(0, stride, 3)
-                )
+                if sam16 is not None:
+                    alpha += bytes(
+                        0
+                        if tuple(
+                            (sam16[6 * i + 2 * c] << 8) | sam16[6 * i + 2 * c + 1]
+                            for c in range(3)
+                        )
+                        == key_rgb
+                        else 255
+                        for i in range(width)
+                    )
+                else:
+                    alpha += bytes(
+                        0
+                        if (recon[x], recon[x + 1], recon[x + 2]) == key_rgb
+                        else 255
+                        for x in range(0, len(recon), 3)
+                    )
         elif ctype_n == 3:
             if depth == 8:
                 idxs = recon
@@ -344,12 +561,12 @@ def decode_png(payload: bytes) -> dict:
                 if has_alpha:
                     alpha.append(trns[i] if i < len(trns) else 255)
         elif ctype_n == 4:
-            for x in range(0, stride, 2):
+            for x in range(0, len(recon), 2):
                 g = recon[x]
                 out += bytes((g, g, g))
                 alpha.append(recon[x + 1])
         else:  # 6: RGBA
-            for x in range(0, stride, 4):
+            for x in range(0, len(recon), 4):
                 out += recon[x : x + 3]
                 alpha.append(recon[x + 3])
     return {

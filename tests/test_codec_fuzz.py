@@ -224,11 +224,16 @@ def _legacy_fixtures():
     out = [
         mm.encode_bmp_gray(px, 16, 16),
         mm.encode_png_gray(px, 16, 16),
-        # r14 PNG layouts: palette+tRNS, 4-bit palette, RGBA, gray+alpha
+        # r14 PNG layouts: palette+tRNS, 4-bit palette, RGBA, gray+alpha,
+        # plus (late r14) Adam7-interlaced and 16-bit variants
         mm.encode_png_palette(px, 16, 16, pal, trans=bytes(range(128))),
         mm.encode_png_palette(bytes(b & 0xF for b in px), 16, 16, pal[:16], depth=4),
         mm.encode_png_rgba(px, 8, 8),
         mm.encode_png_gray_alpha(px, 8, 16),
+        mm.encode_png_gray(px, 16, 16, interlace=True),
+        mm.encode_png_palette(px, 16, 16, pal, trans=bytes(range(64)), interlace=True),
+        mm.encode_png_rgba(px, 8, 8, interlace=True),
+        mm.encode_png_gray(px, 8, 16, depth=16),
         b"P6\n16 16\n255\n" + bytes(768),
     ]
     import io

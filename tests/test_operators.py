@@ -319,15 +319,23 @@ def test_png_round_trip_every_filter():
     bad[-5] ^= 0xFF  # inside IEND CRC
     with pytest.raises(ValueError, match="CRC"):
         mm.decode_png(bytes(bad))
-    # 16-bit and interlaced are honest NotImplementedError boundaries
+    # 16-bit decodes since late r14 (top-byte preview mapping); the
+    # remaining deliberate boundary is sub-8-bit grayscale
     png16 = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IDAT", zlib.compress(b"\x00\xAB\xCD"))
+        + chunk(b"IEND", b"")
+    )
+    assert mm.decode_png(png16)["pixels"] == b"\xab\xab\xab"
+    png_g4 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 4, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
         + chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError):
-        mm.decode_png(png16)
+        mm.decode_png(png_g4)
 
 
 def test_image_ahash_near_dup_pairs_matches_bruteforce_oracle(spark, duck, sf_dir):
@@ -5458,3 +5466,65 @@ def test_png_palette_fixture_width_validation():
         mm.decoded_png_palette_features(None, width=10)
     with pytest.raises(ValueError, match="multiple of 4"):
         mm.decoded_png_palette_features(None, width=2)
+
+
+def test_png_adam7_interlace_round_trips():
+    """Adam7 (§8.2, late r14): every layout round-trips through the
+    interlaced storage identically to the non-interlaced decode — passes
+    are filtered as independent sub-images, empty passes contribute no
+    scanlines (exercised by the odd/small geometries)."""
+    from tesseract_spark.operators import png as p
+
+    pal = [((i * 7 + 13) % 256, (i * 5 + 3) % 256, i) for i in range(256)]
+    for w, h in [(1, 1), (2, 3), (7, 5), (8, 8), (13, 11), (3, 9)]:
+        px = bytes((i * 37 + w) % 256 for i in range(w * h * 4))
+        g = px[: w * h]
+        assert (
+            p.decode_png(p.encode_png_gray(g, w, h, interlace=True))["pixels"]
+            == p.decode_png(p.encode_png_gray(g, w, h))["pixels"]
+        ), (w, h, "gray")
+        d_il = p.decode_png(
+            p.encode_png_palette(g, w, h, pal, trans=bytes(range(128)), interlace=True)
+        )
+        d_ni = p.decode_png(
+            p.encode_png_palette(g, w, h, pal, trans=bytes(range(128)))
+        )
+        assert (d_il["pixels"], d_il["alpha"]) == (d_ni["pixels"], d_ni["alpha"])
+        for depth in (4, 2, 1):
+            n = 1 << depth
+            ind = bytes(i % n for i in range(w * h))
+            assert (
+                p.decode_png(
+                    p.encode_png_palette(ind, w, h, pal[:n], depth=depth, interlace=True)
+                )["pixels"]
+                == b"".join(bytes(pal[i]) for i in ind)
+            ), (w, h, depth)
+        d = p.decode_png(p.encode_png_rgba(px, w, h, interlace=True))
+        assert d["pixels"] == b"".join(px[k * 4 : k * 4 + 3] for k in range(w * h))
+        assert d["alpha"] == bytes(px[k * 4 + 3] for k in range(w * h))
+
+
+def test_png_16bit_depth_and_color_key():
+    """16-bit samples (late r14): top-byte preview mapping onto the uint8
+    RGB contract; tRNS color keys compare the FULL 16-bit value."""
+    import struct as s
+
+    from tesseract_spark.operators import png as p
+
+    g16 = bytes((i * 31 + 5) % 256 for i in range(6 * 4 * 2))
+    for il in (False, True):
+        d = p.decode_png(p.encode_png_gray(g16, 6, 4, depth=16, interlace=il))
+        assert d["pixels"] == b"".join(bytes((v,) * 3) for v in g16[0::2]), il
+    # color key: 0x1299 shares the top byte with the 0x1234 key but must
+    # stay opaque — the comparison is on the full sample
+    samples = s.pack(">HHHH", 0x1234, 0x1299, 0x1234, 0xFFFF)
+    raw = p._png_filter_stream([samples[:4], samples[4:]], 2, False)
+    enc = p._png_assemble(2, 2, 16, 0, raw, [(b"tRNS", s.pack(">H", 0x1234))])
+    d = p.decode_png(enc)
+    assert d["alpha"] == bytes([0, 255, 0, 255])
+    # sub-8-bit GRAY is the one remaining deliberate boundary
+    raw = p._png_filter_stream([bytes(1)], 1, False)
+    with pytest.raises(NotImplementedError, match="sub-8-bit grayscale"):
+        p.decode_png(p._png_assemble(2, 1, 4, 0, raw))
+    with pytest.raises(ValueError, match="interlace method"):
+        p.decode_png(p._png_assemble(2, 1, 8, 0, b"\x00\x00\x00", interlace=2))
