@@ -44,8 +44,13 @@ def _valid_mp4() -> bytes:
 
 
 def _valid_fmp4() -> bytes:
+    # emit_tfdt puts the §8.8.12 decode-time anchor path (late r14) under
+    # the same mutation pressure as the rest of the traf machinery
     return mp4.encode_mp4_fragmented(
-        [b"alpha-frame", b"beta", b"gamma-frame-3"], samples_per_fragment=2
+        [b"alpha-frame", b"beta", b"gamma-frame-3"],
+        samples_per_fragment=2,
+        emit_tfdt=True,
+        decode_time_base=40,
     )
 
 
