@@ -41,7 +41,12 @@ def main() -> int:
     cfg = LogicLayerConfig.from_json(
         {"cubes": [{"name": "lineitem_sales", "alternatives": ["sales"]}]}
     )
-    manifest_path = tempfile.mktemp(prefix="warmup_", suffix=".json")
+    # mkstemp, not the deprecated mktemp (ADVICE r14 #4: predictable name in a
+    # shared tmp dir is race/symlink-prone between name pick and first write).
+    # The created empty file stays in place — _WarmupManifest tolerates it
+    # (json.load ValueError → empty counts) and keeping it owned closes the race.
+    _mfd, manifest_path = tempfile.mkstemp(prefix="warmup_", suffix=".json")
+    os.close(_mfd)
     srv = make_server(builder, port=0, logic_config=cfg, warmup_manifest=manifest_path)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     state = {"base": f"http://127.0.0.1:{srv.server_address[1]}"}

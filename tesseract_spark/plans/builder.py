@@ -164,6 +164,12 @@ class PlanBuilder:
         # executed plans are unchanged)
         self._template_cache: OrderedDict[tuple, DataFrame] = OrderedDict()
         self._template_cache_max = 64
+        # observability for the warm-path tests/probes (r15, VERDICT r14
+        # next-round #7): counts template-cache hits/misses so a standing
+        # test can assert a warmup-replayed shape serves a DIFFERENT cut
+        # literal without a cold join-template build
+        self.template_cache_hits = 0
+        self.template_cache_misses = 0
 
     # ---------------- name resolution ----------------
 
@@ -836,7 +842,9 @@ class PlanBuilder:
             hit = self._template_cache.get(key)
             if hit is not None:
                 self._template_cache.move_to_end(key)
+                self.template_cache_hits += 1
                 return hit
+            self.template_cache_misses += 1
         fact = self.registry.load(cube.table)
         for alias, col in self._degenerate_projection(specs).items():
             fact = fact.withColumn(alias, col)

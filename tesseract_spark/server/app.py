@@ -120,12 +120,18 @@ class _SingleFlight:
         its leadership is reclaimed by the caller — without this, one lost
         leader would make every future identical request block the full
         timeout forever, since only done() evicts the key (ADVICE r13).
-        The old flight's event stays owned by its blocked followers: the
-        usurped leader's eventual done() pops the NEW flight, and the old
-        followers time out and fall back to independent execution."""
+        Reclaiming also RELEASES the dead flight's blocked followers
+        immediately (VERDICT r14 'what's wrong' #2): the old flight's
+        result is set to None and its event fired while the lock is held,
+        so followers of a dead leader fall back to independent execution
+        now instead of each stalling the full ``wait_timeout``. The
+        usurped leader's eventual done() pops the NEW flight only."""
         with self._lock:
             fl = self._inflight.get(key)
             if fl is None or (_time.monotonic() - fl.started) > self.wait_timeout:
+                if fl is not None:
+                    fl.result = None
+                    fl.event.set()
                 self._inflight[key] = self._Flight()
                 return True, None
         if not fl.event.wait(self.wait_timeout):
@@ -207,15 +213,7 @@ class _WarmupManifest:
             top = dict(
                 sorted(self._counts.items(), key=lambda kv: -kv[1])[: self.top_n]
             )
-        tmp = f"{self.path}.tmp"
-        try:
-            with open(tmp, "w") as f:
-                json.dump({"uris": top}, f)
-            import os as _os
-
-            _os.replace(tmp, self.path)
-        except OSError:
-            pass  # manifest persistence is best-effort
+        self._persist(top)
 
     def top(self) -> list[str]:
         with self._lock:
@@ -233,15 +231,36 @@ class _WarmupManifest:
             top = dict(
                 sorted(self._counts.items(), key=lambda kv: -kv[1])[: self.top_n]
             )
-        tmp = f"{self.path}.tmp"
-        try:
-            with open(tmp, "w") as f:
-                json.dump({"uris": top}, f)
-            import os as _os
+        self._persist(top)
 
+    def _persist(self, top: dict[str, int]) -> None:
+        """Atomic best-effort write via a UNIQUE tmp file (ADVICE r14 #3:
+        a fixed ``{path}.tmp`` written outside the lock let a slow
+        record() overlap a later record()/close-flush, interleaving two
+        writers into one tmp file and os.replace-ing a corrupt manifest
+        — tolerated on load, but it silently degraded warmup to empty).
+        mkstemp in the destination directory keeps os.replace atomic
+        (same filesystem) and gives each writer its own file."""
+        import os as _os
+        import tempfile as _tempfile
+
+        try:
+            fd, tmp = _tempfile.mkstemp(
+                dir=_os.path.dirname(_os.path.abspath(self.path)) or ".",
+                prefix=_os.path.basename(self.path) + ".",
+                suffix=".tmp",
+            )
+        except OSError:
+            return  # manifest persistence is best-effort
+        try:
+            with _os.fdopen(fd, "w") as f:
+                json.dump({"uris": top}, f)
             _os.replace(tmp, self.path)
         except OSError:
-            pass
+            try:
+                _os.unlink(tmp)
+            except OSError:
+                pass
 
 
 _pool_counter = _itertools.count()

@@ -549,7 +549,7 @@ def test_warmup_manifest_replays_recurring_shapes(builder, tmp_path):
         srv2.server_close()
 
 
-def test_warmup_manifest_sanitizes_tokens_and_bounds_memory():
+def test_warmup_manifest_sanitizes_tokens_and_bounds_memory(tmp_path):
     """r14 review: bearer tokens must never reach the manifest file, and
     the in-memory counter must not grow one entry per distinct URI."""
     from tesseract_spark.server.app import _WarmupManifest
@@ -560,9 +560,7 @@ def test_warmup_manifest_sanitizes_tokens_and_bounds_memory():
     assert s("/data.csv?cube=s") == "/data.csv?cube=s"
     assert s("/cubes") == "/cubes"
 
-    import tempfile
-
-    m = _WarmupManifest(tempfile.mktemp(), top_n=4)
+    m = _WarmupManifest(str(tmp_path / "m.json"), top_n=4)
     m.record("/data.csv?cube=s&token=tok-abc")
     assert list(m._counts) == ["/data.csv?cube=s"]
     # popular shape + a flood of one-off cache-busted URIs
@@ -573,3 +571,128 @@ def test_warmup_manifest_sanitizes_tokens_and_bounds_memory():
     assert len(m._counts) <= 16 * m.top_n
     assert m._counts["/agg?shape=hot"] == 5  # eviction keeps the popular one
     assert m.top()[0] == "/agg?shape=hot"
+
+
+def test_single_flight_reclaim_releases_followers():
+    """r15 (VERDICT r14 'what's wrong' #2): when a NEW caller reclaims a
+    dead leader's key, the dead flight's already-blocked followers must be
+    released IMMEDIATELY (result None → independent-execution fallback),
+    not left waiting out their own full wait_timeout on the abandoned
+    event."""
+    import time
+
+    from tesseract_spark.server.app import _SingleFlight
+
+    # wait_timeout large enough that a follower who is NOT released would
+    # visibly stall; reclaim eligibility is driven by the flight's age, so
+    # monkeypatch the dead flight's start stamp backwards instead of
+    # sleeping the timeout out
+    sf = _SingleFlight(wait_timeout=30.0)
+    leader, _ = sf.begin("k")
+    assert leader
+
+    got: list[tuple] = []
+
+    def follow():
+        got.append(sf.begin("k"))
+
+    th = threading.Thread(target=follow)
+    th.start()
+    time.sleep(0.1)  # follower is now blocked on the live flight's event
+    assert not got
+    # leader dies without done(); age the flight past the timeout AFTER the
+    # follower is already parked on its event (the pre-fix behavior left
+    # exactly this follower stalling out its own full wait_timeout)
+    sf._inflight["k"].started -= 31.0
+    t0 = time.monotonic()
+    leader2, _ = sf.begin("k")  # reclaim — must fire the old event
+    assert leader2
+    th.join(timeout=5)
+    elapsed = time.monotonic() - t0
+    assert got == [(False, None)], got  # fallback, not a served result
+    assert elapsed < 1.0, f"follower stalled {elapsed:.1f}s after reclaim"
+    sf.done("k", None)
+
+
+def test_warmup_manifest_persist_is_concurrency_safe(tmp_path):
+    """ADVICE r14 #3: concurrent record()/flush() writers used one fixed
+    '{path}.tmp' outside the lock — interleaved writes could os.replace a
+    corrupt manifest. _persist now uses a unique mkstemp per writer: under
+    a 16-thread write storm the manifest must always load as valid JSON
+    with an intact top shape, and no orphan tmp files may survive."""
+    import json as _json
+    import os
+
+    from tesseract_spark.server.app import _WarmupManifest
+
+    path = str(tmp_path / "m.json")
+    m = _WarmupManifest(path, top_n=4)
+    m._counts = {"/agg?shape=hot": 99, "/agg?shape=warm": 5}
+
+    def storm():
+        for _ in range(50):
+            m.flush()
+
+    threads = [threading.Thread(target=storm) for _ in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    data = _json.load(open(path))  # valid JSON despite 800 racing writers
+    assert data["uris"] == {"/agg?shape=hot": 99, "/agg?shape=warm": 5}
+    leftovers = [f for f in os.listdir(tmp_path) if f != "m.json"]
+    assert leftovers == [], leftovers
+
+
+def test_warmup_manifest_warms_plan_templates(builder, tmp_path):
+    """r15 (VERDICT r14 next-round #7, standing-suite promotion of the
+    restart_manifest_warm probe): a warmup-replayed shape must warm the
+    cut-independent JOIN TEMPLATE, so a post-restart request for the SAME
+    drill shape with a DIFFERENT cut literal (response-cache miss by
+    construction) is served off the warm template — template-cache hit,
+    zero cold template builds."""
+    import urllib.request
+
+    from tesseract_spark.server.app import make_server
+
+    manifest = str(tmp_path / "warmup.json")
+    shape_97 = (
+        "/cubes/lineitem_sales/aggregate.jsonrecords"
+        "?drilldowns=Part.Brand&measures=Quantity"
+        "&cuts=Ship+Date.Ship+Date.Year.1997"
+    )
+    srv1 = make_server(builder, port=0, warmup_manifest=manifest)
+    threading.Thread(target=srv1.serve_forever, daemon=True).start()
+    assert srv1.warmup_done.wait(5)
+    base = f"http://127.0.0.1:{srv1.server_address[1]}"
+    with urllib.request.urlopen(base + shape_97, timeout=120) as r:
+        r.read()
+    srv1.shutdown()
+    srv1.server_close()  # flush the manifest
+
+    # fresh-builder restart: same session, but plan/template caches empty
+    # like a restarted server's would be
+    import tesseract_spark
+
+    builder2 = tesseract_spark.PlanBuilder(
+        builder.spark, builder.schema, builder.registry
+    )
+    srv2 = make_server(builder2, port=0, warmup_manifest=manifest)
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        assert srv2.warmup_done.wait(120), "warmup never completed"
+        hits_before = builder2.template_cache_hits
+        misses_before = builder2.template_cache_misses
+        assert misses_before >= 1  # the replay itself built the template
+        base2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+        shape_98 = shape_97.replace("Year.1997", "Year.1998")
+        with urllib.request.urlopen(base2 + shape_98, timeout=120) as r:
+            assert r.read()
+            assert r.headers.get("X-Cache") != "hit"  # different literal
+        assert builder2.template_cache_hits == hits_before + 1
+        assert builder2.template_cache_misses == misses_before, (
+            "post-warmup request paid a cold template build"
+        )
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
