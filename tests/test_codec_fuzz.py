@@ -239,6 +239,10 @@ def _legacy_fixtures():
         mm.encode_png_palette(px, 16, 16, pal, trans=bytes(range(64)), interlace=True),
         mm.encode_png_rgba(px, 8, 8, interlace=True),
         mm.encode_png_gray(px, 8, 16, depth=16),
+        # r15: sub-8-bit grayscale (the last PNG layout), both interlace modes
+        mm.encode_png_gray(bytes(b & 0xF for b in px), 16, 16, depth=4),
+        mm.encode_png_gray(bytes(b & 0x3 for b in px), 16, 16, depth=2, interlace=True),
+        mm.encode_png_gray(bytes(b & 0x1 for b in px), 16, 16, depth=1),
         b"P6\n16 16\n255\n" + bytes(768),
     ]
     import io

@@ -88,6 +88,29 @@ def test_no_entry_starved():
     )
 
 
+def test_oldest_cohort_fully_rotated_in():
+    """r15 (the rotation contract the r13/r14 verdicts grade item-by-item,
+    now a tripwire instead of a manual computation): the window must
+    contain EVERY live entry whose newest GREEN driver round is the oldest
+    such round across the catalog — the owed cohort is rotated in whole,
+    debuts merge rather than displace."""
+    newest_green: dict[str, int] = {}
+    for rnd in sorted(_rounds(), key=int):
+        for n, r in _rounds()[rnd].items():
+            if _is_green(r) and n in catalog.ENTRIES:
+                newest_green[n] = int(rnd)
+    # entries with no green row anywhere are test_no_entry_starved's job
+    if not newest_green:
+        return
+    oldest = min(newest_green.values())
+    owed = sorted(n for n, v in newest_green.items() if v == oldest)
+    left_out = [n for n in owed if n not in catalog.DRIVER_WINDOW]
+    assert not left_out, (
+        f"oldest cohort (newest green r{oldest}) not fully in the window: "
+        f"{left_out}"
+    )
+
+
 def test_failed_rows_stay_in_window():
     """An entry whose MOST RECENT driver row (across all rounds, errors
     included) is not green must be re-proven, not rotated away."""
