@@ -180,20 +180,22 @@ def main() -> None:
     # measured query twice on the measured data), and recorded in the
     # artifact as "warmed" so cross-round comparisons account for the
     # methodology change (r1-r3 ran cold).
+    # r15 (VERDICT r14 'what's wrong' #4): the warm pass runs IMMEDIATELY
+    # before each entry's samples (not as one upfront sweep — by the time
+    # entry #40 was measured its warm codegen was long evicted and the raw
+    # run-1 samples carried 4-25x cold spikes the medians had to absorb),
+    # and is followed by a 1-row probe of the entry's plan ON the measured
+    # dir — a LIMIT 1 subtree, not the measured query, so the ADVICE r4
+    # rule (never execute the measured query twice on measured data) holds
+    # while the sf-specific plan shape (AQE picks different physical
+    # operators at sf0.1 than at the warm SF) still gets its codegen and
+    # file-listing paths compiled before sample 1.
     warm_dir = sf_dir.replace(
         f"sf{m.group(1).rstrip('.')}" if m else "", "sf0.001"
     ) if m else sf_dir
     warmed = os.path.isdir(warm_dir) and os.path.realpath(
         warm_dir
     ) != os.path.realpath(sf_dir)
-    if warmed:
-        for name in names:
-            try:
-                catalog.ENTRIES[name].spark_fn(spark, warm_dir).write.format(
-                    "noop"
-                ).mode("overwrite").save()
-            except Exception:  # noqa: BLE001 — warm-up must never fail the bench
-                pass
 
     # one failing query must not wipe out the whole bench artifact (a round-3
     # environment change crashed one entry and produced NO output at all):
@@ -204,8 +206,19 @@ def main() -> None:
 
     def _time_entry(name: str, out_runs: dict[str, list[float]] | None = None) -> float | None:
         """Median-of-`repeats` for one entry; the plan is rebuilt per run
-        (fn re-called) so plan-build cost is inside every sample."""
+        (fn re-called) so plan-build cost is inside every sample. An
+        adjacent warm pass (small-SF full run + measured-dir 1-row probe)
+        precedes the samples so the raw runs measure steady-state."""
         fn = catalog.ENTRIES[name].spark_fn
+        if warmed:
+            try:
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 — warm-up must never fail the bench
+                pass
+        try:
+            fn(spark, sf_dir).limit(1).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001
+            pass
         samples: list[float] = []
         for _ in range(repeats):
             start = time.perf_counter()
@@ -235,16 +248,8 @@ def main() -> None:
     tail_runs: dict[str, list[float]] = {}
     if not extra and os.environ.get("SPARK_GRAFT_BENCH_TAIL", "1") != "0":
         tail = [n for n in catalog.ENTRIES if n not in set(names)]
-        if warmed:
-            for name in tail:
-                try:
-                    catalog.ENTRIES[name].spark_fn(
-                        spark, warm_dir
-                    ).write.format("noop").mode("overwrite").save()
-                except Exception:  # noqa: BLE001
-                    pass
         for name in tail:
-            med = _time_entry(name, tail_runs)
+            med = _time_entry(name, tail_runs)  # adjacent warm inside
             if med is not None:
                 tail_timings[name] = med
 

@@ -545,42 +545,73 @@ def verify_decoder_equivalence(fn) -> None:
     (a) byte equality on the mathematically exact constant-block subclass
         — every compliant decoder agrees there, and it is the same
         subclass the q_image_jpeg_* catalog entries hash-gate, so a
-        verified plugin cannot drift those oracles;
-    (b) PSNR >= 40 against this codec on a lossy smooth fixture (IDCT
+        verified plugin cannot drift those oracles. Two fixtures: plain,
+        and one encoded with ``restart_interval=2`` (ADVICE r14 #2: the
+        wired consumer ``decoded_jpeg_features`` emits DRI + RSTn every 2
+        MCUs, so a plugin that mishandles restart markers must FAIL the
+        gate, not pass it and diverge at audit time);
+    (b) PSNR >= 40 against this codec on lossy smooth fixtures — one
+        grayscale, one YCbCr 4:2:0 color (same ADVICE item: color decode
+        paths were previously ungated) — IDCT and fixed-point YCbCr
         implementations legitimately differ by ±1/255 per sample, so byte
-        equality would be wrong to demand there).
+        equality would be wrong to demand there.
 
     Raises ValueError on divergence. Lives in THIS stdlib+numpy module
     (not multimodal) so executor-side installers can ship it by value and
     run the gate inside each Python worker process."""
+    def _run(enc: bytes, label: str) -> dict:
+        # a plugin that CRASHES on a gate fixture is as disqualified as one
+        # that returns wrong pixels — normalize to the gate's ValueError so
+        # callers (and tests) see which fixture caught it
+        try:
+            return fn(enc)
+        except Exception as exc:
+            raise ValueError(
+                f"native JPEG decoder failed on the {label} fixture: {exc}"
+            ) from exc
+
     vals = np.arange(6, dtype=np.uint8).reshape(2, 3) * 37 + 11
     img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
     q8 = np.full((8, 8), 8, dtype=np.int32)
-    enc = encode_jpeg_gray(img, quant=q8)
-    ours = decode_jpeg(enc)
-    got = fn(enc)
-    if (
-        (got["width"], got["height"]) != (ours["width"], ours["height"])
-        or bytes(got["pixels"]) != ours["pixels"]
-    ):
-        raise ValueError(
-            "native JPEG decoder failed the exact constant-block "
-            "equivalence check against the reference codec"
-        )
+    for ri, label in ((0, "constant-block"), (2, "restart-marker")):
+        enc = encode_jpeg_gray(img, quant=q8, restart_interval=ri)
+        ours = decode_jpeg(enc)
+        got = _run(enc, label)
+        if (
+            (got["width"], got["height"]) != (ours["width"], ours["height"])
+            or bytes(got["pixels"]) != ours["pixels"]
+        ):
+            raise ValueError(
+                f"native JPEG decoder failed the exact {label} "
+                "equivalence check against the reference codec"
+            )
+
+    def _psnr_gate(enc2: bytes, label: str) -> None:
+        a = np.frombuffer(decode_jpeg(enc2)["pixels"], np.uint8).astype(float)
+        got2 = _run(enc2, label)
+        b = np.frombuffer(bytes(got2["pixels"]), np.uint8).astype(float)
+        if len(a) != len(b):
+            raise ValueError(
+                f"native JPEG decoder returned a differently-sized stream "
+                f"on the {label} fixture"
+            )
+        mse = float(((a - b) ** 2).mean())
+        if mse > 0 and 10 * np.log10(255**2 / mse) < 40.0:
+            raise ValueError(
+                "native JPEG decoder diverges from the reference codec "
+                f"(PSNR < 40 on the {label} fixture)"
+            )
+
     x = np.linspace(0, 3 * np.pi, 40)
     smooth = (127 + 100 * np.outer(np.sin(x[:24]), np.cos(x))).astype(np.uint8)
-    enc2 = encode_jpeg_gray(smooth, quality=90)
-    a = np.frombuffer(decode_jpeg(enc2)["pixels"], np.uint8).astype(float)
-    got2 = fn(enc2)
-    b = np.frombuffer(bytes(got2["pixels"]), np.uint8).astype(float)
-    if len(a) != len(b):
-        raise ValueError("native JPEG decoder returned a differently-sized stream")
-    mse = float(((a - b) ** 2).mean())
-    if mse > 0 and 10 * np.log10(255**2 / mse) < 40.0:
-        raise ValueError(
-            "native JPEG decoder diverges from the reference codec "
-            "(PSNR < 40 on the lossy fixture)"
-        )
+    _psnr_gate(encode_jpeg_gray(smooth, quality=90), "lossy grayscale")
+    color = np.stack(
+        [smooth, smooth[:, ::-1], np.rot90(smooth, 2)], axis=2
+    ).astype(np.uint8)
+    _psnr_gate(
+        encode_jpeg_color(color, quality=90, subsample="4:2:0"),
+        "lossy 4:2:0 color",
+    )
 
 
 def _app14_adobe(transform: int) -> bytes:

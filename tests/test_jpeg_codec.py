@@ -273,6 +273,56 @@ def test_native_decoder_seam():
         mm.register_native_decoder("webp", lambda p: None)
 
 
+def test_decoder_gate_covers_restart_markers_and_color():
+    """ADVICE r14 #2: the gate previously verified a restart-free grayscale
+    fixture only, while the wired consumer (decoded_jpeg_features) encodes
+    with restart_interval=2 — a plugin that mishandles RST markers (or
+    chroma) could pass the gate yet diverge in production. Both failure
+    modes must now be caught AT THE GATE."""
+
+    # a decoder that "forgets" restart state: strip DRI and RSTn, then
+    # decode — without predictor resets the DC values desync, which is
+    # exactly what a restart-unaware plugin produces
+    def restart_blind(payload):
+        out = bytearray()
+        i = 0
+        n = len(payload)
+        while i < n:
+            if payload[i] == 0xFF and i + 1 < n:
+                m = payload[i + 1]
+                if m == 0xDD:  # DRI segment: marker + 2-byte length + body
+                    seglen = (payload[i + 2] << 8) | payload[i + 3]
+                    i += 2 + seglen
+                    continue
+                if 0xD0 <= m <= 0xD7:  # RSTn: bare marker
+                    i += 2
+                    continue
+            out.append(payload[i])
+            i += 1
+        return jpeg.decode_jpeg(bytes(out))
+
+    with pytest.raises(ValueError, match="restart-marker"):
+        jpeg.verify_decoder_equivalence(restart_blind)
+
+    # a decoder with broken chroma: decode correctly, then collapse the
+    # color fixture to its luma (what a gray-only plugin would return)
+    def chroma_blind(payload):
+        d = jpeg.decode_jpeg(payload)
+        px = d["pixels"]
+        gray = bytearray()
+        for k in range(0, len(px), 3):
+            y = (77 * px[k] + 150 * px[k + 1] + 29 * px[k + 2]) >> 8
+            gray += bytes((y, y, y))
+        d["pixels"] = bytes(gray)
+        return d
+
+    with pytest.raises(ValueError, match="color"):
+        jpeg.verify_decoder_equivalence(chroma_blind)
+
+    # the reference codec itself still passes the widened gate
+    jpeg.verify_decoder_equivalence(jpeg.decode_jpeg)
+
+
 def test_12bit_precision_roundtrip_and_exact_subclass():
     """12-bit extended sequential (SOF1): uint16 input in [0, 4095],
     16-bit-capable DQT, extended Huffman categories, level shift 2048,
