@@ -610,110 +610,34 @@ def resize_payload_grid_oracle_sql(
 def decoded_png_features(documents: DataFrame, width: int = 16) -> DataFrame:
     """End-to-end REAL compressed-image decode through Spark: wrap each
     document's bytes into a genuine non-interlaced 8-bit grayscale PNG
-    (``encode_png_gray`` — zlib-compressed IDAT, CRC-stamped chunks, row y
-    filtered with type ``y % 5`` so every scanline filter is exercised),
-    then parse it back with the real decoder (``decode_png`` — chunk walk,
-    CRC verify, inflate, full defilter) and emit features of the DECODED
-    pixel stream. The md5 pins the whole round-trip: any filter/CRC/inflate
-    mistake in either direction changes the hash, and the DuckDB oracle
-    predicts it from the source bytes independently (round-trip ≡ identity).
+    (``operators.png.encode_png_gray`` — zlib-compressed IDAT, CRC-stamped
+    chunks, row y filtered with type ``y % 5`` so every scanline filter is
+    exercised), then parse it back with the real decoder
+    (``operators.png.decode_png`` — chunk walk, CRC verify, inflate, full
+    defilter) and emit features of the DECODED pixel stream. The md5 pins
+    the whole round-trip: any filter/CRC/inflate mistake in either
+    direction changes the hash, and the DuckDB oracle predicts it from the
+    source bytes independently (round-trip ≡ identity).
 
     Same plumbing contract as :func:`decoded_image_features`: Arrow-batched
-    ``mapInPandas``, self-contained stdlib-only closure shipped by value
-    (zlib + struct), zero shuffle."""
+    ``mapInPandas``, ``operators.png`` registered with cloudpickle's
+    pickle-by-value so executors need no repo PYTHONPATH, zero shuffle.
+    (r15: the former self-contained inline mini-codec — a pre-split relic
+    duplicating png.py's exact algorithm — is gone; this entry now drives
+    the one real, vectorized codec the rest of the PNG surface uses.)"""
+    from pyspark import cloudpickle as _cp
+
+    from . import png as _png
+
+    try:
+        _cp.register_pickle_by_value(_png)
+    except Exception:
+        pass  # already registered / older cloudpickle: reference pickling
     docs = documents.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    enc_gray, dec = _png.encode_png_gray, _png.decode_png
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
-        import struct as _struct
-        import zlib as _zlib
-
-        def paeth(a: int, b: int, c: int) -> int:
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            if pa <= pb and pa <= pc:
-                return a
-            if pb <= pc:
-                return b
-            return c
-
-        def chunk(ctype: bytes, data: bytes) -> bytes:
-            return (
-                _struct.pack(">I", len(data))
-                + ctype
-                + data
-                + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
-            )
-
-        def enc(pixels: bytes, w: int, h: int) -> bytes:
-            raw = bytearray()
-            prior = bytes(w)
-            for y in range(h):
-                row = pixels[y * w : (y + 1) * w]
-                ft = y % 5
-                raw.append(ft)
-                for x in range(w):
-                    left = row[x - 1] if x else 0
-                    up = prior[x]
-                    ul = prior[x - 1] if x else 0
-                    pred = (
-                        0 if ft == 0
-                        else left if ft == 1
-                        else up if ft == 2
-                        else (left + up) >> 1 if ft == 3
-                        else paeth(left, up, ul)
-                    )  # fmt: skip
-                    raw.append((row[x] - pred) & 0xFF)
-                prior = row
-            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-            return (
-                b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", _zlib.compress(bytes(raw)))
-                + chunk(b"IEND", b"")
-            )
-
-        def dec(payload: bytes) -> dict:
-            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
-            pos, ihdr, idat = 8, None, bytearray()
-            while pos + 8 <= len(payload):
-                (length,) = _struct.unpack_from(">I", payload, pos)
-                ctype = payload[pos + 4 : pos + 8]
-                data = payload[pos + 8 : pos + 8 + length]
-                (crc,) = _struct.unpack_from(">I", payload, pos + 8 + length)
-                assert _zlib.crc32(ctype + data) & 0xFFFFFFFF == crc
-                if ctype == b"IHDR":
-                    ihdr = _struct.unpack(">IIBBBBB", data)
-                elif ctype == b"IDAT":
-                    idat += data
-                elif ctype == b"IEND":
-                    break
-                pos += 12 + length
-            w, h, depth, cn, comp, filt, il = ihdr
-            assert depth == 8 and cn == 0 and il == 0
-            raw = _zlib.decompress(bytes(idat))
-            assert len(raw) == h * (w + 1)
-            out = bytearray()
-            prior = bytes(w)
-            for y in range(h):
-                ft = raw[y * (w + 1)]
-                line = raw[y * (w + 1) + 1 : (y + 1) * (w + 1)]
-                recon = bytearray(w)
-                for x in range(w):
-                    left = recon[x - 1] if x else 0
-                    up = prior[x]
-                    ul = prior[x - 1] if x else 0
-                    pred = (
-                        0 if ft == 0
-                        else left if ft == 1
-                        else up if ft == 2
-                        else (left + up) >> 1 if ft == 3
-                        else paeth(left, up, ul)
-                    )  # fmt: skip
-                    recon[x] = (line[x] + pred) & 0xFF
-                prior = bytes(recon)
-                out += b"".join(bytes((g, g, g)) for g in recon)
-            return {"width": w, "height": h, "pixels": bytes(out)}
 
         for pdf in it:
             out = {
@@ -724,7 +648,7 @@ def decoded_png_features(documents: DataFrame, width: int = 16) -> DataFrame:
                 h = len(payload) // width
                 if h == 0:
                     continue
-                img = dec(enc(bytes(payload[: width * h]), width, h))
+                img = dec(enc_gray(bytes(payload[: width * h]), width, h))
                 px = img["pixels"]
                 out["doc_id"].append(did)
                 out["width"].append(img["width"])
@@ -734,6 +658,8 @@ def decoded_png_features(documents: DataFrame, width: int = 16) -> DataFrame:
                 out["pixels_md5"].append(
                     _hashlib.md5(px.hex().encode()).hexdigest()
                 )
+                # exact integer sum -> deterministic float, matching the
+                # oracle's SUM(...)/COUNT(...) to the last ulp
                 out["mean_pixel"].append(sum(px) / len(px))
             yield pd.DataFrame(out)
 

@@ -1,4 +1,4 @@
-"""PNG codec from scratch (stdlib only): encode + decode.
+"""PNG codec from scratch (stdlib + numpy, like jpeg.py): encode + decode.
 
 Covers ALL of the ISO/W3C PNG spec's storage layouts (§11.2.2's legal
 depth/color-type grid is fully decoded as of r15): grayscale at
@@ -18,7 +18,7 @@ functions), sub-byte sample unpacking (§7.2 MSB-first), palette mapping.
 remain — every NotImplementedError in this module is gone.
 
 Split out of ``operators/multimodal.py`` (which re-exports the public
-names) so Spark closures can register THIS stdlib-only module with
+names) so Spark closures can register THIS stdlib+numpy module with
 cloudpickle's pickle-by-value — executors need no repo PYTHONPATH, the
 same shipping contract as ``operators/jpeg.py``.
 
@@ -55,38 +55,68 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def _png_filter_stream(
-    scanlines: list[bytes], bpp: int, filter_cycle: bool
-) -> bytes:
-    """Apply the spec's scanline filters to pre-built scanlines (one bytes
-    object per row, all the same stride). With ``filter_cycle`` row y uses
-    filter type ``y % 5`` so a tall image exercises every filter
+def _filter_matrix(m, bpp: int, filter_cycle: bool) -> bytes:
+    """Apply the spec's scanline filters to a whole (height, stride) uint8
+    scanline matrix in ONE vector pass and return the filtered stream
+    (per-row filter byte + filtered bytes). With ``filter_cycle`` row y
+    uses filter type ``y % 5`` so a tall image exercises every filter
     (None/Sub/Up/Average/Paeth) and the decoder's reconstruction is
     genuinely load-bearing. ``bpp`` is the filter byte distance — the
     per-pixel byte count (§9.2: "bpp is defined as the number of bytes per
-    complete pixel, rounding up to one" — so 1 for sub-byte palette rows)."""
-    raw = bytearray()
-    stride = len(scanlines[0]) if scanlines else 0
-    prior = bytes(stride)
-    for y, row in enumerate(scanlines):
-        ft = (y % 5) if filter_cycle else 0
-        raw.append(ft)
-        if ft == 0:
-            raw += row
-        else:
-            for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                up = prior[x]
-                ul = prior[x - bpp] if x >= bpp else 0
-                pred = (
-                    left if ft == 1
-                    else up if ft == 2
-                    else (left + up) >> 1 if ft == 3
-                    else _paeth(left, up, ul)
-                )  # fmt: skip
-                raw.append((row[x] - pred) & 0xFF)
-        prior = row
-    return bytes(raw)
+    complete pixel, rounding up to one" — so 1 for sub-byte rows).
+
+    Exactness (r15 vectorization): the ENCODER's predictors read only
+    ORIGINAL row/prior bytes — never their own output — so the whole image
+    is a pure element-wise map over shifted views; int16 holds every
+    intermediate (sums <= 510, Paeth deltas in [-510, 510])."""
+    import numpy as np
+
+    h, s = m.shape
+    if h == 0:
+        return b""
+    out = np.empty((h, s + 1), np.uint8)
+    if not filter_cycle:
+        out[:, 0] = 0
+        out[:, 1:] = m
+        return out.tobytes()
+    cur = m.astype(np.int16)
+    left = np.zeros_like(cur)
+    if bpp < s:
+        left[:, bpp:] = cur[:, :-bpp]
+    up = np.zeros_like(cur)
+    up[1:] = cur[:-1]
+    ul = np.zeros_like(cur)
+    if bpp < s:
+        ul[1:, bpp:] = cur[:-1, :-bpp]
+    p = left + up - ul
+    pa = np.abs(p - left)
+    pb = np.abs(p - up)
+    pc = np.abs(p - ul)
+    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+    ft = np.arange(h) % 5
+    preds = np.stack(
+        [np.zeros_like(cur), left, up, (left + up) >> 1, paeth]
+    )  # (5, h, s)
+    pred = preds[ft, np.arange(h)]
+    out[:, 0] = ft
+    out[:, 1:] = ((cur - pred) & 0xFF).astype(np.uint8)
+    return out.tobytes()
+
+
+def _png_filter_stream(
+    scanlines: list[bytes], bpp: int, filter_cycle: bool
+) -> bytes:
+    """List-of-rows convenience wrapper over :func:`_filter_matrix` (kept
+    for fixtures/tests that hand-build scanlines)."""
+    import numpy as np
+
+    if not scanlines:
+        return b""
+    stride = len(scanlines[0])
+    m = np.frombuffer(b"".join(scanlines), np.uint8).reshape(
+        len(scanlines), stride
+    )
+    return _filter_matrix(m, bpp, filter_cycle)
 
 
 def _png_assemble(
@@ -127,58 +157,109 @@ _ADAM7 = [
 ]
 
 
-def _pack_indices(row: bytes, width: int, depth: int) -> bytes:
-    """Pack one row of per-pixel palette indices at ``depth`` bits, MSB
-    first, zero-padded to the byte boundary (§7.2)."""
+def _pack_matrix(samples, depth: int):
+    """Pack a (height, width) matrix of per-pixel sample values at
+    ``depth`` bits, MSB first, rows zero-padded to the byte boundary
+    (§7.2) — one vectorized shift-or for the whole image. Returns the
+    (height, stride) packed byte matrix."""
+    import numpy as np
+
+    if samples.size and int(samples.max()) >= (1 << depth):
+        raise ValueError(
+            f"value {int(samples.max())} exceeds {depth}-bit depth"
+        )
     if depth == 8:
-        return bytes(row[:width])
+        return samples
+    h, w = samples.shape
     per = 8 // depth
-    packed = bytearray()
-    for x0 in range(0, width, per):
-        b = 0
-        for k in range(per):
-            v = row[x0 + k] if x0 + k < width else 0
-            if v >= (1 << depth):
-                raise ValueError(f"value {v} exceeds {depth}-bit depth")
-            b = (b << depth) | v
-        packed.append(b)
-    return bytes(packed)
+    pad = (-w) % per
+    if pad:
+        samples = np.concatenate(
+            [samples, np.zeros((h, pad), np.uint8)], axis=1
+        )
+    groups = samples.reshape(h, -1, per)
+    out = np.zeros(groups.shape[:2], np.uint8)
+    for k in range(per):
+        out |= groups[:, :, k] << (depth * (per - 1 - k))
+    return out
+
+
+def _pack_indices(row: bytes, width: int, depth: int) -> bytes:
+    """One-row convenience wrapper over :func:`_pack_matrix` (kept for
+    fixtures/tests that hand-build scanlines)."""
+    import numpy as np
+
+    arr = np.frombuffer(bytes(row[:width]), np.uint8).reshape(1, -1)
+    return _pack_matrix(arr, depth).tobytes()
+
+
+def _defilter_row(ft: int, line: bytes, prior: bytes, bpp: int) -> bytes:
+    """Reconstruct one scanline (§9.2 reconstruction functions).
+    None/Up/Sub vectorize EXACTLY — Up is element-wise, Sub is a per-phase
+    modular prefix sum (mod 256 distributes over the running sum) —
+    while Average and Paeth stay sequential: each output byte feeds the
+    next prediction through a nonlinear op (floor-average / min-of-abs)."""
+    import numpy as np
+
+    stride = len(line)
+    if ft == 0:
+        return bytes(line)
+    if ft == 2:
+        a = np.frombuffer(line, np.uint8).astype(np.int16)
+        b = np.frombuffer(prior, np.uint8)
+        return ((a + b) & 0xFF).astype(np.uint8).tobytes()
+    if ft == 1:
+        arr = np.frombuffer(line, np.uint8).astype(np.int64)
+        for ph in range(min(bpp, stride)):
+            arr[ph::bpp] = np.cumsum(arr[ph::bpp])
+        return (arr & 0xFF).astype(np.uint8).tobytes()
+    if ft not in (3, 4):
+        raise ValueError(f"PNG scanline filter {ft} invalid")
+    recon = bytearray(stride)
+    for x in range(stride):
+        left = recon[x - bpp] if x >= bpp else 0
+        up = prior[x]
+        ul = prior[x - bpp] if x >= bpp else 0
+        if ft == 3:
+            v = line[x] + ((left + up) >> 1)
+        else:
+            v = line[x] + _paeth(left, up, ul)
+        recon[x] = v & 0xFF
+    return bytes(recon)
 
 
 def _defilter(
     raw: bytes, offset: int, stride: int, height: int, bpp: int
 ) -> list[bytes]:
     """Reconstruct ``height`` scanlines of ``stride`` bytes from the
-    filtered stream at ``offset`` (§9.2 reconstruction functions) — the
-    per-pass worker for the Adam7 branch; the non-interlaced path keeps
-    its fused defilter+convert loop."""
+    filtered stream at ``offset`` — the per-pass worker for the Adam7
+    branch and the shared row engine for the non-interlaced path."""
     rows: list[bytes] = []
     prior = bytes(stride)
     for y in range(height):
         base = offset + y * (stride + 1)
         ft = raw[base]
         line = raw[base + 1 : base + 1 + stride]
-        recon = bytearray(stride)
-        for x in range(stride):
-            left = recon[x - bpp] if x >= bpp else 0
-            up = prior[x]
-            ul = prior[x - bpp] if x >= bpp else 0
-            if ft == 0:
-                v = line[x]
-            elif ft == 1:
-                v = line[x] + left
-            elif ft == 2:
-                v = line[x] + up
-            elif ft == 3:
-                v = line[x] + ((left + up) >> 1)
-            elif ft == 4:
-                v = line[x] + _paeth(left, up, ul)
-            else:
-                raise ValueError(f"PNG scanline filter {ft} invalid")
-            recon[x] = v & 0xFF
-        prior = bytes(recon)
-        rows.append(bytes(recon))
+        prior = _defilter_row(ft, line, prior, bpp)
+        rows.append(prior)
     return rows
+
+
+def _unpack_rows(
+    rows_data: bytes, height: int, stride: int, width: int, depth: int
+):
+    """Unpack §7.2 MSB-first sub-byte samples for a whole row-major image
+    at once: (height, stride) packed bytes -> (height, width) samples,
+    row-edge pad bits dropped. Returns a numpy uint8 matrix."""
+    import numpy as np
+
+    m = np.frombuffer(rows_data, np.uint8).reshape(height, stride)
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    expanded = np.empty((height, stride * per), np.uint8)
+    for k in range(per):
+        expanded[:, k::per] = (m >> (depth * (per - 1 - k))) & mask
+    return expanded[:, :width]
 
 
 def _adam7_raw(
@@ -191,26 +272,33 @@ def _adam7_raw(
     pack_depth: int = 8,
 ) -> bytes:
     """Serialize unpacked pixel rows (``upp`` bytes per pixel; for
-    palette images pass the INDEX rows with ``pack``/``pack_depth``) as
-    the Adam7 interlaced filtered stream: per pass, extract the pass's
-    sample grid, pack if sub-byte, and filter it as an independent
-    sub-image."""
+    sub-byte images pass the per-pixel SAMPLE rows with ``pack``/
+    ``pack_depth``) as the Adam7 interlaced filtered stream: per pass,
+    extract the pass's sample grid (one fancy-index gather), pack if
+    sub-byte (matrix-level), and filter it as an independent sub-image
+    (one vector pass)."""
+    import numpy as np
+
     height = len(rows)
     raw = bytearray()
+    if height == 0:
+        return b""
+    m = np.frombuffer(
+        b"".join(bytes(r[: width * upp]) for r in rows), np.uint8
+    ).reshape(height, width * upp)
     for x0, y0, dx, dy in _ADAM7:
         wp = (width - x0 + dx - 1) // dx
         hp = (height - y0 + dy - 1) // dy
         if wp <= 0 or hp <= 0:
             continue
-        prows: list[bytes] = []
-        for j in range(hp):
-            row = rows[y0 + j * dy]
-            pr = bytearray()
-            for i in range(wp):
-                x = x0 + i * dx
-                pr += row[x * upp : (x + 1) * upp]
-            prows.append(pack(bytes(pr), wp, pack_depth) if pack else bytes(pr))
-        raw += _png_filter_stream(prows, filter_bpp, filter_cycle)
+        rows_idx = y0 + np.arange(hp) * dy
+        cols = (
+            (x0 + np.arange(wp) * dx)[:, None] * upp + np.arange(upp)
+        ).reshape(-1)
+        pm = m[rows_idx[:, None], cols[None, :]]
+        if pack is not None:
+            pm = _pack_matrix(pm, pack_depth)
+        raw += _filter_matrix(pm, filter_bpp, filter_cycle)
     return bytes(raw)
 
 
@@ -242,30 +330,37 @@ def encode_png_gray(
                 f"color key {trans_key} exceeds {depth}-bit sample range"
             )
         extra = [(b"tRNS", struct.pack(">H", trans_key))]
+    import numpy as np
+
     if depth < 8:
         assert len(pixels) >= width * height
         rows = [pixels[y * width : (y + 1) * width] for y in range(height)]
         if interlace:
             raw = _adam7_raw(
-                rows, width, 1, 1, filter_cycle, pack=_pack_indices,
+                rows, width, 1, 1, filter_cycle, pack=_pack_matrix,
                 pack_depth=depth,
             )
         else:
-            raw = _png_filter_stream(
-                [_pack_indices(r, width, depth) for r in rows], 1, filter_cycle
-            )
+            m = np.frombuffer(
+                bytes(pixels[: width * height]), np.uint8
+            ).reshape(height, width)
+            raw = _filter_matrix(_pack_matrix(m, depth), 1, filter_cycle)
         return _png_assemble(
             width, height, depth, 0, raw, extra, interlace=int(interlace)
         )
     upp = depth // 8
     assert len(pixels) >= width * height * upp
-    rows = [
-        pixels[y * width * upp : (y + 1) * width * upp] for y in range(height)
-    ]
     if interlace:
+        rows = [
+            pixels[y * width * upp : (y + 1) * width * upp]
+            for y in range(height)
+        ]
         raw = _adam7_raw(rows, width, upp, upp, filter_cycle)
     else:
-        raw = _png_filter_stream(rows, upp, filter_cycle)
+        m = np.frombuffer(
+            bytes(pixels[: width * height * upp]), np.uint8
+        ).reshape(height, width * upp)
+        raw = _filter_matrix(m, upp, filter_cycle)
     return _png_assemble(
         width, height, depth, 0, raw, extra, interlace=int(interlace)
     )
@@ -301,16 +396,19 @@ def encode_png_palette(
         raise ValueError(
             f"index {max(used)} exceeds the {len(palette)}-entry palette"
         )
-    idx_rows = [indices[y * width : (y + 1) * width] for y in range(height)]
     if interlace:
+        idx_rows = [
+            indices[y * width : (y + 1) * width] for y in range(height)
+        ]
         raw = _adam7_raw(
-            idx_rows, width, 1, 1, filter_cycle, pack=_pack_indices,
+            idx_rows, width, 1, 1, filter_cycle, pack=_pack_matrix,
             pack_depth=depth,
         )
     else:
-        raw = _png_filter_stream(
-            [_pack_indices(r, width, depth) for r in idx_rows], 1, filter_cycle
-        )
+        import numpy as np
+
+        m = np.frombuffer(bytes(used), np.uint8).reshape(height, width)
+        raw = _filter_matrix(_pack_matrix(m, depth), 1, filter_cycle)
     extra: list[tuple[bytes, bytes]] = [
         (b"PLTE", b"".join(bytes(rgb) for rgb in palette))
     ]
@@ -332,11 +430,18 @@ def encode_png_rgba(
     byte stream (4 bytes per pixel). Inverse of :func:`decode_png` (which
     returns the RGB plane plus the alpha plane)."""
     assert len(pixels) >= width * height * 4
-    rows = [pixels[y * width * 4 : (y + 1) * width * 4] for y in range(height)]
     if interlace:
+        rows = [
+            pixels[y * width * 4 : (y + 1) * width * 4] for y in range(height)
+        ]
         raw = _adam7_raw(rows, width, 4, 4, filter_cycle)
     else:
-        raw = _png_filter_stream(rows, 4, filter_cycle)
+        import numpy as np
+
+        m = np.frombuffer(
+            bytes(pixels[: width * height * 4]), np.uint8
+        ).reshape(height, width * 4)
+        raw = _filter_matrix(m, 4, filter_cycle)
     return _png_assemble(width, height, 8, 6, raw, interlace=int(interlace))
 
 
@@ -456,48 +561,55 @@ def decode_png(payload: bytes) -> dict:
     raw = d.decompress(bytes(idat), expected + 1)
     if len(raw) != expected or (d.unconsumed_tail or d.decompress(b"", 1)):
         raise ValueError("PNG IDAT length mismatch")
+    import numpy as np
+
+    # --- reconstruct the full sample grid ------------------------------
+    # Vectorized exactly (r15): rows still defilter sequentially (each row
+    # predicts from the previous), but None/Up/Sub rows are element-wise /
+    # prefix-sum numpy maps (_defilter_row) and ALL output conversion below
+    # runs once over the whole image instead of per row. Result:
+    #   sub_byte  -> ``samples``: (height, width) raw sample matrix
+    #   otherwise -> ``flat``:    the reconstructed byte stream
     if interlace:
-        # Adam7 (§8.2): defilter each pass as an independent sub-image,
-        # scatter its samples into a full-resolution UNPACKED grid, then
-        # re-serialize as the equivalent filter-0 non-interlaced stream so
-        # the shared per-row pipeline below handles output conversion
-        grid = [bytearray(width * upp) for _ in range(height)]
+        # Adam7 (§8.2): defilter each pass as an independent sub-image and
+        # scatter its samples into the full-resolution unpacked grid with
+        # strided assignment
+        grid = np.zeros((height, width * upp), np.uint8)
         off = 0
-        per = 8 // depth if sub_byte else 1
-        mask = (1 << depth) - 1
         for x0, y0, dx, dy in _ADAM7:
             wp, hp, sp = _pass_geom(x0, y0, dx, dy)
             if not wp or not hp:
                 continue
-            for j, prow in enumerate(
-                _defilter(raw, off, sp, hp, bpp)
-            ):
-                if sub_byte:
-                    samples = bytearray()
-                    for b in prow:
-                        for k in range(per - 1, -1, -1):
-                            samples.append((b >> (k * depth)) & mask)
-                    samples = samples[:wp]
-                else:
-                    samples = prow
-                y = y0 + j * dy
-                row = grid[y]
-                for i in range(wp):
-                    x = x0 + i * dx
-                    row[x * upp : (x + 1) * upp] = samples[
-                        i * upp : (i + 1) * upp
-                    ]
-            off += hp * (sp + 1)
-        deint = bytearray()
-        for y in range(height):
-            deint.append(0)  # filter type None
+            prows = _defilter(raw, off, sp, hp, bpp)
             if sub_byte:
-                deint += _pack_indices(bytes(grid[y]), width, depth)
+                pm = _unpack_rows(b"".join(prows), hp, sp, wp, depth)
+                grid[y0 :: dy, x0 :: dx] = pm
             else:
-                deint += grid[y]
-        raw = bytes(deint)
-    out = bytearray()
-    alpha = bytearray()
+                pm = np.frombuffer(b"".join(prows), np.uint8).reshape(
+                    hp, wp * upp
+                )
+                # fancy-index assignment (NOT a reshape of a strided view,
+                # which numpy may silently materialize as a copy): rows of
+                # the pass land on y0+j*dy, each sample's upp bytes on
+                # (x0+i*dx)*upp .. +upp
+                rows_idx = y0 + np.arange(hp) * dy
+                cols = (
+                    (x0 + np.arange(wp) * dx)[:, None] * upp + np.arange(upp)
+                ).reshape(-1)
+                grid[rows_idx[:, None], cols[None, :]] = pm
+            off += hp * (sp + 1)
+        samples = grid if sub_byte else None
+        flat = None if sub_byte else grid.reshape(-1)
+    else:
+        data = b"".join(_defilter(raw, 0, stride, height, bpp))
+        if sub_byte:
+            samples = _unpack_rows(data, height, stride, width, depth)
+            flat = None
+        else:
+            samples = None
+            flat = np.frombuffer(data, np.uint8)
+
+    # --- output conversion ---------------------------------------------
     has_alpha = ctype_n in (4, 6) or trns is not None
     # §11.3.2: on gray/RGB frames tRNS is a COLOR KEY — one 2-byte sample
     # per channel; matching pixels are fully transparent. Dropping it
@@ -514,123 +626,69 @@ def decode_png(payload: bytes) -> dict:
     elif trns is not None and ctype_n in (4, 6):
         raise ValueError(f"tRNS is invalid on color type {ctype_n}")
     npal = len(plte) // 3 if plte else 0
-    prior = bytes(stride)
-    for y in range(height):
-        ft = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        recon = bytearray(stride)
-        for x in range(stride):
-            left = recon[x - bpp] if x >= bpp else 0
-            up = prior[x]
-            ul = prior[x - bpp] if x >= bpp else 0
-            if ft == 0:
-                v = line[x]
-            elif ft == 1:
-                v = line[x] + left
-            elif ft == 2:
-                v = line[x] + up
-            elif ft == 3:
-                v = line[x] + ((left + up) >> 1)
-            elif ft == 4:
-                v = line[x] + _paeth(left, up, ul)
-            else:
-                raise ValueError(f"PNG scanline filter {ft} invalid")
-            recon[x] = v & 0xFF
-        prior = bytes(recon)
-        if depth == 16 and ctype_n != 3:
-            # widened samples map to the module's uint8 RGB contract via
-            # the top byte (the same preview mapping as 12-bit JPEG);
-            # color-key comparison below uses the FULL 16-bit samples
-            sam16 = recon
-            recon = bytearray(recon[0::2])
+
+    alpha_arr = None
+    if depth == 16 and ctype_n != 3:
+        # widened samples map to the module's uint8 RGB contract via the
+        # top byte (the same preview mapping as 12-bit JPEG); color-key
+        # comparison uses the FULL 16-bit samples
+        full16 = (flat[0::2].astype(np.uint32) << 8) | flat[1::2]
+        flat = flat[0::2]
+    else:
+        full16 = None
+    if ctype_n == 0:
+        if sub_byte:
+            # scale each raw sample exactly onto 0..255: 255/(2^d-1) is an
+            # integer for d = 1/2/4 (255, 85, 17), so the mapping is
+            # affine and lossless — a DuckDB oracle can predict the bytes
+            scale = 255 // ((1 << depth) - 1)
+            s = samples.reshape(-1)
+            out_arr = np.repeat((s.astype(np.uint16) * scale).astype(np.uint8), 3)
+            if key_gray is not None:
+                # §11.3.2: the key is the RAW stored sample value
+                alpha_arr = np.where(s == key_gray, 0, 255).astype(np.uint8)
         else:
-            sam16 = None
-        if ctype_n == 0:
-            if sub_byte:
-                # unpack §7.2 MSB-first samples, then scale each raw
-                # sample exactly onto 0..255: 255/(2^d-1) is an integer
-                # for d = 1/2/4 (255, 85, 17), so the mapping is affine
-                # and lossless — a DuckDB oracle can predict the bytes
-                per = 8 // depth
-                mask = (1 << depth) - 1
-                scale = 255 // mask
-                samples = bytearray()
-                for b in recon:
-                    for k in range(per - 1, -1, -1):
-                        samples.append((b >> (k * depth)) & mask)
-                samples = samples[:width]  # drop pad bits past the row edge
-                out += b"".join(bytes((s * scale,) * 3) for s in samples)
-                if key_gray is not None:
-                    # §11.3.2: the key is the RAW stored sample value
-                    alpha += bytes(
-                        0 if s == key_gray else 255 for s in samples
-                    )
-            else:
-                out += b"".join(bytes((g, g, g)) for g in recon)
-                if key_gray is not None:
-                    if sam16 is not None:
-                        alpha += bytes(
-                            0
-                            if ((sam16[2 * i] << 8) | sam16[2 * i + 1])
-                            == key_gray
-                            else 255
-                            for i in range(width)
-                        )
-                    else:
-                        alpha += bytes(
-                            0 if g == key_gray else 255 for g in recon
-                        )
-        elif ctype_n == 2:
-            out += recon
-            if key_rgb is not None:
-                if sam16 is not None:
-                    alpha += bytes(
-                        0
-                        if tuple(
-                            (sam16[6 * i + 2 * c] << 8) | sam16[6 * i + 2 * c + 1]
-                            for c in range(3)
-                        )
-                        == key_rgb
-                        else 255
-                        for i in range(width)
-                    )
-                else:
-                    alpha += bytes(
-                        0
-                        if (recon[x], recon[x + 1], recon[x + 2]) == key_rgb
-                        else 255
-                        for x in range(0, len(recon), 3)
-                    )
-        elif ctype_n == 3:
-            if depth == 8:
-                idxs = recon
-            else:
-                per = 8 // depth
-                mask = (1 << depth) - 1
-                idxs = bytearray()
-                for b in recon:
-                    for k in range(per - 1, -1, -1):
-                        idxs.append((b >> (k * depth)) & mask)
-                idxs = idxs[:width]  # drop pad bits past the row edge
-            for i in idxs:
-                if i >= npal:
-                    raise ValueError(f"palette index {i} >= {npal} entries")
-                out += plte[i * 3 : i * 3 + 3]
-                if has_alpha:
-                    alpha.append(trns[i] if i < len(trns) else 255)
-        elif ctype_n == 4:
-            for x in range(0, len(recon), 2):
-                g = recon[x]
-                out += bytes((g, g, g))
-                alpha.append(recon[x + 1])
-        else:  # 6: RGBA
-            for x in range(0, len(recon), 4):
-                out += recon[x : x + 3]
-                alpha.append(recon[x + 3])
+            out_arr = np.repeat(flat, 3)
+            if key_gray is not None:
+                cmp = full16 if full16 is not None else flat
+                alpha_arr = np.where(cmp == key_gray, 0, 255).astype(np.uint8)
+    elif ctype_n == 2:
+        out_arr = flat
+        if key_rgb is not None:
+            trip = (full16 if full16 is not None else flat).reshape(-1, 3)
+            match = (
+                (trip[:, 0] == key_rgb[0])
+                & (trip[:, 1] == key_rgb[1])
+                & (trip[:, 2] == key_rgb[2])
+            )
+            alpha_arr = np.where(match, 0, 255).astype(np.uint8)
+    elif ctype_n == 3:
+        idxs = (samples if sub_byte else flat).reshape(-1)
+        if idxs.size and int(idxs.max()) >= npal:
+            raise ValueError(
+                f"palette index {int(idxs.max())} >= {npal} entries"
+            )
+        out_arr = np.frombuffer(plte, np.uint8).reshape(-1, 3)[idxs]
+        if has_alpha:
+            table = np.full(npal, 255, np.uint8)
+            table[: len(trns)] = np.frombuffer(trns, np.uint8)
+            alpha_arr = table[idxs]
+    elif ctype_n == 4:
+        pairs = flat.reshape(-1, 2)
+        out_arr = np.repeat(pairs[:, 0], 3)
+        alpha_arr = pairs[:, 1]
+    else:  # 6: RGBA
+        quads = flat.reshape(-1, 4)
+        out_arr = quads[:, :3]
+        alpha_arr = quads[:, 3]
     return {
         "width": width,
         "height": height,
         "channels": 3,
-        "pixels": bytes(out),
-        "alpha": bytes(alpha) if has_alpha else None,
+        "pixels": np.ascontiguousarray(out_arr, np.uint8).tobytes(),
+        "alpha": (
+            np.ascontiguousarray(alpha_arr, np.uint8).tobytes()
+            if has_alpha
+            else None
+        ),
     }
