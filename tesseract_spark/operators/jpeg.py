@@ -560,15 +560,20 @@ def verify_decoder_equivalence(fn) -> None:
     (not multimodal) so executor-side installers can ship it by value and
     run the gate inside each Python worker process."""
     def _run(enc: bytes, label: str) -> dict:
-        # a plugin that CRASHES on a gate fixture is as disqualified as one
-        # that returns wrong pixels — normalize to the gate's ValueError so
-        # callers (and tests) see which fixture caught it
+        # a plugin that CRASHES on a gate fixture — or returns a result
+        # without the width/height/pixels contract — is as disqualified as
+        # one that returns wrong pixels; normalize BOTH to the gate's
+        # ValueError so callers (and tests) see which fixture caught it
+        # (r15 review: shape access outside the try leaked KeyError/
+        # TypeError past the gate's only-ValueError contract)
         try:
-            return fn(enc)
+            got = fn(enc)
+            got["width"], got["height"], bytes(got["pixels"])
         except Exception as exc:
             raise ValueError(
                 f"native JPEG decoder failed on the {label} fixture: {exc}"
             ) from exc
+        return got
 
     vals = np.arange(6, dtype=np.uint8).reshape(2, 3) * 37 + 11
     img = np.repeat(np.repeat(vals, 8, 0), 8, 1)

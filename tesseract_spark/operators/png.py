@@ -88,16 +88,25 @@ def _filter_matrix(m, bpp: int, filter_cycle: bool) -> bytes:
     ul = np.zeros_like(cur)
     if bpp < s:
         ul[1:, bpp:] = cur[:-1, :-bpp]
-    p = left + up - ul
-    pa = np.abs(p - left)
-    pb = np.abs(p - up)
-    pc = np.abs(p - ul)
-    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+    # compute each filter's prediction ONLY over the rows that use it
+    # (r15 review: stacking all five predictor planes cost ~10x the image
+    # bytes in transient allocations; row masks cap the overhead at the
+    # three shifted views + per-filter row subsets)
     ft = np.arange(h) % 5
-    preds = np.stack(
-        [np.zeros_like(cur), left, up, (left + up) >> 1, paeth]
-    )  # (5, h, s)
-    pred = preds[ft, np.arange(h)]
+    pred = np.zeros_like(cur)
+    m = ft == 1
+    pred[m] = left[m]
+    m = ft == 2
+    pred[m] = up[m]
+    m = ft == 3
+    pred[m] = (left[m] + up[m]) >> 1
+    m = ft == 4
+    l4, u4, c4 = left[m], up[m], ul[m]
+    p = l4 + u4 - c4
+    pa = np.abs(p - l4)
+    pb = np.abs(p - u4)
+    pc = np.abs(p - c4)
+    pred[m] = np.where((pa <= pb) & (pa <= pc), l4, np.where(pb <= pc, u4, c4))
     out[:, 0] = ft
     out[:, 1:] = ((cur - pred) & 0xFF).astype(np.uint8)
     return out.tobytes()
@@ -463,7 +472,7 @@ def decode_png(payload: bytes) -> dict:
     gray at 1/2/4/8/16-bit, RGB at 8/16, indexed-color at 1/2/4/8 with
     PLTE lookup and optional tRNS per-index alpha, gray+alpha and RGBA at
     8/16, tRNS color keys on gray/RGB (§11.3.2, compared against the RAW
-    stored sample), interlace none or Adam7 — with the stdlib only: chunk
+    stored sample), interlace none or Adam7 — with stdlib + numpy: chunk
     walk with CRC32 verification, bounded zlib-inflated IDAT stream, full
     scanline defiltering (None/Sub/Up/Average/Paeth per the spec's
     reconstruction functions), sub-byte sample unpacking (§7.2 MSB-first

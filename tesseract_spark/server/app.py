@@ -174,6 +174,11 @@ class _WarmupManifest:
         self.path = path
         self.top_n = top_n
         self._lock = _threading.Lock()
+        # serializes snapshot→write→replace sequences (r15 review: unique
+        # tmp files fixed interleaved-writer CORRUPTION, but two writers
+        # could still finish out of order and replace a newer snapshot
+        # with an older one — last-writer-wins must win with FRESH data)
+        self._io_lock = _threading.Lock()
         self._counts: dict[str, int] = {}
         self._last_write = 0.0
         try:
@@ -210,10 +215,7 @@ class _WarmupManifest:
             if now - self._last_write < 1.0:
                 return
             self._last_write = now
-            top = dict(
-                sorted(self._counts.items(), key=lambda kv: -kv[1])[: self.top_n]
-            )
-        self._persist(top)
+        self._persist()
 
     def top(self) -> list[str]:
         with self._lock:
@@ -227,40 +229,46 @@ class _WarmupManifest:
     def flush(self) -> None:
         """Persist the current top-N unconditionally (called on server
         close so a clean restart sees everything the throttle deferred)."""
-        with self._lock:
-            top = dict(
-                sorted(self._counts.items(), key=lambda kv: -kv[1])[: self.top_n]
-            )
-        self._persist(top)
+        self._persist()
 
-    def _persist(self, top: dict[str, int]) -> None:
+    def _persist(self) -> None:
         """Atomic best-effort write via a UNIQUE tmp file (ADVICE r14 #3:
         a fixed ``{path}.tmp`` written outside the lock let a slow
         record() overlap a later record()/close-flush, interleaving two
         writers into one tmp file and os.replace-ing a corrupt manifest
         — tolerated on load, but it silently degraded warmup to empty).
         mkstemp in the destination directory keeps os.replace atomic
-        (same filesystem) and gives each writer its own file."""
+        (same filesystem) and gives each writer its own file. The io lock
+        serializes the WHOLE snapshot→write→replace sequence and the
+        snapshot is taken inside it, so a slow writer can never replace a
+        newer snapshot with an older one (r15 review)."""
         import os as _os
         import tempfile as _tempfile
 
-        try:
-            fd, tmp = _tempfile.mkstemp(
-                dir=_os.path.dirname(_os.path.abspath(self.path)) or ".",
-                prefix=_os.path.basename(self.path) + ".",
-                suffix=".tmp",
-            )
-        except OSError:
-            return  # manifest persistence is best-effort
-        try:
-            with _os.fdopen(fd, "w") as f:
-                json.dump({"uris": top}, f)
-            _os.replace(tmp, self.path)
-        except OSError:
+        with self._io_lock:
+            with self._lock:
+                top = dict(
+                    sorted(self._counts.items(), key=lambda kv: -kv[1])[
+                        : self.top_n
+                    ]
+                )
             try:
-                _os.unlink(tmp)
+                fd, tmp = _tempfile.mkstemp(
+                    dir=_os.path.dirname(_os.path.abspath(self.path)) or ".",
+                    prefix=_os.path.basename(self.path) + ".",
+                    suffix=".tmp",
+                )
             except OSError:
-                pass
+                return  # manifest persistence is best-effort
+            try:
+                with _os.fdopen(fd, "w") as f:
+                    json.dump({"uris": top}, f)
+                _os.replace(tmp, self.path)
+            except OSError:
+                try:
+                    _os.unlink(tmp)
+                except OSError:
+                    pass
 
 
 _pool_counter = _itertools.count()

@@ -88,6 +88,11 @@ CODEC_DOC_CLAIMS: dict[str, list[tuple[str, bool]]] = {
         ("No PNG layout boundaries remain", True),
         ("raise ``NotImplementedError``", False),  # nothing raises it anymore
         ("sub-8-bit grayscale PNG unsupported", False),
+        # r15 review: the codec is numpy-vectorized — a lingering
+        # "stdlib only" claim is the same docs-drift class as the r14
+        # boundary miss
+        ("stdlib only", False),
+        ("stdlib-only", False),
     ],
     "jpeg.py": [
         ("arithmetic", True),

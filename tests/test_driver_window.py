@@ -94,9 +94,10 @@ def test_oldest_cohort_fully_rotated_in():
     contain EVERY live entry whose newest GREEN driver round is the oldest
     such round across the catalog — the owed cohort is rotated in whole,
     debuts merge rather than displace."""
+    rounds = _rounds()
     newest_green: dict[str, int] = {}
-    for rnd in sorted(_rounds(), key=int):
-        for n, r in _rounds()[rnd].items():
+    for rnd in sorted(rounds, key=int):
+        for n, r in rounds[rnd].items():
             if _is_green(r) and n in catalog.ENTRIES:
                 newest_green[n] = int(rnd)
     # entries with no green row anywhere are test_no_entry_starved's job

@@ -319,6 +319,14 @@ def test_decoder_gate_covers_restart_markers_and_color():
     with pytest.raises(ValueError, match="color"):
         jpeg.verify_decoder_equivalence(chroma_blind)
 
+    # a plugin returning a MALFORMED result (None / missing keys) is also
+    # normalized to the gate's labeled ValueError — never a raw
+    # TypeError/KeyError past the only-ValueError contract (r15 review)
+    with pytest.raises(ValueError, match="constant-block fixture"):
+        jpeg.verify_decoder_equivalence(lambda payload: None)
+    with pytest.raises(ValueError, match="constant-block fixture"):
+        jpeg.verify_decoder_equivalence(lambda payload: {"width": 1})
+
     # the reference codec itself still passes the widened gate
     jpeg.verify_decoder_equivalence(jpeg.decode_jpeg)
 
