@@ -167,6 +167,26 @@ def main() -> None:
 
     spark.range(32).repartition(32).mapInPandas(_warm_iter, "id long").count()
 
+    def _calibrate() -> float:
+        """Box-speed normalizer (r15): median-of-3 of a FIXED data-free
+        JVM workload (20B-row codegen aggregate over 32 partitions — pure
+        CPU, no disk, no Python workers; ~1-2 s so scheduler noise is a
+        small fraction). Same-code bench totals swung 1.09x-1.17x between
+        runs on this box with no positional trend or per-entry
+        reproducibility; recording the box's own speed at start AND end
+        lets any cross-round comparison divide out machine drift instead
+        of guessing whether a delta is code or environment."""
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 20_000_000_000, 1, 32).selectExpr(
+                "sum(id % 7) AS s"
+            ).collect()
+            ts.append(time.perf_counter() - t0)
+        return round(_median(ts), 4)
+
+    calibration_start = _calibrate()
+
     names = [n for n in HEADLINE if n in catalog.ENTRIES]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if extra:
@@ -307,6 +327,13 @@ def main() -> None:
         # timed samples when repeats > 1 (see _time_entry) — raw samples
         # measure steady state, not a cold outlier the median absorbs
         "steady_state": repeats > 1,
+        # fixed data-free workload medians at run start/end — divide a
+        # cross-round per-entry ratio by the calibration ratio to remove
+        # box-speed drift (see _calibrate)
+        "calibration_sec": {
+            "start": calibration_start,
+            "end": _calibrate(),
+        },
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
     }
