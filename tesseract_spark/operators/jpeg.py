@@ -191,13 +191,16 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return out
 
 
-def _build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> value decoding map."""
-    out: dict[tuple[int, int], int] = {}
+def _build_decode(bits: list[int], vals: list[int]) -> dict[int, int]:
+    """``(length << 16) | code`` -> value decoding map. Int keys instead of
+    ``(length, code)`` tuples: the per-bit lookup in ``_huff_decode`` is the
+    decoder's hottest dict access, and int hashing avoids a tuple
+    allocation + two-element hash per probe."""
+    out: dict[int, int] = {}
     code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
+            out[(length << 16) | code] = vals[k]
             code += 1
             k += 1
         code <<= 1
@@ -247,7 +250,10 @@ class _BitReader:
                 raise _MarkerHit(0xFF00 | nxt)
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask consumed bits before shifting: an unmasked accumulator keeps
+        # every bit ever read, so shifts become O(stream length) bignum ops
+        # (measured: the dominant cost of long entropy segments)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -257,10 +263,14 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        """Read ``n`` bits MSB-first in one arithmetic step (bit-identical
+        to n read_bit() calls — same bits, same order)."""
+        if n <= 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def align(self) -> None:
         self.nbits = 0
@@ -282,12 +292,18 @@ class _MarkerHit(Exception):
         self.marker = marker
 
 
-def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _huff_decode(br: _BitReader, table: dict[int, int]) -> int:
     code, length = 0, 0
+    get = table.get
+    fill = br._fill
     while length < 17:
-        code = (code << 1) | br.read_bit()
+        # inlined read_bit: this loop runs once per entropy-coded bit
+        if br.nbits == 0:
+            fill()
+        br.nbits -= 1
+        code = (code << 1) | ((br.acc >> br.nbits) & 1)
         length += 1
-        v = table.get((length, code))
+        v = get((length << 16) | code)
         if v is not None:
             return v
     raise ValueError("invalid Huffman code (corrupt entropy stream)")
@@ -325,33 +341,44 @@ def _encode_block(
 ) -> int:
     coef = dct2(block.astype(np.float64) - level)
     q = np.round(coef / quant).astype(np.int64)
-    zz = q[ZZ_ROWS, ZZ_COLS]
+    return _emit_block_zz(w, q[ZZ_ROWS, ZZ_COLS], dc_pred, dc_codes, ac_codes)
+
+
+def _emit_block_zz(
+    w: _BitWriter,
+    zz: np.ndarray,
+    dc_pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Baseline entropy emit of one pre-quantized zigzag row. Walks only the
+    NONZERO AC positions (``nonzero()`` instead of a 63-iteration Python
+    scan) — bit-identical output: the zero-gap between consecutive nonzeros
+    IS the run length the old per-coefficient loop accumulated."""
     dc = int(zz[0])
     t, mag = _magnitude(dc - dc_pred)
     code, length = dc_codes[t]
     w.write(code, length)
     if t:
         w.write(mag, t)
-    run = 0
-    last_nz = 0
-    for k in range(63, 0, -1):
-        if zz[k]:
-            last_nz = k
-            break
-    for k in range(1, last_nz + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, length = ac_codes[0xF0]  # ZRL
+    nz = np.nonzero(zz[1:])[0]
+    if nz.size:
+        last_nz = int(nz[-1]) + 1
+        prev = 0
+        for kk in nz:
+            k = int(kk) + 1
+            run = k - prev - 1
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                w.write(code, length)
+                run -= 16
+            t, mag = _magnitude(int(zz[k]))
+            code, length = ac_codes[(run << 4) | t]
             w.write(code, length)
-            run -= 16
-        t, mag = _magnitude(v)
-        code, length = ac_codes[(run << 4) | t]
-        w.write(code, length)
-        w.write(mag, t)
-        run = 0
+            w.write(mag, t)
+            prev = k
+    else:
+        last_nz = 0
     if last_nz != 63:
         code, length = ac_codes[0x00]  # EOB
         w.write(code, length)
@@ -406,7 +433,7 @@ def encode_jpeg_gray(
     bw = _BitWriter()
     dc_pred = 0
     bh, bw_ = (h + 7) // 8, (w_ + 7) // 8
-    padded = np.pad(img, ((0, bh * 8 - h), (0, bw_ * 8 - w_)), mode="edge")
+    zz = _quantize_plane(img, q, bh, bw_, level)  # one batched DCT pass
     n_mcu = bh * bw_
     mcu_i = 0
     rst_i = 0
@@ -417,10 +444,7 @@ def encode_jpeg_gray(
                 bw.buf += bytes([0xFF, 0xD0 + (rst_i % 8)])
                 rst_i += 1
                 dc_pred = 0
-            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            dc_pred = _encode_block(
-                bw, blk, q, dc_pred, dc_codes, ac_codes, level
-            )
+            dc_pred = _emit_block_zz(bw, zz[by, bx], dc_pred, dc_codes, ac_codes)
             mcu_i += 1
     assert mcu_i == n_mcu
     bw.flush()
@@ -500,6 +524,11 @@ def encode_jpeg_color(
     ch, cw = (mby * mcu_h // 2, mbx * mcu_w // 2) if sub else (mby * 8, mbx * 8)
     cbp2 = padto(cb_s, ch, cw)
     crp2 = padto(cr_s, ch, cw)
+    # one batched DCT pass per plane, then pure entropy emit per block
+    lsf = 2 if sub else 1
+    yzz = _quantize_plane(yp, ql, mby * lsf, mbx * lsf)
+    cbzz = _quantize_plane(cbp2, qc, mby, mbx)
+    crzz = _quantize_plane(crp2, qc, mby, mbx)
     bw = _BitWriter()
     preds = [0, 0, 0]
     for my in range(mby):
@@ -507,18 +536,13 @@ def encode_jpeg_color(
             if sub:
                 for dy in range(2):
                     for dx in range(2):
-                        blk = yp[
-                            my * 16 + dy * 8 : my * 16 + dy * 8 + 8,
-                            mx * 16 + dx * 8 : mx * 16 + dx * 8 + 8,
-                        ]
-                        preds[0] = _encode_block(bw, blk, ql, preds[0], dcl, acl)
+                        preds[0] = _emit_block_zz(
+                            bw, yzz[my * 2 + dy, mx * 2 + dx], preds[0], dcl, acl
+                        )
             else:
-                blk = yp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-                preds[0] = _encode_block(bw, blk, ql, preds[0], dcl, acl)
-            cby = cbp2[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-            cry = crp2[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-            preds[1] = _encode_block(bw, cby, qc, preds[1], dcc, acc)
-            preds[2] = _encode_block(bw, cry, qc, preds[2], dcc, acc)
+                preds[0] = _emit_block_zz(bw, yzz[my, mx], preds[0], dcl, acl)
+            preds[1] = _emit_block_zz(bw, cbzz[my, mx], preds[1], dcc, acc)
+            preds[2] = _emit_block_zz(bw, crzz[my, mx], preds[2], dcc, acc)
     bw.flush()
     sf = 0x22 if sub else 0x11
     out = bytearray(b"\xff\xd8")
@@ -672,13 +696,11 @@ def encode_jpeg_cmyk(
     acc = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
     tabs = [(ql, dcl, acl), (qc, dcc, acc), (qc, dcc, acc), (ql, dcl, acl)]
     bh, bw_ = (h + 7) // 8, (w_ + 7) // 8
-    padded = [
-        np.pad(p, ((0, bh * 8 - h), (0, bw_ * 8 - w_)), mode="edge")
-        for p in planes
-    ]
     # YCbCr centers chroma at 128 but the entropy path level-shifts every
     # component by 128 uniformly (T.81 treats all components alike); the
-    # +128 above keeps stored chroma in [0, 255] like the 3-comp encoder
+    # +128 above keeps stored chroma in [0, 255] like the 3-comp encoder.
+    # One batched DCT pass per plane (pads internally), then entropy emit.
+    zzs = [_quantize_plane(p, tabs[ci][0], bh, bw_) for ci, p in enumerate(planes)]
     bw = _BitWriter()
     preds = [0, 0, 0, 0]
     mcu_i = rst_i = 0
@@ -690,9 +712,8 @@ def encode_jpeg_cmyk(
                 rst_i += 1
                 preds = [0, 0, 0, 0]
             for ci in range(4):
-                blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                q, dct, act = tabs[ci]
-                preds[ci] = _encode_block(bw, blk, q, preds[ci], dct, act)
+                _q, dct, act = tabs[ci]
+                preds[ci] = _emit_block_zz(bw, zzs[ci][by, bx], preds[ci], dct, act)
             mcu_i += 1
     bw.flush()
     out = bytearray(b"\xff\xd8")
@@ -926,10 +947,15 @@ def _decode_scan(
             f"frame geometry implausible: {total_blocks} blocks declared "
             f"but only {remaining} entropy bytes remain"
         )
-    # per-component plane buffers at component resolution
-    planes = []
-    for cid, hs, vs, qid in comps:
-        planes.append(np.zeros((mby * vs * 8, mbx * hs * 8), dtype=np.float64))
+    # per-component zigzag coefficient buffers: entropy decode fills them,
+    # then ONE batched dequantize+IDCT per component reconstructs — the
+    # same vectorized tail the progressive path always used, replacing a
+    # per-block np.zeros + scatter + two 8×8 matmuls (bit-identical: same
+    # multiplications, same per-block dgemm)
+    cf = [
+        np.zeros((mby * vs, mbx * hs, 64), dtype=np.int64)
+        for cid, hs, vs, qid in comps
+    ]
     scan_for = {cs: (dct, act) for cs, dct, act in scan}
     br = _BitReader(data, pos)
     preds = [0] * len(comps)
@@ -946,23 +972,15 @@ def _decode_scan(
                     dct_id, act_id = scan_for[cid]
                     for dy in range(vs):
                         for dx in range(hs):
-                            blk = _decode_block(
-                                br,
-                                dc_tabs[dct_id],
-                                ac_tabs[act_id],
-                                quants[qid],
-                                preds,
-                                ci,
+                            cf[ci][my * vs + dy, mx * hs + dx] = _decode_block(
+                                br, dc_tabs[dct_id], ac_tabs[act_id], preds, ci
                             )
-                            y0 = (my * vs + dy) * 8
-                            x0 = (mx * hs + dx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
             except _MarkerHit as mh:
                 raise ValueError(
                     f"entropy stream ended early at marker {mh.marker:#x}"
                 ) from None
             mcu_count += 1
-    return _planes_to_rgb(h, w_, comps, planes, hmax, vmax, prec, adobe)
+    return _reconstruct_progressive(frame, cf, quants, prec, adobe)
 
 
 def _planes_to_rgb(
@@ -1039,7 +1057,11 @@ def _planes_to_rgb(
     }
 
 
-def _decode_block(br, dc_tab, ac_tab, quant, preds, ci) -> np.ndarray:
+def _decode_block(br, dc_tab, ac_tab, preds, ci) -> list:
+    """Entropy-decode one block into a 64-entry zigzag coefficient list
+    (plain Python ints — list writes beat numpy scalar writes in this
+    per-symbol loop; the caller stores rows into the batched coefficient
+    array and dequantize/IDCT run vectorized over all blocks at once)."""
     t = _huff_decode(br, dc_tab)
     if t > 15:
         # a corrupt DHT can map a code to any byte; a huge "category" would
@@ -1047,7 +1069,7 @@ def _decode_block(br, dc_tab, ac_tab, quant, preds, ci) -> np.ndarray:
         raise ValueError(f"invalid DC category {t} (baseline max 15)")
     diff = _extend(br.receive(t), t)
     preds[ci] += diff
-    zz = np.zeros(64, dtype=np.int64)
+    zz = [0] * 64
     zz[0] = preds[ci]
     k = 1
     while k < 64:
@@ -1063,9 +1085,7 @@ def _decode_block(br, dc_tab, ac_tab, quant, preds, ci) -> np.ndarray:
             raise ValueError("AC run past end of block")
         zz[k] = _extend(br.receive(size), size)
         k += 1
-    coef = np.zeros((8, 8), dtype=np.float64)
-    coef[ZZ_ROWS, ZZ_COLS] = zz
-    return idct2(coef * quant)
+    return zz
 
 
 # ---------------------------------------------------------------------------
@@ -1210,10 +1230,13 @@ def _decode_progressive_scan(
                     zz[k] = newval
                 k += 1
         if eobrun > 0:
-            while k <= se:
-                if zz[k] != 0:
-                    _refine_nonzero(zz, k)
-                k += 1
+            # correction bits exist only at already-nonzero positions:
+            # visit those via nonzero() instead of scanning the whole band
+            # (the EOB-run-covered block — the common case — is all-zero
+            # history and pays one C call instead of 63 iterations)
+            if k <= se:
+                for off in np.nonzero(np.asarray(zz[k : se + 1]))[0]:
+                    _refine_nonzero(zz, k + int(off))
             eobrun -= 1
 
     def do_block(zz, si: int, act: int) -> None:
@@ -1318,11 +1341,16 @@ PROGRESSIVE_SCANS_GRAY = [
 ]
 
 
-def _quantize_plane(plane: np.ndarray, quant: np.ndarray, gby: int, gbx: int) -> np.ndarray:
+def _quantize_plane(
+    plane: np.ndarray, quant: np.ndarray, gby: int, gbx: int, level: float = 128.0
+) -> np.ndarray:
     """(H, W) pixel plane -> (gby, gbx, 64) zigzag-ordered quantized
-    coefficients (edge-padded to the block grid); batched 2D DCT."""
+    coefficients (edge-padded to the block grid); batched 2D DCT.
+    ``level`` is the T.81 level shift (2^(P-1): 128 for 8-bit, 2048 for
+    12-bit). Bit-identical to per-block ``dct2(block - level)``: the
+    broadcast matmul runs the same 8×8 dgemm per block."""
     padded = np.pad(
-        plane.astype(np.float64) - 128.0,
+        plane.astype(np.float64) - level,
         ((0, gby * 8 - plane.shape[0]), (0, gbx * 8 - plane.shape[1])),
         mode="edge",
     )
@@ -1387,34 +1415,32 @@ class _ACFirstEmitter:
         self.eobrun = 0
 
     def block(self, zz) -> None:
-        vals = []
-        last = -1
-        for k in range(self.ss, self.se + 1):
-            c = int(zz[k])
-            a = abs(c) >> self.al
-            vals.append(a if c >= 0 else -a)
-            if a:
-                last = k
-        if last < 0:
+        # vectorized point transform + nonzero walk (bit-identical to the
+        # old per-coefficient scan: the gap between consecutive nonzeros IS
+        # the zero-run it counted) — all-zero bands, the overwhelmingly
+        # common case, cost one nonzero() call instead of 63 iterations
+        band = np.asarray(zz[self.ss : self.se + 1])
+        a = np.abs(band) >> self.al
+        nz = np.nonzero(a)[0]
+        if nz.size == 0:
             self.eobrun += 1
             if self.eobrun == _MAX_EOBRUN:
                 self.flush()
             return
         self.flush()
-        r = 0
-        for k in range(self.ss, last + 1):
-            v = vals[k - self.ss]
-            if v == 0:
-                r += 1
-                continue
+        prev = -1
+        for kk in nz:
+            k = int(kk)
+            r = k - prev - 1
             while r > 15:
                 self._sym(0xF0)
                 r -= 16
-            t, mag = _magnitude(v)
+            v = int(a[k])
+            t, mag = _magnitude(v if band[k] >= 0 else -v)
             self._sym((r << 4) | t)
             self.bw.write(mag, t)
-            r = 0
-        if last < self.se:
+            prev = k
+        if int(nz[-1]) + self.ss < self.se:
             self.eobrun = 1
 
 
@@ -1448,30 +1474,35 @@ class _ACRefineEmitter:
             self._drain()
 
     def block(self, zz) -> None:
+        # vectorized point transform + nonzero walk, bit-identical to the
+        # old per-coefficient scan (zero-gaps between visited positions are
+        # the runs it counted; history coefficients neither reset nor emit
+        # the run). All-zero bands — the common case — do one nonzero()
+        # call instead of two 63-iteration Python loops.
         ss, se, al = self.ss, self.se, self.al
-        absv = [0] * (se + 1)
-        eobpos = ss - 1
-        for k in range(ss, se + 1):
-            absv[k] = abs(int(zz[k])) >> al
-            if absv[k] == 1:
-                eobpos = k
-        if eobpos < ss:
+        band = np.asarray(zz[ss : se + 1])
+        absv = np.abs(band) >> al
+        nz = np.nonzero(absv)[0]
+        ones = nz[absv[nz] == 1]
+        if ones.size == 0:
             # no newly-significant coefficient: whole block joins the EOB
             # run; its history-coefficient correction bits ride along
-            for k in range(ss, se + 1):
-                if absv[k] > 1:
-                    self.pending.append(absv[k] & 1)
+            self.pending.extend((absv[nz] & 1).tolist())
             self.eobrun += 1
             if self.eobrun == _MAX_EOBRUN:
                 self.flush()
             return
         self.flush()
+        eobpos = int(ones[-1])
         r = 0
-        for k in range(ss, eobpos + 1):
-            a = absv[k]
-            if a == 0:
-                r += 1
-                continue
+        prev = -1
+        for kk in nz:
+            k = int(kk)
+            if k > eobpos:
+                break
+            a = int(absv[k])
+            r += k - prev - 1  # zero-history positions skipped since last
+            prev = k
             while r > 15:  # k <= eobpos holds: a newly-significant follows
                 code, ln = self.ac[0xF0]
                 self.bw.write(code, ln)
@@ -1482,13 +1513,12 @@ class _ACRefineEmitter:
                 continue
             code, ln = self.ac[(r << 4) | 1]
             self.bw.write(code, ln)
-            self.bw.write(1 if int(zz[k]) > 0 else 0, 1)
+            self.bw.write(1 if band[k] > 0 else 0, 1)
             self._drain()
             r = 0
-        if eobpos < se:
-            for k in range(eobpos + 1, se + 1):
-                if absv[k] > 1:
-                    self.pending.append(absv[k] & 1)
+        if eobpos < se - ss:
+            tail = nz[nz > eobpos]
+            self.pending.extend((absv[tail][absv[tail] > 1] & 1).tolist())
             self.eobrun = 1
 
 

@@ -406,6 +406,7 @@ def decoded_image_features(documents: DataFrame, width: int = 16) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
+        import numpy as _np
         import struct as _struct
 
         def enc(pixels: bytes, w: int, h: int) -> bytes:
@@ -466,7 +467,12 @@ def decoded_image_features(documents: DataFrame, width: int = 16) -> DataFrame:
                 out["pixels_md5"].append(
                     _hashlib.md5(px.hex().encode()).hexdigest()
                 )
-                out["mean_pixel"].append(sum(px) / len(px))
+                out["mean_pixel"].append(
+                    # exact int sum via numpy (int64 — no overflow for
+                    # any realistic stream), bit-identical to sum(px)
+                    int(_np.frombuffer(px, _np.uint8).sum(dtype=_np.int64))
+                    / len(px)
+                )
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(batches, schema=DECODE_SCHEMA)
@@ -638,6 +644,7 @@ def decoded_png_features(documents: DataFrame, width: int = 16) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
+        import numpy as _np
 
         for pdf in it:
             out = {
@@ -660,7 +667,12 @@ def decoded_png_features(documents: DataFrame, width: int = 16) -> DataFrame:
                 )
                 # exact integer sum -> deterministic float, matching the
                 # oracle's SUM(...)/COUNT(...) to the last ulp
-                out["mean_pixel"].append(sum(px) / len(px))
+                out["mean_pixel"].append(
+                    # exact int sum via numpy (int64 — no overflow for
+                    # any realistic stream), bit-identical to sum(px)
+                    int(_np.frombuffer(px, _np.uint8).sum(dtype=_np.int64))
+                    / len(px)
+                )
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(batches, schema=DECODE_SCHEMA)
@@ -964,7 +976,12 @@ def decoded_jpeg_features(
                 out["pixels_md5"].append(
                     _hashlib.md5(px.hex().encode()).hexdigest()
                 )
-                out["mean_pixel"].append(sum(px) / len(px))
+                out["mean_pixel"].append(
+                    # exact int sum via numpy (int64 — no overflow for
+                    # any realistic stream), bit-identical to sum(px)
+                    int(_np.frombuffer(px, _np.uint8).sum(dtype=_np.int64))
+                    / len(px)
+                )
                 if tb:
                     img12 = img.astype(_np.uint16) << 4
                     # 12-bit stays on the reference codec even when a
@@ -1397,14 +1414,16 @@ def image_ahash(documents: DataFrame, width: int = 16) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
 
+        import numpy as _np
+
         def enc(pixels: bytes, w: int, h: int) -> bytes:
+            # same 24bpp bottom-up BMP bytes as the per-pixel original:
+            # gray tripled into BGR, rows zero-padded to 4-byte stride
             stride = (w * 3 + 3) & ~3
-            pad = b"\x00" * (stride - w * 3)
-            rows = [
-                b"".join(bytes((b, b, b)) for b in pixels[y * w : (y + 1) * w]) + pad
-                for y in range(h - 1, -1, -1)
-            ]
-            data = b"".join(rows)
+            arr = _np.frombuffer(pixels, _np.uint8).reshape(h, w)
+            rows = _np.zeros((h, stride), _np.uint8)
+            rows[:, : w * 3] = _np.repeat(arr[::-1], 3, axis=1)
+            data = rows.tobytes()
             return (
                 _struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
                 + _struct.pack(
@@ -1413,7 +1432,7 @@ def image_ahash(documents: DataFrame, width: int = 16) -> DataFrame:
                 + data
             )
 
-        def dec_gray(payload: bytes) -> tuple:
+        def dec_gray(payload: bytes):
             assert payload[:2] == b"BM"
             (off,) = _struct.unpack_from("<I", payload, 10)
             _, w, h_raw = _struct.unpack_from("<Iii", payload, 14)
@@ -1421,12 +1440,13 @@ def image_ahash(documents: DataFrame, width: int = 16) -> DataFrame:
             h, bottom_up = abs(h_raw), h_raw > 0
             n_ch = bpp // 8
             stride = (w * n_ch + 3) & ~3
-            gray = []
-            for y in range(h):
-                sy = (h - 1 - y) if bottom_up else y
-                row = payload[off + sy * stride :][: w * n_ch]
-                gray.extend(row[x * n_ch] for x in range(w))  # R==G==B
-            return w, h, gray
+            buf = _np.frombuffer(
+                payload, _np.uint8, count=h * stride, offset=off
+            ).reshape(h, stride)
+            gray = buf[:, : w * n_ch][:, ::n_ch]  # channel 0 of each px (R==G==B)
+            if bottom_up:
+                gray = gray[::-1]
+            return w, h, gray  # (h, w) top-down
 
         for pdf in it:
             out = {"doc_id": [], "ahash": []}
@@ -1435,18 +1455,27 @@ def image_ahash(documents: DataFrame, width: int = 16) -> DataFrame:
                 if h == 0:
                     continue
                 w, hh, gray = dec_gray(enc(payload[: width * h], width, h))
-                tsum, tn = sum(gray), len(gray)
-                bsum: dict = {}
-                bn: dict = {}
-                for i, g in enumerate(gray):
-                    y, x = divmod(i, w)
-                    key = ((y * 8) // hh, (x * 8) // w)
-                    bsum[key] = bsum.get(key, 0) + g
-                    bn[key] = bn.get(key, 0) + 1
-                hv = 0
-                for (by, bx), s in bsum.items():
-                    if s * tn > tsum * bn[(by, bx)]:
-                        hv |= 1 << (by * 8 + bx)
+                # 8×8 block pooling via contiguous-range reduceat: block row
+                # of pixel row y is (y*8)//hh (monotone), so cuts at value
+                # changes give the same per-block integer sums/counts the
+                # old per-pixel dict accumulated — all-int, bit-identical
+                g64 = gray.astype(_np.int64)
+                tsum, tn = int(g64.sum()), w * hh
+                yidx = (_np.arange(hh) * 8) // hh
+                xidx = (_np.arange(w) * 8) // w
+                ycut = _np.flatnonzero(_np.r_[1, _np.diff(yidx)])
+                xcut = _np.flatnonzero(_np.r_[1, _np.diff(xidx)])
+                bsum = _np.add.reduceat(
+                    _np.add.reduceat(g64, ycut, axis=0), xcut, axis=1
+                )
+                bn = _np.outer(
+                    _np.diff(_np.r_[ycut, hh]), _np.diff(_np.r_[xcut, w])
+                )
+                bits = (bsum * tn) > (tsum * bn)  # exact integer cross-mult
+                shifts = (
+                    yidx[ycut][:, None] * 8 + xidx[xcut][None, :]
+                ).astype(_np.uint64)
+                hv = int((bits.astype(_np.uint64) << shifts).sum(dtype=_np.uint64))
                 out["doc_id"].append(did)
                 out["ahash"].append(f"{hv >> 32:08x}{hv & 0xFFFFFFFF:08x}")
             yield pd.DataFrame(out)
@@ -1539,43 +1568,60 @@ def image_ahash_near_dup_pairs(
     the per-hash membership (``image_ahash``) when image-level pairs are
     needed."""
     assert 1 <= max_hamming <= 7, "8x8-bit banding guarantees recall to 7 bits"
-    groups = image_ahash_groups(documents, width).select(
-        F.col("ahash"), F.col("n_images")
+    # materialize the distinct-hash table once (bounded: one row per distinct
+    # 64-bit hash): without the checkpoint BOTH sides of the band self-join
+    # re-run the full decode+hash MapInPandas over every document — the
+    # r16 plan audit showed two complete decode pipelines under one join.
+    # The 32-bit halves convert hex→long HERE, once per distinct hash: the
+    # old plan re-ran string conv() four times per CANDIDATE PAIR inside
+    # the join condition (~1.6M pairs at sf0.1 — the entry's real hot spot).
+    def half(c: str, start: int) -> F.Column:
+        return F.conv(F.substring(c, start, 8), 16, 10).cast("long")
+
+    groups = (
+        image_ahash_groups(documents, width)
+        .select(
+            F.col("ahash"),
+            F.col("n_images"),
+            half("ahash", 1).alias("__h1"),
+            half("ahash", 9).alias("__h2"),
+        )
+        .localCheckpoint(eager=False)
     )
     bands = groups.select(
         "ahash",
         "n_images",
+        "__h1",
+        "__h2",
         F.posexplode(
             F.array(*[F.substring("ahash", 2 * i + 1, 2) for i in range(8)])
         ).alias("band", "bv"),
     )
-    cand = (
-        bands.alias("a")
+    # the checkpointed table is a handful of post-AQE partitions, so the
+    # broadcast-join probe side would run near-single-task over every
+    # candidate pair; spreading the skinny banded table by its join key
+    # costs one tiny shuffle and buys full-width probing
+    spread = bands.repartition(F.col("band"), F.col("bv"))
+    ham = F.bit_count(
+        F.col("a.__h1").bitwiseXOR(F.col("b.__h1"))
+    ) + F.bit_count(F.col("a.__h2").bitwiseXOR(F.col("b.__h2")))
+    return (
+        spread.alias("a")
         .join(
             bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.ahash") < F.col("b.ahash")),
+            & (F.col("a.ahash") < F.col("b.ahash"))
+            & (ham <= max_hamming),
         )
         .select(
             F.col("a.ahash").alias("hash_a"),
             F.col("b.ahash").alias("hash_b"),
+            ham.alias("hamming"),
             F.col("a.n_images").alias("n_images_a"),
             F.col("b.n_images").alias("n_images_b"),
         )
         .distinct()
-    )
-
-    def half(c: str, start: int) -> F.Column:
-        return F.conv(F.substring(c, start, 8), 16, 10).cast("long")
-
-    ham = F.bit_count(
-        half("hash_a", 1).bitwiseXOR(half("hash_b", 1))
-    ) + F.bit_count(half("hash_a", 9).bitwiseXOR(half("hash_b", 9)))
-    return (
-        cand.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("hash_a", "hash_b", "hamming", "n_images_a", "n_images_b")
     )
 
 
