@@ -59,6 +59,24 @@ def _id_bucket_col(id_col):
     return F.pmod(id_col, F.lit(N_ID_BUCKETS)).cast("int")
 
 
+#: sub-splits per partition directory for clustered writes: bounds BOTH the
+#: file count (≤ splits files per directory instead of one per write task —
+#: the unclustered id_index write emitted ~2000 tiny files at sf0.1 and was
+#: the single most expensive step of the build) AND the skew exposure (a hot
+#: inverted list spreads over up to `splits` write tasks, deterministically
+#: via xxhash64(id) — guide §2.5: never salt with rand() under retries).
+_WRITE_SPLITS = 8
+
+
+def _clustered(df: DataFrame, part_col: str, id_col: str = "id") -> DataFrame:
+    """Cluster rows by their partition directory (plus a deterministic id
+    sub-split) before a ``partitionBy`` write, so each task writes a
+    handful of files instead of one per (task × directory)."""
+    return df.repartition(
+        F.col(part_col), F.pmod(F.xxhash64(F.col(id_col)), F.lit(_WRITE_SPLITS))
+    )
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -78,7 +96,9 @@ def build_ivf_index(
     cents = train_kmeans(vecs, n_centroids, iters, train_max_rows)
     lists = _assign(vecs, cents)
     cents.write.mode(mode).parquet(f"{path}/centroids")
-    lists.write.mode(mode).partitionBy("cid").parquet(f"{path}/lists")
+    _clustered(lists, "cid").write.mode(mode).partitionBy("cid").parquet(
+        f"{path}/lists"
+    )
     # id→home-list map for pruned query-vector lookup (see module docstring).
     # Derived from the WRITTEN lists (column-pruned 2-column read), not the
     # logical plan — re-evaluating `lists` would repeat the assignment pass.
@@ -86,11 +106,14 @@ def build_ivf_index(
 
 
 def _write_id_index(spark: SparkSession, path: str, mode: str = "overwrite") -> None:
-    spark.read.parquet(f"{path}/lists").select(
-        "id", F.col("cid").cast("int").alias("cid")
-    ).withColumn("id_bucket", _id_bucket_col(F.col("id"))).write.mode(
-        mode
-    ).partitionBy("id_bucket").parquet(f"{path}/id_index")
+    idx = (
+        spark.read.parquet(f"{path}/lists")
+        .select("id", F.col("cid").cast("int").alias("cid"))
+        .withColumn("id_bucket", _id_bucket_col(F.col("id")))
+    )
+    _clustered(idx, "id_bucket").write.mode(mode).partitionBy(
+        "id_bucket"
+    ).parquet(f"{path}/id_index")
 
 
 def query_ivf_index(
@@ -187,9 +210,14 @@ def append_to_ivf_index(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
     assigned = _assign(vecs, cents)
-    assigned.write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
-    assigned.select("id", F.col("cid").cast("int").alias("cid")).withColumn(
-        "id_bucket", _id_bucket_col(F.col("id"))
+    _clustered(assigned, "cid").write.mode("append").partitionBy("cid").parquet(
+        f"{path}/lists"
+    )
+    _clustered(
+        assigned.select("id", F.col("cid").cast("int").alias("cid")).withColumn(
+            "id_bucket", _id_bucket_col(F.col("id"))
+        ),
+        "id_bucket",
     ).write.mode("append").partitionBy("id_bucket").parquet(f"{path}/id_index")
 
 
@@ -389,7 +417,9 @@ def build_ivfpq_index(
         spark.createDataFrame(
             [(bool(residual), int(m), int(dim))], "residual boolean, m int, dim int"
         ).write.mode(mode).parquet(f"{target}/meta")
-        lists.write.mode(mode).partitionBy("cid").parquet(f"{target}/lists")
+        _clustered(lists, "cid").write.mode(mode).partitionBy("cid").parquet(
+            f"{target}/lists"
+        )
         # centroids/codebooks from the already-collected mats — writing them
         # must NOT re-run training (the first form re-evaluated the lazy
         # train_kmeans DAG once per action)
@@ -483,7 +513,9 @@ def append_to_ivfpq_index(
             F.element_at("codes", 1).alias("cid"),
             F.slice("codes", 2, m).alias("codes"),
         )
-    out.write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
+    _clustered(out, "cid").write.mode("append").partitionBy("cid").parquet(
+        f"{path}/lists"
+    )
 
 
 def query_ivfpq_index(

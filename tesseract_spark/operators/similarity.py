@@ -668,7 +668,14 @@ def train_kmeans(
             .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
             .select("cid", F.transform("s", lambda st: st["v"]).alias("cvec"))
         )
-    return cents
+    # materialize the trained centroids as a LOCAL relation (bounded:
+    # n_centroids rows — the same bound _assign's collect always relied
+    # on). Every consumer references the centroid frame several times
+    # (_assign collects it, probe rankings broadcast it, index builds
+    # write it); left lazy, EACH of those actions re-ran the whole Lloyd
+    # pipeline (measured: the centroids write alone cost a full re-train
+    # at sf0.1). Values round-trip the driver unchanged — bit-identical.
+    return vecs.sparkSession.createDataFrame(cents.collect(), cents.schema)
 
 
 def ivf_topk(
