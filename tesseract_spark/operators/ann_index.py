@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import local_df
 from .similarity import _assign, _sq_dist, cosine_col, train_kmeans
 
 # id_index bucket count: the bucket function must be computable in plain
@@ -235,7 +236,8 @@ def query_ivf_index_with_vectors(
     the pruned-scan mechanics are identical to :func:`query_ivf_index`,
     minus the self-match exclusion (an external query has no index row)."""
     cents = spark.read.parquet(f"{path}/centroids")
-    queries = spark.createDataFrame(
+    queries = local_df(
+        spark,
         [(int(i), [float(x) for x in v]) for i, v in query_vectors],
         "query_id long, qvec array<double>",
     )
@@ -414,8 +416,10 @@ def build_ivfpq_index(
     else:
         target = path
     try:
-        spark.createDataFrame(
-            [(bool(residual), int(m), int(dim))], "residual boolean, m int, dim int"
+        local_df(
+            spark,
+            [(bool(residual), int(m), int(dim))],
+            "residual boolean, m int, dim int",
         ).write.mode(mode).parquet(f"{target}/meta")
         _clustered(lists, "cid").write.mode(mode).partitionBy("cid").parquet(
             f"{target}/lists"
@@ -423,7 +427,8 @@ def build_ivfpq_index(
         # centroids/codebooks from the already-collected mats — writing them
         # must NOT re-run training (the first form re-evaluated the lazy
         # train_kmeans DAG once per action)
-        spark.createDataFrame(
+        local_df(
+            spark,
             [
                 (int(c), [float(x) for x in row])
                 for c, row in zip(coarse_mat[0], coarse_mat[1])
@@ -435,8 +440,8 @@ def build_ivfpq_index(
             for j, (cids, C, _) in enumerate(pq_mats)
             for c, row in zip(cids, C)
         ]
-        spark.createDataFrame(
-            books, "j int, cid bigint, cvec array<double>"
+        local_df(
+            spark, books, "j int, cid bigint, cvec array<double>"
         ).write.mode(mode).parquet(f"{target}/codebooks")
     except BaseException:
         if staged:
@@ -551,7 +556,8 @@ def query_ivfpq_index(
     from .pq import _adc_candidates, _adc_candidates_residual
 
     cents = spark.read.parquet(f"{path}/centroids")
-    queries = spark.createDataFrame(
+    queries = local_df(
+        spark,
         [(int(i), [float(x) for x in v]) for i, v in query_vectors],
         "query_id long, qvec array<double>",
     )
@@ -643,7 +649,8 @@ def query_ivfpq_index(
     # plan, which would re-execute the whole mapInPandas ADC scan over the
     # probed lists a second time just to broadcast the candidate pairs.
     cand_ids = sorted({int(r.neighbor_id) for r in cand_rows})
-    cand_local = spark.createDataFrame(
+    cand_local = local_df(
+        spark,
         [(int(r.query_id), int(r.neighbor_id)) for r in cand_rows],
         "query_id long, neighbor_id long",
     )

@@ -58,7 +58,9 @@ def plan_token_budget(
         F.sum(token_count_col(F.col(text_col))).alias("available_tokens")
     )
     wrows = [(s, int(w)) for s, w in sorted(weights.items())]
-    wdf = df.sparkSession.createDataFrame(wrows, "source string, weight long")
+    from ..session import local_df
+
+    wdf = local_df(df.sparkSession, wrows, "source string, weight long")
     t = inv.join(F.broadcast(wdf), "source", "left").select(
         "source",
         "available_tokens",

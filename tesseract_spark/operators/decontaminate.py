@@ -20,6 +20,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 from .dedup import _sql_word_shingles, word_shingles_col
 
 
@@ -34,7 +36,7 @@ def flag_contaminated(
     contamination flag (≥1 hit). Documents with zero hits are kept with
     hit count 0 — the caller chooses to drop or quarantine."""
     spark = df.sparkSession
-    probes = spark.createDataFrame([(t,) for t in probe_texts], ["text"])
+    probes = local_df(spark, [(t,) for t in probe_texts], ["text"])
     probe_sh = probes.select(
         F.explode(word_shingles_col(F.col("text"), n)).alias("shingle")
     ).distinct()
@@ -224,7 +226,7 @@ def ngram_overlap_fraction(
     shuffles; executor memory is bounded by the probe set.
     """
     spark = df.sparkSession
-    probes = spark.createDataFrame([(t,) for t in probe_texts], ["text"])
+    probes = local_df(spark, [(t,) for t in probe_texts], ["text"])
     probe_sh = (
         probes.select(F.explode(word_shingles_col(F.col("text"), n)).alias("shingle"))
         .distinct()
@@ -325,9 +327,7 @@ def excise_contaminated_lines(
             for s in _py_word_shingles(t, n)
         }
     )
-    probes = spark.createDataFrame(
-        [(s,) for s in probe_shingles], "shingle string"
-    )
+    probes = local_df(spark, [(s,) for s in probe_shingles], "shingle string")
     lines = F.split(F.col(text_col), r"\n")
     exploded = df.select(
         F.col(id_col).alias("__id"),

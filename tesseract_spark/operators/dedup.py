@@ -714,8 +714,10 @@ def resolve_duplicate_clusters(
             union(a, b)
         mapping = [(x, find(x)) for x in parent]
         spark = pairs.sparkSession
-        out = spark.createDataFrame(
-            mapping or [(None, None)], "doc_id long, canonical_id long"
+        from ..session import local_df
+
+        out = local_df(
+            spark, mapping or [(None, None)], "doc_id long, canonical_id long"
         )
         if not mapping:
             out = out.filter(F.col("doc_id").isNotNull())

@@ -451,8 +451,10 @@ def pq_codebooks(
     sd = dim // m
     mats = _train_pq_mats(vecs, m, n_codes, dim, iters, train_max_rows)
     spark = vecs.sparkSession
+    from ..session import local_df
+
     return [
-        spark.createDataFrame(
+        local_df(spark,
             [(int(c), [float(x) for x in row]) for c, row in zip(cids, C)],
             "cid bigint, cvec array<double>",
         )

@@ -675,7 +675,9 @@ def train_kmeans(
     # write it); left lazy, EACH of those actions re-ran the whole Lloyd
     # pipeline (measured: the centroids write alone cost a full re-train
     # at sf0.1). Values round-trip the driver unchanged — bit-identical.
-    return vecs.sparkSession.createDataFrame(cents.collect(), cents.schema)
+    from ..session import local_df
+
+    return local_df(vecs.sparkSession, cents.collect(), cents.schema)
 
 
 def ivf_topk(

@@ -382,8 +382,13 @@ class AggregateNavigator:
         _, group_cols, new_partials = self._build_partials(
             grain.cube, grain.drilldowns, grain.measures, grain.parents, new_fact
         )
-        # normalize column order to the grain's written layout
-        new_partials = new_partials.select(*[F.col(c) for c in grain.columns])
+        # normalize column order to the grain's written layout; materialize
+        # once (bounded: increment grain cardinality) — the affected-value
+        # collect below and the merge both consume it, and a lazy frame
+        # would re-run the increment's join+aggregation per action
+        new_partials = new_partials.select(
+            *[F.col(c) for c in grain.columns]
+        ).localCheckpoint(eager=False)
 
         part_col = grain.partition_by[0]
         # bounded collect: one row per AFFECTED partition value (partition
@@ -506,7 +511,10 @@ class AggregateNavigator:
                 g.sketch_p,
             )
         ]
-        spark.createDataFrame(
+        from ..session import local_df
+
+        local_df(
+            spark,
             row,
             "cube string, drilldowns array<string>, measures array<string>,"
             " columns array<string>, dtypes array<string>,"

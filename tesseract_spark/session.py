@@ -12,6 +12,41 @@ import os
 from pyspark.sql import SparkSession
 
 
+def local_df(spark: SparkSession, data, schema):
+    """Literal DataFrame as a JVM ``LocalTableScan`` (Arrow path).
+
+    ``spark.createDataFrame(list, schema)`` parallelizes PICKLED rows: the
+    result is a Python-RDD-backed scan whose every downstream evaluation
+    round-trips a Python worker per parent partition (measured r16: ~0.2 s
+    per partition per action on local[32] — a one-row literal written to
+    parquet cost 6-12 s through ``coalesce(1)``, because the single task
+    re-evaluated all 32 pickled slices through Python). Routing the same
+    rows through a pandas frame takes the Arrow conversion path and yields
+    a true JVM LocalRelation — evaluated entirely JVM-side, every time.
+
+    Values are unchanged: longs/doubles/strings/booleans and arrays thereof
+    convert exactly through Arrow (the only payloads the engine's literal
+    frames carry — no NaN-vs-null or timestamp-zone payloads here; callers
+    with exotic types fall back to the classic path below).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    try:
+        if isinstance(schema, T.StructType):
+            names = schema.names
+        elif isinstance(schema, str):
+            names = [f.name for f in T._parse_datatype_string(schema).fields]
+        else:  # a bare column-name list
+            names = list(schema)
+        pdf = pd.DataFrame(
+            [tuple(r) for r in data], columns=names, dtype=object
+        )
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:  # noqa: BLE001 — exotic types keep the classic path
+        return spark.createDataFrame(data, schema)
+
+
 def get_spark(
     app_name: str = "tesseract_spark",
     master: str | None = None,

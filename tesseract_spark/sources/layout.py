@@ -194,8 +194,12 @@ def _bucketed(
     if not n_for:
         return None
     total = sum(n_for.values())
-    sizes_df = df.sparkSession.createDataFrame(
-        [(k, int(n)) for k, n in sorted(n_for.items())], "__k string, __n int"
+    from ..session import local_df
+
+    sizes_df = local_df(
+        df.sparkSession,
+        [(k, int(n)) for k, n in sorted(n_for.items())],
+        "__k string, __n int",
     )
     data_cols = [F.col(c) for c in df.columns]
     out = (

@@ -300,7 +300,9 @@ class TableRegistry:
                 else:
                     vals.append(str(v))
             rows.append(tuple(vals))
-        return self.spark.createDataFrame(rows, schema)
+        from ..session import local_df
+
+        return local_df(self.spark, rows, schema)
 
 
 def testdata_registry(spark: SparkSession, sf_dir: str) -> TableRegistry:

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 from ..schema.model import Schema
 from ..schema.parse import schema_from_json
 from .events import EVENTS_SCHEMA, _normalize_ts
@@ -246,7 +248,7 @@ def grain_refresh_stream(
             inc = named.filter(F.col("__src_file").isin(fresh))
         inc = inc.drop("__src_file")
         navigator.refresh(grain, inc)
-        sess.createDataFrame([(f,) for f in fresh], "path string").write.mode(
+        local_df(sess, [(f,) for f in fresh], "path string").write.mode(
             "append"
         ).parquet(ledger_dir)
 
@@ -305,7 +307,7 @@ def ivfpq_ingest_stream(
             inc = named.filter(F.col("__src_file").isin(fresh))
         inc = inc.drop("__src_file")
         append_to_ivfpq_index(inc, index_path, id_col=id_col, vec_col=vec_col)
-        sess.createDataFrame([(f,) for f in fresh], "path string").write.mode(
+        local_df(sess, [(f,) for f in fresh], "path string").write.mode(
             "append"
         ).parquet(ledger_dir)
 
