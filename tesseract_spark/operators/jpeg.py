@@ -1195,8 +1195,14 @@ def _decode_progressive_scan(
         if br.read_bit() and (int(zz[k]) & p1) == 0:
             zz[k] += p1 if zz[k] > 0 else m1
 
-    def ac_refine(zz, act: int) -> None:
+    def ac_refine(zz, act: int, empty: bool = False) -> None:
         nonlocal eobrun
+        if empty and eobrun > 0:
+            # caller proved the block's band had no nonzero history when the
+            # scan started, and an EOB-run-covered block reads no symbols:
+            # there is nothing to correct — identical to the full traversal
+            eobrun -= 1
+            return
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -1239,7 +1245,7 @@ def _decode_progressive_scan(
                     _refine_nonzero(zz, k + int(off))
             eobrun -= 1
 
-    def do_block(zz, si: int, act: int) -> None:
+    def do_block(zz, si: int, act: int, empty: bool = False) -> None:
         if ss == 0:
             if ah == 0:
                 dc_first(zz, si)
@@ -1249,7 +1255,7 @@ def _decode_progressive_scan(
             if ah == 0:
                 ac_first(zz, act)
             else:
-                ac_refine(zz, act)
+                ac_refine(zz, act, empty)
 
     unit = 0
 
@@ -1284,10 +1290,24 @@ def _decode_progressive_scan(
             _, hs, vs, _ = comps[ci]
             nbx = (-(-(w_ * hs) // hmax) + 7) // 8
             nby = (-(-(h * vs) // vmax) + 7) // 8
+            if ss > 0 and ah > 0:
+                # refinement scans read correction bits only at positions
+                # already nonzero when the scan STARTED; flag the blocks
+                # with all-zero band state once (each block's own row is
+                # only mutated when do_block reaches it, so the pre-scan
+                # mask stays valid for the eobrun-covered skip)
+                state_live = (coefs[ci][:, :, ss : se + 1] != 0).any(axis=2)
+            else:
+                state_live = None
             for by in range(nby):
                 for bx in range(nbx):
                     restart_check()
-                    do_block(coefs[ci][by, bx], 0, act_id)
+                    do_block(
+                        coefs[ci][by, bx],
+                        0,
+                        act_id,
+                        state_live is not None and not state_live[by, bx],
+                    )
                     unit += 1
     except _MarkerHit as mh:
         raise ValueError(
@@ -1400,6 +1420,14 @@ class _ACFirstEmitter:
         self.bw, self.ss, self.se, self.al, self.ac = bw, ss, se, al, ac_codes
         self.eobrun = 0
 
+    def eob_only(self) -> None:
+        """Fast path for a block the CALLER proved contributes nothing to
+        this scan (its point-transformed band is all-zero): identical to
+        ``block()`` on such input — join the EOB run, flush at the cap."""
+        self.eobrun += 1
+        if self.eobrun == _MAX_EOBRUN:
+            self.flush()
+
     def _sym(self, rs: int) -> None:
         code, ln = self.ac[rs]
         self.bw.write(code, ln)
@@ -1456,6 +1484,14 @@ class _ACRefineEmitter:
         self.bw, self.ss, self.se, self.al, self.ac = bw, ss, se, al, ac_codes
         self.eobrun = 0
         self.pending: list[int] = []
+
+    def eob_only(self) -> None:
+        """Fast path for a block whose point-transformed band is ALL ZERO
+        (no newly-significant coefficients AND no history coefficients, so
+        no correction bits ride along) — identical to ``block()`` there."""
+        self.eobrun += 1
+        if self.eobrun == _MAX_EOBRUN:
+            self.flush()
 
     def _drain(self) -> None:
         for b in self.pending:
@@ -1564,6 +1600,13 @@ def encode_jpeg_progressive_gray(
             if ah == 0
             else _ACRefineEmitter(bw, ss, se, al, ac_codes)
         )
+        if ss > 0:
+            # one vectorized pass flags the blocks whose point-transformed
+            # band is all-zero — those take the pure-int eob_only path
+            # instead of per-block numpy slicing (for DC-dominant content,
+            # i.e. most natural blocks at coarse Al, that is nearly all of
+            # them; output is bit-identical either way)
+            band_live = ((np.abs(zz[:, :, ss : se + 1]) >> al) != 0).any(axis=2)
         for by in range(gby):
             for bx in range(gbx):
                 if restart_interval and unit and unit % restart_interval == 0:
@@ -1572,14 +1615,16 @@ def encode_jpeg_progressive_gray(
                     bw.buf += bytes([0xFF, 0xD0 + (rst_i % 8)])
                     rst_i += 1
                     pred = 0
-                blk = zz[by, bx]
                 if ss == 0:
+                    blk = zz[by, bx]
                     if ah == 0:
                         pred = _emit_dc_first_block(bw, blk, pred, al, dc_codes)
                     else:
                         bw.write((int(blk[0]) >> al) & 1, 1)
+                elif band_live[by, bx]:
+                    emitter.block(zz[by, bx])
                 else:
-                    emitter.block(blk)
+                    emitter.eob_only()
                 unit += 1
         emitter.flush()
         bw.flush()
