@@ -109,26 +109,17 @@ def exact_quantiles(
     n_distinct = counts.count()
 
     if n_distinct <= small_threshold:
+        # the direct window partitions by GROUP, so a FEW-group input
+        # (worst case: derive_bin_edges' single global group) runs the
+        # fold's pre-filter inside one or two window tasks. That used to
+        # need a group-count probe + repartition + checkpoint to spread an
+        # interpreted-HOF filter (measured 5.1 s single-threaded at 583k
+        # distinct values); since the r16 fold unrolled the pre-filter into
+        # a whole-stage-codegen OR chain (quantiles_fold.py), the filter is
+        # a cheap scan wherever it runs and the extra probe job, shuffle and
+        # checkpoint cost more than they saved (measured: ~2.3 s of the
+        # ~5 s derive_bin_edges call at sf0.1).
         ranked = _rank_direct(counts, group_cols)
-        if n_distinct > 100_000 and (
-            counts.select(*group_cols).distinct().limit(n_buckets).count()
-            < n_buckets
-        ):
-            # the direct window partitions by GROUP, so a FEW-group input
-            # (worst case: derive_bin_edges' single global group) collapses
-            # the whole distinct table into one or two tasks and the fold's
-            # filter runs single-threaded (measured 5.1 s at 583k distinct
-            # values). Spread it: the repartition shuffles only the skinny
-            # ranked table, and the checkpoint is the barrier that stops
-            # Catalyst pushing the fold's filter back below the exchange
-            # (it materializes on the fold's own first job — no extra
-            # action). Gated on an actual group-count probe (limit-bounded
-            # against the checkpointed counts table — it never scans past
-            # n_buckets groups): a many-group input is already parallel and
-            # must not pay a full extra shuffle of the ranked table. The
-            # bucketed path never needs this: its partitioning is
-            # (group, bucket), already ≥ n_buckets-wide per group.
-            ranked = ranked.repartition(n_buckets).localCheckpoint(eager=False)
     else:
         ranked = _rank_bucketed(counts, group_cols, n_buckets)
     return _fold_straddlers(ranked, group_cols, probs, out_names)

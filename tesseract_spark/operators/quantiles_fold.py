@@ -66,11 +66,39 @@ def fold_straddlers(
             ),
         )
     )
-    # boolean pre-filter first (no struct allocation — an `exists` over the
-    # probs array, semantically `size(hits) > 0`), so the struct-building
-    # transform runs only on the ≤ 2·|probs| survivors per group
-    relevant = F.exists(idx, lambda i: covers(k_of(i))) | F.exists(
-        idx, lambda i: covers(k1_of(i))
+    # boolean pre-filter first (no struct allocation), so the struct-building
+    # transform runs only on the ≤ 2·|probs| survivors per group. UNROLLED as
+    # a plain OR chain rather than an `exists` over the probs array: array
+    # higher-order functions evaluate their lambda INTERPRETED per element
+    # (measured r16: ~5 s single-threaded over 583k distinct values × 30
+    # lambda evals), while the OR chain whole-stage-codegens — fast enough
+    # that the few-group direct path no longer needs to repartition the
+    # ranked table just to spread this filter (quantiles.py r16). Plan size
+    # stays linear and SMALL: one ~5-op covers() term per (prob, role), not
+    # the per-prob conditional AGGREGATES whose unrolled form this module
+    # replaced. Survival semantics are identical to the `exists` form: same
+    # k_of/k1_of arithmetic on the same double literals, OR over the same
+    # predicate set; `hits` (on survivors only) keeps the HOF form.
+    # built as ONE SQL string parsed JVM-side: constructing ~10 Column
+    # objects per (prob, role) through py4j costs ~1 ms per call on the
+    # driver (measured: 2-4 s of plan-BUILD time for 15 probs), while one
+    # expr() is a single round trip. The SQL mirrors the Column form
+    # exactly: same double literals, same floor/least/cast arithmetic.
+    def k_sql(i: int) -> str:
+        return (
+            f"CAST(FLOOR({float(probs[i])!r}D * "
+            f"CAST(__n - 1 AS DOUBLE)) AS BIGINT)"
+        )
+
+    def cov_sql(r: str) -> str:
+        return f"({r} >= __hi - __c AND {r} < __hi)"
+
+    relevant = F.expr(
+        " OR ".join(
+            f"({cov_sql(k_sql(i))} OR "
+            f"{cov_sql(f'LEAST({k_sql(i)} + 1, __n - 1)')})"
+            for i in range(len(probs))
+        )
     )
     long = (
         ranked.where(relevant)
