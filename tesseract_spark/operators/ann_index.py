@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import local_df
-from .similarity import _assign, _sq_dist, cosine_col, train_kmeans
+from .similarity import _assign, cosine_col, train_kmeans
 
 # id_index bucket count: the bucket function must be computable in plain
 # Python (the driver folds query-id buckets into literal partition filters),
@@ -78,6 +78,112 @@ def _clustered(df: DataFrame, part_col: str, id_col: str = "id") -> DataFrame:
     )
 
 
+# --------------------------- bounded metadata I/O ---------------------------
+#
+# The index's centroids / codebooks / meta tables are BOUNDED,
+# DRIVER-RESIDENT metadata (n_centroids / m×n_codes / 1 rows — an index
+# header, never corpus-sized). Writing or reading them through a Spark job
+# costs 0.3–0.9 s of pure scheduling each (measured r16: a build+serve pair
+# paid ~6 such jobs), so local paths go through pyarrow on the driver — the
+# guide's §5 point cuts both ways: the driver should do no DATA work, and
+# the executors should do no METADATA work. Parquet is written/read in both
+# directions interoperably (Spark reads pyarrow files and vice versa;
+# pyarrow ignores _SUCCESS markers), so remote ("://") paths simply fall
+# back to the Spark writer/reader with identical on-disk semantics.
+
+_META_PA_TYPES = {
+    "bigint": "int64",
+    "long": "int64",
+    "int": "int32",
+    "boolean": "bool",
+    "double": "float64",
+    "array<double>": "list<double>",
+}
+
+
+def _meta_write(
+    spark: SparkSession, target: str, rows, ddl: str, mode: str = "overwrite"
+) -> None:
+    """Write a bounded metadata table; driver-side pyarrow for local paths
+    (no Spark job), Spark writer otherwise. ``rows``: list of tuples in
+    ``ddl`` column order."""
+    if "://" in target or mode != "overwrite":
+        local_df(spark, rows, ddl).write.mode(mode).parquet(target)
+        return
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    fields = []
+    for part in ddl.split(","):
+        name, typ = part.strip().split(None, 1)
+        typ = typ.strip().lower()
+        pa_t = {
+            "bigint": pa.int64(),
+            "long": pa.int64(),
+            "int": pa.int32(),
+            "boolean": pa.bool_(),
+            "double": pa.float64(),
+            "array<double>": pa.list_(pa.float64()),
+        }[typ]
+        fields.append(pa.field(name, pa_t))
+    schema = pa.schema(fields)
+    cols = list(zip(*rows)) if rows else [[] for _ in fields]
+    table = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, fields)],
+        schema=schema,
+    )
+    if os.path.isdir(target):
+        shutil.rmtree(target)
+    os.makedirs(target, exist_ok=True)
+    papq.write_table(table, os.path.join(target, "part-00000.parquet"))
+
+
+def _meta_read(spark: SparkSession, path: str):
+    """All rows of a bounded metadata table as attribute-access objects;
+    driver-side pyarrow for local paths (no Spark job). Missing local paths
+    raise ``FileNotFoundError`` (callers that demote a missing table catch
+    it alongside Spark's AnalysisException)."""
+    if "://" in path:
+        return spark.read.parquet(path).collect()
+    import os
+    from types import SimpleNamespace
+
+    import pyarrow.parquet as papq
+
+    if not os.path.isdir(path):
+        raise FileNotFoundError(path)
+    table = papq.read_table(path)
+    return [SimpleNamespace(**d) for d in table.to_pylist()]
+
+
+def _driver_probes(crows, Q, qids, nprobe: int):
+    """nprobe nearest coarse centroids per query, computed on the driver
+    over the collected centroid table. The distance is the SAME sequential
+    fold the JVM/SQL paths use (``cumsum(x·y)`` last element ≡ the
+    ``aggregate`` HOF's left fold, then the identical ``qq − 2·qc + cc``
+    IEEE chain — the proven ``_adc_candidates`` LUT pattern), and ties
+    break on cid exactly like the ``row_number`` window it replaces, so the
+    probed sets are bit-identical. Replaces a crossJoin+window+collect job
+    (~0.5 s of scheduling per serve) with O(queries × centroids × dim)
+    driver flops on already-driver-resident data."""
+    import numpy as np
+
+    cids = np.array([int(r.cid) for r in crows], dtype=np.int64)
+    C = np.array([list(r.cvec) for r in crows], dtype=np.float64)
+    css = np.cumsum(C * C, axis=1)[:, -1]
+    qss = np.cumsum(Q * Q, axis=1)[:, -1]
+    dot = np.cumsum(Q[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+    dist = qss[:, None] - 2.0 * dot + css[None, :]
+    out: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        order = np.lexsort((cids, dist[qi]))[:nprobe]
+        out[int(qids[qi])] = [int(c) for c in cids[order]]
+    return out
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -96,7 +202,15 @@ def build_ivf_index(
     )
     cents = train_kmeans(vecs, n_centroids, iters, train_max_rows)
     lists = _assign(vecs, cents)
-    cents.write.mode(mode).parquet(f"{path}/centroids")
+    # centroids are a LOCAL relation (train_kmeans materializes them) —
+    # write the bounded rows driver-side instead of scheduling a Spark job
+    _meta_write(
+        df.sparkSession,
+        f"{path}/centroids",
+        [(int(r.cid), [float(x) for x in r.cvec]) for r in cents.collect()],
+        "cid bigint, cvec array<double>",
+        mode,
+    )
     _clustered(lists, "cid").write.mode(mode).partitionBy("cid").parquet(
         f"{path}/lists"
     )
@@ -133,7 +247,7 @@ def query_ivf_index(
     The probed-list scan is partition-pruned via a literal ``cid IN``
     predicate derived from the collected probe set (≤ ``n_centroids``
     values — bounded metadata)."""
-    cents = spark.read.parquet(f"{path}/centroids")
+    import numpy as np
 
     # step 1: pruned read of the (id, cid) map — which list holds each query
     q_buckets = sorted({int(q) % N_ID_BUCKETS for q in query_ids})
@@ -148,25 +262,36 @@ def query_ivf_index(
         }
     )
     # step 2: fetch the query vectors from exactly those home lists
-    queries = (
+    # (bounded: ≤ len(query_ids) rows — collected so probe selection runs
+    # on the driver against the already-bounded centroid table)
+    qrows = sorted(
         spark.read.parquet(f"{path}/lists")
         .filter(F.col("cid").isin(home_cids) & F.col("id").isin(query_ids))
         .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+        .collect(),
+        key=lambda r: r.query_id,
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        _sq_dist(F.col("qvec"), F.col("cvec")).asc(), F.col("cid").asc()
+    crows = _meta_read(spark, f"{path}/centroids")
+    if not qrows or not crows:
+        probed: dict[int, list[int]] = {}
+    else:
+        Q = np.array([list(r.qvec) for r in qrows], dtype=np.float64)
+        qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+        probed = _driver_probes(crows, Q, qids, nprobe)
+    probes = local_df(
+        spark,
+        [
+            (int(r.query_id), [float(x) for x in r.qvec], int(c))
+            for r in qrows
+            for c in probed.get(int(r.query_id), [])
+        ],
+        "query_id bigint, qvec array<double>, cid bigint",
     )
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("pr", F.row_number().over(w_probe))
-        .filter(F.col("pr") <= nprobe)
-        .select("query_id", "qvec", "cid")
-    )
-    # the distinct probed-cid set has at most n_centroids elements — a
-    # bounded index-metadata read, NOT a data-sized collect. Folding it into
-    # a literal IN predicate is what turns the lists read into a statically
-    # partition-pruned scan of nprobe directories per query.
-    probed_cids = [r[0] for r in probes.select("cid").distinct().collect()]
+    # the distinct probed-cid set has at most n_centroids elements —
+    # bounded index metadata. Folding it into a literal IN predicate is
+    # what turns the lists read into a statically partition-pruned scan of
+    # nprobe directories per query.
+    probed_cids = sorted({c for cs in probed.values() for c in cs})
     lists = spark.read.parquet(f"{path}/lists").filter(
         F.col("cid").isin(probed_cids)
     )
@@ -205,7 +330,14 @@ def append_to_ivf_index(
     bit-equal to rebuilding the ASSIGNMENT over the union corpus with the
     same centroids (tested)."""
     spark = df.sparkSession
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = local_df(
+        spark,
+        [
+            (int(r.cid), [float(x) for x in r.cvec])
+            for r in _meta_read(spark, f"{path}/centroids")
+        ],
+        "cid bigint, cvec array<double>",
+    )
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
@@ -234,23 +366,27 @@ def query_ivf_index_with_vectors(
     the index, return neighbors. ``query_vectors`` is a small
     ``[(query_id, vector), ...]`` batch (becomes a broadcast literal table);
     the pruned-scan mechanics are identical to :func:`query_ivf_index`,
-    minus the self-match exclusion (an external query has no index row)."""
-    cents = spark.read.parquet(f"{path}/centroids")
-    queries = local_df(
+    minus the self-match exclusion (an external query has no index row).
+    Probe selection runs on the DRIVER (r16): the query vectors are already
+    driver-resident and the centroid table is bounded index metadata, so
+    the former crossJoin+window+collect job chain is pure scheduling
+    overhead — :func:`_driver_probes` reproduces its ordering bit-exactly."""
+    import numpy as np
+
+    crows = _meta_read(spark, f"{path}/centroids")
+    qv = [(int(i), [float(x) for x in v]) for i, v in query_vectors]
+    if not qv or not crows:
+        probed: dict[int, list[int]] = {}
+    else:
+        Q = np.array([v for _, v in qv], dtype=np.float64)
+        qids = np.array([i for i, _ in qv], dtype=np.int64)
+        probed = _driver_probes(crows, Q, qids, nprobe)
+    probes = local_df(
         spark,
-        [(int(i), [float(x) for x in v]) for i, v in query_vectors],
-        "query_id long, qvec array<double>",
+        [(i, v, int(c)) for i, v in qv for c in probed.get(i, [])],
+        "query_id long, qvec array<double>, cid bigint",
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        _sq_dist(F.col("qvec"), F.col("cvec")).asc(), F.col("cid").asc()
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("pr", F.row_number().over(w_probe))
-        .filter(F.col("pr") <= nprobe)
-        .select("query_id", "qvec", "cid")
-    )
-    probed_cids = [r[0] for r in probes.select("cid").distinct().collect()]
+    probed_cids = sorted({c for cs in probed.values() for c in cs})
     lists = spark.read.parquet(f"{path}/lists").filter(
         F.col("cid").isin(probed_cids)
     )
@@ -302,7 +438,9 @@ def _read_ivfpq_meta(spark: SparkSession, path: str) -> bool:
     from pyspark.errors.exceptions.captured import AnalysisException
 
     try:
-        return bool(spark.read.parquet(f"{path}/meta").collect()[0].residual)
+        return bool(_meta_read(spark, f"{path}/meta")[0].residual)
+    except FileNotFoundError:
+        return False  # pre-flag layout — plain index (local fast path)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return False
@@ -416,33 +554,43 @@ def build_ivfpq_index(
     else:
         target = path
     try:
-        local_df(
+        # meta/centroids/codebooks are bounded, already-driver-resident
+        # metadata — _meta_write skips the per-table Spark job (r16)
+        _meta_write(
             spark,
+            f"{target}/meta",
             [(bool(residual), int(m), int(dim))],
             "residual boolean, m int, dim int",
-        ).write.mode(mode).parquet(f"{target}/meta")
+            mode,
+        )
         _clustered(lists, "cid").write.mode(mode).partitionBy("cid").parquet(
             f"{target}/lists"
         )
         # centroids/codebooks from the already-collected mats — writing them
         # must NOT re-run training (the first form re-evaluated the lazy
         # train_kmeans DAG once per action)
-        local_df(
+        _meta_write(
             spark,
+            f"{target}/centroids",
             [
                 (int(c), [float(x) for x in row])
                 for c, row in zip(coarse_mat[0], coarse_mat[1])
             ],
             "cid bigint, cvec array<double>",
-        ).write.mode(mode).parquet(f"{target}/centroids")
+            mode,
+        )
         books = [
             (int(j), int(c), [float(x) for x in row])
             for j, (cids, C, _) in enumerate(pq_mats)
             for c, row in zip(cids, C)
         ]
-        local_df(
-            spark, books, "j int, cid bigint, cvec array<double>"
-        ).write.mode(mode).parquet(f"{target}/codebooks")
+        _meta_write(
+            spark,
+            f"{target}/codebooks",
+            books,
+            "j int, cid bigint, cvec array<double>",
+            mode,
+        )
     except BaseException:
         if staged:
             _sh.rmtree(target, ignore_errors=True)
@@ -475,12 +623,9 @@ def append_to_ivfpq_index(
     from .pq import _encode_grouped, _encode_residual
 
     spark = df.sparkSession
-    crows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r.cid
-    )
+    crows = sorted(_meta_read(spark, f"{path}/centroids"), key=lambda r: r.cid)
     brows = sorted(
-        spark.read.parquet(f"{path}/codebooks").collect(),
-        key=lambda r: (r.j, r.cid),
+        _meta_read(spark, f"{path}/codebooks"), key=lambda r: (r.j, r.cid)
     )
     if not crows or not brows:
         # an index built over an empty / all-NULL-vector corpus has no
@@ -555,36 +700,31 @@ def query_ivfpq_index(
 
     from .pq import _adc_candidates, _adc_candidates_residual
 
-    cents = spark.read.parquet(f"{path}/centroids")
+    # centroids/codebooks/meta are bounded index metadata and the query
+    # batch is already driver-resident — probe selection runs on the driver
+    # (bit-exact: _driver_probes), removing the former crossJoin+window
+    # probe job and the per-table metadata-read jobs (r16)
+    crows = _meta_read(spark, f"{path}/centroids")
+    qv = sorted(
+        [(int(i), [float(x) for x in v]) for i, v in query_vectors]
+    )
     queries = local_df(
-        spark,
-        [(int(i), [float(x) for x in v]) for i, v in query_vectors],
-        "query_id long, qvec array<double>",
+        spark, qv, "query_id long, qvec array<double>"
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        _sq_dist(F.col("qvec"), F.col("cvec")).asc(), F.col("cid").asc()
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("pr", F.row_number().over(w_probe))
-        .filter(F.col("pr") <= nprobe)
-        .select("query_id", "cid")
-    )
-    probe_rows = probes.collect()  # ≤ queries×nprobe — bounded metadata
-    probed: dict[int, set] = {}
-    for r in probe_rows:
-        probed.setdefault(int(r.query_id), set()).add(int(r.cid))
-    probed_cids = sorted({int(r.cid) for r in probe_rows})
-
-    qrows = sorted(queries.collect(), key=lambda r: r.query_id)
-    Q = np.array([list(r.qvec) for r in qrows], dtype=np.float64)
-    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    Q = np.array([v for _, v in qv], dtype=np.float64)
+    qids = np.array([i for i, _ in qv], dtype=np.int64)
+    if qv and crows:
+        probed = {
+            q: set(cs) for q, cs in _driver_probes(crows, Q, qids, nprobe).items()
+        }
+    else:
+        probed = {}
+    probed_cids = sorted({c for cs in probed.values() for c in cs})
 
     brows = sorted(
-        spark.read.parquet(f"{path}/codebooks").collect(),
-        key=lambda r: (r.j, r.cid),
+        _meta_read(spark, f"{path}/codebooks"), key=lambda r: (r.j, r.cid)
     )
-    if not brows or not probe_rows or not qrows:
+    if not brows or not probed_cids or not qv:
         # quantizer-less index (empty-corpus build) or no queries: empty
         # result with the serving schema, not a crash — the pq-module
         # contract (ADVICE r9)
@@ -627,7 +767,7 @@ def query_ivfpq_index(
     probed_sets = {q: frozenset(s) for q, s in probed.items()}
     if _read_ivfpq_meta(spark, path):
         coarse_rows = {
-            int(r.cid): [float(x) for x in r.cvec] for r in cents.collect()
+            int(r.cid): [float(x) for x in r.cvec] for r in crows
         }
         cand = _adc_candidates_residual(
             codes, mats, coarse_rows, qids, Q, sd, rerank, probed=probed_sets

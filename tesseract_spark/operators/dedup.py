@@ -137,18 +137,23 @@ def ngram_jaccard_pairs(
         )
     # r10 (VERDICT r9 #4): the shingle set sizes RIDE the join legs (the
     # arrays are already distinct, so n_sh = size(arr) — a per-row map)
-    # instead of a third explode+groupBy joined back twice; and because
-    # both legs are the IDENTICAL subplan shuffled on the same key,
-    # Spark's ReuseExchange materializes the shingle shuffle once. One
-    # scan + one (reused) shuffle + one pair groupBy — the two sizes
-    # shuffle-joins of the previous form are gone.
-    shx = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles_col(F.col(text_col), n).alias("__arr"),
-    ).select(
-        "id",
-        F.size("__arr").alias("n_sh"),
-        F.explode("__arr").alias("shingle"),
+    # instead of a third explode+groupBy joined back twice. r16: the shared
+    # leg is lazily localCheckpointed — ReuseExchange only kicks in at
+    # runtime under AQE and the static plan carried TWO ArrowEvalPython
+    # shingling passes; materializing the exploded rows once guarantees the
+    # Arrow text stage runs once regardless of exchange-reuse heuristics,
+    # at the cost of storing rows the join shuffles anyway.
+    shx = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles_col(F.col(text_col), n).alias("__arr"),
+        )
+        .select(
+            "id",
+            F.size("__arr").alias("n_sh"),
+            F.explode("__arr").alias("shingle"),
+        )
+        .localCheckpoint(eager=False)
     )
     a, b = shx.alias("a"), shx.alias("b")
     common = (
@@ -207,6 +212,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 12,
     shingle_n: int = 5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """K min-hashes per doc via **double hashing** (Kirsch–Mitzenmeyer):
     ONE md5 per shingle, split into two 40-bit ints (h1, h2), and the K hash
@@ -216,10 +222,19 @@ def minhash_signatures(
     strings; this mins over longs). 40-bit halves keep ``h1 + k·h2`` far from
     64-bit overflow (DuckDB raises on BIGINT overflow; Spark would wrap).
     One explode + one groupBy (single shuffle), K aggregates computed
-    map-side-partial by Catalyst."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
+    map-side-partial by Catalyst. ``shingles`` (an ``(id, shingle)`` frame)
+    skips the shingling pass — callers that also join on shingles pass a
+    materialized-once table so the Arrow text stage runs once per query,
+    not once per plan occurrence."""
+    sh = (
+        shingles
+        if shingles is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles_col(F.col(text_col), shingle_n)).alias(
+                "shingle"
+            ),
+        )
     )
     m = F.md5(F.col("shingle"))
     h1 = F.conv(F.substring(m, 1, 10), 16, 10).cast("long")
@@ -241,6 +256,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 5,
     max_bucket: int = 256,
     log_oversize: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: signature split into ``bands`` bands of
     ``num_hashes/bands`` rows; pair is a candidate iff some band hashes equal.
@@ -270,7 +286,9 @@ def minhash_lsh_pairs(
     so shingling + signatures still run once."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, shingles=shingles
+    )
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
@@ -813,13 +831,23 @@ def minhash_verified_pairs(
     :func:`ngram_jaccard_pairs`, whose hot-shingle blowup this exists to
     avoid). Work is bounded by Σ per-candidate shingle counts: the candidate
     list joins to side-a shingles, then equi-joins side-b shingles on
-    (id_b, shingle) — every stage is a keyed hash join or groupBy."""
-    cand = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_n, max_bucket
-    )
+    (id_b, shingle) — every stage is a keyed hash join or groupBy.
+
+    The shingle table is computed ONCE and lazily localCheckpointed (r16):
+    it feeds four otherwise-independent subtrees (the LSH signatures, the
+    two verification join legs, and the sizes aggregate), and Catalyst does
+    not share opaque Arrow stages across differently-keyed shuffles — the
+    plan carried FOUR ArrowEvalPython shingling passes over the full corpus.
+    Materializing the (id, shingle) rows once is strictly less work than
+    re-shingling per subtree (the same rows already cross at least two
+    shuffles), bounded by the corpus token count, and value-identical."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
+    ).localCheckpoint(eager=False)
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n, max_bucket,
+        shingles=sh,
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
