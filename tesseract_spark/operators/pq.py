@@ -126,13 +126,13 @@ def _train_grouped_mats(
                 ).alias("v")
             )
         )
-        rows = (
-            means.groupBy("g", "cid")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
-            .select("g", "cid", F.transform("s", lambda st: st["v"]).alias("cvec"))
-            .collect()
-        )
-        mats = _grouped_mats_from_rows(rows, len(groups))
+        # bounded collect (Σ_g k_g × width_g rows — codebook metadata, not
+        # data): assemble the codeword ARRAYS on the driver instead of a
+        # second groupBy(g, cid) + collect_list shuffle whose output was
+        # collected anyway. v is the same per-(g, cid, position) aggregate
+        # and the driver position sort mirrors array_sort on struct(i, v)
+        # exactly (i unique per (g, cid)) — bit-identical mats. r16.
+        mats = _grouped_mats_from_pos_rows(means.collect(), len(groups))
     return mats
 
 
@@ -156,14 +156,24 @@ def _grouped_mats_from_seeds(seeds, groups):
     return mats
 
 
-def _grouped_mats_from_rows(rows, n_groups: int):
+def _grouped_mats_from_pos_rows(prows, n_groups: int):
+    """Per-position mean rows ``(g, cid, i, v)`` → per-group numpy mats.
+    The position sort reproduces ``array_sort(collect_list(struct(i, v)))``
+    exactly (i is unique per (g, cid))."""
     import numpy as np
 
+    by_key: dict = {}
+    for r in prows:
+        by_key.setdefault((r.g, r.cid), []).append((r.i, r.v))
     mats = []
     for g in range(n_groups):
-        sub = sorted((r for r in rows if r.g == g), key=lambda r: r.cid)
-        cids = np.array([r.cid for r in sub], dtype=np.int64)
-        C = np.array([list(r.cvec) for r in sub], dtype=np.float64)
+        sub = sorted(
+            (cid, [v for _, v in sorted(vs)])
+            for (gg, cid), vs in by_key.items()
+            if gg == g
+        )
+        cids = np.array([cid for cid, _ in sub], dtype=np.int64)
+        C = np.array([vec for _, vec in sub], dtype=np.float64)
         css = np.cumsum(C * C, axis=1)[:, -1] if sub else np.zeros(0)
         mats.append((cids, C, css))
     return mats

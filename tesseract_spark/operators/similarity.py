@@ -655,6 +655,24 @@ def train_kmeans(
         .limit(n_centroids)
         .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
     )
+    # every iteration materializes the (bounded: n_centroids × dim rows)
+    # per-position means and assembles the centroid ARRAYS on the driver —
+    # one groupBy shuffle per iteration instead of two (the previous form
+    # regrouped per cid with array_sort(collect_list(struct)) just to
+    # rebuild arrays the driver was about to collect anyway). Values are
+    # identical: v is the same per-(cid, position) aggregate, and the
+    # driver sort by position mirrors array_sort on struct(i, v) exactly
+    # (i is unique per cid). r16, guide §2.2 "shuffle fewer bytes" / §5.
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    from ..session import local_df
+
+    cent_schema = StructType(
+        [
+            StructField("cid", vecs.schema["id"].dataType, True),
+            StructField("cvec", ArrayType(DoubleType(), True), True),
+        ]
+    )
     for _ in range(iters):
         assigned = _assign(train, cents)
         ex = assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
@@ -663,20 +681,25 @@ def train_kmeans(
                 F.sum(F.col("x").cast("decimal(38,9)")).cast("double") / F.count("*")
             ).alias("v")
         )
-        cents = (
-            means.groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
-            .select("cid", F.transform("s", lambda st: st["v"]).alias("cvec"))
+        by_cid: dict = {}
+        for r in means.collect():
+            by_cid.setdefault(r.cid, []).append((r.i, r.v))
+        cents = local_df(
+            vecs.sparkSession,
+            [
+                (cid, [v for _, v in sorted(vs)])
+                for cid, vs in sorted(by_cid.items())
+            ],
+            cent_schema,
         )
-    # materialize the trained centroids as a LOCAL relation (bounded:
-    # n_centroids rows — the same bound _assign's collect always relied
-    # on). Every consumer references the centroid frame several times
-    # (_assign collects it, probe rankings broadcast it, index builds
-    # write it); left lazy, EACH of those actions re-ran the whole Lloyd
-    # pipeline (measured: the centroids write alone cost a full re-train
-    # at sf0.1). Values round-trip the driver unchanged — bit-identical.
-    from ..session import local_df
-
+    if iters > 0:
+        return cents
+    # iters=0: the seeds themselves are the centroids — materialize them as
+    # a LOCAL relation (bounded: n_centroids rows). Every consumer
+    # references the centroid frame several times (_assign collects it,
+    # probe rankings broadcast it, index builds write it); left lazy, EACH
+    # of those actions re-ran the seeding job. Values round-trip the driver
+    # unchanged — bit-identical.
     return local_df(vecs.sparkSession, cents.collect(), cents.schema)
 
 
@@ -1009,13 +1032,19 @@ def cosine_near_dup_pairs(
         & F.exists("vec", lambda x: x != F.lit(0.0))
     )
     w = Window.partitionBy("bucket")
+    # the annotated frame feeds the oversize probe (an extra ACTION) plus
+    # both the blocked and star branches of ONE plan — without
+    # materialization the scan + interpreted bucket projection + window
+    # ran once per consumer. Lazily localCheckpointed (r16, the §2.4
+    # share-one-computation move): bounded by rows that already cross the
+    # bucket-window shuffle, and the blocked branch re-shuffles them anyway.
     annotated = base.select(
         "id",
         "vec",
         "bucket",
         F.count(F.lit(1)).over(w).alias("__n"),
         F.min("id").over(w).alias("__min_id"),
-    )
+    ).localCheckpoint(eager=False)
     if log_oversize:
         n_big = (
             annotated.filter(F.col("__n") > max_bucket).select("bucket").distinct().count()
