@@ -134,6 +134,21 @@ def asof_join_bucketed(
         u = u.withColumn(
             f"__in_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
         )
+    # the windowed union feeds THREE consumers (the carry aggregate, the
+    # bucket spine, and the left-row output) whose differing column needs
+    # defeat ReusedExchange — left lazy, each consumer re-ran the full
+    # union + (key, bucket) shuffle + window sort (measured: 3 Windows /
+    # 3 Unions / 12 parquet scans in one plan). Materialize it ONCE
+    # (r16, guide §2.4 "share one computation"): bounded by the rows that
+    # already cross the bucket-window shuffle, pruned to the columns the
+    # consumers read (the raw __r_ inputs are dead once __in_ is computed).
+    u = u.select(
+        *left.columns,
+        "__ts",
+        "__is_left",
+        "__bucket",
+        *[f"__in_{c}" for c in carried],
+    ).localCheckpoint(eager=False)
 
     # per-(key, bucket) final right state = the in-bucket carry at the last
     # right row (max_by over right rows only; NULL-safe when bucket has none)
