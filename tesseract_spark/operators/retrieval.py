@@ -60,6 +60,11 @@ def bm25_topk(
             F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_SPLIT)
         ).alias("term"),
     ).where(F.col("term").isin(qterms))
+    # tf feeds both the doc-freq aggregate and the scored join; left LAZY
+    # on purpose — both consumers sit above tf's own (doc, term) exchange,
+    # which AQE's runtime exchange reuse computes once, so a localCheckpoint
+    # here only adds a job barrier (measured flat solo and a 1.5 → 2.0 s
+    # regression on the hybrid-RRF composition with the checkpoint; r16)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 

@@ -407,7 +407,28 @@ def stratified_sample_exact(
     should participate."""
     g, idc = F.col(group_col), F.col(id_col)
     df = df.where(g.isNotNull())
-    c = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    # the corpus reduces ONCE to a narrow (group, id, hash8, bucket) proxy
+    # that every later step reads (guide §2.4, §8 "decide with small rows"):
+    # left lazy, the stratum counts, the bucket counts, and the ranked
+    # selection each re-scanned the corpus and re-hashed every id (the
+    # r16-open plan showed 12 parquet scans / 19 Exchanges for one entry).
+    h = _hash8(seed, idc)
+    rows = (
+        df.select(g.alias("__g"), idc.alias("__id"), h.alias("__h"))
+        .withColumn(
+            "__b", F.conv(F.substring(F.col("__h"), 1, 2), 16, 10).cast("int")
+        )
+        .localCheckpoint(eager=False)
+    )
+    # stratum counts derive from the proxy (identical rows, hence identical
+    # counts); checkpointed because BOTH the total and the seat table read
+    # it (stratum-count-sized — tiny)
+    c = (
+        rows.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("__g").alias(group_col), "n_docs")
+        .localCheckpoint(eager=False)
+    )
     tot = c.agg(F.sum("n_docs").alias("N"))
     seats = c.crossJoin(F.broadcast(tot)).select(
         group_col,
@@ -462,13 +483,11 @@ def stratified_sample_exact(
                 ).otherwise(F.lit(0)),
             ).alias("n_target"),
         )
+        # read twice (the selection filter and the output manifest join);
+        # stratum-count-sized
+        .localCheckpoint(eager=False)
     )
 
-    h = _hash8(seed, idc)
-    rows = df.select(g.alias("__g"), idc.alias("__id"), h.alias("__h"))
-    rows = rows.withColumn(
-        "__b", F.conv(F.substring(F.col("__h"), 1, 2), 16, 10).cast("int")
-    )
     bc = rows.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__cnt"))
     w_cum = (
         Window.partitionBy("__g")

@@ -782,6 +782,11 @@ def merge_heavy_hitters(
       est_cnt = max_cnt = true count).
 
     Every aggregate here runs over the BOUNDED rollup, never the fact."""
+    # rollup feeds both the floor tables and the member aggregate; left
+    # LAZY on purpose — both consumers share the rollup's own fine-grain
+    # exchange, which AQE's runtime exchange reuse computes once (only the
+    # bounded truncation windows replay), so a localCheckpoint here only
+    # adds a job barrier (measured: 0.99 → 1.2 s with the checkpoint; r16)
     floors = (
         rollup.select(*fine_cols, "floor")
         .groupBy(*[F.col(c) for c in fine_cols])

@@ -362,9 +362,17 @@ def winnowing_shared_passages(
     every document and pairing degenerates toward all-pairs (measured:
     k=8 → 101k pairs on 500 synthetic docs, k=24 → 57 true shared
     passages). Short k suits code/plagiarism; long k suits corpus dedup."""
-    fps = winnowing_fingerprints(df, k, w, id_col, text_col).select(
-        "doc_id", "fp"
-    ).distinct()
+    # fps feeds the boilerplate-hash count AND both legs of the pair
+    # self-join — left lazy, the whole winnowing fingerprint pipeline ran
+    # once PER CONSUMER (three times). Materialize it once (guide §2.4;
+    # r16): bounded by the distinct (doc, fp) pairs that cross the
+    # distinct shuffle anyway.
+    fps = (
+        winnowing_fingerprints(df, k, w, id_col, text_col)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     fp_docs = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__c"))
     bounded = fps.join(
         fp_docs.where(F.col("__c") <= max_fp_docs).select("fp"), "fp"
@@ -596,7 +604,15 @@ def rarity_topk_terms(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_SPLIT)).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the doc-freq aggregate and the scored join — left lazy,
+    # each consumer re-ran the corpus explode + groupBy (guide §2.4 "share
+    # one computation"; r16). Bounded: distinct (doc, term) pairs — rows
+    # that cross the groupBy shuffle anyway.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n"))
     scored = (

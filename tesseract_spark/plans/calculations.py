@@ -136,6 +136,10 @@ def apply_growth(
         # (AQE broadcasts it below threshold), and there is no window at
         # all, partitioned or otherwise.
         idx = _calendar_period_index(builder, specs, growth.time_drill, n)
+        # both join legs are the SAME aggregate output — left lazy, the
+        # base aggregation ran once per leg (guide §2.4; r16). Bounded by
+        # the post-agg group count.
+        df = df.localCheckpoint(eager=False)
         pv_parts = [
             F.col(a).alias(f"__pv_{i}") for i, a in enumerate(part_aliases)
         ]
@@ -178,6 +182,10 @@ def apply_growth(
         df = df.withColumn("__prev_in", F.lag(mea, n).over(w_in)).withColumn(
             "__rn", F.row_number().over(w_in)
         )
+        # the lagged grain feeds the tails aggregate (twice, via its
+        # cur/lo self-join) and the final carry join — materialize once
+        # (guide §2.4; r16): bounded by the post-agg group count
+        df = df.localCheckpoint(eager=False)
         tails = (
             df.groupBy("__pid")
             .agg(
@@ -238,6 +246,10 @@ def apply_growth(
         )
         w_in = Window.partitionBy("__pid").orderBy(*[c.asc() for c in time_cols])
         df = df.withColumn("__prev_in", F.lag(mea).over(w_in))
+        # the lagged grain feeds the lasts aggregate (twice, via its
+        # cur/lo self-join) and the final carry join — materialize once
+        # (guide §2.4; r16): bounded by the post-agg group count
+        df = df.localCheckpoint(eager=False)
         lasts = df.groupBy("__pid").agg(
             F.max_by(mea, F.struct(*time_cols)).alias("__last")
         )
@@ -315,6 +327,13 @@ def apply_rca(
 
     mea = F.col(rca.mea)
     df = df.withColumn("a", mea)
+    # the (ext, d1, d2)-grain aggregate feeds b/c/d AND the final joins —
+    # left lazy, the whole fact scan + dim joins + groupBy re-ran once per
+    # consumer (the r16-open q_rca_region_flag plan evaluated the 5-table
+    # join+aggregate FOUR times: 40 parquet scans). Materialize the grain
+    # once (guide §2.4; r16): bounded by the group count, the same rows the
+    # b/c/d aggregates shuffle anyway.
+    df = df.localCheckpoint(eager=False)
     base_cols = [c for c in df.columns if c != "a"]
 
     # b/c/d as grouped aggregates + joins rather than partition-sum windows:
