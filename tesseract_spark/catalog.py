@@ -2749,10 +2749,18 @@ def _wire_pipeline_ops() -> None:
         from .operators.quantiles import exact_quantiles
         from .operators.text import quality_score_col
 
-        scored = _docs(spark, sf).select(
-            "doc_id",
-            "source",
-            F.round(quality_score_col(F.col("text")), 6).alias("score"),
+        # score the corpus ONCE (guide §2.4/§8 — the regex-heavy quality
+        # expression fed both the quantile fold and the gate recount; the
+        # consumers group by different keys, so exchange reuse cannot dedup
+        # them): the checkpoint is 3 narrow columns per doc, never the text
+        scored = (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                "source",
+                F.round(quality_score_col(F.col("text")), 6).alias("score"),
+            )
+            .localCheckpoint(eager=False)
         )
         th = exact_quantiles(scored, ["source"], "score", [0.5], ["q50"])
         return (
