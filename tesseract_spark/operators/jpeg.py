@@ -191,19 +191,38 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return out
 
 
-def _build_decode(bits: list[int], vals: list[int]) -> dict[int, int]:
+class _DecodeTable(dict):
+    """Decode map plus an 8-bit-prefix lookup table: ``lut[peek8]`` is
+    ``(value << 4) | code_length`` for codes of ≤ 8 bits (every 8-bit
+    extension of a short code maps to it — prefix-freeness makes the peek
+    unambiguous), ``-1`` where the code is longer and the per-bit walk in
+    :func:`_huff_decode` must resolve it. One list index replaces up to 8
+    dict probes on the decoder's hottest path (r16: ~50 % of decode time
+    was ``_huff_decode``)."""
+
+    __slots__ = ("lut",)
+
+
+def _build_decode(bits: list[int], vals: list[int]) -> "_DecodeTable":
     """``(length << 16) | code`` -> value decoding map. Int keys instead of
     ``(length, code)`` tuples: the per-bit lookup in ``_huff_decode`` is the
     decoder's hottest dict access, and int hashing avoids a tuple
     allocation + two-element hash per probe."""
-    out: dict[int, int] = {}
+    out = _DecodeTable()
+    lut = [-1] * 256
     code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             out[(length << 16) | code] = vals[k]
+            if length <= 8:
+                base = code << (8 - length)
+                packed = (vals[k] << 4) | length
+                for suffix in range(1 << (8 - length)):
+                    lut[base | suffix] = packed
             code += 1
             k += 1
         code <<= 1
+    out.lut = lut
     return out
 
 
@@ -292,7 +311,33 @@ class _MarkerHit(Exception):
         self.marker = marker
 
 
-def _huff_decode(br: _BitReader, table: dict[int, int]) -> int:
+def _huff_decode(br: _BitReader, table: "_DecodeTable") -> int:
+    # fast path: peek 8 buffered bits and resolve short codes (the vast
+    # majority) with ONE list index. The speculative refill below NEVER
+    # raises _MarkerHit or IndexError — it stops at markers/buffer end and
+    # falls through to the per-bit walk, which reproduces the original
+    # fill-on-demand semantics exactly (same bits consumed, same
+    # _MarkerHit points).
+    nb = br.nbits
+    if nb < 8:
+        d, p, end = br.data, br.pos, len(br.data)
+        acc = br.acc
+        while nb < 8 and p < end:
+            b = d[p]
+            if b == 0xFF:
+                if p + 1 >= end or d[p + 1] != 0x00:
+                    break  # marker (or truncation): leave for the slow path
+                p += 2  # stuffed byte
+            else:
+                p += 1
+            acc = ((acc & ((1 << nb) - 1)) << 8) | b
+            nb += 8
+        br.acc, br.pos, br.nbits = acc, p, nb
+    if nb >= 8:
+        e = table.lut[(br.acc >> (nb - 8)) & 0xFF]
+        if e >= 0:
+            br.nbits = nb - (e & 15)
+            return e >> 4
     code, length = 0, 0
     get = table.get
     fill = br._fill

@@ -545,3 +545,41 @@ def test_native_installer_rejects_divergent_plugin_in_worker(spark, sf_dir):
     inst = mm.make_worker_decoder_installer("jpeg", bad_factory)
     with pytest.raises(Exception, match="equivalence|differently-sized"):
         mm.decoded_jpeg_features(docs, native_installer=inst).collect()
+
+
+def test_huffman_lut_fast_path_matches_per_bit_walk():
+    """The r16 8-bit-prefix LUT in _huff_decode is a pure fast path: with
+    the LUT disabled (all sentinel -1, forcing every symbol through the
+    original per-bit dict walk) the decoded pixels must be byte-identical
+    across baseline/progressive/subsampled/restart/CMYK variants."""
+    from unittest import mock
+
+    import numpy as np
+
+    from tesseract_spark.operators import jpeg
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    c = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    k4 = rng.integers(0, 256, (24, 32, 4), dtype=np.uint8)
+    encs = [
+        jpeg.encode_jpeg_gray(g, quality=90),
+        jpeg.encode_jpeg_gray(g, quality=35, restart_interval=2),
+        jpeg.encode_jpeg_color(c, subsample="4:2:0"),
+        jpeg.encode_jpeg_progressive_gray(g, quality=85),
+        jpeg.encode_jpeg_progressive_color(c, subsample="4:2:0"),
+        jpeg.encode_jpeg_cmyk(k4, quality=90, transform=2),
+    ]
+    fast = [jpeg.decode_jpeg(e) for e in encs]
+
+    real_build = jpeg._build_decode
+
+    def lutless_build(bits, vals):
+        tab = real_build(bits, vals)
+        tab.lut = [-1] * 256  # every lookup misses -> per-bit walk only
+        return tab
+
+    with mock.patch.object(jpeg, "_build_decode", lutless_build):
+        slow = [jpeg.decode_jpeg(e) for e in encs]
+    for f, s in zip(fast, slow):
+        assert f == s
