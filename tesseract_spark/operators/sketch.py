@@ -230,7 +230,16 @@ def hll_sketch_summary(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
     ``harmonic_scaled = sum_j 2^(48 − r_j)`` over all m registers (empty
     register ⇒ 2^48), bounded by m·2^48 < 2^63 for p ≤ 14."""
     m = 1 << p
-    regs = hll_registers(df, key_col, p)
+    # BOTH outputs are functions of the distinct key set alone (register
+    # max is duplicate-invariant; n_exact IS the distinct count), so the
+    # corpus reduces ONCE to its distinct keys instead of two full scans
+    # (one md5+groupBy pass over every duplicate + a separate count_distinct
+    # shuffle) — guide §2.3 "shuffle keys instead of payloads", r16. The
+    # distinct table is checkpointed because the register build and the
+    # exact count both read it; values are identical: md5 is per-key, and
+    # count(col) over distinct keys skips NULLs exactly like count_distinct.
+    keys = df.select(F.col(key_col)).distinct().localCheckpoint(eager=False)
+    regs = hll_registers(keys, key_col, p)
     full = (
         df.sparkSession.range(m)
         .select(F.col("id").alias("j"))
@@ -244,7 +253,7 @@ def hll_sketch_summary(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
         ),
         F.sum((F.col("r") == 0).cast("long")).alias("n_zero_registers"),
     )
-    exact = df.agg(F.count_distinct(F.col(key_col)).alias("n_exact"))
+    exact = keys.agg(F.count(F.col(key_col)).alias("n_exact"))
     return exact.crossJoin(F.broadcast(summary)).select(
         "m", "n_exact", "harmonic_scaled", "n_zero_registers"
     )
