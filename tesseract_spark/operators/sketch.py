@@ -126,19 +126,48 @@ def cms_join_size_estimate(
     other), then the estimate is a d×w-sized join. The paired exact size
     (per-key count join — itself never materializing the join) makes the
     output oracle-checkable and doubles as the calibration view."""
-    ca = cms_build(df_a, key_a, d, w).withColumnRenamed("c", "ca")
-    cb = cms_build(df_b, key_b, d, w).withColumnRenamed("c", "cb")
+    # each side reduces ONCE to its per-key counts (guide §2.3 "shuffle
+    # keys instead of payloads"; r16): both the CMS cells and the exact
+    # join size are functions of that vocabulary-sized table, so the
+    # previous two full scans per side (cell explode + per-key count)
+    # collapse to one groupBy. Cell counts are identical: the count of
+    # rows hashing to a cell IS the sum of its keys' counts. NULL keys
+    # are excluded up front exactly as cms_build does — they never joined
+    # in the exact-size branch either (equi-join on key), so both outputs
+    # are unchanged. Left LAZY on purpose: both consumers sit above the
+    # key-count groupBy's own exchange, which AQE's runtime exchange reuse
+    # computes once — a localCheckpoint here benched 2.3 → 4.9 s (the two
+    # barriers serialized four independent subtrees).
+    def _key_counts(df: DataFrame, key_col: str, alias: str) -> DataFrame:
+        return (
+            df.where(F.col(key_col).isNotNull())
+            .groupBy(F.col(key_col).cast("string").alias("key"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    def _cells(kc: DataFrame, n_col: str, out: str) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), _cms_col(i, F.col("key"), w).alias("j"))
+                for i in range(d)
+            ]
+        )
+        return (
+            kc.select(F.col(n_col).alias("__n"), F.explode(arr).alias("s"))
+            .select("s.i", "s.j", "__n")
+            .groupBy("i", "j")
+            .agg(F.sum("__n").alias(out))
+        )
+
+    na = _key_counts(df_a, key_a, "na")
+    nb = _key_counts(df_b, key_b, "nb")
+    ca = _cells(na, "na", "ca")
+    cb = _cells(nb, "nb", "cb")
     est = (
         ca.join(cb, ["i", "j"])
         .groupBy("i")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
         .agg(F.min("ip").alias("cms_join_rows"))
-    )
-    na = df_a.groupBy(F.col(key_a).cast("string").alias("key")).agg(
-        F.count(F.lit(1)).alias("na")
-    )
-    nb = df_b.groupBy(F.col(key_b).cast("string").alias("key")).agg(
-        F.count(F.lit(1)).alias("nb")
     )
     true = na.join(nb, "key").agg(
         F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias(
