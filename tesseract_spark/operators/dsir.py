@@ -77,6 +77,13 @@ def dsir_importance(
         F.col("__tgt").alias("is_target"),
         _bucket(F.col("w1"), F.col("w2"), n_buckets).alias("b"),
     )
+    # feats feeds the bucket-ratio aggregate AND the broadcast-join score
+    # pass with no shared exchange, so the bigram explode runs twice — but
+    # a lazy localCheckpoint of feats benched 1.57 → 2.07 s (r16): the
+    # materialized intermediate is corpus-bigram-sized, and writing it
+    # costs more than re-running the (parallel, CPU-cheap) explode. The
+    # checkpoint move only pays when the materialized table is SMALL
+    # relative to its recompute (see apply_rca's grain table).
     # raw and target bucket counts in ONE pass (conditional count) — the
     # only data-sized shuffle on this side; output is ≤ n_buckets rows
     ratios = (
