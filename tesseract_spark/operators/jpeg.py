@@ -430,6 +430,219 @@ def _emit_block_zz(
     return dc
 
 
+# ---------------------------------------------------------------------------
+# Vectorized entropy coding (r16): the per-symbol Python path above costs one
+# _BitWriter.write() call per Huffman symbol plus one _emit_block_zz call per
+# block — profiled at ~40 % of encode time on the catalog fixtures. The fast
+# path below builds the WHOLE scan's (value, bit-length) symbol arrays with
+# numpy and packs them in one np.packbits pass (per-restart-segment 1-padding,
+# 0xFF byte stuffing and RSTn markers reproduced exactly), so its output is
+# byte-identical to the loop — asserted across random content, restart
+# intervals, precisions and component layouts by
+# tests/test_jpeg_codec.py::test_vectorized_scan_emitter_matches_loop.
+# Inputs it cannot express (magnitudes ≥ 2^16, symbols missing from a custom
+# table, EOB runs past the EOBn cap) raise _FastEmitUnavailable and the
+# caller falls back to the per-block loop.
+# ---------------------------------------------------------------------------
+
+
+class _FastEmitUnavailable(Exception):
+    """Raised when the vectorized scan emitter cannot reproduce the
+    per-block path's bytes for this input; callers fall back to the loop."""
+
+
+#: bit_length LUT for 0..65535 (magnitude categories are ≤ 16 in every
+#: sequential/progressive mode — larger inputs take the fallback path)
+_BITLEN16 = np.zeros(65536, np.uint8)
+_BITLEN16[1:] = (np.floor(np.log2(np.arange(1, 65536))) + 1).astype(np.uint8)
+
+
+def _codes_dense(codes: dict[int, tuple[int, int]]) -> tuple[np.ndarray, np.ndarray]:
+    """value -> (code, length) dict as dense gather arrays (length 0 marks a
+    symbol the table lacks — the fast path bails when one is needed)."""
+    n = max(codes) + 1
+    c = np.zeros(n, np.int64)
+    ln = np.zeros(n, np.int64)
+    for v, (code, length) in codes.items():
+        c[v], ln[v] = code, length
+    return c, ln
+
+
+def _pack_segmented(
+    vals: np.ndarray, lens: np.ndarray, segs: np.ndarray, nseg: int
+) -> bytes:
+    """Pack MSB-first (value, bit-length) symbols into the entropy byte
+    stream: each segment is 1-padded to a byte boundary (_BitWriter.flush),
+    0xFF data bytes are stuffed with 0x00 (F.1.2.3), and consecutive
+    segments are separated by RST0..7 markers cycling from 0 — exactly the
+    bytes the per-block loop's writer emits. ``segs`` must be
+    non-decreasing with at least one symbol in every segment 0..nseg-1."""
+    vals = vals.astype(np.int64, copy=False)
+    lens = lens.astype(np.int64, copy=False)
+    bits_per_seg = np.bincount(segs, weights=lens, minlength=nseg).astype(np.int64)
+    pad = (-bits_per_seg) % 8
+    ends = np.cumsum(np.bincount(segs, minlength=nseg))
+    vals = np.insert(vals, ends, (1 << pad) - 1)
+    lens = np.insert(lens, ends, pad)
+    ar = np.arange(16)
+    shift = np.maximum(lens[:, None] - 1 - ar, 0)
+    bits = ((vals[:, None] >> shift) & 1)[ar < lens[:, None]]
+    data = np.packbits(bits.astype(np.uint8, copy=False))
+    bytes_per_seg = (bits_per_seg + pad) >> 3
+    is_ff = data == 0xFF
+    extra = is_ff.astype(np.int64)
+    seg_last = np.cumsum(bytes_per_seg) - 1
+    extra[seg_last[:-1]] += 2  # room for the RST marker after the segment
+    out_pos = np.cumsum(extra) - extra + np.arange(data.size)
+    out = np.zeros(data.size + int(extra.sum()), np.uint8)
+    out[out_pos] = data
+    out[out_pos[is_ff] + 1] = 0x00
+    if nseg > 1:
+        mk = seg_last[:-1]
+        mpos = out_pos[mk] + 1 + is_ff[mk]
+        out[mpos] = 0xFF
+        out[mpos + 1] = (0xD0 + (np.arange(nseg - 1) % 8)).astype(np.uint8)
+    return out.tobytes()
+
+
+def _dc_symbol_arrays(
+    dcvals: np.ndarray,
+    comp: np.ndarray,
+    segs: np.ndarray,
+    dc_c: np.ndarray,
+    dc_l: np.ndarray,
+):
+    """Per-block DC (code, mag) symbol pairs: category of the per-component
+    per-segment predictor diff (T.81 F.1.2.1), mag length 0 when t is 0 (a
+    zero-length symbol packs no bits — same as the loop skipping it)."""
+    n = dcvals.shape[0]
+    diff = np.empty(n, np.int64)
+    for c in np.unique(comp):
+        idx = np.where(comp == c)[0]
+        d = dcvals[idx]
+        prev = np.concatenate(([0], d[:-1]))
+        segc = segs[idx]
+        first = np.concatenate(([True], segc[1:] != segc[:-1]))
+        diff[idx] = d - np.where(first, 0, prev)
+    absd = np.abs(diff)
+    if absd.size and int(absd.max()) > 65535:
+        raise _FastEmitUnavailable
+    t = _BITLEN16[absd].astype(np.int64)
+    if int(t.max(initial=0)) >= dc_c.shape[1]:
+        raise _FastEmitUnavailable
+    code = dc_c[comp, t]
+    ln = dc_l[comp, t]
+    if (ln == 0).any():
+        raise _FastEmitUnavailable
+    mag = np.where(diff > 0, diff, diff + (1 << t) - 1)
+    return code, ln, mag, t
+
+
+def _fast_baseline_scan(
+    zz: np.ndarray,
+    comp: np.ndarray,
+    dc_tabs: list[dict],
+    ac_tabs: list[dict],
+    restart_interval: int,
+    blocks_per_mcu: int,
+) -> bytes:
+    """Vectorized baseline entropy coding of one (possibly interleaved)
+    scan: ``zz`` is (n_blocks, 64) zigzag coefficients in scan order,
+    ``comp`` the per-block component id indexing the table lists. Output is
+    byte-identical to the _emit_block_zz loop (see section comment)."""
+    n = zz.shape[0]
+    comp = comp.astype(np.int64, copy=False)
+    dcs = [_codes_dense(t) for t in dc_tabs]
+    acs = [_codes_dense(t) for t in ac_tabs]
+    width_dc = max(c.shape[0] for c, _ in dcs)
+    width_ac = max(0xF1, *(c.shape[0] for c, _ in acs))  # ZRL slot must exist
+    dc_c = np.zeros((len(dcs), width_dc), np.int64)
+    dc_l = np.zeros((len(dcs), width_dc), np.int64)
+    for i, (c, ln) in enumerate(dcs):
+        dc_c[i, : c.shape[0]], dc_l[i, : c.shape[0]] = c, ln
+    ac_c = np.zeros((len(acs), width_ac), np.int64)
+    ac_l = np.zeros((len(acs), width_ac), np.int64)
+    for i, (c, ln) in enumerate(acs):
+        ac_c[i, : c.shape[0]], ac_l[i, : c.shape[0]] = c, ln
+
+    blocks = np.arange(n, dtype=np.int64)
+    mcu = blocks // blocks_per_mcu
+    segs = (mcu // restart_interval) if restart_interval else np.zeros(n, np.int64)
+    nseg = int(segs[-1]) + 1 if n else 1
+
+    dc_code, dc_len, dc_mag, dc_t = _dc_symbol_arrays(
+        zz[:, 0].astype(np.int64), comp, segs, dc_c, dc_l
+    )
+
+    bi, kk = np.nonzero(zz[:, 1:])
+    bi = bi.astype(np.int64)
+    k = (kk + 1).astype(np.int64)
+    vac = zz[bi, k].astype(np.int64)
+    absv = np.abs(vac)
+    if absv.size and int(absv.max()) > 65535:
+        raise _FastEmitUnavailable
+    t_ac = _BITLEN16[absv].astype(np.int64)
+    if bi.size:
+        first = np.concatenate(([True], bi[1:] != bi[:-1]))
+        prevk = np.concatenate(([0], k[:-1]))
+        run = np.where(first, k - 1, k - prevk - 1)
+    else:
+        run = np.zeros(0, np.int64)
+    n_zrl = run >> 4
+    sym = ((run & 15) << 4) | t_ac
+    if sym.size and int(sym.max()) >= width_ac:
+        raise _FastEmitUnavailable
+    ac_code = ac_c[comp[bi], sym]
+    ac_len = ac_l[comp[bi], sym]
+    zrl_code = ac_c[comp, 0xF0]  # indexed by block
+    zrl_len = ac_l[comp, 0xF0]
+    eob_code = ac_c[comp, 0x00]
+    eob_len = ac_l[comp, 0x00]
+    if (ac_len == 0).any():
+        raise _FastEmitUnavailable
+    ac_mag = np.where(vac > 0, vac, vac + (1 << t_ac) - 1)
+    eob = zz[:, 63] == 0  # last_nz != 63  <=>  zz[63] == 0
+    if (eob_len[eob] == 0).any():
+        raise _FastEmitUnavailable
+
+    # stream order: (block, zigzag position, sub-rank); DC at position 0,
+    # ZRLs before their data symbol, EOB at position 64
+    zi = np.repeat(np.arange(bi.size), n_zrl)
+    if zi.size and (zrl_len[bi[zi]] == 0).any():
+        raise _FastEmitUnavailable
+    parts_b = [blocks, blocks[dc_t > 0], bi[zi], bi, bi, blocks[eob]]
+    parts_p = [
+        np.zeros(n, np.int64),
+        np.zeros(int((dc_t > 0).sum()), np.int64),
+        k[zi],
+        k,
+        k,
+        np.full(int(eob.sum()), 64, np.int64),
+    ]
+    zsub = (
+        np.arange(zi.size) - np.repeat(np.cumsum(n_zrl) - n_zrl, n_zrl)
+        if zi.size
+        else np.zeros(0, np.int64)
+    )
+    parts_s = [
+        np.zeros(n, np.int64),
+        np.ones(int((dc_t > 0).sum()), np.int64),
+        zsub,
+        np.full(bi.size, 16, np.int64),
+        np.full(bi.size, 17, np.int64),
+        np.zeros(int(eob.sum()), np.int64),
+    ]
+    parts_v = [dc_code, dc_mag[dc_t > 0], zrl_code[bi[zi]], ac_code, ac_mag, eob_code[eob]]
+    parts_l = [dc_len, dc_t[dc_t > 0], zrl_len[bi[zi]], ac_len, t_ac, eob_len[eob]]
+    b_all = np.concatenate(parts_b)
+    p_all = np.concatenate(parts_p)
+    s_all = np.concatenate(parts_s)
+    v_all = np.concatenate(parts_v)
+    l_all = np.concatenate(parts_l)
+    order = np.lexsort((s_all, p_all, b_all))
+    return _pack_segmented(v_all[order], l_all[order], segs[b_all[order]], nseg)
+
+
 def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
@@ -475,24 +688,34 @@ def encode_jpeg_gray(
     else:
         dc_codes = _build_codes(EXT12_DC_BITS, EXT12_DC_VALS)
         ac_codes = _build_codes(EXT12_AC_BITS, EXT12_AC_VALS)
-    bw = _BitWriter()
-    dc_pred = 0
     bh, bw_ = (h + 7) // 8, (w_ + 7) // 8
     zz = _quantize_plane(img, q, bh, bw_, level)  # one batched DCT pass
-    n_mcu = bh * bw_
-    mcu_i = 0
-    rst_i = 0
-    for by in range(bh):
-        for bx in range(bw_):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                bw.flush()
-                bw.buf += bytes([0xFF, 0xD0 + (rst_i % 8)])
-                rst_i += 1
-                dc_pred = 0
-            dc_pred = _emit_block_zz(bw, zz[by, bx], dc_pred, dc_codes, ac_codes)
-            mcu_i += 1
-    assert mcu_i == n_mcu
-    bw.flush()
+    zz_flat = zz.reshape(-1, 64)
+    try:
+        scan = _fast_baseline_scan(
+            zz_flat,
+            np.zeros(zz_flat.shape[0], np.int64),
+            [dc_codes],
+            [ac_codes],
+            restart_interval,
+            1,
+        )
+    except _FastEmitUnavailable:
+        bw = _BitWriter()
+        dc_pred = 0
+        mcu_i = 0
+        rst_i = 0
+        for by in range(bh):
+            for bx in range(bw_):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    bw.flush()
+                    bw.buf += bytes([0xFF, 0xD0 + (rst_i % 8)])
+                    rst_i += 1
+                    dc_pred = 0
+                dc_pred = _emit_block_zz(bw, zz[by, bx], dc_pred, dc_codes, ac_codes)
+                mcu_i += 1
+        bw.flush()
+        scan = bytes(bw.buf)
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xFFDB, _dqt_payload(0, q))
@@ -510,7 +733,7 @@ def encode_jpeg_gray(
         out += _seg(0xFFC4, _dht_payload(0, 0, EXT12_DC_BITS, EXT12_DC_VALS))
         out += _seg(0xFFC4, _dht_payload(1, 0, EXT12_AC_BITS, EXT12_AC_VALS))
     out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    out += bw.buf
+    out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -574,21 +797,43 @@ def encode_jpeg_color(
     yzz = _quantize_plane(yp, ql, mby * lsf, mbx * lsf)
     cbzz = _quantize_plane(cbp2, qc, mby, mbx)
     crzz = _quantize_plane(crp2, qc, mby, mbx)
-    bw = _BitWriter()
-    preds = [0, 0, 0]
-    for my in range(mby):
-        for mx in range(mbx):
-            if sub:
-                for dy in range(2):
-                    for dx in range(2):
-                        preds[0] = _emit_block_zz(
-                            bw, yzz[my * 2 + dy, mx * 2 + dx], preds[0], dcl, acl
-                        )
-            else:
-                preds[0] = _emit_block_zz(bw, yzz[my, mx], preds[0], dcl, acl)
-            preds[1] = _emit_block_zz(bw, cbzz[my, mx], preds[1], dcc, acc)
-            preds[2] = _emit_block_zz(bw, crzz[my, mx], preds[2], dcc, acc)
-    bw.flush()
+    nmcu = mby * mbx
+    if sub:
+        yb = (
+            yzz.reshape(mby, 2, mbx, 2, 64)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(nmcu, 4, 64)
+        )
+    else:
+        yb = yzz.reshape(nmcu, 1, 64)
+    mcu_blocks = np.concatenate(
+        [yb, cbzz.reshape(nmcu, 1, 64), crzz.reshape(nmcu, 1, 64)], axis=1
+    )
+    bpm = 6 if sub else 3
+    comp_ids = np.tile(
+        np.array(([0] * 4 if sub else [0]) + [1, 2], np.int64), nmcu
+    )
+    try:
+        scan = _fast_baseline_scan(
+            mcu_blocks.reshape(-1, 64), comp_ids, [dcl, dcc, dcc], [acl, acc, acc], 0, bpm
+        )
+    except _FastEmitUnavailable:
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+        for my in range(mby):
+            for mx in range(mbx):
+                if sub:
+                    for dy in range(2):
+                        for dx in range(2):
+                            preds[0] = _emit_block_zz(
+                                bw, yzz[my * 2 + dy, mx * 2 + dx], preds[0], dcl, acl
+                            )
+                else:
+                    preds[0] = _emit_block_zz(bw, yzz[my, mx], preds[0], dcl, acl)
+                preds[1] = _emit_block_zz(bw, cbzz[my, mx], preds[1], dcc, acc)
+                preds[2] = _emit_block_zz(bw, crzz[my, mx], preds[2], dcc, acc)
+        bw.flush()
+        scan = bytes(bw.buf)
     sf = 0x22 if sub else 0x11
     out = bytearray(b"\xff\xd8")
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -602,7 +847,7 @@ def encode_jpeg_color(
     out += _seg(0xFFC4, _dht_payload(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
     out += _seg(0xFFC4, _dht_payload(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
     out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    out += bw.buf
+    out += scan
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -746,21 +991,35 @@ def encode_jpeg_cmyk(
     # +128 above keeps stored chroma in [0, 255] like the 3-comp encoder.
     # One batched DCT pass per plane (pads internally), then entropy emit.
     zzs = [_quantize_plane(p, tabs[ci][0], bh, bw_) for ci, p in enumerate(planes)]
-    bw = _BitWriter()
-    preds = [0, 0, 0, 0]
-    mcu_i = rst_i = 0
-    for by in range(bh):
-        for bx in range(bw_):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                bw.flush()
-                bw.buf += bytes([0xFF, 0xD0 + (rst_i % 8)])
-                rst_i += 1
-                preds = [0, 0, 0, 0]
-            for ci in range(4):
-                _q, dct, act = tabs[ci]
-                preds[ci] = _emit_block_zz(bw, zzs[ci][by, bx], preds[ci], dct, act)
-            mcu_i += 1
-    bw.flush()
+    nmcu = bh * bw_
+    mcu_blocks = np.stack([z.reshape(nmcu, 64) for z in zzs], axis=1)
+    comp_ids = np.tile(np.arange(4, dtype=np.int64), nmcu)
+    try:
+        scan = _fast_baseline_scan(
+            mcu_blocks.reshape(-1, 64),
+            comp_ids,
+            [dcl, dcc, dcc, dcl],
+            [acl, acc, acc, acl],
+            restart_interval,
+            4,
+        )
+    except _FastEmitUnavailable:
+        bw = _BitWriter()
+        preds = [0, 0, 0, 0]
+        mcu_i = rst_i = 0
+        for by in range(bh):
+            for bx in range(bw_):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    bw.flush()
+                    bw.buf += bytes([0xFF, 0xD0 + (rst_i % 8)])
+                    rst_i += 1
+                    preds = [0, 0, 0, 0]
+                for ci in range(4):
+                    _q, dct, act = tabs[ci]
+                    preds[ci] = _emit_block_zz(bw, zzs[ci][by, bx], preds[ci], dct, act)
+                mcu_i += 1
+        bw.flush()
+        scan = bytes(bw.buf)
     out = bytearray(b"\xff\xd8")
     if adobe:
         out += _app14_adobe(transform)
@@ -777,7 +1036,7 @@ def encode_jpeg_cmyk(
     out += _seg(0xFFC4, _dht_payload(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
     out += _seg(0xFFC4, _dht_payload(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
     out += _seg(0xFFDA, bytes([4, 1, 0x00, 2, 0x11, 3, 0x11, 4, 0x00, 0, 63, 0]))
-    out += bw.buf
+    out += scan
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1634,48 +1893,120 @@ def encode_jpeg_progressive_gray(
     out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w_, 1) + bytes([1, 0x11, 0]))
     out += _seg(0xFFC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
     out += _seg(0xFFC4, _dht_payload(1, 0, PROG_AC_BITS, PROG_AC_VALS))
+    n_blocks = gby * gbx
+    zz_flat = zz.reshape(n_blocks, 64)
+    seg_ids = (
+        np.arange(n_blocks, dtype=np.int64) // restart_interval
+        if restart_interval
+        else np.zeros(n_blocks, np.int64)
+    )
+    nseg = int(seg_ids[-1]) + 1 if n_blocks else 1
     for ss, se, ah, al in script:
         out += _sos_header([(1, 0, 0)], ss, se, ah, al)
-        bw = _BitWriter()
-        pred = 0
-        unit = 0
-        rst_i = 0
-        emitter = (
-            _ACFirstEmitter(bw, ss, se, al, ac_codes)
-            if ah == 0
-            else _ACRefineEmitter(bw, ss, se, al, ac_codes)
+        scan_bytes = _fast_progressive_scan(
+            zz_flat, seg_ids, nseg, ss, se, ah, al, dc_codes, ac_codes
         )
-        if ss > 0:
-            # one vectorized pass flags the blocks whose point-transformed
-            # band is all-zero — those take the pure-int eob_only path
-            # instead of per-block numpy slicing (for DC-dominant content,
-            # i.e. most natural blocks at coarse Al, that is nearly all of
-            # them; output is bit-identical either way)
-            band_live = ((np.abs(zz[:, :, ss : se + 1]) >> al) != 0).any(axis=2)
-        for by in range(gby):
-            for bx in range(gbx):
-                if restart_interval and unit and unit % restart_interval == 0:
-                    emitter.flush()  # EOB runs cannot span a restart
-                    bw.flush()
-                    bw.buf += bytes([0xFF, 0xD0 + (rst_i % 8)])
-                    rst_i += 1
-                    pred = 0
-                if ss == 0:
-                    blk = zz[by, bx]
-                    if ah == 0:
-                        pred = _emit_dc_first_block(bw, blk, pred, al, dc_codes)
+        if scan_bytes is None:
+            bw = _BitWriter()
+            pred = 0
+            unit = 0
+            rst_i = 0
+            emitter = (
+                _ACFirstEmitter(bw, ss, se, al, ac_codes)
+                if ah == 0
+                else _ACRefineEmitter(bw, ss, se, al, ac_codes)
+            )
+            if ss > 0:
+                # one vectorized pass flags the blocks whose point-transformed
+                # band is all-zero — those take the pure-int eob_only path
+                # instead of per-block numpy slicing (for DC-dominant content,
+                # i.e. most natural blocks at coarse Al, that is nearly all of
+                # them; output is bit-identical either way)
+                band_live = ((np.abs(zz[:, :, ss : se + 1]) >> al) != 0).any(
+                    axis=2
+                )
+            for by in range(gby):
+                for bx in range(gbx):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        emitter.flush()  # EOB runs cannot span a restart
+                        bw.flush()
+                        bw.buf += bytes([0xFF, 0xD0 + (rst_i % 8)])
+                        rst_i += 1
+                        pred = 0
+                    if ss == 0:
+                        blk = zz[by, bx]
+                        if ah == 0:
+                            pred = _emit_dc_first_block(bw, blk, pred, al, dc_codes)
+                        else:
+                            bw.write((int(blk[0]) >> al) & 1, 1)
+                    elif band_live[by, bx]:
+                        emitter.block(zz[by, bx])
                     else:
-                        bw.write((int(blk[0]) >> al) & 1, 1)
-                elif band_live[by, bx]:
-                    emitter.block(zz[by, bx])
-                else:
-                    emitter.eob_only()
-                unit += 1
-        emitter.flush()
-        bw.flush()
-        out += bw.buf
+                        emitter.eob_only()
+                    unit += 1
+            emitter.flush()
+            bw.flush()
+            scan_bytes = bytes(bw.buf)
+        out += scan_bytes
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _fast_progressive_scan(
+    zz_flat: np.ndarray,
+    seg_ids: np.ndarray,
+    nseg: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> bytes | None:
+    """Vectorized single-component progressive scan for the shapes that
+    need no per-block state machine: DC first (per-segment predictor diffs),
+    DC refinement (one raw bit per block), and AC scans whose
+    point-transformed band is all-zero everywhere (one EOBn run per restart
+    segment — both emitters produce exactly these bytes there). Returns
+    ``None`` when the scan has live AC bands (the emitter loop handles it)
+    or the input exceeds the fast path's bounds; byte-identical otherwise
+    (pinned by tests against the loop)."""
+    try:
+        if ss == 0 and ah == 0:
+            dc_c, dc_ln = _codes_dense(dc_codes)
+            code, ln, mag, t = _dc_symbol_arrays(
+                zz_flat[:, 0].astype(np.int64) >> al,
+                np.zeros(zz_flat.shape[0], np.int64),
+                seg_ids,
+                dc_c[None, :],
+                dc_ln[None, :],
+            )
+            vals = np.column_stack([code, mag]).ravel()
+            lens = np.column_stack([ln, t]).ravel()
+            return _pack_segmented(vals, lens, np.repeat(seg_ids, 2), nseg)
+        if ss == 0:
+            vals = (zz_flat[:, 0].astype(np.int64) >> al) & 1
+            return _pack_segmented(vals, np.ones_like(vals), seg_ids, nseg)
+        if ((np.abs(zz_flat[:, ss : se + 1]) >> al) != 0).any():
+            return None
+        # whole scan is EOB runs: one EOBn per segment (r = floor(log2 n),
+        # n - 2^r extra bits), flushed at each restart like the emitters
+        counts = np.bincount(seg_ids, minlength=nseg).astype(np.int64)
+        if int(counts.max()) >= _MAX_EOBRUN:
+            return None
+        ac_c, ac_ln = _codes_dense(ac_codes)
+        r = _BITLEN16[counts].astype(np.int64) - 1
+        sym = r << 4
+        if int(sym.max()) >= ac_c.shape[0]:
+            raise _FastEmitUnavailable
+        code, ln = ac_c[sym], ac_ln[sym]
+        if (ln == 0).any():
+            raise _FastEmitUnavailable
+        vals = np.column_stack([code, counts - (1 << r)]).ravel()
+        lens = np.column_stack([ln, r]).ravel()
+        return _pack_segmented(vals, lens, np.repeat(np.arange(nseg), 2), nseg)
+    except _FastEmitUnavailable:
+        return None
 
 
 def encode_jpeg_progressive_color(

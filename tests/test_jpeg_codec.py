@@ -583,3 +583,73 @@ def test_huffman_lut_fast_path_matches_per_bit_walk():
         slow = [jpeg.decode_jpeg(e) for e in encs]
     for f, s in zip(fast, slow):
         assert f == s
+
+
+def test_vectorized_scan_emitter_matches_loop():
+    """The r16 vectorized entropy emitter (_fast_baseline_scan /
+    _fast_progressive_scan) is a pure fast path: with it disabled (forced
+    to the per-block _emit_block_zz / emitter loop) every encoder variant
+    must produce byte-identical files across random/gradient/constant
+    content, restart intervals, 8/12-bit precision, 4:2:0/4:4:4 color,
+    CMYK/YCCK and progressive scripts."""
+    from unittest import mock
+
+    import numpy as np
+
+    from tesseract_spark.operators import jpeg
+
+    rng = np.random.default_rng(23)
+    q8 = np.full((8, 8), 8, np.int32)
+    imgs = [
+        rng.integers(0, 256, (37, 53), dtype=np.uint8),
+        np.full((16, 24), 77, np.uint8),
+        (127 + 120 * np.outer(np.sin(np.linspace(0, 5, 41)),
+                              np.cos(np.linspace(0, 5, 29)))).astype(np.uint8),
+    ]
+
+    def encode_all():
+        out = []
+        for g in imgs:
+            c3 = np.stack([g, 255 - g, g // 2], axis=2)
+            c4 = np.stack([g, 255 - g, g // 2, g | 3], axis=2)
+            for ri in (0, 1, 2, 5):
+                out.append(jpeg.encode_jpeg_gray(g, quality=40, restart_interval=ri))
+                out.append(jpeg.encode_jpeg_gray(g, quant=q8, restart_interval=ri))
+                out.append(
+                    jpeg.encode_jpeg_gray(
+                        g.astype(np.uint16) << 4,
+                        quant=q8,
+                        precision=12,
+                        restart_interval=ri,
+                    )
+                )
+                out.append(
+                    jpeg.encode_jpeg_cmyk(
+                        c4, quality=85, transform=2, restart_interval=ri
+                    )
+                )
+                out.append(
+                    jpeg.encode_jpeg_progressive_gray(
+                        g, quality=85, restart_interval=ri
+                    )
+                )
+                out.append(
+                    jpeg.encode_jpeg_progressive_gray(
+                        g, quant=q8, restart_interval=ri
+                    )
+                )
+            out.append(jpeg.encode_jpeg_color(c3, subsample="4:2:0"))
+            out.append(jpeg.encode_jpeg_color(c3, subsample="4:4:4"))
+        return out
+
+    fast = encode_all()
+
+    def no_fast_baseline(*a, **k):
+        raise jpeg._FastEmitUnavailable
+
+    with mock.patch.object(jpeg, "_fast_baseline_scan", no_fast_baseline), \
+            mock.patch.object(jpeg, "_fast_progressive_scan", lambda *a, **k: None):
+        loop = encode_all()
+    assert len(fast) == len(loop)
+    for f, s in zip(fast, loop):
+        assert f == s
