@@ -178,8 +178,23 @@ def scale_quant(table: np.ndarray, quality: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+#: content-keyed caches for the canonical Huffman tables (r16): encode and
+#: decode both rebuild their tables once PER IMAGE (the standard Annex-K /
+#: EXT12 tables on every catalog fixture), and the rebuild — plus the decode
+#: LUTs hanging off the table — was ~15 % of a small image's decode. Tables
+#: are read-only downstream (the lazy ``lut16`` memo is per shared object,
+#: which is the point), so sharing by content is safe; keys are the raw
+#: (bits, vals) bytes, so any custom DHT gets its own entry.
+_ENCODE_TABLE_CACHE: dict[tuple[bytes, bytes], dict] = {}
+_DECODE_TABLE_CACHE: dict[tuple[bytes, bytes], "_DecodeTable"] = {}
+
+
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """value -> (code, length) canonical assignment."""
+    """value -> (code, length) canonical assignment (content-cached)."""
+    key = (bytes(bits), bytes(vals))
+    cached = _ENCODE_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     out: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -188,6 +203,7 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
             code += 1
             k += 1
         code <<= 1
+    _ENCODE_TABLE_CACHE[key] = out
     return out
 
 
@@ -198,16 +214,62 @@ class _DecodeTable(dict):
     unambiguous), ``-1`` where the code is longer and the per-bit walk in
     :func:`_huff_decode` must resolve it. One list index replaces up to 8
     dict probes on the decoder's hottest path (r16: ~50 % of decode time
-    was ``_huff_decode``)."""
+    was ``_huff_decode``). ``lut16`` is the full-width numpy variant
+    (``(value << 8) | code_length`` per 16-bit peek, 0 = invalid) built
+    lazily by the vectorized segment decoder; ``lutw`` is the same wide
+    table as a plain Python list for the scalar decoder's 16-bit peek
+    (long codes — e.g. the EXT12 DC categories — miss the 8-bit LUT and
+    cost a per-bit dict walk otherwise; content-caching makes the build a
+    once-per-process cost)."""
 
-    __slots__ = ("lut",)
+    __slots__ = ("lut", "lut16", "lutw")
+
+
+def _build_lutw(table: "_DecodeTable") -> list[int]:
+    """Full 16-bit-peek decode LUT as a Python list: every 16-bit extension
+    of a code maps to ``(value << 8) | length`` (prefix-freeness makes the
+    peek unambiguous); 0 marks bit patterns no ≤16-bit code matches (the
+    scalar decoder raises the walk's exact invalid-code ValueError there)."""
+    lutw = [0] * 65536
+    for key, v in table.items():
+        length = key >> 16
+        code = key & 0xFFFF
+        base = code << (16 - length)
+        n = 1 << (16 - length)
+        lutw[base : base + n] = [(v << 8) | length] * n
+    table.lutw = lutw
+    return lutw
+
+
+def _lut16(table: "_DecodeTable") -> np.ndarray:
+    """Full 16-bit-peek decode LUT for the vectorized segment decoder:
+    every 16-bit extension of a code maps to ``(value << 8) | length``
+    (prefix-freeness makes the peek unambiguous); 0 marks bit patterns no
+    ≤16-bit code matches (the per-bit walk would raise there — the fast
+    path falls back instead)."""
+    lut = getattr(table, "lut16", None)
+    if lut is None:
+        lut = np.zeros(65536, np.int64)
+        for key, v in table.items():
+            length = key >> 16
+            code = key & 0xFFFF
+            base = code << (16 - length)
+            lut[base : base + (1 << (16 - length))] = (v << 8) | length
+        table.lut16 = lut
+    return lut
 
 
 def _build_decode(bits: list[int], vals: list[int]) -> "_DecodeTable":
     """``(length << 16) | code`` -> value decoding map. Int keys instead of
     ``(length, code)`` tuples: the per-bit lookup in ``_huff_decode`` is the
     decoder's hottest dict access, and int hashing avoids a tuple
-    allocation + two-element hash per probe."""
+    allocation + two-element hash per probe. Content-cached: the shared
+    table also keeps its ``lut``/``lut16`` across images (tests that mutate
+    a table must copy it first — see the lutless test)."""
+    key = (bytes(bits), bytes(vals))
+    cached = _DECODE_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     out = _DecodeTable()
     lut = [-1] * 256
     code, k = 0, 0
@@ -223,6 +285,7 @@ def _build_decode(bits: list[int], vals: list[int]) -> "_DecodeTable":
             k += 1
         code <<= 1
     out.lut = lut
+    _DECODE_TABLE_CACHE[key] = out
     return out
 
 
@@ -312,17 +375,18 @@ class _MarkerHit(Exception):
 
 
 def _huff_decode(br: _BitReader, table: "_DecodeTable") -> int:
-    # fast path: peek 8 buffered bits and resolve short codes (the vast
-    # majority) with ONE list index. The speculative refill below NEVER
-    # raises _MarkerHit or IndexError — it stops at markers/buffer end and
-    # falls through to the per-bit walk, which reproduces the original
-    # fill-on-demand semantics exactly (same bits consumed, same
-    # _MarkerHit points).
+    # fast path: peek 16 buffered bits and resolve ANY code (codes are
+    # ≤ 16 bits by T.81) with ONE list index; near a marker / stream end
+    # (< 16 bits buffered) short codes still resolve via the 8-bit LUT and
+    # anything longer takes the per-bit walk. The speculative refill below
+    # NEVER raises _MarkerHit or IndexError — it stops at markers/buffer
+    # end and falls through, which reproduces the original fill-on-demand
+    # semantics exactly (same bits consumed, same _MarkerHit points).
     nb = br.nbits
-    if nb < 8:
+    if nb < 16:
         d, p, end = br.data, br.pos, len(br.data)
         acc = br.acc
-        while nb < 8 and p < end:
+        while nb < 16 and p < end:
             b = d[p]
             if b == 0xFF:
                 if p + 1 >= end or d[p + 1] != 0x00:
@@ -333,6 +397,18 @@ def _huff_decode(br: _BitReader, table: "_DecodeTable") -> int:
             acc = ((acc & ((1 << nb) - 1)) << 8) | b
             nb += 8
         br.acc, br.pos, br.nbits = acc, p, nb
+    if nb >= 16:
+        try:
+            lutw = table.lutw
+        except AttributeError:
+            lutw = _build_lutw(table)
+        e = lutw[(br.acc >> (nb - 16)) & 0xFFFF]
+        if e:
+            br.nbits = nb - (e & 0xFF)
+            return e >> 8
+        # no ≤16-bit code matches: the walk would exhaust lengths 1..16
+        # over these same buffered bits and raise exactly this
+        raise ValueError("invalid Huffman code (corrupt entropy stream)")
     if nb >= 8:
         e = table.lut[(br.acc >> (nb - 8)) & 0xFF]
         if e >= 0:
@@ -1224,6 +1300,210 @@ def _mcu_grid(frame) -> tuple[int, int, int, int]:
     return hmax, vmax, mbx, mby
 
 
+def _fast_decode_baseline(
+    data: bytes,
+    pos: int,
+    frame,
+    scan_for,
+    restart_interval: int,
+    dc_tabs,
+    ac_tabs,
+) -> list[np.ndarray] | None:
+    """Vectorized baseline entropy decode across restart segments (r16).
+
+    Restart markers byte-align the stream and reset the DC predictors, so
+    every restart interval is an independently decodable segment; this
+    decoder advances ONE Huffman symbol per segment per iteration with
+    numpy (16-bit-peek LUTs, vectorized magnitude reads), turning the
+    per-symbol Python cost into per-iteration cost over all segments at
+    once. Engaged only for scans where it wins and provably matches:
+    restart-segmented, all components 1×1-sampled. Returns the filled
+    per-component coefficient buffers, or ``None`` on ANY anomaly —
+    missing/mis-ordered RST, invalid code, magnitude overrun, segment
+    overrun — so the per-block path (unchanged) reproduces the exact
+    error semantics. Bit-identical coefficients are pinned by
+    tests/test_jpeg_codec.py::test_vectorized_segment_decoder_matches_loop."""
+    h, w_, comps = frame
+    if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+        return None
+    hmax, vmax, mbx, mby = _mcu_grid(frame)
+    nmcu = mbx * mby
+    ncomp = len(comps)
+    R = restart_interval
+    S = (nmcu + R - 1) // R
+    # Vectorization pays when there are MANY independent lanes (segments)
+    # relative to the per-segment symbol count: the state machine runs
+    # ~2 iterations per block-per-segment over S-wide numpy vectors, so few
+    # fat segments (e.g. 4-component interleaved MCUs) lose to the scalar
+    # LUT loop. Measured break-even (r16): wins from S ≈ 12 × blocks/seg
+    # (gray S=20/bps=2 1.06x, cmyk S=150/bps=8 1.25x; S=36/bps=8 0.46x).
+    if S < 12 * R * ncomp:
+        return None
+    arr = np.frombuffer(data, np.uint8)
+    span = arr[pos:]
+    # markers: 0xFF followed by a non-zero byte (stuffed data is 0xFF 0x00)
+    cand = np.where((span[:-1] == 0xFF) & (span[1:] != 0x00))[0]
+    if cand.size < S:  # S-1 RSTs + the scan-terminating marker
+        return None
+    mks = cand[: S - 1]
+    second = span[mks + 1] if S > 1 else np.zeros(0, np.uint8)
+    if not (
+        (second >= 0xD0).all()
+        and (second <= 0xD7).all()
+        and (second == (0xD0 + (np.arange(S - 1) % 8))).all()
+    ):
+        return None
+    term = cand[S - 1]
+    # segment byte ranges within span (markers excluded), then unstuff
+    starts = np.concatenate(([0], mks + 2))
+    stops = np.concatenate((mks, [term]))
+    if (stops <= starts).any():
+        return None
+    seg_of = np.searchsorted(stops, np.arange(term), side="right")
+    in_data = np.ones(term, bool)
+    in_data[mks] = False
+    in_data[mks + 1] = False
+    stuffed = np.zeros(term, bool)
+    stuffed[1:] = (span[1:term] == 0x00) & (span[: term - 1] == 0xFF)
+    keep = in_data & ~stuffed
+    U = span[:term][keep].astype(np.int64)
+    seg_u = seg_of[keep]
+    counts_u = np.bincount(seg_u, minlength=S)
+    if (counts_u == 0).any():
+        return None
+    seg_start_byte = np.concatenate(([0], np.cumsum(counts_u)[:-1]))
+    end_bits = (seg_start_byte + counts_u) * 8
+    U = np.concatenate((U, np.full(4, 0xFF, np.int64)))  # safe 4-byte gathers
+
+    dc_lut = np.stack(
+        [_lut16(dc_tabs[scan_for[cid][0]]) for cid, _, _, _ in comps]
+    )
+    ac_lut = np.stack(
+        [_lut16(ac_tabs[scan_for[cid][1]]) for cid, _, _, _ in comps]
+    )
+
+    bps = R * ncomp  # blocks per full segment
+    blocks_in_seg = np.full(S, bps, np.int64)
+    blocks_in_seg[-1] = (nmcu - (S - 1) * R) * ncomp
+
+    B = seg_start_byte * 8  # bit cursors
+    blk = np.zeros(S, np.int64)  # block index within segment
+    kpos = np.full(S, -1, np.int64)  # -1 = next symbol is DC, else AC index
+    seg_idx = np.arange(S)
+    dc_diff = np.zeros((S, bps), np.int64)
+    out_g: list[np.ndarray] = []
+    out_k: list[np.ndarray] = []
+    out_v: list[np.ndarray] = []
+
+    def gather32(bits):
+        i = bits >> 3
+        return (U[i] << 24) | (U[i + 1] << 16) | (U[i + 2] << 8) | U[i + 3]
+
+    active = blocks_in_seg > 0
+    cap = int(blocks_in_seg.max()) * 70 + 8  # ≥ max symbols any segment holds
+    for _ in range(cap):
+        if not active.any():
+            break
+        # --- DC symbol for segments whose next symbol is a DC ---
+        m = active & (kpos < 0)
+        if m.any():
+            i = seg_idx[m]
+            w = gather32(B[i])
+            p16 = (w >> (16 - (B[i] & 7))) & 0xFFFF
+            e = dc_lut[blk[i] % ncomp, p16]
+            t = e >> 8
+            ln = e & 0xFF
+            if (ln == 0).any() or (t > 15).any():
+                return None
+            B[i] += ln
+            w = gather32(B[i])
+            mag = (w >> (32 - (B[i] & 7) - t)) & ((1 << t) - 1)
+            B[i] += t
+            if (B[i] > end_bits[i]).any():
+                return None
+            diff = np.where(
+                t == 0,
+                0,
+                np.where(mag >= (1 << np.maximum(t - 1, 0)), mag, mag - (1 << t) + 1),
+            )
+            dc_diff[i, blk[i]] = diff
+            kpos[i] = 1
+        # --- one AC symbol for segments inside a block's AC walk ---
+        m = active & (kpos >= 1)
+        if m.any():
+            i = seg_idx[m]
+            w = gather32(B[i])
+            p16 = (w >> (16 - (B[i] & 7))) & 0xFFFF
+            e = ac_lut[blk[i] % ncomp, p16]
+            rs = e >> 8
+            ln = e & 0xFF
+            if (ln == 0).any():
+                return None
+            B[i] += ln
+            run = rs >> 4
+            size = rs & 0xF
+            is_eob = rs == 0x00
+            is_zrl = rs == 0xF0
+            k2 = np.where(is_zrl, kpos[i] + 16, kpos[i] + run)
+            if (np.where(is_eob | is_zrl, 0, k2) > 63).any():
+                return None
+            w = gather32(B[i])
+            mag = (w >> (32 - (B[i] & 7) - size)) & ((1 << size) - 1)
+            rd = np.where(is_eob | is_zrl, 0, size)
+            B[i] += rd
+            if (B[i] > end_bits[i]).any():
+                return None
+            val = np.where(
+                size == 0,
+                0,
+                np.where(
+                    mag >= (1 << np.maximum(size - 1, 0)),
+                    mag,
+                    mag - (1 << size) + 1,
+                ),
+            )
+            emit = ~is_eob & ~is_zrl
+            if emit.any():
+                g = (seg_idx[m][emit] * np.int64(bps)) + blk[i][emit]
+                out_g.append(g)
+                out_k.append(k2[emit])
+                out_v.append(val[emit])
+            nxt = np.where(is_eob, 64, np.where(is_zrl, k2, k2 + 1))
+            done = nxt >= 64
+            kpos[i] = np.where(done, -1, nxt)
+            blk[i] = blk[i] + done
+            fin = blk[i] >= blocks_in_seg[i]
+            if fin.any():
+                active[i[fin]] = False
+    else:
+        return None  # symbol budget exhausted: not a stream this path serves
+    if active.any():
+        return None
+
+    # DC predictor chains: per component, cumulative sum of that
+    # component's diffs in block order within each segment
+    dcv = np.zeros_like(dc_diff)
+    for c in range(ncomp):
+        dcv[:, c::ncomp] = np.cumsum(dc_diff[:, c::ncomp], axis=1)
+    cf = [np.zeros((mby, mbx, 64), dtype=np.int64) for _ in comps]
+    gblk = seg_idx[:, None] * bps + np.arange(bps)[None, :]
+    valid = np.arange(bps)[None, :] < blocks_in_seg[:, None]
+    for c in range(ncomp):
+        vm = valid[:, c::ncomp]
+        mcus = (gblk[:, c::ncomp][vm] // ncomp)
+        cf[c].reshape(-1, 64)[mcus, 0] = dcv[:, c::ncomp][vm]
+    if out_g:
+        g = np.concatenate(out_g)
+        kk = np.concatenate(out_k)
+        vv = np.concatenate(out_v)
+        ci = g % ncomp
+        mcu = g // ncomp
+        for c in range(ncomp):
+            sel = ci == c
+            cf[c].reshape(-1, 64)[mcu[sel], kk[sel]] = vv[sel]
+    return cf
+
+
 def _decode_scan(
     data: bytes,
     pos: int,
@@ -1256,11 +1536,17 @@ def _decode_scan(
     # same vectorized tail the progressive path always used, replacing a
     # per-block np.zeros + scatter + two 8×8 matmuls (bit-identical: same
     # multiplications, same per-block dgemm)
+    scan_for = {cs: (dct, act) for cs, dct, act in scan}
+    if restart_interval:
+        fast = _fast_decode_baseline(
+            data, pos, frame, scan_for, restart_interval, dc_tabs, ac_tabs
+        )
+        if fast is not None:
+            return _reconstruct_progressive(frame, fast, quants, prec, adobe)
     cf = [
         np.zeros((mby * vs, mbx * hs, 64), dtype=np.int64)
         for cid, hs, vs, qid in comps
     ]
-    scan_for = {cs: (dct, act) for cs, dct, act in scan}
     br = _BitReader(data, pos)
     preds = [0] * len(comps)
     mcu_count = 0

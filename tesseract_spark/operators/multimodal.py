@@ -989,7 +989,17 @@ def decoded_jpeg_features(
                     # gates 8-bit fixtures only, so routing SOF1 12-bit
                     # through an 8-bit-verified binding could silently
                     # drift pixels12_md5 (r14 review)
-                    dec12 = decode(encode12(img12, quant=q8, precision=12))
+                    # restart_interval=2 (r16): same DRI cadence as the
+                    # 8-bit fixture — decoded pixels (and so pixels12_md5)
+                    # are bit-identical for the exact constant-block
+                    # subclass with or without restarts, and the segmented
+                    # stream decodes on the vectorized path; the
+                    # no-restart scalar baseline path keeps its own
+                    # oracle-gated fixture (the CMYK entry's plain
+                    # variant)
+                    dec12 = decode(
+                        encode12(img12, quant=q8, precision=12, restart_interval=2)
+                    )
                     out["pixels12_md5"].append(
                         _hashlib.md5(dec12["pixels"].hex().encode()).hexdigest()
                     )

@@ -575,12 +575,67 @@ def test_huffman_lut_fast_path_matches_per_bit_walk():
     real_build = jpeg._build_decode
 
     def lutless_build(bits, vals):
-        tab = real_build(bits, vals)
+        # copy before mutating: real_build returns a content-CACHED table
+        # shared across decodes, and poisoning its lut would break later
+        # decodes in this process
+        tab = jpeg._DecodeTable(real_build(bits, vals))
         tab.lut = [-1] * 256  # every lookup misses -> per-bit walk only
         return tab
 
-    with mock.patch.object(jpeg, "_build_decode", lutless_build):
+    with mock.patch.object(jpeg, "_build_decode", lutless_build), mock.patch.object(
+        jpeg, "_fast_decode_baseline", lambda *a, **k: None
+    ):  # segment decoder disabled too: the slow side must be the per-bit walk
         slow = [jpeg.decode_jpeg(e) for e in encs]
+    for f, s in zip(fast, slow):
+        assert f == s
+
+
+def test_vectorized_segment_decoder_matches_loop():
+    """The r16 vectorized segment decoder (_fast_decode_baseline) is a pure
+    fast path: decoded output must be byte-identical with it forced off
+    (per-block loop) across restart intervals, precisions, component
+    layouts and content — including streams it declines (no restarts,
+    subsampled color) and ERROR behavior on corrupt streams."""
+    from unittest import mock
+
+    import numpy as np
+
+    from tesseract_spark.operators import jpeg
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 256, (48, 40), dtype=np.uint8)
+    flat = np.full((32, 32), 129, np.uint8)
+    c = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    k4 = rng.integers(0, 256, (24, 32, 4), dtype=np.uint8)
+    q8 = np.full((8, 8), 8, np.int32)
+    encs = []
+    for ri in (1, 2, 5, 7):
+        encs.append(jpeg.encode_jpeg_gray(g, quality=40, restart_interval=ri))
+        encs.append(jpeg.encode_jpeg_gray(flat, quant=q8, restart_interval=ri))
+        encs.append(
+            jpeg.encode_jpeg_gray(
+                g.astype(np.uint16) << 4, quant=q8, precision=12, restart_interval=ri
+            )
+        )
+        encs.append(jpeg.encode_jpeg_cmyk(k4, quality=85, transform=2, restart_interval=ri))
+    encs.append(jpeg.encode_jpeg_gray(g, quality=40))  # no restarts: declines
+    encs.append(jpeg.encode_jpeg_color(c, subsample="4:2:0"))  # 2x2: declines
+
+    def outcomes(data):
+        try:
+            return jpeg.decode_jpeg(data)
+        except Exception as e:  # noqa: BLE001
+            return (type(e).__name__, str(e))
+
+    # corrupt streams: error behavior must be identical too
+    bad = bytearray(encs[0])
+    bad[len(bad) // 2] ^= 0x55
+    cases = encs + [bytes(bad), encs[1][: len(encs[1]) - 40]]
+
+    fast = [outcomes(e) for e in cases]
+    with mock.patch.object(jpeg, "_fast_decode_baseline", lambda *a, **k: None):
+        slow = [outcomes(e) for e in cases]
+    assert len(fast) == len(slow)
     for f, s in zip(fast, slow):
         assert f == s
 
