@@ -1300,6 +1300,57 @@ def _mcu_grid(frame) -> tuple[int, int, int, int]:
     return hmax, vmax, mbx, mby
 
 
+def _frame_segments(data: bytes, pos: int, S: int):
+    """Segment framing shared by the vectorized decoders: locate the S-1
+    cycling RSTn markers + the scan-terminating marker, unstuff the data
+    bytes, and return ``(U, seg_start_byte, counts_u, end_bits, term_abs)``
+    where ``U`` is the concatenated unstuffed segment bytes (int64, padded
+    with 4 guard 0xFF bytes for safe 32-bit gathers), ``seg_start_byte`` /
+    ``counts_u`` delimit each segment inside ``U``, ``end_bits`` is each
+    segment's exclusive bit bound, and ``term_abs`` the absolute offset of
+    the terminating marker. ``None`` on ANY framing anomaly (missing or
+    mis-ordered RST, empty segment) so callers fall back to the scalar
+    loop, which reproduces the exact error semantics."""
+    arr = np.frombuffer(data, np.uint8)
+    span = arr[pos:]
+    # markers: 0xFF followed by a non-zero byte (stuffed data is 0xFF 0x00)
+    cand = np.where((span[:-1] == 0xFF) & (span[1:] != 0x00))[0]
+    if cand.size < S:  # S-1 RSTs + the scan-terminating marker
+        return None
+    mks = cand[: S - 1]
+    second = span[mks + 1] if S > 1 else np.zeros(0, np.uint8)
+    if not (
+        (second >= 0xD0).all()
+        and (second <= 0xD7).all()
+        and (second == (0xD0 + (np.arange(S - 1) % 8))).all()
+    ):
+        return None
+    term = cand[S - 1]
+    if 0xD0 <= span[term + 1] <= 0xD7:
+        return None  # surplus restart marker: let the loop decide
+    # segment byte ranges within span (markers excluded), then unstuff
+    starts = np.concatenate(([0], mks + 2))
+    stops = np.concatenate((mks, [term]))
+    if (stops <= starts).any():
+        return None
+    seg_of = np.searchsorted(stops, np.arange(term), side="right")
+    in_data = np.ones(term, bool)
+    in_data[mks] = False
+    in_data[mks + 1] = False
+    stuffed = np.zeros(term, bool)
+    stuffed[1:] = (span[1:term] == 0x00) & (span[: term - 1] == 0xFF)
+    keep = in_data & ~stuffed
+    U = span[:term][keep].astype(np.int64)
+    seg_u = seg_of[keep]
+    counts_u = np.bincount(seg_u, minlength=S)
+    if (counts_u == 0).any():
+        return None
+    seg_start_byte = np.concatenate(([0], np.cumsum(counts_u)[:-1]))
+    end_bits = (seg_start_byte + counts_u) * 8
+    U = np.concatenate((U, np.full(4, 0xFF, np.int64)))  # safe 4-byte gathers
+    return U, seg_start_byte, counts_u, end_bits, int(pos + term)
+
+
 def _fast_decode_baseline(
     data: bytes,
     pos: int,
@@ -1339,41 +1390,10 @@ def _fast_decode_baseline(
     # (gray S=20/bps=2 1.06x, cmyk S=150/bps=8 1.25x; S=36/bps=8 0.46x).
     if S < 12 * R * ncomp:
         return None
-    arr = np.frombuffer(data, np.uint8)
-    span = arr[pos:]
-    # markers: 0xFF followed by a non-zero byte (stuffed data is 0xFF 0x00)
-    cand = np.where((span[:-1] == 0xFF) & (span[1:] != 0x00))[0]
-    if cand.size < S:  # S-1 RSTs + the scan-terminating marker
+    framed = _frame_segments(data, pos, S)
+    if framed is None:
         return None
-    mks = cand[: S - 1]
-    second = span[mks + 1] if S > 1 else np.zeros(0, np.uint8)
-    if not (
-        (second >= 0xD0).all()
-        and (second <= 0xD7).all()
-        and (second == (0xD0 + (np.arange(S - 1) % 8))).all()
-    ):
-        return None
-    term = cand[S - 1]
-    # segment byte ranges within span (markers excluded), then unstuff
-    starts = np.concatenate(([0], mks + 2))
-    stops = np.concatenate((mks, [term]))
-    if (stops <= starts).any():
-        return None
-    seg_of = np.searchsorted(stops, np.arange(term), side="right")
-    in_data = np.ones(term, bool)
-    in_data[mks] = False
-    in_data[mks + 1] = False
-    stuffed = np.zeros(term, bool)
-    stuffed[1:] = (span[1:term] == 0x00) & (span[: term - 1] == 0xFF)
-    keep = in_data & ~stuffed
-    U = span[:term][keep].astype(np.int64)
-    seg_u = seg_of[keep]
-    counts_u = np.bincount(seg_u, minlength=S)
-    if (counts_u == 0).any():
-        return None
-    seg_start_byte = np.concatenate(([0], np.cumsum(counts_u)[:-1]))
-    end_bits = (seg_start_byte + counts_u) * 8
-    U = np.concatenate((U, np.full(4, 0xFF, np.int64)))  # safe 4-byte gathers
+    U, seg_start_byte, counts_u, end_bits, _term_abs = framed
 
     dc_lut = np.stack(
         [_lut16(dc_tabs[scan_for[cid][0]]) for cid, _, _, _ in comps]
@@ -1705,6 +1725,140 @@ def _alloc_progressive_state(frame, remaining: int) -> list[np.ndarray]:
     ]
 
 
+def _fast_progressive_scan_decode(
+    data: bytes,
+    pos: int,
+    cz: np.ndarray,
+    nby: int,
+    nbx: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_tab,
+    ac_tab,
+    R: int,
+) -> int | None:
+    """Vectorized single-component progressive scan decode across restart
+    segments (r16) — the decode mirror of the encoder's
+    ``_fast_progressive_scan`` shapes:
+
+    - **DC first** (Ss=0, Ah=0): one (category, magnitude) symbol per block,
+      decoded by the same advance-one-symbol-per-segment state machine as
+      the baseline fast path; per-segment predictor chains via ``cumsum``.
+    - **DC refinement** (Ss=0, Ah>0): one raw bit per block — a pure gather.
+    - **AC scans whose segments are single EOBn runs covering exactly their
+      blocks**: first scans read nothing per covered block; refinement
+      scans additionally require ALL-ZERO band history (a covered block
+      with nonzero history would read correction bits), verified before
+      engaging. Both mutate nothing.
+
+    Any other shape — live AC symbols, partial EOB runs, invalid codes,
+    segment overruns, framing anomalies — returns ``None`` BEFORE touching
+    ``cz``, so the per-block loop (unchanged) reproduces the exact output
+    and error semantics. Byte/pixel identity and error parity are pinned by
+    ``test_vectorized_progressive_decoder_matches_loop``. Returns the
+    payload offset of the next marker segment (the loop's forward scan
+    lands on the terminating marker ``_frame_segments`` validated)."""
+    nblk = nby * nbx
+    S = (nblk + R - 1) // R
+    # lane economics as in _fast_decode_baseline: the DC-first machine runs
+    # ~1 iteration per block-per-segment; the other kinds are single-pass
+    if S < (12 * R if ss == 0 and ah == 0 else 16):
+        return None
+    framed = _frame_segments(data, pos, S)
+    if framed is None:
+        return None
+    U, sb, cu, end_bits, term_abs = framed
+    blocks_in_seg = np.full(S, R, np.int64)
+    blocks_in_seg[-1] = nblk - (S - 1) * R
+
+    def gather32(bits):
+        i = bits >> 3
+        return (U[i] << 24) | (U[i + 1] << 16) | (U[i + 2] << 8) | U[i + 3]
+
+    # traversal block (by, bx) -> flat row index into the padded grid
+    W = cz.shape[1]
+    flat = cz.reshape(-1, 64)
+    j = np.arange(nblk, dtype=np.int64)
+    bidx = (j // nbx) * W + (j % nbx)
+
+    if ss == 0 and ah == 0:  # DC first
+        lut = _lut16(dc_tab)
+        Rmax = int(blocks_in_seg.max())
+        B = sb * 8
+        blk = np.zeros(S, np.int64)
+        diffs = np.zeros((S, Rmax), np.int64)
+        seg_idx = np.arange(S)
+        active = blocks_in_seg > 0
+        for _ in range(Rmax):
+            if not active.any():
+                break
+            i = seg_idx[active]
+            w = gather32(B[i])
+            p16 = (w >> (16 - (B[i] & 7))) & 0xFFFF
+            e = lut[p16]
+            t = e >> 8
+            ln = e & 0xFF
+            if (ln == 0).any() or (t > 15).any():
+                return None
+            B[i] += ln
+            w = gather32(B[i])
+            mag = (w >> (32 - (B[i] & 7) - t)) & ((1 << t) - 1)
+            B[i] += t
+            if (B[i] > end_bits[i]).any():
+                return None
+            diffs[i, blk[i]] = np.where(
+                t == 0,
+                0,
+                np.where(mag >= (1 << np.maximum(t - 1, 0)), mag, mag - (1 << t) + 1),
+            )
+            blk[i] += 1
+            active[i] = blk[i] < blocks_in_seg[i]
+        dcv = np.cumsum(diffs, axis=1)
+        valid = np.arange(Rmax)[None, :] < blocks_in_seg[:, None]
+        g = seg_idx[:, None] * R + np.arange(Rmax)[None, :]
+        flat[bidx[g[valid]], 0] = dcv[valid] << al
+        return term_abs
+
+    if ss == 0:  # DC refinement: one raw bit per block, MSB-first
+        if (blocks_in_seg > cu * 8).any():
+            return None
+        seg = j // R
+        k = j % R
+        bit = (U[sb[seg] + (k >> 3)] >> (7 - (k & 7))) & 1
+        m = bit.astype(bool)
+        flat[bidx[m], 0] |= 1 << al
+        return term_abs
+
+    # AC scan: engage only when every segment is ONE EOBn run covering
+    # exactly its blocks (the all-zero-band encoder shape)
+    if ah > 0 and (cz[:nby, :nbx, ss : se + 1] != 0).any():
+        return None  # nonzero history would read correction bits
+    lut = _lut16(ac_tab)
+    b0 = sb * 8
+    p16 = (U[sb] << 8) | U[sb + 1]  # segment start is byte-aligned
+    e = lut[p16]
+    rs = e >> 8
+    ln = e & 0xFF
+    if (ln == 0).any():
+        return None
+    r = rs >> 4
+    s = rs & 0xF
+    if (s != 0).any() or (r == 15).any():
+        return None  # a data symbol or ZRL: not the EOB-only shape
+    B = b0 + ln
+    w = gather32(B)
+    ext = (w >> (32 - (B & 7) - r)) & ((1 << r) - 1)
+    B = B + r
+    if (B > end_bits).any():
+        return None
+    eobrun = (1 << r) - 1 + np.where(r > 0, ext, 0)
+    if (eobrun + 1 != blocks_in_seg).any():
+        return None
+    return term_abs
+
+
 def _decode_progressive_scan(
     data: bytes,
     pos: int,
@@ -1739,6 +1893,27 @@ def _decode_progressive_scan(
     for cs, _, _ in scan:
         if cs not in idx:
             raise ValueError(f"scan component {cs} not declared in frame")
+
+    if restart_interval and len(scan) == 1:
+        cs0, dct0, act0 = scan[0]
+        ci0 = idx[cs0]
+        _, hs0, vs0, _ = comps[ci0]
+        fast = _fast_progressive_scan_decode(
+            data,
+            pos,
+            coefs[ci0],
+            (-(-(h * vs0) // vmax) + 7) // 8,
+            (-(-(w_ * hs0) // hmax) + 7) // 8,
+            ss,
+            se,
+            ah,
+            al,
+            dc_tabs[dct0] if ss == 0 else None,
+            ac_tabs[act0] if ss > 0 else None,
+            restart_interval,
+        )
+        if fast is not None:
+            return fast
 
     br = _BitReader(data, pos)
     preds = [0] * len(scan)

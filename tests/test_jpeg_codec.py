@@ -640,6 +640,54 @@ def test_vectorized_segment_decoder_matches_loop():
         assert f == s
 
 
+def test_vectorized_progressive_decoder_matches_loop():
+    """The r16 vectorized progressive scan decoder
+    (_fast_progressive_scan_decode) is a pure fast path: decoded output
+    must be byte-identical with it forced off (per-block loop) across
+    content that ENGAGES it (constant-block fixtures: DC chains + raw-bit
+    refinement + pure-EOB AC scans), content that makes it DECLINE (live
+    AC symbols, no restarts, interleaved color DC scans), quant tables,
+    restart intervals, and ERROR behavior on corrupt streams."""
+    from unittest import mock
+
+    import numpy as np
+
+    from tesseract_spark.operators import jpeg
+
+    rng = np.random.default_rng(47)
+    g = rng.integers(0, 256, (48, 40), dtype=np.uint8)
+    c = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    q8 = np.full((8, 8), 8, np.int32)
+    # constant-block grid (the engaging subclass: DC-only coefficients)
+    cb = np.repeat(np.repeat(rng.integers(0, 256, (9, 5), np.uint8), 8, 0), 8, 1)
+    encs = []
+    for ri in (1, 2, 5):
+        encs.append(jpeg.encode_jpeg_progressive_gray(cb, quant=q8, restart_interval=ri))
+        encs.append(jpeg.encode_jpeg_progressive_gray(g, quality=85, restart_interval=ri))
+        encs.append(jpeg.encode_jpeg_progressive_gray(g, quant=q8, restart_interval=ri))
+    encs.append(jpeg.encode_jpeg_progressive_gray(cb, quant=q8))  # no restarts
+    encs.append(jpeg.encode_jpeg_progressive_color(c, subsample="4:2:0"))
+
+    def outcomes(data):
+        try:
+            return jpeg.decode_jpeg(data)
+        except Exception as e:  # noqa: BLE001
+            return (type(e).__name__, str(e))
+
+    bad = bytearray(encs[0])
+    bad[len(bad) * 2 // 3] ^= 0x3C
+    cases = encs + [bytes(bad), encs[0][: len(encs[0]) - 25]]
+
+    fast = [outcomes(e) for e in cases]
+    with mock.patch.object(
+        jpeg, "_fast_progressive_scan_decode", lambda *a, **k: None
+    ):
+        slow = [outcomes(e) for e in cases]
+    assert len(fast) == len(slow)
+    for f, s in zip(fast, slow):
+        assert f == s
+
+
 def test_vectorized_scan_emitter_matches_loop():
     """The r16 vectorized entropy emitter (_fast_baseline_scan /
     _fast_progressive_scan) is a pure fast path: with it disabled (forced
