@@ -49,6 +49,7 @@ sequential within one image).
 from __future__ import annotations
 
 import struct
+from types import MappingProxyType
 
 import numpy as np
 
@@ -185,12 +186,43 @@ def scale_quant(table: np.ndarray, quality: int) -> np.ndarray:
 #: are read-only downstream (the lazy ``lut16`` memo is per shared object,
 #: which is the point), so sharing by content is safe; keys are the raw
 #: (bits, vals) bytes, so any custom DHT gets its own entry.
-_ENCODE_TABLE_CACHE: dict[tuple[bytes, bytes], dict] = {}
-_DECODE_TABLE_CACHE: dict[tuple[bytes, bytes], "_DecodeTable"] = {}
+#:
+#: Bounded LRU (r17, ADVICE): real-world optimized-Huffman JPEGs carry
+#: per-image unique tables, and each decode table can lazily grow a
+#: ~0.5 MB wide LUT — an unbounded dict is a slow memory leak in a
+#: long-lived executor fed a varied corpus. 16 slots keep every standard
+#: Annex-K / EXT12 / progressive table resident forever (≤10 distinct in
+#: this codec) while capping custom-table residency at ~16 MB worst case.
+_TABLE_CACHE_MAX = 16
+
+
+class _LruTableCache(dict):
+    """Tiny insertion-ordered LRU: hits re-insert (dict preserves order),
+    inserts beyond the cap evict the least recently used entry."""
+
+    def get(self, key):  # type: ignore[override]
+        v = super().get(key)
+        if v is not None and next(reversed(self)) != key:
+            del self[key]
+            super().__setitem__(key, v)
+        return v
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        while len(self) > _TABLE_CACHE_MAX:
+            del self[next(iter(self))]
+
+
+_ENCODE_TABLE_CACHE: dict[tuple[bytes, bytes], dict] = _LruTableCache()
+_DECODE_TABLE_CACHE: dict[tuple[bytes, bytes], "_DecodeTable"] = _LruTableCache()
 
 
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """value -> (code, length) canonical assignment (content-cached)."""
+    """value -> (code, length) canonical assignment (content-cached).
+
+    SHARING CONTRACT (r17, ADVICE): the returned mapping is process-globally
+    shared by content, so it is wrapped read-only (``MappingProxyType``) —
+    a caller that needs a mutable variant must ``dict(...)``-copy it."""
     key = (bytes(bits), bytes(vals))
     cached = _ENCODE_TABLE_CACHE.get(key)
     if cached is not None:
@@ -203,8 +235,9 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
             code += 1
             k += 1
         code <<= 1
-    _ENCODE_TABLE_CACHE[key] = out
-    return out
+    ro = MappingProxyType(out)
+    _ENCODE_TABLE_CACHE[key] = ro
+    return ro
 
 
 class _DecodeTable(dict):
@@ -220,9 +253,26 @@ class _DecodeTable(dict):
     table as a plain Python list for the scalar decoder's 16-bit peek
     (long codes — e.g. the EXT12 DC categories — miss the 8-bit LUT and
     cost a per-bit dict walk otherwise; content-caching makes the build a
-    once-per-process cost)."""
+    once-per-process cost).
 
-    __slots__ = ("lut", "lut16", "lutw")
+    SHARING CONTRACT (r17, ADVICE): instances returned by
+    :func:`_build_decode` are process-globally shared by content — item
+    mutation is forbidden once ``_frozen`` is set (a caller that needs a
+    mutable variant must copy first, as the lutless test does); the lazy
+    ``lut``/``lut16``/``lutw`` attribute memos are the ONLY sanctioned
+    post-freeze writes."""
+
+    __slots__ = ("lut", "lut16", "lutw", "_frozen")
+
+    def __setitem__(self, key, value):
+        if getattr(self, "_frozen", False):
+            raise TypeError("shared _DecodeTable is read-only; copy it first")
+        super().__setitem__(key, value)
+
+    def __delitem__(self, key):
+        if getattr(self, "_frozen", False):
+            raise TypeError("shared _DecodeTable is read-only; copy it first")
+        super().__delitem__(key)
 
 
 def _build_lutw(table: "_DecodeTable") -> list[int]:
@@ -285,6 +335,7 @@ def _build_decode(bits: list[int], vals: list[int]) -> "_DecodeTable":
             k += 1
         code <<= 1
     out.lut = lut
+    out._frozen = True
     _DECODE_TABLE_CACHE[key] = out
     return out
 
@@ -406,8 +457,17 @@ def _huff_decode(br: _BitReader, table: "_DecodeTable") -> int:
         if e:
             br.nbits = nb - (e & 0xFF)
             return e >> 8
-        # no ≤16-bit code matches: the walk would exhaust lengths 1..16
-        # over these same buffered bits and raise exactly this
+        # no ≤16-bit code matches: the per-bit walk would consume these 16
+        # bits and then read ONE more bit (its loop probes through length
+        # 17) before raising — and at a marker or stream end that 17th
+        # read raises _MarkerHit / IndexError instead of the invalid-code
+        # error (ADVICE r16: the two paths diverge exactly at that
+        # boundary). Reproduce the walk's 17th read so error identity
+        # holds bit-for-bit.
+        br.nbits = nb - 16
+        if br.nbits == 0:
+            br._fill()  # may raise _MarkerHit / IndexError like the walk
+        br.nbits -= 1
         raise ValueError("invalid Huffman code (corrupt entropy stream)")
     if nb >= 8:
         e = table.lut[(br.acc >> (nb - 8)) & 0xFF]
@@ -1347,7 +1407,13 @@ def _frame_segments(data: bytes, pos: int, S: int):
         return None
     seg_start_byte = np.concatenate(([0], np.cumsum(counts_u)[:-1]))
     end_bits = (seg_start_byte + counts_u) * 8
-    U = np.concatenate((U, np.full(4, 0xFF, np.int64)))  # safe 4-byte gathers
+    # 8 guard bytes: a 16-bit-LUT match at a segment's very end can push a
+    # bit cursor to end_bits + 16 BEFORE the overrun check runs, and the
+    # magnitude gather32 then reads bytes (B>>3)..(B>>3)+3 — up to 6 bytes
+    # past the last data byte (ADVICE r16: 4 was one short for custom DHTs
+    # whose codes end in ≥8 one-bits). The overrun check still rejects the
+    # decode; the pad only keeps the speculative gather in bounds.
+    U = np.concatenate((U, np.full(8, 0xFF, np.int64)))
     return U, seg_start_byte, counts_u, end_bits, int(pos + term)
 
 

@@ -756,3 +756,105 @@ def test_vectorized_scan_emitter_matches_loop():
     assert len(fast) == len(loop)
     for f, s in zip(fast, loop):
         assert f == s
+
+
+def test_huffman_table_caches_are_bounded_lru():
+    """ADVICE r16 (medium): per-image unique DHTs (mozjpeg-style optimized
+    Huffman) must not grow the content-keyed table caches without bound —
+    each decode table can lazily carry ~0.5 MB of wide LUT. The caches are
+    small LRUs: churning many distinct tables caps residency while the
+    standard tables stay resident under mixed traffic."""
+    enc, dec = jpeg._ENCODE_TABLE_CACHE, jpeg._DECODE_TABLE_CACHE
+    # standard tables resident first (as in a warm executor)
+    std_enc = jpeg._build_codes(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+    std_dec = jpeg._build_decode(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+    for i in range(4 * jpeg._TABLE_CACHE_MAX):
+        # distinct single-code tables: one 2-bit code with a varying value
+        key_bits = [0, 1] + [0] * 14
+        jpeg._build_codes(key_bits, [(i * 7 + 3) % 256])
+        jpeg._build_decode(key_bits, [(i * 7 + 3) % 256])
+    assert len(enc) <= jpeg._TABLE_CACHE_MAX
+    assert len(dec) <= jpeg._TABLE_CACHE_MAX
+    # LRU (not plain FIFO): touching the standard table keeps it resident
+    # across churn when re-requested between insertions
+    a = jpeg._build_codes(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+    b = jpeg._build_decode(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+    for i in range(jpeg._TABLE_CACHE_MAX - 1):
+        jpeg._build_codes([0, 1] + [0] * 14, [i])
+        jpeg._build_decode([0, 1] + [0] * 14, [i])
+        assert jpeg._build_codes(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS) is a
+        assert jpeg._build_decode(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS) is b
+
+
+def test_shared_tables_are_read_only():
+    """ADVICE r16 (low): the content-cached tables are process-globally
+    shared; item mutation must fail loudly instead of silently poisoning
+    every later encode/decode in the process."""
+    codes = jpeg._build_codes(jpeg.AC_LUMA_BITS, jpeg.AC_LUMA_VALS)
+    with pytest.raises(TypeError):
+        codes[0] = (0, 1)  # type: ignore[index]
+    tab = jpeg._build_decode(jpeg.AC_LUMA_BITS, jpeg.AC_LUMA_VALS)
+    with pytest.raises(TypeError):
+        tab[(1 << 16) | 0] = 99
+    with pytest.raises(TypeError):
+        del tab[next(iter(tab))]
+    # sanctioned path: a copy is mutable (the lutless test's pattern)
+    cp = jpeg._DecodeTable(tab)
+    cp[(1 << 16) | 0] = 99  # no raise
+    # and the real tables still decode after the attempted mutations
+    g = np.full((8, 8), 128, np.uint8)
+    assert jpeg.decode_jpeg(jpeg.encode_jpeg_gray(g)) is not None
+
+
+def test_huff_decode_marker_adjacent_error_parity():
+    """ADVICE r16 (low): with EXACTLY 16 bits buffered before a marker and
+    no ≤16-bit code matching, the per-bit walk reads a 17th bit and raises
+    _MarkerHit — the 16-bit LUT path must reproduce that, not raise the
+    invalid-code ValueError the walk only raises when more bits exist."""
+    # table with a single 1-bit code '0': any peek starting with a 1-bit
+    # matches nothing at any length
+    bits = [1] + [0] * 15
+    tab = jpeg._build_decode(bits, [7])
+
+    # 16 ones buffered, reader positioned at an EOI marker -> _MarkerHit
+    br = jpeg._BitReader(b"\xff\xd9", 0)
+    br.acc, br.nbits = 0xFFFF, 16
+    with pytest.raises(jpeg._MarkerHit) as ei:
+        jpeg._huff_decode(br, tab)
+    assert ei.value.marker == 0xFFD9
+
+    # 16 ones buffered at TRUE stream end -> IndexError (normalized to
+    # ValueError by decode_jpeg), exactly like the walk's 17th _fill
+    br = jpeg._BitReader(b"", 0)
+    br.acc, br.nbits = 0xFFFF, 16
+    with pytest.raises(IndexError):
+        jpeg._huff_decode(br, tab)
+
+    # >16 bits buffered: the walk consumes a 17th buffered bit and raises
+    # the invalid-code error — LUT path matches
+    br = jpeg._BitReader(b"\xff\xd9", 0)
+    br.acc, br.nbits = 0x1FFFF, 17
+    with pytest.raises(ValueError, match="invalid Huffman code"):
+        jpeg._huff_decode(br, tab)
+
+
+def test_frame_segments_guard_pad_covers_speculative_gathers():
+    """ADVICE r16 (low): the vectorized decoder's bit cursor can reach
+    end_bits + 16 BEFORE the overrun check, and gather32 then reads bytes
+    (B>>3)..(B>>3)+3 — the guard pad must cover that worst case for the
+    LAST segment (whose end is the end of U)."""
+    g = np.add.outer(np.arange(16), np.arange(16)).astype(np.uint8) * 3
+    enc = jpeg.encode_jpeg_gray(g, quality=90, restart_interval=1)
+    # locate SOS entropy start the way decode does: after SOS header
+    sos = enc.find(b"\xff\xda")
+    assert sos > 0
+    ls = struct.unpack(">H", enc[sos + 2 : sos + 4])[0]
+    pos = sos + 2 + ls
+    framed = jpeg._frame_segments(enc, pos, 4)  # 16x16 → 4 MCUs, R=1
+    assert framed is not None
+    U, seg_start_byte, counts_u, end_bits, _term = framed
+    worst_bit = int(end_bits[-1]) + 16
+    worst_gather_last_byte = (worst_bit >> 3) + 3
+    assert worst_gather_last_byte < len(U), (
+        "guard pad too small for the speculative magnitude gather"
+    )
