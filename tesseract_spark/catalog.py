@@ -1818,8 +1818,43 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _local_input_bytes(path: str) -> int:
+    """Total bytes of a local parquet file or directory (raises OSError for
+    remote/missing paths — callers fall back to the blind spread)."""
+    import os as _os
+
+    if _os.path.isfile(path):
+        return _os.path.getsize(path)
+    total = 0
+    with _os.scandir(path) as it:
+        for e in it:
+            if e.is_file() and not e.name.startswith(("_", ".")):
+                total += e.stat().st_size
+    return total
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    """Embedding scans spread by INPUT SIZE, not blindly to every core
+    (r17, guide §2 'derive partitioning from input size'): every embedding
+    operator is batch-BLAS (µs/row — k-means assign, PQ encode, ADC, LSH
+    planes), so past ~1 partition per MB extra partitions buy no CPU and
+    cost a task + an Arrow worker round trip in EVERY downstream job — the
+    ANN entries run 5-8 jobs each, and the blind 32-way spread of the
+    2000-row sf0.1 table measured 0.7-3 s SLOWER per entry than the sized
+    spread. At production scale the table is hundreds of MB+ and this
+    saturates every core exactly like the blind spread; _docs keeps the
+    full-core spread because codec decode is ~ms/row regardless of bytes."""
+    path = f"{sf_dir}/embeddings.parquet"
+    df = spark.read.parquet(path)
+    try:
+        want = max(1, -(-_local_input_bytes(path) // (1 << 20)))
+    except OSError:
+        return _spread(df)  # remote path: size unknown, keep the old spread
+    target = spark.sparkContext.defaultParallelism
+    want = min(want, target)
+    if 1 < want and df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
 
 
 def _wire_pipeline_ops() -> None:

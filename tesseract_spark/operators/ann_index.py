@@ -55,6 +55,13 @@ from .similarity import _assign, cosine_col, train_kmeans
 # prune further), small enough not to spray tiny files at build time.
 N_ID_BUCKETS = 64
 
+import collections as _collections
+
+#: driver-derived residual seed row — duck-types the ``(cid, cvec)`` Rows
+#: _grouped_mats_from_seeds reads (r17: one TakeOrdered serves both the
+#: coarse and residual trainings' seeds)
+_ResidSeed = _collections.namedtuple("_ResidSeed", ["cid", "cvec"])
+
 
 def _id_bucket_col(id_col):
     return F.pmod(id_col, F.lit(N_ID_BUCKETS)).cast("int")
@@ -508,11 +515,50 @@ def build_ivfpq_index(
 
     pq_groups = [(j * sd + 1, sd, n_codes) for j in range(m)]
     if residual:
+        import numpy as _np
+
+        from .pq import _slice_argmin
+
+        # One TakeOrdered job serves BOTH trainings' seeds, and the residual
+        # trainer's limit-probe runs on the raw non-null base rows instead
+        # of the residual mapInPandas view (r17): the residual frame maps
+        # non-null base rows 1:1, so probing/seeding through it re-ran the
+        # full coarse-argmin Python pass twice just to count rows and take
+        # max_k of them (~1 s of the build at sf0.1). Residual seed vectors
+        # are derived driver-side from the base seeds through the SAME
+        # kernel the residual frame applies per batch (_slice_argmin +
+        # C[win] subtraction — row-independent, so bit-identical).
+        src_nn = vecs.where(F.col("vec").isNotNull())
+        base_seeds = (
+            src_nn.orderBy("id")
+            .limit(max(n_centroids, n_codes))
+            .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
+            .collect()
+        )
         coarse_mat = _train_grouped_mats(
-            vecs, [(1, dim, n_centroids)], iters, train_max_rows
+            vecs,
+            [(1, dim, n_centroids)],
+            iters,
+            train_max_rows,
+            seed_rows=base_seeds,
         )[0]
+        if base_seeds and len(coarse_mat[0]):
+            V = _np.array([list(r.cvec) for r in base_seeds], dtype=_np.float64)
+            _, win = _slice_argmin(V, coarse_mat)
+            R = V - coarse_mat[1][win]
+            resid_seeds = [
+                _ResidSeed(int(r.cid), list(map(float, R[i])))
+                for i, r in enumerate(base_seeds)
+            ]
+        else:
+            resid_seeds = []
         pq_mats = _train_grouped_mats(
-            _residual_frame(vecs, coarse_mat), pq_groups, iters, train_max_rows
+            _residual_frame(vecs, coarse_mat),
+            pq_groups,
+            iters,
+            train_max_rows,
+            probe_frame=src_nn,
+            seed_rows=resid_seeds,
         )
         lists = _encode_residual(vecs, coarse_mat, pq_mats, sd, keep_vec=True)
     else:
@@ -757,11 +803,13 @@ def query_ivfpq_index(
     dim = Q.shape[1]
     sd = dim // m
 
-    codes = (
-        spark.read.parquet(f"{path}/lists")
-        .filter(F.col("cid").isin(probed_cids))
-        .select("id", "codes", "cid")
-    )
+    # ONE lists frame reused by the codes scan and the rescore (one parquet
+    # relation resolution instead of two), and literal IN predicates built
+    # as single SQL strings (isin constructs one py4j literal per element —
+    # measured r17: ~0.1 s of plan-build per serve for the three lists)
+    lists_df = spark.read.parquet(f"{path}/lists")
+    in_probed = F.expr(f"cid IN ({','.join(str(int(c)) for c in probed_cids)})")
+    codes = lists_df.filter(in_probed).select("id", "codes", "cid")
     if allowed is not None:
         codes = codes.join(allowed.select("id").distinct(), "id", "leftsemi")
     probed_sets = {q: frozenset(s) for q, s in probed.items()}
@@ -794,11 +842,10 @@ def query_ivfpq_index(
         [(int(r.query_id), int(r.neighbor_id)) for r in cand_rows],
         "query_id long, neighbor_id long",
     )
-    rescore_src = (
-        spark.read.parquet(f"{path}/lists")
-        .filter(F.col("cid").isin(probed_cids) & F.col("id").isin(cand_ids))
-        .select("id", "vec")
-    )
+    in_cand = F.expr(
+        f"id IN ({','.join(str(int(i)) for i in cand_ids)})"
+    ) if cand_ids else F.lit(False)
+    rescore_src = lists_df.filter(in_probed & in_cand).select("id", "vec")
     scored = (
         rescore_src.join(
             F.broadcast(cand_local), F.col("id") == F.col("neighbor_id")

@@ -53,6 +53,8 @@ def _train_grouped_mats(
     groups: list[tuple[int, int, int]],
     iters: int,
     train_max_rows: int | None,
+    probe_frame: DataFrame | None = None,
+    seed_rows: list | None = None,
 ):
     """Deterministic Lloyd k-means over several VIEWS of the same vectors in
     ONE fused pipeline. ``groups``: ``[(start, width, k), ...]`` — each
@@ -74,26 +76,41 @@ def _train_grouped_mats(
     train = vecs.select("id", "vec")
     if train_max_rows is not None and iters > 0:
         # limit-probe first, exactly as train_kmeans (counts INCLUDE null
-        # vectors — the per-group form counts its pre-filter input too)
-        if vecs.limit(train_max_rows + 1).count() > train_max_rows:
-            n_total = vecs.count()
+        # vectors — the per-group form counts its pre-filter input too).
+        # ``probe_frame`` (r17): a caller-supplied frame with IDENTICAL row
+        # count that is cheaper to evaluate — the residual trainer probes
+        # the raw non-null base rows instead of running the full residual
+        # mapInPandas pass just to count it (the residual frame maps
+        # non-null base rows 1:1). Decision and sample fraction unchanged.
+        probe = probe_frame if probe_frame is not None else vecs
+        if probe.limit(train_max_rows + 1).count() > train_max_rows:
+            n_total = probe.count()
             denom = 1 << 20
             num = max(1, (denom * train_max_rows) // n_total)
             train = train.where(
                 F.pmod(F.xxhash64(F.col("id")), F.lit(denom)) < F.lit(num)
             )
-    if train_max_rows is not None and iters > 0:
+    if train_max_rows is not None and iters > 1:
         # the Lloyd loop re-evaluates `train` once per iteration (assign +
         # means). For a raw scan that is cheap I/O, but for a DERIVED view
         # (the residual frame: a full coarse-argmin mapInPandas per
         # evaluation) each re-evaluation re-runs the computation. The train
         # frame is bounded (≤ ~train_max_rows rows — either the hash sample
         # fired or the corpus was already under the cap), so materialize it
-        # lazily once; values are unchanged.
+        # lazily once; values are unchanged. At ``iters == 1`` the frame is
+        # evaluated exactly once, so the checkpoint's block write bought
+        # nothing — skipped (r17).
         train = train.localCheckpoint(eager=False)
     max_k = max(k for _, _, k in groups)
+    # ``seed_rows`` (r17): pre-collected ``(cid, cvec)`` seed rows — must be
+    # the ≥ max_k smallest-id non-null rows of ``vecs`` (the residual
+    # trainer derives them driver-side from the base seeds through the SAME
+    # argmin+subtract arithmetic the residual frame applies, so one
+    # TakeOrdered job serves both trainings).
     seeds = (
-        src.orderBy("id")
+        seed_rows
+        if seed_rows is not None
+        else src.orderBy("id")
         .limit(max_k)
         .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
         .collect()

@@ -47,6 +47,53 @@ def local_df(spark: SparkSession, data, schema):
         return spark.createDataFrame(data, schema)
 
 
+def _enable_py4j_nodelay() -> None:
+    """Set TCP_NODELAY on every py4j client connection (current and future).
+
+    The driver↔JVM command channel carries thousands of small
+    request/response exchanges per query (plan construction is chatty:
+    every Column/DataFrame op is a round trip). py4j leaves Nagle's
+    algorithm ON, so multi-segment commands (long SQL strings, literal
+    arrays) stall a delayed-ACK round before the tail segment ships —
+    measured r17: a fresh IVF-PQ serve's plan-build dropped ~19 %
+    (1.12 → 0.91 s) from this switch alone. Loopback or not, the option
+    only removes sender-side batching latency; payloads are unchanged."""
+    import socket as _socket
+
+    try:
+        from py4j import clientserver as _cs
+
+        if getattr(_cs.ClientServerConnection, "_tsk_nodelay", False):
+            return
+        _orig = _cs.ClientServerConnection.connect_to_java_server
+
+        def _connect(self):  # noqa: ANN001
+            _orig(self)
+            try:
+                self.socket.setsockopt(
+                    _socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1
+                )
+            except OSError:
+                pass  # non-TCP transport (e.g. unix socket): nothing to do
+
+        _cs.ClientServerConnection.connect_to_java_server = _connect
+        _cs.ClientServerConnection._tsk_nodelay = True
+    except Exception:  # noqa: BLE001 — never let a transport tweak break startup
+        pass
+
+
+def _nodelay_existing(spark: SparkSession) -> None:
+    """Apply TCP_NODELAY to the session's already-open py4j connections."""
+    import socket as _socket
+
+    try:
+        gw = spark._sc._gateway  # noqa: SLF001
+        for conn in list(gw._gateway_client.deque):  # noqa: SLF001
+            conn.socket.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def get_spark(
     app_name: str = "tesseract_spark",
     master: str | None = None,
@@ -95,6 +142,8 @@ def get_spark(
             "-Dderby.system.home=/tmp",
         )
     )
+    _enable_py4j_nodelay()
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _nodelay_existing(spark)
     return spark
