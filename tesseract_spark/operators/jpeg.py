@@ -593,15 +593,32 @@ _BITLEN16 = np.zeros(65536, np.uint8)
 _BITLEN16[1:] = (np.floor(np.log2(np.arange(1, 65536))) + 1).astype(np.uint8)
 
 
+_CODES_DENSE_CACHE: dict[int, tuple[dict, tuple[np.ndarray, np.ndarray]]] = {}
+
+
 def _codes_dense(codes: dict[int, tuple[int, int]]) -> tuple[np.ndarray, np.ndarray]:
     """value -> (code, length) dict as dense gather arrays (length 0 marks a
-    symbol the table lacks — the fast path bails when one is needed)."""
+    symbol the table lacks — the fast path bails when one is needed).
+
+    Memoized per table object (r17): the vectorized emitters rebuilt these
+    arrays once per scan (8 per CMYK doc — ~4 % of its pipeline). Keyed by
+    ``id`` WITH a strong reference to the table kept in the value, so a
+    cached id can never be reused by a different (garbage-collected) table;
+    the identity check on hit makes that invariant explicit."""
+    key = id(codes)
+    hit = _CODES_DENSE_CACHE.get(key)
+    if hit is not None and hit[0] is codes:
+        return hit[1]
     n = max(codes) + 1
     c = np.zeros(n, np.int64)
     ln = np.zeros(n, np.int64)
     for v, (code, length) in codes.items():
         c[v], ln[v] = code, length
-    return c, ln
+    out = (c, ln)
+    if len(_CODES_DENSE_CACHE) >= 4 * _TABLE_CACHE_MAX:
+        _CODES_DENSE_CACHE.clear()  # bounded: rebuilt on demand
+    _CODES_DENSE_CACHE[key] = (codes, out)
+    return out
 
 
 def _pack_segmented(

@@ -750,6 +750,8 @@ def decoded_png_palette_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
+        import numpy as _np
+
         def h(b: bytes) -> str:
             return _hashlib.md5(b.hex().encode()).hexdigest()
 
@@ -766,22 +768,27 @@ def decoded_png_palette_features(
                     continue
                 used = bytes(payload[: hb * w])
                 d8 = dec(enc_pal(used, w, hb, pal8, trans=trns))
-                nib = bytearray()
-                for b in used:
-                    nib += bytes((b >> 4, b & 0xF))
-                d4 = dec(enc_pal(bytes(nib), 2 * w, hb, pal4, depth=4))
+                # nibble / crumb expansion vectorized (r17): the per-byte
+                # Python loops were O(payload) interpreter work per doc;
+                # the strided stores emit the identical MSB-first streams
+                ua = _np.frombuffer(used, _np.uint8)
+                nib_a = _np.empty(2 * len(ua), _np.uint8)
+                nib_a[0::2] = ua >> 4
+                nib_a[1::2] = ua & 0xF
+                nib = nib_a.tobytes()
+                d4 = dec(enc_pal(nib, 2 * w, hb, pal4, depth=4))
                 da = dec(enc_rgba(used, w // 4, hb))
                 # r15 sub-8-bit grayscale: nibbles as raw 4-bit samples with
                 # a color key on raw 7; crumbs as 2-bit samples in the Adam7
                 # layout (the sub-byte deinterlacer under the hash gate)
-                dg4 = dec(enc_gray(bytes(nib), 2 * w, hb, depth=4, trans_key=7))
-                crumbs = bytearray()
-                for b in used:
-                    crumbs += bytes(
-                        ((b >> 6) & 3, (b >> 4) & 3, (b >> 2) & 3, b & 3)
-                    )
+                dg4 = dec(enc_gray(nib, 2 * w, hb, depth=4, trans_key=7))
+                cr_a = _np.empty(4 * len(ua), _np.uint8)
+                cr_a[0::4] = ua >> 6
+                cr_a[1::4] = (ua >> 4) & 3
+                cr_a[2::4] = (ua >> 2) & 3
+                cr_a[3::4] = ua & 3
                 dg2 = dec(
-                    enc_gray(bytes(crumbs), 4 * w, hb, depth=2, interlace=True)
+                    enc_gray(cr_a.tobytes(), 4 * w, hb, depth=2, interlace=True)
                 )
                 out["doc_id"].append(did)
                 out["width"].append(w)
