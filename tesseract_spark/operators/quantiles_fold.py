@@ -38,111 +38,93 @@ def fold_straddlers(
 ) -> DataFrame:
     """Requires columns ``__v __c __hi __n`` (value, multiplicity,
     cumulative count, group total); returns ``group_cols + out_names``."""
-    parr = F.array(*[F.lit(float(p)) for p in probs])
-    idx = F.array(*[F.lit(i) for i in range(len(probs))])
-    n1 = (F.col("__n") - F.lit(1)).cast("double")
-    lo_edge = F.col("__hi") - F.col("__c")
-
-    def covers(r):
-        return (r >= lo_edge) & (r < F.col("__hi"))
-
-    def k_of(i):
+    # Every plan piece is built as ONE SQL string per projection/aggregate
+    # (r16 did the pre-filter; r17 the rest): constructing ~10 Column
+    # objects per (prob, role) through py4j costs ~1 ms per call on the
+    # driver — measured 0.67 s of pure plan-BUILD per fold call at 15
+    # probs, on top of the 2-4 s the r16 unroll already removed. Each SQL
+    # string mirrors the former Column form exactly (same double literals
+    # via repr, same FLOOR/LEAST/CAST arithmetic, same function order), so
+    # the expression trees — and therefore the results — are unchanged.
+    def k_sql(i: int) -> str:
         # h = p·(n−1) in double, k = floor(h) — identical to Spark
         # percentile / DuckDB quantile_cont
-        return F.floor(F.element_at(parr, i + 1) * n1).cast("long")
-
-    def k1_of(i):
-        return F.least(k_of(i) + F.lit(1), F.col("__n") - F.lit(1))
-
-    hit = lambda i, role, r: F.when(  # noqa: E731
-        covers(r), F.struct(i.alias("i"), F.lit(role).alias("role"))
-    )
-    hits = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.filter(
-                F.array(hit(i, 0, k_of(i)), hit(i, 1, k1_of(i))),
-                lambda s: s.isNotNull(),
-            ),
-        )
-    )
-    # boolean pre-filter first (no struct allocation), so the struct-building
-    # transform runs only on the ≤ 2·|probs| survivors per group. UNROLLED as
-    # a plain OR chain rather than an `exists` over the probs array: array
-    # higher-order functions evaluate their lambda INTERPRETED per element
-    # (measured r16: ~5 s single-threaded over 583k distinct values × 30
-    # lambda evals), while the OR chain whole-stage-codegens — fast enough
-    # that the few-group direct path no longer needs to repartition the
-    # ranked table just to spread this filter (quantiles.py r16). Plan size
-    # stays linear and SMALL: one ~5-op covers() term per (prob, role), not
-    # the per-prob conditional AGGREGATES whose unrolled form this module
-    # replaced. Survival semantics are identical to the `exists` form: same
-    # k_of/k1_of arithmetic on the same double literals, OR over the same
-    # predicate set; `hits` (on survivors only) keeps the HOF form.
-    # built as ONE SQL string parsed JVM-side: constructing ~10 Column
-    # objects per (prob, role) through py4j costs ~1 ms per call on the
-    # driver (measured: 2-4 s of plan-BUILD time for 15 probs), while one
-    # expr() is a single round trip. The SQL mirrors the Column form
-    # exactly: same double literals, same floor/least/cast arithmetic.
-    def k_sql(i: int) -> str:
         return (
             f"CAST(FLOOR({float(probs[i])!r}D * "
             f"CAST(__n - 1 AS DOUBLE)) AS BIGINT)"
         )
 
+    def k1_sql(i: int) -> str:
+        return f"LEAST({k_sql(i)} + 1, __n - 1)"
+
     def cov_sql(r: str) -> str:
         return f"({r} >= __hi - __c AND {r} < __hi)"
 
+    # boolean pre-filter first (no struct allocation), so the struct-building
+    # array runs only on the ≤ 2·|probs| survivors per group. UNROLLED as
+    # a plain OR chain rather than an `exists` over the probs array: array
+    # higher-order functions evaluate their lambda INTERPRETED per element
+    # (measured r16: ~5 s single-threaded over 583k distinct values × 30
+    # lambda evals), while the OR chain whole-stage-codegens — fast enough
+    # that the few-group direct path no longer needs to repartition the
+    # ranked table just to spread this filter (quantiles.py r16).
     relevant = F.expr(
         " OR ".join(
-            f"({cov_sql(k_sql(i))} OR "
-            f"{cov_sql(f'LEAST({k_sql(i)} + 1, __n - 1)')})"
+            f"({cov_sql(k_sql(i))} OR {cov_sql(k1_sql(i))})"
             for i in range(len(probs))
         )
     )
-    long = (
-        ranked.where(relevant)
-        .withColumn("__hits", hits)
-        .where(F.size("__hits") > 0)
-        .select(
-            *group_cols,
-            "__v",
-            "__n",
-            F.explode("__hits").alias("__h"),
-        )
-        .select(
-            *group_cols,
-            "__v",
-            "__n",
-            F.col("__h.i").alias("__i"),
-            F.col("__h.role").alias("__role"),
-        )
+    # per surviving row, one CASE per (prob index, lo/up role) emits the
+    # straddle hits; filter(IS NOT NULL) + explode reproduces the former
+    # flatten(transform(idx, …filter…)) + size()>0 + explode chain exactly
+    # (same elements, same (i asc, role 0 then 1) order; explode of an
+    # empty array already emits nothing, so the size() guard was redundant)
+    hits_elems = ", ".join(
+        f"CASE WHEN {cov_sql(k_sql(i) if role == 0 else k1_sql(i))} "
+        f"THEN named_struct('i', {i}, 'role', {role}) END"
+        for i in range(len(probs))
+        for role in (0, 1)
+    )
+    gcols = [F.col(g) for g in group_cols]
+    long = ranked.where(relevant).select(
+        *gcols,
+        F.col("__v"),
+        F.col("__n"),
+        F.expr(
+            f"explode(filter(array({hits_elems}), s -> s IS NOT NULL))"
+        ).alias("__h"),
+    ).select(
+        *gcols,
+        F.col("__v"),
+        F.col("__n"),
+        F.expr("__h.i").alias("__i"),
+        F.expr("__h.role").alias("__role"),
     )
     # both shuffles below run over the ≤ 2·|probs| survivors per group,
     # never the distinct-value table
     per_prob = long.groupBy(*group_cols, "__i").agg(
-        F.max(F.when(F.col("__role") == 0, F.col("__v"))).alias("__lo"),
-        F.max(F.when(F.col("__role") == 1, F.col("__v"))).alias("__up"),
-        F.first("__n").alias("__n"),
+        F.expr("max(CASE WHEN __role = 0 THEN __v END)").alias("__lo"),
+        F.expr("max(CASE WHEN __role = 1 THEN __v END)").alias("__up"),
+        F.expr("first(__n)").alias("__n"),
     )
-    h = F.element_at(parr, F.col("__i") + 1) * (
-        (F.col("__n") - F.lit(1)).cast("double")
-    )
-    lo_rank = F.floor(h)
-    lo = F.col("__lo").cast("double")
-    up = F.col("__up").cast("double")
+    plist = ", ".join(f"{float(p)!r}D" for p in probs)
+    h = f"(element_at(array({plist}), __i + 1) * CAST(__n - 1 AS DOUBLE))"
+    lo = "CAST(__lo AS DOUBLE)"
+    up = "CAST(__up AS DOUBLE)"
     # Spark's Percentile.getPercentile symmetric weighting — bit-equal to
     # the builtin (and, transitively, DuckDB quantile_cont):
     #   (higher - pos) * lower + (pos - lower) * higher
-    interp = (lo_rank + F.lit(1) - h) * lo + (h - lo_rank) * up
     # exact-rank hit (frac == 0) or equal straddling values (tie): both
     # engines return the value itself rather than interpolating — Spark's
     # counts-map puts both ranks in one bucket, DuckDB shortcuts lo == up
-    val = F.when((h == lo_rank) | (lo == up), lo).otherwise(interp)
-    scored = per_prob.withColumn("__q", val)
+    val = (
+        f"CASE WHEN {h} = FLOOR({h}) OR {lo} = {up} THEN {lo} "
+        f"ELSE (FLOOR({h}) + 1 - {h}) * {lo} + ({h} - FLOOR({h})) * {up} END"
+    )
+    scored = per_prob.withColumn("__q", F.expr(val))
     return scored.groupBy(*group_cols).agg(
         *[
-            F.max(F.when(F.col("__i") == i, F.col("__q"))).alias(name)
+            F.expr(f"max(CASE WHEN __i = {i} THEN __q END)").alias(name)
             for i, name in enumerate(out_names)
         ]
     )
